@@ -1,13 +1,537 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TrimUtf8Bytes
+import graft.ops._
+import graft.scale._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the scale/LLM-pipeline operators), each phrased over
+  * the driver's TPC-H-ish parquet tables so the DuckDB oracle can verify
+  * it. Column names are aliased identically in the Spark code and the
+  * oracle SQL (the driver's compare sorts columns by name before
+  * hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * DiffSync (SURVEY §2.6) — the reference engine's core — classifying a
+    * simulated incoming orders snapshot against the current one.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    diffSyncClassified(spark, "/root/testdata/sf0.001")
+
+  // === shared query bodies ===================================================
+
+  /** Simulated CDC pair over `orders`: incoming = keys not divisible by 5
+    * (with content perturbed on multiples of 7), current = keys not
+    * divisible by 3.
+    */
+  private def snapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val orders = t(spark, dir, "orders")
+    val incoming = orders
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice"))
+          .as("val"))
+    val current = orders
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("val"))
+    (incoming, current)
+  }
+
+  private def diffSyncClassified(spark: SparkSession, dir: String): DataFrame = {
+    val (incoming, current) = snapshots(spark, dir)
+    DiffSync(incoming, current, Seq("o_orderkey"), Seq("val"))
+  }
+
+  private val orderPriorityRanks: Map[String, Int] = Map(
+    "1-URGENT" -> 0, "2-HIGH" -> 10, "3-MEDIUM" -> 20,
+    "5-LOW" -> 30, "4-NOT SPECIFIED" -> 40)
+
+  // === the query surface =====================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- A1/A5-A7: pipe-set merge (TreeSet dedup + sort + join) -------------
+    "q01_set_merge_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          SetMerge.mergeSet(col("l_returnflag")).as("flags"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- §2.6 DiffSync: 4-way CDC classification ----------------------------
+    "q02_diff_sync" -> ((s, dir) => {
+      DiffSync.counts(diffSyncClassified(s, dir))
+        .withColumnRenamed("count", "n")
+    }),
+
+    // --- J1/J2/J9: priority-staged fallback join ----------------------------
+    "q03_fallback_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), (col("o_custkey") % 25).as("alt_key"))
+      val stage1 = FallbackJoin.Stage(
+        dim = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0),
+        keys = Seq("o_custkey" -> "c_custkey"),
+        payload = Seq("c_mktsegment" -> "match_val"))
+      val stage2 = FallbackJoin.Stage(
+        dim = t(s, dir, "nation"),
+        keys = Seq("alt_key" -> "n_nationkey"),
+        payload = Seq("n_name" -> "match_val"))
+      FallbackJoin(orders, Seq(stage1, stage2))
+        .select("o_orderkey", "match_val", "matched_stage")
+    }),
+
+    // --- A2: ranked set-merge (clinical-significance pattern) ---------------
+    "q04_ranked_merge" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(RankedSetMerge
+          .rankedMergeAgg(col("o_orderpriority"), orderPriorityRanks)
+          .as("priorities"))
+    }),
+
+    // --- X16/J9: normalized-name entity resolution --------------------------
+    "q05_normalize_name" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(NameNormalize.normalizeName(col("p_name")).as("norm_name"))
+        .groupBy("norm_name")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- O2: duplicate ranking window (pick 1 winner per normalized name) ---
+    "q06_dup_rank" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .withColumn("norm_name", NameNormalize.normalizeName(col("p_name")))
+      val w = Window.partitionBy("norm_name")
+      val rn = row_number().over(
+        w.orderBy(col("p_retailprice").desc, col("p_size").desc, col("p_partkey").asc))
+      parts
+        .withColumn("n_dups", count(lit(1)).over(w))
+        .withColumn("rn", rn)
+        .filter(col("rn") === 1)
+        .select(col("norm_name"), col("p_partkey").as("winner_partkey"), col("n_dups"))
+    }),
+
+    // --- §2.6: threshold-guarded delete (8% ceiling pattern) -----------------
+    "q07_guarded_delete" -> ((s, dir) => {
+      val diff = diffSyncClassified(s, dir)
+      DiffSync.counts(DiffSync.guardDeletes(diff, 0.08))
+        .withColumnRenamed("count", "n")
+    }),
+
+    // --- X1: UTF-8-byte-aware truncation (custom Catalyst expression) -------
+    "q08_trim_utf8" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          TrimUtf8Bytes(
+            concat_ws(" ", col("p_name"), col("p_type"), col("p_brand"),
+              col("p_name"), col("p_type")),
+            80).as("trimmed"))
+    }),
+
+    // --- K5/A11/O1: VCF-style group-merge + lexicographic-chr sort ----------
+    "q09_vcf_group_sort" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          (col("user_id") % 23).cast("string").as("chr"),
+          (col("event_id") % 1000).as("pos"),
+          col("event_type"))
+        .groupBy("chr", "pos")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("event_type")))).as("alleles"),
+          count(lit(1)).as("n"))
+        .orderBy(col("chr"), col("pos"))
+    }),
+
+    // --- A3: newest-wins resolution (last-evaluated-date pattern) -----------
+    // (`ts` surfaces as LongType nanos via nanosAsLong — see Verify/Bench)
+    "q10_newest_wins" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      t(s, dir, "events")
+        .withColumn("n_events", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(w.orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          expr("ts div 1000000").as("last_ms"),
+          col("value").as("last_value"),
+          col("n_events"))
+    }),
+
+    // --- F4/K7: classification counters -------------------------------------
+    "q11_counter_buckets" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          when(col("value") < 5.0, "low")
+            .when(col("value") < 50.0, "mid")
+            .otherwise("high")
+            .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- F8/X2/X5-X7: xref routing + digit-strip + link-text ----------------
+    "q12_xref_routing" -> ((s, dir) => {
+      val routed = t(s, dir, "events")
+        .withColumn("acc", regexp_replace(col("props"), "\\D", ""))
+        .withColumn(
+          "xdb_key",
+          when(col("event_type") === "click", 48)
+            .when(col("event_type") === "view", 54)
+            .when(col("event_type") === "purchase", 6)
+            .when(col("event_type") === "signup", 21)
+            .otherwise(lit(null).cast("int")))
+        .filter(col("xdb_key").isNotNull)
+      routed.select(
+        col("event_id"),
+        col("xdb_key"),
+        col("acc"),
+        when(col("xdb_key") === 48, concat(lit("rs"), col("acc")))
+          .otherwise(col("acc"))
+          .as("link_text"))
+    }),
+
+    // --- A12: PubMed-id aggregation pattern ----------------------------------
+    "q13_pubmed_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          SetMerge.mergeSet(
+            concat(lit("PMID:"), regexp_replace(col("props"), "\\D", "")))
+            .as("pmids"))
+    }),
+
+    // --- A13: unmatchable-condition histogram --------------------------------
+    "q14_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(upper(substring(col("text"), 1, 3)).as("cond"))
+        .agg(count(lit(1)).as("hit_count"))
+    }),
+
+    // --- A14: scalar stats ----------------------------------------------------
+    "q15_scalar_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(length(col("text"))).as("sum_len"),
+          count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
+    // --- scale: exact dedup (hash-groupBy) ------------------------------------
+    "q16_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // --- scale: token counting -------------------------------------------------
+    "q17_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_len"))
+    }),
+
+    // --- scale: quality scoring ------------------------------------------------
+    "q18_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.punctCount(col("text")).as("n_punct"),
+          TextStats.stopwordCount(col("text")).as("n_stop"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.qualityBucket(col("text")).as("quality"))
+    }),
+
+    // --- scale: language id ------------------------------------------------------
+    "q19_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.langId(col("text")).as("pred_lang"))
+    }),
+
+    // --- scale: minhash signature (word-level, md5 — oracle-checkable) ----------
+    "q20_minhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(
+          min(md5(concat(lit("0:"), col("w")).cast("binary"))).as("h0"),
+          min(md5(concat(lit("1:"), col("w")).cast("binary"))).as("h1"),
+          min(md5(concat(lit("2:"), col("w")).cast("binary"))).as("h2"),
+          min(md5(concat(lit("3:"), col("w")).cast("binary"))).as("h3"))
+    }),
+
+    // --- scale: brute-force cosine ANN top-k -------------------------------------
+    "q21_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity
+        .bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // --- scale: document fingerprint ----------------------------------------------
+    "q22_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+    }),
+
+    // --- rows-only (no SQL oracle): shingled MinHash-LSH near-dup pairs ----------
+    "q23_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2)
+    }),
+
+    // --- rows-only: simhash near-dup candidate buckets ----------------------------
+    "q24_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.simhash64(col("text")).as("simhash"))
+    }),
+
+    // --- rows-only: LSH-bucketed ANN ------------------------------------------------
+    "q25_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity
+        .lshTopK(emb, probes, "vec_id", "embedding", 5, numPlanes = 6)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // --- A8-A10: group-merge-split (annotation post-processing chain) -------------
+    "q26_merge_split" -> ((s, dir) => {
+      // merge per-customer order comment-ish payloads, then split any
+      // oversize merged list into <=120-char chunks at a '|' boundary
+      val li = t(s, dir, "lineitem")
+        .select(
+          col("l_suppkey"),
+          concat(col("l_returnflag"), lit("_"), col("l_linestatus"),
+            lit("_"), col("l_orderkey") % 100).as("xref"))
+      MergeSplit
+        .mergeThenSplit(
+          li,
+          keyCols = Seq("l_suppkey"),
+          mergeCols = Map("xrefs" -> (col("xref"), "[|]", "|")),
+          splitCol = "xrefs",
+          maxLen = 120)
+        .select(col("l_suppkey"), col("xrefs"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names — the driver
+    * compare hashes values under sorted column names).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_set_merge_agg" ->
+      """SELECT l_orderkey,
+        |  string_agg(DISTINCT l_returnflag, '|' ORDER BY l_returnflag) AS flags,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q02_diff_sync" ->
+      """WITH inc AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS val
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey, o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0),
+        |cls AS (
+        |  SELECT CASE WHEN cur.o_orderkey IS NULL THEN 'insert'
+        |              WHEN inc.o_orderkey IS NULL THEN 'delete'
+        |              WHEN inc.val IS DISTINCT FROM cur.val THEN 'update'
+        |              ELSE 'match' END AS action
+        |  FROM inc FULL OUTER JOIN cur ON inc.o_orderkey = cur.o_orderkey)
+        |SELECT action, count(*) AS n FROM cls GROUP BY action""".stripMargin,
+
+    "q03_fallback_join" ->
+      """SELECT o.o_orderkey,
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE n.n_name END AS match_val,
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN 1
+        |       WHEN n.n_nationkey IS NOT NULL THEN 2 ELSE 0 END AS matched_stage
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_custkey % 2 = 0
+        |LEFT JOIN nation n ON o.o_custkey % 25 = n.n_nationkey""".stripMargin,
+
+    "q04_ranked_merge" ->
+      """SELECT o_custkey, string_agg(p, '|' ORDER BY rnk) AS priorities
+        |FROM (SELECT DISTINCT o_custkey, o_orderpriority AS p,
+        |        CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 10
+        |          WHEN '3-MEDIUM' THEN 20 WHEN '5-LOW' THEN 30
+        |          WHEN '4-NOT SPECIFIED' THEN 40 ELSE 999 END AS rnk
+        |      FROM orders)
+        |GROUP BY o_custkey""".stripMargin,
+
+    "q05_normalize_name" ->
+      """SELECT array_to_string(list_sort(string_split(lower(p_name), ' ')), '.') AS norm_name,
+        |  count(*) AS n
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "q06_dup_rank" ->
+      """SELECT norm_name, p_partkey AS winner_partkey, n_dups FROM (
+        |  SELECT array_to_string(list_sort(string_split(lower(p_name), ' ')), '.') AS norm_name,
+        |    p_partkey,
+        |    count(*) OVER (PARTITION BY array_to_string(list_sort(string_split(lower(p_name), ' ')), '.')) AS n_dups,
+        |    row_number() OVER (
+        |      PARTITION BY array_to_string(list_sort(string_split(lower(p_name), ' ')), '.')
+        |      ORDER BY p_retailprice DESC, p_size DESC, p_partkey) AS rn
+        |  FROM part)
+        |WHERE rn = 1""".stripMargin,
+
+    "q07_guarded_delete" ->
+      """WITH inc AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS val
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey, o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0),
+        |cls AS (
+        |  SELECT CASE WHEN cur.o_orderkey IS NULL THEN 'insert'
+        |              WHEN inc.o_orderkey IS NULL THEN 'delete'
+        |              WHEN inc.val IS DISTINCT FROM cur.val THEN 'update'
+        |              ELSE 'match' END AS action
+        |  FROM inc FULL OUTER JOIN cur ON inc.o_orderkey = cur.o_orderkey),
+        |st AS (
+        |  SELECT sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS ndel,
+        |         sum(CASE WHEN action <> 'insert' THEN 1 ELSE 0 END) AS ncur
+        |  FROM cls)
+        |SELECT CASE WHEN action = 'delete' AND st.ndel > st.ncur * 0.08
+        |            THEN 'keep_stale' ELSE action END AS action,
+        |  count(*) AS n
+        |FROM cls, st GROUP BY 1""".stripMargin,
+
+    "q08_trim_utf8" ->
+      """SELECT p_partkey,
+        |  CASE WHEN length(v) > 80 THEN substr(v, 1, 76) || ' ...' ELSE v END AS trimmed
+        |FROM (SELECT p_partkey,
+        |        p_name || ' ' || p_type || ' ' || p_brand || ' ' || p_name || ' ' || p_type AS v
+        |      FROM part)""".stripMargin,
+
+    "q09_vcf_group_sort" ->
+      """SELECT CAST(user_id % 23 AS VARCHAR) AS chr, event_id % 1000 AS pos,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS alleles,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q10_newest_wins" ->
+      """SELECT user_id, epoch_ms(ts) AS last_ms, value AS last_value, n_events FROM (
+        |  SELECT user_id, ts, value,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q11_counter_buckets" ->
+      """SELECT event_type,
+        |  CASE WHEN value < 5.0 THEN 'low' WHEN value < 50.0 THEN 'mid' ELSE 'high' END AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q12_xref_routing" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'click' THEN 48 WHEN 'view' THEN 54
+        |    WHEN 'purchase' THEN 6 WHEN 'signup' THEN 21 END AS xdb_key,
+        |  regexp_replace(props, '\D', '', 'g') AS acc,
+        |  CASE WHEN event_type = 'click' THEN 'rs' || regexp_replace(props, '\D', '', 'g')
+        |       ELSE regexp_replace(props, '\D', '', 'g') END AS link_text
+        |FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase', 'signup')""".stripMargin,
+
+    "q13_pubmed_agg" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT 'PMID:' || regexp_replace(props, '\D', '', 'g'), '|'
+        |    ORDER BY 'PMID:' || regexp_replace(props, '\D', '', 'g')) AS pmids
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q14_histogram" ->
+      """SELECT upper(substr(text, 1, 3)) AS cond, count(*) AS hit_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q15_scalar_stats" ->
+      """SELECT source, sum(length(text)) AS sum_len, count(*) AS n,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q16_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q17_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_len
+        |FROM documents""".stripMargin,
+
+    "q18_quality_score" ->
+      """SELECT doc_id,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |  len(regexp_extract_all(text, '\b(the|a|of|and|to|is|in)\b')) AS n_stop,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 'empty'
+        |       WHEN len(regexp_extract_all(text, '\b(the|a|of|and|to|is|in)\b')) * 10 >=
+        |            (CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) THEN 'stopwordy'
+        |       WHEN length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) = 0 THEN 'clean'
+        |       ELSE 'other' END AS quality
+        |FROM documents""".stripMargin,
+
+    "q19_lang_id" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de AND c_en >= c_zh THEN 'en'
+        |    WHEN c_fr >= c_es AND c_fr >= c_de AND c_fr >= c_zh THEN 'fr'
+        |    WHEN c_es >= c_de AND c_es >= c_zh THEN 'es'
+        |    WHEN c_de >= c_zh THEN 'de'
+        |    ELSE 'zh' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS c_en,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et|une)\b')) AS c_fr,
+        |    len(regexp_extract_all(text, '\b(el|los|que|una|es)\b')) AS c_es,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS c_de,
+        |    len(regexp_extract_all(text, '\b(的|了|是)\b')) AS c_zh
+        |  FROM documents)""".stripMargin,
+
+    "q20_minhash" ->
+      """SELECT doc_id,
+        |  min(md5('0:' || w)) AS h0, min(md5('1:' || w)) AS h1,
+        |  min(md5('2:' || w)) AS h2, min(md5('3:' || w)) AS h3
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q21_ann_cosine" ->
+      """SELECT probe_id, rank, neighbor_id FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (
+        |      PARTITION BY p.vec_id
+        |      ORDER BY list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        |  WHERE p.vec_id % 50 = 0)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+        |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differential-sync (CDC) meta-operator — the core of the reference engine.
+  *
+  * Every entity in the reference follows the same 4-way classification of
+  * incoming vs in-store rows → {insert, update, delete, match}
+  * (reference: Loader.java:25-87; GeneAssociations.sync:78-109;
+  * XdbIds.qc/sync:82-146; MapPositions.qc/sync:104-152; HgvsNames.qc/
+  * sync:36-101; Aliases.qc/sync:51-138; AnnotCache.qcAndLoadAnnots:28-77).
+  * The reference does it with per-record JDBC point lookups; here it is a
+  * single `full_outer` join on the natural key — one shuffle on each side,
+  * scales linearly, and AQE handles skewed keys.
+  *
+  * Output schema: natural-key columns, each content column (incoming
+  * value, null for deletes), each content column with `_old` suffix
+  * (current-store value, null for inserts), and `action`.
+  *
+  * The classified frame doubles as the reference's per-entity audit logs
+  * (Dao.java:32-43, log4j2.xml): write it out and K8's observability
+  * contract falls out for free.
+  */
+object DiffSync {
+
+  val ActionCol = "action"
+
+  val Insert = "insert"
+  val Update = "update"
+  val Delete = "delete"
+  val Match = "match"
+
+  /** Classify `incoming` vs `current` on `keyCols`; equality of
+    * `contentCols` (null-safe) decides update vs match.
+    * Both inputs are assumed unique per key (reference invariant: natural
+    * keys are unique in Oracle).
+    */
+  def apply(
+      incoming: DataFrame,
+      current: DataFrame,
+      keyCols: Seq[String],
+      contentCols: Seq[String],
+      oldSuffix: String = "_old"): DataFrame = {
+    val inc = incoming
+      .select((keyCols ++ contentCols).map(col): _*)
+      .withColumn("_g_inc", lit(true))
+    val cur = current
+      .select(keyCols.map(col) ++ contentCols.map(c => col(c).as(c + oldSuffix)): _*)
+      .withColumn("_g_cur", lit(true))
+    val joined = inc.join(cur, keyCols, "full_outer")
+    val changed = contentCols
+      .map(c => !(col(c) <=> col(c + oldSuffix)))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    joined
+      .withColumn(
+        ActionCol,
+        when(col("_g_cur").isNull, Insert)
+          .when(col("_g_inc").isNull, Delete)
+          .when(changed, Update)
+          .otherwise(Match))
+      .drop("_g_inc", "_g_cur")
+  }
+
+  /** Reference counter-style summary (GlobalCounters.java:10-30). */
+  def counts(diff: DataFrame): DataFrame =
+    diff.groupBy(ActionCol).count()
+
+  /** Threshold-guarded delete: the reference aborts stale-row GC when the
+    * number of deletes exceeds a fraction of the existing rows (8% for xdb
+    * ids — Dao.deleteStaleXdbIds, Dao.java:409-436; 5% per aspect for
+    * annotations — Dao.deleteObsoleteAnnotations, Dao.java:690-729).
+    * Deletes above the ceiling are downgraded to `keep_stale`.
+    *
+    * The two counts ride along via a broadcast cross-join of a 1-row
+    * aggregate — no driver collect, one extra (tiny) stage.
+    */
+  def guardDeletes(diff: DataFrame, maxDeleteFraction: Double): DataFrame = {
+    val stats = diff.agg(
+      sum(when(col(ActionCol) === Delete, 1L).otherwise(0L)).as("_g_ndel"),
+      sum(when(col(ActionCol) =!= Insert, 1L).otherwise(0L)).as("_g_ncur"))
+    diff
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        ActionCol,
+        when(
+          col(ActionCol) === Delete &&
+            col("_g_ndel") > col("_g_ncur") * maxDeleteFraction,
+          lit("keep_stale"))
+          .otherwise(col(ActionCol)))
+      .drop("_g_ndel", "_g_ncur")
+  }
+
+  /** The next snapshot: incoming rows for insert/update/match, current
+    * rows for guarded (kept) deletes. This is the write side of the merge
+    * — rewrite the Parquet snapshot partition-by-partition.
+    */
+  def nextSnapshot(
+      diff: DataFrame,
+      keyCols: Seq[String],
+      contentCols: Seq[String],
+      oldSuffix: String = "_old"): DataFrame = {
+    val keep = diff.filter(col(ActionCol) =!= Delete)
+    val picked = contentCols.map { c =>
+      when(col(ActionCol) === "keep_stale", col(c + oldSuffix))
+        .otherwise(col(c))
+        .as(c)
+    }
+    keep.select(keyCols.map(col) ++ picked: _*)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB training-data pipelines.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the digest — uniform
+  * keys, no skew). Near-dup is MinHash + LSH banding: shingle → minhash
+  * signature (map-side, no shuffle) → band keys → explode + groupBy band
+  * (shuffle on band key) → candidate pairs verified by true Jaccard.
+  * Everything before the band groupBy is per-row codegen'd expression
+  * work, so the only shuffled payload is (band_key, doc_id).
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: digest, group size, smallest id as keeper. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("keeper"))
+
+  /** Word n-gram shingles of `text` (distinct, as strings). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeds, the minimum
+    * xxhash64(seed, shingle) over the shingle set. Seeds are static, so
+    * this is a fixed-size array column computed map-side.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** LSH band keys: hash each of `bands` contiguous signature slices
+    * (rows-per-band = |sig| / bands) together with the band index.
+    */
+  def lshBandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), array_join(slice(sigCol, b * rowsPerBand + 1, rowsPerBand), ","))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via MinHash+LSH, verified with true
+    * shingle-set Jaccard >= `threshold`. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b, distinct.
+    *
+    * Scale notes: buckets are exploded band keys; pair generation happens
+    * inside each bucket (collect_list per bucket then pairwise explode),
+    * so the cost is sum(bucket^2), not N^2. Oversized buckets (degenerate
+    * content) are capped via `maxBucket`.
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("band", explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
+
+    val buckets = withSig
+      .groupBy("band")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+
+    val pairs = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(
+        col("a"),
+        explode(filter(col("members"), m => m("id") > col("a.id"))).as("b"))
+
+    pairs
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** True Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0d, lit(1d)).otherwise(inter / uni)
+  }
+
+  /** N-gram Jaccard near-dup pairs within explicit blocking keys (e.g.
+    * language + length bucket): cheaper than LSH when a natural blocking
+    * key exists; exact Jaccard inside each block.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[Column],
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val d = docs.select(
+      struct(blockCols: _*).as("block"),
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val buckets = d.groupBy("block").agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(filter(col("members"), m => m("id") > col("a.id"))).as("b"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup candidate groups: documents sharing the same
+    * simhash band (4 x 16-bit bands => hamming distance <= 3 candidates
+    * land in at least one common band with high probability).
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = TextStats.simhash64(col(textCol))
+    val bandedDocs = docs
+      .select(col(idCol).as("id"), sh.as("simhash"))
+      .withColumn(
+        "band",
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band_idx"),
+            shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))
+        }: _*)))
+    bandedDocs
+      .groupBy("band")
+      .agg(array_sort(collect_set(col("id"))).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.scale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality signals, language id, fingerprinting.
+  * All pure `functions._` composites (codegen'd, no UDFs) so they run
+  * inside whole-stage codegen over a 100 TB documents scan.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token estimate: word pieces + standalone punctuation. */
+  def bpeIshTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Number of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Number of stopword occurrences (tiny English list — a quality
+    * signal, not a linguistic claim).
+    */
+  def stopwordCount(text: Column): Column =
+    regexp_count(text, lit("\\b(the|a|of|and|to|is|in)\\b"))
+
+  /** Marker-word hit count for one language. */
+  def langMarkerCount(text: Column, markers: Seq[String]): Column =
+    regexp_count(text, lit("\\b(" + markers.mkString("|") + ")\\b"))
+
+  /** Deterministic n-gram-heuristic language id: argmax of marker-word
+    * counts with a fixed preference order on ties.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "es" -> Seq("el", "los", "que", "una", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "了", "是")
+  )
+
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val counts = markers.map { case (lang, ws) => lang -> langMarkerCount(text, ws) }
+    // first language whose count is >= all later ones (ties prefer order)
+    counts.zipWithIndex.foldRight(lit(counts.last._1)) { case (((lang, c), i), rest) =>
+      val laterCounts = counts.drop(i + 1).map(_._2)
+      if (laterCounts.isEmpty) lit(lang)
+      else when(laterCounts.map(c >= _).reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Simple quality bucket from integer signals only (deterministic
+    * across engines — no float thresholds).
+    */
+  def qualityBucket(text: Column): Column = {
+    val t = tokenCount(text)
+    val s = stopwordCount(text)
+    val p = punctCount(text)
+    when(t === 0, "empty")
+      .when(s * 10 >= t, "stopwordy")
+      .when(p === 0, "clean")
+      .otherwise("other")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (16 hex chars). Exact-dup key; cheap and stable.
+    */
+  def fingerprint(text: Column, hexLen: Int = 16): Column =
+    substring(md5(regexp_replace(lower(text), "\\s+", " ").cast("binary")), 0, hexLen)
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes of
+    * each token's xxhash64 bit, take the sign. Pure built-ins: a
+    * transform over 64 bit positions aggregating over the token array.
+    */
+  def simhash64(text: Column): Column = {
+    val masks = typedlit((0 until 64).map(i => 1L << i))
+    val tokens = split(trim(text), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // single pass: 64 vote counters updated per token hash
+    val votes = aggregate(
+      hashes,
+      typedlit(Seq.fill(64)(0L)),
+      (acc, h) =>
+        zip_with(acc, masks, (a, m) =>
+          a + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+}
