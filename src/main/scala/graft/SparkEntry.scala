@@ -57,6 +57,8 @@ object SparkEntry {
     "1-URGENT" -> 0, "2-HIGH" -> 10, "3-MEDIUM" -> 20,
     "5-LOW" -> 30, "4-NOT SPECIFIED" -> 40)
 
+  private val AnnLshPlanes = 6
+
   // === the query surface =====================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,25 +293,29 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
     }),
 
-    // --- rows-only (no SQL oracle): shingled MinHash-LSH near-dup pairs ----------
+    // --- scale: shingled MinHash-LSH near-dup pairs + exact-Jaccard verify --------
+    // (documents.parquet is a single small file = 1 scan partition; the
+    // shingle/minhash map work is the hot path, so spread it across the
+    // cluster first — at real scale the input arrives in many partitions
+    // and this repartition is unnecessary)
     "q23_lsh_pairs" -> ((s, dir) => {
-      Dedup.minhashCandidatePairs(
-        t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashPairsExact(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2)
     }),
 
-    // --- rows-only: simhash near-dup candidate buckets ----------------------------
+    // --- scale: simhash near-dup fingerprint (md5-bit, hex output) ----------------
     "q24_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextStats.simhash64(col("text")).as("simhash"))
+      TextStats.simhashMd5(t(s, dir, "documents"), "doc_id", "text")
     }),
 
-    // --- rows-only: LSH-bucketed ANN ------------------------------------------------
+    // --- scale: hyperplane-LSH-bucketed ANN ---------------------------------------
     "q25_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") % 50 === 0)
       Similarity
-        .lshTopK(emb, probes, "vec_id", "embedding", 5, numPlanes = 6)
+        .lshTopK(emb, probes, "vec_id", "embedding", 5, numPlanes = AnnLshPlanes, dims = 64)
         .select(col("probe_id"), col("rank"), col("neighbor_id"))
     }),
 
@@ -462,7 +468,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q15_scalar_stats" ->
-      """SELECT source, sum(length(text)) AS sum_len, count(*) AS n,
+      """SELECT source, CAST(sum(length(text)) AS BIGINT) AS sum_len, count(*) AS n,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY source""".stripMargin,
 
@@ -532,6 +538,109 @@ object SparkEntry {
     "q22_fingerprint" ->
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q23_lsh_pairs" -> lshPairsOracleSql,
+
+    "q24_simhash" -> TextStats.simhashMd5Sql("documents", "doc_id", "text"),
+
+    "q25_ann_lsh" -> annLshOracleSql,
+
+    // chunkBySeparator as a recursive CTE: while len > 120, cut at the
+    // last '|' with 0-based index <= 120 (hard cut if none); heads are
+    // emitted per iteration, the terminal rest is the final chunk.
+    "q26_merge_split" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT l_suppkey, string_agg(DISTINCT xref, '|' ORDER BY xref) AS v
+        |  FROM (SELECT l_suppkey,
+        |          l_returnflag || '_' || l_linestatus || '_' || (l_orderkey % 100) AS xref
+        |        FROM lineitem)
+        |  GROUP BY l_suppkey),
+        |rec(l_suppkey, rest, head) AS (
+        |  SELECT l_suppkey, v, CAST(NULL AS VARCHAR) FROM base
+        |  UNION ALL
+        |  SELECT l_suppkey,
+        |    CASE WHEN pos0 <= 0 THEN substr(rest, 121) ELSE substr(rest, pos0 + 2) END,
+        |    CASE WHEN pos0 <= 0 THEN substr(rest, 1, 120) ELSE substr(rest, 1, pos0) END
+        |  FROM (SELECT l_suppkey, rest,
+        |          CASE WHEN strpos(reverse(substr(rest, 1, 121)), '|') = 0 THEN 0
+        |               ELSE 121 - strpos(reverse(substr(rest, 1, 121)), '|') END AS pos0
+        |        FROM rec WHERE length(rest) > 120) t)
+        |SELECT l_suppkey, head AS xrefs FROM rec WHERE head IS NOT NULL
+        |UNION ALL
+        |SELECT l_suppkey, rest AS xrefs FROM rec WHERE length(rest) <= 120""".stripMargin
   )
+
+  /** q23 oracle: the exact md5 MinHash+LSH+Jaccard dataflow of
+    * Dedup.minhashPairsExact in DuckDB SQL (signature/band lists
+    * generated to mirror the Spark column expressions 1:1).
+    */
+  private lazy val lshPairsOracleSql: String = {
+    val numHashes = 16
+    val bands = 8
+    val rpb = numHashes / bands
+    val sigAggs = (0 until numHashes)
+      .map(s => s"min(md5('$s:' || sh)) AS h$s")
+      .mkString(",\n    ")
+    val bandExprs = (0 until bands).map { b =>
+      val slice = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || ',' || ")
+      s"md5('$b:' || $slice)"
+    }.mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len(w) - 3, 0) + 1),
+       |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+       |  FROM words),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigAggs
+       |  FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
+       |bandok AS (
+       |  SELECT band FROM banded GROUP BY band HAVING count(*) BETWEEN 2 AND 1000),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       |  JOIN bandok ON bandok.band = a.band),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.id_a, p.id_b, count(*) AS ni
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.id_a
+       |  JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = id_a
+       |JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.2""".stripMargin
+  }
+
+  /** q25 oracle: hyperplane signatures from the same literal dyadic
+    * weight vectors the Spark side uses (Similarity.planeWeights), so
+    * both engines compute bit-identical buckets; then cosine top-k
+    * inside buckets exactly like q21.
+    */
+  private lazy val annLshOracleSql: String = {
+    val w = Similarity.planeWeights(AnnLshPlanes, 64)
+    val sigP = Similarity.planeSignatureSql("p.embedding::DOUBLE[]", w)
+    val sigC = Similarity.planeSignatureSql("c.embedding::DOUBLE[]", w)
+    s"""SELECT probe_id, rank, neighbor_id FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (
+       |      PARTITION BY p.vec_id
+       |      ORDER BY list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+       |        (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])) *
+       |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+       |      c.vec_id) AS rank
+       |  FROM embeddings p JOIN embeddings c
+       |    ON p.vec_id <> c.vec_id AND ($sigP) = ($sigC)
+       |  WHERE p.vec_id % 50 = 0)
+       |WHERE rank <= 5""".stripMargin
+  }
 }

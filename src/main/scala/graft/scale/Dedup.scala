@@ -22,14 +22,11 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         min(col(idCol)).as("keeper"))
 
-  /** Word n-gram shingles of `text` (distinct, as strings). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(trim(text), "\\s+")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => array_join(slice(words, i + 1, lit(n)), " ")))
-  }
+  /** Word n-gram shingles of `text` (distinct, as strings) — a single
+    * codegen'd per-document loop (see [[graft.functions.WordShingles]]).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(split(trim(text), "\\s+"), n)
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum
     * xxhash64(seed, shingle) over the shingle set. Seeds are static, so
@@ -89,6 +86,79 @@ object Dedup {
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, explode/hash-agg formulation.
+    *
+    * Unlike [[minhashCandidatePairs]] (array-typed signatures built with
+    * higher-order functions, which are CodegenFallback/interpreted),
+    * every stage here is codegen'd relational work:
+    *
+    *   1. explode shingles → (id, shingle) rows;
+    *   2. signature = groupBy(id) with `numHashes` min(md5(seed:sh))
+    *      aggs — hash-agg with map-side partial merge, so the shuffle
+    *      carries one row per doc;
+    *   3. band keys = md5 over signature slices, exploded → bucket
+    *      groupBy on the band key (shuffled payload is (band, id) only —
+    *      never the shingle sets);
+    *   4. candidate pairs verified with EXACT Jaccard computed
+    *      relationally: |A∩B| via a (id, shingle) self-equi-join
+    *      restricted to candidates, |A∪B| = nA + nB − |A∩B|.
+    *
+    * md5 (not xxhash64) so the DuckDB oracle can reproduce the exact
+    * min-hash selections — and md5 is codegen'd too, so the scan stays
+    * in whole-stage codegen.
+    */
+  def minhashPairsExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.2,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
+
+    // one groupBy(id) produces the whole signature AND the shingle count
+    // (|A| for the Jaccard denominator) — one shuffle, map-side partials
+    val sigAggs = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"h$s")
+    } :+ count(lit(1)).as("n")
+    val sig = sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat(lit(s"$b:"), concat_ws(",", slice: _*)).cast("binary"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandKeys: _*)).as("band"))
+
+    val buckets = banded
+      .groupBy("band")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
+      .distinct()
+
+    val counts = sig.select(col("id"), col("n"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("ni"))
+
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** True Jaccard similarity of two (distinct-element) arrays. */

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotProduct
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), for training-data curation at scale.
   *
@@ -14,21 +16,21 @@ import org.apache.spark.sql.functions._
   * hyperplanes; probes only compare against their own bucket, so the
   * pair count drops from |P|x|N| to |P|x|bucket|.
   *
-  * All vector math is done in double (cast once) with sequential
-  * left-to-right accumulation (functions.aggregate), which keeps results
-  * bit-stable across engines and runs.
+  * All vector math runs through the codegen'd [[DotProduct]] expression
+  * (sequential double accumulation — bit-stable across engines and
+  * runs); norms are computed ONCE per vector before the pair join, so
+  * per-pair work is a single fused dot-product loop.
   */
 object Similarity {
 
-  /** Sequential double dot product of two equal-length array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0d),
-      (acc, x) => acc + x)
+  /** Sequential double dot product (codegen'd — see [[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  def l2Norm(a: Column): Column = sqrt(DotProduct(a, a))
 
+  /** Cosine of two raw vectors. Prefer the precomputed-norm path in
+    * joins (see bruteForceTopK) — this recomputes both norms per call.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -44,11 +46,20 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val p = broadcast(
-      probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+      probes.select(
+        col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("probe_vec"))
+        .withColumn("probe_norm", l2Norm(col("probe_vec"))))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("neighbor_vec"))
+      .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
     val pairs = c
       .join(p, col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("probe_vec"), col("neighbor_vec")))
+      .withColumn(
+        "cos",
+        dot(col("probe_vec"), col("neighbor_vec")) /
+          (col("probe_norm") * col("neighbor_norm")))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs
       .withColumn("rank", row_number().over(w))
@@ -56,29 +67,39 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * xxhash64 folded into [-1.0, 1.0). Stable across runs/executors —
-    * no RNG state to ship.
-    */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") - 1000000d) / 1000000d
+  // === hyperplane LSH ========================================================
 
-  /** Sign-of-hyperplane LSH signature: one bit per plane, packed long. */
-  def hyperplaneSignature(vec: Column, numPlanes: Int): Column = {
-    val v = vec.cast("array<double>")
-    val idx = sequence(lit(0), size(v) - 1)
-    val bits = (0 until numPlanes).map { pl =>
-      val d = aggregate(
-        zip_with(v, idx, (x, i) => x * planeWeight(pl, i)),
-        lit(0d),
-        (acc, x) => acc + x)
-      when(d >= 0d, lit(1L << pl)).otherwise(lit(0L))
+  /** Deterministic pseudo-random hyperplane weights: md5-derived dyadic
+    * rationals in [-1, 1). weight(plane, dim) = (first 4 hex nibbles of
+    * md5("plane:dim") - 32768) / 32768. Being k/2^15 they are exactly
+    * representable as doubles, so a SQL engine parsing the decimal
+    * literal reconstructs the identical bits — the signatures are
+    * engine-portable (the DuckDB oracle embeds the same literals).
+    */
+  def planeWeights(numPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dims).map { d =>
+        md.reset()
+        val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+        val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+        (v - 32768) / 32768.0
+      }
     }
-    bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Sign-of-hyperplane signature as a '0'/'1' string (one char per
+    * plane) using literal weight vectors — each bit is one codegen'd
+    * dot product against a constant array.
+    */
+  def planeSignature(vec: Column, weights: Seq[Seq[Double]]): Column =
+    concat(weights.map { w =>
+      when(DotProduct(vec, typedlit(w)) >= 0d, "1").otherwise("0")
+    }: _*)
+
   /** LSH-bucketed cosine top-k: corpus and probes are bucketed by
-    * hyperplane signature; candidate pairs only form inside a bucket.
+    * hyperplane-sign signature; candidate pairs only form inside a
+    * bucket, dropping the pair count from |P|x|N| to |P|x|bucket|.
     * Recall < 1 by construction (ANN); increase recall by lowering
     * `numPlanes` (bigger buckets) or probing multi-bit neighborhoods.
     */
@@ -88,24 +109,40 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      numPlanes: Int = 8): DataFrame = {
+      numPlanes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val w = planeWeights(numPlanes, dims)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
-      col(vecCol).as("neighbor_vec"),
-      hyperplaneSignature(col(vecCol), numPlanes).as("bucket"))
+      col(vecCol).cast("array<double>").as("neighbor_vec"))
+      .withColumn("bucket", planeSignature(col("neighbor_vec"), w))
+      .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
     val p = broadcast(
       probes.select(
         col(idCol).as("probe_id"),
-        col(vecCol).as("probe_vec"),
-        hyperplaneSignature(col(vecCol), numPlanes).as("bucket")))
+        col(vecCol).cast("array<double>").as("probe_vec"))
+        .withColumn("bucket", planeSignature(col("probe_vec"), w))
+        .withColumn("probe_norm", l2Norm(col("probe_vec"))))
     val pairs = c
       .join(p, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("probe_vec"), col("neighbor_vec")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      .withColumn(
+        "cos",
+        dot(col("probe_vec"), col("neighbor_vec")) /
+          (col("probe_norm") * col("neighbor_norm")))
+    val win = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
+
+  /** The DuckDB-side signature expression for one plane's literal
+    * weights (used by SparkEntry.oracleSql to embed identical planes).
+    */
+  def planeSignatureSql(vecExpr: String, weights: Seq[Seq[Double]]): String =
+    weights.map { w =>
+      val lits = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vecExpr, $lits) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 }

@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -72,6 +72,59 @@ object TextStats {
     */
   def fingerprint(text: Column, hexLen: Int = 16): Column =
     substring(md5(regexp_replace(lower(text), "\\s+", " ").cast("binary")), 0, hexLen)
+
+  /** 64-bit SimHash over whitespace tokens, md5 bit source, hex-string
+    * output — the oracle-portable formulation.
+    *
+    * Shape: explode tokens → md5 once per token → groupBy(id) with 64
+    * conditional-sum vote aggs (all codegen'd hash-agg with map-side
+    * partials; the xxhash64 [[simhash64]] variant is a single-pass
+    * higher-order fold, which is interpreted) → sign of each vote is a
+    * bit, packed as 16 hex chars (most-significant nibble first).
+    * Bit b of a token = bit (b mod 4) of md5 hex digit (b div 4).
+    */
+  def simhashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(
+        col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+    val votes = (0 until 64).map { b =>
+      val nib = expr(s"instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1")
+      sum(when(shiftright(nib, b % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val voted = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val nibbleChars = (15 to 0 by -1).map { j =>
+      val v = (0 until 4)
+        .map(k => when(col(s"v${4 * j + k}") > 0, 1 << k).otherwise(0))
+        .reduce(_ + _)
+      element_at(split(lit("0 1 2 3 4 5 6 7 8 9 a b c d e f"), " "), v + 1)
+    }
+    voted.select(col("id").as(idCol), concat(nibbleChars: _*).as("simhash"))
+  }
+
+  /** DuckDB SQL equivalent of [[simhashMd5]] (same bit/nibble layout),
+    * for SparkEntry.oracleSql.
+    */
+  def simhashMd5Sql(table: String, idCol: String, textCol: String): String = {
+    val votes = (0 until 64).map { b =>
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val nibbles = (15 to 0 by -1).map { j =>
+      val v = (0 until 4)
+        .map(k => s"(CASE WHEN v${4 * j + k} > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($v) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH tok AS (
+       |  SELECT $idCol AS id, md5(unnest(regexp_split_to_array(trim($textCol), '\\s+'))) AS h
+       |  FROM $table),
+       |voted AS (
+       |  SELECT id,
+       |    $votes
+       |  FROM tok GROUP BY id)
+       |SELECT id AS $idCol, $nibbles AS simhash FROM voted""".stripMargin
+  }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes of
     * each token's xxhash64 bit, take the sign. Pure built-ins: a
