@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * join, so it must stay codegen'd.
   *
   * Java-parity notes:
-  *  - Java String.split drops TRAILING empty tokens only; we strip
-  *    trailing whitespace first so Spark's split agrees. Leading/inner
-  *    empty tokens (from `(x)` → ` x `) are kept and sort first, exactly
-  *    like the reference.
+  *  - the reference splits on `[\s]` (keeping inner/leading empty
+  *    tokens) and then joins with `Utils.concatenate`, which appends the
+  *    separator only when the buffer is non-empty — appending "" leaves
+  *    the buffer empty, and since empties sort FIRST they are ALL
+  *    silently absorbed. Net semantics: empty tokens never appear in the
+  *    output, which is what `trim` + split on `\s+` computes directly.
   *  - The T/B/NK-Cell special case (TermNameMatcher.java:141-144) guards
   *    two RDO terms falsely reported as duplicates.
   */
@@ -30,8 +32,7 @@ object NameNormalize {
       replaceAll(c, Seq("T Cell-" -> "TCell", "B Cell-" -> "BCell", "NK Cell-" -> "NKCell"))
     ).otherwise(c)
     val spaced = lower(translate(fixed, "-,()/", "     "))
-    val noTrailing = regexp_replace(spaced, "[\\s]+$", "")
-    array_join(array_sort(split(noTrailing, "[\\s]", -1)), ".")
+    array_join(array_sort(split(trim(spaced), "[\\s]+")), ".")
   }
 
   private def replaceAll(c: Column, subs: Seq[(String, String)]): Column =

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for operator specs. One session per JVM
+  * (tests fork once); small shuffle partition count keeps tiny-data
+  * tests fast.
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSpec.session
+
+  def rows(df: DataFrame): Set[Row] = df.collect().toSet
+
+  def rowSeqs(df: DataFrame): Set[Seq[Any]] =
+    df.collect().toSet[Row].map(_.toSeq)
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

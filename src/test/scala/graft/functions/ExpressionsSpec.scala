@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- TrimUtf8Bytes (X1: Dao.trimToBytes Dao.java:191-209) -----------------
+
+  test("trimUtf8Bytes: within budget unchanged") {
+    assert(TrimUtf8Bytes.trim("hello", 10) === "hello")
+  }
+
+  test("trimUtf8Bytes: over budget -> shrink to maxBytes-4 + ' ...' suffix") {
+    val out = TrimUtf8Bytes.trim("a" * 100, 20)
+    assert(out === "a" * 16 + " ...")
+    assert(out.getBytes("UTF-8").length <= 20)
+  }
+
+  test("trimUtf8Bytes: multibyte-aware (no split inside a codepoint)") {
+    val s = "é" * 50 // 2 bytes each in UTF-8
+    val out = TrimUtf8Bytes.trim(s, 21)
+    assert(out.getBytes("UTF-8").length <= 21)
+    assert(out.endsWith(" ..."))
+    assert(out.dropRight(4).forall(_ == 'é'))
+  }
+
+  test("TrimUtf8Bytes as a Column (codegen path)") {
+    val out = Seq("short", "x" * 50).toDF("v")
+      .select(TrimUtf8Bytes($"v", 12).as("t")).as[String].collect().toSeq
+    assert(out === Seq("short", "x" * 8 + " ..."))
+  }
+
+  // --- DotProduct -----------------------------------------------------------
+
+  test("DotProduct: sequential double accumulation") {
+    val out = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+      .toDF("a", "b").select(DotProduct($"a", $"b")).as[Double].head()
+    assert(out === 32.0)
+  }
+
+  test("DotProduct: casts float arrays, null-safe") {
+    val out = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f))))
+      .toDF("a", "b").select(DotProduct($"a", $"b")).as[Option[Double]].collect().toSeq
+    assert(out === Seq(Some(11.0), None))
+  }
+
+  // --- WordShingles ---------------------------------------------------------
+
+  test("WordShingles: distinct n-grams, first-occurrence order") {
+    val out = Seq("a b c d a b c").toDF("t")
+      .select(WordShingles(split($"t", " "), 3)).as[Seq[String]].head()
+    assert(out === Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("WordShingles: doc shorter than n -> single full join") {
+    val out = Seq("x y").toDF("t")
+      .select(WordShingles(split($"t", " "), 3)).as[Seq[String]].head()
+    assert(out === Seq("x y"))
+  }
+
+  test("WordShingles matches the higher-order-function composite it replaced") {
+    val words = split(trim($"t"), "\\s+")
+    val hof = array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(words) - 3, lit(0))),
+        i => array_join(slice(words, i + 1, lit(3)), " ")))
+    val df = Seq("the quick brown fox jumps", "a b", "x", "a a a a a").toDF("t")
+    val both = df.select(
+      WordShingles(words, 3).as("fast"), hof.as("ref")).as[(Seq[String], Seq[String])]
+    both.collect().foreach { case (fast, ref) => assert(fast === ref) }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: hash-groupBy with min-id keeper") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    val dup = g.filter($"n_copies" === 2).as[(String, Long, Long)].collect()
+    assert(dup.length === 1)
+    assert(dup.head._3 === 1L) // keeper = min(doc_id)
+    assert(g.count() === 3)
+  }
+
+  test("minhashPairsExact finds near-dups and exact dups, verified by true Jaccard") {
+    val pairs = Dedup.minhashPairsExact(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val keys = pairs.map(p => (p._1, p._2))
+    assert(keys.contains((1L, 4L))) // exact dup -> jaccard 1.0
+    assert(keys.contains((1L, 2L))) // near dup
+    assert(!keys.exists(k => k._1 == 3L || k._2 == 3L)) // unrelated doc
+    assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 === 1.0)
+  }
+
+  test("jaccard column function") {
+    val out = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("a", "b").select(Dedup.jaccard($"a", $"b")).as[Double].head()
+    assert(out === 0.5)
+  }
+
+  test("simhashMd5: near-dups land close in hamming distance, output is 16 hex chars") {
+    val sh = TextStats.simhashMd5(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(sh.values.forall(s => s.length == 16 && s.matches("[0-9a-f]+")))
+    assert(sh(1L) === sh(4L)) // identical text -> identical simhash
+    def dist(a: String, b: String): Int =
+      (BigInt(a, 16) ^ BigInt(b, 16)).bitCount
+    assert(dist(sh(1L), sh(2L)) < dist(sh(1L), sh(3L)))
+  }
+
+  test("bruteForceTopK: self excluded, k bounded, nearest first") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(res === Set((1L, 1, 4L), (1L, 2, 2L)))
+  }
+
+  test("lshTopK: identical vectors share a bucket; ranking matches brute force within bucket") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (3L, Seq(-1.0f, 0.3f, -0.5f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(emb, emb.filter($"vec_id" === 1), "vec_id", "embedding",
+      k = 2, numPlanes = 4, dims = 4)
+      .select("probe_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    assert(res.head === ((1L, 1, 2L))) // the identical vector is rank 1
+  }
+
+  test("planeWeights: deterministic dyadic rationals in [-1, 1)") {
+    val w1 = Similarity.planeWeights(3, 8)
+    val w2 = Similarity.planeWeights(3, 8)
+    assert(w1 === w2)
+    assert(w1.flatten.forall(x => x >= -1.0 && x < 1.0))
+    // dyadic: x * 32768 is integral
+    assert(w1.flatten.forall(x => (x * 32768.0) == math.rint(x * 32768.0)))
+  }
+
+  test("text stats: tokenCount / punctCount / stopwordCount / langId / qualityBucket") {
+    val df = Seq(
+      (1, "the cat sat on the mat."),
+      (2, "le chat et la table"),
+      (3, "") // empty -> 0 tokens
+    ).toDF("id", "text")
+    val out = df.select(
+      $"id",
+      TextStats.tokenCount($"text").as("nt"),
+      TextStats.punctCount($"text").as("np"),
+      TextStats.langId($"text").as("lang"),
+      TextStats.qualityBucket($"text").as("q"))
+      .as[(Int, Int, Int, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1)._2 === 6 && out(1)._3 === 1)
+    assert(out(2)._4 === "fr")
+    assert(out(3)._2 === 0 && out(3)._5 === "empty")
+  }
+
+  test("fingerprint: whitespace-insensitive, case-insensitive exact-dup key") {
+    val out = Seq("A  b\tC", "a b c", "a b d").toDF("t")
+      .select(TextStats.fingerprint($"t")).as[String].collect().toSeq
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+  }
+}
