@@ -336,6 +336,188 @@ object SparkEntry {
           splitCol = "xrefs",
           maxLen = 120)
         .select(col("l_suppkey"), col("xrefs"))
+    }),
+
+    // --- F7: alias admission filter + case-insensitive dedup ------------------
+    // (Aliases.addIncomingAlias, Aliases.java:28-49: reject null/empty/
+    // 'not provided'/'not specified' (case-insens), reject alias ==
+    // traitName, dedup case-insensitively keeping the first)
+    "q27_alias_filter" -> ((s, dir) => {
+      val raw = concat(lit("Alias_"), col("event_id") % 50)
+      val aliased = t(s, dir, "events").select(
+        col("user_id"),
+        col("event_id"),
+        concat(lit("alias_"), col("user_id") % 50).as("trait_name"),
+        when(col("event_id") % 10 === 0, lit(null).cast("string"))
+          .when(col("event_id") % 10 === 1, "")
+          .when(col("event_id") % 10 === 2, "not provided")
+          .when(col("event_id") % 10 === 3, "Not Specified")
+          .when(col("event_id") % 10 === 4, upper(raw))
+          .otherwise(raw)
+          .as("alias"))
+      val admitted = aliased.filter(
+        col("alias").isNotNull && col("alias") =!= "" &&
+          !lower(col("alias")).isin("not provided", "not specified") &&
+          lower(col("alias")) =!= lower(col("trait_name")))
+      val w = Window.partitionBy(col("user_id"), lower(col("alias")))
+        .orderBy(col("event_id"))
+      admitted
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "alias")
+    }),
+
+    // --- J4: xdb-id diff with surrogate-key transfer --------------------------
+    // (XdbIds.isIncomingXdbIdInRgd, XdbIds.java:108-120: full outer on
+    // the natural key; matched incoming rows inherit the DB KEY)
+    "q28_xdb_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val incoming = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select((col("o_custkey") % 8).as("xdb_key"), col("o_orderkey").as("acc_id"))
+        .withColumn("_inc", lit(true))
+      val current = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(
+          (col("o_custkey") % 8).as("xdb_key"), col("o_orderkey").as("acc_id"),
+          (col("o_orderkey") * 10 + 1).as("db_key"))
+      incoming.join(current, Seq("xdb_key", "acc_id"), "full_outer")
+        .select(
+          col("xdb_key"), col("acc_id"),
+          col("db_key"), // null = new row, key assigned at write time
+          when(col("_inc").isNotNull && col("db_key").isNotNull, "match")
+            .when(col("_inc").isNotNull, "insert")
+            .otherwise("delete")
+            .as("action"))
+    }),
+
+    // --- J8: chained broadcast dim joins (concept -> OMIM -> RDO shape) -------
+    "q29_concept_chain" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("n_name"), col("r_name"))
+    }),
+
+    // --- J10: ortholog-style 1-to-many fan-out join ---------------------------
+    // (VariantAnnotator.java:321-335: human gene -> homologs across
+    // searchable species; here supplier -> sibling nations in-region)
+    "q30_fanout" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val sib = nation.select(
+        col("n_regionkey").as("sib_region"), col("n_nationkey").as("sib_key"),
+        col("n_name").as("homolog_nation"))
+      t(s, dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(sib),
+          col("n_regionkey") === col("sib_region") && col("sib_key") =!= col("n_nationkey"))
+        .select(col("s_suppkey"), col("homolog_nation"))
+    }),
+
+    // --- X12/J14: substitution-chain fixpoint (obsolete-term resolution) ------
+    "q31_fixpoint" -> ((s, dir) => {
+      val subs = t(s, dir, "part")
+        .filter(col("p_partkey") % 50 < 3)
+        .select(col("p_partkey").as("old_id"), (col("p_partkey") + 1).as("new_id"))
+      Fixpoint.resolve(subs, "old_id", "new_id")
+    }),
+
+    // --- X8: cytogenetic-band chromosome extraction ---------------------------
+    "q32_band_parse" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          concat(
+            (col("p_partkey") % 23 + 1).cast("string"),
+            when(col("p_partkey") % 2 === 0, "p").otherwise("q"),
+            col("p_size").cast("string")).as("band"))
+        .select(
+          col("p_partkey"), col("band"),
+          regexp_extract(col("band"), "^([0-9XY]+)[pq]", 1).as("chr"))
+    }),
+
+    // --- X9/X10: assembly decode map + start/stop swap-normalize --------------
+    "q33_decode_swap" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_returnflag") === "R", 13)
+            .when(col("l_returnflag") === "A", 17)
+            .when(col("l_returnflag") === "N", 38)
+            .otherwise(lit(null).cast("int")).as("map_key"),
+          least(col("l_quantity"), col("l_discount") * 100).as("start_pos"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("stop_pos"))
+    }),
+
+    // --- X13/X14/A3: date parse/arithmetic + newest-wins cutoff ---------------
+    "q34_date_ops" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_ts"), count(lit(1)).as("n_orders"))
+        .select(
+          col("o_custkey"),
+          date_format(
+            col("last_ts") - expr("INTERVAL 1 DAY") - expr("INTERVAL 10 MINUTES"),
+            "yyyy-MM-dd HH:mm:ss").as("stale_cutoff"),
+          col("n_orders"))
+    }),
+
+    // --- X11: nested-when variant-type inference chain ------------------------
+    "q35_so_infer" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          when(col("p_type").contains("BRUSHED"),
+            when(col("p_size") > 25, "SO:1000035").otherwise("SO:0000667"))
+            .when(col("p_type").contains("POLISHED"),
+              when(col("p_name").contains("green"), "SO:0000159").otherwise("SO:1000032"))
+            .when(col("p_type").contains("PLATED"), "SO:1000008")
+            .when(col("p_type").contains("ANODIZED"), "SO:0001587")
+            .when(col("p_size") < 5, "SO:0000289")
+            .otherwise("SO:0001059")
+            .as("so_acc_id"))
+    }),
+
+    // --- J13: positional join with derived-key pad-shift fallback -------------
+    // (Clinvar2Vcf.getRsIs + fixRefAndAllele: equi join on position,
+    // else retry shifted by the VCF padding base)
+    "q36_padshift_join" -> ((s, dir) => {
+      val probe = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_partkey").as("pos"))
+      val dim = t(s, dir, "part")
+        .filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey"), col("p_brand"))
+      val stage1 = FallbackJoin.Stage(dim,
+        Seq("pos" -> "p_partkey"), Seq("p_brand" -> "ref_val"))
+      val shifted = probe.withColumn("pos_shift", col("pos") + 1)
+      val stage2 = FallbackJoin.Stage(dim,
+        Seq("pos_shift" -> "p_partkey"), Seq("p_brand" -> "ref_val"))
+      FallbackJoin(shifted, Seq(stage1, stage2))
+        .select("l_orderkey", "pos", "ref_val", "matched_stage")
+    }),
+
+    // --- scale: blocked exact n-gram Jaccard near-dup pairs -------------------
+    "q37_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardJoin(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text",
+        blockCols = Seq(col("lang"), (col("n_chars") / 100).cast("long")),
+        shingleSize = 3, threshold = 0.1)
+    }),
+
+    // --- scale: brute-force embedding-cosine near-dup pairs -------------------
+    "q38_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .withColumn("na", Similarity.l2Norm(col("va")))
+      val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .withColumn("nb", Similarity.l2Norm(col("vb")))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.42)
+        .select("id_a", "id_b")
     })
   )
 
@@ -539,6 +721,150 @@ object SparkEntry {
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
         |FROM documents""".stripMargin,
+
+    "q27_alias_filter" ->
+      """WITH aliased AS (
+        |  SELECT user_id, event_id,
+        |    'alias_' || (user_id % 50) AS trait_name,
+        |    CASE event_id % 10
+        |      WHEN 0 THEN NULL WHEN 1 THEN '' WHEN 2 THEN 'not provided'
+        |      WHEN 3 THEN 'Not Specified'
+        |      WHEN 4 THEN upper('Alias_' || (event_id % 50))
+        |      ELSE 'Alias_' || (event_id % 50) END AS alias
+        |  FROM events),
+        |admitted AS (
+        |  SELECT * FROM aliased
+        |  WHERE alias IS NOT NULL AND alias <> ''
+        |    AND lower(alias) NOT IN ('not provided', 'not specified')
+        |    AND lower(alias) <> lower(trait_name))
+        |SELECT user_id, event_id, alias FROM (
+        |  SELECT user_id, event_id, alias,
+        |    row_number() OVER (PARTITION BY user_id, lower(alias) ORDER BY event_id) AS rn
+        |  FROM admitted)
+        |WHERE rn = 1""".stripMargin,
+
+    "q28_xdb_diff" ->
+      """WITH inc AS (
+        |  SELECT o_custkey % 8 AS xdb_key, o_orderkey AS acc_id
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |cur AS (
+        |  SELECT o_custkey % 8 AS xdb_key, o_orderkey AS acc_id,
+        |    o_orderkey * 10 + 1 AS db_key
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT coalesce(inc.xdb_key, cur.xdb_key) AS xdb_key,
+        |  coalesce(inc.acc_id, cur.acc_id) AS acc_id,
+        |  cur.db_key AS db_key,
+        |  CASE WHEN inc.acc_id IS NOT NULL AND cur.db_key IS NOT NULL THEN 'match'
+        |       WHEN inc.acc_id IS NOT NULL THEN 'insert'
+        |       ELSE 'delete' END AS action
+        |FROM inc FULL OUTER JOIN cur
+        |  ON inc.xdb_key = cur.xdb_key AND inc.acc_id = cur.acc_id""".stripMargin,
+
+    "q29_concept_chain" ->
+      """SELECT o_orderkey, n_name, r_name
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q30_fanout" ->
+      """SELECT s_suppkey, sib.n_name AS homolog_nation
+        |FROM supplier
+        |JOIN nation own ON s_nationkey = own.n_nationkey
+        |JOIN nation sib ON sib.n_regionkey = own.n_regionkey
+        |  AND sib.n_nationkey <> own.n_nationkey""".stripMargin,
+
+    "q31_fixpoint" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS old_id, p_partkey + 1 AS new_id
+        |  FROM part WHERE p_partkey % 50 < 3),
+        |r(old_id, cur) AS (
+        |  SELECT old_id, new_id FROM e
+        |  UNION ALL
+        |  SELECT r.old_id, e.new_id FROM r JOIN e ON r.cur = e.old_id)
+        |SELECT old_id, cur AS resolved_id FROM r
+        |WHERE cur NOT IN (SELECT old_id FROM e)""".stripMargin,
+
+    "q32_band_parse" ->
+      """SELECT p_partkey, band, regexp_extract(band, '^([0-9XY]+)[pq]', 1) AS chr
+        |FROM (SELECT p_partkey,
+        |        CAST(p_partkey % 23 + 1 AS VARCHAR) ||
+        |        (CASE WHEN p_partkey % 2 = 0 THEN 'p' ELSE 'q' END) ||
+        |        CAST(p_size AS VARCHAR) AS band
+        |      FROM part)""".stripMargin,
+
+    "q33_decode_swap" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_returnflag WHEN 'R' THEN 13 WHEN 'A' THEN 17 WHEN 'N' THEN 38 END AS map_key,
+        |  least(l_quantity, l_discount * 100) AS start_pos,
+        |  greatest(l_quantity, l_discount * 100) AS stop_pos
+        |FROM lineitem""".stripMargin,
+
+    "q34_date_ops" ->
+      """SELECT o_custkey,
+        |  strftime(max(o_orderdate) - INTERVAL 1 DAY - INTERVAL 10 MINUTE,
+        |           '%Y-%m-%d %H:%M:%S') AS stale_cutoff,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q35_so_infer" ->
+      """SELECT p_partkey,
+        |  CASE
+        |    WHEN p_type LIKE '%BRUSHED%' THEN
+        |      CASE WHEN p_size > 25 THEN 'SO:1000035' ELSE 'SO:0000667' END
+        |    WHEN p_type LIKE '%POLISHED%' THEN
+        |      CASE WHEN p_name LIKE '%green%' THEN 'SO:0000159' ELSE 'SO:1000032' END
+        |    WHEN p_type LIKE '%PLATED%' THEN 'SO:1000008'
+        |    WHEN p_type LIKE '%ANODIZED%' THEN 'SO:0001587'
+        |    WHEN p_size < 5 THEN 'SO:0000289'
+        |    ELSE 'SO:0001059' END AS so_acc_id
+        |FROM part""".stripMargin,
+
+    "q36_padshift_join" ->
+      """WITH probe AS (
+        |  SELECT l_orderkey, l_partkey AS pos FROM lineitem WHERE l_linenumber = 1),
+        |dim AS (
+        |  SELECT p_partkey, p_brand FROM part WHERE p_partkey % 2 = 0)
+        |SELECT l_orderkey, pos,
+        |  CASE WHEN d1.p_partkey IS NOT NULL THEN d1.p_brand
+        |       ELSE d2.p_brand END AS ref_val,
+        |  CASE WHEN d1.p_partkey IS NOT NULL THEN 1
+        |       WHEN d2.p_partkey IS NOT NULL THEN 2 ELSE 0 END AS matched_stage
+        |FROM probe
+        |LEFT JOIN dim d1 ON probe.pos = d1.p_partkey
+        |LEFT JOIN dim d2 ON probe.pos + 1 = d2.p_partkey""".stripMargin,
+
+    "q37_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, lb, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 3, 0) + 1),
+        |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        |  FROM sh a
+        |  JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.sh = b.sh
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = id_a
+        |JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.1""".stripMargin,
+
+    "q38_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.42""".stripMargin,
 
     "q23_lsh_pairs" -> lshPairsOracleSql,
 
