@@ -1,0 +1,162 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DiffSync, MergeSplit, NameNormalize}
+
+/** The `--annotate` dataflow (SURVEY §3.2; reference:
+  * VariantAnnotator.run, VariantAnnotator.java:64-147): variants →
+  * carpe-compliance filter (F5) → disease terms via the xref chain
+  * variant_xdb(MedGen 54) ⋈ concept_map ⋈ rdo_synonyms (J8) UNION the
+  * normalized-name fallback match (J9) → gene/ortholog fan-out (J10) →
+  * two-phase annotation merge (A8/A9) with oversize splits (A10) →
+  * DiffSync vs the annotation store with per-aspect guarded deletes.
+  *
+  * Every reference cache (gene lists, RDO terms by synonym, term-name
+  * matchers — Dao.java:325-349,576-596) is a broadcast dim here.
+  */
+object AnnotatePipeline {
+
+  /** F5: carpe-compliant variant filter
+    * (VariantAnnotator.variantIsCarpeCompliant:245-266; sets from
+    * AppConfigure.xml:63-78).
+    */
+  val CarpeTypes: Seq[String] = Seq("snv", "single nucleotide variant",
+    "deletion", "duplication", "insertion")
+
+  def carpeCompliant(variants: DataFrame): DataFrame =
+    variants.filter(
+      col("object_type").isin(CarpeTypes: _*) &&
+        !col("clinical_significance").contains("not provided") &&
+        !(col("clinical_significance") === "uncertain significance" &&
+          col("submitter") === "Leeds Institute of Molecular Medicine (LIMM)"))
+
+  /** J8: the MedGen-concept → OMIM → RDO-term chain. All three dims are
+    * small → broadcast; the variant side never shuffles.
+    */
+  def diseaseTermsByConcept(
+      variantXdb: DataFrame,   // rgd_id, xdb_key, acc_id
+      variantGene: DataFrame,  // rgd_id, gene_id
+      conceptMap: DataFrame,   // concept_cui, gene_id, omim_ids: array
+      rdoSynonyms: DataFrame   // term_acc, synonym (e.g. "OMIM:613647")
+  ): DataFrame = {
+    val medgen = variantXdb.filter(col("xdb_key") === 54)
+      .select(col("rgd_id"), col("acc_id").as("concept_cui"))
+    medgen
+      .join(variantGene, Seq("rgd_id"))
+      .join(broadcast(conceptMap), Seq("concept_cui", "gene_id"))
+      .select(col("rgd_id"), explode(col("omim_ids")).as("omim_id"))
+      .join(
+        broadcast(rdoSynonyms
+          .withColumn("omim_id", regexp_replace(col("synonym"), "^OMIM:", ""))),
+        Seq("omim_id"))
+      .select(col("rgd_id"), col("term_acc"))
+      .distinct()
+  }
+
+  /** J9: normalized-name fallback — conditions that found no term via
+    * the concept chain probe the pre-normalized term index by name
+    * (suffix-stripped). Excluded condition names (F6) drop out first.
+    */
+  def diseaseTermsByName(
+      unmatchedConditions: DataFrame, // rgd_id, condition
+      termIndex: DataFrame,           // norm_name, term_accs (NameNormalize.termIndex)
+      excludedConditions: Seq[String]): DataFrame = {
+    unmatchedConditions
+      .filter(!col("condition").isin(excludedConditions: _*))
+      .withColumn(
+        "norm_name",
+        NameNormalize.normalizeName(NameNormalize.stripRcvSuffix(col("condition"))))
+      .join(broadcast(termIndex), Seq("norm_name"))
+      .select(col("rgd_id"), explode(col("term_accs")).as("term_acc"))
+      .distinct()
+  }
+
+  /** J10: propagate variant→term annotations to the variant's gene and
+    * its orthologs (ISO evidence; VariantAnnotator.java:268-338).
+    */
+  def orthologAnnotations(
+      variantTerms: DataFrame, // rgd_id, term_acc
+      variantGene: DataFrame,  // rgd_id, gene_rgd_id (exactly-1-gene variants)
+      orthologs: DataFrame     // gene_rgd_id, homolog_rgd_id
+  ): DataFrame =
+    variantTerms
+      .join(variantGene, Seq("rgd_id"))
+      .join(broadcast(orthologs), Seq("gene_rgd_id"))
+      .select(col("homolog_rgd_id").as("annotated_rgd_id"), col("term_acc"),
+        col("rgd_id").as("with_info"))
+
+  /** A8+A10 / A9+A10: the two-phase merge/split chain
+    * (AnnotCache.java:92-244). Phase 1 groups on the key INCLUDING
+    * with_info and set-merges xref_source; phase 2 groups on the key
+    * INCLUDING xref_source and set-merges with_info; each phase splits
+    * oversize merged values at a separator boundary.
+    */
+  def mergeAnnotations(
+      annots: DataFrame, // annotated_rgd_id, term_acc, xref_source, with_info
+      xrefMax: Int = 4000,
+      withInfoMax: Int = 1700): DataFrame = {
+    val phase1 = MergeSplit.mergeThenSplit(
+      annots,
+      keyCols = Seq("annotated_rgd_id", "term_acc", "with_info"),
+      mergeCols = Map("xref_source" -> (col("xref_source"), "[|,;]", "|")),
+      splitCol = "xref_source",
+      maxLen = xrefMax)
+    MergeSplit.mergeThenSplit(
+      phase1,
+      keyCols = Seq("annotated_rgd_id", "term_acc", "xref_source"),
+      mergeCols = Map("with_info" -> (col("with_info"), "[|]", "|")),
+      splitCol = "with_info",
+      maxLen = withInfoMax)
+  }
+
+  final case class Result(annotDiff: DataFrame, counters: DataFrame)
+
+  /** Full annotate pass: filter → term resolution (chain + name
+    * fallback) → ortholog fan-out → merge/split → DiffSync vs store
+    * with the per-aspect 5% delete guard (Dao.java:690-729).
+    */
+  def run(
+      variants: DataFrame,
+      variantXdb: DataFrame,
+      variantGene: DataFrame,    // rgd_id, gene_id, gene_rgd_id
+      conceptMap: DataFrame,
+      rdoSynonyms: DataFrame,
+      termIndex: DataFrame,
+      orthologs: DataFrame,
+      currentAnnots: DataFrame,  // annotated_rgd_id, term_acc, xref_source, with_info
+      excludedConditions: Seq[String] = Seq("not provided", "not specified", "AllHighlyPenetrant"),
+      maxDeleteFraction: Double = 0.05): Result = {
+
+    val compliant = carpeCompliant(variants).select(col("rgd_id"), col("trait_name"))
+
+    val byConcept = diseaseTermsByConcept(
+      variantXdb.join(compliant.select("rgd_id"), Seq("rgd_id")),
+      variantGene.select("rgd_id", "gene_id"), conceptMap, rdoSynonyms)
+
+    val unmatched = compliant
+      .join(byConcept.select("rgd_id").distinct(), Seq("rgd_id"), "left_anti")
+      .select(col("rgd_id"), col("trait_name").as("condition"))
+    val byName = diseaseTermsByName(unmatched, termIndex, excludedConditions)
+
+    val variantTerms = byConcept.unionByName(byName).distinct()
+
+    val direct = variantTerms.select(
+      col("rgd_id").as("annotated_rgd_id"), col("term_acc"),
+      lit("direct").as("xref_source"), col("rgd_id").cast("string").as("with_info"))
+    val viaOrthologs = orthologAnnotations(
+      variantTerms, variantGene.select("rgd_id", "gene_rgd_id"), orthologs)
+      .select(col("annotated_rgd_id"), col("term_acc"),
+        lit("ortholog").as("xref_source"), col("with_info").cast("string"))
+
+    val merged = mergeAnnotations(direct.unionByName(viaOrthologs))
+
+    val diff = DiffSync.guardDeletes(
+      DiffSync(merged, currentAnnots,
+        Seq("annotated_rgd_id", "term_acc", "xref_source"), Seq("with_info")),
+      maxDeleteFraction)
+
+    Result(diff, diff.groupBy("action").count())
+  }
+}

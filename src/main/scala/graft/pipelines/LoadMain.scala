@@ -1,0 +1,121 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.XmlIngest
+import graft.ops.DiffSync
+
+/** CLI for the full `--load` flow (SURVEY §3.1):
+  * `runMain graft.pipelines.LoadMain <vcv-xml> <store-dir>`.
+  *
+  * Reads the VCV release, identity-matches + merges against the current
+  * store snapshot under `store-dir` (bootstrapping an empty store on
+  * first run), writes the classified diffs as the audit output (K8),
+  * rewrites the next snapshots, and prints per-entity action counters
+  * (K7). Running the same release twice is a no-op second time — every
+  * row classifies as `match` (the reference's update-downgrade
+  * semantics, Loader.java:42-49).
+  */
+object LoadMain {
+
+  private def emptyStore(spark: SparkSession): LoadPipeline.Store = {
+    def empty(schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    LoadPipeline.Store(
+      variants = empty(StructType(
+        StructField("rgd_id", LongType) ::
+          StructField("symbol", StringType) :: StructField("rcv_acc", StringType) ::
+          LoadPipeline.VariantContentCols.map(StructField(_, StringType)).toList :::
+          StructField("date_last_evaluated", StringType) :: Nil)),
+      xdbIds = empty(StructType(Seq(
+        StructField("rgd_id", LongType), StructField("xdb_key", IntegerType),
+        StructField("acc_id", StringType)))),
+      hgvsNames = empty(StructType(Seq(
+        StructField("rgd_id", LongType), StructField("hgvs_type", StringType),
+        StructField("name", StringType)))),
+      aliases = empty(StructType(Seq(
+        StructField("rgd_id", LongType), StructField("value", StringType)))))
+  }
+
+  private def loadStore(spark: SparkSession, dir: String): LoadPipeline.Store =
+    if (!new java.io.File(s"$dir/variants").exists()) emptyStore(spark)
+    else LoadPipeline.Store(
+      variants = spark.read.parquet(s"$dir/variants"),
+      xdbIds = spark.read.parquet(s"$dir/xdb_ids"),
+      hgvsNames = spark.read.parquet(s"$dir/hgvs_names"),
+      aliases = spark.read.parquet(s"$dir/aliases"))
+
+  def main(args: Array[String]): Unit = {
+    val Array(xmlPath, storeDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val parsed = XmlIngest.parseRecords(XmlIngest.readRecords(spark, xmlPath)).cache()
+    val vars = XmlIngest.variants(parsed).cache()
+
+    val incomingVariants = vars.select(
+      col("symbol"), col("rcvAcc").as("rcv_acc"), col("name"),
+      col("objectType").as("object_type"),
+      col("clinicalSignificance").as("clinical_significance"),
+      col("reviewStatus").as("review_status"),
+      col("methodType").as("method_type"),
+      col("submitter"), col("traitName").as("trait_name"), col("notes"),
+      col("dateLastEvaluated").as("date_last_evaluated"))
+    val incomingXdb = XmlIngest.xdbIds(vars)
+      .select(col("symbol"), col("xdbKey").as("xdb_key"), col("accId").as("acc_id"))
+    val incomingHgvs = XmlIngest.hgvsNames(vars)
+      .select(col("symbol"), col("hgvsType").as("hgvs_type"), col("name"))
+    val incomingAliases = XmlIngest.aliases(vars)
+      .select(col("symbol"), col("value"))
+
+    val store = loadStore(spark, storeDir)
+    val result = LoadPipeline.run(
+      incomingVariants, incomingXdb, incomingHgvs, incomingAliases, store)
+
+    // audit (K8) + counters (K7)
+    val diffs = Seq(
+      "variants" -> result.variantsDiff, "xdb_ids" -> result.xdbDiff,
+      "hgvs_names" -> result.hgvsDiff, "aliases" -> result.aliasDiff)
+    diffs.foreach { case (name, d) =>
+      d.cache().write.mode("overwrite").parquet(s"$storeDir/audit/$name")
+    }
+    result.counters.orderBy("entity", "action").collect().foreach { r =>
+      println(s"[load] ${r.getString(0)}.${r.getString(1)}: ${r.getLong(2)}")
+    }
+
+    // next snapshots (the write side of the merge, §2.6)
+    val contentOf = Map(
+      "variants" -> (Seq("rgd_id"),
+        Seq("symbol", "rcv_acc") ++ LoadPipeline.VariantContentCols :+ "date_last_evaluated"),
+      "xdb_ids" -> (Seq("rgd_id", "xdb_key", "acc_id"), Seq.empty[String]),
+      "hgvs_names" -> (Seq("rgd_id", "hgvs_type", "name"), Seq.empty[String]),
+      "aliases" -> (Seq("rgd_id", "value"), Seq.empty[String]))
+    diffs.foreach { case (name, d) =>
+      val (keys, content) = contentOf(name)
+      DiffSync.nextSnapshot(d, keys, content)
+        .write.mode("overwrite").parquet(s"$storeDir/${name}_next")
+    }
+    // swap: _next -> current (atomic-rename analog of the Oracle commit)
+    diffs.foreach { case (name, _) =>
+      val next = new java.io.File(s"$storeDir/${name}_next")
+      val cur = new java.io.File(s"$storeDir/$name")
+      if (cur.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(cur)
+      }
+      next.renameTo(cur)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,146 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DiffSync, FallbackJoin, RankedSetMerge, SetMerge}
+
+/** The `--load` dataflow (SURVEY §3.1; reference: Manager.run
+  * Manager.java:100-137 → QC.run QC.java:29-94 → Loader.run
+  * Loader.java:25-87), set-oriented:
+  *
+  *   ingest variants → 3-stage fallback identity match (J1) →
+  *   per-field merges vs the matched store row (A1/A2/A3) →
+  *   4-way DiffSync per entity (§2.6) → guarded stale deletes →
+  *   next snapshots + audit frames + counters.
+  *
+  * The reference runs QC/Loader per record with JDBC point lookups;
+  * here every step is one distributed join/agg over the whole batch.
+  * Dims (the current store) shuffle once per natural key; the heavy
+  * incoming side flows map-side into each merge.
+  */
+object LoadPipeline {
+
+  /** The persistent store snapshot (the Oracle tables of §1.1). */
+  final case class Store(
+      variants: DataFrame,  // rgd_id, symbol, name, rcv_acc + content cols
+      xdbIds: DataFrame,    // rgd_id, xdb_key, acc_id
+      hgvsNames: DataFrame, // rgd_id, hgvs_type, name
+      aliases: DataFrame)   // rgd_id, value
+
+  final case class Result(
+      variantsDiff: DataFrame,
+      xdbDiff: DataFrame,
+      hgvsDiff: DataFrame,
+      aliasDiff: DataFrame,
+      counters: DataFrame)
+
+  /** Content columns merged/compared on the variant core. */
+  val VariantContentCols: Seq[String] = Seq(
+    "name", "object_type", "clinical_significance", "review_status",
+    "method_type", "submitter", "trait_name", "notes")
+
+  /** Identity-match incoming records against the store: by RCV
+    * accession, else symbol, else name; multi-match = no-match
+    * (Dao.getVariantByRCVandName, Dao.java:80-127). New records get
+    * fresh surrogate ids above the store's max (K1).
+    */
+  def matchIdentity(incoming: DataFrame, store: Store): DataFrame = {
+    val dim = store.variants.select(col("rgd_id"), col("rcv_acc"), col("symbol"), col("name"))
+    val stages = Seq(
+      FallbackJoin.Stage(dim.filter(col("rcv_acc").isNotNull && col("rcv_acc") =!= ""),
+        Seq("rcv_acc" -> "rcv_acc"), Seq("rgd_id" -> "matched_rgd_id")),
+      FallbackJoin.Stage(dim, Seq("symbol" -> "symbol"), Seq("rgd_id" -> "matched_rgd_id")),
+      FallbackJoin.Stage(dim, Seq("name" -> "name"), Seq("rgd_id" -> "matched_rgd_id")))
+    val matched = FallbackJoin(incoming, stages)
+    // surrogate ids for unmatched (insert path, Dao.insertVariant:142-155):
+    // contiguous new ids above max(store id), deterministic via row_number
+    val maxId = broadcast(store.variants.agg(
+      coalesce(max(col("rgd_id")), lit(0L)).as("_max_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("matched_stage") === 0)
+      .orderBy(col("symbol"))
+    matched
+      .crossJoin(maxId)
+      .withColumn(
+        "rgd_id",
+        when(col("matched_stage") > 0, col("matched_rgd_id"))
+          .otherwise(col("_max_id") + row_number().over(w)))
+      .drop("matched_rgd_id", "_max_id")
+  }
+
+  /** Field-level merges against the matched store row (QC.run
+    * QC.java:29-94): ranked clinical-significance merge (A2), TreeSet
+    * merges for the list fields (A1), newest-wins date (A3).
+    */
+  def mergeFields(identified: DataFrame, store: Store): DataFrame = {
+    val cur = store.variants.select(
+      col("rgd_id"),
+      col("clinical_significance").as("_cs_cur"),
+      col("review_status").as("_rs_cur"),
+      col("method_type").as("_mt_cur"),
+      col("submitter").as("_sub_cur"),
+      col("notes").as("_no_cur"),
+      col("date_last_evaluated").as("_dt_cur"))
+    identified.join(cur, Seq("rgd_id"), "left")
+      .withColumn("clinical_significance",
+        RankedSetMerge.mergeCSUdf(col("clinical_significance"), col("_cs_cur")))
+      .withColumn("review_status", SetMerge.mergeTwoLists(col("review_status"), col("_rs_cur")))
+      .withColumn("method_type", SetMerge.mergeTwoLists(col("method_type"), col("_mt_cur")))
+      .withColumn("submitter", SetMerge.mergeTwoLists(col("submitter"), col("_sub_cur")))
+      .withColumn("notes", SetMerge.mergeTwoLists(col("notes"), col("_no_cur")))
+      .withColumn("date_last_evaluated",
+        greatest(coalesce(col("date_last_evaluated"), col("_dt_cur")),
+          coalesce(col("_dt_cur"), col("date_last_evaluated"))))
+      .drop("_cs_cur", "_rs_cur", "_mt_cur", "_sub_cur", "_no_cur", "_dt_cur")
+  }
+
+  /** Full load: identity match + merges + per-entity DiffSync + guarded
+    * deletes. `incomingXdb/Hgvs/Alias` are keyed by the incoming
+    * `symbol`; they are re-keyed to rgd ids through the identity match.
+    */
+  def run(
+      incomingVariants: DataFrame, // symbol, rcv_acc + VariantContentCols + date_last_evaluated
+      incomingXdb: DataFrame,      // symbol, xdb_key, acc_id
+      incomingHgvs: DataFrame,     // symbol, hgvs_type, name
+      incomingAliases: DataFrame,  // symbol, value
+      store: Store,
+      maxXdbDeleteFraction: Double = 0.08): Result = {
+
+    val identified = matchIdentity(incomingVariants, store)
+    val merged = mergeFields(identified, store)
+
+    // symbol/rcv_acc ride along as content so the diff frame carries the
+    // full snapshot row (the write side rebuilds the store from it)
+    val variantsDiff = DiffSync(
+      merged,
+      store.variants,
+      Seq("rgd_id"),
+      Seq("symbol", "rcv_acc") ++ VariantContentCols :+ "date_last_evaluated")
+
+    val keyMap = identified.select(col("symbol").as("_sym"), col("rgd_id"))
+
+    def rekey(child: DataFrame): DataFrame =
+      child.join(keyMap, child("symbol") === col("_sym")).drop("_sym", "symbol")
+
+    val xdbDiff = DiffSync.guardDeletes(
+      DiffSync(rekey(incomingXdb), store.xdbIds,
+        Seq("rgd_id", "xdb_key", "acc_id"), Seq.empty),
+      maxXdbDeleteFraction)
+    val hgvsDiff = DiffSync(rekey(incomingHgvs), store.hgvsNames,
+      Seq("rgd_id", "hgvs_type", "name"), Seq.empty)
+    val aliasDiff = DiffSync(rekey(incomingAliases), store.aliases,
+      Seq("rgd_id", "value"), Seq.empty)
+
+    val counters = Seq(
+      ("variants", variantsDiff), ("xdb_ids", xdbDiff),
+      ("hgvs_names", hgvsDiff), ("aliases", aliasDiff))
+      .map { case (entity, d) =>
+        d.groupBy(col("action")).count().withColumn("entity", lit(entity))
+      }
+      .reduce(_.unionByName(_))
+      .select("entity", "action", "count")
+
+    Result(variantsDiff, xdbDiff, hgvsDiff, aliasDiff, counters)
+  }
+}

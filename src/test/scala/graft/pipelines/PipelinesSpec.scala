@@ -1,0 +1,197 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LoadPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // store with two known variants
+  private def store = LoadPipeline.Store(
+    variants = Seq(
+      (10L, "CV1", "var one", "RCV001", "snv", "pathogenic", "rs1", "mt1", "sub1", "t1", "n1", "2020-01-01"),
+      (11L, "CV2", "var two", "RCV002", "snv", "benign", "rs2", "mt2", "sub2", "t2", "n2", "2020-01-01")
+    ).toDF("rgd_id", "symbol", "name", "rcv_acc", "object_type", "clinical_significance",
+      "review_status", "method_type", "submitter", "trait_name", "notes", "date_last_evaluated"),
+    xdbIds = Seq((10L, 52, "RCV001"), (10L, 48, "111"), (11L, 52, "RCV002"))
+      .toDF("rgd_id", "xdb_key", "acc_id"),
+    hgvsNames = Seq((10L, "coding", "NM_1:c.1A>G")).toDF("rgd_id", "hgvs_type", "name"),
+    aliases = Seq((10L, "old alias")).toDF("rgd_id", "value"))
+
+  // incoming: CV1 matched by RCV with merged significance; CV3 brand new
+  private def incoming = Seq(
+    ("CV1", "RCV001", "var one", "snv", "likely pathogenic", "rs1", "mt1", "sub1", "t1", "n1", "2021-06-01"),
+    ("CV3", "RCV003", "var three", "deletion", "benign", "rs3", "mt3", "sub3", "t3", "n3", "2021-01-01")
+  ).toDF("symbol", "rcv_acc", "name", "object_type", "clinical_significance",
+    "review_status", "method_type", "submitter", "trait_name", "notes", "date_last_evaluated")
+
+  private def result = LoadPipeline.run(
+    incoming,
+    Seq(("CV1", 52, "RCV001"), ("CV3", 52, "RCV003")).toDF("symbol", "xdb_key", "acc_id"),
+    Seq(("CV1", "coding", "NM_1:c.1A>G")).toDF("symbol", "hgvs_type", "name"),
+    Seq(("CV1", "new alias")).toDF("symbol", "value"),
+    store,
+    maxXdbDeleteFraction = 0.99) // allow the delete in this tiny fixture
+
+  test("identity match: existing by RCV keeps its id, new record gets a fresh id (J1/K1)") {
+    val ids = LoadPipeline.matchIdentity(incoming, store)
+      .select("symbol", "rgd_id", "matched_stage").as[(String, Long, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(ids("CV1") === ((10L, 1)))   // matched by RCV, stage 1
+    assert(ids("CV3")._1 > 11L)         // fresh surrogate above store max
+    assert(ids("CV3")._2 === 0)
+  }
+
+  test("field merges: ranked clinsig union, newest-wins date (A2/A3)") {
+    val diff = result.variantsDiff
+    val cv1 = diff.filter($"rgd_id" === 10L)
+      .select("clinical_significance", "date_last_evaluated", "action")
+      .as[(String, String, String)].head()
+    // pathogenic(0) then likely pathogenic(10), per QC.mergeCS rank order
+    assert(cv1._1 === "pathogenic|likely pathogenic")
+    assert(cv1._2 === "2021-06-01")
+    assert(cv1._3 === "update")
+  }
+
+  test("per-entity diff classification + counters (§2.6/K7)") {
+    val c = result.counters.as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(c(("variants", "update")) === 1L) // CV1 merged
+    assert(c(("variants", "insert")) === 1L) // CV3
+    assert(c(("variants", "delete")) === 1L) // CV2 stale
+    assert(c(("xdb_ids", "insert")) === 1L)  // RCV003
+    assert(c(("xdb_ids", "match")) === 1L)   // RCV001
+    assert(c(("aliases", "insert")) === 1L)
+    assert(c(("aliases", "delete")) === 1L)  // old alias gone
+  }
+
+  test("guarded deletes: tight ceiling downgrades xdb deletes to keep_stale") {
+    val guarded = LoadPipeline.run(
+      incoming,
+      Seq(("CV1", 52, "RCV001")).toDF("symbol", "xdb_key", "acc_id"),
+      spark.emptyDataFrame.withColumn("symbol", lit("")).withColumn("hgvs_type", lit(""))
+        .withColumn("name", lit("")).limit(0),
+      spark.emptyDataFrame.withColumn("symbol", lit("")).withColumn("value", lit("")).limit(0),
+      store, maxXdbDeleteFraction = 0.05)
+    val actions = guarded.xdbDiff.groupBy("action").count()
+      .as[(String, Long)].collect().toMap
+    assert(actions.getOrElse("keep_stale", 0L) === 2L) // 48/111 + RCV002
+    assert(actions.getOrElse("delete", 0L) === 0L)
+  }
+}
+
+class AnnotatePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def variants = Seq(
+    (1L, "snv", "pathogenic", "OMIM", "Usher Syndrome, Type 2 [RCV1]"),
+    (2L, "snv", "not provided", "x", "t [RCV2]"),          // F5: dropped
+    (3L, "inversion", "pathogenic", "x", "t [RCV3]"),      // F5: non-carpe type
+    (4L, "deletion", "benign", "x", "Rare Thing [RCV4]")   // resolved by name
+  ).toDF("rgd_id", "object_type", "clinical_significance", "submitter", "trait_name")
+
+  private def variantXdb = Seq((1L, 54, "C100"), (4L, 54, "C404"))
+    .toDF("rgd_id", "xdb_key", "acc_id")
+  private def variantGene = Seq((1L, "9907", 500L), (4L, "1234", 501L))
+    .toDF("rgd_id", "gene_id", "gene_rgd_id")
+  private def conceptMap = Seq(("C100", "9907", Seq("613647")))
+    .toDF("concept_cui", "gene_id", "omim_ids")
+  private def rdoSynonyms = Seq(("DOID:1", "OMIM:613647")).toDF("term_acc", "synonym")
+  private def termIndex = graft.ops.NameNormalize.termIndex(
+    Seq(("DOID:9", "Rare Thing")).toDF("acc", "nm"), "acc", "nm")
+  private def orthologs = Seq((500L, 9500L), (500L, 9501L)).toDF("gene_rgd_id", "homolog_rgd_id")
+
+  private def result = AnnotatePipeline.run(
+    variants, variantXdb, variantGene, conceptMap, rdoSynonyms, termIndex,
+    orthologs, currentAnnots = Seq.empty[(Long, String, String, String)]
+      .toDF("annotated_rgd_id", "term_acc", "xref_source", "with_info"))
+
+  test("carpe filter drops 'not provided' and non-carpe types (F5)") {
+    val kept = AnnotatePipeline.carpeCompliant(variants).select("rgd_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("concept chain resolves variant 1; name fallback resolves variant 4 (J8/J9)") {
+    val annots = result.annotDiff.filter($"action" === "insert")
+      .select("annotated_rgd_id", "term_acc", "xref_source")
+      .as[(Long, String, String)].collect().toSet
+    assert(annots.contains((1L, "DOID:1", "direct")))
+    assert(annots.contains((4L, "DOID:9", "direct")))
+    // ortholog fan-out from variant 1's gene (2 homologs), ISO-style (J10)
+    assert(annots.contains((9500L, "DOID:1", "ortholog")))
+    assert(annots.contains((9501L, "DOID:1", "ortholog")))
+  }
+}
+
+class Clinvar2VcfPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def variants = Seq(
+    ("10", 100L, "A", "G", "single nucleotide variant", Some("555"), 1L),
+    ("2", 200L, "", "TT", "insertion", None, 2L),  // needs left-pad + rs from dbSNP
+    ("10", 100L, "A", "C", "single nucleotide variant", Some("555"), 3L) // same site, extra allele
+  ).toDF("chr", "pos", "ref", "alt", "var_type", "rs_id", "variant_id")
+
+  private def dbsnp = Seq(("2", 199L, "C", "CTT", "777"))
+    .toDF("chr", "pos", "ref", "alt", "rs_id")
+
+  private def refBases = Seq(("2", 199L, "C"), ("10", 99L, "T"))
+    .toDF("chr", "pos", "base")
+
+  test("indel left-pad: base prepended, pos shifted down (X18/S9)") {
+    val n = Clinvar2VcfPipeline.normalizeIndels(variants, refBases)
+      .filter($"variant_id" === 2L).select("pos", "ref", "alt")
+      .as[(Long, String, String)].head()
+    assert(n === ((199L, "C", "CTT")))
+  }
+
+  test("allele-group merge + lexicographic chr sort + tab lines (A11/O1/K5)") {
+    val lines = Clinvar2VcfPipeline.run(variants, dbsnp, refBases).as[String].collect()
+    // lexicographic chr: "10" sorts before "2"
+    assert(lines.head.startsWith("10\t100\t"))
+    assert(lines.head.contains("\tC,G\t")) // merged alt alleles, sorted
+    // padded insertion found its rs via the post-normalization dbSNP key
+    assert(lines.last.startsWith("2\t199\trs777\tC\tCTT"))
+  }
+}
+
+class RsIdAndDupTermSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rs-id enrichment emits only changed rows, null-safe (J12)") {
+    val xdb = Seq((1L, 48, "100"), (2L, 48, "200"), (3L, 48, "300"), (1L, 52, "RCV1"))
+      .toDF("rgd_id", "xdb_key", "acc_id")
+    val vmap = Seq(
+      (1001L, 1L, "rs100"),  // unchanged -> no row
+      (1002L, 2L, "rs999"),  // differs -> update
+      (1003L, 3L, null)      // null -> update
+    ).toDF("variant_id", "rgd_id", "rs_id")
+    val out = VariantRsIdPipeline.run(xdb, vmap)
+      .select("variant_id", "rs_new").as[(Long, String)].collect().toSet
+    assert(out === Set((1002L, "rs200"), (1003L, "rs300")))
+  }
+
+  test("duplicate-term QC: groups by normalized name, 3-level rank winner (O2)") {
+    val terms = Seq(
+      ("DOID:1", "Usher Syndrome, Type 2", 5L, 2L, 1L),
+      ("DOID:2", "Type 2 Usher Syndrome", 5L, 3L, 1L), // wins on child_count
+      ("DOID:3", "unrelated", 9L, 9L, 0L)
+    ).toDF("term_acc", "name", "annot_count", "child_count", "parent_count")
+    val out = DupTermQcPipeline.run(terms)
+      .as[(String, String, Long, Int, Boolean)].collect()
+    assert(out.length === 2) // only the duplicate pair reported
+    val winner = out.find(_._5).get
+    assert(winner._2 === "DOID:2")
+  }
+
+  test("duplicate-term QC folds synonyms in when provided") {
+    val terms = Seq(
+      ("DOID:1", "Alpha", 1L, 1L, 1L),
+      ("DOID:2", "Beta", 2L, 1L, 1L)
+    ).toDF("term_acc", "name", "annot_count", "child_count", "parent_count")
+    val syns = Seq(("DOID:2", "alpha")).toDF("term_acc", "synonym")
+    val out = DupTermQcPipeline.run(terms, Some(syns))
+    assert(out.count() === 2) // DOID:1 name collides with DOID:2 synonym
+    assert(out.filter($"is_winner" && $"term_acc" === "DOID:2").count() === 1)
+  }
+}
