@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over an events-shaped stream
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference is a daily batch with CDC-vs-snapshot semantics
+  * (SURVEY §2.10: no streaming for parity) — these operators are the
+  * forward-looking streaming surface of the engine: the same
+  * aggregation shapes (counter buckets K7, newest-wins A3, per-entity
+  * running merge) expressed as incremental plans. `readStream` on the
+  * same parquet layout turns any batch query here into a continuous
+  * one; watermarks bound state so a 100 TB/day stream doesn't grow
+  * executor state without bound.
+  */
+object StreamingOps {
+
+  final case class Event(eventId: Long, ts: java.sql.Timestamp, userId: Long,
+      eventType: String, value: Double)
+
+  final case class UserState(nEvents: Long, total: Double, lastTs: Long)
+
+  final case class UserUpdate(userId: Long, nEvents: Long, total: Double, lastTs: Long)
+
+  /** Tumbling-window event-type counts with a watermark: the streaming
+    * form of the counter-bucket aggregation (q11/K7). Late rows beyond
+    * the watermark are dropped and their window state is reclaimed.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "10 minutes",
+      watermarkDelay: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Per-user running totals via mapGroupsWithState — the streaming
+    * form of the per-entity accumulator collections (A5-A7 shape:
+    * state merged per key across arrivals). Processing-time timeout
+    * reclaims idle users' state.
+    */
+  def userRunningTotals(
+      events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[UserState, UserUpdate](timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0d, Long.MinValue))
+          val next = rows.foldLeft(prev) { (s, e) =>
+            UserState(s.nEvents + 1, s.total + e.value, math.max(s.lastTs, e.ts.getTime))
+          }
+          state.update(next)
+          UserUpdate(userId, next.nEvents, next.total, next.lastTs)
+      }
+  }
+
+  /** The streaming newest-wins head (A3/q10 shape): latest event per
+    * user in each micro-batch epoch, intended for `update` output mode
+    * into an upsert sink — the continuous version of the CDC merge.
+    */
+  def latestPerUser(events: DataFrame, watermarkDelay: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("latest"))
+      .select(
+        col("user_id"),
+        col("latest.ts").as("last_ts"),
+        col("latest.event_id").as("last_event_id"),
+        col("latest.value").as("last_value"))
+
+  /** Required output mode per operator (documented contract for sinks). */
+  val OutputModes: Map[String, OutputMode] = Map(
+    "windowedCounts" -> OutputMode.Append(), // closed windows only
+    "userRunningTotals" -> OutputMode.Update(),
+    "latestPerUser" -> OutputMode.Update())
+}

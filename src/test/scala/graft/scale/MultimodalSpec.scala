@@ -1,0 +1,50 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assets = Seq(
+    Multimodal.Asset(1L, "image", "fake-jpeg-bytes-1".getBytes, "jpeg"),
+    Multimodal.Asset(2L, "image", "fake-jpeg-bytes-2".getBytes, "jpeg"),
+    Multimodal.Asset(3L, "image", Array.empty[Byte], "png") // corrupt
+  ).toDS()
+
+  test("imageFeatures: batched partition decode, deterministic stub output") {
+    val f = Multimodal.imageFeatures(assets).collect().map(r => r.assetId -> r).toMap
+    assert(f(1L).ok && f(2L).ok && !f(3L).ok)
+    assert(f(1L).embedding.length === 8)
+    assert(f(1L).width >= 64 && f(1L).width < 576)
+    // deterministic: same payload -> same features
+    val again = Multimodal.imageFeatures(assets).collect().map(r => r.assetId -> r).toMap
+    assert(f(1L).embedding.toSeq === again(1L).embedding.toSeq)
+    // different payloads -> different features
+    assert(f(1L).embedding.toSeq !== f(2L).embedding.toSeq)
+  }
+
+  test("features feed the similarity operators (schema contract)") {
+    val feats = Multimodal.imageFeatures(assets).filter(_.ok).toDF()
+    val top = Similarity.bruteForceTopK(feats, feats.limit(1), "assetId", "embedding", 1)
+    assert(top.count() === 1)
+  }
+
+  test("sampleFrames: n evenly spaced offsets per asset") {
+    val vids = Seq((10L, 10000L), (11L, 4000L)).toDF("asset_id", "duration_ms")
+    val frames = Multimodal.sampleFrames(vids, 4, "duration_ms")
+    assert(frames.count() === 8)
+    val offs = frames.filter($"asset_id" === 10L)
+      .select("frame_offset_ms").as[Long].collect().sorted.toSeq
+    assert(offs === Seq(0L, 2500L, 5000L, 7500L))
+  }
+
+  test("readDir: binaryFile source yields (path, length, content)") {
+    val dir = java.nio.file.Files.createTempDirectory("mm").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.bin").toPath, "hello".getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "b.bin").toPath, "worlds".getBytes)
+    val df = Multimodal.readDir(spark, dir.getAbsolutePath, "*.bin")
+    val rows = df.select("length").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(5L, 6L))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingOps._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedCounts: tumbling windows close after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(1), 100, "click", 1.0),
+        Event(2, ts(4), 100, "click", 2.0),
+        Event(3, ts(2), 101, "view", 5.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00-10:10 window
+      input.addData(Event(4, ts(31), 100, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("wc")
+        .selectExpr("event_type", "n", "total_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(out === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("userRunningTotals: mapGroupsWithState accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = userRunningTotals(input.toDS())
+      .writeStream.format("memory").queryName("urt").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(1, ts(1), 100, "click", 1.5), Event(2, ts(2), 100, "click", 2.5))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(3), 100, "view", 6.0), Event(4, ts(1), 200, "view", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("urt").as[UserUpdate].collect()
+        .groupBy(_.userId).map { case (u, rows) => u -> rows.maxBy(_.nEvents) }
+      assert(out(100L).nEvents === 3 && out(100L).total === 10.0)
+      assert(out(200L).nEvents === 1 && out(200L).total === 9.0)
+    } finally q.stop()
+  }
+
+  test("latestPerUser: newest-wins head per user (A3 shape, update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = latestPerUser(input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("lpu").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 100, "click", 1.0),
+        Event(2, ts(9), 100, "click", 7.0),
+        Event(3, ts(2), 100, "click", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("lpu")
+        .selectExpr("user_id", "last_event_id", "last_value").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(out === Set((100L, 2L, 7.0)))
+    } finally q.stop()
+  }
+}
