@@ -45,6 +45,15 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("explain")) {
+      args.drop(1).foreach { name =>
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
+
     spark.range(1000000).selectExpr("sum(id)").collect()
     val names = if (args.isEmpty) Seq("q23_lsh_pairs") else args.toSeq
     names.foreach { name =>

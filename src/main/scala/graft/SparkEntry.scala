@@ -506,6 +506,20 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.1)
     }),
 
+    // --- A5-A7 + X1: per-key notes merge with byte-aware truncation ----------
+    // (NotesCollection.java:36-84 shape: collect per key, dedup, sort,
+    // "; "-join, trim to a byte budget with the " ..." suffix)
+    "q39_trim_merge" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), TextStats.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(concat_ws("; ", array_sort(collect_set(col("fp")))).as("merged"))
+        .select(
+          col("source"),
+          TrimUtf8Bytes(col("merged"), 200).as("notes"),
+          length(col("merged")).as("full_len"))
+    }),
+
     // --- scale: brute-force embedding-cosine near-dup pairs -------------------
     "q38_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -865,6 +879,20 @@ object SparkEntry {
         |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.42""".stripMargin,
+
+    // trim semantics: budget = 200-4 bytes, shrink on char boundaries,
+    // append " ..." — fingerprints are ASCII so bytes == chars and the
+    // SQL CASE reproduces the expression exactly
+    "q39_trim_merge" ->
+      """SELECT source,
+        |  CASE WHEN length(merged) > 200 THEN substr(merged, 1, 196) || ' ...'
+        |       ELSE merged END AS notes,
+        |  length(merged) AS full_len
+        |FROM (
+        |  SELECT source,
+        |    string_agg(DISTINCT substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16),
+        |               '; ' ORDER BY substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)) AS merged
+        |  FROM documents GROUP BY source)""".stripMargin,
 
     "q23_lsh_pairs" -> lshPairsOracleSql,
 

@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * (VariantAnnotator.java:512-581). Stages that hit multiple rows treat
   * the probe as unmatched and fall through (warn + continue).
   *
-  * Spark shape: per stage, a left join of the still-unmatched remainder
-  * against the stage dimension; matched rows exit with `matched_stage` =
-  * 1-based stage index, the remainder cascades on. Dimensions are
-  * broadcast by default (they are small in the reference — gene/term
-  * indexes), so the fact side never shuffles; the cascade costs one
-  * broadcast-hash join per stage over a shrinking remainder.
+  * Spark shape: ONE pass over the probe through a chain of left
+  * broadcast joins (one per stage), then a priority coalesce — the
+  * first stage that hit supplies the payload and the stage index.
+  * The probe scans once regardless of stage count; each stage dim is
+  * broadcast (they are small in the reference — gene/term indexes), so
+  * no stage shuffles the fact side. (A remainder-cascade formulation —
+  * filter misses, rejoin, union — reads the probe once PER STAGE and
+  * triples the scan cost at 3 stages; `.explain` on the driver's
+  * testdata showed exactly that, which is why this is a single chain.)
   */
 object FallbackJoin {
 
@@ -50,9 +53,7 @@ object FallbackJoin {
     val probeCols = probe.columns.toSeq
     val payloadNames = stages.head.payload.map(_._2)
 
-    var remaining = probe
-    val matched = Seq.newBuilder[DataFrame]
-
+    var joined = probe
     stages.zipWithIndex.foreach { case (st, i) =>
       require(st.payload.map(_._2) == payloadNames,
         s"stage ${i + 1} payload names ${st.payload.map(_._2)} != $payloadNames")
@@ -65,35 +66,32 @@ object FallbackJoin {
             .filter(col("_g_nk") === 1)
             .drop("_g_nk")
         } else st.dim
-      // rename dim keys to collision-free names, payload to output names
+      // rename dim keys/payload to per-stage collision-free names
       val d0 = uniqueDim.select(
-        st.keys.map { case (p, dk) => col(dk).as(s"_g_k_$p") } ++
-          st.payload.map { case (src, dst) => col(src).as(dst) } :+
-          lit(true).as("_g_hit"): _*)
+        st.keys.map { case (p, dk) => col(dk).as(s"_g_k${i}_$p") } ++
+          st.payload.map { case (src, dst) => col(src).as(s"_g_p${i}_$dst") } :+
+          lit(true).as(s"_g_hit$i"): _*)
       val d = if (st.broadcastDim) broadcast(d0) else d0
       val cond = st.keys
-        .map { case (p, _) => remaining(p) === d(s"_g_k_$p") }
+        .map { case (p, _) => joined(p) === d(s"_g_k${i}_$p") }
         .reduce(_ && _)
-      val joined = remaining.join(d, cond, "left")
-      matched += joined
-        .filter(col("_g_hit"))
-        .select(probeCols.map(col) ++ payloadNames.map(col) :+
-          lit(i + 1).as(StageCol): _*)
-      remaining = joined
-        .filter(col("_g_hit").isNull)
-        .select(probeCols.map(col): _*)
+      joined = joined.join(d, cond, "left")
     }
 
-    // unmatched rows: null payload, stage 0, types borrowed from stage 1
-    val payloadTypes = {
-      val d = stages.head.dim
-      stages.head.payload.map { case (src, dst) => dst -> d.schema(src).dataType }
+    val hit = (i: Int) => col(s"_g_hit$i").isNotNull
+    // first-HIT-stage wins (not first non-null payload: a matched stage
+    // with a null payload value must not fall through to later stages)
+    val payloadOut = payloadNames.map { name =>
+      stages.indices
+        .foldRight(lit(null).cast(stages.head.dim.schema(
+          stages.head.payload.find(_._2 == name).get._1).dataType)) { (i, rest) =>
+          when(hit(i), col(s"_g_p${i}_$name")).otherwise(rest)
+        }
+        .as(name)
     }
-    val unmatched = remaining.select(
-      probeCols.map(col) ++ payloadTypes.map { case (dst, t) =>
-        lit(null).cast(t).as(dst)
-      } :+ lit(0).as(StageCol): _*)
-
-    (matched.result() :+ unmatched).reduce(_.unionByName(_))
+    val stageOut = stages.indices
+      .foldRight(lit(0)) { (i, rest) => when(hit(i), lit(i + 1)).otherwise(rest) }
+      .as(StageCol)
+    joined.select(probeCols.map(col) ++ payloadOut :+ stageOut: _*)
   }
 }
