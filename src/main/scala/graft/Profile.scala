@@ -8,6 +8,23 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    if (args.headOption.contains("ext")) {
+      // the config-route surface: a session built with
+      // spark.sql.extensions=graft.GraftExtensions resolves the SQL names
+      val s2 = SparkSession.builder()
+        .master(s"local[4]")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .appName("ext-demo")
+        .getOrCreate()
+      val row = s2.sql(
+        "SELECT trim_utf8_bytes(repeat('x', 50), 12) AS t, " +
+          "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "word_shingles(split('a b c d', ' '), 2) AS sh").head()
+      println(s"[demo] ext trim=${row.get(0)} dot=${row.get(1)} shingles=${row.get(2)}")
+      s2.stop()
+      return
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

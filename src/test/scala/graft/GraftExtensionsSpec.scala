@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL surface: trim_utf8_bytes / dot_product / word_shingles registered") {
+    GraftExtensions.register(spark)
+    Seq(("x" * 50, Seq(1.0, 2.0), Seq(3.0, 4.0), "a b c d"))
+      .toDF("s", "va", "vb", "t")
+      .createOrReplaceTempView("ext_t")
+    val row = spark.sql(
+      """SELECT trim_utf8_bytes(s, 12) AS trimmed,
+        |       dot_product(va, vb) AS dp,
+        |       word_shingles(split(t, ' '), 2) AS sh
+        |FROM ext_t""".stripMargin)
+      .as[(String, Double, Seq[String])].head()
+    assert(row._1 === "x" * 8 + " ...")
+    assert(row._2 === 11.0)
+    assert(row._3 === Seq("a b", "b c", "c d"))
+  }
+
+  test("non-literal maxBytes is rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT trim_utf8_bytes('abc', length('abcd'))").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
+}
+
+/** S7 at scale: chromosome-partitioned layout → partition pruning.
+  * The reference parallelizes per-chromosome by hand (25 JDBC scans,
+  * Clinvar2Vcf.java:41-59); with a `partitionBy("chr")` layout a chr
+  * filter prunes directories before any IO — the plan proves it.
+  */
+class PartitionPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chr-partitioned write + filter prunes to one partition directory") {
+    val dir = java.nio.file.Files.createTempDirectory("chrpart").toString
+    (1 to 1000).map(i => (i.toLong, (i % 5 + 1).toString, i * 10L))
+      .toDF("variant_id", "chr", "pos")
+      .write.partitionBy("chr").mode("overwrite").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter($"chr" === "3")
+    assert(pruned.count() === 200)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // FileSourceScan reports the pruned partition count / filters
+    assert(plan.contains("PartitionFilters") || plan.contains("partition"), plan.take(500))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("chr"), scan.take(300))
+  }
+}
