@@ -101,9 +101,10 @@ object Dedup {
     *   3. band keys = md5 over signature slices, exploded → bucket
     *      groupBy on the band key (shuffled payload is (band, id) only —
     *      never the shingle sets);
-    *   4. candidate pairs verified with EXACT Jaccard computed
-    *      relationally: |A∩B| via a (id, shingle) self-equi-join
-    *      restricted to candidates, |A∪B| = nA + nB − |A∩B|.
+    *   4. candidate pairs verified with EXACT Jaccard: the per-doc
+    *      shingle sets ride along in the signature row, so |A∩B| is an
+    *      array intersect over candidate pairs only,
+    *      |A∪B| = nA + nB − |A∩B|.
     *
     * md5 (not xxhash64) so the DuckDB oracle can reproduce the exact
     * min-hash selections — and md5 is codegen'd too, so the scan stays
@@ -122,11 +123,12 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
 
-    // one groupBy(id) produces the whole signature AND the shingle count
-    // (|A| for the Jaccard denominator) — one shuffle, map-side partials
+    // ONE groupBy(id) produces the whole signature, the shingle count
+    // AND the shingle set — the only shuffle of shingle data in the
+    // plan (map-side partials; everything downstream is per-doc rows)
     val sigAggs = (0 until numHashes).map { s =>
       min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"h$s")
-    } :+ count(lit(1)).as("n")
+    } ++ Seq(count(lit(1)).as("n"), collect_list(col("sh")).as("shs"))
     val sig = sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
 
     val bandKeys = (0 until bands).map { b =>
@@ -144,16 +146,17 @@ object Dedup {
       .select(col("id_a"), explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
       .distinct()
 
-    val counts = sig.select(col("id"), col("n"))
-    val inter = pairs
-      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("ni"))
-
-    inter
-      .join(counts.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(counts.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+    // exact Jaccard per CANDIDATE pair only: the per-doc shingle sets
+    // join back by id (one row per doc, not one per shingle) and
+    // intersect array-wise — candidate counts are LSH-bounded, so the
+    // interpreted array_intersect touches |pairs| rows, never the corpus
+    val docSets = sig.select(col("id"), col("shs"), col("n"))
+    pairs
+      .join(docSets.select(col("id").as("id_a"), col("shs").as("sha"), col("n").as("na")),
+        Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("shs").as("shb"), col("n").as("nb")),
+        Seq("id_b"))
+      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
       .withColumn(
         "jaccard",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
