@@ -129,7 +129,14 @@ object Dedup {
     val sigAggs = (0 until numHashes).map { s =>
       min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"h$s")
     } ++ Seq(count(lit(1)).as("n"), collect_list(col("sh")).as("shs"))
+    // three consumers read `sig` (banding, and both sides of the pair
+    // join) with DIFFERENT pruned column sets, which defeats Catalyst's
+    // ReusedExchange — persist the one-row-per-doc frame instead of
+    // recomputing the shingle scan per consumer (explicit
+    // materialization is the right call at 100 TB too: sig is ~1e-2 of
+    // the corpus size)
     val sig = sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandKeys = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
