@@ -62,6 +62,27 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("scale23")) {
+      // scaling behavior of the MinHash-LSH pipeline: same operator at
+      // 1x and 10x the doc count (ids offset so copies are exact dups
+      // of distinct docs — candidate pairs grow ~linearly x copies^2
+      // within buckets of identical docs)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      Seq(1, 10).foreach { copies =>
+        val scaled = (0 until copies)
+          .map(c => docs.select((col("doc_id") + lit(c * 1000000)).as("doc_id"), col("text")))
+          .reduce(_.unionByName(_))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val t0 = System.nanoTime()
+        val n = graft.scale.Dedup
+          .minhashPairsExact(scaled, "doc_id", "text", 3, 16, 8, 0.2)
+          .count()
+        println(f"[demo] scale23 copies=$copies docs=${5000 * copies} pairs=$n t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("explain")) {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")
