@@ -1,0 +1,88 @@
+package graft.pipelines
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.XmlIngest
+import graft.ops.NameNormalize
+
+/** CLI for the `--annotate` flow (SURVEY §3.2):
+  * `runMain graft.pipelines.AnnotateMain <store-dir> <dims-dir>`.
+  *
+  * Reads the variant store written by [[LoadMain]] plus the annotation
+  * dims under `dims-dir`:
+  *   - `genes.parquet`                  gene_id, gene_rgd_id
+  *   - `gene_condition_source_id.tsv`   the MedGen concept map (S6 —
+  *                                      same format the reference
+  *                                      downloads, tab-separated with
+  *                                      `#` comments)
+  *   - `rdo_synonyms.parquet`           term_acc, synonym ("OMIM:...")
+  *   - `terms.parquet`                  term_acc, name (for the J9
+  *                                      normalized-name fallback index)
+  *   - `orthologs.parquet`              gene_rgd_id, homolog_rgd_id
+  *
+  * Writes the classified annotation diff (audit) + next snapshot under
+  * `store-dir/annotations`, and prints action counters.
+  */
+object AnnotateMain {
+  def main(args: Array[String]): Unit = {
+    val Array(storeDir, dimsDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val variants = spark.read.parquet(s"$storeDir/variants")
+    val variantXdb = spark.read.parquet(s"$storeDir/xdb_ids")
+    val geneAssocs = spark.read.parquet(s"$storeDir/gene_associations")
+    val genes = spark.read.parquet(s"$dimsDir/genes.parquet")
+    val variantGene = geneAssocs.join(broadcast(genes), Seq("gene_id"))
+      .select(col("rgd_id"), col("gene_id"), col("gene_rgd_id"))
+
+    val conceptMap = XmlIngest.conceptToOmim(spark, s"$dimsDir/gene_condition_source_id.tsv")
+    val rdoSynonyms = spark.read.parquet(s"$dimsDir/rdo_synonyms.parquet")
+    val termIndex = NameNormalize.termIndex(
+      spark.read.parquet(s"$dimsDir/terms.parquet"), "term_acc", "name")
+    val orthologs = spark.read.parquet(s"$dimsDir/orthologs.parquet")
+
+    val annotsPath = new java.io.File(s"$storeDir/annotations")
+    val currentAnnots =
+      if (annotsPath.exists()) spark.read.parquet(annotsPath.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("annotated_rgd_id", LongType),
+          StructField("term_acc", StringType),
+          StructField("xref_source", StringType),
+          StructField("with_info", StringType))))
+
+    val result = AnnotatePipeline.run(
+      variants, variantXdb, variantGene, conceptMap, rdoSynonyms,
+      termIndex, orthologs, currentAnnots)
+
+    result.annotDiff.cache()
+      .write.mode("overwrite").parquet(s"$storeDir/audit/annotations")
+    result.counters.orderBy("action").collect().foreach { r =>
+      println(s"[annotate] ${r.getString(0)}: ${r.getLong(1)}")
+    }
+    graft.ops.DiffSync
+      .nextSnapshot(result.annotDiff,
+        Seq("annotated_rgd_id", "term_acc", "xref_source"), Seq("with_info"))
+      .write.mode("overwrite").parquet(s"$storeDir/annotations_next")
+    val next = new java.io.File(s"$storeDir/annotations_next")
+    if (annotsPath.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(annotsPath)
+    }
+    next.renameTo(annotsPath)
+    spark.stop()
+  }
+}

@@ -36,7 +36,9 @@ object LoadMain {
         StructField("rgd_id", LongType), StructField("hgvs_type", StringType),
         StructField("name", StringType)))),
       aliases = empty(StructType(Seq(
-        StructField("rgd_id", LongType), StructField("value", StringType)))))
+        StructField("rgd_id", LongType), StructField("value", StringType)))),
+      geneAssocs = empty(StructType(Seq(
+        StructField("rgd_id", LongType), StructField("gene_id", StringType)))))
   }
 
   private def loadStore(spark: SparkSession, dir: String): LoadPipeline.Store =
@@ -45,7 +47,8 @@ object LoadMain {
       variants = spark.read.parquet(s"$dir/variants"),
       xdbIds = spark.read.parquet(s"$dir/xdb_ids"),
       hgvsNames = spark.read.parquet(s"$dir/hgvs_names"),
-      aliases = spark.read.parquet(s"$dir/aliases"))
+      aliases = spark.read.parquet(s"$dir/aliases"),
+      geneAssocs = spark.read.parquet(s"$dir/gene_associations"))
 
   def main(args: Array[String]): Unit = {
     val Array(xmlPath, storeDir) = args.take(2)
@@ -75,15 +78,18 @@ object LoadMain {
       .select(col("symbol"), col("hgvsType").as("hgvs_type"), col("name"))
     val incomingAliases = XmlIngest.aliases(vars)
       .select(col("symbol"), col("value"))
+    val incomingGenes = XmlIngest.geneAssociations(vars)
+      .select(col("symbol"), col("geneId").as("gene_id"))
 
     val store = loadStore(spark, storeDir)
     val result = LoadPipeline.run(
-      incomingVariants, incomingXdb, incomingHgvs, incomingAliases, store)
+      incomingVariants, incomingXdb, incomingHgvs, incomingAliases, incomingGenes, store)
 
     // audit (K8) + counters (K7)
     val diffs = Seq(
       "variants" -> result.variantsDiff, "xdb_ids" -> result.xdbDiff,
-      "hgvs_names" -> result.hgvsDiff, "aliases" -> result.aliasDiff)
+      "hgvs_names" -> result.hgvsDiff, "aliases" -> result.aliasDiff,
+      "gene_associations" -> result.geneDiff)
     diffs.foreach { case (name, d) =>
       d.cache().write.mode("overwrite").parquet(s"$storeDir/audit/$name")
     }
@@ -97,7 +103,8 @@ object LoadMain {
         Seq("symbol", "rcv_acc") ++ LoadPipeline.VariantContentCols :+ "date_last_evaluated"),
       "xdb_ids" -> (Seq("rgd_id", "xdb_key", "acc_id"), Seq.empty[String]),
       "hgvs_names" -> (Seq("rgd_id", "hgvs_type", "name"), Seq.empty[String]),
-      "aliases" -> (Seq("rgd_id", "value"), Seq.empty[String]))
+      "aliases" -> (Seq("rgd_id", "value"), Seq.empty[String]),
+      "gene_associations" -> (Seq("rgd_id", "gene_id"), Seq.empty[String]))
     diffs.foreach { case (name, d) =>
       val (keys, content) = contentOf(name)
       DiffSync.nextSnapshot(d, keys, content)

@@ -23,16 +23,18 @@ object LoadPipeline {
 
   /** The persistent store snapshot (the Oracle tables of §1.1). */
   final case class Store(
-      variants: DataFrame,  // rgd_id, symbol, name, rcv_acc + content cols
-      xdbIds: DataFrame,    // rgd_id, xdb_key, acc_id
-      hgvsNames: DataFrame, // rgd_id, hgvs_type, name
-      aliases: DataFrame)   // rgd_id, value
+      variants: DataFrame,   // rgd_id, symbol, name, rcv_acc + content cols
+      xdbIds: DataFrame,     // rgd_id, xdb_key, acc_id
+      hgvsNames: DataFrame,  // rgd_id, hgvs_type, name
+      aliases: DataFrame,    // rgd_id, value
+      geneAssocs: DataFrame) // rgd_id, gene_id (variant_to_gene, J3)
 
   final case class Result(
       variantsDiff: DataFrame,
       xdbDiff: DataFrame,
       hgvsDiff: DataFrame,
       aliasDiff: DataFrame,
+      geneDiff: DataFrame,
       counters: DataFrame)
 
   /** Content columns merged/compared on the variant core. */
@@ -104,6 +106,7 @@ object LoadPipeline {
       incomingXdb: DataFrame,      // symbol, xdb_key, acc_id
       incomingHgvs: DataFrame,     // symbol, hgvs_type, name
       incomingAliases: DataFrame,  // symbol, value
+      incomingGenes: DataFrame,    // symbol, gene_id
       store: Store,
       maxXdbDeleteFraction: Double = 0.08): Result = {
 
@@ -131,16 +134,21 @@ object LoadPipeline {
       Seq("rgd_id", "hgvs_type", "name"), Seq.empty)
     val aliasDiff = DiffSync(rekey(incomingAliases), store.aliases,
       Seq("rgd_id", "value"), Seq.empty)
+    // association diff (GeneAssociations.sync:78-109): retain/remove set
+    // algebra = the same full-outer classification on (rgd_id, gene_id)
+    val geneDiff = DiffSync(rekey(incomingGenes), store.geneAssocs,
+      Seq("rgd_id", "gene_id"), Seq.empty)
 
     val counters = Seq(
       ("variants", variantsDiff), ("xdb_ids", xdbDiff),
-      ("hgvs_names", hgvsDiff), ("aliases", aliasDiff))
+      ("hgvs_names", hgvsDiff), ("aliases", aliasDiff),
+      ("gene_associations", geneDiff))
       .map { case (entity, d) =>
         d.groupBy(col("action")).count().withColumn("entity", lit(entity))
       }
       .reduce(_.unionByName(_))
       .select("entity", "action", "count")
 
-    Result(variantsDiff, xdbDiff, hgvsDiff, aliasDiff, counters)
+    Result(variantsDiff, xdbDiff, hgvsDiff, aliasDiff, geneDiff, counters)
   }
 }

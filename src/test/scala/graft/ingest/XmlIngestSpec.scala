@@ -12,9 +12,9 @@ class XmlIngestSpec extends SparkSpec {
   private lazy val parsed = XmlIngest.parseRecords(XmlIngest.readRecords(spark, samplePath))
   private lazy val vars = XmlIngest.variants(parsed)
 
-  test("record splitter: 4 VariationArchive records, release wrapper dropped (S2)") {
+  test("record splitter: 5 VariationArchive records, release wrapper dropped (S2)") {
     val raw = XmlIngest.readRecords(spark, samplePath).collect()
-    assert(raw.length === 4)
+    assert(raw.length === 5)
     assert(raw.forall(_.startsWith("<VariationArchive")))
     assert(raw.forall(_.endsWith("</VariationArchive>")))
   }
@@ -22,7 +22,7 @@ class XmlIngestSpec extends SparkSpec {
   test("skip logic + counters: multi-allele and genotype records skipped (F1/F2/K7)") {
     val counts = XmlIngest.counters(parsed).as[(String, Long)].collect().toMap
     assert(counts === Map(
-      "ok" -> 2L,
+      "ok" -> 3L,
       ParseResult.MultiAlleleSkipped -> 1L,
       ParseResult.GenotypeSkipped -> 1L))
   }
@@ -93,9 +93,9 @@ class XmlIngestSpec extends SparkSpec {
   }
 
   test("flattened child views explode without re-parse (§1.3)") {
-    assert(XmlIngest.xdbIds(vars).filter($"xdbKey" === 52).count() === 1)
-    assert(XmlIngest.geneAssociations(vars).count() === 1)
-    assert(XmlIngest.mapPositions(vars).count() === 3)
+    assert(XmlIngest.xdbIds(vars).filter($"xdbKey" === 52).count() === 2)
+    assert(XmlIngest.geneAssociations(vars).count() === 2)
+    assert(XmlIngest.mapPositions(vars).count() === 4)
     assert(XmlIngest.hgvsNames(vars).count() === 2)
     assert(XmlIngest.aliases(vars).count() === 1)
   }

@@ -16,7 +16,8 @@ class LoadPipelineSpec extends SparkSpec {
     xdbIds = Seq((10L, 52, "RCV001"), (10L, 48, "111"), (11L, 52, "RCV002"))
       .toDF("rgd_id", "xdb_key", "acc_id"),
     hgvsNames = Seq((10L, "coding", "NM_1:c.1A>G")).toDF("rgd_id", "hgvs_type", "name"),
-    aliases = Seq((10L, "old alias")).toDF("rgd_id", "value"))
+    aliases = Seq((10L, "old alias")).toDF("rgd_id", "value"),
+    geneAssocs = Seq((10L, "9907")).toDF("rgd_id", "gene_id"))
 
   // incoming: CV1 matched by RCV with merged significance; CV3 brand new
   private def incoming = Seq(
@@ -30,6 +31,7 @@ class LoadPipelineSpec extends SparkSpec {
     Seq(("CV1", 52, "RCV001"), ("CV3", 52, "RCV003")).toDF("symbol", "xdb_key", "acc_id"),
     Seq(("CV1", "coding", "NM_1:c.1A>G")).toDF("symbol", "hgvs_type", "name"),
     Seq(("CV1", "new alias")).toDF("symbol", "value"),
+    Seq(("CV1", "9907"), ("CV3", "555")).toDF("symbol", "gene_id"),
     store,
     maxXdbDeleteFraction = 0.99) // allow the delete in this tiny fixture
 
@@ -63,6 +65,8 @@ class LoadPipelineSpec extends SparkSpec {
     assert(c(("xdb_ids", "match")) === 1L)   // RCV001
     assert(c(("aliases", "insert")) === 1L)
     assert(c(("aliases", "delete")) === 1L)  // old alias gone
+    assert(c(("gene_associations", "match")) === 1L) // CV1-9907 kept
+    assert(c(("gene_associations", "insert")) === 1L) // CV3-555
   }
 
   test("guarded deletes: tight ceiling downgrades xdb deletes to keep_stale") {
@@ -72,6 +76,7 @@ class LoadPipelineSpec extends SparkSpec {
       spark.emptyDataFrame.withColumn("symbol", lit("")).withColumn("hgvs_type", lit(""))
         .withColumn("name", lit("")).limit(0),
       spark.emptyDataFrame.withColumn("symbol", lit("")).withColumn("value", lit("")).limit(0),
+      spark.emptyDataFrame.withColumn("symbol", lit("")).withColumn("gene_id", lit("")).limit(0),
       store, maxXdbDeleteFraction = 0.05)
     val actions = guarded.xdbDiff.groupBy("action").count()
       .as[(String, Long)].collect().toMap
