@@ -38,7 +38,11 @@ object LoadMain {
       aliases = empty(StructType(Seq(
         StructField("rgd_id", LongType), StructField("value", StringType)))),
       geneAssocs = empty(StructType(Seq(
-        StructField("rgd_id", LongType), StructField("gene_id", StringType)))))
+        StructField("rgd_id", LongType), StructField("gene_id", StringType)))),
+      mapPositions = empty(StructType(Seq(
+        StructField("rgd_id", LongType), StructField("assembly", StringType),
+        StructField("chromosome", StringType),
+        StructField("start_pos", LongType), StructField("stop_pos", LongType)))))
   }
 
   private def loadStore(spark: SparkSession, dir: String): LoadPipeline.Store =
@@ -48,7 +52,8 @@ object LoadMain {
       xdbIds = spark.read.parquet(s"$dir/xdb_ids"),
       hgvsNames = spark.read.parquet(s"$dir/hgvs_names"),
       aliases = spark.read.parquet(s"$dir/aliases"),
-      geneAssocs = spark.read.parquet(s"$dir/gene_associations"))
+      geneAssocs = spark.read.parquet(s"$dir/gene_associations"),
+      mapPositions = spark.read.parquet(s"$dir/map_positions"))
 
   def main(args: Array[String]): Unit = {
     val Array(xmlPath, storeDir) = args.take(2)
@@ -71,6 +76,7 @@ object LoadMain {
       col("reviewStatus").as("review_status"),
       col("methodType").as("method_type"),
       col("submitter"), col("traitName").as("trait_name"), col("notes"),
+      col("refNuc").as("ref_nuc"), col("varNuc").as("var_nuc"),
       col("dateLastEvaluated").as("date_last_evaluated"))
     val incomingXdb = XmlIngest.xdbIds(vars)
       .select(col("symbol"), col("xdbKey").as("xdb_key"), col("accId").as("acc_id"))
@@ -80,16 +86,22 @@ object LoadMain {
       .select(col("symbol"), col("value"))
     val incomingGenes = XmlIngest.geneAssociations(vars)
       .select(col("symbol"), col("geneId").as("gene_id"))
+    val incomingMapPos = XmlIngest.mapPositions(vars)
+      .filter(col("assembly") =!= "") // cyto rows carry no sequence coords
+      .select(col("symbol"), col("assembly"), col("chromosome"),
+        col("startPos").as("start_pos"), col("stopPos").as("stop_pos"))
 
     val store = loadStore(spark, storeDir)
     val result = LoadPipeline.run(
-      incomingVariants, incomingXdb, incomingHgvs, incomingAliases, incomingGenes, store)
+      incomingVariants, incomingXdb, incomingHgvs, incomingAliases, incomingGenes,
+      incomingMapPos, store)
 
     // audit (K8) + counters (K7)
     val diffs = Seq(
       "variants" -> result.variantsDiff, "xdb_ids" -> result.xdbDiff,
       "hgvs_names" -> result.hgvsDiff, "aliases" -> result.aliasDiff,
-      "gene_associations" -> result.geneDiff)
+      "gene_associations" -> result.geneDiff,
+      "map_positions" -> result.mapPosDiff)
     diffs.foreach { case (name, d) =>
       d.cache().write.mode("overwrite").parquet(s"$storeDir/audit/$name")
     }
@@ -104,7 +116,9 @@ object LoadMain {
       "xdb_ids" -> (Seq("rgd_id", "xdb_key", "acc_id"), Seq.empty[String]),
       "hgvs_names" -> (Seq("rgd_id", "hgvs_type", "name"), Seq.empty[String]),
       "aliases" -> (Seq("rgd_id", "value"), Seq.empty[String]),
-      "gene_associations" -> (Seq("rgd_id", "gene_id"), Seq.empty[String]))
+      "gene_associations" -> (Seq("rgd_id", "gene_id"), Seq.empty[String]),
+      "map_positions" -> (Seq("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos"),
+        Seq.empty[String]))
     diffs.foreach { case (name, d) =>
       val (keys, content) = contentOf(name)
       DiffSync.nextSnapshot(d, keys, content)

@@ -27,7 +27,8 @@ object LoadPipeline {
       xdbIds: DataFrame,     // rgd_id, xdb_key, acc_id
       hgvsNames: DataFrame,  // rgd_id, hgvs_type, name
       aliases: DataFrame,    // rgd_id, value
-      geneAssocs: DataFrame) // rgd_id, gene_id (variant_to_gene, J3)
+      geneAssocs: DataFrame, // rgd_id, gene_id (variant_to_gene, J3)
+      mapPositions: DataFrame) // rgd_id, assembly, chromosome, start_pos, stop_pos (J5)
 
   final case class Result(
       variantsDiff: DataFrame,
@@ -35,12 +36,13 @@ object LoadPipeline {
       hgvsDiff: DataFrame,
       aliasDiff: DataFrame,
       geneDiff: DataFrame,
+      mapPosDiff: DataFrame,
       counters: DataFrame)
 
   /** Content columns merged/compared on the variant core. */
   val VariantContentCols: Seq[String] = Seq(
     "name", "object_type", "clinical_significance", "review_status",
-    "method_type", "submitter", "trait_name", "notes")
+    "method_type", "submitter", "trait_name", "notes", "ref_nuc", "var_nuc")
 
   /** Identity-match incoming records against the store: by RCV
     * accession, else symbol, else name; multi-match = no-match
@@ -107,6 +109,7 @@ object LoadPipeline {
       incomingHgvs: DataFrame,     // symbol, hgvs_type, name
       incomingAliases: DataFrame,  // symbol, value
       incomingGenes: DataFrame,    // symbol, gene_id
+      incomingMapPos: DataFrame,   // symbol, assembly, chromosome, start_pos, stop_pos
       store: Store,
       maxXdbDeleteFraction: Double = 0.08): Result = {
 
@@ -138,17 +141,21 @@ object LoadPipeline {
     // algebra = the same full-outer classification on (rgd_id, gene_id)
     val geneDiff = DiffSync(rekey(incomingGenes), store.geneAssocs,
       Seq("rgd_id", "gene_id"), Seq.empty)
+    // map-position diff: natural key = assembly+chr+coords
+    // (MapPositions.qc/sync:104-152, rgdcore MapDataSyncer semantics)
+    val mapPosDiff = DiffSync(rekey(incomingMapPos), store.mapPositions,
+      Seq("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos"), Seq.empty)
 
     val counters = Seq(
       ("variants", variantsDiff), ("xdb_ids", xdbDiff),
       ("hgvs_names", hgvsDiff), ("aliases", aliasDiff),
-      ("gene_associations", geneDiff))
+      ("gene_associations", geneDiff), ("map_positions", mapPosDiff))
       .map { case (entity, d) =>
         d.groupBy(col("action")).count().withColumn("entity", lit(entity))
       }
       .reduce(_.unionByName(_))
       .select("entity", "action", "count")
 
-    Result(variantsDiff, xdbDiff, hgvsDiff, aliasDiff, geneDiff, counters)
+    Result(variantsDiff, xdbDiff, hgvsDiff, aliasDiff, geneDiff, mapPosDiff, counters)
   }
 }

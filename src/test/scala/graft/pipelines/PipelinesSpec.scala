@@ -9,22 +9,26 @@ class LoadPipelineSpec extends SparkSpec {
   // store with two known variants
   private def store = LoadPipeline.Store(
     variants = Seq(
-      (10L, "CV1", "var one", "RCV001", "snv", "pathogenic", "rs1", "mt1", "sub1", "t1", "n1", "2020-01-01"),
-      (11L, "CV2", "var two", "RCV002", "snv", "benign", "rs2", "mt2", "sub2", "t2", "n2", "2020-01-01")
+      (10L, "CV1", "var one", "RCV001", "snv", "pathogenic", "rs1", "mt1", "sub1", "t1", "n1", "A", "G", "2020-01-01"),
+      (11L, "CV2", "var two", "RCV002", "snv", "benign", "rs2", "mt2", "sub2", "t2", "n2", "C", "T", "2020-01-01")
     ).toDF("rgd_id", "symbol", "name", "rcv_acc", "object_type", "clinical_significance",
-      "review_status", "method_type", "submitter", "trait_name", "notes", "date_last_evaluated"),
+      "review_status", "method_type", "submitter", "trait_name", "notes", "ref_nuc", "var_nuc",
+      "date_last_evaluated"),
     xdbIds = Seq((10L, 52, "RCV001"), (10L, 48, "111"), (11L, 52, "RCV002"))
       .toDF("rgd_id", "xdb_key", "acc_id"),
     hgvsNames = Seq((10L, "coding", "NM_1:c.1A>G")).toDF("rgd_id", "hgvs_type", "name"),
     aliases = Seq((10L, "old alias")).toDF("rgd_id", "value"),
-    geneAssocs = Seq((10L, "9907")).toDF("rgd_id", "gene_id"))
+    geneAssocs = Seq((10L, "9907")).toDF("rgd_id", "gene_id"),
+    mapPositions = Seq((10L, "GRCh38", "7", 100L, 101L))
+      .toDF("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos"))
 
   // incoming: CV1 matched by RCV with merged significance; CV3 brand new
   private def incoming = Seq(
-    ("CV1", "RCV001", "var one", "snv", "likely pathogenic", "rs1", "mt1", "sub1", "t1", "n1", "2021-06-01"),
-    ("CV3", "RCV003", "var three", "deletion", "benign", "rs3", "mt3", "sub3", "t3", "n3", "2021-01-01")
+    ("CV1", "RCV001", "var one", "snv", "likely pathogenic", "rs1", "mt1", "sub1", "t1", "n1", "A", "G", "2021-06-01"),
+    ("CV3", "RCV003", "var three", "deletion", "benign", "rs3", "mt3", "sub3", "t3", "n3", "TA", "T", "2021-01-01")
   ).toDF("symbol", "rcv_acc", "name", "object_type", "clinical_significance",
-    "review_status", "method_type", "submitter", "trait_name", "notes", "date_last_evaluated")
+    "review_status", "method_type", "submitter", "trait_name", "notes", "ref_nuc", "var_nuc",
+    "date_last_evaluated")
 
   private def result = LoadPipeline.run(
     incoming,
@@ -32,6 +36,7 @@ class LoadPipelineSpec extends SparkSpec {
     Seq(("CV1", "coding", "NM_1:c.1A>G")).toDF("symbol", "hgvs_type", "name"),
     Seq(("CV1", "new alias")).toDF("symbol", "value"),
     Seq(("CV1", "9907"), ("CV3", "555")).toDF("symbol", "gene_id"),
+    Seq(("CV1", "GRCh38", "7", 100L, 101L)).toDF("symbol", "assembly", "chromosome", "start_pos", "stop_pos"),
     store,
     maxXdbDeleteFraction = 0.99) // allow the delete in this tiny fixture
 
@@ -67,6 +72,7 @@ class LoadPipelineSpec extends SparkSpec {
     assert(c(("aliases", "delete")) === 1L)  // old alias gone
     assert(c(("gene_associations", "match")) === 1L) // CV1-9907 kept
     assert(c(("gene_associations", "insert")) === 1L) // CV3-555
+    assert(c(("map_positions", "match")) === 1L)
   }
 
   test("guarded deletes: tight ceiling downgrades xdb deletes to keep_stale") {
@@ -77,6 +83,9 @@ class LoadPipelineSpec extends SparkSpec {
         .withColumn("name", lit("")).limit(0),
       spark.emptyDataFrame.withColumn("symbol", lit("")).withColumn("value", lit("")).limit(0),
       spark.emptyDataFrame.withColumn("symbol", lit("")).withColumn("gene_id", lit("")).limit(0),
+      spark.emptyDataFrame.withColumn("symbol", lit("")).withColumn("assembly", lit(""))
+        .withColumn("chromosome", lit("")).withColumn("start_pos", lit(0L))
+        .withColumn("stop_pos", lit(0L)).limit(0),
       store, maxXdbDeleteFraction = 0.05)
     val actions = guarded.xdbDiff.groupBy("action").count()
       .as[(String, Long)].collect().toMap
