@@ -58,6 +58,7 @@ object AnnotateMain {
         StructType(Seq(
           StructField("annotated_rgd_id", LongType),
           StructField("term_acc", StringType),
+          StructField("evidence", StringType),
           StructField("xref_source", StringType),
           StructField("with_info", StringType))))
 
@@ -72,7 +73,7 @@ object AnnotateMain {
     }
     graft.ops.DiffSync
       .nextSnapshot(result.annotDiff,
-        Seq("annotated_rgd_id", "term_acc", "xref_source"), Seq("with_info"))
+        Seq("annotated_rgd_id", "term_acc", "evidence", "xref_source"), Seq("with_info"))
       .write.mode("overwrite").parquet(s"$storeDir/annotations_next")
     val next = new java.io.File(s"$storeDir/annotations_next")
     if (annotsPath.exists()) {

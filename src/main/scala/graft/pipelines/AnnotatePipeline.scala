@@ -89,23 +89,26 @@ object AnnotatePipeline {
 
   /** A8+A10 / A9+A10: the two-phase merge/split chain
     * (AnnotCache.java:92-244). Phase 1 groups on the key INCLUDING
-    * with_info and set-merges xref_source; phase 2 groups on the key
-    * INCLUDING xref_source and set-merges with_info; each phase splits
-    * oversize merged values at a separator boundary.
+    * with_info and set-merges xref_source (the PubMed id lists — A12);
+    * phase 2 groups on the key INCLUDING xref_source and set-merges
+    * with_info; each phase splits oversize merged values at a
+    * separator boundary. `evidence` (IAGP direct / ISO ortholog) is
+    * part of the merge key in both phases, as in the reference's
+    * 9-part key (AnnotCache.getMergeKey:246-258).
     */
   def mergeAnnotations(
-      annots: DataFrame, // annotated_rgd_id, term_acc, xref_source, with_info
+      annots: DataFrame, // annotated_rgd_id, term_acc, evidence, xref_source, with_info
       xrefMax: Int = 4000,
       withInfoMax: Int = 1700): DataFrame = {
     val phase1 = MergeSplit.mergeThenSplit(
       annots,
-      keyCols = Seq("annotated_rgd_id", "term_acc", "with_info"),
+      keyCols = Seq("annotated_rgd_id", "term_acc", "evidence", "with_info"),
       mergeCols = Map("xref_source" -> (col("xref_source"), "[|,;]", "|")),
       splitCol = "xref_source",
       maxLen = xrefMax)
     MergeSplit.mergeThenSplit(
       phase1,
-      keyCols = Seq("annotated_rgd_id", "term_acc", "xref_source"),
+      keyCols = Seq("annotated_rgd_id", "term_acc", "evidence", "xref_source"),
       mergeCols = Map("with_info" -> (col("with_info"), "[|]", "|")),
       splitCol = "with_info",
       maxLen = withInfoMax)
@@ -142,19 +145,38 @@ object AnnotatePipeline {
 
     val variantTerms = byConcept.unionByName(byName).distinct()
 
-    val direct = variantTerms.select(
+    // A12: the annotation XREF_SOURCE is the variant's sorted PubMed id
+    // list (VariantAnnotator.getPubMedIds:625-634)
+    val pubmed = variantXdb.filter(col("xdb_key") === 11)
+      .groupBy(col("rgd_id"))
+      .agg(concat_ws("|", array_sort(collect_set(
+        concat(lit("PMID:"), regexp_replace(col("acc_id"), "\\D", ""))))).as("pmids"))
+    val withXref = variantTerms.join(pubmed, Seq("rgd_id"), "left")
+      .withColumn("xref_source", coalesce(col("pmids"), lit("")))
+
+    // direct variant annotations: IAGP evidence
+    val direct = withXref.select(
       col("rgd_id").as("annotated_rgd_id"), col("term_acc"),
-      lit("direct").as("xref_source"), col("rgd_id").cast("string").as("with_info"))
+      lit("IAGP").as("evidence"), col("xref_source"),
+      lit(null).cast("string").as("with_info"))
+    // ortholog gene annotations: ISO evidence, WITH_INFO = the source
+    // variant (the propagation provenance, per the reference's ISO
+    // with_info contract)
     val viaOrthologs = orthologAnnotations(
-      variantTerms, variantGene.select("rgd_id", "gene_rgd_id"), orthologs)
+      withXref.select("rgd_id", "term_acc"),
+      variantGene.select("rgd_id", "gene_rgd_id"), orthologs)
+      .join(withXref.select(col("rgd_id").as("with_info_rgd"), col("xref_source"))
+        .dropDuplicates("with_info_rgd"),
+        col("with_info") === col("with_info_rgd"), "left")
       .select(col("annotated_rgd_id"), col("term_acc"),
-        lit("ortholog").as("xref_source"), col("with_info").cast("string"))
+        lit("ISO").as("evidence"), coalesce(col("xref_source"), lit("")).as("xref_source"),
+        concat(lit("RGD:"), col("with_info")).as("with_info"))
 
     val merged = mergeAnnotations(direct.unionByName(viaOrthologs))
 
     val diff = DiffSync.guardDeletes(
       DiffSync(merged, currentAnnots,
-        Seq("annotated_rgd_id", "term_acc", "xref_source"), Seq("with_info")),
+        Seq("annotated_rgd_id", "term_acc", "evidence", "xref_source"), Seq("with_info")),
       maxDeleteFraction)
 
     Result(diff, diff.groupBy("action").count())

@@ -104,7 +104,7 @@ class AnnotatePipelineSpec extends SparkSpec {
     (4L, "deletion", "benign", "x", "Rare Thing [RCV4]")   // resolved by name
   ).toDF("rgd_id", "object_type", "clinical_significance", "submitter", "trait_name")
 
-  private def variantXdb = Seq((1L, 54, "C100"), (4L, 54, "C404"))
+  private def variantXdb = Seq((1L, 54, "C100"), (4L, 54, "C404"), (1L, 11, "pm77"))
     .toDF("rgd_id", "xdb_key", "acc_id")
   private def variantGene = Seq((1L, "9907", 500L), (4L, "1234", 501L))
     .toDF("rgd_id", "gene_id", "gene_rgd_id")
@@ -117,8 +117,8 @@ class AnnotatePipelineSpec extends SparkSpec {
 
   private def result = AnnotatePipeline.run(
     variants, variantXdb, variantGene, conceptMap, rdoSynonyms, termIndex,
-    orthologs, currentAnnots = Seq.empty[(Long, String, String, String)]
-      .toDF("annotated_rgd_id", "term_acc", "xref_source", "with_info"))
+    orthologs, currentAnnots = Seq.empty[(Long, String, String, String, String)]
+      .toDF("annotated_rgd_id", "term_acc", "evidence", "xref_source", "with_info"))
 
   test("carpe filter drops 'not provided' and non-carpe types (F5)") {
     val kept = AnnotatePipeline.carpeCompliant(variants).select("rgd_id").as[Long].collect().toSet
@@ -127,13 +127,20 @@ class AnnotatePipelineSpec extends SparkSpec {
 
   test("concept chain resolves variant 1; name fallback resolves variant 4 (J8/J9)") {
     val annots = result.annotDiff.filter($"action" === "insert")
-      .select("annotated_rgd_id", "term_acc", "xref_source")
-      .as[(Long, String, String)].collect().toSet
-    assert(annots.contains((1L, "DOID:1", "direct")))
-    assert(annots.contains((4L, "DOID:9", "direct")))
-    // ortholog fan-out from variant 1's gene (2 homologs), ISO-style (J10)
-    assert(annots.contains((9500L, "DOID:1", "ortholog")))
-    assert(annots.contains((9501L, "DOID:1", "ortholog")))
+      .select("annotated_rgd_id", "term_acc", "evidence", "xref_source")
+      .as[(Long, String, String, String)].collect().toSet
+    // direct annots carry IAGP + the variant's PMID list as xref (A12)
+    assert(annots.contains((1L, "DOID:1", "IAGP", "PMID:77")))
+    assert(annots.contains((4L, "DOID:9", "IAGP", "")))
+    // ortholog fan-out from variant 1's gene (2 homologs), ISO evidence (J10)
+    assert(annots.contains((9500L, "DOID:1", "ISO", "PMID:77")))
+    assert(annots.contains((9501L, "DOID:1", "ISO", "PMID:77")))
+  }
+
+  test("ISO with_info records the propagation source variant") {
+    val wi = result.annotDiff.filter($"evidence" === "ISO")
+      .select("with_info").as[String].collect().toSet
+    assert(wi === Set("RGD:1"))
   }
 }
 
