@@ -520,6 +520,15 @@ object SparkEntry {
           length(col("merged")).as("full_len"))
     }),
 
+    // --- scale: BPE-ish subword token estimate --------------------------------
+    "q40_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.bpeIshTokenCount(col("text")).as("n_bpe"),
+          TextStats.tokenCount(col("text")).as("n_ws"))
+    }),
+
     // --- scale: brute-force embedding-cosine near-dup pairs -------------------
     "q38_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -893,6 +902,13 @@ object SparkEntry {
         |    string_agg(DISTINCT substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16),
         |               '; ' ORDER BY substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)) AS merged
         |  FROM documents GROUP BY source)""".stripMargin,
+
+    "q40_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws
+        |FROM documents""".stripMargin,
 
     "q23_lsh_pairs" -> lshPairsOracleSql,
 

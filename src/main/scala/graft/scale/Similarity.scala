@@ -137,6 +137,71 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN: the other classic scale path next to LSH.
+    *
+    * Coarse quantizer = `nlist` centroid vectors picked
+    * DETERMINISTICALLY from the corpus (every (n/nlist)-th id in id
+    * order — no RNG state, stable across runs). Index build = one pass
+    * assigning each vector to its nearest centroid (broadcast
+    * centroids, codegen dot products). Search = rank centroids per
+    * probe, take the `nprobe` nearest lists, and only score candidates
+    * inside those lists — the scored set shrinks from |N| to
+    * ~|N|·nprobe/nlist per probe. Recall < 1 by construction; raise
+    * `nprobe` to trade compute for recall.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("neighbor_vec"))
+    // deterministic coarse quantizer: every (n/nlist)-th vector by id rank
+    val wAll = Window.orderBy(col("neighbor_id"))
+    val n = c.count()
+    val stride = math.max(n / nlist, 1L)
+    val centroids = broadcast(
+      c.withColumn("_rk", row_number().over(wAll))
+        .filter((col("_rk") - 1) % stride === 0)
+        .limit(nlist)
+        .select(col("_rk").as("centroid_id"), col("neighbor_vec").as("centroid_vec")))
+
+    def nearestLists(vecs: DataFrame, vc: String, idc: String, take: Int): DataFrame = {
+      val w = Window.partitionBy(idc).orderBy(col("cdist").desc, col("centroid_id"))
+      vecs.crossJoin(centroids)
+        .withColumn("cdist", dot(col(vc), col("centroid_vec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= take)
+        .drop("centroid_vec", "cdist", "crank")
+    }
+
+    val assigned = nearestLists(c, "neighbor_vec", "neighbor_id", 1)
+      .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
+    val p = probes.select(
+      col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("probe_vec"))
+    val probed = broadcast(
+      nearestLists(p, "probe_vec", "probe_id", nprobe)
+        .withColumn("probe_norm", l2Norm(col("probe_vec"))))
+
+    val pairs = assigned
+      .join(probed, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn(
+        "cos",
+        dot(col("probe_vec"), col("neighbor_vec")) /
+          (col("probe_norm") * col("neighbor_norm")))
+    val win = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+  }
+
   /** The DuckDB-side signature expression for one plane's literal
     * weights (used by SparkEntry.oracleSql to embed identical planes).
     */

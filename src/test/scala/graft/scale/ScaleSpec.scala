@@ -72,6 +72,26 @@ class ScaleSpec extends SparkSpec {
     assert(res.head === ((1L, 1, 2L))) // the identical vector is rank 1
   }
 
+  test("ivfTopK: inverted-file search finds same top-1 as brute force at full probe") {
+    val rnd = new scala.util.Random(11)
+    val emb = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 40 === 0)
+    val brute = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // nprobe = nlist -> exhaustive: identical to brute force
+    val full = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 1,
+      nlist = 8, nprobe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(full === brute)
+    // narrow probe: a valid ANN result (subset semantics, k bounded)
+    val narrow = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 2)
+    assert(narrow.groupBy("probe_id").count()
+      .as[(Long, Long)].collect().forall(_._2 <= 3))
+  }
+
   test("planeWeights: deterministic dyadic rationals in [-1, 1)") {
     val w1 = Similarity.planeWeights(3, 8)
     val w2 = Similarity.planeWeights(3, 8)
