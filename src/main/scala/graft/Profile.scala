@@ -83,6 +83,13 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("entry")) {
+      val n = SparkEntry.entry(spark).count()
+      println(s"[demo] entry rows=$n")
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("explain")) {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")
