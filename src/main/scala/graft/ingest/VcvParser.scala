@@ -88,6 +88,8 @@ object VcvParser {
     var notes: String = ""
     var dateLastEvaluated: String = ""
     val xdbIds = mutable.LinkedHashSet[(Int, String)]() // distinct on (key, acc): XdbIds.java:31-34
+    val counters = mutable.Map[String, Long]()
+    def bump(name: String): Unit = counters(name) = counters.getOrElse(name, 0L) + 1
     var xdbNotes: String = ""
     val aliases = mutable.ArrayBuffer[AliasRec]()
 
@@ -227,8 +229,10 @@ object VcvParser {
       }
     }
 
-    // aggregate Classifications: trait xrefs (Parser.java:266-284)
+    // aggregate Classifications: per-type counters + trait xrefs
+    // (Parser.java:266-284: CLASSIFICATION_AGGREGATE_<type>)
     firstChild(classified, "Classifications").toSeq.flatMap(childElements).foreach { cls =>
+      acc.bump("CLASSIFICATION_AGGREGATE_" + cls.getTagName)
       firstChild(cls, "ConditionList").foreach { cl =>
         children(cl, "TraitSet").flatMap(children(_, "Trait")).foreach(parseXRefs(_, acc))
       }
@@ -253,8 +257,10 @@ object VcvParser {
                   case "ReviewStatus" => acc.mergeReview(text(el2).toLowerCase)
                   case "GermlineClassification" | "NoClassification" |
                       "OncogenicityClassification" =>
+                    acc.bump("CLASSIFICATION_PER_SUBMISSION_" + el2.getTagName)
                     acc.mergeCS(text(el2).toLowerCase)
                   case "SomaticClinicalImpact" =>
+                    acc.bump("CLASSIFICATION_PER_SUBMISSION_SomaticClinicalImpact")
                     acc.mergeCS("somatic clinical impact: " + text(el2).toLowerCase)
                   case "Citation" => parseCitation(el2, acc)
                   case _ => // Comment/ExplanationOfClassification etc. skipped
@@ -319,8 +325,24 @@ object VcvParser {
       mapPositions = mapPositions.toSeq,
       hgvsNames = hgvsNames.toSeq,
       aliases = acc.aliases.toSeq)
-    ParseResult(ParseResult.Ok, Some(rec))
+    ParseResult(ParseResult.Ok, Some(rec), acc.counters.toMap)
   }
+
+  /** The explicit xref ignore list (Parser.java:567-578). */
+  private val IgnoredXrefDbs: Set[String] = Set(
+    "ADAM", "BRCA1-HCI",
+    "Breast Cancer Information Core (BIC) (BRCA1)",
+    "Breast Cancer Information Core (BIC) (BRCA2)",
+    "ClinGen", "ClinPGx Clinical Annotation", "ClinVar",
+    "dbRBC", "dbVar", "Decipher",
+    "GeneReviews", "Genetic Alliance", "GeneTests",
+    "Genetic Testing Registry (GTR)",
+    "HBVAR", "LOVD 3",
+    "MYBPC3 homepage - Leiden Muscular Dystrophy pages",
+    "NCBI for submitter", "New Leaf Center",
+    "PharmGKB Clinical Annotation", "RettBASE (CDKL5)",
+    "Tuberous sclerosis database (TSC1)", "Tuberous sclerosis database (TSC2)",
+    "UniProtKB", "UniProtKB/Swiss-Prot", "MESH")
 
   /** XRef DB routing (Parser.parseXRefs, Parser.java:485-585; F8/X5-X7):
     * descend into Name children; route by DB with the submitter-lab
@@ -342,7 +364,9 @@ object VcvParser {
               acc.addXdb(6, id.substring(0, id.indexOf('.')))
             } else acc.addXdb(6, id)
           case "OMIM phenotypic series" => acc.addXdb(66, "MIM:" + id)
-          case "dbSNP" => if (typ == "rs") acc.addXdb(48, id)
+          case "dbSNP" =>
+            if (typ == "rs") acc.addXdb(48, id)
+            else acc.bump("UNKNOWN_DBSNP_TYPE_" + typ)
           case "MedGen" => acc.addXdb(54, id)
           case "MONDO" => acc.addXdb(145, id)
           case "MeSH" | "MSH" => acc.addXdb(47, id)
@@ -354,7 +378,8 @@ object VcvParser {
           case "Orphanet" => // strip ORPHA prefix (X6)
             acc.addXdb(62, if (id.startsWith("ORPHA")) id.substring(5) else id)
           case "SNOMED CT" => acc.addXdb(55, id)
-          case _ => // ignore list + unknown-DB counter in the reference
+          case db2 if IgnoredXrefDbs.contains(db2) => // intentionally ignored
+          case db2 => acc.bump("UNKNOWN_XREF_DB_" + db2)
         }
       }
     }

@@ -45,9 +45,14 @@ final case class VcvRecord(
 
 /** Parse outcome: `status` mirrors the reference skip counters
   * (MULTI_ALLELE_VARIANTS_SKIPPED etc., Parser.java:66-94); `record`
-  * is present only for status "ok".
+  * is present only for status "ok"; `counters` carries the per-record
+  * named-counter increments (classification types, unknown xref DBs —
+  * GlobalCounters.java semantics, aggregated relationally downstream).
   */
-final case class ParseResult(status: String, record: Option[VcvRecord])
+final case class ParseResult(
+    status: String,
+    record: Option[VcvRecord],
+    counters: Map[String, Long] = Map.empty)
 
 object ParseResult {
   val Ok = "ok"

@@ -56,11 +56,20 @@ object XmlIngest {
     parsed.filter(_.status == ParseResult.Ok).flatMap(_.record).toDF()
   }
 
-  /** Skip/ok counters — the relational GlobalCounters dump (K7,
-    * GlobalCounters.java:10-30): alphabetical by counter name.
+  /** The relational GlobalCounters dump (K7, GlobalCounters.java:10-30):
+    * skip/ok statuses UNIONed with the per-record named counters
+    * (classification types, unknown xref DBs), alphabetical.
     */
-  def counters(parsed: Dataset[ParseResult]): DataFrame =
-    parsed.groupBy(col("status")).count().orderBy("status")
+  def counters(parsed: Dataset[ParseResult]): DataFrame = {
+    import parsed.sparkSession.implicits._
+    val statusCounts = parsed.groupBy(col("status").as("counter")).count()
+    val namedCounts = parsed
+      .flatMap(_.counters.toSeq)
+      .toDF("counter", "n")
+      .groupBy("counter")
+      .agg(sum(col("n")).as("count"))
+    statusCounts.unionByName(namedCounts).orderBy("counter")
+  }
 
   /** Flat child views mirroring the Oracle child tables (§1.3): each
     * derives from the same nested frame by explode — no re-parse.

@@ -19,12 +19,16 @@ class XmlIngestSpec extends SparkSpec {
     assert(raw.forall(_.endsWith("</VariationArchive>")))
   }
 
-  test("skip logic + counters: multi-allele and genotype records skipped (F1/F2/K7)") {
+  test("skip logic + counters: statuses + named classification counters (F1/F2/F4/K7)") {
     val counts = XmlIngest.counters(parsed).as[(String, Long)].collect().toMap
     assert(counts === Map(
       "ok" -> 3L,
       ParseResult.MultiAlleleSkipped -> 1L,
-      ParseResult.GenotypeSkipped -> 1L))
+      ParseResult.GenotypeSkipped -> 1L,
+      // CLASSIFICATION_AGGREGATE_<type> (Parser.java:272): record 1 only
+      "CLASSIFICATION_AGGREGATE_GermlineClassification" -> 1L,
+      // per-submission (Parser.java:341): 2 assertions in record 1 + 1 in record 5
+      "CLASSIFICATION_PER_SUBMISSION_GermlineClassification" -> 3L))
   }
 
   test("full record: variant core fields (§2.9)") {
