@@ -529,6 +529,17 @@ object SparkEntry {
           TextStats.tokenCount(col("text")).as("n_ws"))
     }),
 
+    // --- scale: corpus stats — exact percentiles + distinct counts ------------
+    "q41_corpus_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5)").as("med_chars"),
+          expr("percentile(n_chars, 0.9)").as("p90_chars"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
+
     // --- scale: brute-force embedding-cosine near-dup pairs -------------------
     "q38_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -909,6 +920,13 @@ object SparkEntry {
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws
         |FROM documents""".stripMargin,
+
+    "q41_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS med_chars,
+        |  quantile_cont(n_chars, 0.9) AS p90_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q23_lsh_pairs" -> lshPairsOracleSql,
 
