@@ -92,6 +92,31 @@ object DiffSync {
       .drop("_g_ndel", "_g_ncur")
   }
 
+  /** Per-group threshold-guarded delete: the reference applies the
+    * annotation ceiling PER ASPECT (D disease / H phenotype —
+    * Dao.deleteObsoleteAnnotations, Dao.java:690-729), so one aspect's
+    * delete storm cannot be hidden by the other's volume. Counts are
+    * computed per `byCols` group and broadcast back.
+    */
+  def guardDeletesBy(
+      diff: DataFrame,
+      byCols: Seq[String],
+      maxDeleteFraction: Double): DataFrame = {
+    val stats = diff.groupBy(byCols.map(col): _*).agg(
+      sum(when(col(ActionCol) === Delete, 1L).otherwise(0L)).as("_g_ndel"),
+      sum(when(col(ActionCol) =!= Insert, 1L).otherwise(0L)).as("_g_ncur"))
+    diff
+      .join(broadcast(stats), byCols, "left")
+      .withColumn(
+        ActionCol,
+        when(
+          col(ActionCol) === Delete &&
+            col("_g_ndel") > col("_g_ncur") * maxDeleteFraction,
+          lit("keep_stale"))
+          .otherwise(col(ActionCol)))
+      .drop("_g_ndel", "_g_ncur")
+  }
+
   /** The next snapshot: incoming rows for insert/update/match, current
     * rows for guarded (kept) deletes. This is the write side of the merge
     * — rewrite the Parquet snapshot partition-by-partition.

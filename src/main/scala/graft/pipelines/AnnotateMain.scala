@@ -48,6 +48,13 @@ object AnnotateMain {
     val rdoSynonyms = spark.read.parquet(s"$dimsDir/rdo_synonyms.parquet")
     val termIndex = NameNormalize.termIndex(
       spark.read.parquet(s"$dimsDir/terms.parquet"), "term_acc", "name")
+    // HPO names for the phenotype (aspect H) twin; absent file = no H path
+    val hpoFile = new java.io.File(s"$dimsDir/hpo_terms.parquet")
+    val hpoTermIndex =
+      if (hpoFile.exists())
+        NameNormalize.termIndex(
+          spark.read.parquet(hpoFile.toString), "term_acc", "name")
+      else termIndex.limit(0)
     val orthologs = spark.read.parquet(s"$dimsDir/orthologs.parquet")
 
     val annotsPath = new java.io.File(s"$storeDir/annotations")
@@ -58,22 +65,24 @@ object AnnotateMain {
         StructType(Seq(
           StructField("annotated_rgd_id", LongType),
           StructField("term_acc", StringType),
+          StructField("aspect", StringType),
           StructField("evidence", StringType),
           StructField("xref_source", StringType),
           StructField("with_info", StringType))))
 
     val result = AnnotatePipeline.run(
       variants, variantXdb, variantGene, conceptMap, rdoSynonyms,
-      termIndex, orthologs, currentAnnots)
+      termIndex, hpoTermIndex, orthologs, currentAnnots)
 
     result.annotDiff.cache()
       .write.mode("overwrite").parquet(s"$storeDir/audit/annotations")
-    result.counters.orderBy("action").collect().foreach { r =>
-      println(s"[annotate] ${r.getString(0)}: ${r.getLong(1)}")
+    result.counters.orderBy("aspect", "action").collect().foreach { r =>
+      println(s"[annotate] ${r.getString(0)}.${r.getString(1)}: ${r.getLong(2)}")
     }
     graft.ops.DiffSync
       .nextSnapshot(result.annotDiff,
-        Seq("annotated_rgd_id", "term_acc", "evidence", "xref_source"), Seq("with_info"))
+        Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source"),
+        Seq("with_info"))
       .write.mode("overwrite").parquet(s"$storeDir/annotations_next")
     val next = new java.io.File(s"$storeDir/annotations_next")
     if (annotsPath.exists()) {

@@ -77,15 +77,17 @@ object AnnotatePipeline {
     * its orthologs (ISO evidence; VariantAnnotator.java:268-338).
     */
   def orthologAnnotations(
-      variantTerms: DataFrame, // rgd_id, term_acc
+      variantTerms: DataFrame, // rgd_id, term_acc (+ passthrough cols)
       variantGene: DataFrame,  // rgd_id, gene_rgd_id (exactly-1-gene variants)
       orthologs: DataFrame     // gene_rgd_id, homolog_rgd_id
-  ): DataFrame =
+  ): DataFrame = {
+    val passthrough = variantTerms.columns.filterNot(Set("rgd_id", "term_acc")).toSeq
     variantTerms
       .join(variantGene, Seq("rgd_id"))
       .join(broadcast(orthologs), Seq("gene_rgd_id"))
-      .select(col("homolog_rgd_id").as("annotated_rgd_id"), col("term_acc"),
-        col("rgd_id").as("with_info"))
+      .select(Seq(col("homolog_rgd_id").as("annotated_rgd_id"), col("term_acc")) ++
+        passthrough.map(col) :+ col("rgd_id").as("with_info"): _*)
+  }
 
   /** A8+A10 / A9+A10: the two-phase merge/split chain
     * (AnnotCache.java:92-244). Phase 1 groups on the key INCLUDING
@@ -102,13 +104,13 @@ object AnnotatePipeline {
       withInfoMax: Int = 1700): DataFrame = {
     val phase1 = MergeSplit.mergeThenSplit(
       annots,
-      keyCols = Seq("annotated_rgd_id", "term_acc", "evidence", "with_info"),
+      keyCols = Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "with_info"),
       mergeCols = Map("xref_source" -> (col("xref_source"), "[|,;]", "|")),
       splitCol = "xref_source",
       maxLen = xrefMax)
     MergeSplit.mergeThenSplit(
       phase1,
-      keyCols = Seq("annotated_rgd_id", "term_acc", "evidence", "xref_source"),
+      keyCols = Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source"),
       mergeCols = Map("with_info" -> (col("with_info"), "[|]", "|")),
       splitCol = "with_info",
       maxLen = withInfoMax)
@@ -126,7 +128,9 @@ object AnnotatePipeline {
       variantGene: DataFrame,    // rgd_id, gene_id, gene_rgd_id
       conceptMap: DataFrame,
       rdoSynonyms: DataFrame,
-      termIndex: DataFrame,
+      termIndex: DataFrame,      // RDO names (aspect D)
+      hpoTermIndex: DataFrame,   // HPO names (aspect H; name-match only,
+                                 // VariantAnnotator.java:425-496)
       orthologs: DataFrame,
       currentAnnots: DataFrame,  // annotated_rgd_id, term_acc, xref_source, with_info
       excludedConditions: Seq[String] = Seq("not provided", "not specified", "AllHighlyPenetrant"),
@@ -143,7 +147,17 @@ object AnnotatePipeline {
       .select(col("rgd_id"), col("trait_name").as("condition"))
     val byName = diseaseTermsByName(unmatched, termIndex, excludedConditions)
 
-    val variantTerms = byConcept.unionByName(byName).distinct()
+    // aspect D: disease terms (concept chain, then name fallback);
+    // aspect H: phenotype terms, resolved by NAME against the HPO index
+    // for every compliant variant (the reference's phenotype twin has no
+    // concept chain — VariantAnnotator.generatePhenotypeAnnotations)
+    val diseaseTerms = byConcept.unionByName(byName).distinct()
+      .withColumn("aspect", lit("D"))
+    val phenotypeTerms = diseaseTermsByName(
+      compliant.select(col("rgd_id"), col("trait_name").as("condition")),
+      hpoTermIndex, excludedConditions)
+      .withColumn("aspect", lit("H"))
+    val variantTerms = diseaseTerms.unionByName(phenotypeTerms)
 
     // A12: the annotation XREF_SOURCE is the variant's sorted PubMed id
     // list (VariantAnnotator.getPubMedIds:625-634)
@@ -156,29 +170,32 @@ object AnnotatePipeline {
 
     // direct variant annotations: IAGP evidence
     val direct = withXref.select(
-      col("rgd_id").as("annotated_rgd_id"), col("term_acc"),
+      col("rgd_id").as("annotated_rgd_id"), col("term_acc"), col("aspect"),
       lit("IAGP").as("evidence"), col("xref_source"),
       lit(null).cast("string").as("with_info"))
     // ortholog gene annotations: ISO evidence, WITH_INFO = the source
     // variant (the propagation provenance, per the reference's ISO
     // with_info contract)
     val viaOrthologs = orthologAnnotations(
-      withXref.select("rgd_id", "term_acc"),
+      withXref.select("rgd_id", "term_acc", "aspect"),
       variantGene.select("rgd_id", "gene_rgd_id"), orthologs)
       .join(withXref.select(col("rgd_id").as("with_info_rgd"), col("xref_source"))
         .dropDuplicates("with_info_rgd"),
         col("with_info") === col("with_info_rgd"), "left")
-      .select(col("annotated_rgd_id"), col("term_acc"),
+      .select(col("annotated_rgd_id"), col("term_acc"), col("aspect"),
         lit("ISO").as("evidence"), coalesce(col("xref_source"), lit("")).as("xref_source"),
         concat(lit("RGD:"), col("with_info")).as("with_info"))
 
     val merged = mergeAnnotations(direct.unionByName(viaOrthologs))
 
-    val diff = DiffSync.guardDeletes(
+    // PER-ASPECT 5% delete ceiling (Dao.deleteObsoleteAnnotations:690-729)
+    val diff = DiffSync.guardDeletesBy(
       DiffSync(merged, currentAnnots,
-        Seq("annotated_rgd_id", "term_acc", "evidence", "xref_source"), Seq("with_info")),
+        Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source"),
+        Seq("with_info")),
+      Seq("aspect"),
       maxDeleteFraction)
 
-    Result(diff, diff.groupBy("action").count())
+    Result(diff, diff.groupBy("aspect", "action").count())
   }
 }

@@ -115,10 +115,15 @@ class AnnotatePipelineSpec extends SparkSpec {
     Seq(("DOID:9", "Rare Thing")).toDF("acc", "nm"), "acc", "nm")
   private def orthologs = Seq((500L, 9500L), (500L, 9501L)).toDF("gene_rgd_id", "homolog_rgd_id")
 
+  // HPO twin index: variant 1's trait resolves by name to HP:0000556
+  private def hpoTermIndex = graft.ops.NameNormalize.termIndex(
+    Seq(("HP:0000556", "Type 2 Usher Syndrome")).toDF("acc", "nm"), "acc", "nm")
+
   private def result = AnnotatePipeline.run(
     variants, variantXdb, variantGene, conceptMap, rdoSynonyms, termIndex,
-    orthologs, currentAnnots = Seq.empty[(Long, String, String, String, String)]
-      .toDF("annotated_rgd_id", "term_acc", "evidence", "xref_source", "with_info"))
+    hpoTermIndex, orthologs,
+    currentAnnots = Seq.empty[(Long, String, String, String, String, String)]
+      .toDF("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source", "with_info"))
 
   test("carpe filter drops 'not provided' and non-carpe types (F5)") {
     val kept = AnnotatePipeline.carpeCompliant(variants).select("rgd_id").as[Long].collect().toSet
@@ -127,14 +132,33 @@ class AnnotatePipelineSpec extends SparkSpec {
 
   test("concept chain resolves variant 1; name fallback resolves variant 4 (J8/J9)") {
     val annots = result.annotDiff.filter($"action" === "insert")
-      .select("annotated_rgd_id", "term_acc", "evidence", "xref_source")
-      .as[(Long, String, String, String)].collect().toSet
+      .select("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source")
+      .as[(Long, String, String, String, String)].collect().toSet
     // direct annots carry IAGP + the variant's PMID list as xref (A12)
-    assert(annots.contains((1L, "DOID:1", "IAGP", "PMID:77")))
-    assert(annots.contains((4L, "DOID:9", "IAGP", "")))
+    assert(annots.contains((1L, "DOID:1", "D", "IAGP", "PMID:77")))
+    assert(annots.contains((4L, "DOID:9", "D", "IAGP", "")))
     // ortholog fan-out from variant 1's gene (2 homologs), ISO evidence (J10)
-    assert(annots.contains((9500L, "DOID:1", "ISO", "PMID:77")))
-    assert(annots.contains((9501L, "DOID:1", "ISO", "PMID:77")))
+    assert(annots.contains((9500L, "DOID:1", "D", "ISO", "PMID:77")))
+    assert(annots.contains((9501L, "DOID:1", "D", "ISO", "PMID:77")))
+    // phenotype twin (aspect H): name-match against the HPO index + fan-out
+    assert(annots.contains((1L, "HP:0000556", "H", "IAGP", "PMID:77")))
+    assert(annots.contains((9500L, "HP:0000556", "H", "ISO", "PMID:77")))
+  }
+
+  test("per-aspect delete guard: one aspect's storm downgrades only that aspect") {
+    // current store: many H annots that all vanish, one D annot that stays
+    val cur = (1 to 20).map(i => (100L + i, "HP:9", "H", "IAGP", "", "x"))
+      .toDF("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source", "with_info")
+      .unionByName(Seq((1L, "DOID:1", "D", "IAGP", "PMID:77", null.asInstanceOf[String]))
+        .toDF("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source", "with_info"))
+    val guarded = AnnotatePipeline.run(
+      variants, variantXdb, variantGene, conceptMap, rdoSynonyms, termIndex,
+      hpoTermIndex, orthologs, currentAnnots = cur)
+    val byAspect = guarded.annotDiff.groupBy("aspect", "action").count()
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // H: 20/21 would be deleted -> way over 5% -> all kept stale
+    assert(byAspect.getOrElse(("H", "keep_stale"), 0L) === 20L)
+    assert(byAspect.getOrElse(("H", "delete"), 0L) === 0L)
   }
 
   test("ISO with_info records the propagation source variant") {
