@@ -58,6 +58,15 @@ object Profile {
         .selectExpr("window.start", "event_type", "n").collect()
       println(s"[demo] streaming windowedCounts closed-window rows=$n")
       sample.foreach(r => println(s"[demo] ${r.get(0)} ${r.get(1)} n=${r.get(2)}"))
+      // sessionization over the same file stream
+      import spark.implicits._
+      val evStream = stream.selectExpr("event_id AS eventId", "ts", "user_id AS userId",
+        "event_type AS eventType", "value").as[graft.streaming.StreamingOps.Event]
+      val q2 = graft.streaming.StreamingOps.sessionize(evStream, gapMs = 6 * 3600 * 1000L)
+        .writeStream.format("memory").queryName("sess_demo").outputMode("append").start()
+      q2.processAllAvailable()
+      q2.stop()
+      println(s"[demo] streaming sessionize closed sessions=${spark.table("sess_demo").count()}")
       spark.stop()
       return
     }

@@ -60,6 +60,57 @@ object StreamingOps {
       }
   }
 
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  final case class SessionOut(userId: Long, sessionStart: Long, sessionEnd: Long,
+      nEvents: Long, totalValue: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: events from
+    * one user belong to the same session while consecutive arrivals are
+    * within `gapMs` of each other (event time); a longer silence CLOSES
+    * the session, which is then emitted and the state restarts. An
+    * event-time timeout flushes the final open session when the
+    * watermark passes it — state never grows without bound.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.end, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start, s.end, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** The streaming newest-wins head (A3/q10 shape): latest event per
     * user in each micro-batch epoch, intended for `update` output mode
     * into an upsert sink — the continuous version of the CDC merge.

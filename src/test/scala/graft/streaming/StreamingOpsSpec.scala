@@ -50,6 +50,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: gap closes a session; watermark timeout flushes the last one") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: minutes 1,3; then a >5min gap; session 2: minute 20
+      input.addData(
+        Event(1, ts(1), 100, "click", 1.0),
+        Event(2, ts(3), 100, "click", 2.0),
+        Event(3, ts(20), 100, "view", 4.0))
+      q.processAllAvailable()
+      // event far in the future advances the watermark past session 2's gap
+      input.addData(Event(9, ts(59), 999, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess")
+        .selectExpr("userId", "nEvents", "totalValue").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(out.contains((100L, 2L, 3.0))) // session 1 closed by the gap
+      assert(out.contains((100L, 1L, 4.0))) // session 2 flushed by timeout
+    } finally q.stop()
+  }
+
   test("latestPerUser: newest-wins head per user (A3 shape, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
