@@ -540,6 +540,21 @@ object SparkEntry {
           countDistinct(col("source")).as("n_sources"))
     }),
 
+    // --- K6: unmatchable-condition report split by name suffix ----------------
+    // (VariantAnnotator.dumpUnmatchableConditions:690-762: conditions
+    // route to two report files by the [RCV] suffix, grouped by count)
+    "q42_report_split" -> ((s, dir) => {
+      val cond = when(col("p_partkey") % 3 === 0,
+        concat(col("p_name"), lit(" [RCV"), col("p_partkey"), lit("]")))
+        .otherwise(col("p_name"))
+      t(s, dir, "part")
+        .select(cond.as("cond"))
+        .withColumn("route",
+          when(col("cond").rlike(" \\[RCV.*\\]$"), "with_rcv").otherwise("plain"))
+        .groupBy("route", "cond")
+        .agg(count(lit(1)).as("hit_count"))
+    }),
+
     // --- scale: brute-force embedding-cosine near-dup pairs -------------------
     "q38_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -927,6 +942,17 @@ object SparkEntry {
         |  quantile_cont(n_chars, 0.9) AS p90_chars,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q42_report_split" ->
+      """WITH conds AS (
+        |  SELECT CASE WHEN p_partkey % 3 = 0
+        |              THEN p_name || ' [RCV' || p_partkey || ']'
+        |              ELSE p_name END AS cond
+        |  FROM part)
+        |SELECT CASE WHEN regexp_matches(cond, ' \[RCV.*\]$') THEN 'with_rcv'
+        |            ELSE 'plain' END AS route,
+        |  cond, count(*) AS hit_count
+        |FROM conds GROUP BY 1, 2""".stripMargin,
 
     "q23_lsh_pairs" -> lshPairsOracleSql,
 

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Plan-shape regression guard: the round-2 performance work fixed
+  * concrete plan properties (single probe scan in FallbackJoin queries,
+  * bounded shuffle count in the LSH pipeline, broadcast-only dim
+  * chains). This spec pins those properties so a refactor that silently
+  * reintroduces a rescan or an extra shuffle fails CI, not the bench.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // AQE wraps the physical plan in AdaptiveSparkPlanExec, whose final
+  // shape only exists after execution; disable it here so the guard
+  // inspects the deterministic static plan.
+  private def planOf(q: String): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def countNodes(p: SparkPlan, pred: SparkPlan => Boolean): Int = {
+    var n = 0
+    p.foreach(node => if (pred(node)) n += 1)
+    n
+  }
+
+  private def scans(p: SparkPlan): Int =
+    countNodes(p, _.nodeName.toLowerCase.contains("scan"))
+
+  private def exchanges(p: SparkPlan): Int =
+    countNodes(p, _.isInstanceOf[Exchange])
+
+  test("q03 fallback join: ONE probe scan + one scan per stage dim") {
+    // 1 probe (orders) + 2 dims; the remainder-cascade formulation had 6
+    assert(scans(planOf("q03_fallback_join")) <= 3)
+  }
+
+  test("q29 dim chain: all three joins broadcast, no fact-side shuffle exchange") {
+    val p = planOf("q29_concept_chain")
+    val shuffles = countNodes(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles === 0, p.toString.take(600))
+  }
+
+  test("q23 LSH pipeline: shingle corpus shuffles once (bounded exchange count)") {
+    // repartition + sig groupBy + band groupBy + pairs distinct + final
+    // joins; the pre-rework plan had 7+. Persisted sig reuses, so the
+    // exchange count stays bounded even with three sig consumers.
+    assert(exchanges(planOf("q23_lsh_pairs")) <= 6)
+  }
+
+  test("q15 aggregation partial-merges map-side (2 HashAggregates, 1 exchange)") {
+    val p = planOf("q15_scalar_stats")
+    assert(exchanges(p) === 1)
+    assert(countNodes(p, _.nodeName.contains("HashAggregate")) === 2)
+  }
+}
