@@ -58,19 +58,34 @@ object LoadPipeline {
       FallbackJoin.Stage(dim, Seq("name" -> "name"), Seq("rgd_id" -> "matched_rgd_id")))
     val matched = FallbackJoin(incoming, stages)
     // surrogate ids for unmatched (insert path, Dao.insertVariant:142-155):
-    // contiguous new ids above max(store id), deterministic via row_number
+    // contiguous new ids above max(store id). Scale shape: a range-sort
+    // distributes the insert rows over all partitions and zipWithIndex
+    // assigns per-partition offset ranges — dense, deterministic (the
+    // sort key (symbol, name, rcv_acc) totally orders incoming records)
+    // and NO single-task window (a first full load is 100% inserts; a
+    // global row_number would funnel them all through one task).
     val maxId = broadcast(store.variants.agg(
       coalesce(max(col("rgd_id")), lit(0L)).as("_max_id")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("matched_stage") === 0)
-      .orderBy(col("symbol"))
-    matched
+    val hit = matched
+      .filter(col("matched_stage") > 0)
+      .withColumn("rgd_id", col("matched_rgd_id"))
+      .drop("matched_rgd_id")
+    val miss = matched.filter(col("matched_stage") === 0).drop("matched_rgd_id")
+    val sorted = miss.orderBy(col("symbol"), col("name"), col("rcv_acc"))
+    val idxSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "_idx", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      idxSchema)
+    val inserts = indexed
       .crossJoin(maxId)
-      .withColumn(
-        "rgd_id",
-        when(col("matched_stage") > 0, col("matched_rgd_id"))
-          .otherwise(col("_max_id") + row_number().over(w)))
-      .drop("matched_rgd_id", "_max_id")
+      .withColumn("rgd_id", col("_max_id") + col("_idx") + lit(1L))
+      .drop("_idx", "_max_id")
+    hit.unionByName(inserts.select(hit.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Field-level merges against the matched store row (QC.run

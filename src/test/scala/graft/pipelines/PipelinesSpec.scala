@@ -92,6 +92,28 @@ class LoadPipelineSpec extends SparkSpec {
     assert(actions.getOrElse("keep_stale", 0L) === 2L) // 48/111 + RCV002
     assert(actions.getOrElse("delete", 0L) === 0L)
   }
+
+  test("K1: all-insert load gets dense, deterministic ids with no window in the plan") {
+    // a first full load is 100% inserts — the case the old boolean-
+    // partition row_number funneled through ONE task
+    val many = (1 to 500)
+      .map(i => (f"NEW$i%04d", s"RCVN$i", s"brand new variant $i"))
+      .toDF("symbol", "rcv_acc", "name")
+      .repartition(8)
+    def run() = LoadPipeline.matchIdentity(many, store)
+    val out = run()
+    val ids = out.filter($"matched_stage" === 0).select("rgd_id").as[Long].collect().sorted
+    assert(ids.toSeq === (12L to 511L)) // dense + unique above store max (11)
+    // deterministic: a second invocation assigns the identical mapping
+    val m1 = out.select("symbol", "rgd_id").as[(String, Long)].collect().toMap
+    val m2 = run().select("symbol", "rgd_id").as[(String, Long)].collect().toMap
+    assert(m1 === m2)
+    // plan pin: no Window operator anywhere in the insert path
+    var windows = 0
+    out.queryExecution.executedPlan.foreach(n =>
+      if (n.nodeName.toLowerCase.contains("window")) windows += 1)
+    assert(windows === 0)
+  }
 }
 
 class AnnotatePipelineSpec extends SparkSpec {
