@@ -54,6 +54,15 @@ object MergeSplit {
   /** groupBy(key).agg(set-merge of mergeCols) then explode oversize
     * `splitCol` into chunks — one call = one reference merge+split phase.
     *
+    * Scale shape: each merge column is exploded to scalar (key, token)
+    * rows and deduped BEFORE the collect, so the shuffles carry distinct
+    * scalars with map-side partial aggregation — never whole merged
+    * arrays (the array-carrying formulation was the bench's worst
+    * regression: per-key arrays rode the exchange and were distinct'd
+    * post-shuffle). Multiple merge columns aggregate independently and
+    * rejoin on the key, which reuses the groupBy's hash partitioning
+    * (no extra exchange).
+    *
     * @param mergeCols output-name -> (source column, intra-value split
     *   regex, join delimiter)
     */
@@ -64,12 +73,17 @@ object MergeSplit {
       splitCol: String,
       maxLen: Int,
       chunkSep: String = "|"): DataFrame = {
-    val aggs = mergeCols.map { case (out, (src, splitRegex, delim)) =>
-      concat_ws(delim,
-        array_sort(array_distinct(flatten(collect_list(split(src, splitRegex))))))
-        .as(out)
-    }.toSeq
-    val merged = df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val keys = keyCols.map(col)
+    val merged = mergeCols.toSeq
+      .map { case (out, (src, splitRegex, delim)) =>
+        // explode_outer keeps keys whose source is all-null (collect_list
+        // then skips the null token → empty merge, as before)
+        df.select(keys :+ explode_outer(split(src, splitRegex)).as("_tok"): _*)
+          .distinct()
+          .groupBy(keys: _*)
+          .agg(concat_ws(delim, array_sort(collect_list(col("_tok")))).as(out))
+      }
+      .reduce(_.join(_, keyCols))
     merged
       .withColumn(splitCol, explode(chunked(col(splitCol), maxLen, chunkSep)))
   }
