@@ -555,6 +555,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("hit_count"))
     }),
 
+    // --- K5/F11/A11: VCF body with NVL'd allele merge, both-multibase skip,
+    // and reference INFO fields (Clinvar2Vcf.java:95-135) ---------------------
+    "q43_vcf_body" -> ((s, dir) => {
+      val v = t(s, dir, "events").select(
+        (col("user_id") % 23).cast("string").as("chr"),
+        (col("event_id") % 500).as("pos"),
+        when(col("event_id") % 7 === 0, "")
+          .otherwise((col("event_id") % 97).cast("string")).as("rs_id"),
+        col("event_type").as("var_type"),
+        when(col("event_id") % 11 === 0, "")
+          .when(col("event_id") % 3 === 0, "AT").otherwise("A").as("ref"),
+        when(col("event_id") % 13 === 0, "")
+          .when(col("event_id") % 4 === 0, "GC").otherwise("G").as("alt"),
+        col("event_id").as("variant_id"))
+      graft.pipelines.Clinvar2VcfPipeline
+        .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
+    }),
+
     // --- scale: brute-force embedding-cosine near-dup pairs -------------------
     "q38_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -953,6 +971,29 @@ object SparkEntry {
         |            ELSE 'plain' END AS route,
         |  cond, count(*) AS hit_count
         |FROM conds GROUP BY 1, 2""".stripMargin,
+
+    "q43_vcf_body" ->
+      """WITH v AS (
+        |  SELECT CAST(user_id % 23 AS VARCHAR) AS chr, event_id % 500 AS pos,
+        |    CASE WHEN event_id % 7 = 0 THEN '' ELSE CAST(event_id % 97 AS VARCHAR) END AS rs_id,
+        |    event_type AS var_type,
+        |    CASE WHEN event_id % 11 = 0 THEN '-'
+        |         WHEN event_id % 3 = 0 THEN 'AT' ELSE 'A' END AS ref,
+        |    CASE WHEN event_id % 13 = 0 THEN '-'
+        |         WHEN event_id % 4 = 0 THEN 'GC' ELSE 'G' END AS alt
+        |  FROM events),
+        |g AS (
+        |  SELECT chr, pos, rs_id, var_type,
+        |    string_agg(DISTINCT ref, ',' ORDER BY ref) AS ref,
+        |    string_agg(DISTINCT alt, ',' ORDER BY alt) AS alt
+        |  FROM v GROUP BY 1, 2, 3, 4)
+        |SELECT chr || chr(9) || pos || chr(9) ||
+        |  (CASE WHEN rs_id = '' THEN '.' ELSE 'rs' || rs_id END) || chr(9) ||
+        |  ref || chr(9) || alt || chr(9) || '.' || chr(9) || '.' || chr(9) ||
+        |  (CASE WHEN rs_id = '' THEN '' ELSE 'dbSNP_156;' END) ||
+        |  'TSA=' || var_type || ';E_Freq' AS line
+        |FROM g
+        |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
 
     "q23_lsh_pairs" -> lshPairsOracleSql,
 

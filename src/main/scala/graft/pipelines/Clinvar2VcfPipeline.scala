@@ -54,35 +54,45 @@ object Clinvar2VcfPipeline {
   }
 
   /** A11: allele-group merge — group on (chr,pos,rs,var_type), merge
-    * ref/alt allele sets comma-joined, first-row-wins for the rest
-    * (Clinvar2Vcf.groupVariants:183-203, merge :102-113).
+    * ref/alt allele sets comma-joined with missing nucs coalesced to
+    * "-" BEFORE the merge (Utils.NVL(nuc,"-"), Clinvar2Vcf.java:105-106),
+    * first-row-wins for the rest (Clinvar2Vcf.groupVariants:183-203,
+    * merge :102-113).
     */
   def groupAlleles(variants: DataFrame): DataFrame =
     variants
       .groupBy(col("chr"), col("pos"), col("rs_id"), col("var_type"))
       .agg(
-        concat_ws(",", array_sort(collect_set(col("ref")))).as("ref"),
-        concat_ws(",", array_sort(collect_set(col("alt")))).as("alt"),
+        concat_ws(",", array_sort(collect_set(
+          when(col("ref").isNull || col("ref") === "", "-").otherwise(col("ref"))))).as("ref"),
+        concat_ws(",", array_sort(collect_set(
+          when(col("alt").isNull || col("alt") === "", "-").otherwise(col("alt"))))).as("alt"),
         min(col("variant_id")).as("variant_id"))
 
-  /** K5 + O1: the final VCF body — CHROM POS ID REF ALT QUAL FILTER
-    * INFO, tab-joined, sorted with the reference's LEXICOGRAPHIC
-    * chromosome order ("10" < "2"; Clinvar2Vcf.java:137-167).
+  /** K5 + O1 + F11: the final VCF body — CHROM POS ID REF ALT QUAL
+    * FILTER INFO, tab-joined, sorted with the reference's LEXICOGRAPHIC
+    * chromosome order ("10" < "2"; Clinvar2Vcf.java:137-167). A group is
+    * skipped whenever BOTH merged allele strings exceed one char —
+    * commas or not (Clinvar2Vcf.java:111-114). INFO carries the
+    * reference's fields: dbSNP_156 when an rs id is present, TSA=<type>,
+    * E_Freq (Clinvar2Vcf.java:118-131).
     */
-  def toVcfLines(grouped: DataFrame): DataFrame =
+  def toVcfLines(grouped: DataFrame): DataFrame = {
+    val hasRs = col("rs_id").isNotNull && col("rs_id") =!= ""
     grouped
-      .filter(!(length(col("ref")) > 1 && length(col("alt")) > 1) ||
-        !col("ref").contains(",") || !col("alt").contains(","))
+      .filter(!(length(col("ref")) > 1 && length(col("alt")) > 1))
       .select(
         col("chr"), col("pos"),
         concat_ws("\t",
           col("chr"), col("pos").cast("string"),
-          when(col("rs_id").isNull || col("rs_id") === "", ".")
-            .otherwise(concat(lit("rs"), col("rs_id"))),
+          when(hasRs, concat(lit("rs"), col("rs_id"))).otherwise("."),
           col("ref"), col("alt"), lit("."), lit("."),
-          concat(lit("CLNACC="), col("variant_id").cast("string"))).as("line"))
+          concat(
+            when(hasRs, lit("dbSNP_156;")).otherwise(lit("")),
+            lit("TSA="), col("var_type"), lit(";E_Freq"))).as("line"))
       .orderBy(col("chr").asc, col("pos").asc, col("line").asc)
       .select("line")
+  }
 
   /** Full export: normalize → reconcile → group → lines. Normalization
     * runs FIRST because dbSNP keys variants by their VCF-normalized

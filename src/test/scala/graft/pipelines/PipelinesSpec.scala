@@ -219,6 +219,28 @@ class Clinvar2VcfPipelineSpec extends SparkSpec {
     assert(lines.head.contains("\tC,G\t")) // merged alt alleles, sorted
     // padded insertion found its rs via the post-normalization dbSNP key
     assert(lines.last.startsWith("2\t199\trs777\tC\tCTT"))
+    // INFO fields: dbSNP_156 present iff rs id, TSA=<type>, E_Freq
+    assert(lines.head.endsWith("\t.\t.\tdbSNP_156;TSA=single nucleotide variant;E_Freq"))
+    assert(lines.last.endsWith("\t.\t.\tdbSNP_156;TSA=insertion;E_Freq"))
+  }
+
+  test("F11: group skipped iff BOTH merged alleles exceed one char; NVL(nuc,'-')") {
+    val nullRs = Option.empty[String]
+    val v = Seq(
+      ("1", 10L, "AT", "GC", "indel", nullRs, 1L),       // both >1, no commas -> SKIP
+      ("1", 20L, "A", "GC", "indel", nullRs, 2L),        // ref single -> keep
+      ("1", 30L, null, "G", "deletion", nullRs, 3L),     // null ref -> "-"
+      ("1", 40L, "A", "G", "snv", nullRs, 4L),
+      ("1", 40L, "T", "G", "snv", nullRs, 5L)            // ref merges "A,T" but alt "G" -> keep
+    ).toDF("chr", "pos", "ref", "alt", "var_type", "rs_id", "variant_id")
+    val lines = Clinvar2VcfPipeline
+      .toVcfLines(Clinvar2VcfPipeline.groupAlleles(v)).as[String].collect()
+    assert(!lines.exists(_.startsWith("1\t10\t")))       // reference skips AT>GC
+    assert(lines.exists(_.startsWith("1\t20\t.\tA\tGC")))
+    assert(lines.exists(_.startsWith("1\t30\t.\t-\tG"))) // NVL'd missing nuc
+    assert(lines.exists(_.startsWith("1\t40\t.\tA,T\tG")))
+    // rs-less rows get "." id and no dbSNP_156 INFO flag
+    assert(lines.forall(l => l.endsWith(";E_Freq") && !l.contains("dbSNP_156")))
   }
 }
 
