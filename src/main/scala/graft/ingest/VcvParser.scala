@@ -200,7 +200,10 @@ object VcvParser {
         val hgvsType = typeAttr.replace(", ", "_").replace(" ", "").toLowerCase.replace("hgvs_", "")
         Seq("NucleotideExpression", "ProteinExpression").foreach { kind =>
           firstChild(h, kind).flatMap(firstChild(_, "Expression")).map(text).foreach { v =>
-            if (v.nonEmpty) hgvsNames += HgvsRec(hgvsType, v)
+            // F9: names longer than 4000 chars are dropped with a counter
+            // (HgvsNames.addIncomingHgvsName, HgvsNames.java:24-29)
+            if (v.length > 4000) acc.bump("HGVS_NAME_SKIPPED_LONGER_THAN_4000")
+            else if (v.nonEmpty) hgvsNames += HgvsRec(hgvsType, v)
             // addRefSeqXref intentionally disabled (Parser.java:591)
           }
         }

@@ -161,6 +161,25 @@ object LoadPipeline {
     val mapPosDiff = DiffSync(rekey(incomingMapPos), store.mapPositions,
       Seq("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos"), Seq.empty)
 
+    // last-modified cascade (Loader.java:56-78): any child-table change
+    // for a processed variant touches the parent's last-modified date —
+    // the touch is what protects child-churn-only variants from the
+    // stale-GC cutoff. Surfaced as a `touched` flag the write side must
+    // stamp; delete-action (stale) variants are never touched.
+    val childTouch = Seq(xdbDiff, hgvsDiff, aliasDiff, geneDiff, mapPosDiff)
+      .map(_.filter(col("action").isin("insert", "update", "delete")).select("rgd_id"))
+      .reduce(_.unionByName(_))
+      .distinct()
+      .withColumn("_child_touch", lit(true))
+    val variantsTouched = variantsDiff
+      .join(childTouch, Seq("rgd_id"), "left")
+      .withColumn(
+        "touched",
+        col("action") =!= "delete" &&
+          (coalesce(col("_child_touch"), lit(false)) ||
+            col("action").isin("insert", "update")))
+      .drop("_child_touch")
+
     val counters = Seq(
       ("variants", variantsDiff), ("xdb_ids", xdbDiff),
       ("hgvs_names", hgvsDiff), ("aliases", aliasDiff),
@@ -171,6 +190,6 @@ object LoadPipeline {
       .reduce(_.unionByName(_))
       .select("entity", "action", "count")
 
-    Result(variantsDiff, xdbDiff, hgvsDiff, aliasDiff, geneDiff, mapPosDiff, counters)
+    Result(variantsTouched, xdbDiff, hgvsDiff, aliasDiff, geneDiff, mapPosDiff, counters)
   }
 }

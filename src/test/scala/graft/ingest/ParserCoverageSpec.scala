@@ -61,6 +61,30 @@ class ParserCoverageSpec extends graft.SparkSpec {
     assert(VcvParser.parse(haplo).status === ParseResult.HaplotypeSkipped)
   }
 
+  test("F9: HGVS name longer than 4000 chars is dropped with its counter") {
+    val big = "N" * 4001
+    val xml =
+      s"""<VariationArchive VariationID="400" VariationType="Deletion">
+         |  <ClassifiedRecord>
+         |    <SimpleAllele AlleleID="401" VariationID="400">
+         |      <Name>v</Name>
+         |      <HGVSlist>
+         |        <HGVS Type="coding">
+         |          <NucleotideExpression><Expression>$big</Expression></NucleotideExpression>
+         |        </HGVS>
+         |        <HGVS Type="coding">
+         |          <NucleotideExpression><Expression>NM_1:c.1A&gt;G</Expression></NucleotideExpression>
+         |        </HGVS>
+         |      </HGVSlist>
+         |    </SimpleAllele>
+         |  </ClassifiedRecord>
+         |</VariationArchive>""".stripMargin
+    val res = VcvParser.parse(xml)
+    assert(res.status === ParseResult.Ok)
+    assert(res.record.get.hgvsNames.map(_.name) === Seq("NM_1:c.1A>G"))
+    assert(res.counters("HGVS_NAME_SKIPPED_LONGER_THAN_4000") === 1L)
+  }
+
   test("record with no ClassifiedRecord / no allele reports NO_SIMPLE_ALLELE") {
     assert(VcvParser.parse("<VariationArchive VariationID=\"1\"/>").status
       === ParseResult.NoSimpleAllele)

@@ -93,6 +93,28 @@ class LoadPipelineSpec extends SparkSpec {
     assert(actions.getOrElse("delete", 0L) === 0L)
   }
 
+  test("child-only change touches the parent variant's last-modified flag (Loader.java:70-78)") {
+    // CV1 resubmitted IDENTICAL to the store (action = match) but with a
+    // NEW alias: the child churn must protect CV1 from the stale cutoff
+    val unchanged = Seq(
+      ("CV1", "RCV001", "var one", "snv", "pathogenic", "rs1", "mt1", "sub1", "t1", "n1", "A", "G", "2020-01-01")
+    ).toDF("symbol", "rcv_acc", "name", "object_type", "clinical_significance",
+      "review_status", "method_type", "submitter", "trait_name", "notes", "ref_nuc", "var_nuc",
+      "date_last_evaluated")
+    val r = LoadPipeline.run(
+      unchanged,
+      Seq(("CV1", 52, "RCV001"), ("CV1", 48, "111")).toDF("symbol", "xdb_key", "acc_id"),
+      Seq(("CV1", "coding", "NM_1:c.1A>G")).toDF("symbol", "hgvs_type", "name"),
+      Seq(("CV1", "old alias"), ("CV1", "brand new alias")).toDF("symbol", "value"),
+      Seq(("CV1", "9907")).toDF("symbol", "gene_id"),
+      Seq(("CV1", "GRCh38", "7", 100L, 101L)).toDF("symbol", "assembly", "chromosome", "start_pos", "stop_pos"),
+      store, maxXdbDeleteFraction = 0.99)
+    val rows = r.variantsDiff.select("rgd_id", "action", "touched")
+      .as[(Long, String, Boolean)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(rows(10L) === (("match", true)))   // unchanged row, child insert -> touched
+    assert(rows(11L) === (("delete", false))) // stale CV2: never touched
+  }
+
   test("K1: all-insert load gets dense, deterministic ids with no window in the plan") {
     // a first full load is 100% inserts — the case the old boolean-
     // partition row_number funneled through ONE task
