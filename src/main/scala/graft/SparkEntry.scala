@@ -573,6 +573,24 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- J7: RCV-scoped case-insensitive alias sync (Aliases.qc) --------------
+    "q46_alias_sync" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val incoming = cust.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("rgd_id"),
+        upper(col("c_name")).as("value"),
+        concat(lit("RCV"), (col("c_custkey") % 50).cast("string")).as("rcv_acc"))
+      val current = cust.filter(col("c_custkey") % 3 === 0).select(
+        col("c_custkey").as("rgd_id"),
+        when(col("c_custkey") % 11 === 0, concat(lit("stale "), col("c_name")))
+          .otherwise(col("c_name")).as("value"),
+        when(col("c_custkey") % 5 === 0,
+          concat(lit("RCV"), (col("c_custkey") % 50).cast("string")))
+          .when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(lit("RCVX")).as("notes"))
+      AliasSync(incoming, current, incoming.select(col("rgd_id"), col("rcv_acc").as("rcv")))
+    }),
+
     // --- scale: brute-force embedding-cosine near-dup pairs -------------------
     "q38_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -994,6 +1012,48 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    "q46_alias_sync" ->
+      """WITH incoming AS (
+        |  SELECT c_custkey AS rgd_id, upper(c_name) AS value,
+        |         'RCV' || (c_custkey % 50) AS rcv_acc
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |cur0 AS (
+        |  SELECT c_custkey AS rgd_id,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'stale ' || c_name ELSE c_name END AS value,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'RCV' || (c_custkey % 50)
+        |         WHEN c_custkey % 7 = 0 THEN NULL ELSE 'RCVX' END AS notes
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |cur AS (
+        |  SELECT c.* FROM cur0 c
+        |  WHERE EXISTS (SELECT 1 FROM incoming i WHERE i.rgd_id = c.rgd_id)),
+        |rcvsets AS (SELECT rgd_id, rcv_acc AS rcv FROM incoming),
+        |outofscope AS (
+        |  SELECT rgd_id, value, notes, 'delete' AS action FROM cur
+        |  WHERE notes IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM rcvsets r WHERE r.rgd_id = cur.rgd_id AND r.rcv = cur.notes)),
+        |cand AS (
+        |  SELECT * FROM cur
+        |  WHERE notes IS NULL OR EXISTS (
+        |    SELECT 1 FROM rcvsets r WHERE r.rgd_id = cur.rgd_id AND r.rcv = cur.notes)),
+        |matched AS (
+        |  SELECT rgd_id, value, notes, 'match' AS action FROM cand
+        |  WHERE EXISTS (SELECT 1 FROM incoming i
+        |                WHERE i.rgd_id = cand.rgd_id AND lower(i.value) = lower(cand.value))),
+        |unmatched AS (
+        |  SELECT c.rgd_id, c.value, c.notes,
+        |    CASE WHEN c.notes IS NOT DISTINCT FROM p.rcv_acc THEN 'delete' ELSE 'keep' END AS action
+        |  FROM cand c LEFT JOIN (SELECT DISTINCT rgd_id, rcv_acc FROM incoming) p
+        |    ON p.rgd_id = c.rgd_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM incoming i
+        |                    WHERE i.rgd_id = c.rgd_id AND lower(i.value) = lower(c.value))),
+        |ins AS (
+        |  SELECT i.rgd_id, i.value, i.rcv_acc AS notes, 'insert' AS action
+        |  FROM incoming i
+        |  WHERE NOT EXISTS (SELECT 1 FROM cand c
+        |                    WHERE c.rgd_id = i.rgd_id AND lower(c.value) = lower(i.value)))
+        |SELECT * FROM outofscope UNION ALL SELECT * FROM matched
+        |UNION ALL SELECT * FROM unmatched UNION ALL SELECT * FROM ins""".stripMargin,
 
     "q23_lsh_pairs" -> lshPairsOracleSql,
 

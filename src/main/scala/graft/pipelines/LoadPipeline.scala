@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DiffSync, FallbackJoin, RankedSetMerge, SetMerge}
+import graft.ops.{AliasSync, DiffSync, FallbackJoin, RankedSetMerge, SetMerge}
 
 /** The `--load` dataflow (SURVEY §3.1; reference: Manager.run
   * Manager.java:100-137 → QC.run QC.java:29-94 → Loader.run
@@ -26,7 +26,7 @@ object LoadPipeline {
       variants: DataFrame,   // rgd_id, symbol, name, rcv_acc + content cols
       xdbIds: DataFrame,     // rgd_id, xdb_key, acc_id
       hgvsNames: DataFrame,  // rgd_id, hgvs_type, name
-      aliases: DataFrame,    // rgd_id, value
+      aliases: DataFrame,    // rgd_id, value, notes (the alias's RCV id, J7)
       geneAssocs: DataFrame, // rgd_id, gene_id (variant_to_gene, J3)
       mapPositions: DataFrame) // rgd_id, assembly, chromosome, start_pos, stop_pos (J5)
 
@@ -150,8 +150,23 @@ object LoadPipeline {
       maxXdbDeleteFraction)
     val hgvsDiff = DiffSync(rekey(incomingHgvs), store.hgvsNames,
       Seq("rgd_id", "hgvs_type", "name"), Seq.empty)
-    val aliasDiff = DiffSync(rekey(incomingAliases), store.aliases,
-      Seq("rgd_id", "value"), Seq.empty)
+    // alias diff (J7): case-insensitive value match, deletes scoped to
+    // the record's RCV set (Aliases.qc, Aliases.java:51-90) — NOT plain
+    // key equality. The valid RCV set = ClinVar xdb accessions (key 52)
+    // incoming + in-store, plus the record's own primary RCV
+    // (XdbIds.getClinVarIds, XdbIds.java:62-74).
+    val rcvKeyMap = identified.select(
+      col("symbol").as("_sym"), col("rgd_id"), col("rcv_acc"))
+    val incomingAliasesKeyed = incomingAliases
+      .join(rcvKeyMap, incomingAliases("symbol") === col("_sym"))
+      .drop("_sym", "symbol")
+    val rcvSets = rekey(incomingXdb).filter(col("xdb_key") === 52)
+      .select(col("rgd_id"), col("acc_id").as("rcv"))
+      .unionByName(store.xdbIds.filter(col("xdb_key") === 52)
+        .select(col("rgd_id"), col("acc_id").as("rcv")))
+      .unionByName(identified.select(col("rgd_id"), col("rcv_acc").as("rcv")))
+      .distinct()
+    val aliasDiff = AliasSync(incomingAliasesKeyed, store.aliases, rcvSets)
     // association diff (GeneAssociations.sync:78-109): retain/remove set
     // algebra = the same full-outer classification on (rgd_id, gene_id)
     val geneDiff = DiffSync(rekey(incomingGenes), store.geneAssocs,

@@ -17,7 +17,7 @@ class LoadPipelineSpec extends SparkSpec {
     xdbIds = Seq((10L, 52, "RCV001"), (10L, 48, "111"), (11L, 52, "RCV002"))
       .toDF("rgd_id", "xdb_key", "acc_id"),
     hgvsNames = Seq((10L, "coding", "NM_1:c.1A>G")).toDF("rgd_id", "hgvs_type", "name"),
-    aliases = Seq((10L, "old alias")).toDF("rgd_id", "value"),
+    aliases = Seq((10L, "old alias", "RCV001")).toDF("rgd_id", "value", "notes"),
     geneAssocs = Seq((10L, "9907")).toDF("rgd_id", "gene_id"),
     mapPositions = Seq((10L, "GRCh38", "7", 100L, 101L))
       .toDF("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos"))
