@@ -573,6 +573,15 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- scale: IVF (inverted-file) ANN with stride-picked centroids ----------
+    "q44_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 40 === 0)
+      Similarity
+        .ivfTopK(emb, probes, "vec_id", "embedding", 5, centroidStride = 64, nprobe = 3)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // --- J7: RCV-scoped case-insensitive alias sync (Aliases.qc) --------------
     "q46_alias_sync" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -1012,6 +1021,35 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    "q44_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 64 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT c.vec_id, c.v, cent.cid,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(c.v, cent.cv) DESC, cent.cid) AS rn
+        |    FROM c CROSS JOIN cent) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id % 40 = 0),
+        |probed AS (
+        |  SELECT probe_id, pv, cid FROM (
+        |    SELECT p.probe_id, p.pv, cent.cid,
+        |      row_number() OVER (PARTITION BY p.probe_id
+        |        ORDER BY list_dot_product(p.pv, cent.cv) DESC, cent.cid) AS rn
+        |    FROM probes p CROSS JOIN cent) WHERE rn <= 3),
+        |pairs AS (
+        |  SELECT probed.probe_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(probed.pv, a.v) /
+        |      (sqrt(list_dot_product(probed.pv, probed.pv)) *
+        |       sqrt(list_dot_product(a.v, a.v))) AS cos
+        |  FROM probed JOIN assigned a
+        |    ON a.cid = probed.cid AND a.vec_id <> probed.probe_id)
+        |SELECT probe_id, rank, neighbor_id FROM (
+        |  SELECT probe_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs) WHERE rank <= 5""".stripMargin,
 
     "q46_alias_sync" ->
       """WITH incoming AS (

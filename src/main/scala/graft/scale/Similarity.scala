@@ -139,15 +139,18 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: the other classic scale path next to LSH.
     *
-    * Coarse quantizer = `nlist` centroid vectors picked
-    * DETERMINISTICALLY from the corpus (every (n/nlist)-th id in id
-    * order — no RNG state, stable across runs). Index build = one pass
-    * assigning each vector to its nearest centroid (broadcast
-    * centroids, codegen dot products). Search = rank centroids per
-    * probe, take the `nprobe` nearest lists, and only score candidates
-    * inside those lists — the scored set shrinks from |N| to
-    * ~|N|·nprobe/nlist per probe. Recall < 1 by construction; raise
-    * `nprobe` to trade compute for recall.
+    * Coarse quantizer = corpus vectors whose id is divisible by
+    * `centroidStride` — deterministic, oracle-portable, and picked with
+    * a plain FILTER: no global sort/window and no driver-side count()
+    * (the earlier formulation funneled the whole corpus through ONE
+    * task's unpartitioned window to rank ids). Callers size the stride
+    * so corpus/stride lands near the desired list count. Index build =
+    * one argmax AGGREGATION per vector (map-side partial, no |N|·nlist
+    * rows through an exchange). Search = rank centroids per probe, take
+    * the `nprobe` nearest lists, and only score candidates inside those
+    * lists — the scored set shrinks from |N| to ~|N|·nprobe/nlist per
+    * probe. Recall < 1 by construction; raise `nprobe` to trade compute
+    * for recall.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -155,37 +158,37 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nlist: Int = 16,
+      centroidStride: Long = 64,
       nprobe: Int = 4): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("neighbor_vec"))
-    // deterministic coarse quantizer: every (n/nlist)-th vector by id rank
-    val wAll = Window.orderBy(col("neighbor_id"))
-    val n = c.count()
-    val stride = math.max(n / nlist, 1L)
     val centroids = broadcast(
-      c.withColumn("_rk", row_number().over(wAll))
-        .filter((col("_rk") - 1) % stride === 0)
-        .limit(nlist)
-        .select(col("_rk").as("centroid_id"), col("neighbor_vec").as("centroid_vec")))
+      c.filter(pmod(col("neighbor_id"), lit(centroidStride)) === 0)
+        .select(col("neighbor_id").as("centroid_id"), col("neighbor_vec").as("centroid_vec")))
 
-    def nearestLists(vecs: DataFrame, vc: String, idc: String, take: Int): DataFrame = {
-      val w = Window.partitionBy(idc).orderBy(col("cdist").desc, col("centroid_id"))
-      vecs.crossJoin(centroids)
-        .withColumn("cdist", dot(col(vc), col("centroid_vec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= take)
-        .drop("centroid_vec", "cdist", "crank")
-    }
-
-    val assigned = nearestLists(c, "neighbor_vec", "neighbor_id", 1)
+    // assign each corpus vector to its best list by inner product; ties
+    // break to the LOWEST centroid id (the -centroid_id struct field)
+    val assigned = c
+      .crossJoin(centroids)
+      .withColumn("cdist", dot(col("neighbor_vec"), col("centroid_vec")))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        expr("max_by(centroid_id, struct(cdist, -centroid_id))").as("centroid_id"),
+        first(col("neighbor_vec")).as("neighbor_vec"))
       .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
+
+    // probes are broadcast-sized: a per-probe window is fine here
     val p = probes.select(
       col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("probe_vec"))
+    val wProbe = Window.partitionBy("probe_id").orderBy(col("cdist").desc, col("centroid_id"))
     val probed = broadcast(
-      nearestLists(p, "probe_vec", "probe_id", nprobe)
+      p.crossJoin(centroids)
+        .withColumn("cdist", dot(col("probe_vec"), col("centroid_vec")))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= nprobe)
+        .drop("centroid_vec", "cdist", "crank")
         .withColumn("probe_norm", l2Norm(col("probe_vec"))))
 
     val pairs = assigned

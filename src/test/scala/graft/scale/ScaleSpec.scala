@@ -80,14 +80,15 @@ class ScaleSpec extends SparkSpec {
     val probes = emb.filter($"vec_id" % 40 === 0)
     val brute = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 1)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
-    // nprobe = nlist -> exhaustive: identical to brute force
+    // stride 25 over ids 1..200 -> 8 centroids; nprobe >= #lists ->
+    // exhaustive: identical to brute force
     val full = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 1,
-      nlist = 8, nprobe = 8)
+      centroidStride = 25, nprobe = 8)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(full === brute)
     // narrow probe: a valid ANN result (subset semantics, k bounded)
     val narrow = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 3,
-      nlist = 8, nprobe = 2)
+      centroidStride = 25, nprobe = 2)
     assert(narrow.groupBy("probe_id").count()
       .as[(Long, Long)].collect().forall(_._2 <= 3))
   }
