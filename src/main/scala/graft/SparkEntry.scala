@@ -573,6 +573,23 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- J14: DAG transitive ancestor closure (path doubling) -----------------
+    "q47_ont_closure" -> ((s, dir) => {
+      // synthetic multi-parent DAG over part keys: k -> k div 2, and a
+      // second parent k -> k div 3 when k % 3 == 0
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val edges = p.filter(col("p_partkey") > 1)
+        .select(
+          concat(lit("T"), col("p_partkey")).as("child"),
+          concat(lit("T"), expr("p_partkey div 2")).as("parent"))
+        .unionByName(
+          p.filter(col("p_partkey") > 2 && col("p_partkey") % 3 === 0)
+            .select(
+              concat(lit("T"), col("p_partkey")).as("child"),
+              concat(lit("T"), expr("p_partkey div 3")).as("parent")))
+      Closure.ancestors(edges)
+    }),
+
     // --- scale: IVF (inverted-file) ANN with stride-picked centroids ----------
     "q44_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1021,6 +1038,19 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    "q47_ont_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'T' || p_partkey AS term, 'T' || (p_partkey // 2) AS ancestor
+        |  FROM part WHERE p_partkey > 1
+        |  UNION ALL
+        |  SELECT 'T' || p_partkey, 'T' || (p_partkey // 3)
+        |  FROM part WHERE p_partkey > 2 AND p_partkey % 3 = 0),
+        |closure AS (
+        |  SELECT term, ancestor FROM edges
+        |  UNION
+        |  SELECT c.term, e.ancestor FROM closure c JOIN edges e ON c.ancestor = e.term)
+        |SELECT DISTINCT term, ancestor FROM closure""".stripMargin,
 
     "q44_ann_ivf" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

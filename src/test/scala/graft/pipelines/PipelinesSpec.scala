@@ -295,6 +295,22 @@ class RsIdAndDupTermSpec extends SparkSpec {
     assert(winner._2 === "DOID:2")
   }
 
+  test("same-branch duplicates suppressed to the winner; separate branches kept (J14)") {
+    val terms = Seq(
+      ("DOID:1", "Alpha", 5L, 2L, 1L), // ancestor of DOID:2, higher-ranked
+      ("DOID:2", "alpha", 1L, 1L, 1L), // same branch -> suppressed, group dies
+      ("DOID:3", "Beta", 2L, 1L, 1L),
+      ("DOID:4", "beta", 1L, 1L, 1L)   // separate branches -> both reported
+    ).toDF("term_acc", "name", "annot_count", "child_count", "parent_count")
+    val edges = Seq(("DOID:2", "DOID:1"), ("DOID:4", "DOID:9"))
+      .toDF("child", "parent")
+    val out = DupTermQcPipeline.run(terms, dagEdges = Some(edges))
+      .select("term_acc", "is_winner").as[(String, Boolean)].collect().toSet
+    assert(out === Set(("DOID:3", true), ("DOID:4", false)))
+    // without edges both groups report (the unsuppressed baseline)
+    assert(DupTermQcPipeline.run(terms).count() === 4)
+  }
+
   test("duplicate-term QC folds synonyms in when provided") {
     val terms = Seq(
       ("DOID:1", "Alpha", 1L, 1L, 1L),
