@@ -573,6 +573,29 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- S2-S5/§2.9: distributed XML ingest + parse, flat projection ----------
+    // (the reference's dominant cost path; oracle = hand-checked expected
+    // rows for the fixture, frozen as literal VALUES)
+    "q45_parser_flat" -> ((s, _) => {
+      val raw = graft.ingest.XmlIngest
+        .readRecords(s, "src/test/resources/vcv_sample.xml")
+      val v = graft.ingest.XmlIngest
+        .variants(graft.ingest.XmlIngest.parseRecords(raw))
+      v.select(
+        col("symbol"), col("variationId").as("variation_id"),
+        col("rcvAcc").as("rcv_acc"), col("objectType").as("object_type"),
+        col("soAccId").as("so_acc_id"),
+        col("clinicalSignificance").as("clinical_significance"),
+        col("reviewStatus").as("review_status"),
+        col("methodType").as("method_type"), col("submitter"),
+        col("traitName").as("trait_name"), col("refNuc").as("ref_nuc"),
+        col("varNuc").as("var_nuc"),
+        col("dateLastEvaluated").as("date_last_evaluated"),
+        size(col("genes")).as("n_genes"), size(col("xdbIds")).as("n_xdbs"),
+        size(col("hgvsNames")).as("n_hgvs"), size(col("aliases")).as("n_aliases"),
+        size(col("mapPositions")).as("n_map_pos"))
+    }),
+
     // --- J14: DAG transitive ancestor closure (path doubling) -----------------
     "q47_ont_closure" -> ((s, dir) => {
       // synthetic multi-parent DAG over part keys: k -> k div 2, and a
@@ -1038,6 +1061,28 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    // expected rows derived BY HAND from src/test/resources/vcv_sample.xml
+    // against the reference's Parser.java semantics (record 100 = multi-
+    // allele skip, 101 = genotype skip; 3 parse ok)
+    "q45_parser_flat" ->
+      """SELECT * FROM (VALUES
+        |  ('CV15091', '2', 'RCV000000012', 'indel', 'SO:1000032',
+        |   'likely pathogenic|pathogenic',
+        |   'criteria provided, single submitter|no assertion criteria provided',
+        |   'clinical testing|literature only', 'LT|Lab Two|OMIM',
+        |   'HEREDITARY SPASTIC PARAPLEGIA 48 [RCV000000012]',
+        |   'GGAT', 'TGCTGTAAACTGTAACTGTAAA', '2015-01-02', 1, 11, 2, 1, 3),
+        |  ('CV500', '200', 'RCV000077', 'deletion', 'SO:0000159',
+        |   'pathogenic', 'criteria provided, single submitter',
+        |   '', 'L5|Lab Five', 'Breast-ovarian cancer, familial 1 [RCV000077]',
+        |   'TCT', 'T', '2019-04-01', 1, 4, 0, 0, 1),
+        |  ('CV99', '104', '', 'single nucleotide variant', 'SO:0001483',
+        |   '', '', '', '', '', '', '', '', 0, 0, 0, 0, 0)
+        |) AS t(symbol, variation_id, rcv_acc, object_type, so_acc_id,
+        |       clinical_significance, review_status, method_type, submitter,
+        |       trait_name, ref_nuc, var_nuc, date_last_evaluated,
+        |       n_genes, n_xdbs, n_hgvs, n_aliases, n_map_pos)""".stripMargin,
 
     "q47_ont_closure" ->
       """WITH RECURSIVE edges AS (
