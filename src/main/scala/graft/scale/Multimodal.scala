@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * per-partition transforms so a vectorized decoder amortizes its setup
   * across a batch (the Scala analog of `mapInPandas`).
   *
-  * The DECODERS here are deliberate STUBS — this container has no
-  * image/audio codecs — producing deterministic fake outputs derived
-  * from the payload bytes. Everything AROUND the stub is real and
-  * load-bearing: the schema contract, the partition-batched execution
-  * shape, null/corrupt handling, and the column plumbing. Swapping a
-  * real decoder in changes only the function body marked STUB.
+  * PPM (binary netpbm) payloads decode FOR REAL — header, raster, and
+  * pixel-statistics embedding (see [[decodePpm]]). The remaining
+  * formats are deliberate STUBS — this container has no JPEG/PNG/audio
+  * codecs — producing deterministic fake outputs derived from the
+  * payload bytes. Everything AROUND the stubs is real and load-bearing:
+  * the schema contract, the partition-batched execution shape,
+  * null/corrupt handling, and the column plumbing. Binding a real codec
+  * changes only the function body marked STUB.
   */
 object Multimodal {
 
@@ -55,16 +57,102 @@ object Multimodal {
     */
   val DecodeBatchSize = 64
 
-  /** STUB decode: a real implementation binds an image codec here
-    * (JPEG/PNG header parse + pixel decode). The fake derives
-    * deterministic dimensions and an embedding from the payload bytes,
-    * and flags empty payloads as corrupt (`ok = false`) the way a real
-    * decoder surfaces codec errors — callers must handle both.
+  /** REAL decoder for binary netpbm (PPM "P6") payloads — a codec-free
+    * format this container can parse end-to-end: ASCII header
+    * `P6 <width> <height> <maxval>` (whitespace-separated, `#` comments
+    * allowed) followed by `width*height` RGB samples (1 byte/channel for
+    * maxval < 256, 2 big-endian bytes otherwise). The 8-dim embedding is
+    * mean R/G/B, mean luma, the two horizontal-half lumas, and the two
+    * vertical-half lumas — deterministic pixel statistics a similarity
+    * pass can consume directly.
+    *
+    * Returns None when the payload is not a well-formed P6 (caller
+    * falls through to the stub or flags corrupt).
+    */
+  private[scale] def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def skipSeparators(): Unit = {
+      var more = true
+      while (more && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else more = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipSeparators()
+      var v = 0L
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); any = true; pos += 1
+      }
+      if (any && v <= Int.MaxValue) Some(v.toInt) else None
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval < 65536
+      bytesPerSample = if (maxval < 256) 1 else 2
+      // exactly ONE whitespace byte separates header from raster
+      if pos < bytes.length &&
+        (bytes(pos) == ' ' || bytes(pos) == '\t' || bytes(pos) == '\n' || bytes(pos) == '\r') &&
+        { pos += 1; true }
+      if bytes.length - pos >= w.toLong * h * 3 * bytesPerSample
+    } yield {
+      def sample(i: Int): Double = {
+        val off = pos + i * bytesPerSample
+        val raw =
+          if (bytesPerSample == 1) bytes(off) & 0xff
+          else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+        raw.toDouble / maxval
+      }
+      val sums = new Array[Double](3)       // per-channel
+      val halves = new Array[Double](4)     // left/right/top/bottom luma
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          val r = sample(p); val g = sample(p + 1); val b = sample(p + 2)
+          sums(0) += r; sums(1) += g; sums(2) += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          halves(if (x * 2 < w) 0 else 1) += luma
+          halves(if (y * 2 < h) 2 else 3) += luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val meanLuma = 0.299 * sums(0) / n + 0.587 * sums(1) / n + 0.114 * sums(2) / n
+      val emb = Array(
+        (sums(0) / n).toFloat, (sums(1) / n).toFloat, (sums(2) / n).toFloat,
+        meanLuma.toFloat,
+        (halves(0) / n * 2).toFloat, (halves(1) / n * 2).toFloat,
+        (halves(2) / n * 2).toFloat, (halves(3) / n * 2).toFloat)
+      (w, h, emb)
+    }
+  }
+
+  /** Batched decode: PPM payloads decode FOR REAL via [[decodePpm]];
+    * other formats remain STUBS (this container has no JPEG/PNG codecs)
+    * producing deterministic fake outputs derived from the payload
+    * bytes. Empty payloads and malformed PPMs flag corrupt (`ok =
+    * false`) the way a real decoder surfaces codec errors — callers
+    * must handle both.
     */
   private[scale] def decodeImageBatchStub(batch: Seq[Asset]): Seq[ImageFeatures] =
     batch.map { a =>
       if (a.content == null || a.content.isEmpty) {
         ImageFeatures(a.assetId, 0, 0, a.declaredFormat, ok = false, Array.empty)
+      } else if (a.declaredFormat == "ppm" ||
+        (a.content.length >= 2 && a.content(0) == 'P' && a.content(1) == '6')) {
+        decodePpm(a.content) match {
+          case Some((w, h, emb)) => ImageFeatures(a.assetId, w, h, "ppm", ok = true, emb)
+          case None => ImageFeatures(a.assetId, 0, 0, "ppm", ok = false, Array.empty)
+        }
       } else {
         var h = 1125899906842597L // deterministic FNV-ish fold of the payload
         a.content.foreach(b => h = h * 31 + (b & 0xff))

@@ -24,6 +24,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L).embedding.toSeq !== f(2L).embedding.toSeq)
   }
 
+  test("PPM decode is REAL: exact dimensions + pixel-statistics embedding") {
+    // 4x3 P6, maxval 255, with a header comment; left half black, right
+    // half pure red
+    val header = "P6\n# fixture\n4 3\n255\n".getBytes("US-ASCII")
+    val pixels = (0 until 3).flatMap { _ =>
+      Array[Byte](0, 0, 0) ++ Array[Byte](0, 0, 0) ++                // x=0,1 black
+        Array[Byte](255.toByte, 0, 0) ++ Array[Byte](255.toByte, 0, 0) // x=2,3 red
+    }.toArray
+    val ppm = Multimodal.Asset(7L, "image", header ++ pixels, "ppm")
+    val f = Multimodal.imageFeatures(Seq(ppm).toDS()).collect().head
+    assert(f.ok && f.width === 4 && f.height === 3 && f.format === "ppm")
+    val emb = f.embedding
+    assert(math.abs(emb(0) - 0.5f) < 1e-6)  // mean R: half the pixels full red
+    assert(emb(1) === 0.0f && emb(2) === 0.0f)
+    assert(math.abs(emb(4)) < 1e-6)                  // left-half luma = 0
+    assert(math.abs(emb(5) - 0.299f) < 1e-4)         // right-half luma = R weight
+    // truncated raster -> corrupt, not garbage
+    val bad = Multimodal.Asset(8L, "image", header ++ pixels.take(10), "ppm")
+    assert(!Multimodal.imageFeatures(Seq(bad).toDS()).collect().head.ok)
+  }
+
   test("features feed the similarity operators (schema contract)") {
     val feats = Multimodal.imageFeatures(assets).filter(_.ok).toDF()
     val top = Similarity.bruteForceTopK(feats, feats.limit(1), "assetId", "embedding", 1)
