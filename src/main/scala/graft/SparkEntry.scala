@@ -573,6 +573,52 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- Clinvar2Vcf.fixRefAndAllele: ±1 pad-shift reconciliation sweep -------
+    "q48_vcf_reconcile" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
+      val store = ev.selectExpr(
+        "cast(user_id % 23 as string) as chr",
+        "event_id as pos",
+        "event_id as rgd_id",
+        """case when event_id % 5 <= 1 then 'snv'
+                when event_id % 5 = 2 then 'deletion'
+                when event_id % 5 = 3 then 'insertion'
+                else 'duplication' end as var_type""",
+        """case when event_id % 5 <= 1 then
+                  (case when event_id % 2 = 0
+                        then substr('ACGT', cast(event_id % 4 as int) + 1, 1)
+                        else substr('CGTA', cast(event_id % 4 as int) + 1, 1) end)
+                when event_id % 5 = 2 then 'TTC' else '-' end as ref_nuc""",
+        """case when event_id % 5 <= 1 then substr('ACGT', cast(event_id % 3 as int) + 1, 1)
+                when event_id % 5 = 2 then '-'
+                when event_id % 5 = 3 then 'GG' else 'CC' end as var_nuc""")
+      val vcf = ev.selectExpr(
+        "cast(user_id % 23 as string) as chr",
+        "case when event_id % 8 in (2,3,4,5) then event_id - 1 else event_id end as pos",
+        """case when event_id % 8 <= 1 then substr('ACGT', cast(event_id % 4 as int) + 1, 1)
+                when event_id % 8 = 2 then 'GTTC'
+                when event_id % 8 in (3,4) then 'G'
+                when event_id % 8 = 5 then
+                  (case when (event_id div 8) % 2 = 0 then 'GAA' else 'C' end)
+                when event_id % 8 = 6 then 'G' else 'A' end as ref""",
+        """case when event_id % 8 <= 1 then
+                  (case when event_id % 7 = 0 then '.'
+                        else substr('ACGT', cast(event_id % 3 as int) + 1, 1) end)
+                when event_id % 8 = 2 then 'G'
+                when event_id % 8 in (3,4) then 'GTT'
+                when event_id % 8 = 5 then
+                  (case when (event_id div 8) % 2 = 0 then 'G' else 'CCC' end)
+                when event_id % 8 = 6 then 'GT' else '.' end as alt""",
+        """case when event_id % 8 <= 1 then 'single_nucleotide_variant'
+                when event_id % 8 = 2 then 'Deletion'
+                when event_id % 8 = 3 then 'Insertion'
+                when event_id % 8 = 4 then 'Duplication'
+                when event_id % 8 = 5 then 'Microsatellite'
+                when event_id % 8 = 6 then 'Indel' else 'Variation' end as var_class""",
+        "cast(null as string) as rs_id")
+      graft.pipelines.VcfReconcile.run(vcf, store).counters
+    }),
+
     // --- S2-S5/§2.9: distributed XML ingest + parse, flat projection ----------
     // (the reference's dominant cost path; oracle = hand-checked expected
     // rows for the fixture, frozen as literal VALUES)
@@ -1061,6 +1107,108 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    "q48_vcf_reconcile" ->
+      """WITH ev AS (SELECT user_id, event_id FROM events),
+        |store AS (
+        |  SELECT CAST(user_id % 23 AS VARCHAR) AS chr, event_id AS pos, event_id AS rgd_id,
+        |    CASE WHEN event_id % 5 <= 1 THEN 'snv' WHEN event_id % 5 = 2 THEN 'deletion'
+        |         WHEN event_id % 5 = 3 THEN 'insertion' ELSE 'duplication' END AS var_type,
+        |    CASE WHEN event_id % 5 <= 1 THEN
+        |           (CASE WHEN event_id % 2 = 0 THEN substr('ACGT', CAST(event_id % 4 AS INT) + 1, 1)
+        |                 ELSE substr('CGTA', CAST(event_id % 4 AS INT) + 1, 1) END)
+        |         WHEN event_id % 5 = 2 THEN 'TTC' ELSE '-' END AS ref_nuc,
+        |    CASE WHEN event_id % 5 <= 1 THEN substr('ACGT', CAST(event_id % 3 AS INT) + 1, 1)
+        |         WHEN event_id % 5 = 2 THEN '-'
+        |         WHEN event_id % 5 = 3 THEN 'GG' ELSE 'CC' END AS var_nuc
+        |  FROM ev),
+        |vcf AS (
+        |  SELECT CAST(user_id % 23 AS VARCHAR) AS chr,
+        |    CASE WHEN event_id % 8 IN (2,3,4,5) THEN event_id - 1 ELSE event_id END AS pos,
+        |    CASE WHEN event_id % 8 <= 1 THEN substr('ACGT', CAST(event_id % 4 AS INT) + 1, 1)
+        |         WHEN event_id % 8 = 2 THEN 'GTTC'
+        |         WHEN event_id % 8 IN (3,4) THEN 'G'
+        |         WHEN event_id % 8 = 5 THEN
+        |           (CASE WHEN (event_id // 8) % 2 = 0 THEN 'GAA' ELSE 'C' END)
+        |         WHEN event_id % 8 = 6 THEN 'G' ELSE 'A' END AS ref,
+        |    CASE WHEN event_id % 8 <= 1 THEN
+        |           (CASE WHEN event_id % 7 = 0 THEN '.'
+        |                 ELSE substr('ACGT', CAST(event_id % 3 AS INT) + 1, 1) END)
+        |         WHEN event_id % 8 = 2 THEN 'G'
+        |         WHEN event_id % 8 IN (3,4) THEN 'GTT'
+        |         WHEN event_id % 8 = 5 THEN
+        |           (CASE WHEN (event_id // 8) % 2 = 0 THEN 'G' ELSE 'CCC' END)
+        |         WHEN event_id % 8 = 6 THEN 'GT' ELSE '.' END AS alt,
+        |    CASE WHEN event_id % 8 <= 1 THEN 'single_nucleotide_variant'
+        |         WHEN event_id % 8 = 2 THEN 'Deletion'
+        |         WHEN event_id % 8 = 3 THEN 'Insertion'
+        |         WHEN event_id % 8 = 4 THEN 'Duplication'
+        |         WHEN event_id % 8 = 5 THEN 'Microsatellite'
+        |         WHEN event_id % 8 = 6 THEN 'Indel' ELSE 'Variation' END AS var_class
+        |  FROM ev),
+        |routed AS (
+        |  SELECT *, CASE
+        |    WHEN var_class = 'single_nucleotide_variant'
+        |         AND length(ref) = 1 AND length(alt) = 1 THEN 'snv'
+        |    WHEN var_class IN ('Insertion','Duplication') AND length(ref) = 1 THEN 'ins'
+        |    WHEN var_class = 'Deletion' AND length(alt) = 1 THEN 'del'
+        |    WHEN var_class = 'Microsatellite' AND length(alt) = 1 AND length(ref) > 1 THEN 'ms_del'
+        |    WHEN var_class = 'Microsatellite' AND length(alt) > 1 AND length(ref) = 1 THEN 'ms_ins'
+        |    WHEN var_class = 'Inversion' THEN 'inversion'
+        |    WHEN var_class = 'Indel' THEN 'indel'
+        |    WHEN var_class = 'Variation' THEN 'variation'
+        |    ELSE 'unhandled' END AS route
+        |  FROM vcf),
+        |snv_agg AS (
+        |  SELECT v.chr, v.pos, v.ref, v.alt, count(s.rgd_id) AS n_store,
+        |    min(CASE WHEN s.ref_nuc <> v.ref THEN s.rgd_id END) AS bad_rgd_id,
+        |    max(CASE WHEN s.var_nuc = v.alt THEN 1 ELSE 0 END) AS allele_match
+        |  FROM (SELECT * FROM routed WHERE route = 'snv') v
+        |  LEFT JOIN (SELECT * FROM store WHERE var_type = 'snv') s
+        |    ON s.chr = v.chr AND s.pos = v.pos
+        |  GROUP BY 1, 2, 3, 4),
+        |snv_class AS (
+        |  SELECT CASE WHEN n_store = 0 THEN 'clinvar snv - not in rgd'
+        |              WHEN bad_rgd_id IS NOT NULL THEN 'clinvar snv - updated'
+        |              WHEN allele_match = 1 THEN 'clinvar snv matches rgd'
+        |              WHEN alt = '.' THEN 'clinvar snv - allele is ''.'''
+        |              ELSE 'clinvar snv - allele not in rgd' END AS counter
+        |  FROM snv_agg),
+        |del_agg AS (
+        |  SELECT v.route, v.chr, v.pos, v.ref, v.alt, count(s.rgd_id) AS n_store,
+        |    max(CASE WHEN substr(v.ref, 2) = s.ref_nuc AND starts_with(s.var_nuc, '-')
+        |             THEN 1 ELSE 0 END) AS m
+        |  FROM (SELECT * FROM routed WHERE route IN ('del', 'ms_del')) v
+        |  LEFT JOIN (SELECT * FROM store WHERE var_type NOT IN ('snv', 'insertion')) s
+        |    ON s.chr = v.chr AND s.pos = v.pos + 1
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |del_class AS (
+        |  SELECT CASE WHEN n_store = 0 THEN 'clinvar ' || p || ' not in rgd'
+        |              WHEN m = 1 THEN 'clinvar ' || p || ' matches rgd'
+        |              ELSE 'clinvar ' || p || ' does not match rgd' END AS counter
+        |  FROM (SELECT *, CASE WHEN route = 'del' THEN 'deletion' ELSE 'ms-deletion' END AS p
+        |        FROM del_agg)),
+        |ins_agg AS (
+        |  SELECT v.route, v.chr, v.pos, count(s.rgd_id) AS n_store
+        |  FROM (SELECT * FROM routed WHERE route IN ('ins', 'ms_ins')) v
+        |  LEFT JOIN (SELECT * FROM store WHERE var_type <> 'snv') s
+        |    ON s.chr = v.chr AND s.pos = v.pos + 1
+        |  GROUP BY 1, 2, 3),
+        |ins_class AS (
+        |  SELECT CASE WHEN n_store = 0 THEN 'clinvar ' || p || ' not in rgd'
+        |              ELSE 'clinvar ' || p || ' matches rgd' END AS counter
+        |  FROM (SELECT *, CASE WHEN route = 'ins' THEN 'insertion' ELSE 'ms-insertion' END AS p
+        |        FROM ins_agg)),
+        |pass_class AS (
+        |  SELECT CASE WHEN route = 'inversion' THEN 'clinvar inversion -- not handled'
+        |              WHEN route = 'indel' THEN 'clinvar indel -- not handled'
+        |              WHEN route = 'variation' AND alt = '.' THEN 'clinvar variation - allele is ''.'''
+        |              ELSE 'unhandled' END AS counter
+        |  FROM routed WHERE route IN ('inversion', 'indel', 'variation', 'unhandled'))
+        |SELECT counter, count(*) AS n FROM (
+        |  SELECT counter FROM snv_class UNION ALL SELECT counter FROM del_class
+        |  UNION ALL SELECT counter FROM ins_class UNION ALL SELECT counter FROM pass_class)
+        |GROUP BY 1""".stripMargin,
 
     // expected rows derived BY HAND from src/test/resources/vcv_sample.xml
     // against the reference's Parser.java semantics (record 100 = multi-

@@ -39,10 +39,13 @@ object Clinvar2VcfPipeline {
   def normalizeIndels(variants: DataFrame, refBases: DataFrame): DataFrame = {
     val needsPad = col("var_type").isin("deletion", "insertion") &&
       (col("ref") === "" || col("alt") === "")
+    // no broadcast hint: a full-genome (chr,pos,base) table is billions
+    // of rows — AQE picks broadcast only when the table (or its
+    // dynamically-pruned slice) actually fits
     variants
       .join(
-        broadcast(refBases.select(
-          col("chr"), (col("pos") + 1).as("pos"), col("base").as("_pad"))),
+        refBases.select(
+          col("chr"), (col("pos") + 1).as("pos"), col("base").as("_pad")),
         Seq("chr", "pos"), "left")
       .withColumn("ref0", when(needsPad, concat(col("_pad"), col("ref"))).otherwise(col("ref")))
       .withColumn("alt0", when(needsPad, concat(col("_pad"), col("alt"))).otherwise(col("alt")))
@@ -52,6 +55,24 @@ object Clinvar2VcfPipeline {
       .withColumnRenamed("alt0", "alt")
       .withColumnRenamed("pos0", "pos")
   }
+
+  /** SNV ref-allele validation against the genome table
+    * (Clinvar2Vcf.validateRef, Clinvar2Vcf.java:362-403): flag stored
+    * snvs whose ref base disagrees with the reference genome
+    * (`has_bad_ref`). The reference fetches a whole-chromosome FASTA
+    * slice and substrings per variant; at scale the genome is a
+    * (chr, pos, base) table and validation is one equi join.
+    */
+  def validateRef(variants: DataFrame, refBases: DataFrame): DataFrame =
+    variants
+      .join(
+        refBases.select(col("chr"), col("pos"), col("base").as("_fasta")),
+        Seq("chr", "pos"), "left")
+      .withColumn(
+        "has_bad_ref",
+        col("var_type") === "snv" && col("_fasta").isNotNull &&
+          !(col("ref") <=> col("_fasta")))
+      .drop("_fasta")
 
   /** A11: allele-group merge — group on (chr,pos,rs,var_type), merge
     * ref/alt allele sets comma-joined with missing nucs coalesced to

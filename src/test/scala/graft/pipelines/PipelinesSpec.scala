@@ -246,6 +246,19 @@ class Clinvar2VcfPipelineSpec extends SparkSpec {
     assert(lines.last.endsWith("\t.\t.\tdbSNP_156;TSA=insertion;E_Freq"))
   }
 
+  test("validateRef flags snvs whose ref base disagrees with the genome") {
+    val v = Seq(
+      ("10", 100L, "A", "G", "snv", 1L),      // genome says A -> ok
+      ("10", 101L, "C", "T", "snv", 2L),      // genome says G -> BAD
+      ("10", 101L, "C", "", "deletion", 3L),  // not an snv -> never flagged
+      ("11", 5L, "T", "A", "snv", 4L)         // no genome row -> can't validate
+    ).toDF("chr", "pos", "ref", "alt", "var_type", "variant_id")
+    val bases = Seq(("10", 100L, "A"), ("10", 101L, "G")).toDF("chr", "pos", "base")
+    val flags = Clinvar2VcfPipeline.validateRef(v, bases)
+      .select("variant_id", "has_bad_ref").as[(Long, Boolean)].collect().toMap
+    assert(flags === Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
+  }
+
   test("F11: group skipped iff BOTH merged alleles exceed one char; NVL(nuc,'-')") {
     val nullRs = Option.empty[String]
     val v = Seq(
