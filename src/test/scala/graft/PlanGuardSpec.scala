@@ -58,4 +58,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges(p) === 1)
     assert(countNodes(p, _.nodeName.contains("HashAggregate")) === 2)
   }
+
+  test("q26 merge-split shuffles scalar rows only (2 exchanges, no window)") {
+    val p = planOf("q26_merge_split")
+    assert(exchanges(p) <= 2, p.toString.take(400))
+    assert(countNodes(p, _.nodeName.toLowerCase.contains("window")) === 0)
+  }
+
+  test("NO query plan contains a single-partition shuffle (scale-killer guard)") {
+    // the one exemption: q07's global delete-fraction guard reduces an
+    // ALREADY-AGGREGATED counters frame — a 1-row exchange by design
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val n = countNodes(planOf(q), {
+        case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+        case _ => false
+      })
+      val budget = if (q == "q07_guarded_delete") 1 else 0
+      if (n > budget) Some(s"$q has $n single-partition shuffle(s)") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
