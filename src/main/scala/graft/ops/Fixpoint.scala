@@ -9,28 +9,32 @@ import org.apache.spark.sql.functions._
   * chains are followed until a non-obsolete term is reached) and of
   * ontology-ancestry closure probes (TermNameMatcher.java:129-133).
   *
-  * The substitution dim is SMALL (ontology-sized), so each round is a
-  * broadcast hash join; rounds double the resolved-chain length
-  * (pointer jumping: substitute through the PARTIALLY-RESOLVED table,
-  * not the raw edges), so a chain of length L converges in O(log L)
-  * rounds. Convergence is detected with a 1-row count per round —
-  * driver-side loops over broadcast-sized dims are the idiomatic Spark
-  * pattern for small-fixpoint work (the 100 TB fact table never joins
-  * until the closure is materialized and broadcast).
+  * Like [[Closure]], two paths switched on table size: substitution
+  * dims are ontology-sized, so up to `driverThreshold` rows the chains
+  * are followed on the driver with one memoized walk (milliseconds);
+  * above it, distributed pointer jumping — substitute through the
+  * PARTIALLY-RESOLVED table, not the raw edges, so a chain of length L
+  * converges in O(log L) broadcast-join rounds. Either way the 100 TB
+  * fact table never iterates: it joins the FINAL materialized map.
   */
 object Fixpoint {
 
   /** Resolve every `oldCol` to the end of its substitution chain.
-    * Returns (old_id, resolved_id). Cycles throw after `maxRounds`.
+    * Returns (old_id, resolved_id). Cycles throw.
+    *
+    * @param driverThreshold row count up to which the dim-sized driver
+    *        path runs; pass 0 to force distributed pointer jumping
     */
   def resolve(
       subs: DataFrame,
       oldCol: String,
       newCol: String,
-      maxRounds: Int = 20): DataFrame = {
-    var cur = subs
-      .select(col(oldCol).as("old_id"), col(newCol).as("resolved_id"))
-      .persist()
+      maxRounds: Int = 20,
+      driverThreshold: Long = 2000000L): DataFrame = {
+    val edges = subs.select(col(oldCol).as("old_id"), col(newCol).as("resolved_id"))
+    val n0 = edges.count()
+    if (n0 <= driverThreshold) return driverResolve(edges)
+    var cur = edges.persist()
     var round = 0
     var changed = true
     while (changed) {
@@ -53,5 +57,38 @@ object Fixpoint {
       round += 1
     }
     cur
+  }
+
+  /** Dim-sized path: collect the substitution map, follow every chain
+    * once with memoization (path compression), parallelize the resolved
+    * map back. Cycles throw like the distributed path's round cap.
+    */
+  private def driverResolve(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val pairs = edges.collect().map(r => (r.get(0), r.get(1)))
+    val next = new scala.collection.mutable.HashMap[Any, Any]()
+    pairs.foreach { case (o, n) => next(o) = n }
+    val resolved = new scala.collection.mutable.HashMap[Any, Any]()
+    next.keysIterator.foreach { start =>
+      if (!resolved.contains(start)) {
+        val path = new scala.collection.mutable.ArrayBuffer[Any]()
+        val onPath = new scala.collection.mutable.HashSet[Any]()
+        var cur: Any = start
+        while (next.contains(cur) && !resolved.contains(cur)) {
+          if (onPath.contains(cur))
+            throw new IllegalStateException(
+              "fixpoint found a cycle in the substitutions at " + cur)
+          path += cur
+          onPath += cur
+          cur = next(cur)
+        }
+        val end = resolved.getOrElse(cur, cur)
+        path.foreach(p => resolved(p) = end)
+      }
+    }
+    val rows = resolved.iterator.map { case (o, r) => org.apache.spark.sql.Row(o, r) }.toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000 + 1)),
+      edges.schema)
   }
 }
