@@ -60,66 +60,60 @@ object VcfReconcile {
       col("chr").as("s_chr"), col("pos").as("s_pos"), col("rgd_id"),
       col("var_type"), col("ref_nuc"), col("var_nuc"))
 
-    // --- snv probe at (chr, pos) against stored snvs -------------------------
-    val snv = routed.filter(col("route") === "snv")
-    val snvJoined = snv.join(
-      s.filter(col("var_type") === "snv"),
-      col("chr") === col("s_chr") && col("pos") === col("s_pos"), "left")
-    val snvAgg = snvJoined
-      .groupBy("chr", "pos", "ref", "alt")
+    // ONE probe join for all five store-probing routes: the probe key is
+    // (chr, pos) for snvs and (chr, pos+1) for the pad-shifted indel
+    // routes, and each route's store-side type exclusions become a
+    // participation predicate inside the aggregate — the store shuffles
+    // once, not once per handler.
+    val probes = routed
+      .filter(col("route").isin("snv", "del", "ms_del", "ins", "ms_ins"))
+      .withColumn(
+        "probe_pos",
+        when(col("route") === "snv", col("pos")).otherwise(col("pos") + 1))
+    val participates =
+      when(col("route") === "snv", col("var_type") === "snv")
+        .when(col("route").isin("del", "ms_del"),
+          !col("var_type").isin("snv", "insertion"))
+        .otherwise(col("var_type") =!= "snv")
+    val agg = probes
+      .join(s, col("chr") === col("s_chr") && col("probe_pos") === col("s_pos"), "left")
+      .groupBy("route", "chr", "pos", "ref", "alt")
       .agg(
-        count(col("rgd_id")).as("n_store"),
-        // the FIRST disagreeing snv gets repaired (break after one)
-        min(when(col("ref_nuc") =!= col("ref"), col("rgd_id"))).as("bad_rgd_id"),
-        max(when(col("var_nuc") === col("alt"), lit(1)).otherwise(lit(0))).as("allele_match"))
-    val snvClassified = snvAgg.select(
+        count(when(participates, col("rgd_id"))).as("n_store"),
+        // snv: the FIRST disagreeing stored snv gets repaired (break after one)
+        min(when(col("route") === "snv" && participates &&
+          col("ref_nuc") =!= col("ref"), col("rgd_id"))).as("bad_rgd_id"),
+        max(when(col("route") === "snv" && participates &&
+          col("var_nuc") === col("alt"), lit(1)).otherwise(lit(0))).as("allele_match"),
+        max(when(col("route").isin("del", "ms_del") && participates &&
+          expr("substring(ref, 2)") === col("ref_nuc") &&
+          col("var_nuc").startsWith("-"), lit(1)).otherwise(lit(0))).as("del_match"))
+
+    val prefix = when(col("route") === "del", "deletion")
+      .when(col("route") === "ms_del", "ms-deletion")
+      .when(col("route") === "ins", "insertion")
+      .otherwise("ms-insertion")
+    val probeClassified = agg.select(
       col("chr"), col("pos"),
-      when(col("n_store") === 0, "clinvar snv - not in rgd")
-        .when(col("bad_rgd_id").isNotNull, "clinvar snv - updated")
-        .when(col("allele_match") === 1, "clinvar snv matches rgd")
-        .when(col("alt") === ".", "clinvar snv - allele is '.'")
-        .otherwise("clinvar snv - allele not in rgd").as("counter"))
-    val snvUpdates = snvAgg
-      .filter(col("bad_rgd_id").isNotNull)
+      when(col("route") === "snv",
+        when(col("n_store") === 0, "clinvar snv - not in rgd")
+          .when(col("bad_rgd_id").isNotNull, "clinvar snv - updated")
+          .when(col("allele_match") === 1, "clinvar snv matches rgd")
+          .when(col("alt") === ".", "clinvar snv - allele is '.'")
+          .otherwise("clinvar snv - allele not in rgd"))
+        .when(col("route").isin("del", "ms_del"),
+          when(col("n_store") === 0, concat(lit("clinvar "), prefix, lit(" not in rgd")))
+            .when(col("del_match") === 1, concat(lit("clinvar "), prefix, lit(" matches rgd")))
+            .otherwise(concat(lit("clinvar "), prefix, lit(" does not match rgd"))))
+        // insertion match flag starts TRUE in the reference: any
+        // non-empty candidate list counts as a match
+        .otherwise(
+          when(col("n_store") === 0, concat(lit("clinvar "), prefix, lit(" not in rgd")))
+            .otherwise(concat(lit("clinvar "), prefix, lit(" matches rgd"))))
+        .as("counter"))
+    val snvUpdates = agg
+      .filter(col("route") === "snv" && col("bad_rgd_id").isNotNull)
       .select(col("bad_rgd_id").as("rgd_id"), col("ref"), col("alt").as("allele"))
-
-    // --- deletion probe at (chr, pos+1), padding stripped from REF -----------
-    def delClassify(lines: DataFrame, prefix: String): DataFrame = {
-      val joined = lines.join(
-        s.filter(!col("var_type").isin("snv", "insertion")),
-        col("chr") === col("s_chr") && (col("pos") + 1) === col("s_pos"), "left")
-      joined
-        .groupBy("chr", "pos", "ref", "alt")
-        .agg(
-          count(col("rgd_id")).as("n_store"),
-          max(when(expr("substring(ref, 2)") === col("ref_nuc") &&
-            col("var_nuc").startsWith("-"), lit(1)).otherwise(lit(0))).as("m"))
-        .select(
-          col("chr"), col("pos"),
-          when(col("n_store") === 0, s"clinvar $prefix not in rgd")
-            .when(col("m") === 1, s"clinvar $prefix matches rgd")
-            .otherwise(s"clinvar $prefix does not match rgd").as("counter"))
-    }
-
-    // --- insertion probe at (chr, pos+1), padding stripped from ALT ----------
-    // (match flag starts TRUE in the reference: non-empty list == match)
-    def insClassify(lines: DataFrame, prefix: String): DataFrame = {
-      val joined = lines.join(
-        s.filter(col("var_type") =!= "snv"),
-        col("chr") === col("s_chr") && (col("pos") + 1) === col("s_pos"), "left")
-      joined
-        .groupBy("chr", "pos")
-        .agg(count(col("rgd_id")).as("n_store"))
-        .select(
-          col("chr"), col("pos"),
-          when(col("n_store") === 0, s"clinvar $prefix not in rgd")
-            .otherwise(s"clinvar $prefix matches rgd").as("counter"))
-    }
-
-    val delClassified = delClassify(routed.filter(col("route") === "del"), "deletion")
-    val msDelClassified = delClassify(routed.filter(col("route") === "ms_del"), "ms-deletion")
-    val insClassified = insClassify(routed.filter(col("route") === "ins"), "insertion")
-    val msInsClassified = insClassify(routed.filter(col("route") === "ms_ins"), "ms-insertion")
 
     val passthrough = routed
       .filter(col("route").isin("inversion", "indel", "variation", "unhandled"))
@@ -131,10 +125,7 @@ object VcfReconcile {
             "clinvar variation - allele is '.'")
           .otherwise("unhandled").as("counter"))
 
-    val classified = Seq(
-      snvClassified, delClassified, msDelClassified,
-      insClassified, msInsClassified, passthrough)
-      .reduce(_.unionByName(_))
+    val classified = probeClassified.unionByName(passthrough)
 
     val counters = classified.groupBy("counter").agg(count(lit(1)).as("n"))
 

@@ -218,6 +218,10 @@ object Dedup {
       blockCols: Seq[Column],
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // NOT persisted: the self-join's two sides shuffle on the same
+    // (block, sh) key, so Catalyst reuses one exchange for both, and the
+    // codegen'd shingle explode recomputes cheaper than caching millions
+    // of shingle strings would cost (measured: persist = +0.8s at sf0.1)
     val sh = docs
       .select(
         col(idCol).as("id"),
