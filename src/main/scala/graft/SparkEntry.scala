@@ -573,6 +573,25 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- sessionization (batch twin of streaming/StreamingOps.sessionize):
+    // 30-min-gap sessions via lag + running sum — the training-data
+    // conversation/sessionize staple, windowed on the high-cardinality user key
+    "q49_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("_prev", lag(col("ts"), 1).over(w))
+        .withColumn(
+          "_new",
+          when(col("_prev").isNull ||
+            col("ts") - col("_prev") > lit(1800000000000L), 1).otherwise(0))
+        .withColumn("session_seq", sum(col("_new")).over(w))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("min(ts) div 1000000").as("start_ms"),
+          expr("max(ts) div 1000000").as("end_ms"))
+    }),
+
     // --- Clinvar2Vcf.fixRefAndAllele: ±1 pad-shift reconciliation sweep -------
     "q48_vcf_reconcile" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
@@ -1107,6 +1126,24 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    "q49_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tsn,
+        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+        |  FROM b),
+        |g AS (
+        |  SELECT user_id, tsn,
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(tsn // 1000000) AS start_ms, max(tsn // 1000000) AS end_ms
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q48_vcf_reconcile" ->
       """WITH ev AS (SELECT user_id, event_id FROM events),
