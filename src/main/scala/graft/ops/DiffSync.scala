@@ -128,9 +128,13 @@ object DiffSync {
       oldSuffix: String = "_old"): DataFrame = {
     val keep = diff.filter(col(ActionCol) =!= Delete)
     val picked = contentCols.map { c =>
-      when(col(ActionCol) === "keep_stale", col(c + oldSuffix))
-        .otherwise(col(c))
-        .as(c)
+      // diffs from operators without an old-side copy (e.g. AliasSync)
+      // carry no *_old columns — the current value is the value
+      if (diff.columns.contains(c + oldSuffix))
+        when(col(ActionCol) === "keep_stale", col(c + oldSuffix))
+          .otherwise(col(c))
+          .as(c)
+      else col(c)
     }
     keep.select(keyCols.map(col) ++ picked: _*)
   }

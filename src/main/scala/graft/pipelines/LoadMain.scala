@@ -36,7 +36,8 @@ object LoadMain {
         StructField("rgd_id", LongType), StructField("hgvs_type", StringType),
         StructField("name", StringType)))),
       aliases = empty(StructType(Seq(
-        StructField("rgd_id", LongType), StructField("value", StringType)))),
+        StructField("rgd_id", LongType), StructField("value", StringType),
+        StructField("notes", StringType)))),
       geneAssocs = empty(StructType(Seq(
         StructField("rgd_id", LongType), StructField("gene_id", StringType)))),
       mapPositions = empty(StructType(Seq(
@@ -115,7 +116,8 @@ object LoadMain {
         Seq("symbol", "rcv_acc") ++ LoadPipeline.VariantContentCols :+ "date_last_evaluated"),
       "xdb_ids" -> (Seq("rgd_id", "xdb_key", "acc_id"), Seq.empty[String]),
       "hgvs_names" -> (Seq("rgd_id", "hgvs_type", "name"), Seq.empty[String]),
-      "aliases" -> (Seq("rgd_id", "value"), Seq.empty[String]),
+      // notes rides as content: the alias's RCV id (J7 scoping key)
+      "aliases" -> (Seq("rgd_id", "value"), Seq("notes")),
       "gene_associations" -> (Seq("rgd_id", "gene_id"), Seq.empty[String]),
       "map_positions" -> (Seq("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos"),
         Seq.empty[String]))
