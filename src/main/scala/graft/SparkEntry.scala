@@ -573,6 +573,16 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- scale: near-dup cluster formation (connected components over pairs) --
+    "q50_dedup_cluster" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 10 <= 2)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val cross = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 5).as("id_b"))
+      Dedup.connectedComponents(chain.unionByName(cross), "id_a", "id_b")
+    }),
+
     // --- sessionization (batch twin of streaming/StreamingOps.sessionize):
     // 30-min-gap sessions via lag + running sum — the training-data
     // conversation/sessionize staple, windowed on the high-cardinality user key
@@ -1126,6 +1136,19 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    "q50_dedup_cluster" ->
+      """WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM base WHERE doc_id % 10 <= 2
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 5 FROM base WHERE doc_id % 20 = 0),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |r AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS rep FROM r GROUP BY a""".stripMargin,
 
     "q49_sessionize" ->
       """WITH b AS (

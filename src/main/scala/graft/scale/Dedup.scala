@@ -245,6 +245,137 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup PAIR list — the cluster-
+    * formation step a dedup pipeline needs after LSH/Jaccard pairs:
+    * pairs chain (a~b, b~c => {a,b,c}) and each cluster keeps one
+    * representative.
+    *
+    * Min-label propagation: every node starts as its own label; each
+    * round a node takes the minimum label among itself and its
+    * neighbors. Converges in O(cluster diameter) rounds — near-dup
+    * clusters are shallow (pairs come from a similarity threshold, so
+    * components are cliques-ish with tiny diameter), which makes this
+    * the right scale shape: each round is one shuffle join + min-agg
+    * over the pair list, all distributed; the driver only runs the
+    * convergence check. (For adversarial billion-edge long-chain graphs
+    * use the alternating small-star/large-star formulation instead.)
+    *
+    * @return (id, rep) — one row per node that appears in `pairs`, with
+    *         the component's minimum id as representative
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 15,
+      driverThreshold: Long = 2000000L): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    // size switch (same design as Closure/Fixpoint): a pair list that
+    // fits the driver resolves in one union-find pass instead of paying
+    // per-round distributed scheduling; huge pair lists (near-dup sweeps
+    // over billions of docs) take the propagation rounds below
+    if (edges.count() <= driverThreshold) {
+      val out = driverComponents(edges)
+      edges.unpersist()
+      return out
+    }
+    var labels = edges.select(col("src").as("id"), col("src").as("rep")).distinct().persist()
+    var round = 0
+    var changed = true
+    while (changed) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"components did not converge after $maxRounds rounds (pathological chain?)")
+      val neighborMin = edges
+        .join(labels, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("rep")).as("n_rep"))
+      val next = labels
+        .join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("n_rep"), col("rep"))).as("rep"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("rep", "old_rep"), Seq("id"))
+        .filter(col("rep") =!= col("old_rep"))
+        .limit(1)
+        .count() > 0
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Driver union-find with path compression for dim-sized pair lists;
+    * representatives are the component minimum, matching the
+    * distributed path exactly.
+    */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val pairs = edges.collect().map(r => (r.get(0), r.get(1)))
+    val parent = new scala.collection.mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != cur) {
+        val nxt = parent.getOrElse(cur, cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val byRoot = parent.keysIterator.toSeq.groupBy(find)
+    val rows = byRoot.valuesIterator.flatMap { members =>
+      val rep = members.min(OrderingForAny)
+      members.iterator.map(m => org.apache.spark.sql.Row(m, rep))
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      edges.schema.fields.head.copy(name = "id"),
+      edges.schema.fields.head.copy(name = "rep")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000 + 1)),
+      schema)
+  }
+
+  /** Min ordering over the id types that appear in pair lists (numeric
+    * or string ids) — mirrors the distributed path's `min(rep)`.
+    */
+  private val OrderingForAny: Ordering[Any] = new Ordering[Any] {
+    def compare(x: Any, y: Any): Int = (x, y) match {
+      case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+      case (a: Int, b: Int) => Integer.compare(a, b)
+      case (a: Number, b: Number) => java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+      case (a: String, b: String) => a.compareTo(b)
+      case (a, b) => a.toString.compareTo(b.toString)
+    }
+  }
+
+  /** Keep one representative document per near-dup cluster: drop every
+    * clustered doc whose id is not its component's minimum. Docs that
+    * appear in no pair pass through untouched (left anti on the
+    * non-representative set only).
+    */
+  def dedupByCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup candidate groups: documents sharing the same
     * simhash band (4 x 16-bit bands => hamming distance <= 3 candidates
     * land in at least one common band with high probability).

@@ -72,6 +72,26 @@ class ScaleSpec extends SparkSpec {
     assert(res.head === ((1L, 1, 2L))) // the identical vector is rank 1
   }
 
+  test("connectedComponents: pair chains merge into min-id clusters (both paths)") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaCluster = Dedup.connectedComponents(pairs, "id_a", "id_b", driverThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver === viaCluster)
+    assert(Seq(1L, 2L, 3L, 4L).forall(viaDriver(_) === 1L)) // 4 hops away still finds 1
+    assert(viaDriver(11L) === 10L && viaDriver(22L) === 20L && viaDriver(21L) === 20L)
+  }
+
+  test("dedupByCluster keeps the min-id representative; unpaired docs pass through") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByCluster(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L)) // reps 1 and 5 survive; 4 untouched
+  }
+
   test("ivfTopK: inverted-file search finds same top-1 as brute force at full probe") {
     val rnd = new scala.util.Random(11)
     val emb = (1 to 200).map { i =>
