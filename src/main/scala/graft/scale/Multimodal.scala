@@ -69,7 +69,39 @@ object Multimodal {
     * Returns None when the payload is not a well-formed P6 (caller
     * falls through to the stub or flags corrupt).
     */
-  private[scale] def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  private[scale] def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodePpmParsed(bytes).map { case (w, h, sample) =>
+      val sums = new Array[Double](3)       // per-channel
+      val halves = new Array[Double](4)     // left/right/top/bottom luma
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          val r = sample(p); val g = sample(p + 1); val b = sample(p + 2)
+          sums(0) += r; sums(1) += g; sums(2) += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          halves(if (x * 2 < w) 0 else 1) += luma
+          halves(if (y * 2 < h) 2 else 3) += luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val meanLuma = 0.299 * sums(0) / n + 0.587 * sums(1) / n + 0.114 * sums(2) / n
+      val emb = Array(
+        (sums(0) / n).toFloat, (sums(1) / n).toFloat, (sums(2) / n).toFloat,
+        meanLuma.toFloat,
+        (halves(0) / n * 2).toFloat, (halves(1) / n * 2).toFloat,
+        (halves(2) / n * 2).toFloat, (halves(3) / n * 2).toFloat)
+      (w, h, emb)
+    }
+
+  /** P6 header + raster parse: (width, height, maxval-normalized sample
+    * accessor over the flat RGB index space). None unless well-formed
+    * with a complete raster.
+    */
+  private def decodePpmParsed(bytes: Array[Byte]): Option[(Int, Int, Int => Double)] = {
     if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var pos = 2
     def skipSeparators(): Unit = {
@@ -102,37 +134,45 @@ object Multimodal {
         { pos += 1; true }
       if bytes.length - pos >= w.toLong * h * 3 * bytesPerSample
     } yield {
-      def sample(i: Int): Double = {
-        val off = pos + i * bytesPerSample
+      val start = pos
+      val sample: Int => Double = { i =>
+        val off = start + i * bytesPerSample
         val raw =
           if (bytesPerSample == 1) bytes(off) & 0xff
           else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
         raw.toDouble / maxval
       }
-      val sums = new Array[Double](3)       // per-channel
-      val halves = new Array[Double](4)     // left/right/top/bottom luma
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = (y * w + x) * 3
-          val r = sample(p); val g = sample(p + 1); val b = sample(p + 2)
-          sums(0) += r; sums(1) += g; sums(2) += b
-          val luma = 0.299 * r + 0.587 * g + 0.114 * b
-          halves(if (x * 2 < w) 0 else 1) += luma
-          halves(if (y * 2 < h) 2 else 3) += luma
-          x += 1
+      (w, h, sample)
+    }
+  }
+
+  /** REAL nearest-neighbor resize for P6 payloads: re-emits a valid PPM
+    * at (targetW, targetH) with 1-byte samples. None for malformed
+    * input — same contract as [[decodePpm]]. Thumbnailing at ingest is
+    * how a 100 TB image corpus shrinks before the expensive model pass.
+    */
+  private[scale] def resizePpm(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    if (targetW <= 0 || targetH <= 0) return None
+    decodePpmParsed(bytes).map { case (w, h, sample) =>
+      val header = s"P6\n$targetW $targetH\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + targetW * targetH * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var ty = 0
+      while (ty < targetH) {
+        val sy = ty * h / targetH
+        var tx = 0
+        while (tx < targetW) {
+          val sx = tx * w / targetW
+          val sp = (sy * w + sx) * 3
+          val tp = header.length + (ty * targetW + tx) * 3
+          out(tp) = (sample(sp) * 255.0).round.toByte
+          out(tp + 1) = (sample(sp + 1) * 255.0).round.toByte
+          out(tp + 2) = (sample(sp + 2) * 255.0).round.toByte
+          tx += 1
         }
-        y += 1
+        ty += 1
       }
-      val n = w.toDouble * h
-      val meanLuma = 0.299 * sums(0) / n + 0.587 * sums(1) / n + 0.114 * sums(2) / n
-      val emb = Array(
-        (sums(0) / n).toFloat, (sums(1) / n).toFloat, (sums(2) / n).toFloat,
-        meanLuma.toFloat,
-        (halves(0) / n * 2).toFloat, (halves(1) / n * 2).toFloat,
-        (halves(2) / n * 2).toFloat, (halves(3) / n * 2).toFloat)
-      (w, h, emb)
+      out
     }
   }
 
@@ -174,6 +214,23 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(batch => decodeImageBatchStub(batch.toSeq))
+    }
+  }
+
+  /** Thumbnail pass over a distributed asset set: PPM payloads are
+    * resized FOR REAL (valid PPM out, ready for [[imageFeatures]] or
+    * export); undecodable payloads pass through unchanged so a mixed
+    * corpus never loses rows. Partition-batched like the decode path.
+    */
+  def thumbnails(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map { a =>
+        resizePpm(a.content, targetW, targetH) match {
+          case Some(resized) => a.copy(content = resized)
+          case None => a
+        }
+      })
     }
   }
 

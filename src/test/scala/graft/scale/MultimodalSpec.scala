@@ -45,6 +45,26 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.imageFeatures(Seq(bad).toDS()).collect().head.ok)
   }
 
+  test("PPM resize is REAL: nearest-neighbor thumbnail re-decodes at target size") {
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    // top row black..black|red red, bottom row green green|blue blue
+    val px = Array[Byte](
+      0, 0, 0, 0, 0, 0, 255.toByte, 0, 0, 255.toByte, 0, 0,
+      0, 255.toByte, 0, 0, 255.toByte, 0, 0, 0, 255.toByte, 0, 0, 255.toByte)
+    val thumb = Multimodal.resizePpm(header ++ px, 2, 1).get
+    // 2x1 nearest-neighbor picks (0,0) black and (2,0) red
+    val (w, h, emb) = Multimodal.decodePpm(thumb).get
+    assert((w, h) === ((2, 1)))
+    assert(emb(0) === 0.5f && emb(1) === 0.0f && emb(2) === 0.0f) // mean R over {black, red}
+    // Dataset-level pass keeps undecodable payloads untouched
+    val mixed = Seq(
+      Multimodal.Asset(1L, "image", header ++ px, "ppm"),
+      Multimodal.Asset(2L, "image", "not an image".getBytes, "jpeg")).toDS()
+    val out = Multimodal.thumbnails(mixed, 2, 1).collect().map(a => a.assetId -> a).toMap
+    assert(Multimodal.decodePpm(out(1L).content).get._1 === 2)
+    assert(new String(out(2L).content) === "not an image")
+  }
+
   test("features feed the similarity operators (schema contract)") {
     val feats = Multimodal.imageFeatures(assets).filter(_.ok).toDF()
     val top = Similarity.bruteForceTopK(feats, feats.limit(1), "assetId", "embedding", 1)
