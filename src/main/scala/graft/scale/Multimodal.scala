@@ -245,4 +245,25 @@ object Multimodal {
       .withColumn(
         "frame_offset_ms",
         (col(durationCol) * col("frame_idx") / n).cast("long"))
+
+  /** Fixed-length windowing for audio payloads: one row per
+    * `windowMs`-sized window covering the clip (last window may be
+    * short). The SAMPLE DECODE inside each window is the stub boundary;
+    * the window arithmetic, row explosion, and clamped end offsets are
+    * real — this is the segmentation shape an ASR/audio-embedding batch
+    * pass consumes.
+    */
+  def audioWindows(assets: DataFrame, windowMs: Long, durationCol: String): DataFrame =
+    assets
+      .withColumn(
+        "window_idx",
+        explode(sequence(
+          lit(0L),
+          greatest(
+            expr(s"($durationCol + ${windowMs - 1}) div $windowMs") - 1,
+            lit(0L)))))
+      .withColumn("window_start_ms", col("window_idx") * windowMs)
+      .withColumn(
+        "window_end_ms",
+        least(col("window_start_ms") + windowMs, col(durationCol)))
 }

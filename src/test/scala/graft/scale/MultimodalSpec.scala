@@ -80,6 +80,16 @@ class MultimodalSpec extends SparkSpec {
     assert(offs === Seq(0L, 2500L, 5000L, 7500L))
   }
 
+  test("audioWindows: fixed windows cover the clip, last one clamped") {
+    val clips = Seq((1L, 2500L), (2L, 900L)).toDF("asset_id", "duration_ms")
+    val w = Multimodal.audioWindows(clips, 1000L, "duration_ms")
+      .select("asset_id", "window_idx", "window_start_ms", "window_end_ms")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(w === Seq(
+      (1L, 0L, 0L, 1000L), (1L, 1L, 1000L, 2000L), (1L, 2L, 2000L, 2500L),
+      (2L, 0L, 0L, 900L)))
+  }
+
   test("readDir: binaryFile source yields (path, length, content)") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toFile
     java.nio.file.Files.write(new java.io.File(dir, "a.bin").toPath, "hello".getBytes)
