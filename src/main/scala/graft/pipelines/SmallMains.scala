@@ -35,15 +35,18 @@ object VariantRsIdMain {
 }
 
 /** CLI for `--qcDuplicateTerms[AndSynonyms]` (SURVEY O2):
-  * `runMain graft.pipelines.DupTermQcMain <terms-parquet> [synonyms-parquet]`
-  * prints the duplicate-name report with ranked winners.
+  * `runMain graft.pipelines.DupTermQcMain <terms-parquet> [synonyms-parquet
+  * [dag-edges-parquet]]` prints the duplicate-name report with ranked
+  * winners; with the ontology (child, parent) edges, same-branch
+  * duplicates are suppressed to the winner (J14).
   */
 object DupTermQcMain {
   def main(args: Array[String]): Unit = {
     val spark = VariantRsIdMain.local()
     val terms = spark.read.parquet(args(0))
     val synonyms = args.lift(1).map(p => spark.read.parquet(p))
-    val report = DupTermQcPipeline.run(terms, synonyms)
+    val dagEdges = args.lift(2).map(p => spark.read.parquet(p))
+    val report = DupTermQcPipeline.run(terms, synonyms, dagEdges)
     report.orderBy(col("norm_name"), col("rank")).collect().take(40).foreach { r =>
       val win = if (r.getBoolean(4)) " <- winner" else ""
       println(s"[dupterm] ${r.getString(0)}: ${r.getString(1)} (rank ${r.getInt(3)})$win")
