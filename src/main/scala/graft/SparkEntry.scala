@@ -573,6 +573,28 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- K1/J1: identity match + dense surrogate-id assignment ----------------
+    "q51_insert_ids" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val empty = cust.limit(0)
+      val store = graft.pipelines.LoadPipeline.Store(
+        variants = cust.filter(col("c_custkey") % 3 === 0).select(
+          col("c_custkey").as("rgd_id"),
+          concat(lit("C"), col("c_custkey")).as("symbol"),
+          col("c_name").as("name"),
+          concat(lit("RCV"), col("c_custkey")).as("rcv_acc")),
+        xdbIds = empty, hgvsNames = empty, aliases = empty,
+        geneAssocs = empty, mapPositions = empty)
+      val incoming = cust.filter(col("c_custkey") % 2 === 0).select(
+        when(col("c_custkey") % 4 === 0, concat(lit("X"), col("c_custkey")))
+          .otherwise(concat(lit("C"), col("c_custkey"))).as("symbol"),
+        when(col("c_custkey") % 5 === 0, concat(lit("RCV"), col("c_custkey")))
+          .otherwise(lit("")).as("rcv_acc"),
+        col("c_name").as("name"))
+      graft.pipelines.LoadPipeline.matchIdentity(incoming, store)
+        .select("symbol", "rcv_acc", "name", "matched_stage", "rgd_id")
+    }),
+
     // --- scale: near-dup cluster formation (connected components over pairs) --
     "q50_dedup_cluster" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
@@ -1136,6 +1158,38 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    "q51_insert_ids" ->
+      """WITH store AS (
+        |  SELECT c_custkey AS rgd_id, 'C' || c_custkey AS symbol, c_name AS name,
+        |         'RCV' || c_custkey AS rcv_acc
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |inc AS (
+        |  SELECT CASE WHEN c_custkey % 4 = 0 THEN 'X' || c_custkey
+        |              ELSE 'C' || c_custkey END AS symbol,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'RCV' || c_custkey ELSE '' END AS rcv_acc,
+        |    c_name AS name
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |m AS (
+        |  SELECT i.symbol, i.rcv_acc, i.name,
+        |    s1.rgd_id AS r1, s2.rgd_id AS r2, s3.rgd_id AS r3
+        |  FROM inc i
+        |  LEFT JOIN store s1 ON s1.rcv_acc = i.rcv_acc AND i.rcv_acc <> ''
+        |  LEFT JOIN store s2 ON s2.symbol = i.symbol
+        |  LEFT JOIN store s3 ON s3.name = i.name),
+        |staged AS (
+        |  SELECT symbol, rcv_acc, name,
+        |    CASE WHEN r1 IS NOT NULL THEN 1 WHEN r2 IS NOT NULL THEN 2
+        |         WHEN r3 IS NOT NULL THEN 3 ELSE 0 END AS matched_stage,
+        |    COALESCE(r1, r2, r3) AS matched_rgd_id
+        |  FROM m),
+        |mx AS (SELECT COALESCE(max(rgd_id), 0) AS mid FROM store)
+        |SELECT symbol, rcv_acc, name, matched_stage, matched_rgd_id AS rgd_id
+        |FROM staged WHERE matched_stage > 0
+        |UNION ALL
+        |SELECT symbol, rcv_acc, name, matched_stage,
+        |  mid + row_number() OVER (ORDER BY symbol, name, rcv_acc) AS rgd_id
+        |FROM staged CROSS JOIN mx WHERE matched_stage = 0""".stripMargin,
 
     "q50_dedup_cluster" ->
       """WITH RECURSIVE base AS (SELECT doc_id FROM documents),

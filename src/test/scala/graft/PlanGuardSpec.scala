@@ -66,17 +66,20 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("NO query plan contains a single-partition shuffle (scale-killer guard)") {
-    // the one exemption: q07's global delete-fraction guard reduces an
-    // ALREADY-AGGREGATED counters frame — a 1-row exchange by design
+    // budgeted exemptions — both are GLOBAL AGGREGATIONS whose exchange
+    // carries one partially-aggregated row per upstream partition:
+    //   q07: the global delete-fraction guard over per-action counters
+    //   q51: max(rgd_id) over the store for the surrogate-id base
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val budgets = Map("q07_guarded_delete" -> 1, "q51_insert_ids" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
         case _ => false
       })
-      val budget = if (q == "q07_guarded_delete") 1 else 0
-      if (n > budget) Some(s"$q has $n single-partition shuffle(s)") else None
+      if (n > budgets.getOrElse(q, 0)) Some(s"$q has $n single-partition shuffle(s)")
+      else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
