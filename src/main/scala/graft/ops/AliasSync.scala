@@ -54,8 +54,11 @@ object AliasSync {
       .withColumn("action", lit("match"))
 
     // 3) unmatched stored alias: delete iff notes == primary RCV
-    //    (Aliases.java:85-90); other in-set aliases stay untouched
-    val primary = incoming.select(col("rgd_id"), col("rcv_acc")).distinct()
+    //    (Aliases.java:85-90); other in-set aliases stay untouched.
+    //    Two incoming records can identity-match ONE variant (stage-3
+    //    name fallback) with different RCVs — min() picks one primary
+    //    deterministically so no stored alias gets contradictory actions
+    val primary = incoming.groupBy(col("rgd_id")).agg(min(col("rcv_acc")).as("rcv_acc"))
     val unmatchedStore = candidates
       .join(incLv, Seq("rgd_id", "_lv"), "left_anti")
       .join(primary, Seq("rgd_id"), "left")

@@ -32,14 +32,19 @@ object Closure {
     *              multi-parent rows are the point (a DAG, not a chain —
     *              [[Fixpoint.resolve]] handles the one-successor case)
     * @param driverThreshold edge count up to which the dim-sized driver
-    *              path runs; pass 0 to force distributed path doubling
+    *              path runs; pass 0 to force distributed path doubling.
+    *              NB the real budget is the CLOSURE size (edges × depth,
+    *              quadratic for chain-shaped graphs) — the default is
+    *              conservative because a graph whose closure doesn't fit
+    *              the driver is painful distributed too (the output IS
+    *              the closure)
     */
   def ancestors(
       edges: DataFrame,
       childCol: String = "child",
       parentCol: String = "parent",
       maxRounds: Int = 20,
-      driverThreshold: Long = 2000000L): DataFrame = {
+      driverThreshold: Long = 500000L): DataFrame = {
     val e = edges
       .select(col(childCol).as("term"), col(parentCol).as("ancestor"))
       .distinct()
@@ -90,9 +95,7 @@ object Closure {
       }
     }
     val rows = anc.iterator.flatMap { case (t, as) => as.iterator.map(a => Row(t, a)) }.toSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000 + 1)),
-      e.schema)
+    DriverDim.toDF(spark, rows, e.schema)
   }
 
   /** Path doubling for graphs too big to collect; join strategy per

@@ -31,7 +31,9 @@ object Fixpoint {
       newCol: String,
       maxRounds: Int = 20,
       driverThreshold: Long = 2000000L): DataFrame = {
-    val edges = subs.select(col(oldCol).as("old_id"), col(newCol).as("resolved_id"))
+    // distinct first so both paths agree on row multiplicity for inputs
+    // carrying duplicate substitution rows (same idiom as Closure/Dedup)
+    val edges = subs.select(col(oldCol).as("old_id"), col(newCol).as("resolved_id")).distinct()
     val n0 = edges.count()
     if (n0 <= driverThreshold) return driverResolve(edges)
     var cur = edges.persist()
@@ -87,8 +89,6 @@ object Fixpoint {
       }
     }
     val rows = resolved.iterator.map { case (o, r) => org.apache.spark.sql.Row(o, r) }.toSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000 + 1)),
-      edges.schema)
+    DriverDim.toDF(spark, rows, edges.schema)
   }
 }

@@ -83,7 +83,14 @@ object MergeSplit {
           .groupBy(keys: _*)
           .agg(concat_ws(delim, array_sort(collect_list(col("_tok")))).as(out))
       }
-      .reduce(_.join(_, keyCols))
+      .reduce { (a, b) =>
+        // NULL-SAFE key equality: a plain equi-join would silently drop
+        // groups whose key contains null (both sides share the key
+        // partitioning from their groupBys, so this adds no exchange)
+        val b2 = keyCols.foldLeft(b)((d, k) => d.withColumnRenamed(k, "_r_" + k))
+        val cond = keyCols.map(k => col(k) <=> col("_r_" + k)).reduce(_ && _)
+        a.join(b2, cond).drop(keyCols.map("_r_" + _): _*)
+      }
     merged
       .withColumn(splitCol, explode(chunked(col(splitCol), maxLen, chunkSep)))
   }

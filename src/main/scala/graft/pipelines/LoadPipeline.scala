@@ -128,7 +128,11 @@ object LoadPipeline {
       store: Store,
       maxXdbDeleteFraction: Double = 0.08): Result = {
 
+    // persisted: ~8 consumers below (variant diff, key maps, RCV sets,
+    // child rekeys, counters) would otherwise each re-run the 3-stage
+    // match and the insert-path range sort from scratch
     val identified = matchIdentity(incomingVariants, store)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merged = mergeFields(identified, store)
 
     // symbol/rcv_acc ride along as content so the diff frame carries the

@@ -341,9 +341,7 @@ object Dedup {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       edges.schema.fields.head.copy(name = "id"),
       edges.schema.fields.head.copy(name = "rep")))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000 + 1)),
-      schema)
+    graft.ops.DriverDim.toDF(spark, rows, schema)
   }
 
   /** Min ordering over the id types that appear in pair lists (numeric

@@ -224,13 +224,15 @@ object Multimodal {
     */
   def thumbnails(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
+    // per-element map — unlike the decode path there is no batch setup
+    // to amortize, so no grouped() buffering of payloads
     assets.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap(_.map { a =>
+      it.map { a =>
         resizePpm(a.content, targetW, targetH) match {
           case Some(resized) => a.copy(content = resized)
           case None => a
         }
-      })
+      }
     }
   }
 

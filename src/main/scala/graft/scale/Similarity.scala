@@ -151,6 +151,12 @@ object Similarity {
     * lists — the scored set shrinks from |N| to ~|N|·nprobe/nlist per
     * probe. Recall < 1 by construction; raise `nprobe` to trade compute
     * for recall.
+    *
+    * CONTRACT: ids must be NUMERIC (the centroid tie-break negates them)
+    * and `centroidStride` must divide some corpus ids — dense or
+    * hash-assigned id spaces qualify; with sparse ids pick a stride that
+    * provably hits (an empty quantizer yields an empty result, the same
+    * contract as an unfitted index).
     */
   def ivfTopK(
       corpus: DataFrame,
