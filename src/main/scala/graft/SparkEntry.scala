@@ -573,6 +573,19 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- skew tooling: salted two-phase EXACT distinct over a hot key ---------
+    // (salting by the counted column keeps per-salt distinct sets disjoint,
+    // so the phase-2 sum is exact; oracle = the plain one-phase distinct)
+    "q52_skew_distinct" -> ((s, dir) => {
+      SkewTools.saltedAgg(
+        t(s, dir, "events").select(col("event_type"), col("user_id")),
+        keys = Seq("event_type"),
+        saltBy = col("user_id"),
+        salt = 16,
+        phase1 = Seq(countDistinct(col("user_id")).as("pd")),
+        phase2 = Seq(sum(col("pd")).as("n_users")))
+    }),
+
     // --- K1/J1: identity match + dense surrogate-id assignment ----------------
     "q51_insert_ids" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -1158,6 +1171,10 @@ object SparkEntry {
         |  'TSA=' || var_type || ';E_Freq' AS line
         |FROM g
         |WHERE NOT (length(ref) > 1 AND length(alt) > 1)""".stripMargin,
+
+    "q52_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q51_insert_ids" ->
       """WITH store AS (

@@ -29,4 +29,15 @@ class AliasSyncSpec extends SparkSpec {
       (1L, "nullnotes", "keep"),
       (1L, "Fresh Alias", "insert")))
   }
+
+  test("two records matching one variant yield ONE deterministic primary (min RCV)") {
+    val incoming = Seq((1L, "al", "RCV2"), (1L, "other", "RCV1"))
+      .toDF("rgd_id", "value", "rcv_acc")
+    val current = Seq((1L, "stale", "RCV1")).toDF("rgd_id", "value", "notes")
+    val rcvSets = Seq((1L, "RCV1"), (1L, "RCV2")).toDF("rgd_id", "rcv")
+    val actions = AliasSync(incoming, current, rcvSets)
+      .filter(org.apache.spark.sql.functions.col("value") === "stale")
+      .select("action").as[String].collect().toSeq
+    assert(actions === Seq("delete")) // one row, not delete+keep duplicates
+  }
 }

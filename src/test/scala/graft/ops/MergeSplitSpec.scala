@@ -30,6 +30,26 @@ class MergeSplitSpec extends SparkSpec {
     }
   }
 
+  test("multi merge columns rejoin null-safely on the key") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (Option("k1"), "a|b", "x"),
+      (Option("k1"), "b", "y"),
+      (Option.empty[String], "c", "z") // null key must survive recombination
+    ).toDF("k", "v1", "v2")
+    val out = MergeSplit.mergeThenSplit(df, Seq("k"),
+      Map("v1" -> ((col("v1"), "[|]", "|")), "v2" -> ((col("v2"), "[|]", "|"))),
+      splitCol = "v1", maxLen = 100)
+    assert(out.count() === 2)
+    val nullRow = out.filter(col("k").isNull)
+      .select("v1", "v2").as[(String, String)].head()
+    assert(nullRow === (("c", "z")))
+    val k1 = out.filter(col("k") === "k1")
+      .select("v1", "v2").as[(String, String)].head()
+    assert(k1 === (("a|b", "x|y")))
+  }
+
   test("mergeThenSplit: groupBy set-merge then explode oversize (A8-A10 chain)") {
     val df = Seq(
       (1, "b|a"), (1, "c"), (2, "zzzzzz|yyyyyy")
