@@ -573,6 +573,17 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- scale: deterministic per-language quota sampling ---------------------
+    // (md5-bucket filter — reproducible, shuffle-free, pushed to the scan)
+    "q53_hash_sample" -> ((s, dir) => {
+      val bucket = TextStats.hashBucket(col("doc_id").cast("string"), 100)
+      val quota = when(col("lang") === "en", 60)
+        .when(col("lang") === "fr", 30).otherwise(10)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < quota)
+    }),
+
     // --- skew tooling: salted two-phase EXACT distinct over a hot key ---------
     // (salting by the counted column keeps per-salt distinct sets disjoint,
     // so the phase-2 sum is exact; oracle = the plain one-phase distinct)
@@ -1175,6 +1186,13 @@ object SparkEntry {
     "q52_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q53_hash_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < (CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END)""".stripMargin,
 
     "q51_insert_ids" ->
       """WITH store AS (

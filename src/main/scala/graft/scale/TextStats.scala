@@ -73,6 +73,17 @@ object TextStats {
   def fingerprint(text: Column, hexLen: Int = 16): Column =
     substring(md5(regexp_replace(lower(text), "\\s+", " ").cast("binary")), 0, hexLen)
 
+  /** Deterministic hash bucket in [0, buckets): the first 3 hex nibbles
+    * of md5 reduced mod `buckets`. Reproducible across engines (md5 hex
+    * is bit-identical; DuckDB parses the same nibbles via
+    * `('0x' || substr(md5(x),1,3))::BIGINT`) and across runs — the
+    * foundation for SAMPLING a 100 TB corpus as a pushed-down,
+    * shuffle-free scan filter instead of rand() (not reproducible) or a
+    * global sort (not scalable). Quota sampling = `bucket < quota`.
+    */
+  def hashBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c.cast("binary")), 1, 3), 16, 10).cast("long"), lit(buckets))
+
   /** 64-bit SimHash over whitespace tokens, md5 bit source, hex-string
     * output — the oracle-portable formulation.
     *

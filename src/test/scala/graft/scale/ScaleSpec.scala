@@ -72,6 +72,16 @@ class ScaleSpec extends SparkSpec {
     assert(res.head === ((1L, 1, 2L))) // the identical vector is rank 1
   }
 
+  test("hashBucket: deterministic, in range, stable across invocations") {
+    val df = (1L to 200L).toDF("id")
+      .withColumn("b", TextStats.hashBucket(col("id").cast("string"), 100))
+    val buckets = df.select("id", "b").as[(Long, Long)].collect().toMap
+    assert(buckets.values.forall(b => b >= 0 && b < 100))
+    assert(buckets.values.toSet.size > 50) // spreads, not degenerate
+    val again = df.select("id", "b").as[(Long, Long)].collect().toMap
+    assert(buckets === again)
+  }
+
   test("connectedComponents: pair chains merge into min-id clusters (both paths)") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id_a", "id_b")
