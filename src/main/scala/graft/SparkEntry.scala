@@ -573,6 +573,21 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- scale: contiguous sequence packing into fixed token budgets ----------
+    // (shard by lang, order by id, bin by cumulative START offset — the
+    // deterministic distributed shape of packing docs into training
+    // sequences; each shard packs independently, windows stay partitioned)
+    "q54_seq_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).as("n_tok"))
+        .withColumn("bin",
+          ((sum(col("n_tok")).over(w) - col("n_tok")) / 2048).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+    }),
+
     // --- scale: deterministic per-language quota sampling ---------------------
     // (md5-bucket filter — reproducible, shuffle-free, pushed to the scan)
     "q53_hash_sample" -> ((s, dir) => {
@@ -1186,6 +1201,20 @@ object SparkEntry {
     "q52_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q54_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tok,
+        |    (CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) - n_tok)
+        |      // 2048 AS bin
+        |  FROM t)
+        |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q53_hash_sample" ->
       """SELECT doc_id, lang, bucket FROM (
