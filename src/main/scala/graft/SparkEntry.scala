@@ -573,6 +573,23 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- scale: PII scrubbing (email/IP redaction over the text scan) ---------
+    // (synthetic PII injected deterministically from columns so the
+    // redaction paths actually fire on the fixture corpus)
+    "q55_pii_scrub" -> ((s, dir) => {
+      val injected = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact "), col("lang"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 end"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.emailCount(injected).as("n_email"),
+          TextStats.ipv4Count(injected).as("n_ip"),
+          md5(TextStats.scrubPii(injected).cast("binary")).as("scrub_md5"))
+    }),
+
     // --- scale: contiguous sequence packing into fixed token budgets ----------
     // (shard by lang, order by id, bin by cumulative START offset — the
     // deterministic distributed shape of packing docs into training
@@ -1201,6 +1218,20 @@ object SparkEntry {
     "q52_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q55_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact ' || lang || doc_id ||
+        |    '@example.com or 10.0.' || (doc_id % 256) || '.7 end' AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  md5(regexp_replace(
+        |    regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_md5
+        |FROM inj""".stripMargin,
 
     "q54_seq_pack" ->
       """WITH t AS (

@@ -157,4 +157,24 @@ object TextStats {
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
   }
+
+  // === PII scrubbing ==========================================================
+
+  /** RE2-safe patterns (no backreferences/lookaround) so the same
+    * strings drive Spark's Java regex and the DuckDB oracle's RE2.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails then IPv4-ish literals — codegen'd regexp_replace
+    * chain over the scan; the shape every curation pipeline runs before
+    * releasing text (swap/extend patterns per policy).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
 }
