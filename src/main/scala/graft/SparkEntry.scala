@@ -573,6 +573,17 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- scale: incremental near-dup filter (new batch vs corpus index) -------
+    "q56_incr_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupAgainstCorpus(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2)
+        .select("doc_id")
+    }),
+
     // --- scale: PII scrubbing (email/IP redaction over the text scan) ---------
     // (synthetic PII injected deterministically from columns so the
     // redaction paths actually fire on the fixture corpus)
@@ -1527,6 +1538,8 @@ object SparkEntry {
 
     "q23_lsh_pairs" -> lshPairsOracleSql,
 
+    "q56_incr_dedup" -> incrDedupOracleSql,
+
     "q24_simhash" -> TextStats.simhashMd5Sql("documents", "doc_id", "text"),
 
     "q25_ann_lsh" -> annLshOracleSql,
@@ -1555,6 +1568,61 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_suppkey, rest AS xrefs FROM rec WHERE length(rest) <= 120""".stripMargin
   )
+
+  /** q56 oracle: the asymmetric (new-batch vs corpus) variant of the
+    * q23 MinHash dataflow — corpus buckets capped, candidates cross-side
+    * only, survivors = new docs with no verified near-dup.
+    */
+  private lazy val incrDedupOracleSql: String = {
+    val numHashes = 16
+    val bands = 8
+    val rpb = numHashes / bands
+    val sigAggs = (0 until numHashes)
+      .map(s => s"min(md5('$s:' || sh)) AS h$s")
+      .mkString(",\n    ")
+    val bandExprs = (0 until bands).map { b =>
+      val slice = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || ',' || ")
+      s"md5('$b:' || $slice)"
+    }.mkString(", ")
+    s"""WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+       |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+       |wn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM newd),
+       |wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corp),
+       |shn AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len(w) - 3, 0) + 1),
+       |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+       |  FROM wn),
+       |shc AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len(w) - 3, 0) + 1),
+       |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+       |  FROM wc),
+       |sign AS (SELECT doc_id, $sigAggs FROM shn GROUP BY doc_id),
+       |sigc AS (SELECT doc_id, $sigAggs FROM shc GROUP BY doc_id),
+       |bn AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sign),
+       |bc AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sigc),
+       |bucketok AS (SELECT band FROM bc GROUP BY band HAVING count(*) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+       |  FROM bn n JOIN bc c ON n.band = c.band
+       |  JOIN bucketok ON bucketok.band = n.band),
+       |cntn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+       |cntc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT cand.new_id, cand.corp_id, count(*) AS ni
+       |  FROM cand
+       |  JOIN shn a ON a.doc_id = cand.new_id
+       |  JOIN shc b ON b.doc_id = cand.corp_id AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT DISTINCT inter.new_id FROM inter
+       |  JOIN cntn ON cntn.doc_id = inter.new_id
+       |  JOIN cntc ON cntc.doc_id = inter.corp_id
+       |  WHERE CAST(ni AS DOUBLE) / CAST(cntn.n + cntc.n - ni AS DOUBLE) >= 0.2)
+       |SELECT doc_id FROM newd
+       |WHERE doc_id NOT IN (SELECT new_id FROM dup)""".stripMargin
+  }
 
   /** q23 oracle: the exact md5 MinHash+LSH+Jaccard dataflow of
     * Dedup.minhashPairsExact in DuckDB SQL (signature/band lists

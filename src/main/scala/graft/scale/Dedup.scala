@@ -245,6 +245,77 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-document MinHash signature row: h0..h{n-1} min-hashes, shingle
+    * count `n`, shingle set `shs` — the reusable index side of both the
+    * self-join ([[minhashPairsExact]]) and the incremental probe
+    * ([[nearDupAgainstCorpus]]). At production scale this frame is
+    * PRECOMPUTED and stored with the corpus; a daily batch only
+    * signatures itself.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val sigAggs = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"h$s")
+    } ++ Seq(count(lit(1)).as("n"), collect_list(col("sh")).as("shs"))
+    sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** Incremental near-dup filter: drop NEW documents that near-duplicate
+    * anything in the EXISTING corpus — the production dedup shape (a
+    * daily batch probes the corpus index; the corpus never re-pairs with
+    * itself). Band-bucketed like the self-join: candidates form only
+    * where a new doc's band key hits a corpus bucket (capped), then
+    * exact Jaccard verifies. Returns the surviving new docs.
+    */
+  def nearDupAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.2,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def bandKeys(sig: DataFrame): DataFrame = {
+      val keys = (0 until bands).map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+        md5(concat(lit(s"$b:"), concat_ws(",", slice: _*)).cast("binary"))
+      }
+      sig.select(col("id"), explode(array(keys: _*)).as("band"))
+    }
+    val sigNew = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCorp = minhashSignatures(corpus, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpBuckets = bandKeys(sigCorp)
+      .groupBy("band")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val candidates = bandKeys(sigNew)
+      .join(corpBuckets, Seq("band"))
+      .select(col("id").as("new_id"), explode(col("ids")).as("corp_id"))
+      .distinct()
+    val dupNewIds = candidates
+      .join(sigNew.select(col("id").as("new_id"), col("shs").as("sha"), col("n").as("na")),
+        Seq("new_id"))
+      .join(sigCorp.select(col("id").as("corp_id"), col("shs").as("shb"), col("n").as("nb")),
+        Seq("corp_id"))
+      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")).cast("double") >= threshold)
+      .select(col("new_id").as(idCol))
+      .distinct()
+    newDocs.join(dupNewIds, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup PAIR list — the cluster-
     * formation step a dedup pipeline needs after LSH/Jaccard pairs:
     * pairs chain (a~b, b~c => {a,b,c}) and each cluster keeps one

@@ -72,6 +72,19 @@ class ScaleSpec extends SparkSpec {
     assert(res.head === ((1L, 1, 2L))) // the identical vector is rank 1
   }
 
+  test("nearDupAgainstCorpus: new near-dups drop, novel docs survive") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup
+      (11L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupAgainstCorpus(newDocs, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(11L))
+  }
+
   test("hashBucket: deterministic, in range, stable across invocations") {
     val df = (1L to 200L).toDF("id")
       .withColumn("b", TextStats.hashBucket(col("id").cast("string"), 100))
