@@ -1261,7 +1261,7 @@ object SparkEntry {
     "q53_hash_sample" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT % 100 AS bucket
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
         |  FROM documents)
         |WHERE bucket < (CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END)""".stripMargin,
 
@@ -1574,9 +1574,12 @@ object SparkEntry {
     * only, survivors = new docs with no verified near-dup.
     */
   private lazy val incrDedupOracleSql: String = {
+    // MUST mirror the q56 call site's tuning exactly
     val numHashes = 16
     val bands = 8
     val rpb = numHashes / bands
+    val shingleSize = 3
+    val maxBucket = 1000
     val sigAggs = (0 until numHashes)
       .map(s => s"min(md5('$s:' || sh)) AS h$s")
       .mkString(",\n    ")
@@ -1590,19 +1593,19 @@ object SparkEntry {
        |wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corp),
        |shn AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(0, greatest(len(w) - 3, 0) + 1),
-       |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+       |    range(0, greatest(len(w) - $shingleSize, 0) + 1),
+       |    i -> array_to_string(w[i+1:i+$shingleSize], ' ')))) AS sh
        |  FROM wn),
        |shc AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(0, greatest(len(w) - 3, 0) + 1),
-       |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+       |    range(0, greatest(len(w) - $shingleSize, 0) + 1),
+       |    i -> array_to_string(w[i+1:i+$shingleSize], ' ')))) AS sh
        |  FROM wc),
        |sign AS (SELECT doc_id, $sigAggs FROM shn GROUP BY doc_id),
        |sigc AS (SELECT doc_id, $sigAggs FROM shc GROUP BY doc_id),
        |bn AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sign),
        |bc AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sigc),
-       |bucketok AS (SELECT band FROM bc GROUP BY band HAVING count(*) <= 1000),
+       |bucketok AS (SELECT band FROM bc GROUP BY band HAVING count(*) <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
        |  FROM bn n JOIN bc c ON n.band = c.band

@@ -119,30 +119,16 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
-
-    // ONE groupBy(id) produces the whole signature, the shingle count
-    // AND the shingle set — the only shuffle of shingle data in the
-    // plan (map-side partials; everything downstream is per-doc rows)
-    val sigAggs = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"h$s")
-    } ++ Seq(count(lit(1)).as("n"), collect_list(col("sh")).as("shs"))
     // three consumers read `sig` (banding, and both sides of the pair
     // join) with DIFFERENT pruned column sets, which defeats Catalyst's
     // ReusedExchange — persist the one-row-per-doc frame instead of
     // recomputing the shingle scan per consumer (explicit
     // materialization is the right call at 100 TB too: sig is ~1e-2 of
     // the corpus size)
-    val sig = sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bandKeys = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      md5(concat(lit(s"$b:"), concat_ws(",", slice: _*)).cast("binary"))
-    }
-    val banded = sig.select(col("id"), explode(array(bandKeys: _*)).as("band"))
+    val banded = bandKeysOf(sig, bands, numHashes / bands)
 
     val buckets = banded
       .groupBy("band")
@@ -258,12 +244,27 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
+    // ONE groupBy(id) produces the whole signature, the shingle count
+    // AND the shingle set — the only shuffle of shingle data in the
+    // plan (map-side partials; everything downstream is per-doc rows)
     val sh = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
     val sigAggs = (0 until numHashes).map { s =>
       min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"h$s")
     } ++ Seq(count(lit(1)).as("n"), collect_list(col("sh")).as("shs"))
     sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** Exploded (id, band-key) rows from a signature frame — the single
+    * source of the band md5 construction for the self-join, the
+    * incremental probe, and the oracle generators.
+    */
+  private def bandKeysOf(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val keys = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat(lit(s"$b:"), concat_ws(",", slice: _*)).cast("binary"))
+    }
+    sig.select(col("id"), explode(array(keys: _*)).as("band"))
   }
 
   /** Incremental near-dup filter: drop NEW documents that near-duplicate
@@ -283,23 +284,38 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    def bandKeys(sig: DataFrame): DataFrame = {
-      val keys = (0 until bands).map { b =>
-        val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-        md5(concat(lit(s"$b:"), concat_ws(",", slice: _*)).cast("binary"))
-      }
-      sig.select(col("id"), explode(array(keys: _*)).as("band"))
-    }
+    // convenience form: builds and caches both signature frames for the
+    // duration of the job (session-LRU-released). The production path
+    // precomputes the CORPUS signatures once with [[minhashSignatures]],
+    // stores them, and calls [[nearDupAgainstSignatures]] per batch so
+    // caching stays under the caller's control.
     val sigNew = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCorp = minhashSignatures(corpus, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpBuckets = bandKeys(sigCorp)
+    nearDupAgainstSignatures(
+      newDocs, sigNew, sigCorp, idCol, numHashes, bands, threshold, maxBucket)
+  }
+
+  /** Core incremental filter over PREBUILT signature frames (see
+    * [[minhashSignatures]] for the schema). No caching decisions here —
+    * the caller owns the persistence of its index.
+    */
+  def nearDupAgainstSignatures(
+      newDocs: DataFrame,
+      sigNew: DataFrame,
+      sigCorp: DataFrame,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.2,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val corpBuckets = bandKeysOf(sigCorp, bands, rowsPerBand)
       .groupBy("band")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
-    val candidates = bandKeys(sigNew)
+    val candidates = bandKeysOf(sigNew, bands, rowsPerBand)
       .join(corpBuckets, Seq("band"))
       .select(col("id").as("new_id"), explode(col("ids")).as("corp_id"))
       .distinct()

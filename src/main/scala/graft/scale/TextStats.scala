@@ -73,16 +73,19 @@ object TextStats {
   def fingerprint(text: Column, hexLen: Int = 16): Column =
     substring(md5(regexp_replace(lower(text), "\\s+", " ").cast("binary")), 0, hexLen)
 
-  /** Deterministic hash bucket in [0, buckets): the first 3 hex nibbles
-    * of md5 reduced mod `buckets`. Reproducible across engines (md5 hex
-    * is bit-identical; DuckDB parses the same nibbles via
-    * `('0x' || substr(md5(x),1,3))::BIGINT`) and across runs — the
+  /** Deterministic hash bucket in [0, buckets): the first 8 hex nibbles
+    * of md5 (32 bits — mod bias < 1e-8 for any sane bucket count)
+    * reduced mod `buckets`. Reproducible across engines (md5 hex is
+    * bit-identical; DuckDB parses the same nibbles via
+    * `('0x' || substr(md5(x),1,8))::BIGINT`) and across runs — the
     * foundation for SAMPLING a 100 TB corpus as a pushed-down,
     * shuffle-free scan filter instead of rand() (not reproducible) or a
     * global sort (not scalable). Quota sampling = `bucket < quota`.
     */
-  def hashBucket(c: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(c.cast("binary")), 1, 3), 16, 10).cast("long"), lit(buckets))
+  def hashBucket(c: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= (1 << 24), "buckets must fit the 32-bit hash space")
+    pmod(conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long"), lit(buckets))
+  }
 
   /** 64-bit SimHash over whitespace tokens, md5 bit source, hex-string
     * output — the oracle-portable formulation.
