@@ -1,0 +1,56 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Corpus-scale IO helpers: JSONL ingestion with per-line corruption
+  * tolerance (the lingua franca format of LLM training data) and the
+  * partitioned + sorted parquet layout the curated output should land
+  * in so every later scan prunes.
+  */
+object CorpusIO {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Read JSONL with an EXPLICIT schema (schema inference is an extra
+    * full pass over the data — never at 100 TB) in PERMISSIVE mode:
+    * malformed lines land whole in [[CorruptCol]] instead of failing
+    * the job or silently dropping. NB Spark refuses raw-scan queries
+    * that reference ONLY the corrupt column — persist the frame before
+    * splitting it with [[goodRecords]]/[[corruptRecords]].
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  def goodRecords(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** The raw text of every malformed line, for quarantine/repair. */
+  def corruptRecords(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
+
+  /** Land a curated corpus as partition-pruned, rowgroup-sorted parquet:
+    * `partitionCols` become directory partitions (scans with equality
+    * predicates read only their directories) and `sortCols` order rows
+    * within each file so parquet min/max rowgroup stats prune range
+    * predicates. The repartition keeps one task per output partition
+    * value set instead of every task writing every directory (the
+    * small-files explosion).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+}
