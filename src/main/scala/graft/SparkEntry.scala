@@ -573,6 +573,14 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- S6: TSV concept-map dim scan (comment skip, null filter, multimap) ---
+    "q57_concept_tsv" -> ((s, _) => {
+      graft.ingest.XmlIngest
+        .conceptToOmim(s, "src/test/resources/gene_condition_source_id.tsv")
+        .select(col("concept_cui"), col("gene_id"),
+          concat_ws("|", col("omim_ids")).as("omim_csv"))
+    }),
+
     // --- scale: incremental near-dup filter (new batch vs corpus index) -------
     "q56_incr_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1539,6 +1547,15 @@ object SparkEntry {
     "q23_lsh_pairs" -> lshPairsOracleSql,
 
     "q56_incr_dedup" -> incrDedupOracleSql,
+
+    // expected rows hand-derived from the fixture TSV: comment line
+    // skipped, empty-OMIM row filtered, duplicate OMIM deduped+sorted
+    "q57_concept_tsv" ->
+      """SELECT * FROM (VALUES
+        |  ('C3150901', '9907', '613647|613648'),
+        |  ('C200', '672', '113705'),
+        |  ('C999', '123', '600000')
+        |) AS t(concept_cui, gene_id, omim_csv)""".stripMargin,
 
     "q24_simhash" -> TextStats.simhashMd5Sql("documents", "doc_id", "text"),
 
