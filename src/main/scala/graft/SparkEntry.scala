@@ -573,6 +573,15 @@ object SparkEntry {
         .toVcfLines(graft.pipelines.Clinvar2VcfPipeline.groupAlleles(v))
     }),
 
+    // --- scale: epoch-weighted mixture replication (integer per-mille) --------
+    "q58_epoch_mix" -> ((s, dir) => {
+      val permille = when(col("lang") === "en", 1700L)
+        .when(col("lang") === "fr", 2000L).otherwise(400L)
+      TextStats.epochSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id").cast("string"), permille)
+    }),
+
     // --- S6: TSV concept-map dim scan (comment skip, null filter, multimap) ---
     "q57_concept_tsv" -> ((s, _) => {
       graft.ingest.XmlIngest
@@ -1547,6 +1556,19 @@ object SparkEntry {
     "q23_lsh_pairs" -> lshPairsOracleSql,
 
     "q56_incr_dedup" -> incrDedupOracleSql,
+
+    "q58_epoch_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 1700 WHEN 'fr' THEN 2000 ELSE 400 END AS pm,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    (pm // 1000) + (CASE WHEN b < pm % 1000 THEN 1 ELSE 0 END) AS copies
+        |  FROM w)
+        |SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+        |FROM n WHERE copies > 0""".stripMargin,
 
     // expected rows hand-derived from the fixture TSV: comment line
     // skipped, empty-OMIM row filtered, duplicate OMIM deduped+sorted

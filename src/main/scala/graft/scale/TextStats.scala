@@ -180,4 +180,23 @@ object TextStats {
 
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+
+  /** Deterministic epoch-weighted replication — the mixture-building
+    * primitive: a row with weight w per-mille keeps w/1000 whole copies
+    * plus one more iff its hash bucket falls below w mod 1000, so
+    * E[copies] = w/1000 EXACTLY and the same row always replicates the
+    * same way. Weights are INTEGER per-mille on purpose: fractional
+    * double weights truncate differently across engines. Emits a `copy`
+    * index column (0-based); rows with weight 0 drop out.
+    */
+  def epochSample(df: DataFrame, keyCol: Column, permille: Column): DataFrame = {
+    val whole = (permille.cast("long") / 1000).cast("long")
+    val extra = when(hashBucket(keyCol, 1000) < pmod(permille.cast("long"), lit(1000L)), 1L)
+      .otherwise(0L)
+    val n = whole + extra
+    df.withColumn(
+      "copy",
+      explode(when(n > 0, sequence(lit(0L), n - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
 }

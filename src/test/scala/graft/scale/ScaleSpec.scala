@@ -72,6 +72,19 @@ class ScaleSpec extends SparkSpec {
     assert(res.head === ((1L, 1, 2L))) // the identical vector is rank 1
   }
 
+  test("epochSample: E[copies] = permille/1000 exactly, deterministic") {
+    val df = (1L to 1000L).toDF("id")
+    val sampled = TextStats.epochSample(df, col("id").cast("string"), lit(1700L))
+    val n = sampled.count()
+    // every row keeps 1 copy; ~70% keep a second (hash-bucket fraction)
+    assert(n >= 1550 && n <= 1850, s"got $n")
+    assert(sampled.groupBy("id").count().filter(col("count") > 2).count() === 0)
+    // weight 0 drops rows entirely; weight 3000 = exactly 3 copies each
+    assert(TextStats.epochSample(df, col("id").cast("string"), lit(0L)).count() === 0)
+    assert(TextStats.epochSample(df, col("id").cast("string"), lit(3000L)).count() === 3000)
+    assert(sampled.count() === n) // deterministic re-run
+  }
+
   test("nearDupAgainstCorpus: new near-dups drop, novel docs survive") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"))
