@@ -66,7 +66,20 @@ object LoadMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val counters = run(spark, xmlPath, storeDir)
+    counters.toSeq.sorted.foreach { case ((entity, action), n) =>
+      println(s"[load] $entity.$action: $n")
+    }
+    spark.stop()
+  }
 
+  /** One full load pass against the store under `storeDir` (bootstraps
+    * empty). Returns the (entity, action) -> count counters — also the
+    * integration-spec hook: a second run of the same release must
+    * converge to matches (after the documented mergeCS rank-reorder
+    * update on the first reload).
+    */
+  def run(spark: SparkSession, xmlPath: String, storeDir: String): Map[(String, String), Long] = {
     val parsed = XmlIngest.parseRecords(XmlIngest.readRecords(spark, xmlPath)).cache()
     val vars = XmlIngest.variants(parsed).cache()
 
@@ -106,9 +119,9 @@ object LoadMain {
     diffs.foreach { case (name, d) =>
       d.cache().write.mode("overwrite").parquet(s"$storeDir/audit/$name")
     }
-    result.counters.orderBy("entity", "action").collect().foreach { r =>
-      println(s"[load] ${r.getString(0)}.${r.getString(1)}: ${r.getLong(2)}")
-    }
+    val counters = result.counters.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
 
     // next snapshots (the write side of the merge, §2.6)
     val contentOf = Map(
@@ -139,6 +152,6 @@ object LoadMain {
       }
       next.renameTo(cur)
     }
-    spark.stop()
+    counters
   }
 }
