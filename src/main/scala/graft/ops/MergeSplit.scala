@@ -78,10 +78,13 @@ object MergeSplit {
       .map { case (out, (src, splitRegex, delim)) =>
         // explode_outer keeps keys whose source is all-null (collect_list
         // then skips the null token → empty merge, as before)
+        // ONE exchange: collect_set over exploded scalars dedups in the
+        // map-side partial, so the shuffle carries one deduped set per
+        // (key, partition) — strictly smaller than the final array
+        // (the distinct-then-collect formulation paid a second exchange)
         df.select(keys :+ explode_outer(split(src, splitRegex)).as("_tok"): _*)
-          .distinct()
           .groupBy(keys: _*)
-          .agg(concat_ws(delim, array_sort(collect_list(col("_tok")))).as(out))
+          .agg(concat_ws(delim, array_sort(collect_set(col("_tok")))).as(out))
       }
       .reduce { (a, b) =>
         // NULL-SAFE key equality: a plain equi-join would silently drop
