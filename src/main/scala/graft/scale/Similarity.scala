@@ -137,6 +137,64 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH —
+    * the symmetric (self-join) counterpart of [[lshTopK]], and the plan
+    * that replaces an all-pairs cartesian: vectors are signed against
+    * `numPlanes` hyperplanes once, the signature splits into `bands`
+    * contiguous slices, and candidate pairs form ONLY where two vectors
+    * share a band slice (equi-join on the band key — sum(bucket²) pairs,
+    * never |N|²). Banding OR-amplifies recall: a pair is a candidate if
+    * ANY band matches, so near-identical vectors (the near-dup regime)
+    * are caught with probability 1 − (1 − p^r)^b, ≈ 1 for high cosine.
+    * Exact cosine then verifies every candidate, so precision is exact;
+    * recall < 1 by construction (ANN) — raise `bands`/lower `numPlanes`
+    * to trade compute for recall.
+    *
+    * Scale shape: only (band, id) rows go through the band shuffle; the
+    * persisted signature frame is one row per vector (the vector itself,
+    * its norm, its signature — ~1× the input, no blow-up), and vectors
+    * re-join by id for the LSH-bounded candidate set only.
+    */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 16,
+      bands: Int = 8,
+      dims: Int = 64): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val rowsPerBand = numPlanes / bands
+    val w = planeWeights(numPlanes, dims)
+    // three consumers (banding + both sides of the vector re-join) —
+    // persist the one-row-per-vector frame instead of recomputing the
+    // 16 signature dot products per consumer
+    val sig = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("sig", planeSignature(col("v"), w))
+      .withColumn("norm", l2Norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_sig"))
+      }: _*)).as("band"))
+      .select(col("id"), col("band.band_idx").as("band_idx"), col("band.band_sig").as("band_sig"))
+    val candidates = banded.select(col("band_idx"), col("band_sig"), col("id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_sig"), col("id").as("id_b")),
+        Seq("band_idx", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), Seq("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** IVF (inverted-file) ANN: the other classic scale path next to LSH.
     *
     * Coarse quantizer = corpus vectors whose id is divisible by

@@ -65,6 +65,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(countNodes(p, _.nodeName.toLowerCase.contains("window")) === 0)
   }
 
+  test("q38 near-dup pairs form via band equi-join — no nested-loop/cartesian join") {
+    val p = planOf("q38_embed_neardup")
+    val nl = countNodes(p, n => n.nodeName.contains("BroadcastNestedLoop") ||
+      n.nodeName.contains("CartesianProduct"))
+    assert(nl === 0, p.toString.take(600))
+  }
+
   test("NO query plan contains a single-partition shuffle (scale-killer guard)") {
     // budgeted exemptions — both are GLOBAL AGGREGATIONS whose exchange
     // carries one partially-aggregated row per upstream partition:

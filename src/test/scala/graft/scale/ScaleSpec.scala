@@ -149,6 +149,50 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, Long)].collect().forall(_._2 <= 3))
   }
 
+  test("cosineNearDupPairs: banded LSH equals brute force on planted scaled near-dups") {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 60).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // scaled copies have cosine exactly 1 -> identical hyperplane signs
+    // -> every band matches -> recall 1 by construction, not by luck
+    val planted = base.take(10).map { case (i, v) => (i + 1000L, v.map(x => x * 1.1f)) }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val banded = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.95,
+      numPlanes = 24, bands = 4, dims = 16).as[(Long, Long)].collect().toSet
+    assert((1 to 10).map(i => (i.toLong, i + 1000L)).toSet.subsetOf(banded))
+    val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val brute = e.select($"vec_id".as("id_a"), $"v".as("va"))
+      .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), $"id_a" < $"id_b")
+      .filter(Similarity.dot($"va", $"vb") /
+        (Similarity.l2Norm($"va") * Similarity.l2Norm($"vb")) >= 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+
+  test("seq-pack shard windows: each language packs across >1 window partition") {
+    val docs = (1L to 400L).map { i =>
+      (i, if (i % 2 == 0) "en" else "fr", Seq.fill(100)("tok").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+    val packed = docs
+      .select($"doc_id", $"lang",
+        TextStats.hashBucket($"doc_id".cast("string"), 8).as("shard"),
+        TextStats.tokenCount($"text").as("n_tok"))
+      .withColumn("bin", ((sum($"n_tok").over(w) - $"n_tok") / 2048).cast("long"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+    val perLang = packed.groupBy("lang").agg(
+      countDistinct($"shard").as("n_shards"),
+      sum($"n_docs").as("total_docs"),
+      sum($"bin_tokens").as("total_toks"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the running sum is spread over shards, never one task per language
+    assert(perLang("en")._2 > 1 && perLang("fr")._2 > 1)
+    // sharding re-buckets but never loses or double-counts docs/tokens
+    assert(perLang("en")._3 === 200L && perLang("en")._4 === 200L * 100)
+    assert(perLang("fr")._3 === 200L && perLang("fr")._4 === 200L * 100)
+  }
+
   test("planeWeights: deterministic dyadic rationals in [-1, 1)") {
     val w1 = Similarity.planeWeights(3, 8)
     val w2 = Similarity.planeWeights(3, 8)
