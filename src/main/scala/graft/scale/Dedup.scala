@@ -119,14 +119,7 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
-    // three consumers read `sig` (banding, and both sides of the pair
-    // join) with DIFFERENT pruned column sets, which defeats Catalyst's
-    // ReusedExchange — persist the one-row-per-doc frame instead of
-    // recomputing the shingle scan per consumer (explicit
-    // materialization is the right call at 100 TB too: sig is ~1e-2 of
-    // the corpus size)
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = bandKeysOf(sig, bands, numHashes / bands)
 
@@ -134,28 +127,48 @@ object Dedup {
       .groupBy("band")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
+    // the LSH-bounded candidate list is tiny next to the corpus; persist
+    // it — three consumers below (both verify-side id joins and the pair
+    // join itself) would re-run the whole band pipeline otherwise
     val pairs = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exact Jaccard per CANDIDATE pair only: the per-doc shingle sets
-    // join back by id (one row per doc, not one per shingle) and
-    // intersect array-wise — candidate counts are LSH-bounded, so the
-    // interpreted array_intersect touches |pairs| rows, never the corpus
-    val docSets = sig.select(col("id"), col("shs"), col("n"))
+    // exact Jaccard per CANDIDATE pair only: shingle sets are recomputed
+    // on demand FOR CANDIDATE IDS alone (semi-join prunes the corpus
+    // before the codegen'd shingle expression runs) — the signature
+    // index never materializes shingle text, so nothing ~corpus-sized is
+    // persisted anywhere in this plan
     pairs
-      .join(docSets.select(col("id").as("id_a"), col("shs").as("sha"), col("n").as("na")),
-        Seq("id_a"))
-      .join(docSets.select(col("id").as("id_b"), col("shs").as("shb"), col("n").as("nb")),
-        Seq("id_b"))
+      .join(candidateShingleSets(docs, idCol, textCol, shingleSize,
+        pairs.select(col("id_a").as("id")), "id_a", "sha"), Seq("id_a"))
+      .join(candidateShingleSets(docs, idCol, textCol, shingleSize,
+        pairs.select(col("id_b").as("id")), "id_b", "shb"), Seq("id_b"))
       .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
       .withColumn(
         "jaccard",
-        col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
+        col("ni").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("ni")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Shingle sets recomputed for a (small) id set only: semi-join first
+    * so the per-doc shingle loop runs on candidate rows, never the full
+    * corpus. The join is broadcast-sized by the LSH bucket cap.
+    */
+  private def candidateShingleSets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      ids: DataFrame,
+      outIdCol: String,
+      outSetCol: String): DataFrame =
+    docs.join(ids.distinct(), docs(idCol) === ids("id"), "left_semi")
+      .select(col(idCol).as(outIdCol), shingles(col(textCol), shingleSize).as(outSetCol))
 
   /** True Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -231,12 +244,18 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Per-document MinHash signature row: h0..h{n-1} min-hashes, shingle
-    * count `n`, shingle set `shs` — the reusable index side of both the
-    * self-join ([[minhashPairsExact]]) and the incremental probe
+  /** Per-document MinHash signature row: h0..h{n-1} min-hashes plus the
+    * shingle count `n` — the reusable index side of both the self-join
+    * ([[minhashPairsExact]]) and the incremental probe
     * ([[nearDupAgainstCorpus]]). At production scale this frame is
     * PRECOMPUTED and stored with the corpus; a daily batch only
     * signatures itself.
+    *
+    * Deliberately SLIM: `numHashes` fixed-width hashes + a count, ~1e-2
+    * of corpus size — the shingle TEXT never rides along (a shingle set
+    * is ~3× its document; persisting it per doc would make the "index"
+    * bigger than the corpus). Exact-Jaccard verification recomputes
+    * shingles for the LSH-bounded candidate ids only.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -244,14 +263,14 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
-    // ONE groupBy(id) produces the whole signature, the shingle count
-    // AND the shingle set — the only shuffle of shingle data in the
-    // plan (map-side partials; everything downstream is per-doc rows)
+    // ONE groupBy(id) produces the whole signature and the shingle
+    // count — the only shuffle of shingle data in the plan (map-side
+    // partials; everything downstream is per-doc rows)
     val sh = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
     val sigAggs = (0 until numHashes).map { s =>
       min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"h$s")
-    } ++ Seq(count(lit(1)).as("n"), collect_list(col("sh")).as("shs"))
+    } :+ count(lit(1)).as("n")
     sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 
@@ -284,28 +303,35 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
-    // convenience form: builds and caches both signature frames for the
-    // duration of the job (session-LRU-released). The production path
-    // precomputes the CORPUS signatures once with [[minhashSignatures]],
-    // stores them, and calls [[nearDupAgainstSignatures]] per batch so
-    // caching stays under the caller's control.
+    // convenience form: builds both (slim) signature frames in-job. The
+    // production path precomputes the CORPUS signatures once with
+    // [[minhashSignatures]], stores them, and calls
+    // [[nearDupAgainstSignatures]] per batch so index persistence stays
+    // under the caller's control.
     val sigNew = minhashSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCorp = minhashSignatures(corpus, idCol, textCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nearDupAgainstSignatures(
-      newDocs, sigNew, sigCorp, idCol, numHashes, bands, threshold, maxBucket)
+      newDocs, corpus, sigNew, sigCorp, idCol, textCol,
+      shingleSize, numHashes, bands, threshold, maxBucket)
   }
 
   /** Core incremental filter over PREBUILT signature frames (see
-    * [[minhashSignatures]] for the schema). No caching decisions here —
-    * the caller owns the persistence of its index.
+    * [[minhashSignatures]] for the slim h0..h{n-1}+count schema). The
+    * doc frames are needed too: exact-Jaccard verification recomputes
+    * shingle text for the LSH-bounded candidate ids (the stored index
+    * carries hashes only — at 100 TB the candidate fetch is a pruned
+    * semi-join against the corpus store, not a 3×-corpus-sized persisted
+    * shingle column). No caching decisions here — the caller owns the
+    * persistence of its index.
     */
   def nearDupAgainstSignatures(
       newDocs: DataFrame,
+      corpusDocs: DataFrame,
       sigNew: DataFrame,
       sigCorp: DataFrame,
       idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
       threshold: Double = 0.2,
@@ -315,18 +341,21 @@ object Dedup {
       .groupBy("band")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
+    // persisted: the candidate list feeds both verify-side semi-joins
+    // and the final pair join — LSH-bounded, tiny next to the corpus
     val candidates = bandKeysOf(sigNew, bands, rowsPerBand)
       .join(corpBuckets, Seq("band"))
       .select(col("id").as("new_id"), explode(col("ids")).as("corp_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupNewIds = candidates
-      .join(sigNew.select(col("id").as("new_id"), col("shs").as("sha"), col("n").as("na")),
-        Seq("new_id"))
-      .join(sigCorp.select(col("id").as("corp_id"), col("shs").as("shb"), col("n").as("nb")),
-        Seq("corp_id"))
+      .join(candidateShingleSets(newDocs, idCol, textCol, shingleSize,
+        candidates.select(col("new_id").as("id")), "new_id", "sha"), Seq("new_id"))
+      .join(candidateShingleSets(corpusDocs, idCol, textCol, shingleSize,
+        candidates.select(col("corp_id").as("id")), "corp_id", "shb"), Seq("corp_id"))
       .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
       .filter(col("ni").cast("double") /
-        (col("na") + col("nb") - col("ni")).cast("double") >= threshold)
+        (size(col("sha")) + size(col("shb")) - col("ni")).cast("double") >= threshold)
       .select(col("new_id").as(idCol))
       .distinct()
     newDocs.join(dupNewIds, Seq(idCol), "left_anti")

@@ -47,10 +47,12 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q23 LSH pipeline: shingle corpus shuffles once (bounded exchange count)") {
-    // repartition + sig groupBy + band groupBy + pairs distinct + final
-    // joins; the pre-rework plan had 7+. Persisted sig reuses, so the
-    // exchange count stays bounded even with three sig consumers.
-    assert(exchanges(planOf("q23_lsh_pairs")) <= 6)
+    // repartition + sig groupBy + band groupBy + pairs distinct + the
+    // candidate-id semi-joins + verify joins. Every exchange past the
+    // signature groupBy carries CANDIDATE-sized rows only (the slim
+    // index never persists shingle text); AQE turns the small ones into
+    // broadcasts at runtime.
+    assert(exchanges(planOf("q23_lsh_pairs")) <= 8)
   }
 
   test("q15 aggregation partial-merges map-side (2 HashAggregates, 1 exchange)") {
