@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * per-partition transforms so a vectorized decoder amortizes its setup
   * across a batch (the Scala analog of `mapInPandas`).
   *
-  * PPM (binary netpbm) payloads decode FOR REAL — header, raster, and
-  * pixel-statistics embedding (see [[decodePpm]]). The remaining
-  * formats are deliberate STUBS — this container has no JPEG/PNG/audio
-  * codecs — producing deterministic fake outputs derived from the
-  * payload bytes. Everything AROUND the stubs is real and load-bearing:
-  * the schema contract, the partition-batched execution shape,
-  * null/corrupt handling, and the column plumbing. Binding a real codec
-  * changes only the function body marked STUB.
+  * Image decode is REAL end-to-end: PPM (binary netpbm) through the
+  * hand-rolled parser ([[decodePpm]]), JPEG / PNG / BMP / GIF / TIFF
+  * through the JDK's `javax.imageio` readers ([[decodeJavaImage]]) —
+  * no external jars. Payloads no reader accepts flag corrupt
+  * (`ok = false`), never fake features. Only AUDIO/VIDEO sample
+  * extraction remains a stub boundary (no audio/video codecs ship with
+  * the JDK): [[sampleFrames]] / [[audioWindows]] compute the real
+  * offset/window arithmetic and leave per-frame decode to a bound
+  * codec.
   */
 object Multimodal {
 
@@ -71,30 +72,60 @@ object Multimodal {
     */
   private[scale] def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
     decodePpmParsed(bytes).map { case (w, h, sample) =>
-      val sums = new Array[Double](3)       // per-channel
-      val halves = new Array[Double](4)     // left/right/top/bottom luma
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = (y * w + x) * 3
-          val r = sample(p); val g = sample(p + 1); val b = sample(p + 2)
-          sums(0) += r; sums(1) += g; sums(2) += b
-          val luma = 0.299 * r + 0.587 * g + 0.114 * b
-          halves(if (x * 2 < w) 0 else 1) += luma
-          halves(if (y * 2 < h) 2 else 3) += luma
-          x += 1
-        }
-        y += 1
+      (w, h, statsEmbedding(w, h) { p =>
+        (sample(p * 3), sample(p * 3 + 1), sample(p * 3 + 2))
+      })
+    }
+
+  /** The shared 8-dim pixel-statistics embedding over any decoded
+    * raster: mean R/G/B, mean luma, and the left/right/top/bottom half
+    * lumas — identical whether the pixels came from the PPM parser or a
+    * `javax.imageio` reader, so mixed-format corpora embed into ONE
+    * comparable space. `rgb` maps flat pixel index `y*w + x` to
+    * maxval-normalized channel values in [0, 1].
+    */
+  private def statsEmbedding(w: Int, h: Int)(rgb: Int => (Double, Double, Double)): Array[Float] = {
+    val sums = new Array[Double](3)       // per-channel
+    val halves = new Array[Double](4)     // left/right/top/bottom luma
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(y * w + x)
+        sums(0) += r; sums(1) += g; sums(2) += b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        halves(if (x * 2 < w) 0 else 1) += luma
+        halves(if (y * 2 < h) 2 else 3) += luma
+        x += 1
       }
-      val n = w.toDouble * h
-      val meanLuma = 0.299 * sums(0) / n + 0.587 * sums(1) / n + 0.114 * sums(2) / n
-      val emb = Array(
-        (sums(0) / n).toFloat, (sums(1) / n).toFloat, (sums(2) / n).toFloat,
-        meanLuma.toFloat,
-        (halves(0) / n * 2).toFloat, (halves(1) / n * 2).toFloat,
-        (halves(2) / n * 2).toFloat, (halves(3) / n * 2).toFloat)
-      (w, h, emb)
+      y += 1
+    }
+    val n = w.toDouble * h
+    val meanLuma = 0.299 * sums(0) / n + 0.587 * sums(1) / n + 0.114 * sums(2) / n
+    Array(
+      (sums(0) / n).toFloat, (sums(1) / n).toFloat, (sums(2) / n).toFloat,
+      meanLuma.toFloat,
+      (halves(0) / n * 2).toFloat, (halves(1) / n * 2).toFloat,
+      (halves(2) / n * 2).toFloat, (halves(3) / n * 2).toFloat)
+  }
+
+  /** REAL decoder for every format the JDK's `javax.imageio` registry
+    * ships a reader for — JPEG, PNG, BMP, GIF, WBMP, TIFF (`java.desktop`
+    * module; no external jars). Returns (width, height, reader format
+    * name, embedding) or None when no registered reader accepts the
+    * payload / the stream is truncated — the caller flags corrupt, it
+    * never fabricates features. One `getRGB` bulk grab per image keeps
+    * the per-pixel loop off the BufferedImage accessor path.
+    */
+  private[scale] def decodeJavaImage(bytes: Array[Byte]): Option[(Int, Int, String, Array[Float])] =
+    decodeJavaImageRaw(bytes).collect { case (img, fmt) if img.getWidth > 0 && img.getHeight > 0 =>
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk grab, not per-pixel accessor calls
+      val emb = statsEmbedding(w, h) { p =>
+        val v = px(p)
+        (((v >> 16) & 0xff) / 255.0, ((v >> 8) & 0xff) / 255.0, (v & 0xff) / 255.0)
+      }
+      (w, h, fmt, emb)
     }
 
   /** P6 header + raster parse: (width, height, maxval-normalized sample
@@ -176,14 +207,16 @@ object Multimodal {
     }
   }
 
-  /** Batched decode: PPM payloads decode FOR REAL via [[decodePpm]];
-    * other formats remain STUBS (this container has no JPEG/PNG codecs)
-    * producing deterministic fake outputs derived from the payload
-    * bytes. Empty payloads and malformed PPMs flag corrupt (`ok =
-    * false`) the way a real decoder surfaces codec errors — callers
-    * must handle both.
+  /** Batched decode — REAL for every image format this JVM can read:
+    * PPM through [[decodePpm]], everything else through the
+    * `javax.imageio` registry ([[decodeJavaImage]]: JPEG/PNG/BMP/GIF/
+    * TIFF). Empty, truncated, or reader-less payloads flag corrupt
+    * (`ok = false`, empty embedding) the way a production decoder
+    * surfaces codec errors — callers must handle both. The batch loop
+    * is where a vectorized/model decoder would amortize per-batch
+    * setup; `javax.imageio` needs none, so the body is a plain map.
     */
-  private[scale] def decodeImageBatchStub(batch: Seq[Asset]): Seq[ImageFeatures] =
+  private[scale] def decodeImageBatch(batch: Seq[Asset]): Seq[ImageFeatures] =
     batch.map { a =>
       if (a.content == null || a.content.isEmpty) {
         ImageFeatures(a.assetId, 0, 0, a.declaredFormat, ok = false, Array.empty)
@@ -194,14 +227,10 @@ object Multimodal {
           case None => ImageFeatures(a.assetId, 0, 0, "ppm", ok = false, Array.empty)
         }
       } else {
-        var h = 1125899906842597L // deterministic FNV-ish fold of the payload
-        a.content.foreach(b => h = h * 31 + (b & 0xff))
-        val width = 64 + math.floorMod(h, 512).toInt
-        val height = 64 + math.floorMod(h >> 16, 512).toInt
-        val emb = Array.tabulate(8) { i =>
-          (math.floorMod(h >> (i * 7), 2048) / 1024.0f) - 1.0f
+        decodeJavaImage(a.content) match {
+          case Some((w, h, fmt, emb)) => ImageFeatures(a.assetId, w, h, fmt, ok = true, emb)
+          case None => ImageFeatures(a.assetId, 0, 0, a.declaredFormat, ok = false, Array.empty)
         }
-        ImageFeatures(a.assetId, width, height, a.declaredFormat, ok = true, emb)
       }
     }
 
@@ -213,14 +242,59 @@ object Multimodal {
   def imageFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap(batch => decodeImageBatchStub(batch.toSeq))
+      it.grouped(DecodeBatchSize).flatMap(batch => decodeImageBatch(batch.toSeq))
     }
   }
 
-  /** Thumbnail pass over a distributed asset set: PPM payloads are
-    * resized FOR REAL (valid PPM out, ready for [[imageFeatures]] or
-    * export); undecodable payloads pass through unchanged so a mixed
-    * corpus never loses rows. Partition-batched like the decode path.
+  /** REAL resize for `javax.imageio`-readable payloads: decode, scale
+    * through a Graphics2D draw (bilinear), re-encode in the SAME
+    * container format so the thumbnail stays a valid JPEG/PNG/BMP/GIF.
+    * None when no reader accepts the payload or the format's writer
+    * refuses the frame — same contract as [[resizePpm]].
+    */
+  private[scale] def resizeJavaImage(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    if (targetW <= 0 || targetH <= 0) return None
+    try {
+      decodeJavaImageRaw(bytes).flatMap { case (img, fmt) =>
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(out, fmt, bos)) Some(bos.toByteArray) else None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Shared reader front-end: the decoded frame + the reader's format
+    * name, or None for payloads no registered reader accepts.
+    */
+  private def decodeJavaImageRaw(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in, true, true)
+        Some((reader.read(0), reader.getFormatName.toLowerCase))
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => None
+    } finally if (in != null) in.close()
+  }
+
+  /** Thumbnail pass over a distributed asset set: PPM payloads resize
+    * through the netpbm path, `javax.imageio` formats through
+    * [[resizeJavaImage]] (re-encoded in their own container);
+    * undecodable payloads pass through unchanged so a mixed corpus
+    * never loses rows. Thumbnailing at ingest is how a 100 TB image
+    * corpus shrinks before the expensive model pass.
     */
   def thumbnails(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
@@ -228,7 +302,8 @@ object Multimodal {
     // to amortize, so no grouped() buffering of payloads
     assets.mapPartitions { it =>
       it.map { a =>
-        resizePpm(a.content, targetW, targetH) match {
+        resizePpm(a.content, targetW, targetH)
+          .orElse(resizeJavaImage(a.content, targetW, targetH)) match {
           case Some(resized) => a.copy(content = resized)
           case None => a
         }

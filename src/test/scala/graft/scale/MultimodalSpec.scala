@@ -6,22 +6,47 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/multimodal/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  // committed real-codec fixtures: 12x8, left half black, right half
+  // pure red — same pattern as the PPM test, so the embedding
+  // expectations are exact for the lossless format
   private def assets = Seq(
-    Multimodal.Asset(1L, "image", "fake-jpeg-bytes-1".getBytes, "jpeg"),
-    Multimodal.Asset(2L, "image", "fake-jpeg-bytes-2".getBytes, "jpeg"),
-    Multimodal.Asset(3L, "image", Array.empty[Byte], "png") // corrupt
+    Multimodal.Asset(1L, "image", fixture("halfred.png"), "png"),
+    Multimodal.Asset(2L, "image", fixture("halfred.jpg"), "jpeg"),
+    Multimodal.Asset(3L, "image", Array.empty[Byte], "png"),          // corrupt: empty
+    Multimodal.Asset(4L, "image", "not an image at all".getBytes, "jpeg") // corrupt: no reader
   ).toDS()
 
-  test("imageFeatures: batched partition decode, deterministic stub output") {
+  test("imageFeatures: REAL JPEG/PNG decode via javax.imageio, corrupt payloads flagged") {
     val f = Multimodal.imageFeatures(assets).collect().map(r => r.assetId -> r).toMap
-    assert(f(1L).ok && f(2L).ok && !f(3L).ok)
-    assert(f(1L).embedding.length === 8)
-    assert(f(1L).width >= 64 && f(1L).width < 576)
-    // deterministic: same payload -> same features
-    val again = Multimodal.imageFeatures(assets).collect().map(r => r.assetId -> r).toMap
-    assert(f(1L).embedding.toSeq === again(1L).embedding.toSeq)
-    // different payloads -> different features
-    assert(f(1L).embedding.toSeq !== f(2L).embedding.toSeq)
+    assert(!f(3L).ok && !f(4L).ok && f(3L).embedding.isEmpty && f(4L).embedding.isEmpty)
+    // exact dimensions + reader-reported formats from the real decode
+    assert(f(1L).ok && f(1L).width === 12 && f(1L).height === 8 && f(1L).format === "png")
+    assert(f(2L).ok && f(2L).width === 12 && f(2L).height === 8 &&
+      (f(2L).format == "jpeg" || f(2L).format == "jpg"))
+    // PNG is lossless: half-red pattern embeds exactly like its PPM twin
+    val e = f(1L).embedding
+    assert(e.length === 8)
+    assert(math.abs(e(0) - 0.5f) < 1e-6 && e(1) === 0.0f && e(2) === 0.0f) // mean RGB
+    assert(math.abs(e(4)) < 1e-6)                 // left-half luma = 0
+    assert(math.abs(e(5) - 0.299f) < 1e-4)        // right-half luma = R weight
+    // JPEG is lossy: same image within codec tolerance, same 8-dim space
+    val j = f(2L).embedding
+    (0 until 8).foreach(i => assert(math.abs(j(i) - e(i)) < 0.05, s"dim $i: ${j(i)} vs ${e(i)}"))
+  }
+
+  test("thumbnails: JPEG/PNG resize re-encodes in the same container") {
+    val out = Multimodal.thumbnails(assets, 4, 4).collect().map(a => a.assetId -> a).toMap
+    val png = Multimodal.decodeJavaImage(out(1L).content).get
+    assert((png._1, png._2, png._3) === ((4, 4, "png")))
+    val jpg = Multimodal.decodeJavaImage(out(2L).content).get
+    assert((jpg._1, jpg._2) === ((4, 4)))
+    // undecodable payloads pass through untouched
+    assert(new String(out(4L).content) === "not an image at all")
   }
 
   test("PPM decode is REAL: exact dimensions + pixel-statistics embedding") {
