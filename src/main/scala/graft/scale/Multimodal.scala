@@ -256,14 +256,21 @@ object Multimodal {
     if (targetW <= 0 || targetH <= 0) return None
     try {
       decodeJavaImageRaw(bytes).flatMap { case (img, fmt) =>
+        // alpha-capable container + alpha source → ARGB canvas so the
+        // thumbnail keeps its transparency; otherwise composite onto
+        // WHITE (not the uninitialized-black default) like a viewer would
+        val keepAlpha = img.getColorModel.hasAlpha && (fmt == "png" || fmt == "gif")
         val out = new java.awt.image.BufferedImage(
-          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          targetW, targetH,
+          if (keepAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
         try {
           g.setRenderingHint(
             java.awt.RenderingHints.KEY_INTERPOLATION,
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, targetW, targetH, null)
+          if (keepAlpha) g.drawImage(img, 0, 0, targetW, targetH, null)
+          else g.drawImage(img, 0, 0, targetW, targetH, java.awt.Color.WHITE, null)
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         if (javax.imageio.ImageIO.write(out, fmt, bos)) Some(bos.toByteArray) else None
@@ -271,8 +278,20 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Raster-size ceiling enforced BEFORE `reader.read(0)`. A
+    * decompression bomb (or merely huge frame — 30000x30000 PNG is a
+    * ~3.6 GB int raster plus a second int[] copy in getRGB) would throw
+    * OutOfMemoryError, which no `catch Exception` sees: the executor
+    * JVM dies and every task retry hits the same poison row. The
+    * header-only getWidth/getHeight probe is cheap, so oversized
+    * payloads flag corrupt without ever allocating the raster.
+    * 64 MPix ≈ 256 MB raster — comfortably inside an executor share.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Shared reader front-end: the decoded frame + the reader's format
-    * name, or None for payloads no registered reader accepts.
+    * name, or None for payloads no registered reader accepts or whose
+    * declared dimensions exceed [[MaxDecodePixels]].
     */
   private def decodeJavaImageRaw(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
     val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -282,7 +301,11 @@ object Multimodal {
       val reader = readers.next()
       try {
         reader.setInput(in, true, true)
-        Some((reader.read(0), reader.getFormatName.toLowerCase))
+        // header-only dimension probe — no raster allocated yet
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+        else Some((reader.read(0), reader.getFormatName.toLowerCase))
       } finally reader.dispose()
     } catch {
       case _: Exception => None

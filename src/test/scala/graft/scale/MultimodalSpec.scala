@@ -90,6 +90,34 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(2L).content) === "not an image")
   }
 
+  test("decode cap: declared-dimension bomb flags corrupt before any raster allocates") {
+    // minimal BMP header declaring 100000x100000 = 1e10 px (>> 64 MPix
+    // cap). The header-only probe must reject it BEFORE read(0), which
+    // would otherwise attempt a ~40 GB raster -> uncatchable OOME.
+    val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    bb.putInt(40).putInt(100000).putInt(100000).putShort(1).putShort(24)
+    bb.putInt(0).putInt(0).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val bomb = bb.array()
+    assert(Multimodal.decodeJavaImage(bomb).isEmpty)
+    val f = Multimodal.imageFeatures(
+      Seq(Multimodal.Asset(9L, "image", bomb, "bmp")).toDS()).collect().head
+    assert(!f.ok && f.embedding.isEmpty)
+  }
+
+  test("thumbnails keep PNG alpha instead of compositing onto black") {
+    val src = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    src.setRGB(0, 0, 0xffff0000) // one opaque red pixel, rest fully transparent
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val resized = Multimodal.resizeJavaImage(bos.toByteArray, 2, 2).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getColorModel.hasAlpha)
+    // bottom-right quadrant was all-transparent source: must stay
+    // transparent, not become opaque black
+    assert(((img.getRGB(1, 1) >>> 24) & 0xff) === 0)
+  }
+
   test("features feed the similarity operators (schema contract)") {
     val feats = Multimodal.imageFeatures(assets).filter(_.ok).toDF()
     val top = Similarity.bruteForceTopK(feats, feats.limit(1), "assetId", "embedding", 1)
