@@ -20,15 +20,21 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      graft.ops.CacheScope.releaseAll()
     }
     // best-of-2 per query: a single-run sample conflates query cost with
     // ambient noise (GC pauses, page-cache state); the minimum of two
-    // back-to-back runs is the standard stable estimator
+    // back-to-back runs is the standard stable estimator. Operator-
+    // internal caches release AFTER EACH run — run 2 must recompute from
+    // the scan, not read run 1's persisted intermediates, or the min
+    // would report a cache-hit time no first run ever sees.
     val results = ordered.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.ops.CacheScope.releaseAll()
+        dt
       }
       name -> times.min
     }.toMap

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Session-lifetime bookkeeping for operator-internal `persist`s.
+  *
+  * Several operators cache an intermediate frame that feeds multiple
+  * consumers inside ONE returned plan (LSH candidate pairs, signature
+  * frames, the load pipeline's identity-matched snapshot). The function
+  * cannot unpersist before returning — the caller has not executed the
+  * plan yet — so without bookkeeping every call leaks its cached blocks
+  * for the life of the SparkSession: a long-lived session running many
+  * queries accumulates dead cache (the round-5 bench log's repeated
+  * `CacheManager: Asked to cache already cached data` warnings) until
+  * eviction pressure slows unrelated work.
+  *
+  * The contract: operators register via [[persisted]]; the driver of a
+  * query batch (graft.Bench / graft.Verify, a user's query loop) calls
+  * [[releaseAll]] once the results of a query are materialized. Frames
+  * are unpersisted non-blocking — in-flight consumers of an already-
+  * materialized result are unaffected, and re-running the same query
+  * simply re-persists.
+  */
+object CacheScope {
+  private val registry = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Persist `ds` at `level` and register it for the next [[releaseAll]]. */
+  def persisted[T](ds: Dataset[T], level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    val p = ds.persist(level)
+    registry.add(p)
+    p
+  }
+
+  /** Register an ALREADY-persisted frame (the final frame of an
+    * iterative loop that manages its own per-round lifecycle) for the
+    * next [[releaseAll]].
+    */
+  def register[T](ds: Dataset[T]): Dataset[T] = {
+    registry.add(ds)
+    ds
+  }
+
+  /** Unpersist (non-blocking) every registered frame; returns how many
+    * were released. Safe to call at any point between queries.
+    */
+  def releaseAll(): Int = {
+    var n = 0
+    var ds = registry.poll()
+    while (ds != null) {
+      ds.unpersist(blocking = false)
+      n += 1
+      ds = registry.poll()
+    }
+    n
+  }
+}

@@ -130,7 +130,9 @@ object Closure {
     // path's back-edge detection rather than returning them silently
     if (cur.filter(col("term") === col("ancestor")).limit(1).count() > 0)
       throw new IllegalStateException("closure found a cycle in the DAG (reflexive pair)")
-    cur
+    // returned still persisted (callers fan out over it); registered so
+    // the query driver releases it between batches
+    CacheScope.register(cur)
   }
 
   /** (acc_a, acc_b) pairs that sit on the SAME branch — one is an

@@ -58,7 +58,8 @@ object Fixpoint {
       cur = next
       round += 1
     }
-    cur
+    // returned still persisted; released by the query driver's CacheScope
+    CacheScope.register(cur)
   }
 
   /** Dim-sized path: collect the substitution map, follow every chain

@@ -152,6 +152,11 @@ object LoadMain {
       }
       next.renameTo(cur)
     }
+    // every write consumed the cached diffs; release them (and the
+    // pipeline-internal caches) so repeated loads in one session — the
+    // convergence loop, a daily-batch driver — don't accumulate blocks
+    diffs.foreach { case (_, d) => d.unpersist(blocking = false) }
+    graft.ops.CacheScope.releaseAll()
     counters
   }
 }

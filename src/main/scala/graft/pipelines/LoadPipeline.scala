@@ -130,9 +130,9 @@ object LoadPipeline {
 
     // persisted: ~8 consumers below (variant diff, key maps, RCV sets,
     // child rekeys, counters) would otherwise each re-run the 3-stage
-    // match and the insert-path range sort from scratch
-    val identified = matchIdentity(incomingVariants, store)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // match and the insert-path range sort from scratch; CacheScope-
+    // registered so batch drivers release it between loads
+    val identified = graft.ops.CacheScope.persisted(matchIdentity(incomingVariants, store))
     val merged = mergeFields(identified, store)
 
     // symbol/rcv_acc ride along as content so the diff frame carries the
