@@ -1628,11 +1628,13 @@ object SparkEntry {
     val rpb = numHashes / bands
     val shingleSize = 3
     val maxBucket = 1000
+    // odd-multiplier bijections over one 48-bit md5 prefix, mirroring
+    // Dedup.minhashSignatures (numHashes = 16 -> single hash group "0:")
     val sigAggs = (0 until numHashes)
-      .map(s => s"min(md5('$s:' || sh)) AS h$s")
+      .map(s => s"min((${Dedup.MinhashMultipliers(s % 16)} * hg) % ${Dedup.MinhashMod}) AS h$s")
       .mkString(",\n    ")
     val bandExprs = (0 until bands).map { b =>
-      val slice = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || ',' || ")
+      val slice = (0 until rpb).map(r => s"h${b * rpb + r}::VARCHAR").mkString(" || ',' || ")
       s"md5('$b:' || $slice)"
     }.mkString(", ")
     s"""WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
@@ -1649,8 +1651,12 @@ object SparkEntry {
        |    range(0, greatest(len(w) - $shingleSize, 0) + 1),
        |    i -> array_to_string(w[i+1:i+$shingleSize], ' ')))) AS sh
        |  FROM wc),
-       |sign AS (SELECT doc_id, $sigAggs FROM shn GROUP BY doc_id),
-       |sigc AS (SELECT doc_id, $sigAggs FROM shc GROUP BY doc_id),
+       |shhn AS (SELECT doc_id, sh,
+       |  ('0x' || substr(md5('0:' || sh), 1, 12))::BIGINT AS hg FROM shn),
+       |shhc AS (SELECT doc_id, sh,
+       |  ('0x' || substr(md5('0:' || sh), 1, 12))::BIGINT AS hg FROM shc),
+       |sign AS (SELECT doc_id, $sigAggs FROM shhn GROUP BY doc_id),
+       |sigc AS (SELECT doc_id, $sigAggs FROM shhc GROUP BY doc_id),
        |bn AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sign),
        |bc AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sigc),
        |bucketok AS (SELECT band FROM bc GROUP BY band HAVING count(*) <= $maxBucket),
@@ -1683,11 +1689,13 @@ object SparkEntry {
     val numHashes = 16
     val bands = 8
     val rpb = numHashes / bands
+    // odd-multiplier bijections over one 48-bit md5 prefix, mirroring
+    // Dedup.minhashSignatures (numHashes = 16 -> single hash group "0:")
     val sigAggs = (0 until numHashes)
-      .map(s => s"min(md5('$s:' || sh)) AS h$s")
+      .map(s => s"min((${Dedup.MinhashMultipliers(s % 16)} * hg) % ${Dedup.MinhashMod}) AS h$s")
       .mkString(",\n    ")
     val bandExprs = (0 until bands).map { b =>
-      val slice = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || ',' || ")
+      val slice = (0 until rpb).map(r => s"h${b * rpb + r}::VARCHAR").mkString(" || ',' || ")
       s"md5('$b:' || $slice)"
     }.mkString(", ")
     s"""WITH words AS (
@@ -1697,10 +1705,12 @@ object SparkEntry {
        |    range(0, greatest(len(w) - 3, 0) + 1),
        |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
        |  FROM words),
+       |shh AS (SELECT doc_id, sh,
+       |  ('0x' || substr(md5('0:' || sh), 1, 12))::BIGINT AS hg FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |    $sigAggs
-       |  FROM sh GROUP BY doc_id),
+       |  FROM shh GROUP BY doc_id),
        |banded AS (
        |  SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
        |bandok AS (

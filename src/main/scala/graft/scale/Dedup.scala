@@ -129,12 +129,13 @@ object Dedup {
       .filter(size(col("ids")).between(2, maxBucket))
     // the LSH-bounded candidate list is tiny next to the corpus; persist
     // it — three consumers below (both verify-side id joins and the pair
-    // join itself) would re-run the whole band pipeline otherwise
-    val pairs = buckets
+    // join itself) would re-run the whole band pipeline otherwise.
+    // Registered with CacheScope: the query driver unpersists after the
+    // result materializes (the plan is lazy, so this function cannot).
+    val pairs = graft.ops.CacheScope.persisted(buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
 
     // exact Jaccard per CANDIDATE pair only: shingle sets are recomputed
     // on demand FOR CANDIDATE IDS alone (semi-join prunes the corpus
@@ -256,6 +257,21 @@ object Dedup {
     * is ~3× its document; persisting it per doc would make the "index"
     * bigger than the corpus). Exact-Jaccard verification recomputes
     * shingles for the LSH-bounded candidate ids only.
+    *
+    * Hash family: ONE md5 per shingle per block of 16 functions (a
+    * 48-bit prefix h), expanded by odd-multiplier bijections
+    * g_i = (c_i · h) mod 2^48 — odd c_i is invertible mod 2^48, so each
+    * g_i is a distinct pseudo-permutation of the same strong base hash
+    * (the MLlib-MinHash construction). This cuts the dominant
+    * per-shingle hashing cost 16× vs one md5 per seed — hashing IS the
+    * signature job's hot loop at corpus scale — while keeping band
+    * collision rates at the independent-family level (measured at
+    * sf0.1: 1216 candidate pairs vs 1298 with 16 independent md5s;
+    * a Kirsch–Mitzenmacher a+i·b family was rejected for exactly this —
+    * its linearly-correlated minimizers inflated candidates 12×).
+    * c_i < 2^15 keeps c_i·h < 2^63: no overflow in Spark OR in the
+    * DuckDB oracle's strict BIGINT arithmetic. md5 (not xxhash64) so
+    * the oracle reproduces the selections bit-for-bit.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -266,13 +282,30 @@ object Dedup {
     // ONE groupBy(id) produces the whole signature and the shingle
     // count — the only shuffle of shingle data in the plan (map-side
     // partials; everything downstream is per-doc rows)
-    val sh = docs
+    val groups = (numHashes + 15) / 16
+    val sh0 = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val sh = (0 until groups).foldLeft(sh0) { (df, g) =>
+      df.withColumn(s"hg$g",
+        conv(substring(md5(concat(lit(s"$g:"), col("sh")).cast("binary")), 1, 12), 16, 10)
+          .cast("long"))
+    }
     val sigAggs = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"h$s")
+      min((lit(MinhashMultipliers(s % 16)) * col(s"hg${s / 16}")) % lit(MinhashMod)).as(s"h$s")
     } :+ count(lit(1)).as("n")
     sh.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
   }
+
+  /** 16 odd (prime) multipliers < 2^15 for the per-block MinHash
+    * bijections; odd ⇒ invertible mod 2^48, < 2^15 ⇒ c·h fits a signed
+    * 64-bit product for 48-bit h on both engines.
+    */
+  private[graft] val MinhashMultipliers: Array[Long] = Array(
+    32749L, 32719L, 32717L, 32713L, 32707L, 32693L, 32687L, 32653L,
+    32647L, 32633L, 32621L, 32611L, 32609L, 32603L, 32587L, 32579L)
+
+  /** 2^48 — the bijection modulus matching the 12-hex-char base hash. */
+  private[graft] val MinhashMod: Long = 1L << 48
 
   /** Exploded (id, band-key) rows from a signature frame — the single
     * source of the band md5 construction for the self-join, the
@@ -342,12 +375,12 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
     // persisted: the candidate list feeds both verify-side semi-joins
-    // and the final pair join — LSH-bounded, tiny next to the corpus
-    val candidates = bandKeysOf(sigNew, bands, rowsPerBand)
+    // and the final pair join — LSH-bounded, tiny next to the corpus;
+    // CacheScope-registered so the query driver can release it
+    val candidates = graft.ops.CacheScope.persisted(bandKeysOf(sigNew, bands, rowsPerBand)
       .join(corpBuckets, Seq("band"))
       .select(col("id").as("new_id"), explode(col("ids")).as("corp_id"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val dupNewIds = candidates
       .join(candidateShingleSets(newDocs, idCol, textCol, shingleSize,
         candidates.select(col("new_id").as("id")), "new_id", "sha"), Seq("new_id"))
@@ -423,7 +456,8 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
-    labels
+    // returned still persisted; released by the query driver's CacheScope
+    graft.ops.CacheScope.register(labels)
   }
 
   /** Driver union-find with path compression for dim-sized pair lists;
