@@ -168,6 +168,26 @@ class ScaleSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("q38 recall pin: banded pairs on the sf0.01 fixture equal brute force (34 pairs)") {
+    // The q38 DuckDB oracle mirrors the banded construction, so it can
+    // no longer catch a recall-losing EmbedNearDupPlanes/Bands drift on
+    // its own: a parameter change that loses candidate pairs would
+    // change both sides identically. This pin holds the declared query
+    // to the r04 BRUTE-FORCE ground truth on the committed fixture —
+    // 34 pairs, independently recomputed here by exact all-pairs cosine.
+    val banded = graft.SparkEntry.queries("q38_embed_neardup")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long)].collect().toSet
+    assert(banded.size === 34, s"fixture pair count drifted: ${banded.size}")
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val brute = e.select($"vec_id".as("id_a"), $"v".as("va"))
+      .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), $"id_a" < $"id_b")
+      .filter(Similarity.dot($"va", $"vb") /
+        (Similarity.l2Norm($"va") * Similarity.l2Norm($"vb")) >= 0.42)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute, "banded-LSH recall lost pairs vs exact all-pairs cosine")
+  }
+
   test("seq-pack shard windows: each language packs across >1 window partition") {
     val docs = (1L to 400L).map { i =>
       (i, if (i % 2 == 0) "en" else "fr", Seq.fill(100)("tok").mkString(" "))
