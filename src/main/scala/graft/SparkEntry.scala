@@ -846,6 +846,69 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.42,
         numPlanes = EmbedNearDupPlanes, bands = EmbedNearDupBands, dims = 64)
+    }),
+
+    // --- A8/A9: two-phase annotation merge (AnnotCache.java:92-134, 169-211) --
+    // phase 1 groups on the key INCLUDING with_info and set-merges
+    // xref_source (split [|,;], distinct, sort, '|'-join), splitting
+    // oversize values at the last '|' before the limit; phase 2 groups
+    // on the key INCLUDING the (possibly split) xref_source and merges
+    // with_info the same way. Tiny limits (25/13 vs the reference's
+    // 4000/1700) so the split loops actually fire on fixture-sized
+    // values.
+    "q59_annot_merge" -> ((s, dir) => {
+      val annots = t(s, dir, "orders").select(
+        (col("o_custkey") % 100).as("annotated_rgd_id"),
+        concat(lit("DOID:"), col("o_orderkey") % 5).as("term_acc"),
+        lit("D").as("aspect"),
+        when(col("o_orderkey") % 4 === 0, "ISO").otherwise("IAGP").as("evidence"),
+        concat(lit("PMID:"), col("o_orderkey") % 3,
+          lit(";PMID:"), (col("o_orderkey") * 2 + 1) % 5).as("xref_source"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(concat(lit("WITH:"), col("o_orderkey") % 3)).as("with_info"))
+      graft.pipelines.AnnotatePipeline
+        .mergeAnnotations(annots, xrefMax = 25, withInfoMax = 13)
+        .select("annotated_rgd_id", "term_acc", "aspect", "evidence",
+          "xref_source", "with_info")
+    }),
+
+    // --- J2: gene match with the exactly-1 guard (GeneAssociations.java:38-71)
+    // stage 1 by gene id, fallback by symbol; a stage that hits MULTIPLE
+    // dim rows treats the probe as unmatched and falls through (the dim
+    // below plants duplicate gene_ids and symbols so the guard actually
+    // fires — 20% of ids collide into 50 buckets, symbols are mostly unique with 100 planted collision pairs)
+    "q60_gene_guard" -> ((s, dir) => {
+      val dim = t(s, dir, "part").select(
+        when(col("p_partkey") % 10 < 8, col("p_partkey"))
+          .otherwise(col("p_partkey") % 50).as("gene_id"),
+        concat(lit("S"), col("p_partkey") % 1900).as("symbol"),
+        col("p_partkey").as("gene_rgd"))
+      val probe = t(s, dir, "orders").select(
+        col("o_orderkey").as("probe_id"),
+        (col("o_orderkey") % 2500).as("gene_id"),
+        concat(lit("S"), col("o_orderkey") % 1900).as("symbol"))
+      FallbackJoin(probe, Seq(
+        FallbackJoin.Stage(dim, Seq("gene_id" -> "gene_id"), Seq("gene_rgd" -> "gene_rgd")),
+        FallbackJoin.Stage(dim, Seq("symbol" -> "symbol"), Seq("gene_rgd" -> "gene_rgd"))))
+        .select(col("probe_id"), col("gene_rgd"), col(FallbackJoin.StageCol).as("matched_stage"))
+    }),
+
+    // --- J12: rs-id enrichment update set (VariantRsId.java:21-60) -----------
+    // variants' dbSNP xrefs (xdb_key=48) joined to the variant map; emit
+    // updates only where the stored rs differs null-safely — the output
+    // IS the K4 batched update set
+    "q61_rsid_updates" -> ((s, dir) => {
+      val xdb = t(s, dir, "orders").select(
+        (col("o_orderkey") % 3000).as("rgd_id"),
+        when(col("o_orderkey") % 3 === 0, 48).otherwise(11).as("xdb_key"),
+        (col("o_orderkey") % 977).cast("string").as("acc_id"))
+      val vmap = t(s, dir, "part").select(
+        col("p_partkey").as("variant_id"),
+        (col("p_partkey") % 3000).as("rgd_id"),
+        when(col("p_partkey") % 5 === 0, lit(null))
+          .when(col("p_partkey") % 5 === 1, concat(lit("rs"), col("p_partkey") % 977))
+          .otherwise(concat(lit("rs"), col("p_partkey") % 13)).as("rs_id"))
+      graft.pipelines.VariantRsIdPipeline.run(xdb, vmap)
     })
   )
 
@@ -1188,6 +1251,41 @@ object SparkEntry {
         |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.1""".stripMargin,
 
     "q38_embed_neardup" -> embedNearDupOracleSql,
+
+    "q59_annot_merge" -> annotMergeOracleSql,
+
+    "q60_gene_guard" ->
+      """WITH dim AS (
+        |  SELECT CASE WHEN p_partkey % 10 < 8 THEN p_partkey ELSE p_partkey % 50 END AS gene_id,
+        |    'S' || (p_partkey % 1900) AS symbol, p_partkey AS gene_rgd
+        |  FROM part),
+        |uid AS (SELECT gene_id, min(gene_rgd) AS gene_rgd
+        |        FROM dim GROUP BY gene_id HAVING count(*) = 1),
+        |usym AS (SELECT symbol, min(gene_rgd) AS gene_rgd
+        |         FROM dim GROUP BY symbol HAVING count(*) = 1),
+        |probe AS (SELECT o_orderkey AS probe_id, o_orderkey % 2500 AS gene_id,
+        |                 'S' || (o_orderkey % 1900) AS symbol FROM orders)
+        |SELECT probe_id, coalesce(u.gene_rgd, s.gene_rgd) AS gene_rgd,
+        |  CASE WHEN u.gene_rgd IS NOT NULL THEN 1
+        |       WHEN s.gene_rgd IS NOT NULL THEN 2 ELSE 0 END AS matched_stage
+        |FROM probe
+        |LEFT JOIN uid u USING (gene_id)
+        |LEFT JOIN usym s USING (symbol)""".stripMargin,
+
+    "q61_rsid_updates" ->
+      """WITH rs AS (
+        |  SELECT DISTINCT o_orderkey % 3000 AS rgd_id,
+        |    'rs' || (o_orderkey % 977) AS rs_new
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |vm AS (
+        |  SELECT p_partkey AS variant_id, p_partkey % 3000 AS rgd_id,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |         WHEN p_partkey % 5 = 1 THEN 'rs' || (p_partkey % 977)
+        |         ELSE 'rs' || (p_partkey % 13) END AS rs_id
+        |  FROM part)
+        |SELECT variant_id, rgd_id, rs_id AS rs_old, rs_new
+        |FROM vm JOIN rs USING (rgd_id)
+        |WHERE rs_id IS DISTINCT FROM rs_new""".stripMargin,
 
     // trim semantics: budget = 200-4 bytes, shrink on char boundaries,
     // append " ..." — fingerprints are ASCII so bytes == chars and the
@@ -1616,6 +1714,72 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_suppkey, rest AS xrefs FROM rec WHERE length(rest) <= 120""".stripMargin
   )
+
+  /** q59 oracle: the A8/A9 two-phase annotation merge
+    * (AnnotCache.java:92-134, 169-211) in DuckDB SQL. Each phase is a
+    * token-split + DISTINCT string_agg (the TreeSet merge) followed by a
+    * recursive-CTE chunker reproducing splitAnnots' "cut at the last '|'
+    * at or before maxLen, keep the tail" loop (same idiom as the q26
+    * oracle). `unnest(coalesce(split, [NULL]))` keeps all-null merge
+    * groups alive the way Spark's explode_outer does.
+    */
+  private lazy val annotMergeOracleSql: String = {
+    val xrefMax = 25
+    val wiMax = 13
+    def chunkRec(rec: String, src: String, keys: String, vCol: String, maxLen: Int): String = {
+      val w = maxLen + 1
+      s"""$rec($keys, rest, head) AS (
+         |  SELECT $keys, $vCol, CAST(NULL AS VARCHAR) FROM $src
+         |  UNION ALL
+         |  SELECT $keys,
+         |    CASE WHEN pos0 <= 0 THEN substr(rest, $w) ELSE substr(rest, pos0 + 2) END,
+         |    CASE WHEN pos0 <= 0 THEN substr(rest, 1, $maxLen) ELSE substr(rest, 1, pos0) END
+         |  FROM (SELECT $keys, rest,
+         |          CASE WHEN strpos(reverse(substr(rest, 1, $w)), '|') = 0 THEN 0
+         |               ELSE $w - strpos(reverse(substr(rest, 1, $w)), '|') END AS pos0
+         |        FROM $rec WHERE length(rest) > $maxLen) t)""".stripMargin
+    }
+    s"""WITH RECURSIVE src AS (
+       |  SELECT o_custkey % 100 AS annotated_rgd_id,
+       |    'DOID:' || (o_orderkey % 5) AS term_acc,
+       |    'D' AS aspect,
+       |    CASE WHEN o_orderkey % 4 = 0 THEN 'ISO' ELSE 'IAGP' END AS evidence,
+       |    'PMID:' || (o_orderkey % 3) || ';PMID:' || ((o_orderkey * 2 + 1) % 5) AS xref_source,
+       |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+       |         ELSE 'WITH:' || (o_orderkey % 3) END AS with_info
+       |  FROM orders),
+       |p1m AS (
+       |  SELECT annotated_rgd_id, term_acc, aspect, evidence, with_info,
+       |    coalesce(string_agg(DISTINCT tok, '|' ORDER BY tok), '') AS xref_source
+       |  FROM (SELECT annotated_rgd_id, term_acc, aspect, evidence, with_info,
+       |          unnest(coalesce(string_split_regex(xref_source, '[|,;]'), [NULL])) AS tok
+       |        FROM src)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |${chunkRec("p1rec", "p1m",
+                   "annotated_rgd_id, term_acc, aspect, evidence, with_info",
+                   "xref_source", xrefMax)},
+       |p1 AS (
+       |  SELECT annotated_rgd_id, term_acc, aspect, evidence, with_info, head AS xref_source
+       |  FROM p1rec WHERE head IS NOT NULL
+       |  UNION ALL
+       |  SELECT annotated_rgd_id, term_acc, aspect, evidence, with_info, rest AS xref_source
+       |  FROM p1rec WHERE length(rest) <= $xrefMax),
+       |p2m AS (
+       |  SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source,
+       |    coalesce(string_agg(DISTINCT tok, '|' ORDER BY tok), '') AS with_info
+       |  FROM (SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source,
+       |          unnest(coalesce(string_split_regex(with_info, '[|]'), [NULL])) AS tok
+       |        FROM p1)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |${chunkRec("p2rec", "p2m",
+                   "annotated_rgd_id, term_acc, aspect, evidence, xref_source",
+                   "with_info", wiMax)}
+       |SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source, head AS with_info
+       |FROM p2rec WHERE head IS NOT NULL
+       |UNION ALL
+       |SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source, rest AS with_info
+       |FROM p2rec WHERE length(rest) <= $wiMax""".stripMargin
+  }
 
   /** q56 oracle: the asymmetric (new-batch vs corpus) variant of the
     * q23 MinHash dataflow — corpus buckets capped, candidates cross-side
