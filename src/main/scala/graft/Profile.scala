@@ -92,6 +92,24 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("plancounts")) {
+      // static-plan Exchange / nested-loop census per query (AQE off so
+      // the shape is deterministic) — feeds PlanGuardSpec's budgets
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+        val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+        var ex = 0; var bnlj = 0
+        p.foreach { n =>
+          if (n.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]) ex += 1
+          if (n.nodeName.contains("BroadcastNestedLoop") ||
+            n.nodeName.contains("CartesianProduct")) bnlj += 1
+        }
+        println(s"[plan] $q exchanges=$ex bnlj=$bnlj")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("entry")) {
       val n = SparkEntry.entry(spark).count()
       println(s"[demo] entry rows=$n")

@@ -168,12 +168,12 @@ object Similarity {
     val w = planeWeights(numPlanes, dims)
     // three consumers (banding + both sides of the vector re-join) —
     // persist the one-row-per-vector frame instead of recomputing the
-    // 16 signature dot products per consumer
-    val sig = emb
+    // 16 signature dot products per consumer; CacheScope-registered so
+    // the query driver can release it once the result materializes
+    val sig = graft.ops.CacheScope.persisted(emb
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("sig", planeSignature(col("v"), w))
-      .withColumn("norm", l2Norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("norm", l2Norm(col("v"))))
     val banded = sig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
