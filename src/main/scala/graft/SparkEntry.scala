@@ -865,6 +865,9 @@ object SparkEntry {
         concat(lit("PMID:"), col("o_orderkey") % 3,
           lit(";PMID:"), (col("o_orderkey") * 2 + 1) % 5).as("xref_source"),
         when(col("o_orderkey") % 11 === 0, lit(null))
+          .when(col("o_orderkey") % 7 === 0,
+            concat(lit("WITH:"), col("o_orderkey") % 3,
+              lit(";WITH:"), (col("o_orderkey") * 3 + 1) % 4)) // multi-value: phase 2 must split on ;
           .otherwise(concat(lit("WITH:"), col("o_orderkey") % 3)).as("with_info"))
       graft.pipelines.AnnotatePipeline
         .mergeAnnotations(annots, xrefMax = 25, withInfoMax = 13)
@@ -1746,6 +1749,8 @@ object SparkEntry {
        |    CASE WHEN o_orderkey % 4 = 0 THEN 'ISO' ELSE 'IAGP' END AS evidence,
        |    'PMID:' || (o_orderkey % 3) || ';PMID:' || ((o_orderkey * 2 + 1) % 5) AS xref_source,
        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+       |         WHEN o_orderkey % 7 = 0
+       |           THEN 'WITH:' || (o_orderkey % 3) || ';WITH:' || ((o_orderkey * 3 + 1) % 4)
        |         ELSE 'WITH:' || (o_orderkey % 3) END AS with_info
        |  FROM orders),
        |p1m AS (
@@ -1768,7 +1773,7 @@ object SparkEntry {
        |  SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source,
        |    coalesce(string_agg(DISTINCT tok, '|' ORDER BY tok), '') AS with_info
        |  FROM (SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source,
-       |          unnest(coalesce(string_split_regex(with_info, '[|]'), [NULL])) AS tok
+       |          unnest(coalesce(string_split_regex(with_info, '[|,;]'), [NULL])) AS tok
        |        FROM p1)
        |  GROUP BY 1, 2, 3, 4, 5),
        |${chunkRec("p2rec", "p2m",

@@ -111,7 +111,10 @@ object AnnotatePipeline {
     MergeSplit.mergeThenSplit(
       phase1,
       keyCols = Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source"),
-      mergeCols = Map("with_info" -> (col("with_info"), "[|]", "|")),
+      // with_info splits on all three separators, exactly as the
+      // reference does (AnnotCache.mergeIncomingAnnots2:183 splits on
+      // "[\|\,\;]" before re-concatenating with "|")
+      mergeCols = Map("with_info" -> (col("with_info"), "[|,;]", "|")),
       splitCol = "with_info",
       maxLen = withInfoMax)
   }
