@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * Image decode is REAL end-to-end: PPM (binary netpbm) through the
   * hand-rolled parser ([[decodePpm]]), JPEG / PNG / BMP / GIF / TIFF
   * through the JDK's `javax.imageio` readers ([[decodeJavaImage]]) —
-  * no external jars. Payloads no reader accepts flag corrupt
-  * (`ok = false`), never fake features. Only AUDIO/VIDEO sample
-  * extraction remains a stub boundary (no audio/video codecs ship with
-  * the JDK): [[sampleFrames]] / [[audioWindows]] compute the real
-  * offset/window arithmetic and leave per-frame decode to a bound
-  * codec.
+  * no external jars. Audio decode is REAL for every container the
+  * JDK's `javax.sound.sampled` registry reads (WAV / AIFF / AU):
+  * [[decodeAudio]] converts to signed 16-bit PCM, mixes down to mono,
+  * and [[audioWindowStats]] computes per-window RMS / peak over the
+  * ACTUAL samples. Payloads no reader accepts flag corrupt
+  * (`ok = false`), never fake features. Only VIDEO frame extraction
+  * remains a stub boundary (no video codec ships with the JDK):
+  * [[sampleFrames]] computes the real offset arithmetic and leaves
+  * per-frame decode to a bound codec.
   */
 object Multimodal {
 
@@ -346,12 +349,12 @@ object Multimodal {
         "frame_offset_ms",
         (col(durationCol) * col("frame_idx") / n).cast("long"))
 
-  /** Fixed-length windowing for audio payloads: one row per
-    * `windowMs`-sized window covering the clip (last window may be
-    * short). The SAMPLE DECODE inside each window is the stub boundary;
-    * the window arithmetic, row explosion, and clamped end offsets are
-    * real — this is the segmentation shape an ASR/audio-embedding batch
-    * pass consumes.
+  /** Fixed-length windowing from DECLARED duration metadata: one row
+    * per `windowMs`-sized window covering the clip (last window may be
+    * short). This is the payload-free path — segmentation planning over
+    * a catalog where audio bytes are not staged. When payloads ARE
+    * present, [[audioWindowStats]] decodes the real samples and this
+    * arithmetic is subsumed by measured window bounds.
     */
   def audioWindows(assets: DataFrame, windowMs: Long, durationCol: String): DataFrame =
     assets
@@ -366,4 +369,162 @@ object Multimodal {
       .withColumn(
         "window_end_ms",
         least(col("window_start_ms") + windowMs, col(durationCol)))
+
+  // ---------------------------------------------------------------- audio
+
+  /** Clip-level metadata from a REAL decode. `durationMs` and
+    * `numSamples` are measured from the decoded PCM, not declared.
+    */
+  final case class AudioFeatures(
+      assetId: Long,
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      numSamples: Long,
+      durationMs: Long,
+      ok: Boolean)
+
+  /** One fixed-length window of REAL decoded samples: RMS and absolute
+    * peak over the mono mixdown — the segmentation + level-stats shape
+    * an ASR / audio-embedding batch pass consumes.
+    */
+  final case class AudioWindowStats(
+      assetId: Long,
+      windowIdx: Long,
+      windowStartMs: Long,
+      windowEndMs: Long,
+      numSamples: Long,
+      rms: Double,
+      peak: Double)
+
+  /** Decoded clip: source format metadata plus the mono mixdown in
+    * [-1, 1] floats (channel average per frame).
+    */
+  private[scale] final case class AudioClip(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      mono: Array[Float])
+
+  /** Total-sample ceiling enforced from the header frame count BEFORE
+    * any PCM is read — the audio twin of [[MaxDecodePixels]]. A
+    * malformed header declaring hours of audio would otherwise allocate
+    * an unbounded float buffer and OOM the executor on every retry.
+    * 64 M samples ≈ 256 MB of mono floats (≈ 22 min at 48 kHz).
+    */
+  val MaxDecodeSamples: Long = 64L * 1024 * 1024
+
+  /** REAL decoder for every container the JDK's `javax.sound.sampled`
+    * registry ships a reader for — WAV, AIFF, AU (`java.desktop`
+    * module; no external jars). The source stream is converted to
+    * signed 16-bit little-endian PCM at its own sample rate (the JDK
+    * converts from unsigned 8-bit, big-endian 16-bit, μ-law/a-law),
+    * then mixed down to mono by per-frame channel average. Returns None
+    * when no reader accepts the payload, the header is malformed, or
+    * the declared frame count exceeds [[MaxDecodeSamples]] — the caller
+    * flags corrupt, it never fabricates samples.
+    */
+  private[scale] def decodeAudio(bytes: Array[Byte]): Option[AudioClip] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val channels = src.getChannels
+        val frames = in.getFrameLength
+        if (channels <= 0 || frames <= 0 || frames * channels > MaxDecodeSamples) return None
+        val target = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, channels, channels * 2, src.getSampleRate,
+          /* bigEndian = */ false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        try {
+          val data = pcm.readAllBytes()
+          val nFrames = data.length / (channels * 2)
+          val mono = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var c = 0
+            var acc = 0.0
+            while (c < channels) {
+              val i = (f * channels + c) * 2
+              val s = (((data(i) & 0xff) | (data(i + 1) << 8))).toShort
+              acc += s / 32768.0
+              c += 1
+            }
+            mono(f) = (acc / channels).toFloat
+            f += 1
+          }
+          Some(AudioClip(
+            math.round(src.getSampleRate), channels,
+            src.getSampleSizeInBits, mono))
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Clip-level decode pass over a distributed asset set: REAL sample
+    * counts and measured duration per asset; undecodable payloads flag
+    * `ok = false` with zeroed metadata so a mixed corpus never loses
+    * rows.
+    */
+  def audioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeAudio(a.content) match {
+          case Some(c) =>
+            val durMs =
+              if (c.sampleRate > 0) c.mono.length.toLong * 1000 / c.sampleRate else 0L
+            AudioFeatures(
+              a.assetId, c.sampleRate, c.channels, c.bitsPerSample,
+              c.mono.length.toLong, durMs, ok = true)
+          case None =>
+            AudioFeatures(a.assetId, 0, 0, 0, 0L, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Per-window level stats over REAL decoded samples: fixed
+    * `windowMs` windows (last clamped to the measured clip end), RMS
+    * and absolute peak of the mono mixdown per window. Undecodable
+    * payloads contribute no rows — pair with [[audioFeatures]] to
+    * account for them. One output row per window (explode), computed
+    * inside the partition so only slim stat rows shuffle.
+    */
+  def audioWindowStats(assets: Dataset[Asset], windowMs: Long): Dataset[AudioWindowStats] = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      decodeAudio(a.content) match {
+        case Some(c) if c.sampleRate > 0 && c.mono.nonEmpty =>
+          val perWin = math.max(1L, windowMs * c.sampleRate / 1000).toInt
+          val nWin = (c.mono.length + perWin - 1) / perWin
+          (0 until nWin).map { w =>
+            val s = w * perWin
+            val e = math.min(s + perWin, c.mono.length)
+            var i = s
+            var sq = 0.0
+            var peak = 0.0
+            while (i < e) {
+              val v = c.mono(i)
+              sq += v.toDouble * v
+              val av = math.abs(v.toDouble)
+              if (av > peak) peak = av
+              i += 1
+            }
+            val n = e - s
+            AudioWindowStats(
+              a.assetId, w.toLong,
+              s.toLong * 1000 / c.sampleRate,
+              e.toLong * 1000 / c.sampleRate,
+              n.toLong, math.sqrt(sq / n), peak)
+          }
+        case _ => Seq.empty
+      }
+    }
+  }
 }

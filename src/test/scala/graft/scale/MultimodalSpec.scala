@@ -143,6 +143,75 @@ class MultimodalSpec extends SparkSpec {
       (2L, 0L, 0L, 900L)))
   }
 
+  /** Synthesize a real RIFF/WAVE payload: interleaved [-1,1] float
+    * samples packed as signed 16-bit little-endian PCM and written
+    * through the JDK's own WAV writer.
+    */
+  private def wavBytes(samples: Array[Float], sampleRate: Float, channels: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768, math.min(32767, math.round(s * 32767f)))
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio decode is REAL: WAV sine -> measured rate/samples/duration + window RMS/peak") {
+    val sr = 8000
+    val amp = 0.5f
+    val sine = Array.tabulate(4000)(i => (amp * math.sin(2 * math.Pi * 440 * i / sr)).toFloat)
+    val clip = Multimodal.Asset(20L, "audio", wavBytes(sine, sr, 1), "wav")
+    val f = Multimodal.audioFeatures(Seq(clip).toDS()).collect().head
+    assert(f.ok && f.sampleRate === 8000 && f.channels === 1 &&
+      f.bitsPerSample === 16 && f.numSamples === 4000L && f.durationMs === 500L)
+    val w = Multimodal.audioWindowStats(Seq(clip).toDS(), 100L).collect().sortBy(_.windowIdx)
+    assert(w.length === 5) // 5 x 100 ms over the measured 500 ms
+    assert(w.forall(_.numSamples === 800L))
+    assert(w.head.windowStartMs === 0L && w.last.windowEndMs === 500L)
+    // level stats from the ACTUAL samples: sine of amplitude A has
+    // RMS A/sqrt(2) and peak A
+    w.foreach { s =>
+      assert(math.abs(s.rms - amp / math.sqrt(2)) < 0.01, s"rms ${s.rms}")
+      assert(math.abs(s.peak - amp) < 0.01, s"peak ${s.peak}")
+    }
+  }
+
+  test("audio mixdown: stereo opposing channels cancel to silence") {
+    val inter = Array.tabulate(1600)(i => if (i % 2 == 0) 0.5f else -0.5f) // L=+0.5 R=-0.5
+    val clip = Multimodal.Asset(21L, "audio", wavBytes(inter, 8000f, 2), "wav")
+    val f = Multimodal.audioFeatures(Seq(clip).toDS()).collect().head
+    assert(f.ok && f.channels === 2 && f.numSamples === 800L)
+    val w = Multimodal.audioWindowStats(Seq(clip).toDS(), 1000L).collect()
+    assert(w.length === 1 && w.head.rms < 1e-4 && w.head.peak < 1e-4)
+  }
+
+  test("audio corrupt payloads flag ok=false and emit no window rows") {
+    val bad = Seq(
+      Multimodal.Asset(22L, "audio", Array.empty[Byte], "wav"),
+      Multimodal.Asset(23L, "audio", "definitely not audio".getBytes, "wav")).toDS()
+    assert(Multimodal.audioFeatures(bad).collect().forall(!_.ok))
+    assert(Multimodal.audioWindowStats(bad, 100L).collect().isEmpty)
+  }
+
+  test("audio decode cap: header-declared frame bomb rejected before PCM reads") {
+    // hand-built RIFF/WAVE header declaring ~1e9 mono 16-bit frames with
+    // no payload: the frame-count guard must reject before any buffer
+    // allocates (the audio twin of the BMP bomb test above)
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(0x7ffffff0).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    bb.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(0x7ffffff0)
+    assert(Multimodal.decodeAudio(bb.array()).isEmpty)
+  }
+
   test("readDir: binaryFile source yields (path, length, content)") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toFile
     java.nio.file.Files.write(new java.io.File(dir, "a.bin").toPath, "hello".getBytes)
