@@ -901,10 +901,15 @@ object SparkEntry {
     // updates only where the stored rs differs null-safely — the output
     // IS the K4 batched update set
     "q61_rsid_updates" -> ((s, dir) => {
+      // link_text plants non-"rs" values (o_orderkey % 11 == 0 → "ss…")
+      // so the reference's startsWith("rs") admission filter
+      // (VariantRsId.java:36) is driver-gated, not vacuous
       val xdb = t(s, dir, "orders").select(
         (col("o_orderkey") % 3000).as("rgd_id"),
         when(col("o_orderkey") % 3 === 0, 48).otherwise(11).as("xdb_key"),
-        (col("o_orderkey") % 977).cast("string").as("acc_id"))
+        concat(
+          when(col("o_orderkey") % 11 === 0, lit("ss")).otherwise(lit("rs")),
+          col("o_orderkey") % 977).as("link_text"))
       val vmap = t(s, dir, "part").select(
         col("p_partkey").as("variant_id"),
         (col("p_partkey") % 3000).as("rgd_id"),
@@ -1277,18 +1282,25 @@ object SparkEntry {
 
     "q61_rsid_updates" ->
       """WITH rs AS (
-        |  SELECT DISTINCT o_orderkey % 3000 AS rgd_id,
-        |    'rs' || (o_orderkey % 977) AS rs_new
+        |  SELECT o_orderkey % 3000 AS rgd_id,
+        |    (CASE WHEN o_orderkey % 11 = 0 THEN 'ss' ELSE 'rs' END)
+        |      || (o_orderkey % 977) AS link_text
         |  FROM orders WHERE o_orderkey % 3 = 0),
+        |rsf AS (
+        |  SELECT rgd_id, link_text AS rs_new FROM rs
+        |  WHERE link_text LIKE 'rs%'),
         |vm AS (
         |  SELECT p_partkey AS variant_id, p_partkey % 3000 AS rgd_id,
         |    CASE WHEN p_partkey % 5 = 0 THEN NULL
         |         WHEN p_partkey % 5 = 1 THEN 'rs' || (p_partkey % 977)
         |         ELSE 'rs' || (p_partkey % 13) END AS rs_id
-        |  FROM part)
-        |SELECT variant_id, rgd_id, rs_id AS rs_old, rs_new
-        |FROM vm JOIN rs USING (rgd_id)
-        |WHERE rs_id IS DISTINCT FROM rs_new""".stripMargin,
+        |  FROM part),
+        |diffs AS (
+        |  SELECT variant_id, rgd_id, rs_id AS rs_old, rs_new,
+        |    row_number() OVER (PARTITION BY rgd_id ORDER BY rs_new, variant_id) AS rk
+        |  FROM vm JOIN rsf USING (rgd_id)
+        |  WHERE rs_id IS DISTINCT FROM rs_new)
+        |SELECT variant_id, rgd_id, rs_old, rs_new FROM diffs WHERE rk = 1""".stripMargin,
 
     // trim semantics: budget = 200-4 bytes, shrink on char boundaries,
     // append " ..." — fingerprints are ASCII so bytes == chars and the

@@ -11,8 +11,11 @@ object VariantRsIdMain {
   def main(args: Array[String]): Unit = {
     val Array(storeDir, variantMapPath) = args.take(2)
     val spark = local()
+    // the store keeps dbSNP accessions raw (parser F8); the DB link
+    // text the reference filters on (X7) is "rs" + acc
     val updates = VariantRsIdPipeline.run(
-      spark.read.parquet(s"$storeDir/xdb_ids"),
+      spark.read.parquet(s"$storeDir/xdb_ids")
+        .withColumn("link_text", concat(lit("rs"), col("acc_id"))),
       spark.read.parquet(variantMapPath))
     updates.cache().write.mode("overwrite").parquet(s"$storeDir/audit/rs_id_updates")
     updates.orderBy("variant_id").collect().take(20).foreach { r =>

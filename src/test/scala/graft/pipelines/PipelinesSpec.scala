@@ -283,8 +283,11 @@ class RsIdAndDupTermSpec extends SparkSpec {
   import spark.implicits._
 
   test("rs-id enrichment emits only changed rows, null-safe (J12)") {
-    val xdb = Seq((1L, 48, "100"), (2L, 48, "200"), (3L, 48, "300"), (1L, 52, "RCV1"))
-      .toDF("rgd_id", "xdb_key", "acc_id")
+    val xdb = Seq(
+      (1L, 48, "rs100"), (2L, 48, "rs200"), (3L, 48, "rs300"),
+      (1L, 52, "RCV1"),  // wrong xdb key -> ignored
+      (3L, 48, "ss42")   // non-"rs" link text -> ignored (VariantRsId.java:36)
+    ).toDF("rgd_id", "xdb_key", "link_text")
     val vmap = Seq(
       (1001L, 1L, "rs100"),  // unchanged -> no row
       (1002L, 2L, "rs999"),  // differs -> update
@@ -293,6 +296,20 @@ class RsIdAndDupTermSpec extends SparkSpec {
     val out = VariantRsIdPipeline.run(xdb, vmap)
       .select("variant_id", "rs_new").as[(Long, String)].collect().toSet
     assert(out === Set((1002L, "rs200"), (1003L, "rs300")))
+  }
+
+  test("rs-id enrichment: at most ONE update per rgd_id, deterministic winner (J12)") {
+    // rgd 7 has two differing rs xrefs and two variants: the reference's
+    // rgdIds guard (VariantRsId.java:40) admits only the first pair; the
+    // deterministic analog picks min (rs_new, variant_id)
+    val xdb = Seq((7L, 48, "rs111"), (7L, 48, "rs222"))
+      .toDF("rgd_id", "xdb_key", "link_text")
+    val vmap = Seq((2001L, 7L, "rs999"), (2002L, 7L, "rs999"))
+      .toDF("variant_id", "rgd_id", "rs_id")
+    val out = VariantRsIdPipeline.run(xdb, vmap)
+      .select("variant_id", "rgd_id", "rs_old", "rs_new")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(out === Seq((2001L, 7L, "rs999", "rs111")))
   }
 
   test("duplicate-term QC: groups by normalized name, 3-level rank winner (O2)") {
