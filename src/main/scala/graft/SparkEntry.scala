@@ -917,8 +917,95 @@ object SparkEntry {
           .when(col("p_partkey") % 5 === 1, concat(lit("rs"), col("p_partkey") % 977))
           .otherwise(concat(lit("rs"), col("p_partkey") % 13)).as("rs_id"))
       graft.pipelines.VariantRsIdPipeline.run(xdb, vmap)
-    })
+    }),
+
+    // --- child-table diffs through the FULL load path (J5/J6/K3):
+    // incoming children are keyed by symbol, re-keyed to rgd ids through
+    // the identity match, then DiffSync-classified on their natural
+    // keys. A wrong natural-key column or a broken rekey fails these
+    // rows — they gate LoadPipeline.run's wiring, not just DiffSync.
+    "q62_child_hgvs_diff" -> ((s, dir) =>
+      childLoadResult(s, dir).hgvsDiff
+        .select("rgd_id", "hgvs_type", "name", "action")),
+    "q63_child_mappos_diff" -> ((s, dir) =>
+      childLoadResult(s, dir).mapPosDiff
+        .select("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos", "action"))
   )
+
+  /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
+    * snapshots where every incoming record identity-matches the store
+    * (rcv stage), so the oracle can re-key children with a plain join
+    * while the Spark side exercises the real 3-stage match + rekey.
+    */
+  private def childLoadResult(s: SparkSession, dir: String): graft.pipelines.LoadPipeline.Result = {
+    val cust = t(s, dir, "customer")
+    val contentCols = Seq(
+      lit("variant").as("object_type"),
+      lit("benign").as("clinical_significance"),
+      lit("criteria provided").as("review_status"),
+      lit("clinical testing").as("method_type"),
+      lit("sub1").as("submitter"),
+      lit("trait").as("trait_name"),
+      lit(null).cast("string").as("notes"),
+      lit("A").as("ref_nuc"),
+      lit("T").as("var_nuc"),
+      lit(null).cast("date").as("date_last_evaluated"))
+    val storeVariants = cust.filter(col("c_custkey") % 3 === 0).select(
+      Seq(
+        col("c_custkey").as("rgd_id"),
+        concat(lit("C"), col("c_custkey")).as("symbol"),
+        col("c_name").as("name"),
+        concat(lit("RCV"), col("c_custkey")).as("rcv_acc")) ++ contentCols: _*)
+    val incomingVariants = cust.filter(col("c_custkey") % 6 === 0).select(
+      Seq(
+        concat(lit("C"), col("c_custkey")).as("symbol"),
+        concat(lit("RCV"), col("c_custkey")).as("rcv_acc"),
+        col("c_name").as("name")) ++ contentCols: _*)
+    val incomingHgvs = cust.filter(col("c_custkey") % 6 === 0).select(
+      concat(lit("C"), col("c_custkey")).as("symbol"),
+      when(col("c_custkey") % 12 === 0, "c").otherwise("p").as("hgvs_type"),
+      concat(lit("NM_"), col("c_custkey") % 50).as("name"))
+    val storeHgvs = cust.filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 5 =!= 4).select(
+      col("c_custkey").as("rgd_id"),
+      when(col("c_custkey") % 12 === 0, "c").otherwise("p").as("hgvs_type"),
+      when(col("c_custkey") % 10 < 5, concat(lit("NM_"), col("c_custkey") % 50))
+        .otherwise(concat(lit("NM_"), col("c_custkey") % 50 + 1)).as("name"))
+    val incomingMapPos = cust.filter(col("c_custkey") % 6 === 0).select(
+      concat(lit("C"), col("c_custkey")).as("symbol"),
+      lit("GRCh38").as("assembly"),
+      (col("c_custkey") % 22 + 1).cast("string").as("chromosome"),
+      (col("c_custkey") * 10).as("start_pos"),
+      (col("c_custkey") * 10 + col("c_custkey") % 7).as("stop_pos"))
+    val storeMapPos = cust.filter(col("c_custkey") % 3 === 0).select(
+      col("c_custkey").as("rgd_id"),
+      when(col("c_custkey") % 8 === 0, "GRCh37").otherwise("GRCh38").as("assembly"),
+      (col("c_custkey") % 22 + 1).cast("string").as("chromosome"),
+      when(col("c_custkey") % 9 === 0, col("c_custkey") * 10 + 1)
+        .otherwise(col("c_custkey") * 10).as("start_pos"),
+      (col("c_custkey") * 10 + col("c_custkey") % 7).as("stop_pos"))
+    val empty3 = cust.limit(0).select(
+      col("c_custkey").as("rgd_id"), col("c_name").as("value"), col("c_name").as("notes"))
+    graft.pipelines.LoadPipeline.run(
+      incomingVariants,
+      incomingXdb = cust.limit(0).select(
+        concat(lit("C"), col("c_custkey")).as("symbol"),
+        lit(52).as("xdb_key"), col("c_name").as("acc_id")),
+      incomingHgvs,
+      incomingAliases = cust.limit(0).select(
+        concat(lit("C"), col("c_custkey")).as("symbol"), col("c_name").as("value")),
+      incomingGenes = cust.limit(0).select(
+        concat(lit("C"), col("c_custkey")).as("symbol"), col("c_custkey").as("gene_id")),
+      incomingMapPos,
+      store = graft.pipelines.LoadPipeline.Store(
+        variants = storeVariants,
+        xdbIds = cust.limit(0).select(
+          col("c_custkey").as("rgd_id"), lit(52).as("xdb_key"), col("c_name").as("acc_id")),
+        hgvsNames = storeHgvs,
+        aliases = empty3,
+        geneAssocs = cust.limit(0).select(
+          col("c_custkey").as("rgd_id"), col("c_custkey").as("gene_id")),
+        mapPositions = storeMapPos))
+  }
 
   /** DuckDB-equivalent SQL per query (same column names — the driver
     * compare hashes values under sorted column names).
@@ -1301,6 +1388,60 @@ object SparkEntry {
         |  FROM vm JOIN rsf USING (rgd_id)
         |  WHERE rs_id IS DISTINCT FROM rs_new)
         |SELECT variant_id, rgd_id, rs_old, rs_new FROM diffs WHERE rk = 1""".stripMargin,
+
+    // child rekey is a plain symbol->rgd lookup here BY CONSTRUCTION
+    // (every incoming symbol 'C'||c identity-matches store rgd_id c), so
+    // the oracle re-keys directly while the Spark side runs the real
+    // 3-stage match + rekey + DiffSync
+    "q62_child_hgvs_diff" ->
+      """WITH inc AS (
+        |  SELECT c_custkey AS rgd_id,
+        |    CASE WHEN c_custkey % 12 = 0 THEN 'c' ELSE 'p' END AS hgvs_type,
+        |    'NM_' || (c_custkey % 50) AS name
+        |  FROM customer WHERE c_custkey % 6 = 0),
+        |cur AS (
+        |  SELECT c_custkey AS rgd_id,
+        |    CASE WHEN c_custkey % 12 = 0 THEN 'c' ELSE 'p' END AS hgvs_type,
+        |    CASE WHEN c_custkey % 10 < 5 THEN 'NM_' || (c_custkey % 50)
+        |         ELSE 'NM_' || (c_custkey % 50 + 1) END AS name
+        |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 4)
+        |SELECT COALESCE(i.rgd_id, c.rgd_id) AS rgd_id,
+        |  COALESCE(i.hgvs_type, c.hgvs_type) AS hgvs_type,
+        |  COALESCE(i.name, c.name) AS name,
+        |  CASE WHEN c.rgd_id IS NULL THEN 'insert'
+        |       WHEN i.rgd_id IS NULL THEN 'delete'
+        |       ELSE 'match' END AS action
+        |FROM inc i FULL OUTER JOIN cur c
+        |  ON i.rgd_id = c.rgd_id AND i.hgvs_type = c.hgvs_type
+        | AND i.name = c.name""".stripMargin,
+
+    "q63_child_mappos_diff" ->
+      """WITH inc AS (
+        |  SELECT c_custkey AS rgd_id, 'GRCh38' AS assembly,
+        |    CAST(c_custkey % 22 + 1 AS VARCHAR) AS chromosome,
+        |    c_custkey * 10 AS start_pos,
+        |    c_custkey * 10 + c_custkey % 7 AS stop_pos
+        |  FROM customer WHERE c_custkey % 6 = 0),
+        |cur AS (
+        |  SELECT c_custkey AS rgd_id,
+        |    CASE WHEN c_custkey % 8 = 0 THEN 'GRCh37' ELSE 'GRCh38' END AS assembly,
+        |    CAST(c_custkey % 22 + 1 AS VARCHAR) AS chromosome,
+        |    CASE WHEN c_custkey % 9 = 0 THEN c_custkey * 10 + 1
+        |         ELSE c_custkey * 10 END AS start_pos,
+        |    c_custkey * 10 + c_custkey % 7 AS stop_pos
+        |  FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT COALESCE(i.rgd_id, c.rgd_id) AS rgd_id,
+        |  COALESCE(i.assembly, c.assembly) AS assembly,
+        |  COALESCE(i.chromosome, c.chromosome) AS chromosome,
+        |  COALESCE(i.start_pos, c.start_pos) AS start_pos,
+        |  COALESCE(i.stop_pos, c.stop_pos) AS stop_pos,
+        |  CASE WHEN c.rgd_id IS NULL THEN 'insert'
+        |       WHEN i.rgd_id IS NULL THEN 'delete'
+        |       ELSE 'match' END AS action
+        |FROM inc i FULL OUTER JOIN cur c
+        |  ON i.rgd_id = c.rgd_id AND i.assembly = c.assembly
+        | AND i.chromosome = c.chromosome AND i.start_pos = c.start_pos
+        | AND i.stop_pos = c.stop_pos""".stripMargin,
 
     // trim semantics: budget = 200-4 bytes, shrink on char boundaries,
     // append " ..." — fingerprints are ASCII so bytes == chars and the
