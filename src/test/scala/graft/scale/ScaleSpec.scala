@@ -188,6 +188,27 @@ class ScaleSpec extends SparkSpec {
     assert(banded === brute, "banded-LSH recall lost pairs vs exact all-pairs cosine")
   }
 
+  test("q23 recall pin: MinHash-LSH pairs on the sf0.01 fixture equal brute force (25 pairs)") {
+    // The q23/q56 DuckDB oracles mirror the bijection construction, so
+    // recall-losing drift in the hash family or banding is invisible to
+    // Verify (the r6 bijection change altered candidate counts and only
+    // the oracle rewrite kept the row green). This pin holds the
+    // declared query to BRUTE-FORCE exact-Jaccard ground truth on the
+    // committed fixture — 25 pairs at threshold 0.2, independently
+    // recomputed by all-pairs set intersection over the same shingles.
+    val found = graft.SparkEntry.queries("q23_lsh_pairs")(spark, "/root/testdata/sf0.01")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val brute = sh.select($"doc_id".as("id_a"), $"sh".as("sha"))
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("shb")), $"id_a" < $"id_b")
+      .withColumn("ni", size(array_intersect($"sha", $"shb")))
+      .filter($"ni".cast("double") / (size($"sha") + size($"shb") - $"ni") >= 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size === 25, s"fixture ground truth drifted: ${brute.size}")
+    assert(found === brute, "MinHash-LSH pairs diverged from brute-force exact Jaccard")
+  }
+
   test("seq-pack shard windows: each language packs across >1 window partition") {
     val docs = (1L to 400L).map { i =>
       (i, if (i % 2 == 0) "en" else "fr", Seq.fill(100)("tok").mkString(" "))
