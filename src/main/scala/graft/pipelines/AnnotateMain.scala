@@ -37,9 +37,9 @@ object AnnotateMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val variants = spark.read.parquet(s"$storeDir/variants")
-    val variantXdb = spark.read.parquet(s"$storeDir/xdb_ids")
-    val geneAssocs = spark.read.parquet(s"$storeDir/gene_associations")
+    val variants = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "variants"))
+    val variantXdb = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "xdb_ids"))
+    val geneAssocs = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "gene_associations"))
     val genes = spark.read.parquet(s"$dimsDir/genes.parquet")
     val variantGene = geneAssocs.join(broadcast(genes), Seq("gene_id"))
       .select(col("rgd_id"), col("gene_id"), col("gene_rgd_id"))
@@ -57,9 +57,9 @@ object AnnotateMain {
       else termIndex.limit(0)
     val orthologs = spark.read.parquet(s"$dimsDir/orthologs.parquet")
 
-    val annotsPath = new java.io.File(s"$storeDir/annotations")
     val currentAnnots =
-      if (annotsPath.exists()) spark.read.parquet(annotsPath.toString)
+      if (graft.ops.SnapshotStore.exists(storeDir, "annotations"))
+        spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "annotations"))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -79,20 +79,14 @@ object AnnotateMain {
     result.counters.orderBy("aspect", "action").collect().foreach { r =>
       println(s"[annotate] ${r.getString(0)}.${r.getString(1)}: ${r.getLong(2)}")
     }
-    graft.ops.DiffSync
-      .nextSnapshot(result.annotDiff,
+    // subset publish: only `annotations` moves to the new version; the
+    // load entities keep their manifest pointers in the same atomic flip
+    graft.ops.SnapshotStore.publish(
+      storeDir,
+      Seq("annotations" -> graft.ops.DiffSync.nextSnapshot(
+        result.annotDiff,
         Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source"),
-        Seq("with_info"))
-      .write.mode("overwrite").parquet(s"$storeDir/annotations_next")
-    val next = new java.io.File(s"$storeDir/annotations_next")
-    if (annotsPath.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(annotsPath)
-    }
-    next.renameTo(annotsPath)
+        Seq("with_info"))))
     spark.stop()
   }
 }

@@ -46,15 +46,17 @@ object LoadMain {
         StructField("start_pos", LongType), StructField("stop_pos", LongType)))))
   }
 
-  private def loadStore(spark: SparkSession, dir: String): LoadPipeline.Store =
-    if (!new java.io.File(s"$dir/variants").exists()) emptyStore(spark)
+  private def loadStore(spark: SparkSession, dir: String): LoadPipeline.Store = {
+    import graft.ops.SnapshotStore
+    if (!SnapshotStore.exists(dir, "variants")) emptyStore(spark)
     else LoadPipeline.Store(
-      variants = spark.read.parquet(s"$dir/variants"),
-      xdbIds = spark.read.parquet(s"$dir/xdb_ids"),
-      hgvsNames = spark.read.parquet(s"$dir/hgvs_names"),
-      aliases = spark.read.parquet(s"$dir/aliases"),
-      geneAssocs = spark.read.parquet(s"$dir/gene_associations"),
-      mapPositions = spark.read.parquet(s"$dir/map_positions"))
+      variants = spark.read.parquet(SnapshotStore.path(dir, "variants")),
+      xdbIds = spark.read.parquet(SnapshotStore.path(dir, "xdb_ids")),
+      hgvsNames = spark.read.parquet(SnapshotStore.path(dir, "hgvs_names")),
+      aliases = spark.read.parquet(SnapshotStore.path(dir, "aliases")),
+      geneAssocs = spark.read.parquet(SnapshotStore.path(dir, "gene_associations")),
+      mapPositions = spark.read.parquet(SnapshotStore.path(dir, "map_positions")))
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(xmlPath, storeDir) = args.take(2)
@@ -134,24 +136,16 @@ object LoadMain {
       "gene_associations" -> (Seq("rgd_id", "gene_id"), Seq.empty[String]),
       "map_positions" -> (Seq("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos"),
         Seq.empty[String]))
-    diffs.foreach { case (name, d) =>
-      val (keys, content) = contentOf(name)
-      DiffSync.nextSnapshot(d, keys, content)
-        .write.mode("overwrite").parquet(s"$storeDir/${name}_next")
-    }
-    // swap: _next -> current (atomic-rename analog of the Oracle commit)
-    diffs.foreach { case (name, _) =>
-      val next = new java.io.File(s"$storeDir/${name}_next")
-      val cur = new java.io.File(s"$storeDir/$name")
-      if (cur.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(cur)
-      }
-      next.renameTo(cur)
-    }
+    // all six entities stage under one version dir, then ONE atomic
+    // manifest flip commits them together — the snapshot analog of the
+    // reference's Oracle transaction (a crash mid-write leaves readers
+    // on the previous fully-consistent state, never a mixed one)
+    graft.ops.SnapshotStore.publish(
+      storeDir,
+      diffs.map { case (name, d) =>
+        val (keys, content) = contentOf(name)
+        name -> DiffSync.nextSnapshot(d, keys, content)
+      })
     // every write consumed the cached diffs; release them (and the
     // pipeline-internal caches) so repeated loads in one session — the
     // convergence loop, a daily-batch driver — don't accumulate blocks
