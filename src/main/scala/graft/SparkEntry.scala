@@ -929,7 +929,46 @@ object SparkEntry {
         .select("rgd_id", "hgvs_type", "name", "action")),
     "q63_child_mappos_diff" -> ((s, dir) =>
       childLoadResult(s, dir).mapPosDiff
-        .select("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos", "action"))
+        .select("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos", "action")),
+
+    // --- multimodal decode gate: REAL image + audio codecs against
+    // hand-frozen expected rows for the committed fixtures (the q45
+    // pattern) — a codec regression now fails the driver's check, not
+    // just a unit spec. stat_milli = round(1000 * mean-R-channel) for
+    // images, round(1000 * full-clip RMS) for audio.
+    "q64_media_decode" -> ((s, _) => {
+      import s.implicits._
+      val withId = Multimodal.readDir(s, "src/test/resources/graft/multimodal")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("name"),
+          col("content"))
+        .withColumn("asset_id", abs(xxhash64(col("name"))))
+      def assets(df: org.apache.spark.sql.DataFrame, modality: String) = df.select(
+        col("asset_id").as("assetId"), lit(modality).as("modality"),
+        col("content"), lit("").as("declaredFormat")).as[Multimodal.Asset]
+      val imgRows = Multimodal.imageFeatures(assets(
+        withId.filter(!col("name").endsWith(".wav")), "image")).toDF()
+        .select(
+          col("assetId").as("asset_id"), col("format"),
+          col("ok").cast("int").as("ok"),
+          col("width").cast("long").as("d1"), col("height").cast("long").as("d2"),
+          when(col("ok"),
+            round(element_at(col("embedding"), 1) * 1000).cast("long"))
+            .otherwise(lit(null).cast("long")).as("stat_milli"))
+      val wavAssets = assets(withId.filter(col("name").endsWith(".wav")), "audio")
+      val rms = Multimodal.audioWindowStats(wavAssets, 600000L).toDF()
+        .select(col("assetId").as("asset_id"),
+          round(col("rms") * 1000).cast("long").as("stat_milli"))
+      val audRows = Multimodal.audioFeatures(wavAssets).toDF()
+        .select(
+          col("assetId").as("asset_id"), lit("wav").as("format"),
+          col("ok").cast("int").as("ok"),
+          col("sampleRate").cast("long").as("d1"), col("numSamples").as("d2"))
+        .join(rms, Seq("asset_id"), "left")
+      imgRows.unionByName(audRows)
+        .join(withId.select(col("asset_id"), col("name")), Seq("asset_id"))
+        .select("name", "format", "ok", "d1", "d2", "stat_milli")
+    })
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -1414,6 +1453,18 @@ object SparkEntry {
         |FROM inc i FULL OUTER JOIN cur c
         |  ON i.rgd_id = c.rgd_id AND i.hgvs_type = c.hgvs_type
         | AND i.name = c.name""".stripMargin,
+
+    // expected rows frozen from the committed fixtures: PNG mean-R is
+    // exact by construction (half-red raster -> 500), JPEG within codec
+    // determinism (501), WAV sine RMS = 0.5/sqrt(2) -> 354, corrupt
+    // payload flags ok=0 with no stat
+    "q64_media_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('corrupt.bin', '', 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('halfred.jpg', 'jpeg', 1, 12, 8, 501),
+        |  ('halfred.png', 'png', 1, 12, 8, 500),
+        |  ('sine.wav', 'wav', 1, 8000, 4000, 354)
+        |) AS t(name, format, ok, d1, d2, stat_milli)""".stripMargin,
 
     "q63_child_mappos_diff" ->
       """WITH inc AS (
