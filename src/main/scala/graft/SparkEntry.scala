@@ -868,6 +868,8 @@ object SparkEntry {
           .when(col("o_orderkey") % 7 === 0,
             concat(lit("WITH:"), col("o_orderkey") % 3,
               lit(";WITH:"), (col("o_orderkey") * 3 + 1) % 4)) // multi-value: phase 2 must split on ;
+          .when(col("o_orderkey") % 13 === 0,
+            concat(lit("WITH:"), col("o_orderkey") % 3, lit(";"))) // trailing sep: Java split drops the empty token
           .otherwise(concat(lit("WITH:"), col("o_orderkey") % 3)).as("with_info"))
       graft.pipelines.AnnotatePipeline
         .mergeAnnotations(annots, xrefMax = 25, withInfoMax = 13)
@@ -1955,13 +1957,15 @@ object SparkEntry {
        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
        |         WHEN o_orderkey % 7 = 0
        |           THEN 'WITH:' || (o_orderkey % 3) || ';WITH:' || ((o_orderkey * 3 + 1) % 4)
+       |         WHEN o_orderkey % 13 = 0 THEN 'WITH:' || (o_orderkey % 3) || ';'
        |         ELSE 'WITH:' || (o_orderkey % 3) END AS with_info
        |  FROM orders),
        |p1m AS (
        |  SELECT annotated_rgd_id, term_acc, aspect, evidence, with_info,
        |    coalesce(string_agg(DISTINCT tok, '|' ORDER BY tok), '') AS xref_source
        |  FROM (SELECT annotated_rgd_id, term_acc, aspect, evidence, with_info,
-       |          unnest(coalesce(string_split_regex(xref_source, '[|,;]'), [NULL])) AS tok
+       |          unnest(coalesce(string_split_regex(
+       |            regexp_replace(xref_source, '[|,;]+$$', ''), '[|,;]'), [NULL])) AS tok
        |        FROM src)
        |  GROUP BY 1, 2, 3, 4, 5),
        |${chunkRec("p1rec", "p1m",
@@ -1977,7 +1981,8 @@ object SparkEntry {
        |  SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source,
        |    coalesce(string_agg(DISTINCT tok, '|' ORDER BY tok), '') AS with_info
        |  FROM (SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source,
-       |          unnest(coalesce(string_split_regex(with_info, '[|,;]'), [NULL])) AS tok
+       |          unnest(coalesce(string_split_regex(
+       |            regexp_replace(with_info, '[|,;]+$$', ''), '[|,;]'), [NULL])) AS tok
        |        FROM p1)
        |  GROUP BY 1, 2, 3, 4, 5),
        |${chunkRec("p2rec", "p2m",

@@ -21,6 +21,14 @@ import org.apache.spark.storage.StorageLevel
   * are unpersisted non-blocking — in-flight consumers of an already-
   * materialized result are unaffected, and re-running the same query
   * simply re-persists.
+  *
+  * SINGLE-DRIVER ASSUMPTION: the registry is process-global, so
+  * [[releaseAll]] releases every registered frame in the SparkSession —
+  * including ones registered by a concurrent query driver in the same
+  * JVM, whose not-yet-materialized consumers would then silently
+  * recompute. Concurrent query drivers sharing one session must either
+  * coordinate their release points or skip releaseAll and accept the
+  * session-lifetime cache.
   */
 object CacheScope {
   private val registry = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()

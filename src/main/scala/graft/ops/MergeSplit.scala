@@ -82,7 +82,13 @@ object MergeSplit {
         // map-side partial, so the shuffle carries one deduped set per
         // (key, partition) — strictly smaller than the final array
         // (the distinct-then-collect formulation paid a second exchange)
-        df.select(keys :+ explode_outer(split(src, splitRegex)).as("_tok"): _*)
+        // Trailing separators are stripped BEFORE the split: Spark's
+        // split keeps trailing empty tokens, Java's String.split (the
+        // reference, AnnotCache.java:183) drops them — without the strip
+        // a value ending in a separator grows a leading '|' after the
+        // sort+rejoin. Interior empties stay, exactly as in Java.
+        df.select(keys :+ explode_outer(
+          split(regexp_replace(src, splitRegex + "+$", ""), splitRegex)).as("_tok"): _*)
           .groupBy(keys: _*)
           .agg(concat_ws(delim, array_sort(collect_set(col("_tok")))).as(out))
       }

@@ -97,6 +97,16 @@ object AnnotatePipeline {
     * separator boundary. `evidence` (IAGP direct / ISO ortholog) is
     * part of the merge key in both phases, as in the reference's
     * 9-part key (AnnotCache.getMergeKey:246-258).
+    *
+    * DELIBERATE divergence: the reference only splits/rejoins a value
+    * when two annots actually collide on the merge key
+    * (AnnotCache.mergeIncomingAnnots2:169-211); here EVERY row is
+    * split, deduped, sorted, and rejoined with '|', so a non-merged
+    * singleton arriving as e.g. "WITH:b;WITH:a" normalizes to
+    * "WITH:a|WITH:b" where the reference would pass it through
+    * verbatim. Unreachable with this pipeline's own inputs (with_info
+    * is null or a single "RGD:<id>"), and self-consistent: DiffSync
+    * compares against similarly-normalized stored state.
     */
   def mergeAnnotations(
       annots: DataFrame, // annotated_rgd_id, term_acc, evidence, xref_source, with_info

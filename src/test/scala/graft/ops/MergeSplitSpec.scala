@@ -50,6 +50,24 @@ class MergeSplitSpec extends SparkSpec {
     assert(k1 === (("a|b", "x|y")))
   }
 
+  test("trailing separators drop like Java String.split; interior empties survive") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (1, "b;a;"),   // trailing sep: Java split drops the empty token -> "a|b", no leading '|'
+      (2, "a;;b"),   // interior empty: Java split KEEPS it -> sorts first -> leading '|'
+      (3, ";;"),     // all separators: Java split yields [] -> empty merge
+      (4, null.asInstanceOf[String])
+    ).toDF("k", "v")
+    val out = MergeSplit.mergeThenSplit(
+      df, Seq("k"), Map("v" -> ((col("v"), "[|,;]", "|"))), "v", maxLen = 100)
+      .as[(Int, String)].collect().toMap
+    assert(out(1) === "a|b")
+    assert(out(2) === "|a|b")
+    assert(out(3) === "")
+    assert(out(4) === "")
+  }
+
   test("mergeThenSplit: groupBy set-merge then explode oversize (A8-A10 chain)") {
     val df = Seq(
       (1, "b|a"), (1, "c"), (2, "zzzzzz|yyyyyy")

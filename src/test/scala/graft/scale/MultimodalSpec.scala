@@ -118,6 +118,22 @@ class MultimodalSpec extends SparkSpec {
     assert(((img.getRGB(1, 1) >>> 24) & 0xff) === 0)
   }
 
+  test("thumbnails keep GIF alpha: ARGB frame survives the JDK GIF writer round-trip") {
+    // resizeJavaImage keeps an ARGB canvas for gif (keepAlpha) and
+    // re-encodes with the JDK GIF writer — pin that the writer accepts
+    // the ARGB frame and the transparent region survives (it maps to the
+    // GIF transparent palette index)
+    val src = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    src.setRGB(0, 0, 0xffff0000) // one opaque red pixel, rest transparent
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "gif", bos)
+    val resized = Multimodal.resizeJavaImage(bos.toByteArray, 2, 2)
+    assert(resized.isDefined, "JDK GIF writer rejected the ARGB thumbnail frame")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.get))
+    assert(img.getColorModel.hasAlpha)
+    assert(((img.getRGB(1, 1) >>> 24) & 0xff) === 0) // transparent quadrant stays transparent
+  }
+
   test("features feed the similarity operators (schema contract)") {
     val feats = Multimodal.imageFeatures(assets).filter(_.ok).toDF()
     val top = Similarity.bruteForceTopK(feats, feats.limit(1), "assetId", "embedding", 1)
