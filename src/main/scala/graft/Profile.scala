@@ -92,6 +92,101 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("sf1smoke")) {
+      // Measured decade for the heavy scale queries: stage a 10x sf0.1
+      // corpus and time each query at both SFs (best-of-2, caches
+      // released between runs, exactly as Bench does).
+      //
+      // The scaling is STRUCTURE-PRESERVING, not copy-paste: exact
+      // copies would put 10 identical docs in every MinHash bucket and
+      // grow pair counts ~copies^2 — a data artifact, not an engine
+      // property. Instead each copy c>0 prefixes every token with a
+      // copy tag (shingle sets across copies are disjoint, so each
+      // copy reproduces sf0.1's near-dup density and candidate counts
+      // scale ~linearly), and each embedding copy applies a per-copy
+      // diagonal +-1 sign transform (within-copy cosines are exactly
+      // preserved; cross-copy vectors decorrelate).
+      val out = "tmp/sf1"
+      val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      (0 until copies).map { c =>
+        docs.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          (if (c == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"x${c}_$$1")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_.unionByName(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // per-copy orthogonal transform = coprime-stride dim permutation
+      // composed with a sign pattern. Sign flips alone leave <=16/64
+      // flipped dims between some copy pairs -> cross-copy cosine ~0.5,
+      // which q38's loose 0.42 threshold counts as near-dups (first
+      // smoke run: 165x pair blowup — a staging artifact). The
+      // permutation decorrelates cross-copy vectors to ~0 cosine while
+      // preserving within-copy cosines exactly.
+      val embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      (0 until copies).map { c =>
+        val perm = typedlit((0 until 64).map(i => ((2 * c + 1) * i + 7 * c) % 64 + 1))
+        // seeded-random signs: any two copies differ on ~32 of 64 dims,
+        // so cross-copy cosine ~ 0 even when vectors share a positive
+        // mean component (the (c >> (i%4)) bit pattern flipped as few
+        // as 16 dims between some copy pairs -> cosine ~0.5 > 0.42)
+        val rnd = new scala.util.Random(1000003L * (c + 1))
+        val signs = typedlit((0 until 64).map(_ =>
+          if (c > 0 && rnd.nextBoolean()) -1.0f else 1.0f))
+        embs.select(
+          (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+          (if (c == 0) col("embedding")
+           else zip_with(perm, signs, (p, s) => element_at(col("embedding"), p) * s))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_.unionByName(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      val qs = Seq("q23_lsh_pairs", "q24_simhash", "q25_ann_lsh",
+        "q38_embed_neardup", "q50_dedup_cluster", "q56_incr_dedup")
+      // JIT/codegen warmup on the smallest SF (as Bench does)
+      qs.foreach { q =>
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        graft.ops.CacheScope.releaseAll()
+      }
+      Seq("/root/testdata/sf0.1" -> "sf0.1", out -> s"sf1(${copies}x)").foreach {
+        case (dir, tag) =>
+          qs.foreach { q =>
+            var rows = 0L
+            val times = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              rows = SparkEntry.queries(q)(spark, dir).count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              graft.ops.CacheScope.releaseAll()
+              dt
+            }
+            println(f"[sf1smoke] $tag $q rows=$rows t=${times.min}%.2fs")
+          }
+          // q38's oracle threshold (0.42) sits in the BULK TAIL of the
+          // isotropic test embeddings (P[cos>0.42] ~ 2e-4), so its
+          // output is quadratic in N by construction — and its 3-bit
+          // band space (2^3 buckets) makes CANDIDATES quadratic too.
+          // Time the production regime as well: high threshold + 16-bit
+          // bands, where the band space exceeds N and candidate work
+          // stays ~linear.
+          var rows80 = 0L
+          val t80 = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            rows80 = graft.scale.Similarity.cosineNearDupPairs(
+              spark.read.parquet(s"$dir/embeddings.parquet"),
+              "vec_id", "embedding", 0.8, numPlanes = 160, bands = 10, dims = 64).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            graft.ops.CacheScope.releaseAll()
+            dt
+          }
+          println(f"[sf1smoke] $tag q38@t0.8/16bit rows=$rows80 t=${t80.min}%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("plancounts")) {
       // static-plan Exchange / nested-loop census per query (AQE off so
       // the shape is deterministic) — feeds PlanGuardSpec's budgets

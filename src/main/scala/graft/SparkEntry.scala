@@ -538,16 +538,12 @@ object SparkEntry {
           TextStats.tokenCount(col("text")).as("n_ws"))
     }),
 
-    // --- scale: corpus stats — exact percentiles + distinct counts ------------
-    "q41_corpus_stats" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          expr("percentile(n_chars, 0.5)").as("med_chars"),
-          expr("percentile(n_chars, 0.9)").as("p90_chars"),
-          countDistinct(col("source")).as("n_sources"))
-    }),
+    // --- scale: corpus stats — exact percentiles + distinct counts.
+    // approx=false is the DuckDB-comparable form; the approx=true twin
+    // (approx_percentile + HLL) is the 100 TB path, pinned against this
+    // one by ScaleSpec's relative-error test at sf0.1. -------------------------
+    "q41_corpus_stats" -> ((s, dir) =>
+      TextStats.corpusStats(t(s, dir, "documents"), approx = false)),
 
     // --- K6: unmatchable-condition report split by name suffix ----------------
     // (VariantAnnotator.dumpUnmatchableConditions:690-762: conditions
@@ -970,6 +966,64 @@ object SparkEntry {
       imgRows.unionByName(audRows)
         .join(withId.select(col("asset_id"), col("name")), Seq("asset_id"))
         .select("name", "format", "ok", "d1", "d2", "stat_milli")
+    }),
+
+    // --- F5/F6 driver gate: the REAL carpeCompliant +
+    // excludedConditionFilter functions over variant-shaped columns
+    // synthesized from orders. Cases planted so every branch fires:
+    // non-carpe types, 'not provided' inside a merged clinsig list, the
+    // uncertain-significance+LIMM submitter combo
+    // (VariantAnnotator.variantIsCarpeCompliant:245-266), and all three
+    // excluded condition names (AppConfigure.xml:50-56). ------------------------
+    "q65_carpe_filter" -> ((s, dir) => {
+      val types = Seq("snv", "deletion", "duplication", "insertion",
+        "single nucleotide variant", "indel", "copy number gain")
+      val variants = t(s, dir, "orders").select(
+        col("o_orderkey").as("rgd_id"),
+        element_at(typedlit(types), (col("o_orderkey") % 7).cast("int") + 1)
+          .as("object_type"),
+        when(col("o_custkey") % 5 === 0, "pathogenic|not provided")
+          .when(col("o_custkey") % 5 === 1, "uncertain significance")
+          .when(col("o_custkey") % 5 === 2, "benign")
+          .when(col("o_custkey") % 5 === 3, "likely pathogenic|uncertain significance")
+          .otherwise("pathogenic").as("clinical_significance"),
+        when(col("o_orderkey") % 3 === 0,
+          "Leeds Institute of Molecular Medicine (LIMM)")
+          .otherwise("Lab X").as("submitter"),
+        when(col("o_orderkey") % 11 === 0, "not provided")
+          .when(col("o_orderkey") % 11 === 1, "not specified")
+          .when(col("o_orderkey") % 11 === 2, "AllHighlyPenetrant")
+          .otherwise(concat(lit("cond "), col("o_orderkey") % 50)).as("condition"))
+      graft.pipelines.AnnotatePipeline.excludedConditionFilter(
+        graft.pipelines.AnnotatePipeline.carpeCompliant(variants),
+        Seq("not provided", "not specified", "AllHighlyPenetrant"))
+    }),
+
+    // --- X5/X6/F8/A15 driver gate: the parser's routed, DEDUPED xdb set
+    // for the fixture records, hand-frozen from the XML (q45 pattern).
+    // Pins the OMIM allele-id split (613653.0001 -> keys 53 AND 6), the
+    // ORPHA prefix strip (ORPHA306511 -> 306511), DB routing incl. the
+    // UniProtKB ignore, and the LinkedHashSet (key, acc) dedup — the
+    // TraitMapping MedGen CUI repeats the trait xref and must NOT
+    // produce a second (54, C3150901) row. ---------------------------------------
+    "q66_parser_xdb" -> ((s, _) => {
+      val v = graft.ingest.XmlIngest.variants(
+        graft.ingest.XmlIngest.parseRecords(
+          graft.ingest.XmlIngest.readRecords(s, "src/test/resources/vcv_sample.xml")))
+      graft.ingest.XmlIngest.xdbIds(v)
+        .select(col("symbol"), col("xdbKey").as("xdb_key"),
+          col("accId").as("acc_id"), col("notes"))
+    }),
+
+    // --- X4 driver gate: HGVS type canonicalization through the real
+    // parse ('HGVS, protein, RefSeq' -> 'protein_refseq';
+    // Parser.java:186-231), hand-frozen from the fixture. ------------------------
+    "q67_parser_hgvs" -> ((s, _) => {
+      val v = graft.ingest.XmlIngest.variants(
+        graft.ingest.XmlIngest.parseRecords(
+          graft.ingest.XmlIngest.readRecords(s, "src/test/resources/vcv_sample.xml")))
+      graft.ingest.XmlIngest.hgvsNames(v)
+        .select(col("symbol"), col("hgvsType").as("hgvs_type"), col("name"))
     })
   )
 
@@ -1467,6 +1521,66 @@ object SparkEntry {
         |  ('halfred.png', 'png', 1, 12, 8, 500),
         |  ('sine.wav', 'wav', 1, 8000, 4000, 354)
         |) AS t(name, format, ok, d1, d2, stat_milli)""".stripMargin,
+
+    "q65_carpe_filter" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS rgd_id,
+        |    CASE o_orderkey % 7 WHEN 0 THEN 'snv' WHEN 1 THEN 'deletion'
+        |      WHEN 2 THEN 'duplication' WHEN 3 THEN 'insertion'
+        |      WHEN 4 THEN 'single nucleotide variant' WHEN 5 THEN 'indel'
+        |      ELSE 'copy number gain' END AS object_type,
+        |    CASE o_custkey % 5 WHEN 0 THEN 'pathogenic|not provided'
+        |      WHEN 1 THEN 'uncertain significance' WHEN 2 THEN 'benign'
+        |      WHEN 3 THEN 'likely pathogenic|uncertain significance'
+        |      ELSE 'pathogenic' END AS clinical_significance,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |         THEN 'Leeds Institute of Molecular Medicine (LIMM)'
+        |         ELSE 'Lab X' END AS submitter,
+        |    CASE o_orderkey % 11 WHEN 0 THEN 'not provided'
+        |      WHEN 1 THEN 'not specified' WHEN 2 THEN 'AllHighlyPenetrant'
+        |      ELSE 'cond ' || (o_orderkey % 50) END AS condition
+        |  FROM orders)
+        |SELECT rgd_id, object_type, clinical_significance, submitter, condition
+        |FROM v
+        |WHERE object_type IN ('snv', 'single nucleotide variant', 'deletion',
+        |                      'duplication', 'insertion')
+        |  AND clinical_significance NOT LIKE '%not provided%'
+        |  AND NOT (clinical_significance = 'uncertain significance'
+        |           AND submitter = 'Leeds Institute of Molecular Medicine (LIMM)')
+        |  AND condition NOT IN ('not provided', 'not specified', 'AllHighlyPenetrant')""".stripMargin,
+
+    // hand-frozen from vcv_sample.xml + Parser.parseXRefs semantics
+    // (Parser.java:485-585): gene ids (3) + HGNC (21), the RCV acc (52),
+    // the OMIM allele split (53 + 6), dbSNP rs (48), ORPHA strip (62),
+    // MedGen trait/mapping CUI deduped to ONE row (54), MONDO (145),
+    // PubMed citation (11), the assertion TraitSet OMIM (6); UniProtKB
+    // is on the ignore list. CV99 contributes no xrefs.
+    "q66_parser_xdb" ->
+      """SELECT * FROM (VALUES
+        |  ('CV15091', 3, '9907', 'RCV000000012'),
+        |  ('CV15091', 21, 'HGNC:22197', 'RCV000000012'),
+        |  ('CV15091', 52, 'RCV000000012', 'RCV000000012'),
+        |  ('CV15091', 53, '613653.0001', 'RCV000000012'),
+        |  ('CV15091', 6, '613653', 'RCV000000012'),
+        |  ('CV15091', 48, '397704705', 'RCV000000012'),
+        |  ('CV15091', 62, '306511', 'RCV000000012'),
+        |  ('CV15091', 54, 'C3150901', 'RCV000000012'),
+        |  ('CV15091', 145, 'MONDO:0013342', 'RCV000000012'),
+        |  ('CV15091', 11, '20613862', 'RCV000000012'),
+        |  ('CV15091', 6, '613647', 'RCV000000012'),
+        |  ('CV500', 3, '672', 'RCV000077'),
+        |  ('CV500', 21, 'HGNC:1100', 'RCV000077'),
+        |  ('CV500', 54, 'C200', 'RCV000077'),
+        |  ('CV500', 52, 'RCV000077', 'RCV000077')
+        |) AS t(symbol, xdb_key, acc_id, notes)""".stripMargin,
+
+    // hand-frozen: 'coding' is already canonical; 'HGVS, protein,
+    // RefSeq' -> 'protein_refseq' (X4)
+    "q67_parser_hgvs" ->
+      """SELECT * FROM (VALUES
+        |  ('CV15091', 'coding', 'NM_014855.3:c.80_83delinsTGCTGTAAACTGTAACTGTAAA'),
+        |  ('CV15091', 'protein_refseq', 'NP_055670.1:p.Arg27_Ile28delinsLeuLeuTer')
+        |) AS t(symbol, hgvs_type, name)""".stripMargin,
 
     "q63_child_mappos_diff" ->
       """WITH inc AS (

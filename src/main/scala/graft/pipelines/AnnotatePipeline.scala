@@ -55,6 +55,14 @@ object AnnotatePipeline {
       .distinct()
   }
 
+  /** F6: drop rows whose condition name is on the excluded list
+    * (VariantAnnotator.java exclusion set; AppConfigure.xml:50-56).
+    * Factored so the name-fallback path and the q65 driver gate run the
+    * same code.
+    */
+  def excludedConditionFilter(df: DataFrame, excludedConditions: Seq[String]): DataFrame =
+    df.filter(!col("condition").isin(excludedConditions: _*))
+
   /** J9: normalized-name fallback — conditions that found no term via
     * the concept chain probe the pre-normalized term index by name
     * (suffix-stripped). Excluded condition names (F6) drop out first.
@@ -63,8 +71,7 @@ object AnnotatePipeline {
       unmatchedConditions: DataFrame, // rgd_id, condition
       termIndex: DataFrame,           // norm_name, term_accs (NameNormalize.termIndex)
       excludedConditions: Seq[String]): DataFrame = {
-    unmatchedConditions
-      .filter(!col("condition").isin(excludedConditions: _*))
+    excludedConditionFilter(unmatchedConditions, excludedConditions)
       .withColumn(
         "norm_name",
         NameNormalize.normalizeName(NameNormalize.stripRcvSuffix(col("condition"))))

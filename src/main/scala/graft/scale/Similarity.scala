@@ -154,6 +154,17 @@ object Similarity {
     * persisted signature frame is one row per vector (the vector itself,
     * its norm, its signature — ~1× the input, no blow-up), and vectors
     * re-join by id for the LSH-bounded candidate set only.
+    *
+    * PARAMETERIZE FOR THE CORPUS: each band has 2^(numPlanes/bands)
+    * buckets, and candidate work is sum(bucket²) — if the band space is
+    * much smaller than N, every bucket holds ~N/2^r vectors and
+    * candidates go QUADRATIC (measured: the oracle's 3-bit bands cost
+    * 10× more wall-clock per 10× corpus with ZERO matching pairs).
+    * Grow bits-per-band with log2(N) (e.g. 16 bits for 10^6+ vectors)
+    * and add bands to recover recall. `maxBucket` is the guardrail for
+    * an underparameterized call: oversized buckets (band space
+    * exhausted) are DROPPED — bounded work, documented recall loss —
+    * exactly the [[Dedup]] family's contract.
     */
   def cosineNearDupPairs(
       emb: DataFrame,
@@ -162,7 +173,8 @@ object Similarity {
       threshold: Double,
       numPlanes: Int = 16,
       bands: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val rowsPerBand = numPlanes / bands
     val w = planeWeights(numPlanes, dims)
@@ -181,11 +193,15 @@ object Similarity {
           substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_sig"))
       }: _*)).as("band"))
       .select(col("id"), col("band.band_idx").as("band_idx"), col("band.band_sig").as("band_sig"))
-    val candidates = banded.select(col("band_idx"), col("band_sig"), col("id").as("id_a"))
-      .join(banded.select(col("band_idx"), col("band_sig"), col("id").as("id_b")),
-        Seq("band_idx", "band_sig"))
+    // bucket members collect once per (band, sig); buckets past the cap
+    // drop whole (they signal an exhausted band space, where emitting
+    // bucket² pairs is the quadratic failure mode this cap exists for)
+    val candidates = banded.groupBy("band_idx", "band_sig")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
       .distinct()
     candidates
       .join(sig.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), Seq("id_a"))

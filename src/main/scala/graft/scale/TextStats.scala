@@ -181,6 +181,40 @@ object TextStats {
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
 
+  /** Per-language corpus summary (doc count, median/p90 chars, distinct
+    * sources) in two forms:
+    *
+    *  - `approx = false` — the oracle-exact form behind q41: exact
+    *    `percentile` + `count(DISTINCT ...)`. Both hold per-group state
+    *    proportional to the group (percentile buffers every value;
+    *    distinct shuffles every (lang, source) pair) — fine at test SF,
+    *    wrong at 100 TB where one language can hold billions of rows.
+    *  - `approx = true` — the documented 100 TB path: `approx_percentile`
+    *    (Greenwald-Khanna sketch, memory bounded by `accuracy`, not by
+    *    group size) + `approx_count_distinct` (HyperLogLog++, ~1.5 KB per
+    *    group at rsd=0.02). Constant per-group state, single map-side-
+    *    combined aggregation, no value buffering.
+    *
+    * Column names/types match between the two so a caller can swap the
+    * flag without touching downstream code (approx casts its percentile
+    * outputs to double to mirror exact `percentile`'s return type).
+    */
+  def corpusStats(docs: DataFrame, approx: Boolean,
+                  accuracy: Int = 10000, rsd: Double = 0.02): DataFrame = {
+    val aggs =
+      if (approx) Seq(
+        count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n_chars, 0.5, $accuracy)").cast("double").as("med_chars"),
+        expr(s"approx_percentile(n_chars, 0.9, $accuracy)").cast("double").as("p90_chars"),
+        approx_count_distinct(col("source"), rsd).as("n_sources"))
+      else Seq(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("med_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"),
+        countDistinct(col("source")).as("n_sources"))
+    docs.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic epoch-weighted replication — the mixture-building
     * primitive: a row with weight w per-mille keeps w/1000 whole copies
     * plus one more iff its hash bucket falls below w mod 1000, so

@@ -74,6 +74,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(nl === 0, p.toString.take(600))
   }
 
+  test("r7 top-10 exchange budgets: q20 / q48 / q56 / q59 keep their measured plan shape") {
+    // budgets = the counts `Profile plancounts` measured on the tuned
+    // plans (AQE off). A refactor that adds a shuffle to any of the
+    // bench's most expensive queries fails here, not in the driver run.
+    val budgets = Map(
+      "q20_minhash" -> 1, // the one signature hash-agg shuffle
+      "q48_vcf_reconcile" -> 3, // derived-key equi-joins for the ±1 pad shifts
+      "q56_incr_dedup" -> 6, // slim corpus index + batch probe + capped verify
+      "q59_annot_merge" -> 2) // phase-1 + phase-2 merge groupBys
+    val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
+      val n = exchanges(planOf(q))
+      if (n > b) Some(s"$q exchanges=$n > budget $b") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+
   test("NO query plan contains a single-partition shuffle (scale-killer guard)") {
     // budgeted exemptions — both are GLOBAL AGGREGATIONS whose exchange
     // carries one partially-aggregated row per upstream partition:

@@ -268,4 +268,27 @@ class ScaleSpec extends SparkSpec {
     assert(out(0) === out(1))
     assert(out(0) !== out(2))
   }
+
+  test("corpusStats approx twin tracks exact within tolerance at sf0.1") {
+    // the 100 TB form (GK percentile sketch + HLL distinct) vs the
+    // oracle-exact q41 form on the real sf0.1 documents table: counts
+    // identical, percentiles within the sketch's rank guarantee
+    // (accuracy=10000 -> max rank error 1/10000 of the group; assert a
+    // generous 2% VALUE error), HLL distincts within 3*rsd.
+    val real = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val exact = TextStats.corpusStats(real, approx = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val approx = TextStats.corpusStats(real, approx = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (lang, (n, med, p90, srcs)) =>
+      val (an, amed, ap90, asrcs) = approx(lang)
+      assert(an === n, s"$lang n_docs")
+      assert(math.abs(amed - med) <= math.max(1.0, 0.02 * med), s"$lang med $amed vs $med")
+      assert(math.abs(ap90 - p90) <= math.max(1.0, 0.02 * p90), s"$lang p90 $ap90 vs $p90")
+      assert(math.abs(asrcs - srcs).toDouble <= math.max(1.0, 0.06 * srcs), s"$lang srcs $asrcs vs $srcs")
+    }
+  }
 }
