@@ -1024,7 +1024,24 @@ object SparkEntry {
           graft.ingest.XmlIngest.readRecords(s, "src/test/resources/vcv_sample.xml")))
       graft.ingest.XmlIngest.hgvsNames(v)
         .select(col("symbol"), col("hgvsType").as("hgvs_type"), col("name"))
-    })
+    }),
+
+    // --- scale: benchmark decontamination — corpus docs sharing any
+    // 4-gram with the held-out slice (doc_id % 11 == 0 plays the eval
+    // set). Benchmark grams broadcast; the corpus side never shuffles
+    // on gram. -------------------------------------------------------------------
+    "q68_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", 4)
+    }),
+
+    // --- scale: repetition quality signals (dup-token per-mille + most
+    // repeated bigram count) — the boilerplate filter dedup misses ---------------
+    "q69_repetition" -> ((s, dir) =>
+      TextStats.repetitionSignals(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -1581,6 +1598,40 @@ object SparkEntry {
         |  ('CV15091', 'coding', 'NM_014855.3:c.80_83delinsTGCTGTAAACTGTAACTGTAAA'),
         |  ('CV15091', 'protein_refseq', 'NP_055670.1:p.Arg27_Ile28delinsLeuLeuTer')
         |) AS t(symbol, hgvs_type, name)""".stripMargin,
+
+    // 4-gram windows: t[i:i+3] is INCLUSIVE in DuckDB (4 elements);
+    // every fixture doc has >= 10 tokens so the short-doc single-shingle
+    // case never fires. n_hits counts DISTINCT grams per doc, matching
+    // WordShingles' per-document dedup.
+    "q68_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+        |  FROM tok, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+        |FROM grams g JOIN bench b ON g.g = b.g
+        |WHERE g.doc_id % 11 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
+
+    "q69_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+        |    (1000 * (len(t) - len(list_distinct(t)))) // len(t) AS dup_token_milli
+        |  FROM tok),
+        |grams AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        |  FROM tok, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+        |topg AS (
+        |  SELECT doc_id, max(c) AS max_bigram_n FROM (
+        |    SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct, dup_token_milli,
+        |  COALESCE(max_bigram_n, 0) AS max_bigram_n
+        |FROM base LEFT JOIN topg USING (doc_id)""".stripMargin,
 
     "q63_child_mappos_diff" ->
       """WITH inc AS (

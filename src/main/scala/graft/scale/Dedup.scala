@@ -543,4 +543,33 @@ object Dedup {
       .agg(array_sort(collect_set(col("id"))).as("ids"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
   }
+
+  /** Benchmark decontamination — the training-data hygiene staple: flag
+    * corpus documents that share any word `n`-gram with a benchmark /
+    * eval set, so evaluation text can be removed from the training mix.
+    *
+    * Scale shape: the benchmark side is tiny next to the corpus, so its
+    * distinct gram set BROADCASTS; the 100 TB corpus side shingles
+    * per-row (codegen'd [[shingles]] loop, no shuffle) and probes the
+    * broadcast — only matched (id, gram) rows reach the per-doc count
+    * aggregation. Nothing corpus-sized ever shuffles on gram.
+    *
+    * Returns one row per contaminated corpus doc: (idCol, n_hits) where
+    * n_hits = number of DISTINCT benchmark grams the doc contains
+    * ([[graft.functions.WordShingles]] dedups per document).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+    val bench = broadcast(grams(benchmark).select("gram").distinct())
+    grams(corpus)
+      .join(bench, Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

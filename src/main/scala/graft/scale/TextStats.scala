@@ -215,6 +215,46 @@ object TextStats {
     docs.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Repetition quality signals (the Gopher/MassiveText-style repetition
+    * filters): per document, the duplicate-token fraction and the count
+    * of the most-repeated word bigram. High values flag boilerplate /
+    * degenerate text that dedup misses because no other document shares
+    * it.
+    *
+    *  - `dup_token_milli` = floor(1000 * (n_tokens - n_distinct) /
+    *    n_tokens) — integer per-mille so the value hashes identically
+    *    across engines.
+    *  - `max_bigram_n` = occurrences of the document's most frequent
+    *    bigram (>= 2 means some bigram repeats).
+    *
+    * Scale shape: token stats are pure codegen'd expressions on the
+    * scan; the bigram mode needs true occurrence counts (the codegen'd
+    * [[graft.functions.WordShingles]] dedups, so it can't count) — an
+    * explode + two map-side-combined aggregations keyed (id, gram) then
+    * (id). The only shuffled payload is (id, gram, partial count).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = split(trim(col(textCol)), "\\s+")
+    val base = docs.select(
+      col(idCol),
+      size(tok).as("n_tokens"),
+      size(array_distinct(tok)).as("n_distinct"))
+      .withColumn(
+        "dup_token_milli",
+        (lit(1000) * (col("n_tokens") - col("n_distinct")) / col("n_tokens")).cast("long"))
+    val bigrams = docs
+      .select(col(idCol), tok.as("t"))
+      .select(col(idCol), explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val maxRep = bigrams
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("max_bigram_n"))
+    base.join(maxRep, Seq(idCol), "left")
+      .na.fill(0L, Seq("max_bigram_n"))
+  }
+
   /** Deterministic epoch-weighted replication — the mixture-building
     * primitive: a row with weight w per-mille keeps w/1000 whole copies
     * plus one more iff its hash bucket falls below w mod 1000, so

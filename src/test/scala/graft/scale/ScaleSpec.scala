@@ -269,6 +269,32 @@ class ScaleSpec extends SparkSpec {
     assert(out(0) !== out(2))
   }
 
+  test("decontaminate: only docs sharing a benchmark n-gram flag, with distinct-gram hit counts") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "i saw the quick brown fox yesterday"),       // shares 'the quick brown fox'
+      (2L, "the quick brown fox jumps the quick brown fox jumps"), // shares 2 grams, repeated
+      (3L, "completely unrelated text about spark plans today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L)) // doc 2's repeats dedup per doc
+  }
+
+  test("repetitionSignals: dup-token per-mille and max bigram count") {
+    val df = Seq(
+      (1L, "a a a b"),          // 4 tokens, 2 distinct, 'a a' twice
+      (2L, "all words differ"), // no repetition
+      (3L, "x")                 // single token: no bigram
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionSignals(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "dup_token_milli", "max_bigram_n")
+      .as[(Long, Int, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4, 2, 500L, 2L)))
+    assert(out(2L) === ((2L, 3, 3, 0L, 1L)))
+    assert(out(3L) === ((3L, 1, 1, 0L, 0L)))
+  }
+
   test("corpusStats approx twin tracks exact within tolerance at sf0.1") {
     // the 100 TB form (GK percentile sketch + HLL distinct) vs the
     // oracle-exact q41 form on the real sf0.1 documents table: counts
