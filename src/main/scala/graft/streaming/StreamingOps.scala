@@ -126,9 +126,33 @@ object StreamingOps {
         col("latest.event_id").as("last_event_id"),
         col("latest.value").as("last_value"))
 
+  /** Streaming exact-dedup — the continuous form of the q16 hash-dedup:
+    * an arriving document drops if a document with the same content
+    * fingerprint (md5 of normalized text, [[graft.scale.TextStats
+    * .fingerprint]]) was already seen within the watermark horizon.
+    *
+    * `dropDuplicatesWithinWatermark` is what makes this 100 TB-safe:
+    * state holds only the horizon's fingerprints and the watermark
+    * EVICTS older ones, where a plain streaming `dropDuplicates` would
+    * accumulate every fingerprint ever seen until the executors OOM.
+    * The horizon is the semantic knob: duplicates farther apart than
+    * `watermarkDelay` pass — cross-horizon dedup belongs to the batch
+    * path (q16 / q56's corpus index) downstream.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.scale.TextStats.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Required output mode per operator (documented contract for sinks). */
   val OutputModes: Map[String, OutputMode] = Map(
     "windowedCounts" -> OutputMode.Append(), // closed windows only
     "userRunningTotals" -> OutputMode.Update(),
+    "dedupStream" -> OutputMode.Append(),
     "latestPerUser" -> OutputMode.Update())
 }

@@ -73,6 +73,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: same-fingerprint docs collapse across micro-batches within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dds").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts(1), "the quick brown fox"),
+        (2L, ts(2), "THE  quick\tbrown fox"), // same fingerprint (case/ws-insensitive)
+        (3L, ts(3), "something else entirely"))
+      q.processAllAvailable()
+      // next micro-batch, still inside the horizon: dup must drop
+      input.addData((4L, ts(5), "the quick brown fox"))
+      q.processAllAvailable()
+      val out = spark.table("dds").selectExpr("doc_id").as[Long].collect().toSet
+      assert(out === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("latestPerUser: newest-wins head per user (A3 shape, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
