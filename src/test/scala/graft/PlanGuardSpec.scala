@@ -90,6 +90,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(over.isEmpty, over.mkString("; "))
   }
 
+  test("r8 query budgets: child diffs / decontam / repetition keep shape; filters stay scan-pure") {
+    // q62/q63: identity-match join + child full-outer diff; q68: bench
+    // distinct + broadcast + per-doc agg; q69: (id,gram) then (id)
+    // aggs + stats join. q65's whole filter chain must stay INSIDE the
+    // scan stage (0 exchanges) — it's the model for 100 TB pushdown.
+    val budgets = Map(
+      "q62_child_hgvs_diff" -> 3, "q63_child_mappos_diff" -> 3,
+      "q65_carpe_filter" -> 0, "q68_decontam" -> 3, "q69_repetition" -> 3)
+    val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
+      val n = exchanges(planOf(q))
+      if (n > b) Some(s"$q exchanges=$n > budget $b") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+    // decontam's corpus side must probe a BROADCAST of the benchmark
+    // grams — a refactor that shuffles the corpus on gram fails here
+    val p = planOf("q68_decontam")
+    assert(countNodes(p, _.nodeName.contains("BroadcastHashJoin")) === 1, p.toString.take(600))
+  }
+
   test("NO query plan contains a single-partition shuffle (scale-killer guard)") {
     // budgeted exemptions — both are GLOBAL AGGREGATIONS whose exchange
     // carries one partially-aggregated row per upstream partition:
