@@ -230,6 +230,9 @@ object Profile {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"[profile] $name run$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        // as in Bench: run 2 must recompute from the scan, not read
+        // run 1's operator-internal persists
+        graft.ops.CacheScope.releaseAll()
       }
     }
     spark.stop()

@@ -102,6 +102,13 @@ object Similarity {
     * bucket, dropping the pair count from |P|x|N| to |P|x|bucket|.
     * Recall < 1 by construction (ANN); increase recall by lowering
     * `numPlanes` (bigger buckets) or probing multi-bit neighborhoods.
+    *
+    * PARAMETERIZE FOR THE CORPUS (the [[cosineNearDupPairs]] law in its
+    * per-probe form): expected candidate work is |P| * N / 2^numPlanes,
+    * so `numPlanes` must grow with log2(N) to keep per-probe scoring
+    * bounded — 8 planes = 256 buckets is fixture-sized; a 10^9-vector
+    * corpus wants 20+ planes (or IVF, [[ivfTopK]], whose list count
+    * plays the same role explicitly).
     */
   def lshTopK(
       corpus: DataFrame,
