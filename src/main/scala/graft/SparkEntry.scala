@@ -1041,7 +1041,12 @@ object SparkEntry {
     // --- scale: repetition quality signals (dup-token per-mille + most
     // repeated bigram count) — the boilerplate filter dedup misses ---------------
     "q69_repetition" -> ((s, dir) =>
-      TextStats.repetitionSignals(t(s, dir, "documents"), "doc_id", "text"))
+      TextStats.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- scale: cross-document boilerplate lines (CCNet-style line
+    // hashing — 10-token segments repeated in >= 2 docs) -------------------------
+    "q70_boilerplate" -> ((s, dir) =>
+      TextStats.boilerplateLines(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -1614,6 +1619,24 @@ object SparkEntry {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+
+    // line = 10-token inclusive slice (DuckDB t[a:b] includes b; the
+    // final short line clamps in both engines); md5 over the joined
+    // tokens matches Spark's md5(cast(... as binary))
+    "q70_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(t[((i-1)//10)*10+1 : ((i-1)//10)*10+10], ' ')) AS h
+        |  FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+        |  WHERE (i - 1) % 10 = 0),
+        |idx AS (
+        |  SELECT h FROM lines GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT l.doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |FROM lines l LEFT JOIN idx i ON l.h = i.h
+        |GROUP BY l.doc_id""".stripMargin,
 
     "q69_repetition" ->
       """WITH tok AS (

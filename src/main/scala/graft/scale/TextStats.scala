@@ -255,6 +255,43 @@ object TextStats {
       .na.fill(0L, Seq("max_bigram_n"))
   }
 
+  /** Boilerplate-line detection (the CCNet/RefinedWeb-style pass that
+    * removes lines repeated across many documents — headers, footers,
+    * navigation chrome — which document-level dedup never sees): segment
+    * each document into fixed `lineTokens`-token lines, hash each line,
+    * index the hashes appearing in >= `minDocs` DISTINCT documents, and
+    * report per document how many of its lines are boilerplate.
+    *
+    * Scale shape: line hashes shuffle once to build the repeated-line
+    * index (map-side-combined distinct-count) and once more for the
+    * probe join — the index is NOT forced broadcast because on a real
+    * corpus the set of repeated lines can itself be huge; AQE broadcasts
+    * it when it turns out small. Final per-doc agg shuffles (id) rows.
+    * Output: (idCol, n_lines, n_boiler).
+    */
+  def boilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lineTokens: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0L, (size(t) - 1) div $lineTokens), " +
+          s"j -> md5(cast(array_join(slice(t, cast(j * $lineTokens + 1 as int), $lineTokens), ' ') as binary)))"))
+        .as("h"))
+    val idx = lines.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"), lit(1).as("is_boiler"))
+    lines.join(idx, Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
+  }
+
   /** Deterministic epoch-weighted replication — the mixture-building
     * primitive: a row with weight w per-mille keeps w/1000 whole copies
     * plus one more iff its hash bucket falls below w mod 1000, so

@@ -295,6 +295,19 @@ class ScaleSpec extends SparkSpec {
     assert(out(3L) === ((3L, 1, 1, 0L, 0L)))
   }
 
+  test("boilerplateLines: cross-doc repeated lines flag; within-doc repeats alone don't") {
+    val df = Seq(
+      (1L, "a b c d"), // lines: 'a b', 'c d'
+      (2L, "a b x y"), // shares 'a b' with doc 1 -> boilerplate
+      (3L, "z z z z")  // 'z z' twice, but only ONE distinct doc -> not boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextStats.boilerplateLines(df, "doc_id", "text", lineTokens = 2, minDocs = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((2L, 1L)))
+    assert(out(2L) === ((2L, 1L)))
+    assert(out(3L) === ((2L, 0L)))
+  }
+
   test("corpusStats approx twin tracks exact within tolerance at sf0.1") {
     // the 100 TB form (GK percentile sketch + HLL distinct) vs the
     // oracle-exact q41 form on the real sf0.1 documents table: counts
