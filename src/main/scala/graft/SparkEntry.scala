@@ -1046,7 +1046,31 @@ object SparkEntry {
     // --- scale: cross-document boilerplate lines (CCNet-style line
     // hashing — 10-token segments repeated in >= 2 docs) -------------------------
     "q70_boilerplate" -> ((s, dir) =>
-      TextStats.boilerplateLines(t(s, dir, "documents"), "doc_id", "text"))
+      TextStats.boilerplateLines(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- scale: domain-level curation stats — URLs injected q55-style
+    // (the fixture corpus has none), hosts extracted with the real
+    // urlHosts regex, per-domain doc counts + blocklist flag. At 100 TB
+    // this is the aggregation that decides which domains to drop. ----------------
+    "q71_domain_stats" -> ((s, dir) => {
+      val domains = Seq("news.example.com", "blog.example.org", "spam.example",
+        "data.example.net", "tracker.example", "docs.example.io")
+      val blocklist = Seq("spam.example", "tracker.example")
+      val injected = concat(
+        substring(col("text"), 1, 30),
+        lit(" via http://"),
+        element_at(typedlit(domains), (col("doc_id") % 6).cast("int") + 1),
+        lit("/p"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" and https://"),
+            element_at(typedlit(domains), (col("doc_id") % 3).cast("int") + 1),
+            lit("/q"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextStats.urlHosts(injected)).as("domain"))
+        .groupBy("domain")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .withColumn("blocked", col("domain").isin(blocklist: _*).cast("int"))
+    })
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -1619,6 +1643,25 @@ object SparkEntry {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+
+    "q71_domain_stats" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 30) || ' via http://' ||
+        |    (['news.example.com', 'blog.example.org', 'spam.example',
+        |      'data.example.net', 'tracker.example', 'docs.example.io'])[(doc_id % 6) + 1] ||
+        |    '/p' || (doc_id % 40) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' and https://' ||
+        |      (['news.example.com', 'blog.example.org', 'spam.example',
+        |        'data.example.net', 'tracker.example', 'docs.example.io'])[(doc_id % 3) + 1] || '/q'
+        |    ELSE '' END AS t2
+        |  FROM documents),
+        |hosts AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t2, 'https?://([^/\s]+)', 1)) AS domain
+        |  FROM inj)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(domain IN ('spam.example', 'tracker.example') AS INT) AS blocked
+        |FROM hosts GROUP BY domain""".stripMargin,
 
     // line = 10-token inclusive slice (DuckDB t[a:b] includes b; the
     // final short line clamps in both engines); md5 over the joined

@@ -181,6 +181,15 @@ object TextStats {
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
 
+  /** URL host extraction (RE2-safe, one capture group) — feeds
+    * domain-level corpus curation: per-domain document counts and
+    * blocklist filtering, the standard web-corpus quality lever next to
+    * per-document signals. Returns the array of hosts in `text`.
+    */
+  val UrlHostPattern = "https?://([^/\\s]+)"
+  def urlHosts(text: Column): Column =
+    regexp_extract_all(text, lit(UrlHostPattern), lit(1))
+
   /** Per-language corpus summary (doc count, median/p90 chars, distinct
     * sources) in two forms:
     *

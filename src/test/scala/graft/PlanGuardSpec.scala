@@ -97,7 +97,8 @@ class PlanGuardSpec extends SparkSpec {
     // scan stage (0 exchanges) — it's the model for 100 TB pushdown.
     val budgets = Map(
       "q62_child_hgvs_diff" -> 3, "q63_child_mappos_diff" -> 3,
-      "q65_carpe_filter" -> 0, "q68_decontam" -> 3, "q69_repetition" -> 3)
+      "q65_carpe_filter" -> 0, "q68_decontam" -> 3, "q69_repetition" -> 3,
+      "q70_boilerplate" -> 4, "q71_domain_stats" -> 2)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None

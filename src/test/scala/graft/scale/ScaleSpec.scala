@@ -308,6 +308,12 @@ class ScaleSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L)))
   }
 
+  test("urlHosts: extracts http/https hosts in order; path and bare text ignored") {
+    val out = Seq("see http://a.example/x and https://b.example:8080/y, no ftp://c.example")
+      .toDF("t").select(TextStats.urlHosts($"t")).as[Seq[String]].head()
+    assert(out === Seq("a.example", "b.example:8080"))
+  }
+
   test("corpusStats approx twin tracks exact within tolerance at sf0.1") {
     // the 100 TB form (GK percentile sketch + HLL distinct) vs the
     // oracle-exact q41 form on the real sf0.1 documents table: counts
