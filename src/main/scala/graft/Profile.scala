@@ -146,7 +146,7 @@ object Profile {
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       val qs = Seq("q23_lsh_pairs", "q24_simhash", "q25_ann_lsh",
         "q38_embed_neardup", "q50_dedup_cluster", "q56_incr_dedup",
-        "q68_decontam", "q69_repetition", "q70_boilerplate")
+        "q68_decontam", "q69_repetition", "q70_boilerplate", "q72_neardup_keep")
       // JIT/codegen warmup on the smallest SF (as Bench does)
       qs.foreach { q =>
         SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()

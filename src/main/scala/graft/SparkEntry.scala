@@ -1070,6 +1070,19 @@ object SparkEntry {
         .groupBy("domain")
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .withColumn("blocked", col("domain").isin(blocklist: _*).cast("int"))
+    }),
+
+    // --- scale: END-TO-END near-dup removal — the full dedup chain a
+    // training pipeline actually runs: MinHash-LSH pairs (q23's exact
+    // operator) → connected components → keep only each cluster's
+    // min-id representative. Gates dedupByCluster, the one consumer the
+    // cluster queries didn't cover. -----------------------------------------------
+    "q72_neardup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairsExact(
+        docs.repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2)
+      Dedup.dedupByCluster(docs.select("doc_id"), pairs, "doc_id")
     })
   )
 
@@ -1643,6 +1656,21 @@ object SparkEntry {
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+
+    // q23's pair oracle nested as a CTE, then the q50-style recursive
+    // closure: losers = nodes whose component holds a smaller id
+    "q72_neardup_keep" ->
+      s"""WITH RECURSIVE p0 AS (
+         |$lshPairsOracleSql
+         |),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p0 UNION SELECT id_b, id_a FROM p0),
+         |r AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+         |losers AS (SELECT a AS doc_id FROM r GROUP BY a HAVING min(b) < a)
+         |SELECT d.doc_id FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL""".stripMargin,
 
     "q71_domain_stats" ->
       """WITH inj AS (
