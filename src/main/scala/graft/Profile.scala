@@ -188,6 +188,69 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("sigprobe")) {
+      // why does the 160-plane signature cost ~11s for 20k vectors?
+      // isolate the signature projection and check codegen coverage
+      val emb = spark.read.parquet("tmp/sf1/embeddings.parquet")
+      Seq(16, 160).foreach { np =>
+        val w = graft.scale.Similarity.planeWeights(np, 64)
+        val df = emb.select(
+          graft.scale.Similarity
+            .planeSignature(col("embedding").cast("array<double>"), w).as("sig"))
+        val plan = df.queryExecution.executedPlan.treeString
+        println(s"[sigprobe] planes=$np wholestage=${plan.contains("WholeStageCodegen")}")
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = df.agg(count(col("sig"))).head().getLong(0)
+          println(f"[sigprobe] planes=$np run$i n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = graft.scale.Similarity.cosineNearDupPairs(
+            emb, "vec_id", "embedding", 0.8, numPlanes = np, bands = np / 16 max 2,
+            dims = 64).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.CacheScope.releaseAll()
+          println(f"[sigprobe] planes=$np FULL run$i pairs=$n t=$dt%.2fs")
+        }
+        // stage breakdown at this plane count
+        val bands = np / 16 max 2
+        val rpb = np / bands
+        val w2 = graft.scale.Similarity.planeWeights(np, 64)
+        val sig = emb
+          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("sig", graft.scale.Similarity.planeSignature(col("v"), w2))
+          .withColumn("norm", graft.scale.Similarity.l2Norm(col("v")))
+          .persist()
+        var t0 = System.nanoTime()
+        sig.count()
+        println(f"[sigprobe] planes=$np stage:sig+persist t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val banded = sig.select(col("id"),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band_idx"),
+              substring(col("sig"), b * rpb + 1, rpb).as("band_sig"))
+          }: _*)).as("band"))
+          .select(col("id"), col("band.band_idx").as("band_idx"),
+            col("band.band_sig").as("band_sig"))
+        t0 = System.nanoTime()
+        banded.count()
+        println(f"[sigprobe] planes=$np stage:banded t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val cand = banded.groupBy("band_idx", "band_sig")
+          .agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")).between(2, 1000))
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+          .distinct()
+        t0 = System.nanoTime()
+        val nc = cand.count()
+        println(f"[sigprobe] planes=$np stage:candidates n=$nc t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        sig.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("plancounts")) {
       // static-plan Exchange / nested-loop census per query (AQE off so
       // the shape is deterministic) — feeds PlanGuardSpec's budgets

@@ -89,13 +89,14 @@ object Similarity {
   }
 
   /** Sign-of-hyperplane signature as a '0'/'1' string (one char per
-    * plane) using literal weight vectors — each bit is one codegen'd
-    * dot product against a constant array.
+    * plane) — a single fused codegen expression
+    * ([[graft.functions.PlaneSignature]]): the earlier per-plane
+    * `concat(when(DotProduct(...)...))` composite fell out of codegen
+    * past ~100 planes (generated method too large) and went interpreted,
+    * costing 35x at the 160-plane production parameterization.
     */
   def planeSignature(vec: Column, weights: Seq[Seq[Double]]): Column =
-    concat(weights.map { w =>
-      when(DotProduct(vec, typedlit(w)) >= 0d, "1").otherwise("0")
-    }: _*)
+    graft.functions.PlaneSignature(vec, weights)
 
   /** LSH-bucketed cosine top-k: corpus and probes are bucketed by
     * hyperplane-sign signature; candidate pairs only form inside a

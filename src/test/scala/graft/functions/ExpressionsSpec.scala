@@ -73,4 +73,24 @@ class ExpressionsSpec extends SparkSpec {
       WordShingles(words, 3).as("fast"), hof.as("ref")).as[(Seq[String], Seq[String])]
     both.collect().foreach { case (fast, ref) => assert(fast === ref) }
   }
+
+  test("PlaneSignature matches the per-plane DotProduct composite it replaced") {
+    // the exact semantics the fused expression must preserve: char p =
+    // '1' iff sequential min-length dot(vec, w_p) >= 0 (ties positive,
+    // short vectors truncate)
+    val w = graft.scale.Similarity.planeWeights(24, 4)
+    val composite = concat(w.map { wp =>
+      when(DotProduct($"v", typedlit(wp)) >= 0d, "1").otherwise("0")
+    }: _*)
+    val df = Seq(
+      Seq(1.0, -2.0, 0.5, 3.0),
+      Seq(0.0, 0.0, 0.0, 0.0), // all-zero dots: >= 0 -> all '1'
+      Seq(-1.0, -1.0),         // shorter than dims: min-length loop
+      Seq(7.5)
+    ).toDF("v")
+    val both = df.select(
+      PlaneSignature($"v", w).as("fast"), composite.as("ref")).as[(String, String)]
+    both.collect().foreach { case (fast, ref) => assert(fast === ref) }
+    assert(both.head()._1.length === 24)
+  }
 }
