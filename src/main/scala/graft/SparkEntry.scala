@@ -839,9 +839,16 @@ object SparkEntry {
     // thresholds (>= 0.8) use wider bands for real pruning — see
     // Similarity.cosineNearDupPairs)
     "q38_embed_neardup" -> ((s, dir) => {
+      // maxBucket explicitly unbounded: the DuckDB oracle keeps ALL
+      // banded pairs, so the Spark side must too — otherwise the 1:1
+      // operator/oracle invariant silently depends on buckets staying
+      // under the default cap (they stop doing so at sf1). Production
+      // callers keep the default cap; the cap's own behavior is pinned
+      // by ScaleSpec, not by this oracle row.
       Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.42,
-        numPlanes = EmbedNearDupPlanes, bands = EmbedNearDupBands, dims = 64)
+        numPlanes = EmbedNearDupPlanes, bands = EmbedNearDupBands, dims = 64,
+        maxBucket = Int.MaxValue)
     }),
 
     // --- A8/A9: two-phase annotation merge (AnnotCache.java:92-134, 169-211) --
@@ -971,10 +978,12 @@ object SparkEntry {
     // --- F5/F6 driver gate: the REAL carpeCompliant +
     // excludedConditionFilter functions over variant-shaped columns
     // synthesized from orders. Cases planted so every branch fires:
-    // non-carpe types, 'not provided' inside a merged clinsig list, the
-    // uncertain-significance+LIMM submitter combo
-    // (VariantAnnotator.variantIsCarpeCompliant:245-266), and all three
-    // excluded condition names (AppConfigure.xml:50-56). ------------------------
+    // non-carpe types, exact 'not provided' clinsig AND the merged
+    // 'pathogenic|not provided' which the reference KEEPS (set
+    // membership, VariantAnnotator.java:254 — not a substring test),
+    // the uncertain-significance+LIMM submitter combo
+    // (variantIsCarpeCompliant:245-266), and ALL NINE excluded
+    // condition names (AppConfigure.xml:49-61). ------------------------
     "q65_carpe_filter" -> ((s, dir) => {
       val types = Seq("snv", "deletion", "duplication", "insertion",
         "single nucleotide variant", "indel", "copy number gain")
@@ -985,18 +994,18 @@ object SparkEntry {
         when(col("o_custkey") % 5 === 0, "pathogenic|not provided")
           .when(col("o_custkey") % 5 === 1, "uncertain significance")
           .when(col("o_custkey") % 5 === 2, "benign")
-          .when(col("o_custkey") % 5 === 3, "likely pathogenic|uncertain significance")
+          .when(col("o_custkey") % 5 === 3, "not provided")
           .otherwise("pathogenic").as("clinical_significance"),
         when(col("o_orderkey") % 3 === 0,
           "Leeds Institute of Molecular Medicine (LIMM)")
           .otherwise("Lab X").as("submitter"),
-        when(col("o_orderkey") % 11 === 0, "not provided")
-          .when(col("o_orderkey") % 11 === 1, "not specified")
-          .when(col("o_orderkey") % 11 === 2, "AllHighlyPenetrant")
-          .otherwise(concat(lit("cond "), col("o_orderkey") % 50)).as("condition"))
+        element_at(
+          typedlit(graft.pipelines.AnnotatePipeline.ExcludedConditionNames
+            :+ "cond A" :+ "cond B"),
+          (col("o_orderkey") % 11).cast("int") + 1).as("condition"))
       graft.pipelines.AnnotatePipeline.excludedConditionFilter(
         graft.pipelines.AnnotatePipeline.carpeCompliant(variants),
-        Seq("not provided", "not specified", "AllHighlyPenetrant"))
+        graft.pipelines.AnnotatePipeline.ExcludedConditionNames)
     }),
 
     // --- X5/X6/F8/A15 driver gate: the parser's routed, DEDUPED xdb set
@@ -1590,23 +1599,31 @@ object SparkEntry {
         |      ELSE 'copy number gain' END AS object_type,
         |    CASE o_custkey % 5 WHEN 0 THEN 'pathogenic|not provided'
         |      WHEN 1 THEN 'uncertain significance' WHEN 2 THEN 'benign'
-        |      WHEN 3 THEN 'likely pathogenic|uncertain significance'
+        |      WHEN 3 THEN 'not provided'
         |      ELSE 'pathogenic' END AS clinical_significance,
         |    CASE WHEN o_orderkey % 3 = 0
         |         THEN 'Leeds Institute of Molecular Medicine (LIMM)'
         |         ELSE 'Lab X' END AS submitter,
-        |    CASE o_orderkey % 11 WHEN 0 THEN 'not provided'
-        |      WHEN 1 THEN 'not specified' WHEN 2 THEN 'AllHighlyPenetrant'
-        |      ELSE 'cond ' || (o_orderkey % 50) END AS condition
+        |    CASE o_orderkey % 11
+        |      WHEN 0 THEN 'AllHighlyPenetrant' WHEN 1 THEN 'none provided'
+        |      WHEN 2 THEN 'not provided' WHEN 3 THEN 'Not provided'
+        |      WHEN 4 THEN 'not specified'
+        |      WHEN 5 THEN 'repeat number of microsatellite'
+        |      WHEN 6 THEN 'See cases' WHEN 7 THEN 'Unclassifed'
+        |      WHEN 8 THEN 'Variant of unknown significance'
+        |      WHEN 9 THEN 'cond A' ELSE 'cond B' END AS condition
         |  FROM orders)
         |SELECT rgd_id, object_type, clinical_significance, submitter, condition
         |FROM v
         |WHERE object_type IN ('snv', 'single nucleotide variant', 'deletion',
         |                      'duplication', 'insertion')
-        |  AND clinical_significance NOT LIKE '%not provided%'
+        |  AND clinical_significance <> 'not provided'
         |  AND NOT (clinical_significance = 'uncertain significance'
         |           AND submitter = 'Leeds Institute of Molecular Medicine (LIMM)')
-        |  AND condition NOT IN ('not provided', 'not specified', 'AllHighlyPenetrant')""".stripMargin,
+        |  AND condition NOT IN ('AllHighlyPenetrant', 'none provided',
+        |    'not provided', 'Not provided', 'not specified',
+        |    'repeat number of microsatellite', 'See cases', 'Unclassifed',
+        |    'Variant of unknown significance')""".stripMargin,
 
     // hand-frozen from vcv_sample.xml + Parser.parseXRefs semantics
     // (Parser.java:485-585): gene ids (3) + HGNC (21), the RCV acc (52),

@@ -25,12 +25,33 @@ object AnnotatePipeline {
   val CarpeTypes: Seq[String] = Seq("snv", "single nucleotide variant",
     "deletion", "duplication", "insertion")
 
+  /** The reference excludes clinsig by EXACT set membership
+    * (VariantAnnotator.java:254 `excludedClinicalSignificance.contains`,
+    * set = {"not provided"} from AppConfigure.xml:64-68). A merged value
+    * like "pathogenic|not provided" (QC.java:208 joins with '|') is
+    * therefore still carpe-compliant — null-safe equality, not a
+    * substring test.
+    */
   def carpeCompliant(variants: DataFrame): DataFrame =
     variants.filter(
       col("object_type").isin(CarpeTypes: _*) &&
-        !col("clinical_significance").contains("not provided") &&
+        !(col("clinical_significance") <=> "not provided") &&
         !(col("clinical_significance") === "uncertain significance" &&
           col("submitter") === "Leeds Institute of Molecular Medicine (LIMM)"))
+
+  /** The full 9-name excluded-condition set, exact + case-sensitive as
+    * the reference's Set<String> membership is (AppConfigure.xml:49-61).
+    */
+  val ExcludedConditionNames: Seq[String] = Seq(
+    "AllHighlyPenetrant",
+    "none provided",
+    "not provided",
+    "Not provided",
+    "not specified",
+    "repeat number of microsatellite",
+    "See cases",
+    "Unclassifed",
+    "Variant of unknown significance")
 
   /** J8: the MedGen-concept → OMIM → RDO-term chain. All three dims are
     * small → broadcast; the variant side never shuffles.
@@ -56,7 +77,7 @@ object AnnotatePipeline {
   }
 
   /** F6: drop rows whose condition name is on the excluded list
-    * (VariantAnnotator.java exclusion set; AppConfigure.xml:50-56).
+    * (VariantAnnotator.java exclusion set; AppConfigure.xml:49-61).
     * Factored so the name-fallback path and the q65 driver gate run the
     * same code.
     */
@@ -153,7 +174,7 @@ object AnnotatePipeline {
                                  // VariantAnnotator.java:425-496)
       orthologs: DataFrame,
       currentAnnots: DataFrame,  // annotated_rgd_id, term_acc, xref_source, with_info
-      excludedConditions: Seq[String] = Seq("not provided", "not specified", "AllHighlyPenetrant"),
+      excludedConditions: Seq[String] = ExcludedConditionNames,
       maxDeleteFraction: Double = 0.05): Result = {
 
     val compliant = carpeCompliant(variants).select(col("rgd_id"), col("trait_name"))

@@ -45,6 +45,23 @@ object Dedup {
       xxhash64(lit(b), array_join(slice(sigCol, b * rowsPerBand + 1, rowsPerBand), ","))
     }: _*)
 
+  /** Prune band keys whose population falls outside [minBucket,
+    * maxBucket] BEFORE any collect_list materializes members: a count
+    * aggregation (map-side partials, slim rows) finds surviving keys,
+    * and the member-carrying frame joins back on the same key. The join
+    * and the downstream collect hash-partition identically, so the
+    * prune costs one slim count shuffle — an exhausted band space never
+    * buffers ~N/band-space members in a single aggregation buffer (the
+    * executor-OOM mode the cap exists to prevent).
+    */
+  private def withoutOversizedBuckets(
+      banded: DataFrame, maxBucket: Int, minBucket: Int = 2): DataFrame = {
+    val ok = banded.groupBy("band").count()
+      .filter(col("count").between(minBucket, maxBucket))
+      .select("band")
+    banded.join(ok, Seq("band"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with true
     * shingle-set Jaccard >= `threshold`. Returns (id_a, id_b, jaccard)
     * with id_a < id_b, distinct.
@@ -68,10 +85,9 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("band", explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
 
-    val buckets = withSig
+    val buckets = withoutOversizedBuckets(withSig, maxBucket)
       .groupBy("band")
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
 
     val pairs = buckets
       .select(explode(col("members")).as("a"), col("members"))
@@ -123,10 +139,9 @@ object Dedup {
 
     val banded = bandKeysOf(sig, bands, numHashes / bands)
 
-    val buckets = banded
+    val buckets = withoutOversizedBuckets(banded, maxBucket)
       .groupBy("band")
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
     // the LSH-bounded candidate list is tiny next to the corpus; persist
     // it — three consumers below (both verify-side id joins and the pair
     // join itself) would re-run the whole band pipeline otherwise.
@@ -370,10 +385,12 @@ object Dedup {
       threshold: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val corpBuckets = bandKeysOf(sigCorp, bands, rowsPerBand)
+    // minBucket = 1: a single-member corpus bucket is still a valid
+    // probe target (the pair forms against the NEW side, not in-bucket)
+    val corpBuckets = withoutOversizedBuckets(
+        bandKeysOf(sigCorp, bands, rowsPerBand), maxBucket, minBucket = 1)
       .groupBy("band")
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) <= maxBucket)
     // persisted: the candidate list feeds both verify-side semi-joins
     // and the final pair join — LSH-bounded, tiny next to the corpus;
     // CacheScope-registered so the query driver can release it

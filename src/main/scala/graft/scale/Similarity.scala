@@ -201,12 +201,20 @@ object Similarity {
           substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_sig"))
       }: _*)).as("band"))
       .select(col("id"), col("band.band_idx").as("band_idx"), col("band.band_sig").as("band_sig"))
-    // bucket members collect once per (band, sig); buckets past the cap
-    // drop whole (they signal an exhausted band space, where emitting
-    // bucket² pairs is the quadratic failure mode this cap exists for)
-    val candidates = banded.groupBy("band_idx", "band_sig")
+    // buckets past the cap drop whole (they signal an exhausted band
+    // space, where emitting bucket² pairs is the quadratic failure mode
+    // this cap exists for) — and the prune happens BEFORE collect_list,
+    // via a count aggregation with map-side partials, so an oversized
+    // bucket never materializes ~N/2^r ids in one aggregation buffer.
+    // The join and the collect_list hash-partition on the same
+    // (band_idx, band_sig) key, so the prune costs one slim count agg,
+    // not an extra full shuffle of the banded frame.
+    val bucketOk = banded.groupBy("band_idx", "band_sig").count()
+      .filter(col("count").between(2, maxBucket))
+      .select("band_idx", "band_sig")
+    val candidates = banded.join(bucketOk, Seq("band_idx", "band_sig"))
+      .groupBy("band_idx", "band_sig")
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))

@@ -81,7 +81,12 @@ class PlanGuardSpec extends SparkSpec {
     val budgets = Map(
       "q20_minhash" -> 1, // the one signature hash-agg shuffle
       "q48_vcf_reconcile" -> 3, // derived-key equi-joins for the ±1 pad shifts
-      "q56_incr_dedup" -> 6, // slim corpus index + batch probe + capped verify
+      // slim corpus index + batch probe + capped verify, +2 slim
+      // exchanges (r9): the bucket-size prune now counts-then-joins
+      // BEFORE collect_list so an exhausted band space never buffers an
+      // oversized bucket — both added exchanges carry (band)/(band,id)
+      // rows only, a deliberate trade for bounded aggregation buffers
+      "q56_incr_dedup" -> 8,
       "q59_annot_merge" -> 2) // phase-1 + phase-2 merge groupBys
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
