@@ -4,7 +4,8 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Crash-atomic snapshot store: versioned entity directories published
   * through a single manifest flip.
@@ -60,6 +61,7 @@ object SnapshotStore {
 
   /** Resolve an entity's current data path: manifest-pinned version dir
     * if published, else the flat legacy path `storeDir/<entity>`.
+    * Bucketed entities resolve through [[paths]]/[[read]] instead.
     */
   def path(storeDir: String, entity: String): String =
     readManifest(storeDir).get(entity) match {
@@ -67,9 +69,31 @@ object SnapshotStore {
       case None      => s"$storeDir/$entity"
     }
 
+  /** Every data path the entity currently resolves to: the per-bucket
+    * pointers for a bucket-published entity (possibly spanning several
+    * version dirs — unchanged buckets are carried by reference), else
+    * the single [[path]].
+    */
+  def paths(storeDir: String, entity: String): Seq[String] = {
+    val pre = bucketKeyPrefix(entity)
+    val bucketed = readManifest(storeDir)
+      .collect { case (k, rel) if k.startsWith(pre) => rel }
+      .toSeq.sorted
+    if (bucketed.nonEmpty) bucketed.map(rel => s"$storeDir/$rel")
+    else Seq(path(storeDir, entity))
+  }
+
+  /** Read an entity's current snapshot regardless of layout (bucketed,
+    * single-version, or legacy flat). Bucket dirs are leaf base paths,
+    * so no partition column is inferred — readers see the data schema
+    * only, identical to the non-bucketed layout.
+    */
+  def read(spark: SparkSession, storeDir: String, entity: String): DataFrame =
+    spark.read.parquet(paths(storeDir, entity): _*)
+
   /** True when the entity resolves to existing data. */
   def exists(storeDir: String, entity: String): Boolean =
-    new File(path(storeDir, entity)).exists()
+    paths(storeDir, entity).exists(p => new File(p).exists())
 
   private val VersionDir = "^v(\\d+)$".r
 
@@ -97,6 +121,104 @@ object SnapshotStore {
     v
   }
 
+  // ---- bucket-selective publish --------------------------------------
+
+  /** Stable bucket assignment: hash of the natural-key columns, mod the
+    * bucket count. Deterministic across runs and engines (xxhash64 of
+    * the key VALUES, not of any physical layout), so a row's bucket
+    * never moves unless `numBuckets` changes.
+    */
+  def bucketExpr(keyCols: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  /** One entity's input to [[publishBucketed]].
+    *
+    * @param snapshot    the FULL next snapshot (only changed buckets of
+    *                    it are ever written)
+    * @param changedKeys any frame carrying `keyCols` for exactly the
+    *                    rows whose content changed this load — inserts,
+    *                    updates, AND deletes (a delete shrinks its
+    *                    bucket, so the bucket must rewrite)
+    * @param numBuckets  sized so one bucket ≈ one target output file
+    *                    (~1 GB at scale); changing it forces a one-time
+    *                    full rewrite (re-bucketing)
+    */
+  case class BucketedEntity(
+      snapshot: DataFrame,
+      changedKeys: DataFrame,
+      keyCols: Seq[String],
+      numBuckets: Int = 64)
+
+  private def bucketKeyPrefix(entity: String) = s"$entity/bucket="
+  private def bucketCountKey(entity: String) = s"$entity/.buckets"
+
+  /** Bucket-selective stage-and-commit — the write-amplification fix
+    * for a CDC load at scale.
+    *
+    * [[publish]] rewrites every entity in full each load; at 100 TB a
+    * daily run that changes 0.1% of rows would rewrite 100% of them.
+    * The reference pays per-changed-row DML instead (Dao.java:218-248).
+    * This is the snapshot-file analog: each entity hash-partitions into
+    * `numBuckets` stable buckets of its natural key, a publish writes
+    * ONLY the buckets containing inserts/updates/deletes under the new
+    * version dir, and every unchanged bucket is carried into the new
+    * manifest BY REFERENCE to the version that last wrote it. I/O per
+    * load drops from |snapshot| to ~|changed fraction| · bucket size.
+    *
+    * Atomicity is unchanged: all changed-bucket writes stage under
+    * `v<N>` without touching live data, then ONE manifest flip commits
+    * every entity's pointer map together. A crash mid-stage leaves
+    * readers on the previous consistent state; GC (strictly post-flip)
+    * removes precisely the no-longer-referenced bucket dirs, so a
+    * version dir survives exactly as long as one of its buckets is
+    * still live.
+    *
+    * The changed-bucket set is collected to the driver — bounded by
+    * `numBuckets` ints, never by data size. A bucket whose rows are all
+    * deleted simply loses its manifest entry (readers skip it).
+    */
+  def publishBucketed(storeDir: String, frames: Seq[(String, BucketedEntity)]): Int = {
+    new File(storeDir).mkdirs()
+    val prior = readManifest(storeDir)
+    val v = nextVersion(storeDir)
+    var entries = prior
+    frames.foreach { case (entity, be) =>
+      val pre = bucketKeyPrefix(entity)
+      // first bucketed publish of this entity — or a numBuckets change —
+      // rewrites all buckets (rows move between buckets otherwise)
+      val fullRewrite = !prior.get(bucketCountKey(entity)).map(_.toInt).contains(be.numBuckets)
+      val changed: Set[Int] =
+        if (fullRewrite) (0 until be.numBuckets).toSet
+        else be.changedKeys
+          .select(bucketExpr(be.keyCols, be.numBuckets).as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      if (changed.nonEmpty) {
+        be.snapshot
+          .withColumn("bucket", bucketExpr(be.keyCols, be.numBuckets))
+          .filter(col("bucket").isin(changed.toSeq: _*))
+          // hash-repartition on the bucket id → each bucket dir gets ONE
+          // file; at scale numBuckets is sized so that file ≈ 1 GB
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$storeDir/v$v/$entity")
+      }
+      val next = (0 until be.numBuckets).flatMap { k =>
+        if (changed(k)) {
+          val rel = s"v$v/$entity/bucket=$k"
+          // a changed bucket with zero surviving rows stages no dir —
+          // it drops out of the manifest and readers skip it
+          if (new File(s"$storeDir/$rel").exists()) Some(s"$pre$k" -> rel) else None
+        } else prior.get(s"$pre$k").map(rel => s"$pre$k" -> rel)
+      }
+      entries = entries.removedAll(
+        prior.keys.filter(k => k == entity || k.startsWith(pre) || k == bucketCountKey(entity))) ++
+        next + (bucketCountKey(entity) -> be.numBuckets.toString)
+    }
+    commitManifest(storeDir, entries)
+    gc(storeDir, entries)
+    v
+  }
+
   /** Atomic manifest replacement: write a temp file in the same
     * directory, then one ATOMIC_MOVE rename over the live name.
     */
@@ -109,20 +231,36 @@ object SnapshotStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Delete version directories no longer referenced by the manifest —
-    * superseded versions and orphaned half-written staging dirs alike.
-    * Runs strictly after the manifest flip, so a failure here never
-    * affects consistency.
+  /** Delete version-dir content no longer referenced by the manifest —
+    * superseded versions, superseded buckets inside still-live versions
+    * (a bucket-selective publish leaves the replaced bucket's old copy
+    * stale while its siblings stay carried), and orphaned half-written
+    * staging dirs alike. Precise to the referenced PATH: a version dir
+    * survives exactly as long as something under it is live. Runs
+    * strictly after the manifest flip, so a failure here never affects
+    * consistency.
     */
   private def gc(storeDir: String, manifest: Map[String, String]): Unit = {
-    val live = manifest.values.map(_.takeWhile(_ != '/')).toSet
+    val live = manifest.values.toSet
     Option(new File(storeDir).listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
-        case VersionDir(_) if !live.contains(f.getName) => rm(f)
+        case VersionDir(_) => pruneUnreferenced(f, f.getName, live)
         case _ =>
       }
     }
   }
+
+  /** Depth-first prune: keep any path that IS a live reference (with
+    * everything under it); delete files and now-empty dirs that carry
+    * no live reference. Returns true iff something under `f` survives.
+    */
+  private def pruneUnreferenced(f: File, rel: String, live: Set[String]): Boolean =
+    if (live.contains(rel)) true
+    else if (f.isDirectory) {
+      val kept = Option(f.listFiles()).getOrElse(Array.empty)
+        .map(c => pruneUnreferenced(c, s"$rel/${c.getName}", live))
+      if (kept.exists(identity)) true else { f.delete(); false }
+    } else { f.delete(); false }
 
   private def rm(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

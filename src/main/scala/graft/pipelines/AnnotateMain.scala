@@ -37,9 +37,9 @@ object AnnotateMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val variants = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "variants"))
-    val variantXdb = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "xdb_ids"))
-    val geneAssocs = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "gene_associations"))
+    val variants = graft.ops.SnapshotStore.read(spark, storeDir, "variants")
+    val variantXdb = graft.ops.SnapshotStore.read(spark, storeDir, "xdb_ids")
+    val geneAssocs = graft.ops.SnapshotStore.read(spark, storeDir, "gene_associations")
     val genes = spark.read.parquet(s"$dimsDir/genes.parquet")
     val variantGene = geneAssocs.join(broadcast(genes), Seq("gene_id"))
       .select(col("rgd_id"), col("gene_id"), col("gene_rgd_id"))
@@ -59,7 +59,7 @@ object AnnotateMain {
 
     val currentAnnots =
       if (graft.ops.SnapshotStore.exists(storeDir, "annotations"))
-        spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "annotations"))
+        graft.ops.SnapshotStore.read(spark, storeDir, "annotations")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -80,13 +80,21 @@ object AnnotateMain {
       println(s"[annotate] ${r.getString(0)}.${r.getString(1)}: ${r.getLong(2)}")
     }
     // subset publish: only `annotations` moves to the new version; the
-    // load entities keep their manifest pointers in the same atomic flip
-    graft.ops.SnapshotStore.publish(
+    // load entities keep their manifest pointers in the same atomic
+    // flip. Bucket-selective on the annotation natural key — the
+    // annotation table is the largest entity at scale (ortholog
+    // fan-out), so a daily annotate pass pays ~changed-fraction I/O
+    val annotKeys = Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source")
+    graft.ops.SnapshotStore.publishBucketed(
       storeDir,
-      Seq("annotations" -> graft.ops.DiffSync.nextSnapshot(
-        result.annotDiff,
-        Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source"),
-        Seq("with_info"))))
+      Seq("annotations" -> graft.ops.SnapshotStore.BucketedEntity(
+        snapshot = graft.ops.DiffSync.nextSnapshot(
+          result.annotDiff, annotKeys, Seq("with_info")),
+        changedKeys = result.annotDiff.filter(
+          !col(graft.ops.DiffSync.ActionCol)
+            .isin(graft.ops.DiffSync.Match, "keep_stale")),
+        keyCols = annotKeys,
+        numBuckets = LoadMain.LoadBuckets)))
     spark.stop()
   }
 }

@@ -40,10 +40,10 @@ object Clinvar2VcfMain {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    val variants = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "variants"))
-    val positions = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "map_positions"))
+    val variants = graft.ops.SnapshotStore.read(spark, storeDir, "variants")
+    val positions = graft.ops.SnapshotStore.read(spark, storeDir, "map_positions")
       .filter(col("assembly") === assembly)
-    val rsIds = spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "xdb_ids"))
+    val rsIds = graft.ops.SnapshotStore.read(spark, storeDir, "xdb_ids")
       .filter(col("xdb_key") === 48)
       .groupBy(col("rgd_id")).agg(min(col("acc_id")).as("rs_id"))
 

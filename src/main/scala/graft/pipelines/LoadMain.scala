@@ -20,6 +20,13 @@ import graft.ops.DiffSync
   */
 object LoadMain {
 
+  /** Natural-key hash buckets per entity. 16 keeps fixture stores at a
+    * sane file count; at 100 TB size this so one bucket ≈ one ~1 GB
+    * file (e.g. 4096 for a 4 TB entity) — the publish writes one file
+    * per CHANGED bucket either way.
+    */
+  val LoadBuckets = 16
+
   private def emptyStore(spark: SparkSession): LoadPipeline.Store = {
     def empty(schema: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -50,12 +57,12 @@ object LoadMain {
     import graft.ops.SnapshotStore
     if (!SnapshotStore.exists(dir, "variants")) emptyStore(spark)
     else LoadPipeline.Store(
-      variants = spark.read.parquet(SnapshotStore.path(dir, "variants")),
-      xdbIds = spark.read.parquet(SnapshotStore.path(dir, "xdb_ids")),
-      hgvsNames = spark.read.parquet(SnapshotStore.path(dir, "hgvs_names")),
-      aliases = spark.read.parquet(SnapshotStore.path(dir, "aliases")),
-      geneAssocs = spark.read.parquet(SnapshotStore.path(dir, "gene_associations")),
-      mapPositions = spark.read.parquet(SnapshotStore.path(dir, "map_positions")))
+      variants = SnapshotStore.read(spark, dir, "variants"),
+      xdbIds = SnapshotStore.read(spark, dir, "xdb_ids"),
+      hgvsNames = SnapshotStore.read(spark, dir, "hgvs_names"),
+      aliases = SnapshotStore.read(spark, dir, "aliases"),
+      geneAssocs = SnapshotStore.read(spark, dir, "gene_associations"),
+      mapPositions = SnapshotStore.read(spark, dir, "map_positions"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -139,12 +146,22 @@ object LoadMain {
     // all six entities stage under one version dir, then ONE atomic
     // manifest flip commits them together — the snapshot analog of the
     // reference's Oracle transaction (a crash mid-write leaves readers
-    // on the previous fully-consistent state, never a mixed one)
-    graft.ops.SnapshotStore.publish(
+    // on the previous fully-consistent state, never a mixed one).
+    // Bucket-selective: only natural-key hash buckets that contain an
+    // insert/update/delete this load are rewritten; unchanged buckets
+    // carry into the new version by manifest reference, so a daily load
+    // pays ~changed-fraction I/O, not a full rewrite — the snapshot
+    // analog of the reference's per-changed-row DML (Dao.java:218-248)
+    graft.ops.SnapshotStore.publishBucketed(
       storeDir,
       diffs.map { case (name, d) =>
         val (keys, content) = contentOf(name)
-        name -> DiffSync.nextSnapshot(d, keys, content)
+        name -> graft.ops.SnapshotStore.BucketedEntity(
+          snapshot = DiffSync.nextSnapshot(d, keys, content),
+          changedKeys = d.filter(
+            !col(DiffSync.ActionCol).isin(DiffSync.Match, "keep_stale")),
+          keyCols = keys,
+          numBuckets = LoadBuckets)
       })
     // every write consumed the cached diffs; release them (and the
     // pipeline-internal caches) so repeated loads in one session — the

@@ -14,7 +14,7 @@ object VariantRsIdMain {
     // the store keeps dbSNP accessions raw (parser F8); the DB link
     // text the reference filters on (X7) is "rs" + acc
     val updates = VariantRsIdPipeline.run(
-      spark.read.parquet(graft.ops.SnapshotStore.path(storeDir, "xdb_ids"))
+      graft.ops.SnapshotStore.read(spark, storeDir, "xdb_ids")
         .withColumn("link_text", concat(lit("rs"), col("acc_id"))),
       spark.read.parquet(variantMapPath))
     updates.cache().write.mode("overwrite").parquet(s"$storeDir/audit/rs_id_updates")

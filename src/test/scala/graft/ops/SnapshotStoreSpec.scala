@@ -51,6 +51,117 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(readIds(store, "a") === Set(2L) && readIds(store, "b") === Set(10L))
   }
 
+  // ---- bucket-selective publish ---------------------------------------
+
+  private def bucketsOf(ids: Seq[Long], numBuckets: Int): Map[Long, Int] =
+    ids.toDF("id")
+      .select(org.apache.spark.sql.functions.col("id"),
+        SnapshotStore.bucketExpr(Seq("id"), numBuckets).as("b"))
+      .as[(Long, Int)].collect().toMap
+
+  private def bucketOf(id: Long, numBuckets: Int): Int =
+    bucketsOf(Seq(id), numBuckets)(id)
+
+  /** bucket -> (manifest rel path, per-file MD5s) for entity `e`. */
+  private def bucketState(store: String, e: String): Map[Int, (String, Map[String, String])] =
+    SnapshotStore.readManifest(store).collect {
+      case (k, rel) if k.startsWith(s"$e/bucket=") =>
+        val b = k.substring(k.indexOf("bucket=") + 7).toInt
+        val files = Option(new File(store, rel).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            f.getName -> md.map("%02x".format(_)).mkString
+          }.toMap
+        b -> (rel, files)
+    }
+
+  private def readKv(store: String, e: String): Map[Long, String] =
+    SnapshotStore.read(spark, store, e).as[(Long, String)].collect().toMap
+
+  test("bucketed publish: only changed buckets rewrite; carried buckets stay byte-identical") {
+    val store = tmpStore()
+    val n = 4
+    val all = (1L to 100L).map(i => i -> s"a$i")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), n)))
+    assert(readKv(store, "e") === all.toMap)
+    val before = bucketState(store, "e")
+    assert(before.keySet === (0 until n).toSet) // first publish = full rewrite
+
+    // change ONE key; only its bucket may rewrite
+    val changedBucket = bucketOf(1L, n)
+    val updated = all.toMap.updated(1L, "CHANGED")
+    val v2 = SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      updated.toSeq.toDF("id", "v"), Seq(1L).toDF("id"), Seq("id"), n)))
+    assert(readKv(store, "e") === updated)
+    val after = bucketState(store, "e")
+    assert(after(changedBucket)._1.startsWith(s"v$v2/"))
+    (0 until n).filter(_ != changedBucket).foreach { b =>
+      // unchanged buckets: same manifest pointer, same files, same bytes
+      assert(after(b) === before(b), s"bucket $b was rewritten")
+    }
+    // the superseded copy of the changed bucket is GC'd from the old
+    // version dir while its carried siblings survive in place
+    assert(!new File(store, before(changedBucket)._1).exists())
+    assert(new File(store, after((changedBucket + 1) % n)._1).exists())
+  }
+
+  test("bucketed publish: fully-deleted bucket drops its manifest entry; readers skip it") {
+    val store = tmpStore()
+    val n = 4
+    val all = (1L to 50L).map(i => i -> s"a$i")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), n)))
+    val buckets = bucketsOf(all.map(_._1), n)
+    val doomed = buckets(7L)
+    val goneIds = all.map(_._1).filter(buckets(_) == doomed)
+    val remaining = all.filterNot { case (id, _) => goneIds.contains(id) }
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      remaining.toDF("id", "v"), goneIds.toDF("id"), Seq("id"), n)))
+    assert(!bucketState(store, "e").contains(doomed))
+    assert(readKv(store, "e") === remaining.toMap)
+  }
+
+  test("bucketed publish: numBuckets change forces a one-time full re-bucketing rewrite") {
+    val store = tmpStore()
+    val all = (1L to 40L).map(i => i -> s"a$i")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 4)))
+    val v2 = SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 8)))
+    val after = bucketState(store, "e")
+    assert(after.keySet.subsetOf((0 until 8).toSet) && after.nonEmpty)
+    after.values.foreach { case (rel, _) => assert(rel.startsWith(s"v$v2/")) }
+    assert(readKv(store, "e") === all.toMap)
+  }
+
+  test("bucketed publish: zero changed rows leaves every pointer (and all bytes) in place") {
+    val store = tmpStore()
+    val all = (1L to 30L).map(i => i -> s"a$i")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 4)))
+    val before = bucketState(store, "e")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 4)))
+    assert(bucketState(store, "e") === before)
+  }
+
+  test("crash before a bucketed flip leaves readers on the old state; next publish GCs the orphan") {
+    val store = tmpStore()
+    val all = (1L to 20L).map(i => i -> s"a$i")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 4)))
+    // loader died after staging bucket data, before the manifest flip
+    Seq((99L, "GHOST")).toDF("id", "v").write.parquet(s"$store/v9/e/bucket=0")
+    assert(readKv(store, "e") === all.toMap)
+    val v = SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 4)))
+    assert(v > 9 && !new File(store, "v9").exists())
+    assert(readKv(store, "e") === all.toMap)
+  }
+
   test("legacy flat layout resolves when no manifest exists") {
     val store = tmpStore()
     Seq(5L).toDF("id").write.parquet(s"$store/a")

@@ -27,5 +27,15 @@ class LoadMainIntegrationSpec extends SparkSpec {
 
     val r3 = LoadMain.run(spark, xml, store)
     assert(r3.keys.forall(_._2 == "match"), s"run 3 not converged: $r3")
+
+    // bucket-selective publish: a converged load changes nothing, so a
+    // further identical run must rewrite ZERO buckets — every manifest
+    // pointer stays on the version that last wrote it (carried by
+    // reference, not re-staged)
+    val manifestBefore = graft.ops.SnapshotStore.readManifest(store)
+    val r4 = LoadMain.run(spark, xml, store)
+    assert(r4.keys.forall(_._2 == "match"))
+    assert(graft.ops.SnapshotStore.readManifest(store) === manifestBefore,
+      "an all-match load rewrote buckets")
   }
 }
