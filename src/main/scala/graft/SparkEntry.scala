@@ -1092,6 +1092,39 @@ object SparkEntry {
         docs.repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2)
       Dedup.dedupByCluster(docs.select("doc_id"), pairs, "doc_id")
+    }),
+
+    // --- J11 driver gate: the REAL annotation exact-match probe
+    // (AnnotatePipeline.annotDiff — the same function run() calls) over
+    // annotation frames synthesized from orders. The 5-column natural
+    // key decides touch-vs-insert exactly as getAnnotationKey does
+    // (VariantAnnotator.java:180-187, Dao.java:635-637); with_info is
+    // content (update vs match/touch). Cases planted: inserts (%19
+    // rows absent from current), updates (%7 with_info drift), matches,
+    // and deletes built ASYMMETRICALLY per aspect so the per-aspect 5%
+    // stale ceiling (Dao.deleteObsoleteAnnotations:690-729) FIRES for
+    // aspect H (~7% stale -> every H delete downgrades to keep_stale)
+    // and does NOT fire for aspect D (~4.3% -> real deletes). --------------
+    "q73_annot_probe" -> ((s, dir) => {
+      def annots(df: org.apache.spark.sql.DataFrame, old: Boolean) = df.select(
+        col("o_orderkey").as("annotated_rgd_id"),
+        concat(lit("DOID:"), col("o_orderkey") % 97).as("term_acc"),
+        when(col("o_orderkey") % 2 === 0, "D").otherwise("H").as("aspect"),
+        when(col("o_orderkey") % 3 === 0, "ISO").otherwise("IAGP").as("evidence"),
+        concat(lit("PMID:"), col("o_orderkey") % 13).as("xref_source"),
+        (if (old)
+          when(col("o_orderkey") % 7 === 0, lit("RGD:OLD"))
+            .otherwise(when(col("o_orderkey") % 5 === 0,
+              concat(lit("RGD:"), col("o_custkey"))))
+        else
+          when(col("o_orderkey") % 5 === 0, concat(lit("RGD:"), col("o_custkey")))
+        ).cast("string").as("with_info"))
+      val orders = t(s, dir, "orders")
+      val incoming = annots(orders.filter(
+        col("o_orderkey") % 23 =!= 0 &&
+          !(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 31 === 0)), old = false)
+      val current = annots(orders.filter(col("o_orderkey") % 19 =!= 0), old = true)
+      graft.pipelines.AnnotatePipeline.annotDiff(incoming, current)
     })
   )
 
@@ -1676,6 +1709,55 @@ object SparkEntry {
 
     // q23's pair oracle nested as a CTE, then the q50-style recursive
     // closure: losers = nodes whose component holds a smaller id
+    "q73_annot_probe" ->
+      """WITH inc AS (
+        |  SELECT o_orderkey AS annotated_rgd_id,
+        |    'DOID:' || (o_orderkey % 97) AS term_acc,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'H' END AS aspect,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'ISO' ELSE 'IAGP' END AS evidence,
+        |    'PMID:' || (o_orderkey % 13) AS xref_source,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'RGD:' || o_custkey END AS with_info
+        |  FROM orders
+        |  WHERE o_orderkey % 23 <> 0
+        |    AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 31 = 0)),
+        |cur AS (
+        |  SELECT o_orderkey AS annotated_rgd_id,
+        |    'DOID:' || (o_orderkey % 97) AS term_acc,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'H' END AS aspect,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'ISO' ELSE 'IAGP' END AS evidence,
+        |    'PMID:' || (o_orderkey % 13) AS xref_source,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'RGD:OLD'
+        |         WHEN o_orderkey % 5 = 0 THEN 'RGD:' || o_custkey END AS with_info
+        |  FROM orders WHERE o_orderkey % 19 <> 0),
+        |d AS (
+        |  SELECT
+        |    coalesce(i.annotated_rgd_id, c.annotated_rgd_id) AS annotated_rgd_id,
+        |    coalesce(i.term_acc, c.term_acc) AS term_acc,
+        |    coalesce(i.aspect, c.aspect) AS aspect,
+        |    coalesce(i.evidence, c.evidence) AS evidence,
+        |    coalesce(i.xref_source, c.xref_source) AS xref_source,
+        |    i.with_info, c.with_info AS with_info_old,
+        |    CASE WHEN c.annotated_rgd_id IS NULL THEN 'insert'
+        |         WHEN i.annotated_rgd_id IS NULL THEN 'delete'
+        |         WHEN i.with_info IS DISTINCT FROM c.with_info THEN 'update'
+        |         ELSE 'match' END AS action
+        |  FROM inc i FULL OUTER JOIN cur c
+        |    ON i.annotated_rgd_id = c.annotated_rgd_id
+        |   AND i.term_acc = c.term_acc AND i.aspect = c.aspect
+        |   AND i.evidence = c.evidence AND i.xref_source = c.xref_source),
+        |g AS (
+        |  SELECT d.*,
+        |    sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY aspect) AS ndel,
+        |    sum(CASE WHEN action <> 'insert' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY aspect) AS ncur
+        |  FROM d)
+        |SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source,
+        |  with_info, with_info_old,
+        |  CASE WHEN action = 'delete' AND ndel > ncur * 0.05
+        |       THEN 'keep_stale' ELSE action END AS action
+        |FROM g""".stripMargin,
+
     "q72_neardup_keep" ->
       s"""WITH RECURSIVE p0 AS (
          |$lshPairsOracleSql

@@ -84,7 +84,7 @@ object AnnotateMain {
     // flip. Bucket-selective on the annotation natural key — the
     // annotation table is the largest entity at scale (ortholog
     // fan-out), so a daily annotate pass pays ~changed-fraction I/O
-    val annotKeys = Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source")
+    val annotKeys = AnnotatePipeline.AnnotNaturalKey
     graft.ops.SnapshotStore.publishBucketed(
       storeDir,
       Seq("annotations" -> graft.ops.SnapshotStore.BucketedEntity(

@@ -159,6 +159,32 @@ object AnnotatePipeline {
 
   final case class Result(annotDiff: DataFrame, counters: DataFrame)
 
+  /** The annotation natural key — the 5 columns the reference's
+    * exact-match probe looks up before deciding touch vs insert
+    * (VariantAnnotator.java:180-187 getAnnotationKey;
+    * Dao.java:635-637). `with_info` is content, not key.
+    */
+  val AnnotNaturalKey: Seq[String] =
+    Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source")
+
+  /** J11: the annotation exact-match probe + stale-delete guard.
+    * Matching rows are the reference's "touch" (update last-modified
+    * only — a `match` here), missing rows insert, content-changed rows
+    * update, and stale rows delete UNLESS the per-aspect stale count
+    * exceeds `maxDeleteFraction` of that aspect's existing rows
+    * (Dao.deleteObsoleteAnnotations:690-729 aborts the whole aspect's
+    * delete — `keep_stale` here). Shared verbatim by [[run]] and the
+    * q73 driver gate, so a wrong key column fails the oracle row.
+    */
+  def annotDiff(
+      incoming: DataFrame,
+      currentAnnots: DataFrame,
+      maxDeleteFraction: Double = 0.05): DataFrame =
+    DiffSync.guardDeletesBy(
+      DiffSync(incoming, currentAnnots, AnnotNaturalKey, Seq("with_info")),
+      Seq("aspect"),
+      maxDeleteFraction)
+
   /** Full annotate pass: filter → term resolution (chain + name
     * fallback) → ortholog fan-out → merge/split → DiffSync vs store
     * with the per-aspect 5% delete guard (Dao.java:690-729).
@@ -230,12 +256,7 @@ object AnnotatePipeline {
     val merged = mergeAnnotations(direct.unionByName(viaOrthologs))
 
     // PER-ASPECT 5% delete ceiling (Dao.deleteObsoleteAnnotations:690-729)
-    val diff = DiffSync.guardDeletesBy(
-      DiffSync(merged, currentAnnots,
-        Seq("annotated_rgd_id", "term_acc", "aspect", "evidence", "xref_source"),
-        Seq("with_info")),
-      Seq("aspect"),
-      maxDeleteFraction)
+    val diff = annotDiff(merged, currentAnnots, maxDeleteFraction)
 
     Result(diff, diff.groupBy("aspect", "action").count())
   }
