@@ -20,6 +20,24 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Resolve a committed repo fixture (under `data/fixtures`) from ANY
+    * working directory: try the cwd first (the driver runs from the
+    * repo root), else walk up from the compiled-classes location
+    * (`target/scala-2.13/classes` → repo root) — so driver runs, sbt
+    * tests, and external invocations all see the same file.
+    */
+  private[graft] def fixturePath(rel: String): String = {
+    val cwd = new java.io.File(rel)
+    if (cwd.exists()) cwd.getAbsolutePath
+    else {
+      var d = new java.io.File(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      while (d != null && !new java.io.File(d, rel).exists()) d = d.getParentFile
+      require(d != null, s"fixture not found from any root: $rel")
+      new java.io.File(d, rel).getAbsolutePath
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DiffSync (SURVEY §2.6) — the reference engine's core — classifying a
     * simulated incoming orders snapshot against the current one.
@@ -590,7 +608,7 @@ object SparkEntry {
     // --- S6: TSV concept-map dim scan (comment skip, null filter, multimap) ---
     "q57_concept_tsv" -> ((s, _) => {
       graft.ingest.XmlIngest
-        .conceptToOmim(s, "src/test/resources/gene_condition_source_id.tsv")
+        .conceptToOmim(s, fixturePath("data/fixtures/gene_condition_source_id.tsv"))
         .select(col("concept_cui"), col("gene_id"),
           concat_ws("|", col("omim_ids")).as("omim_csv"))
     }),
@@ -769,7 +787,7 @@ object SparkEntry {
     // rows for the fixture, frozen as literal VALUES)
     "q45_parser_flat" -> ((s, _) => {
       val raw = graft.ingest.XmlIngest
-        .readRecords(s, "src/test/resources/vcv_sample.xml")
+        .readRecords(s, fixturePath("data/fixtures/vcv_sample.xml"))
       val v = graft.ingest.XmlIngest
         .variants(graft.ingest.XmlIngest.parseRecords(raw))
       v.select(
@@ -943,7 +961,7 @@ object SparkEntry {
     // images, round(1000 * full-clip RMS) for audio.
     "q64_media_decode" -> ((s, _) => {
       import s.implicits._
-      val withId = Multimodal.readDir(s, "src/test/resources/graft/multimodal")
+      val withId = Multimodal.readDir(s, fixturePath("data/fixtures/multimodal"))
         .select(
           element_at(split(col("path"), "/"), -1).as("name"),
           col("content"))
@@ -1018,7 +1036,7 @@ object SparkEntry {
     "q66_parser_xdb" -> ((s, _) => {
       val v = graft.ingest.XmlIngest.variants(
         graft.ingest.XmlIngest.parseRecords(
-          graft.ingest.XmlIngest.readRecords(s, "src/test/resources/vcv_sample.xml")))
+          graft.ingest.XmlIngest.readRecords(s, fixturePath("data/fixtures/vcv_sample.xml"))))
       graft.ingest.XmlIngest.xdbIds(v)
         .select(col("symbol"), col("xdbKey").as("xdb_key"),
           col("accId").as("acc_id"), col("notes"))
@@ -1030,7 +1048,7 @@ object SparkEntry {
     "q67_parser_hgvs" -> ((s, _) => {
       val v = graft.ingest.XmlIngest.variants(
         graft.ingest.XmlIngest.parseRecords(
-          graft.ingest.XmlIngest.readRecords(s, "src/test/resources/vcv_sample.xml")))
+          graft.ingest.XmlIngest.readRecords(s, fixturePath("data/fixtures/vcv_sample.xml"))))
       graft.ingest.XmlIngest.hgvsNames(v)
         .select(col("symbol"), col("hgvsType").as("hgvs_type"), col("name"))
     }),
@@ -1125,6 +1143,27 @@ object SparkEntry {
           !(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 31 === 0)), old = false)
       val current = annots(orders.filter(col("o_orderkey") % 19 =!= 0), old = true)
       graft.pipelines.AnnotatePipeline.annotDiff(incoming, current)
+    }),
+
+    // --- F1/F2/F9 driver gate: the parser's SKIP semantics, frozen.
+    // data/fixtures/vcv_skips.xml plants one record per skip branch —
+    // two SimpleAllele children (Parser.java:66-73), a Genotype block,
+    // a Haplotype block (Parser.java:75-94), a ClassifiedRecord with
+    // none of the three — plus ONE good record whose HGVSlist carries a
+    // 4012-char name that must drop with a counter while its sibling
+    // survives (HgvsNames.java:24-29). Removing any skip branch changes
+    // the frozen counter rows (and OK_HGVS_ROWS pins the F9 drop). ----------
+    "q74_parser_skips" -> ((s, _) => {
+      val parsed = graft.ingest.XmlIngest.parseRecords(
+        graft.ingest.XmlIngest.readRecords(s, fixturePath("data/fixtures/vcv_skips.xml")))
+      val v = graft.ingest.XmlIngest.variants(parsed)
+      graft.ingest.XmlIngest.counters(parsed).unionByName(
+        // groupBy the label (not a global agg) so the count shuffles
+        // hash-partitioned like every other counter row — no
+        // single-partition exchange for the scale guard to flag
+        graft.ingest.XmlIngest.hgvsNames(v)
+          .select(lit("OK_HGVS_ROWS").as("counter"))
+          .groupBy("counter").agg(count(lit(1)).as("count")))
     })
   )
 
@@ -1709,6 +1748,22 @@ object SparkEntry {
 
     // q23's pair oracle nested as a CTE, then the q50-style recursive
     // closure: losers = nodes whose component holds a smaller id
+    // hand-frozen from data/fixtures/vcv_skips.xml: one record per skip
+    // branch (Parser.java:66-94) + the >4000-char HGVS drop
+    // (HgvsNames.java:24-29). The surviving record contributes ok=1,
+    // its classification counter, and exactly ONE hgvs row (the
+    // oversize sibling dropped).
+    "q74_parser_skips" ->
+      """SELECT * FROM (VALUES
+        |  ('CLASSIFICATION_AGGREGATE_GermlineClassification', 1),
+        |  ('GENOTYPE_VARIANTS_SKIPPED', 1),
+        |  ('HAPLOTYPE_VARIANTS_SKIPPED', 1),
+        |  ('HGVS_NAME_SKIPPED_LONGER_THAN_4000', 1),
+        |  ('MULTI_ALLELE_VARIANTS_SKIPPED', 1),
+        |  ('NO_SIMPLE_ALLELE', 1),
+        |  ('OK_HGVS_ROWS', 1),
+        |  ('ok', 1)) AS t(counter, "count")""".stripMargin,
+
     "q73_annot_probe" ->
       """WITH inc AS (
         |  SELECT o_orderkey AS annotated_rgd_id,
@@ -2121,7 +2176,7 @@ object SparkEntry {
         |  UNION ALL SELECT counter FROM ins_class UNION ALL SELECT counter FROM pass_class)
         |GROUP BY 1""".stripMargin,
 
-    // expected rows derived BY HAND from src/test/resources/vcv_sample.xml
+    // expected rows derived BY HAND from data/fixtures/vcv_sample.xml
     // against the reference's Parser.java semantics (record 100 = multi-
     // allele skip, 101 = genotype skip; 3 parse ok)
     "q45_parser_flat" ->

@@ -11,7 +11,7 @@ class ParserCoverageSpec extends graft.SparkSpec {
 
   private lazy val records = {
     val xml = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(getClass.getResource("/vcv_sample.xml").getPath))
+      java.nio.file.Paths.get(graft.SparkEntry.fixturePath("data/fixtures/vcv_sample.xml")))
     xml.split("(?=<VariationArchive)").toSeq
       .filter(_.startsWith("<VariationArchive"))
       .map(frag => VcvParser.parse(

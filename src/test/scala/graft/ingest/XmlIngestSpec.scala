@@ -7,7 +7,7 @@ class XmlIngestSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val samplePath =
-    getClass.getResource("/vcv_sample.xml").getPath
+    graft.SparkEntry.fixturePath("data/fixtures/vcv_sample.xml")
 
   private lazy val parsed = XmlIngest.parseRecords(XmlIngest.readRecords(spark, samplePath))
   private lazy val vars = XmlIngest.variants(parsed)

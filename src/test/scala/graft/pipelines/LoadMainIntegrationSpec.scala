@@ -11,7 +11,7 @@ class LoadMainIntegrationSpec extends SparkSpec {
 
   test("three runs of the same release converge: insert -> mergeCS reorder -> all match") {
     val store = java.nio.file.Files.createTempDirectory("loadstore").toFile.getAbsolutePath
-    val xml = "src/test/resources/vcv_sample.xml"
+    val xml = graft.SparkEntry.fixturePath("data/fixtures/vcv_sample.xml")
 
     val r1 = LoadMain.run(spark, xml, store)
     assert(r1(("variants", "insert")) === 3L)

@@ -6,10 +6,9 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def fixture(name: String): Array[Byte] = {
-    val in = getClass.getResourceAsStream(s"/graft/multimodal/$name")
-    try in.readAllBytes() finally in.close()
-  }
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      graft.SparkEntry.fixturePath(s"data/fixtures/multimodal/$name")))
 
   // committed real-codec fixtures: 12x8, left half black, right half
   // pure red — same pattern as the PPM test, so the embedding
