@@ -93,6 +93,73 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- streaming/batch equivalence pins --------------------------------
+  // The streaming twins get correctness ANCHORS, not just shape tests:
+  // replaying a real testdata slice through the streaming operator must
+  // reproduce the batch query's answer exactly.
+
+  test("sessionize stream == batch q49 on a replayed events slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // replay a deterministic user slice; ns→ms floor matches the batch
+    // query's `ts div 1e6`
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id") % 5 === 0)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_eq").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.toSeq: _*)
+      q.processAllAvailable()
+      // a far-future sentinel (foreign user) advances the watermark so
+      // the EventTimeTimeout flushes every still-open session
+      val maxMs = evs.map(_.ts.getTime).max
+      input.addData(Event(-1L, new java.sql.Timestamp(maxMs + 48L * 3600 * 1000), -1L, "x", 0d))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq")
+        .filter(col("userId") >= 0)
+        .selectExpr("userId", "sessionStart", "sessionEnd", "nEvents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.SparkEntry.queries("q49_sessionize")(spark, dir)
+        .filter(col("user_id") % 5 === 0)
+        .selectExpr("user_id", "start_ms", "end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("dedupStream == batch exact dedup: one survivor per distinct fingerprint of a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select("doc_id", "text").collect()
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dds_eq").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.map(r => (r.getLong(0), base, r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamedFps = spark.table("dds_eq").select("fingerprint").as[String].collect()
+      // batch twin: the same fingerprint column, one group per value —
+      // the q16 exactGroups contract keyed the streaming way
+      val batchFps = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+        .select(graft.scale.TextStats.fingerprint(col("text")).as("fp"))
+        .distinct().as[String].collect().toSet
+      assert(streamedFps.toSet === batchFps)
+      assert(streamedFps.length === batchFps.size, "stream emitted a duplicate fingerprint")
+    } finally q.stop()
+  }
+
   test("latestPerUser: newest-wins head per user (A3 shape, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
