@@ -273,9 +273,22 @@ object TextStats {
     *
     * Scale shape: line hashes shuffle once to build the repeated-line
     * index (map-side-combined distinct-count) and once more for the
-    * probe join — the index is NOT forced broadcast because on a real
-    * corpus the set of repeated lines can itself be huge; AQE broadcasts
-    * it when it turns out small. Final per-doc agg shuffles (id) rows.
+    * probe join — the index join is deliberately UN-HINTED, and the
+    * regime switch is AQE's to make at runtime:
+    *
+    *   - index ≤ `spark.sql.autoBroadcastJoinThreshold` (the common
+    *     case — boilerplate is a small, heavy-tailed set of chrome
+    *     lines): AQE rewrites the probe to a broadcast-hash join and
+    *     the lines frame never shuffles for it (PlanGuardSpec pins this
+    *     at test scale);
+    *   - index larger (a 100 TB crawl where millions of template lines
+    *     clear `minDocs`): the plan stays a shuffle hash/sort-merge
+    *     join on `h` — correct and linear, just one more exchange of
+    *     slim (h, flag) rows. A forced broadcast here would OOM the
+    *     driver, which is exactly why no hint is given.
+    *
+    * Final per-doc agg shuffles (id) rows. The line explode is inherent
+    * to the algorithm (every line must be seen once).
     * Output: (idCol, n_lines, n_boiler).
     */
   def boilerplateLines(

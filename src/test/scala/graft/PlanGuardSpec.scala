@@ -115,6 +115,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(countNodes(p, _.nodeName.contains("BroadcastHashJoin")) === 1, p.toString.take(600))
   }
 
+  test("q70 boilerplate: AQE broadcasts the un-hinted repeated-line index at sf0.1") {
+    // The index join carries no hint (on a 100 TB crawl the repeated-
+    // line set can outgrow broadcast and MUST be allowed to stay a
+    // shuffle join — TextStats.boilerplateLines scaladoc). This pins
+    // the other side of that contract: when the index IS small, AQE's
+    // runtime rewrite must turn the probe into a broadcast-hash join —
+    // a regression that pre-shuffles the lines frame for a static
+    // sort-merge join fails here.
+    val df = SparkEntry.queries("q70_boilerplate")(spark, "/root/testdata/sf0.1")
+    df.queryExecution.executedPlan // force planning under AQE (enabled)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "AQE did not broadcast the repeated-line index:\n" + finalPlan.take(800))
+  }
+
   test("NO query plan contains a single-partition shuffle (scale-killer guard)") {
     // budgeted exemptions — both are GLOBAL AGGREGATIONS whose exchange
     // carries one partially-aggregated row per upstream partition:
