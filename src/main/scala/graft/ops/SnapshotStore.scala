@@ -152,6 +152,24 @@ object SnapshotStore {
   private def bucketKeyPrefix(entity: String) = s"$entity/bucket="
   private def bucketCountKey(entity: String) = s"$entity/.buckets"
 
+  /** The bucket count an entity was last published with (None for
+    * non-bucketed/legacy layouts). Callers that pre-partition an
+    * incoming batch with [[bucketExpr]] over this count get a diff
+    * whose shuffle is aligned and balanced with the stored layout.
+    *
+    * Read-side trade, stated: a PATH-based store cannot tell Spark the
+    * data is hash-partitioned (no catalog bucketing metadata), so the
+    * DiffSync full-outer join still exchanges both sides. The
+    * zero-shuffle variant of the same merge needs `bucketBy` catalog
+    * tables (proven in BucketedDiffSpec) and gives up this store's
+    * atomic multi-entity version flip; this layout keeps the flip and
+    * pays one balanced exchange per load — at 100 TB the write
+    * amplification (fixed here) dominates that exchange by orders of
+    * magnitude.
+    */
+  def bucketCount(storeDir: String, entity: String): Option[Int] =
+    readManifest(storeDir).get(bucketCountKey(entity)).map(_.toInt)
+
   /** Bucket-selective stage-and-commit — the write-amplification fix
     * for a CDC load at scale.
     *

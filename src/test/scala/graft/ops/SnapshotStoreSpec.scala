@@ -87,6 +87,8 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
       all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), n)))
     assert(readKv(store, "e") === all.toMap)
+    assert(SnapshotStore.bucketCount(store, "e") === Some(n))
+    assert(SnapshotStore.bucketCount(store, "nope") === None)
     val before = bucketState(store, "e")
     assert(before.keySet === (0 until n).toSet) // first publish = full rewrite
 
