@@ -304,9 +304,22 @@ object Profile {
       stage("events", Seq("event_id", "user_id"))
       stageScaledDocs(spark, out, copies)
       stageScaledEmbeddings(spark, out, copies)
+      // q38's ORACLE shape disables the bucket cap for 1:1 DuckDB
+      // fidelity; at 10x its bulk-tail threshold + 3-bit band space
+      // make candidates quadratic BY MATH (BASELINE sf1 smoke, r8).
+      // The bench times the PRODUCTION shape — the default maxBucket
+      // cap — at BOTH SFs; at sf0.1 no bucket reaches the cap, so the
+      // result set is identical to the oracle shape there.
+      val overrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+        Map("q38_embed_neardup" -> ((s: SparkSession, dir: String) =>
+          graft.scale.Similarity.cosineNearDupPairs(
+            s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.42,
+            numPlanes = 30, bands = 10, dims = 64)))
+      def runQ(q: String, dir: String): Long =
+        overrides.getOrElse(q, SparkEntry.queries(q))(spark, dir).count()
       val qs = SparkEntry.queries.keys.toSeq.sorted
       qs.foreach { q => // JIT/codegen warmup at the smallest SF, as Bench does
-        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        runQ(q, "/root/testdata/sf0.001")
         graft.ops.CacheScope.releaseAll()
       }
       val results = Seq("/root/testdata/sf0.1" -> "sf0.1", out -> s"sf1(${copies}x)").map {
@@ -315,7 +328,7 @@ object Profile {
             var rows = 0L
             val times = (1 to 2).map { _ =>
               val t0 = System.nanoTime()
-              rows = SparkEntry.queries(q)(spark, dir).count()
+              rows = runQ(q, dir)
               val dt = (System.nanoTime() - t0) / 1e9
               graft.ops.CacheScope.releaseAll()
               dt

@@ -36,7 +36,19 @@ object AnnotateMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, storeDir, dimsDir).toSeq.sorted.foreach { case ((aspect, action), n) =>
+      println(s"[annotate] $aspect.$action: $n")
+    }
+    spark.stop()
+  }
 
+  /** One full annotate pass against the store under `storeDir` and the
+    * dims under `dimsDir`; publishes the next `annotations` snapshot
+    * (bucketed, subset flip) and returns the (aspect, action) -> count
+    * counters — also the integration-spec hook: a second run over an
+    * unchanged store must classify every annotation as match.
+    */
+  def run(spark: SparkSession, storeDir: String, dimsDir: String): Map[(String, String), Long] = {
     val variants = graft.ops.SnapshotStore.read(spark, storeDir, "variants")
     val variantXdb = graft.ops.SnapshotStore.read(spark, storeDir, "xdb_ids")
     val geneAssocs = graft.ops.SnapshotStore.read(spark, storeDir, "gene_associations")
@@ -76,9 +88,6 @@ object AnnotateMain {
 
     result.annotDiff.cache()
       .write.mode("overwrite").parquet(s"$storeDir/audit/annotations")
-    result.counters.orderBy("aspect", "action").collect().foreach { r =>
-      println(s"[annotate] ${r.getString(0)}.${r.getString(1)}: ${r.getLong(2)}")
-    }
     // subset publish: only `annotations` moves to the new version; the
     // load entities keep their manifest pointers in the same atomic
     // flip. Bucket-selective on the annotation natural key — the
@@ -95,6 +104,10 @@ object AnnotateMain {
             .isin(graft.ops.DiffSync.Match, "keep_stale")),
         keyCols = annotKeys,
         numBuckets = LoadMain.LoadBuckets)))
-    spark.stop()
+    val counters = result.counters.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    result.annotDiff.unpersist(blocking = false)
+    graft.ops.CacheScope.releaseAll()
+    counters
   }
 }
