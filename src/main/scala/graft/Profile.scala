@@ -281,8 +281,14 @@ object Profile {
       // stageScaledEmbeddings). Fixture-file queries (q45/q57/q64/q66/
       // q67/q74) read committed XML/TSV/media that do not scale with
       // SF — their ratio ~1 is expected, kept for completeness.
+      // extra args: "reuse" skips staging when tmp/sf1full exists;
+      // "only=qA,qB" restricts the timed set; a bare number = copies
       val out = "tmp/sf1full"
-      val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val extra = args.drop(1)
+      val copies = extra.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+      val only: Option[Set[String]] =
+        extra.find(_.startsWith("only=")).map(_.stripPrefix("only=").split(",").toSet)
+      val reuse = extra.contains("reuse") && new java.io.File(s"$out/lineitem.parquet").exists()
       val off = 100000000L
       def stage(table: String, keyCols: Seq[String]): Unit = {
         val df = spark.read.parquet(s"/root/testdata/sf0.1/$table.parquet")
@@ -294,16 +300,18 @@ object Profile {
           .repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$out/$table.parquet")
       }
-      stage("region", Seq.empty)
-      stage("nation", Seq.empty)
-      stage("customer", Seq("c_custkey"))
-      stage("supplier", Seq("s_suppkey"))
-      stage("part", Seq("p_partkey"))
-      stage("orders", Seq("o_orderkey", "o_custkey"))
-      stage("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-      stage("events", Seq("event_id", "user_id"))
-      stageScaledDocs(spark, out, copies)
-      stageScaledEmbeddings(spark, out, copies)
+      if (!reuse) {
+        stage("region", Seq.empty)
+        stage("nation", Seq.empty)
+        stage("customer", Seq("c_custkey"))
+        stage("supplier", Seq("s_suppkey"))
+        stage("part", Seq("p_partkey"))
+        stage("orders", Seq("o_orderkey", "o_custkey"))
+        stage("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        stage("events", Seq("event_id", "user_id"))
+        stageScaledDocs(spark, out, copies)
+        stageScaledEmbeddings(spark, out, copies)
+      }
       // q38's ORACLE shape disables the bucket cap for 1:1 DuckDB
       // fidelity; at 10x its bulk-tail threshold + 3-bit band space
       // make candidates quadratic BY MATH (BASELINE sf1 smoke, r8).
@@ -318,6 +326,7 @@ object Profile {
       def runQ(q: String, dir: String): Long =
         overrides.getOrElse(q, SparkEntry.queries(q))(spark, dir).count()
       val qs = SparkEntry.queries.keys.toSeq.sorted
+        .filter(q => only.forall(_.contains(q)))
       qs.foreach { q => // JIT/codegen warmup at the smallest SF, as Bench does
         runQ(q, "/root/testdata/sf0.001")
         graft.ops.CacheScope.releaseAll()

@@ -85,7 +85,13 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("band", explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
 
-    val buckets = withoutOversizedBuckets(withSig, maxBucket)
+    // the prune makes withSig a TWO-consumer frame (count + member
+    // join); persist it so the shingle explode computes once. This
+    // variant persists shingle arrays — fine for its convenience role;
+    // the production path is [[minhashPairsExact]], whose persisted
+    // frames stay shingle-free.
+    val withSigP = graft.ops.CacheScope.persisted(withSig)
+    val buckets = withoutOversizedBuckets(withSigP, maxBucket)
       .groupBy("band")
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
 
@@ -137,7 +143,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
 
-    val banded = bandKeysOf(sig, bands, numHashes / bands)
+    // SLIM (id, band) rows, persisted: the bucket prune consumes the
+    // banding twice (count + member join), and without the cache each
+    // consumer would re-run the md5-per-shingle signature pipeline —
+    // measured 2x wall-clock on the sf1 bench. Shingle text never
+    // persists (the rows are two longs), keeping the 100 TB contract.
+    val banded = graft.ops.CacheScope.persisted(
+      bandKeysOf(sig, bands, numHashes / bands))
 
     val buckets = withoutOversizedBuckets(banded, maxBucket)
       .groupBy("band")
@@ -386,9 +398,14 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // minBucket = 1: a single-member corpus bucket is still a valid
-    // probe target (the pair forms against the NEW side, not in-bucket)
+    // probe target (the pair forms against the NEW side, not in-bucket).
+    // The slim (id, band) banding persists across the prune's two
+    // consumers (count + member join) — this is a bounded per-query
+    // cache of two-long rows, NOT the caller-owned index persistence
+    // (which stays the caller's decision, per this function's contract).
     val corpBuckets = withoutOversizedBuckets(
-        bandKeysOf(sigCorp, bands, rowsPerBand), maxBucket, minBucket = 1)
+        graft.ops.CacheScope.persisted(bandKeysOf(sigCorp, bands, rowsPerBand)),
+        maxBucket, minBucket = 1)
       .groupBy("band")
       .agg(collect_list(col("id")).as("ids"))
     // persisted: the candidate list feeds both verify-side semi-joins
