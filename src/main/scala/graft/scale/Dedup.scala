@@ -55,12 +55,20 @@ object Dedup {
     * executor-OOM mode the cap exists to prevent).
     */
   private def withoutOversizedBuckets(
-      banded: DataFrame, maxBucket: Int, minBucket: Int = 2): DataFrame = {
-    val ok = banded.groupBy("band").count()
-      .filter(col("count").between(minBucket, maxBucket))
-      .select("band")
-    banded.join(ok, Seq("band"))
-  }
+      banded: DataFrame, maxBucket: Int, minBucket: Int = 2): DataFrame =
+    if (maxBucket == Int.MaxValue) {
+      // cap disabled (oracle 1:1 shape): the prune would only drop
+      // sub-minBucket buckets, and those yield no pairs downstream
+      // anyway (pair explode needs >= 2 members) — skip its count+join
+      // exchanges and the cache entirely
+      banded
+    } else {
+      val bandedP = graft.ops.CacheScope.persisted(banded)
+      val ok = bandedP.groupBy("band").count()
+        .filter(col("count").between(minBucket, maxBucket))
+        .select("band")
+      bandedP.join(ok, Seq("band"))
+    }
 
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with true
     * shingle-set Jaccard >= `threshold`. Returns (id_a, id_b, jaccard)
@@ -86,12 +94,11 @@ object Dedup {
       .withColumn("band", explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
 
     // the prune makes withSig a TWO-consumer frame (count + member
-    // join); persist it so the shingle explode computes once. This
-    // variant persists shingle arrays — fine for its convenience role;
-    // the production path is [[minhashPairsExact]], whose persisted
-    // frames stay shingle-free.
-    val withSigP = graft.ops.CacheScope.persisted(withSig)
-    val buckets = withoutOversizedBuckets(withSigP, maxBucket)
+    // join); the helper persists it so the shingle explode computes
+    // once. This variant's persisted frame carries shingle arrays —
+    // fine for its convenience role; the production path is
+    // [[minhashPairsExact]], whose persisted frames stay shingle-free.
+    val buckets = withoutOversizedBuckets(withSig, maxBucket)
       .groupBy("band")
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
 
@@ -143,13 +150,12 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
 
-    // SLIM (id, band) rows, persisted: the bucket prune consumes the
-    // banding twice (count + member join), and without the cache each
+    // SLIM (id, band) rows: the bucket prune consumes the banding twice
+    // (count + member join), and without the helper's cache each
     // consumer would re-run the md5-per-shingle signature pipeline —
     // measured 2x wall-clock on the sf1 bench. Shingle text never
     // persists (the rows are two longs), keeping the 100 TB contract.
-    val banded = graft.ops.CacheScope.persisted(
-      bandKeysOf(sig, bands, numHashes / bands))
+    val banded = bandKeysOf(sig, bands, numHashes / bands)
 
     val buckets = withoutOversizedBuckets(banded, maxBucket)
       .groupBy("band")
@@ -399,13 +405,12 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // minBucket = 1: a single-member corpus bucket is still a valid
     // probe target (the pair forms against the NEW side, not in-bucket).
-    // The slim (id, band) banding persists across the prune's two
-    // consumers (count + member join) — this is a bounded per-query
-    // cache of two-long rows, NOT the caller-owned index persistence
-    // (which stays the caller's decision, per this function's contract).
+    // The helper's slim (id, band) cache spans the prune's two
+    // consumers — a bounded per-query cache of two-long rows, NOT the
+    // caller-owned index persistence (which stays the caller's
+    // decision, per this function's contract).
     val corpBuckets = withoutOversizedBuckets(
-        graft.ops.CacheScope.persisted(bandKeysOf(sigCorp, bands, rowsPerBand)),
-        maxBucket, minBucket = 1)
+        bandKeysOf(sigCorp, bands, rowsPerBand), maxBucket, minBucket = 1)
       .groupBy("band")
       .agg(collect_list(col("id")).as("ids"))
     // persisted: the candidate list feeds both verify-side semi-joins

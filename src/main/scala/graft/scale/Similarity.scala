@@ -208,11 +208,19 @@ object Similarity {
     // bucket never materializes ~N/2^r ids in one aggregation buffer.
     // The join and the collect_list hash-partition on the same
     // (band_idx, band_sig) key, so the prune costs one slim count agg,
-    // not an extra full shuffle of the banded frame.
-    val bucketOk = banded.groupBy("band_idx", "band_sig").count()
-      .filter(col("count").between(2, maxBucket))
-      .select("band_idx", "band_sig")
-    val candidates = banded.join(bucketOk, Seq("band_idx", "band_sig"))
+    // not an extra full shuffle of the banded frame. With the cap
+    // DISABLED (the oracle 1:1 shape) the prune would only drop
+    // singleton buckets — which yield no pairs downstream anyway — so
+    // its exchanges are skipped entirely.
+    val pruned =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val bucketOk = banded.groupBy("band_idx", "band_sig").count()
+          .filter(col("count").between(2, maxBucket))
+          .select("band_idx", "band_sig")
+        banded.join(bucketOk, Seq("band_idx", "band_sig"))
+      }
+    val candidates = pruned
       .groupBy("band_idx", "band_sig")
       .agg(collect_list(col("id")).as("ids"))
       .select(explode(col("ids")).as("id_a"), col("ids"))
