@@ -103,7 +103,10 @@ class PlanGuardSpec extends SparkSpec {
     val budgets = Map(
       "q62_child_hgvs_diff" -> 3, "q63_child_mappos_diff" -> 3,
       "q65_carpe_filter" -> 0, "q68_decontam" -> 3, "q69_repetition" -> 3,
-      "q70_boilerplate" -> 4, "q71_domain_stats" -> 2)
+      "q70_boilerplate" -> 4, "q71_domain_stats" -> 2,
+      // r9: q73 = full-outer diff (2) + per-aspect guard stats agg +
+      // its broadcast back; q74 = two counter groupBys + union sort
+      "q73_annot_probe" -> 4, "q74_parser_skips" -> 4)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None
