@@ -115,7 +115,15 @@ object SnapshotStore {
     frames.foreach { case (entity, df) =>
       df.write.mode("overwrite").parquet(s"$storeDir/v$v/$entity")
     }
-    val updated = readManifest(storeDir) ++ frames.map { case (e, _) => e -> s"v$v/$e" }
+    // a full publish SUPERSEDES any earlier bucketed layout of the same
+    // entity: drop its bucket pointers and bucket-count key, or readers
+    // would keep resolving the stale bucket data over the new version
+    val stale = frames.flatMap { case (e, _) =>
+      readManifest(storeDir).keys.filter(k =>
+        k.startsWith(bucketKeyPrefix(e)) || k == bucketCountKey(e))
+    }
+    val updated = readManifest(storeDir).removedAll(stale) ++
+      frames.map { case (e, _) => e -> s"v$v/$e" }
     commitManifest(storeDir, updated)
     gc(storeDir, updated)
     v
@@ -220,13 +228,21 @@ object SnapshotStore {
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$storeDir/v$v/$entity")
       }
-      val next = (0 until be.numBuckets).flatMap { k =>
+      var next = (0 until be.numBuckets).flatMap { k =>
         if (changed(k)) {
           val rel = s"v$v/$entity/bucket=$k"
           // a changed bucket with zero surviving rows stages no dir —
           // it drops out of the manifest and readers skip it
           if (new File(s"$storeDir/$rel").exists()) Some(s"$pre$k" -> rel) else None
         } else prior.get(s"$pre$k").map(rel => s"$pre$k" -> rel)
+      }
+      if (next.isEmpty) {
+        // entity emptied out entirely: stage a zero-row parquet (schema
+        // preserved) so readers still resolve — without it, paths()
+        // would fall back to the nonexistent legacy flat dir and fail
+        val rel = s"v$v/$entity/bucket=0"
+        be.snapshot.limit(0).write.mode("overwrite").parquet(s"$storeDir/$rel")
+        next = IndexedSeq(s"${pre}0" -> rel)
       }
       entries = entries.removedAll(
         prior.keys.filter(k => k == entity || k.startsWith(pre) || k == bucketCountKey(entity))) ++

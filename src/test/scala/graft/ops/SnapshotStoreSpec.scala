@@ -150,6 +150,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(bucketState(store, "e") === before)
   }
 
+  test("bucketed entity emptied out entirely still resolves (zero-row snapshot staged)") {
+    val store = tmpStore()
+    val all = (1L to 10L).map(i => i -> s"a$i")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 4)))
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v").limit(0), all.map(_._1).toDF("id"), Seq("id"), 4)))
+    assert(SnapshotStore.exists(store, "e"))
+    assert(readKv(store, "e") === Map.empty[Long, String])
+  }
+
+  test("full publish supersedes an earlier bucketed layout of the same entity (and back)") {
+    val store = tmpStore()
+    val all = (1L to 20L).map(i => i -> s"a$i")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 4)))
+    // legacy full publish must clear the bucket pointers, or readers
+    // would keep resolving the stale bucket data
+    SnapshotStore.publish(store, Seq("e" -> Seq((99L, "NEW")).toDF("id", "v")))
+    assert(readKv(store, "e") === Map(99L -> "NEW"))
+    assert(SnapshotStore.bucketCount(store, "e") === None)
+    // bucketed again on top of the flat layout: full re-bucketing
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), 4)))
+    assert(readKv(store, "e") === all.toMap)
+  }
+
   test("crash before a bucketed flip leaves readers on the old state; next publish GCs the orphan") {
     val store = tmpStore()
     val all = (1L to 20L).map(i => i -> s"a$i")
