@@ -1164,6 +1164,35 @@ object SparkEntry {
         graft.ingest.XmlIngest.hgvsNames(v)
           .select(lit("OK_HGVS_ROWS").as("counter"))
           .groupBy("counter").agg(count(lit(1)).as("count")))
+    }),
+
+    // --- X15+X16 driver gate: the trait-name ` [RCV...]` suffix strip
+    // (Parser.java:438-442 composes it; VariantAnnotator.java:434-438
+    // strips before term matching) composed with the full name
+    // normalization — planted edge cases: dynamic + fixed RCV suffixes,
+    // no suffix, hyphens/commas/parens/slashes, multi-space runs, and
+    // the T/B/NK-Cell special case (TermNameMatcher.java:141-144). ----------
+    "q75_trait_strip" -> ((s, dir) => {
+      val names = Seq(
+        "Hereditary spastic paraplegia 48",
+        "Breast-ovarian cancer, (familial) 1",
+        "Severe combined immunodeficiency, T Cell-negative, B Cell-negative, NK Cell-negative",
+        "Glucose/galactose malabsorption",
+        "  spaced   name  ",
+        "plain")
+      val traits = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        concat(
+          element_at(typedlit(names), (col("o_orderkey") % 6).cast("int") + 1),
+          when(col("o_orderkey") % 3 === 0,
+            concat(lit(" [RCV"), col("o_orderkey"), lit("]")))
+            .when(col("o_orderkey") % 3 === 1, lit(" [RCV000012345]"))
+            .otherwise(lit(""))).as("trait_name"))
+      traits.select(
+        col("id"),
+        NameNormalize.stripRcvSuffix(col("trait_name")).as("stripped"),
+        NameNormalize.normalizeName(
+          NameNormalize.stripRcvSuffix(col("trait_name"))).as("norm_name"))
     })
   )
 
@@ -1763,6 +1792,31 @@ object SparkEntry {
         |  ('NO_SIMPLE_ALLELE', 1),
         |  ('OK_HGVS_ROWS', 1),
         |  ('ok', 1)) AS t(counter, "count")""".stripMargin,
+
+    "q75_trait_strip" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS id,
+        |    (['Hereditary spastic paraplegia 48',
+        |      'Breast-ovarian cancer, (familial) 1',
+        |      'Severe combined immunodeficiency, T Cell-negative, B Cell-negative, NK Cell-negative',
+        |      'Glucose/galactose malabsorption',
+        |      '  spaced   name  ',
+        |      'plain'])[(o_orderkey % 6) + 1]
+        |    || CASE WHEN o_orderkey % 3 = 0 THEN ' [RCV' || o_orderkey || ']'
+        |            WHEN o_orderkey % 3 = 1 THEN ' [RCV000012345]'
+        |            ELSE '' END AS trait_name
+        |  FROM orders),
+        |s AS (SELECT id, regexp_replace(trait_name, ' \[RCV.*$', '') AS stripped FROM t),
+        |f AS (SELECT id, stripped,
+        |  CASE WHEN stripped LIKE '%T Cell-%' AND stripped LIKE '%B Cell-%'
+        |            AND stripped LIKE '%NK Cell-%'
+        |       THEN replace(replace(replace(stripped,
+        |              'T Cell-', 'TCell'), 'B Cell-', 'BCell'), 'NK Cell-', 'NKCell')
+        |       ELSE stripped END AS fixed FROM s)
+        |SELECT id, stripped,
+        |  array_to_string(list_sort(regexp_split_to_array(
+        |    trim(translate(lower(fixed), '-,()/', '     ')), '\s+')), '.') AS norm_name
+        |FROM f""".stripMargin,
 
     "q73_annot_probe" ->
       """WITH inc AS (
