@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * On a distributed filesystem the same protocol holds wherever rename
   * is atomic (HDFS: yes; object stores: swap step 2 for a conditional
   * PUT of the manifest object — the data layout is unchanged).
+  *
+  * Reader isolation caveat (standard for snapshot stores without
+  * version retention): a reader resolves the manifest once and then
+  * opens the referenced files; a publish that supersedes those files
+  * GCs them AFTER its flip, so a reader pausing between resolve and
+  * open across a concurrent publish can hit deleted paths. The daily
+  * batch cadence this store serves (reference parity) makes that
+  * window moot; a deployment with long-running concurrent readers
+  * would add version retention (GC only versions older than the
+  * longest reader lease) — an additive change to [[gc]], not a layout
+  * change.
   */
 object SnapshotStore {
 

@@ -105,8 +105,10 @@ class PlanGuardSpec extends SparkSpec {
       "q65_carpe_filter" -> 0, "q68_decontam" -> 3, "q69_repetition" -> 3,
       "q70_boilerplate" -> 4, "q71_domain_stats" -> 2,
       // r9: q73 = full-outer diff (2) + per-aspect guard stats agg +
-      // its broadcast back; q74 = two counter groupBys + union sort
-      "q73_annot_probe" -> 4, "q74_parser_skips" -> 4)
+      // its broadcast back; q74 = two counter groupBys + union sort;
+      // q75 = pure scalar chain, must stay INSIDE the scan stage
+      "q73_annot_probe" -> 4, "q74_parser_skips" -> 4,
+      "q75_trait_strip" -> 0)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None
