@@ -1779,16 +1779,21 @@ object SparkEntry {
     // closure: losers = nodes whose component holds a smaller id
     // hand-frozen from data/fixtures/vcv_skips.xml: one record per skip
     // branch (Parser.java:66-94) + the >4000-char HGVS drop
-    // (HgvsNames.java:24-29). The surviving record contributes ok=1,
-    // its classification counter, and exactly ONE hgvs row (the
-    // oversize sibling dropped).
+    // (HgvsNames.java:24-29) + the F3 warn-only sanity counters
+    // (record 9004 carries RecordStatus 'removed' and a mouse species —
+    // the reference WARNS and continues, Parser.java:449-457, so the
+    // record still classifies by its own skip status). The surviving
+    // record contributes ok=1, its classification counter, and exactly
+    // ONE hgvs row (the oversize sibling dropped).
     "q74_parser_skips" ->
       """SELECT * FROM (VALUES
         |  ('CLASSIFICATION_AGGREGATE_GermlineClassification', 1),
         |  ('GENOTYPE_VARIANTS_SKIPPED', 1),
         |  ('HAPLOTYPE_VARIANTS_SKIPPED', 1),
         |  ('HGVS_NAME_SKIPPED_LONGER_THAN_4000', 1),
+        |  ('INVALID_SPECIES', 1),
         |  ('MULTI_ALLELE_VARIANTS_SKIPPED', 1),
+        |  ('NOT_CURRENT_RECORD', 1),
         |  ('NO_SIMPLE_ALLELE', 1),
         |  ('OK_HGVS_ROWS', 1),
         |  ('ok', 1)) AS t(counter, "count")""".stripMargin,

@@ -126,20 +126,31 @@ object VcvParser {
       .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
     val va = doc.getDocumentElement // <VariationArchive>
 
+    // F3: record-status / species sanity. The reference WARNS and keeps
+    // processing (Parser.java:449-457); the relational analog of its
+    // warn log is a named counter. RecordStatus/Species precede
+    // ClassifiedRecord in the stream, so the reference warns even for
+    // records later skipped — these counters ride on skip results too.
+    val f3 = scala.collection.mutable.Map[String, Long]()
+    firstChild(va, "RecordStatus").map(text).filter(_ != "current")
+      .foreach(_ => f3("NOT_CURRENT_RECORD") = 1L)
+    firstChild(va, "Species").map(text).filter(_ != "Homo sapiens")
+      .foreach(_ => f3("INVALID_SPECIES") = 1L)
+
     val classified = firstChild(va, "ClassifiedRecord").getOrElse {
-      return ParseResult(ParseResult.NoSimpleAllele, None)
+      return ParseResult(ParseResult.NoSimpleAllele, None, f3.toMap)
     }
 
     // skip logic (Parser.java:66-94): >1 SimpleAllele, Genotype, Haplotype
     val simpleAlleles = children(classified, "SimpleAllele")
     if (simpleAlleles.size > 1)
-      return ParseResult(ParseResult.MultiAlleleSkipped, None)
+      return ParseResult(ParseResult.MultiAlleleSkipped, None, f3.toMap)
     if (simpleAlleles.isEmpty) {
       if (children(classified, "Genotype").nonEmpty)
-        return ParseResult(ParseResult.GenotypeSkipped, None)
+        return ParseResult(ParseResult.GenotypeSkipped, None, f3.toMap)
       if (children(classified, "Haplotype").nonEmpty)
-        return ParseResult(ParseResult.HaplotypeSkipped, None)
-      return ParseResult(ParseResult.NoSimpleAllele, None)
+        return ParseResult(ParseResult.HaplotypeSkipped, None, f3.toMap)
+      return ParseResult(ParseResult.NoSimpleAllele, None, f3.toMap)
     }
     val sa = simpleAlleles.head
     val alleleId = attr(sa, "AlleleID")
@@ -328,7 +339,7 @@ object VcvParser {
       mapPositions = mapPositions.toSeq,
       hgvsNames = hgvsNames.toSeq,
       aliases = acc.aliases.toSeq)
-    ParseResult(ParseResult.Ok, Some(rec), acc.counters.toMap)
+    ParseResult(ParseResult.Ok, Some(rec), f3.toMap ++ acc.counters.toMap)
   }
 
   /** The explicit xref ignore list (Parser.java:567-578). */
