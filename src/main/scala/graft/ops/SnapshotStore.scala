@@ -36,16 +36,16 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * is atomic (HDFS: yes; object stores: swap step 2 for a conditional
   * PUT of the manifest object — the data layout is unchanged).
   *
-  * Reader isolation caveat (standard for snapshot stores without
-  * version retention): a reader resolves the manifest once and then
-  * opens the referenced files; a publish that supersedes those files
-  * GCs them AFTER its flip, so a reader pausing between resolve and
-  * open across a concurrent publish can hit deleted paths. The daily
-  * batch cadence this store serves (reference parity) makes that
-  * window moot; a deployment with long-running concurrent readers
-  * would add version retention (GC only versions older than the
-  * longest reader lease) — an additive change to [[gc]], not a layout
-  * change.
+  * Reader isolation: every commit also snapshots its manifest under
+  * `manifests/v<N>`, and [[publish]]/[[publishBucketed]] take a
+  * `retain` count — GC keeps every path referenced by the newest
+  * `retain` manifests, not just the live one. A reader that resolved
+  * version N keeps valid paths until N falls out of the retention
+  * window (the lease = `retain` × publish cadence), and [[readAt]]
+  * time-travels to any retained version. `retain = 1` (default)
+  * reproduces the minimal-footprint behavior: only the live state's
+  * files survive — the right setting for the reference's
+  * single-writer daily batch.
   */
 object SnapshotStore {
 
@@ -54,8 +54,10 @@ object SnapshotStore {
   private def manifestFile(storeDir: String) = new File(storeDir, ManifestName)
 
   /** entity -> version-relative path (e.g. "variants" -> "v3/variants"). */
-  def readManifest(storeDir: String): Map[String, String] = {
-    val f = manifestFile(storeDir)
+  def readManifest(storeDir: String): Map[String, String] =
+    parseManifest(manifestFile(storeDir))
+
+  private def parseManifest(f: File): Map[String, String] = {
     if (!f.exists()) Map.empty
     else Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
       .toArray(Array.empty[String])
@@ -108,19 +110,62 @@ object SnapshotStore {
 
   private val VersionDir = "^v(\\d+)$".r
 
+  private val ManifestsDir = "manifests"
+
+  private def manifestSnapshots(storeDir: String): Seq[(Int, File)] =
+    Option(new File(new File(storeDir), ManifestsDir).listFiles())
+      .getOrElse(Array.empty)
+      .iterator
+      .flatMap(f => f.getName match {
+        case VersionDir(n) => Some(n.toInt -> f)
+        case _             => None
+      })
+      .toSeq.sortBy(_._1)
+
+  /** Versions whose manifest snapshots are still retained — each is a
+    * valid [[readAt]] target (newest last; the last one is the live
+    * state).
+    */
+  def retainedVersions(storeDir: String): Seq[Int] =
+    manifestSnapshots(storeDir).map(_._1)
+
+  /** The manifest as of retained version `v` (empty if expired/unknown). */
+  def readManifestAt(storeDir: String, v: Int): Map[String, String] =
+    parseManifest(new File(new File(storeDir), s"$ManifestsDir/v$v"))
+
+  /** Time-travel read: the entity's snapshot as of retained version
+    * `v`. Fails fast when `v` has expired from the retention window
+    * rather than resolving to a mix of live and deleted paths.
+    */
+  def readAt(spark: SparkSession, storeDir: String, entity: String, v: Int): DataFrame = {
+    val m = readManifestAt(storeDir, v)
+    require(m.nonEmpty, s"version v$v is not retained in $storeDir " +
+      s"(retained: ${retainedVersions(storeDir).mkString(", ")})")
+    val pre = bucketKeyPrefix(entity)
+    val rels = m.collect { case (k, rel) if k.startsWith(pre) => rel }.toSeq.sorted match {
+      case Seq()    => m.get(entity).toSeq
+      case bucketed => bucketed
+    }
+    require(rels.nonEmpty, s"entity $entity is not in retained version v$v")
+    spark.read.parquet(rels.map(rel => s"$storeDir/$rel"): _*)
+  }
+
   private def nextVersion(storeDir: String): Int = {
     val onDisk = Option(new File(storeDir).listFiles()).getOrElse(Array.empty)
       .iterator.map(_.getName).collect { case VersionDir(n) => n.toInt }
     val referenced = readManifest(storeDir).values
       .iterator.map(_.takeWhile(_ != '/')).collect { case VersionDir(n) => n.toInt }
-    ((onDisk ++ referenced).maxOption.getOrElse(0)) + 1
+    val snapshotted = manifestSnapshots(storeDir).iterator.map(_._1)
+    ((onDisk ++ referenced ++ snapshotted).maxOption.getOrElse(0)) + 1
   }
 
   /** Stage-and-commit: write each frame under the next version dir,
     * then flip the manifest once. Entities not in `frames` keep their
-    * current pointers. Returns the committed version number.
+    * current pointers. Returns the committed version number. `retain`
+    * = how many trailing versions stay readable after this commit
+    * (see the class doc; 1 = live state only).
     */
-  def publish(storeDir: String, frames: Seq[(String, DataFrame)]): Int = {
+  def publish(storeDir: String, frames: Seq[(String, DataFrame)], retain: Int = 1): Int = {
     new File(storeDir).mkdirs()
     val v = nextVersion(storeDir)
     frames.foreach { case (entity, df) =>
@@ -135,8 +180,8 @@ object SnapshotStore {
     }
     val updated = readManifest(storeDir).removedAll(stale) ++
       frames.map { case (e, _) => e -> s"v$v/$e" }
-    commitManifest(storeDir, updated)
-    gc(storeDir, updated)
+    commitManifest(storeDir, v, updated)
+    gc(storeDir, updated, retain)
     v
   }
 
@@ -214,7 +259,10 @@ object SnapshotStore {
     * `numBuckets` ints, never by data size. A bucket whose rows are all
     * deleted simply loses its manifest entry (readers skip it).
     */
-  def publishBucketed(storeDir: String, frames: Seq[(String, BucketedEntity)]): Int = {
+  def publishBucketed(
+      storeDir: String,
+      frames: Seq[(String, BucketedEntity)],
+      retain: Int = 1): Int = {
     new File(storeDir).mkdirs()
     val prior = readManifest(storeDir)
     val v = nextVersion(storeDir)
@@ -259,34 +307,54 @@ object SnapshotStore {
         prior.keys.filter(k => k == entity || k.startsWith(pre) || k == bucketCountKey(entity))) ++
         next + (bucketCountKey(entity) -> be.numBuckets.toString)
     }
-    commitManifest(storeDir, entries)
-    gc(storeDir, entries)
+    commitManifest(storeDir, v, entries)
+    gc(storeDir, entries, retain)
     v
   }
 
-  /** Atomic manifest replacement: write a temp file in the same
-    * directory, then one ATOMIC_MOVE rename over the live name.
+  /** Atomic manifest replacement: one ATOMIC_MOVE rename over the live
+    * name (the single commit point), THEN the snapshot copy under
+    * `manifests/v<N>`. The ordering matters: a pre-flip snapshot
+    * crashed between the two steps would be a phantom — a retained
+    * pointer to a never-committed state whose half-staged files GC
+    * would then keep alive. Post-flip, a crash in the window merely
+    * loses that version's time-travel pointer; consistency and
+    * retention of genuinely committed versions are unaffected (gc
+    * always protects the LIVE manifest's paths from `entries`, not
+    * from its snapshot file).
     */
-  private def commitManifest(storeDir: String, entries: Map[String, String]): Unit = {
+  private def commitManifest(storeDir: String, v: Int, entries: Map[String, String]): Unit = {
     val body = entries.toSeq.sorted.map { case (e, p) => s"$e\t$p" }.mkString("", "\n", "\n")
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
     val tmp = Paths.get(storeDir, s".$ManifestName.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, bytes)
     Files.move(
       tmp, manifestFile(storeDir).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val snapDir = Paths.get(storeDir, ManifestsDir)
+    Files.createDirectories(snapDir)
+    Files.write(snapDir.resolve(s"v$v"), bytes)
   }
 
-  /** Delete version-dir content no longer referenced by the manifest —
-    * superseded versions, superseded buckets inside still-live versions
-    * (a bucket-selective publish leaves the replaced bucket's old copy
-    * stale while its siblings stay carried), and orphaned half-written
-    * staging dirs alike. Precise to the referenced PATH: a version dir
-    * survives exactly as long as something under it is live. Runs
-    * strictly after the manifest flip, so a failure here never affects
-    * consistency.
+  /** Delete version-dir content referenced by neither the live manifest
+    * nor any retained manifest snapshot — superseded versions,
+    * superseded buckets inside still-live versions (a bucket-selective
+    * publish leaves the replaced bucket's old copy stale while its
+    * siblings stay carried), and orphaned half-written staging dirs
+    * alike. Precise to the referenced PATH: a version dir survives
+    * exactly as long as something under it is live or within the
+    * retention window. Expired manifest snapshots are dropped first, so
+    * an expired version stops being a [[readAt]] target in the same
+    * pass that deletes its files. Runs strictly after the manifest
+    * flip, so a failure here never affects consistency.
     */
-  private def gc(storeDir: String, manifest: Map[String, String]): Unit = {
-    val live = manifest.values.toSet
+  private def gc(storeDir: String, manifest: Map[String, String], retain: Int): Unit = {
+    val snapshots = manifestSnapshots(storeDir)
+    val expired = snapshots.dropRight(math.max(retain, 1))
+    expired.foreach { case (_, f) => f.delete() }
+    val retained = snapshots.drop(expired.size)
+    val live = manifest.values.toSet ++
+      retained.iterator.flatMap { case (_, f) => parseManifest(f).values }
     Option(new File(storeDir).listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
         case VersionDir(_) => pruneUnreferenced(f, f.getName, live)
@@ -307,8 +375,4 @@ object SnapshotStore {
       if (kept.exists(identity)) true else { f.delete(); false }
     } else { f.delete(); false }
 
-  private def rm(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-    f.delete()
-  }
 }

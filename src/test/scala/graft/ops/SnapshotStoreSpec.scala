@@ -191,6 +191,51 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(readKv(store, "e") === all.toMap)
   }
 
+  // ---- version retention + time travel --------------------------------
+
+  test("retain=2 keeps the previous version readable via readAt until it expires") {
+    val store = tmpStore()
+    val v1 = SnapshotStore.publish(store, Seq("a" -> Seq(1L).toDF("id")), retain = 2)
+    val v2 = SnapshotStore.publish(store, Seq("a" -> Seq(2L).toDF("id")), retain = 2)
+    assert(SnapshotStore.retainedVersions(store) === Seq(v1, v2))
+    assert(readIds(store, "a") === Set(2L)) // live read unaffected
+    assert(SnapshotStore.readAt(spark, store, "a", v1)
+      .select("id").as[Long].collect().toSet === Set(1L))
+    val v3 = SnapshotStore.publish(store, Seq("a" -> Seq(3L).toDF("id")), retain = 2)
+    assert(SnapshotStore.retainedVersions(store) === Seq(v2, v3))
+    // v1 expired: snapshot dropped AND its files GC'd in the same pass
+    assert(!new File(store, s"v$v1").exists())
+    assert(SnapshotStore.readAt(spark, store, "a", v2)
+      .select("id").as[Long].collect().toSet === Set(2L))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAt(spark, store, "a", v1)
+    }
+  }
+
+  test("bucketed retention: a reader pinned to the old version sees the pre-update state") {
+    val store = tmpStore()
+    val n = 4
+    val all = (1L to 40L).map(i => i -> s"a$i")
+    val v1 = SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      all.toDF("id", "v"), Seq.empty[Long].toDF("id"), Seq("id"), n)), retain = 2)
+    val updated = all.toMap.updated(1L, "CHANGED")
+    SnapshotStore.publishBucketed(store, Seq("e" -> SnapshotStore.BucketedEntity(
+      updated.toSeq.toDF("id", "v"), Seq(1L).toDF("id"), Seq("id"), n)), retain = 2)
+    assert(readKv(store, "e") === updated)
+    // the superseded copy of the changed bucket survives the window, so
+    // the pinned manifest resolves to a complete consistent snapshot
+    assert(SnapshotStore.readAt(spark, store, "e", v1)
+      .as[(Long, String)].collect().toMap === all.toMap)
+  }
+
+  test("default retention keeps only the live version (minimal footprint unchanged)") {
+    val store = tmpStore()
+    val v1 = SnapshotStore.publish(store, Seq("a" -> Seq(1L).toDF("id")))
+    val v2 = SnapshotStore.publish(store, Seq("a" -> Seq(2L).toDF("id")))
+    assert(SnapshotStore.retainedVersions(store) === Seq(v2))
+    assert(!new File(store, s"v$v1").exists())
+  }
+
   test("legacy flat layout resolves when no manifest exists") {
     val store = tmpStore()
     Seq(5L).toDF("id").write.parquet(s"$store/a")
