@@ -23,7 +23,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): a narrow coalesce would fold a
+      // shuffle-less query's whole upstream into ONE task (single-thread
+      // compute, and for parallelized dims a task binary carrying all
+      // the data); the shuffle keeps upstream parallel and the single
+      // output file is all the DuckDB compare needs
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
