@@ -1075,6 +1075,12 @@ object SparkEntry {
     "q70_boilerplate" -> ((s, dir) =>
       TextStats.boilerplateLines(t(s, dir, "documents"), "doc_id", "text")),
 
+    // --- scale: substring-level duplicated-span stats (Lee et al. 2022
+    // exact-substring dedup signal — overlapping 8-token windows
+    // occurring in >= 2 docs; q70's sibling with stride 1, not 10) -----------
+    "q76_span_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text")),
+
     // --- scale: domain-level curation stats — URLs injected q55-style
     // (the fixture corpus has none), hosts extracted with the real
     // urlHosts regex, per-domain doc counts + blocklist flag. At 100 TB
@@ -1921,6 +1927,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
         |FROM lines l LEFT JOIN idx i ON l.h = i.h
         |GROUP BY l.doc_id""".stripMargin,
+
+    // span = 8-token inclusive window at every position (list_slice is
+    // 1-based inclusive like Spark's slice); the oracle groups by the
+    // span STRING where the engine groups by its xxhash64 — identical
+    // results absent a 64-bit collision (odds ~n² / 2⁶⁴)
+    "q76_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |spans AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 8), ' ') AS span
+        |  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS i)),
+        |idx AS (SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (
+        |  SELECT s.doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN i.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |  FROM spans s LEFT JOIN idx i ON s.span = i.span
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(p.n_spans, 0) AS n_spans,
+        |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin,
 
     "q69_repetition" ->
       """WITH tok AS (

@@ -611,4 +611,53 @@ object Dedup {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Cross-document duplicated-span stats — substring-level exact-dup
+    * signal after "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022): for each document, how many of its
+    * `spanTokens`-token sliding windows (overlapping, stride 1 — vs
+    * [[graft.scale.TextStats.boilerplateLines]]'s disjoint blocks) also
+    * occur in at least `minDocs` distinct documents. Returns
+    * (id, n_spans, n_dup_spans); docs shorter than `spanTokens` tokens
+    * report 0/0. Downstream policy (drop doc / cut span) is the
+    * caller's.
+    *
+    * Scale shape: the window explode is inherent (one row per token
+    * position, like the line explode in boilerplateLines), but the
+    * shuffled payload is the slim (xxhash64(span), id) pair — span TEXT
+    * never shuffles. The index groupBy and the membership join
+    * hash-partition on the same key, and the per-doc rollup is one more
+    * slim doc-id shuffle. The 8-byte hash stands in for span identity;
+    * collision odds ~ n_spans² / 2⁶⁴ stay vanishing at any corpus size
+    * where the count statistic means anything.
+    */
+  def duplicatedSpanStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+      .select(col(idCol), explode(expr(
+        s"case when size(t) >= $spanTokens then " +
+          s"transform(sequence(0, size(t) - $spanTokens), " +
+          s"i -> xxhash64(array_join(slice(t, i + 1, $spanTokens), ' '))) " +
+          s"else cast(array() as array<bigint>) end"))
+        .as("span_h"))
+    val idx = spans.groupBy("span_h")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span_h"), lit(1).as("is_dup"))
+    val per = spans.join(idx, Seq("span_h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0))).cast("long").as("n_dup_spans"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
 }

@@ -108,7 +108,10 @@ class PlanGuardSpec extends SparkSpec {
       // its broadcast back; q74 = two counter groupBys + union sort;
       // q75 = pure scalar chain, must stay INSIDE the scan stage
       "q73_annot_probe" -> 4, "q74_parser_skips" -> 4,
-      "q75_trait_strip" -> 0)
+      "q75_trait_strip" -> 0,
+      // r9: q76 = span-hash index agg + membership join + per-doc
+      // rollup + final doc join — all slim keys (8-byte hash / doc id)
+      "q76_span_dedup" -> 5)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None

@@ -308,6 +308,21 @@ class ScaleSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L)))
   }
 
+  test("duplicatedSpanStats: overlapping windows, cross-doc only, short docs report 0/0") {
+    val df = Seq(
+      (1L, "a b c d e"),   // spans (k=3): 'a b c', 'b c d', 'c d e'
+      (2L, "x a b c y"),   // shares 'a b c' with doc 1
+      (3L, "p q r p q r"), // within-doc repeat only -> no cross-doc dup
+      (4L, "u v")          // shorter than k -> zero spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(df, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((3L, 1L))) // 'a b c' duplicated, at one position
+    assert(out(2L) === ((3L, 1L)))
+    assert(out(3L) === ((4L, 0L)))
+    assert(out(4L) === ((0L, 0L)))
+  }
+
   test("urlHosts: extracts http/https hosts in order; path and bare text ignored") {
     val out = Seq("see http://a.example/x and https://b.example:8080/y, no ftp://c.example")
       .toDF("t").select(TextStats.urlHosts($"t")).as[Seq[String]].head()
