@@ -856,6 +856,13 @@ object SparkEntry {
     // on this corpus at the loose 0.42 threshold; production near-dup
     // thresholds (>= 0.8) use wider bands for real pruning — see
     // Similarity.cosineNearDupPairs)
+    // --- scale: SemDeDup — semantic dedup by nearest-centroid cluster
+    // then within-cluster cosine prune (min-id representative kept);
+    // q38's threshold regime, q72's keep-list contract -----------------------
+    "q77_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.42)
+        .select(col("id").as("vec_id"))),
+
     "q38_embed_neardup" -> ((s, dir) => {
       // maxBucket explicitly unbounded: the DuckDB oracle keeps ALL
       // banded pairs, so the Spark side must too — otherwise the 1:1
@@ -1616,6 +1623,27 @@ object SparkEntry {
         |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.1""".stripMargin,
 
     "q38_embed_neardup" -> embedNearDupOracleSql,
+
+    // same stride quantizer as q44's oracle (row_number argmax with the
+    // lowest-centroid-id tie-break mirroring max_by(…, struct(cdist,
+    // -centroid_id))); losers = within-cluster cosine >= 0.42 to a
+    // lower id; keep list = everything else
+    "q77_semdedup" ->
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT id AS cid, v AS cv FROM c WHERE id % 64 = 0),
+        |assigned AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT c.id, c.v, cent.cid,
+        |      row_number() OVER (PARTITION BY c.id
+        |        ORDER BY list_dot_product(c.v, cent.cv) DESC, cent.cid) AS rn
+        |    FROM c, cent) WHERE rn = 1),
+        |losers AS (
+        |  SELECT DISTINCT b.id
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.42)
+        |SELECT c.id AS vec_id FROM c LEFT JOIN losers l ON c.id = l.id
+        |WHERE l.id IS NULL""".stripMargin,
 
     "q59_annot_merge" -> annotMergeOracleSql,
 

@@ -309,6 +309,58 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by cluster-then-prune. Every vector is assigned to
+    * its nearest coarse centroid (the same stride-picked broadcast
+    * quantizer as [[ivfTopK]], same numeric-id contract), then WITHIN
+    * each cluster a vector is dropped when its cosine to any LOWER-id
+    * cluster-mate reaches `threshold` — the min-id-representative
+    * keeper contract shared with [[graft.scale.Dedup.dedupByCluster]].
+    * Returns the keep list (id).
+    *
+    * Scale shape: candidate pairs come from a self-join on centroid_id,
+    * so the work is sum(cluster²), never N² — the whole point of the
+    * paper's design (clusters are the unit of parallelism at web
+    * scale). The assignment is one broadcast + map-side argmax agg per
+    * vector; the self-join shuffles one slim (centroid_id, id, vec)
+    * row per side. Recall trade, stated: near-dups STRADDLING a
+    * cluster boundary are not compared (the paper accepts this;
+    * [[cosineNearDupPairs]] is the cross-cluster-complete alternative).
+    * Cluster size is corpus/nlist on isotropic data — size
+    * `centroidStride` so clusters stay comparison-friendly, and skewed
+    * data wants real k-means centroids upstream (stride centroids are
+    * the deterministic oracle-portable stand-in).
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroidStride: Long = 64): DataFrame = {
+    val c = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val centroids = broadcast(
+      c.filter(pmod(col("id"), lit(centroidStride)) === 0)
+        .select(col("id").as("centroid_id"), col("v").as("cv")))
+    val assigned = c
+      .crossJoin(centroids)
+      .withColumn("cdist", dot(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(
+        expr("max_by(centroid_id, struct(cdist, -centroid_id))").as("centroid_id"),
+        first(col("v")).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+    val lo = assigned.select(
+      col("centroid_id"), col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val hi = assigned.select(
+      col("centroid_id"), col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    val losers = lo.join(hi, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_b").as("id"))
+      .distinct()
+    emb.select(col(idCol).as("id")).join(losers, Seq("id"), "left_anti")
+  }
+
   /** The DuckDB-side signature expression for one plane's literal
     * weights (used by SparkEntry.oracleSql to embed identical planes).
     */

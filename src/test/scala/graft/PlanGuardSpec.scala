@@ -111,7 +111,11 @@ class PlanGuardSpec extends SparkSpec {
       "q75_trait_strip" -> 0,
       // r9: q76 = span-hash index agg + membership join + per-doc
       // rollup + final doc join — all slim keys (8-byte hash / doc id)
-      "q76_span_dedup" -> 5)
+      "q76_span_dedup" -> 5,
+      // r9: q77 = centroid-assign argmax agg + within-cluster self-join
+      // + loser distinct + keep anti-join (its one BNLJ is the q44-style
+      // broadcast of the dim-sized stride centroids)
+      "q77_semdedup" -> 5)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None

@@ -323,6 +323,22 @@ class ScaleSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L)))
   }
 
+  test("semDedup: within-cluster near-dups drop to the min id; cross-cluster straddlers survive") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),   // centroid A (stride 10)
+      (10L, Seq(0.0, 1.0)),  // centroid B
+      (1L, Seq(0.9, 0.1)),   // cluster A, cos(0,1)≈0.99 -> dropped
+      (11L, Seq(0.1, 1.0)),  // cluster B, cos(10,11)≈0.99 -> dropped
+      (5L, Seq(0.8, 0.75)),  // cluster A, no near-dup in A -> kept
+      (3L, Seq(0.70, 0.714)) // assigns to B; its near-dup (5, cos≈0.999)
+                             // sits in A -> kept: the documented
+                             // cluster-boundary recall trade
+    ).toDF("vec_id", "embedding")
+    val keep = Similarity.semDedup(emb, "vec_id", "embedding", 0.9, centroidStride = 10)
+      .as[Long].collect().toSet
+    assert(keep === Set(0L, 10L, 5L, 3L))
+  }
+
   test("urlHosts: extracts http/https hosts in order; path and bare text ignored") {
     val out = Seq("see http://a.example/x and https://b.example:8080/y, no ftp://c.example")
       .toDF("t").select(TextStats.urlHosts($"t")).as[Seq[String]].head()
