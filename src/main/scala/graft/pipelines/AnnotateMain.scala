@@ -103,7 +103,8 @@ object AnnotateMain {
           !col(graft.ops.DiffSync.ActionCol)
             .isin(graft.ops.DiffSync.Match, "keep_stale")),
         keyCols = annotKeys,
-        numBuckets = LoadMain.LoadBuckets)))
+        numBuckets = LoadMain.LoadBuckets)),
+      retain = LoadMain.retention)
     val counters = result.counters.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     result.annotDiff.unpersist(blocking = false)

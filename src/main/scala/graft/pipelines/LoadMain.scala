@@ -88,6 +88,14 @@ object LoadMain {
     * converge to matches (after the documented mergeCS rank-reorder
     * update on the first reload).
     */
+  /** Trailing versions kept readable after each publish
+    * (SnapshotStore retention; SPARK_GRAFT_RETAIN, default 1 = live
+    * only). >1 gives long-running concurrent readers their isolation
+    * lease and enables readAt time travel over the last N loads, at
+    * ~changed-fraction × N extra storage.
+    */
+  def retention: Int = sys.env.getOrElse("SPARK_GRAFT_RETAIN", "1").toInt
+
   def run(spark: SparkSession, xmlPath: String, storeDir: String): Map[(String, String), Long] = {
     val parsed = XmlIngest.parseRecords(XmlIngest.readRecords(spark, xmlPath)).cache()
     val vars = XmlIngest.variants(parsed).cache()
@@ -162,7 +170,8 @@ object LoadMain {
             !col(DiffSync.ActionCol).isin(DiffSync.Match, "keep_stale")),
           keyCols = keys,
           numBuckets = LoadBuckets)
-      })
+      },
+      retain = retention)
     // every write consumed the cached diffs; release them (and the
     // pipeline-internal caches) so repeated loads in one session — the
     // convergence loop, a daily-batch driver — don't accumulate blocks
