@@ -326,10 +326,14 @@ object Similarity {
     * row per side. Recall trade, stated: near-dups STRADDLING a
     * cluster boundary are not compared (the paper accepts this;
     * [[cosineNearDupPairs]] is the cross-cluster-complete alternative).
-    * Cluster size is corpus/nlist on isotropic data — size
-    * `centroidStride` so clusters stay comparison-friendly, and skewed
-    * data wants real k-means centroids upstream (stride centroids are
-    * the deterministic oracle-portable stand-in).
+    * PARAMETERIZE FOR THE CORPUS: with nlist centroids the total work
+    * is assignment N·nlist + within-cluster pairs ~N²/nlist, minimized
+    * at nlist ≈ √N (total ~N^1.5) — so `centroidStride` should GROW
+    * ~√N, not stay fixed (a fixed stride makes nlist ∝ N and the
+    * assignment term quadratic; the 10× bench measures exactly that
+    * regime). Skewed data wants real k-means centroids upstream —
+    * stride centroids are the deterministic oracle-portable stand-in,
+    * same contract as [[ivfTopK]].
     */
   def semDedup(
       emb: DataFrame,
