@@ -1151,9 +1151,19 @@ object SparkEntry {
           when(col("o_orderkey") % 5 === 0, concat(lit("RGD:"), col("o_custkey")))
         ).cast("string").as("with_info"))
       val orders = t(s, dir, "orders")
+      // fixture plants BOTH guard branches of the reference's NET-basis
+      // abort (Dao.java:705-708: keep iff deletes - inserts > 5%·orig):
+      // H's delete storm (odd keys %31/%29/%37) exceeds the net limit
+      // -> keep_stale fires; D's deletes (even keys %59) exceed 5% of
+      // orig ALONE but its inserts (%19 rekeys) offset them below the
+      // net limit -> deletes proceed (a raw-stale-fraction guard would
+      // wrongly abort D — that divergence is what this row freezes out)
       val incoming = annots(orders.filter(
         col("o_orderkey") % 23 =!= 0 &&
-          !(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 31 === 0)), old = false)
+          !(col("o_orderkey") % 2 === 1 &&
+            (col("o_orderkey") % 31 === 0 || col("o_orderkey") % 29 === 0 ||
+              col("o_orderkey") % 37 === 0)) &&
+          !(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 59 === 0)), old = false)
       val current = annots(orders.filter(col("o_orderkey") % 19 =!= 0), old = true)
       graft.pipelines.AnnotatePipeline.annotDiff(incoming, current)
     }),
@@ -1867,7 +1877,9 @@ object SparkEntry {
         |    CASE WHEN o_orderkey % 5 = 0 THEN 'RGD:' || o_custkey END AS with_info
         |  FROM orders
         |  WHERE o_orderkey % 23 <> 0
-        |    AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 31 = 0)),
+        |    AND NOT (o_orderkey % 2 = 1 AND
+        |             (o_orderkey % 31 = 0 OR o_orderkey % 29 = 0 OR o_orderkey % 37 = 0))
+        |    AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 59 = 0)),
         |cur AS (
         |  SELECT o_orderkey AS annotated_rgd_id,
         |    'DOID:' || (o_orderkey % 97) AS term_acc,
@@ -1897,12 +1909,14 @@ object SparkEntry {
         |  SELECT d.*,
         |    sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY aspect) AS ndel,
+        |    sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY aspect) AS nins,
         |    sum(CASE WHEN action <> 'insert' THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY aspect) AS ncur
         |  FROM d)
         |SELECT annotated_rgd_id, term_acc, aspect, evidence, xref_source,
         |  with_info, with_info_old,
-        |  CASE WHEN action = 'delete' AND ndel > ncur * 0.05
+        |  CASE WHEN action = 'delete' AND ndel - nins > ncur * 0.05
         |       THEN 'keep_stale' ELSE action END AS action
         |FROM g""".stripMargin,
 

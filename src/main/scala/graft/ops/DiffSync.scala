@@ -97,6 +97,18 @@ object DiffSync {
     * Dao.deleteObsoleteAnnotations, Dao.java:690-729), so one aspect's
     * delete storm cannot be hidden by the other's volume. Counts are
     * computed per `byCols` group and broadcast back.
+    *
+    * The basis differs from [[guardDeletes]] deliberately: the xdb
+    * guard (Dao.deleteStaleXdbIds:409-436) compares the RAW stale count
+    * against pct·orig, but the annotation guard compares the NET count
+    * decrease — Dao.java:705-708 aborts iff
+    * `newAnnotCount - origAnnotCount < -limit` where newAnnotCount
+    * already includes this run's inserts, i.e. iff
+    * `deletes - inserts > limit`. A load that replaces annotations
+    * (many inserts alongside many stale deletes) keeps its delete
+    * budget in the reference, and must here too. (The reference's
+    * integer `(pct·orig)/100` limit and this float comparison agree for
+    * every integer count: no integer lies in (floor(x), x].)
     */
   def guardDeletesBy(
       diff: DataFrame,
@@ -104,6 +116,7 @@ object DiffSync {
       maxDeleteFraction: Double): DataFrame = {
     val stats = diff.groupBy(byCols.map(col): _*).agg(
       sum(when(col(ActionCol) === Delete, 1L).otherwise(0L)).as("_g_ndel"),
+      sum(when(col(ActionCol) === Insert, 1L).otherwise(0L)).as("_g_nins"),
       sum(when(col(ActionCol) =!= Insert, 1L).otherwise(0L)).as("_g_ncur"))
     diff
       .join(broadcast(stats), byCols, "left")
@@ -111,10 +124,10 @@ object DiffSync {
         ActionCol,
         when(
           col(ActionCol) === Delete &&
-            col("_g_ndel") > col("_g_ncur") * maxDeleteFraction,
+            col("_g_ndel") - col("_g_nins") > col("_g_ncur") * maxDeleteFraction,
           lit("keep_stale"))
           .otherwise(col(ActionCol)))
-      .drop("_g_ndel", "_g_ncur")
+      .drop("_g_ndel", "_g_nins", "_g_ncur")
   }
 
   /** The next snapshot: incoming rows for insert/update/match, current

@@ -170,11 +170,14 @@ object AnnotatePipeline {
   /** J11: the annotation exact-match probe + stale-delete guard.
     * Matching rows are the reference's "touch" (update last-modified
     * only — a `match` here), missing rows insert, content-changed rows
-    * update, and stale rows delete UNLESS the per-aspect stale count
-    * exceeds `maxDeleteFraction` of that aspect's existing rows
-    * (Dao.deleteObsoleteAnnotations:690-729 aborts the whole aspect's
-    * delete — `keep_stale` here). Shared verbatim by [[run]] and the
-    * q73 driver gate, so a wrong key column fails the oracle row.
+    * update, and stale rows delete UNLESS the per-aspect NET count
+    * decrease — stale deletes minus this run's inserts — exceeds
+    * `maxDeleteFraction` of that aspect's pre-run rows
+    * (Dao.deleteObsoleteAnnotations:705-708 compares newAnnotCount,
+    * which already includes the inserts, against orig − limit; the
+    * whole aspect's delete aborts — `keep_stale` here). Shared verbatim
+    * by [[run]] and the q73 driver gate, so a wrong key column or a
+    * wrong guard basis fails the oracle row.
     */
   def annotDiff(
       incoming: DataFrame,

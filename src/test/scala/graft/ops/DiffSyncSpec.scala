@@ -52,6 +52,25 @@ class DiffSyncSpec extends SparkSpec {
     assert(guarded.filter($"action" === "delete").count() === 1)
   }
 
+  test("guardDeletesBy uses the NET basis: inserts offset deletes (Dao.java:705-708)") {
+    // group A: 3 deletes, 3 inserts, 10 pre-run rows -> net 0 <= 0.5
+    //   -> deletes PROCEED even though raw stale (30%) is over 5%
+    // group B: 3 deletes, 0 inserts, 10 pre-run rows -> net 3 > 0.5
+    //   -> keep_stale
+    def rows(g: String, nDel: Int, nIns: Int) =
+      (1 to 7).map(i => (g, s"$g-m$i", "match")) ++
+        (1 to nDel).map(i => (g, s"$g-d$i", "delete")) ++
+        (1 to nIns).map(i => (g, s"$g-i$i", "insert"))
+    val diff = (rows("A", 3, 3) ++ rows("B", 3, 0)).toDF("aspect", "k", "action")
+    val out = DiffSync.guardDeletesBy(diff, Seq("aspect"), 0.05)
+      .groupBy("aspect", "action").count()
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.getOrElse(("A", "delete"), 0L) === 3L)
+    assert(out.getOrElse(("A", "keep_stale"), 0L) === 0L)
+    assert(out.getOrElse(("B", "keep_stale"), 0L) === 3L)
+    assert(out.getOrElse(("B", "delete"), 0L) === 0L)
+  }
+
   test("nextSnapshot applies inserts/updates and drops deletes, keeps guarded rows") {
     val diff = DiffSync.guardDeletes(DiffSync(incoming, current, Seq("k"), Seq("v")), 0.08)
     val next = DiffSync.nextSnapshot(diff, Seq("k"), Seq("v"))
