@@ -1088,6 +1088,27 @@ object SparkEntry {
     "q76_span_dedup" -> ((s, dir) =>
       Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text")),
 
+    // --- scale: crawl dedup by canonical URL — messy fetch-time
+    // variants injected (case-shifted authority, default + non-default
+    // ports, utm/tracking params, fragments); canonicalize then group:
+    // (canonical url, doc count, min-id keeper) ------------------------------
+    "q78_url_dedup" -> ((s, dir) => {
+      val hosts = Seq("News.Example.COM", "blog.example.org", "Docs.Example.IO")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("HTTPS://")),
+        element_at(typedlit(hosts), (col("doc_id") % 3).cast("int") + 1),
+        // :443 is the DEFAULT port only for https — on the http rows it
+        // must survive canonicalization
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p"), (col("doc_id") % 20).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x&ref=1"))
+          .when(col("doc_id") % 3 === 1, lit("?a=1&utm_campaign=z"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+      TextStats.urlKeyDedup(
+        t(s, dir, "documents").withColumn("u", url), "doc_id", "u")
+    }),
+
     // --- scale: domain-level curation stats — URLs injected q55-style
     // (the fixture corpus has none), hosts extracted with the real
     // urlHosts regex, per-domain doc counts + blocklist flag. At 100 TB
@@ -1969,6 +1990,37 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
         |FROM lines l LEFT JOIN idx i ON l.h = i.h
         |GROUP BY l.doc_id""".stripMargin,
+
+    // identical canonicalization chain, DuckDB spelling: 'g' flags
+    // (Spark's regexp_replace is always global), \1 replacement
+    // backrefs (Spark: $1). Every MATCH pattern is lookaround-free so
+    // Java regex and RE2 agree.
+    "q78_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END) ||
+        |    (['News.Example.COM', 'blog.example.org', 'Docs.Example.IO'])[(doc_id % 3) + 1] ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p' || (doc_id % 20) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&ref=1'
+        |          WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=z' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS u
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS u FROM raw),
+        |c2 AS (SELECT doc_id,
+        |  regexp_replace(u, '(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '', 'g') AS u FROM c1),
+        |c3 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    u, '\?&+', '?', 'g'), '&{2,}', '&', 'g'), '[?&]+$', '', 'g') AS u FROM c2),
+        |c4 AS (SELECT doc_id,
+        |  lower(coalesce(regexp_extract(u, '^[A-Za-z]+://[^/?#]*'), '')) ||
+        |  regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS u FROM c3),
+        |c5 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    u, '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+        |       '^(http://[^/:?#]*):80([/?#]|$)', '\1\2') AS u FROM c4)
+        |SELECT u AS url, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM c5 GROUP BY u""".stripMargin,
 
     // span = 8-token inclusive window at every position (list_slice is
     // 1-based inclusive like Spark's slice); the oracle groups by the

@@ -190,6 +190,42 @@ object TextStats {
   def urlHosts(text: Column): Column =
     regexp_extract_all(text, lit(UrlHostPattern), lit(1))
 
+  /** Canonical URL for crawl-level dedup (the C4/CCNet curation step
+    * that collapses fetch-time variants of one page): drop the
+    * fragment, drop tracking params (utm_*, fbclid, gclid) and collapse
+    * the separators they leave, lowercase scheme+authority, and strip
+    * the scheme's default port (:80 http / :443 https). Pure per-row
+    * regex chain — codegen'd, no shuffle; every pattern stays in the
+    * Java-regex ∩ RE2 subset (no lookaround, no backrefs in MATCH) so
+    * the DuckDB oracle runs the byte-identical contract.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*", "")
+    val collapsed = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&{2,}", "&"),
+      "[?&]+$", "")
+    val lowered = concat(
+      lower(regexp_extract(collapsed, "^[A-Za-z]+://[^/?#]*", 0)),
+      regexp_replace(collapsed, "^[A-Za-z]+://[^/?#]*", ""))
+    regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]*):443([/?#]|$)", "$1$2"),
+      "^(http://[^/:?#]*):80([/?#]|$)", "$1$2")
+  }
+
+  /** Crawl dedup by canonical URL: one row per canonical key with the
+    * doc count behind it and the min-id keeper (the [[graft.scale.Dedup]]
+    * family's representative contract). One shuffle, on the canonical
+    * string; at crawl scale swap the key for its xxhash64 the way
+    * [[graft.scale.Dedup.duplicatedSpanStats]] does if URL strings
+    * dominate the exchange.
+    */
+  def urlKeyDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), canonicalUrl(col(urlCol)).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keeper"))
+
   /** Per-language corpus summary (doc count, median/p90 chars, distinct
     * sources) in two forms:
     *

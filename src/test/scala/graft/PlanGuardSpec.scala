@@ -115,7 +115,10 @@ class PlanGuardSpec extends SparkSpec {
       // r9: q77 = centroid-assign argmax agg + within-cluster self-join
       // + loser distinct + keep anti-join (its one BNLJ is the q44-style
       // broadcast of the dim-sized stride centroids)
-      "q77_semdedup" -> 5)
+      "q77_semdedup" -> 5,
+      // r9: q78 = scan-side regex canonicalization + ONE groupBy on the
+      // canonical key
+      "q78_url_dedup" -> 1)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None

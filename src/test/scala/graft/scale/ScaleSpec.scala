@@ -339,6 +339,25 @@ class ScaleSpec extends SparkSpec {
     assert(keep === Set(0L, 10L, 5L, 3L))
   }
 
+  test("canonicalUrl: tracking params, fragments, authority case, and default ports") {
+    val cases = Seq(
+      // tracking param first in the query: survivor keeps the '?'
+      "HTTPS://News.Example.COM:443/Path?utm_source=x&a=1#frag" ->
+        "https://news.example.com/Path?a=1",
+      "http://a.example:80/p" -> "http://a.example/p",
+      // :443 is not http's default port — must survive
+      "http://a.example:443/p" -> "http://a.example:443/p",
+      // query left empty by the strip: the dangling '?' goes too
+      "https://b.example/?utm_campaign=z" -> "https://b.example/",
+      // tracking param mid-query: separators collapse
+      "http://c.example/p?a=1&fbclid=abc&b=2" -> "http://c.example/p?a=1&b=2",
+      // path case is content, only scheme+authority fold
+      "no-url text" -> "no-url text")
+    val out = cases.map(_._1).toDF("u")
+      .select(TextStats.canonicalUrl($"u")).as[String].collect().toSeq
+    assert(out === cases.map(_._2))
+  }
+
   test("urlHosts: extracts http/https hosts in order; path and bare text ignored") {
     val out = Seq("see http://a.example/x and https://b.example:8080/y, no ftp://c.example")
       .toDF("t").select(TextStats.urlHosts($"t")).as[Seq[String]].head()
