@@ -358,6 +358,39 @@ class ScaleSpec extends SparkSpec {
     assert(out === cases.map(_._2))
   }
 
+  test("law: canonicalUrl is idempotent") {
+    // canonical output must be a fixed point — a chain that leaves a
+    // dangling separator or a foldable authority would re-canonicalize
+    val urls = Seq(
+      "HTTPS://News.Example.COM:443/Path?utm_source=x&a=1#frag",
+      "http://a.example:80/p?utm_a=1&utm_b=2#x",
+      "https://B.EX/?fbclid=1&gclid=2&a=3",
+      "no scheme ?utm_x=1#f",
+      "http://h/p?a=1")
+    val once = urls.toDF("u").select(TextStats.canonicalUrl($"u").as("c"))
+    val twice = once.select(TextStats.canonicalUrl($"c"))
+    assert(once.as[String].collect().toSeq === twice.as[String].collect().toSeq)
+  }
+
+  test("law: a verbatim-duplicated corpus makes every span a dup span") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val doubled = docs.unionByName(
+      docs.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val out = Dedup.duplicatedSpanStats(doubled, "doc_id", "text")
+    assert(out.filter($"n_dup_spans" =!= $"n_spans").count() === 0)
+    assert(out.filter($"n_spans" > 0).count() > 0)
+  }
+
+  test("law: semDedup keeps the globally smallest id; keep list is a subset of input") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val keep = Similarity.semDedup(emb, "vec_id", "embedding", 0.3)
+      .as[Long].collect().toSet
+    val ids = emb.select($"vec_id").as[Long].collect().toSet
+    assert(keep.subsetOf(ids) && keep.contains(ids.min))
+    assert(keep.size < ids.size) // the low threshold must actually prune
+  }
+
   test("urlHosts: extracts http/https hosts in order; path and bare text ignored") {
     val out = Seq("see http://a.example/x and https://b.example:8080/y, no ftp://c.example")
       .toDF("t").select(TextStats.urlHosts($"t")).as[Seq[String]].head()
