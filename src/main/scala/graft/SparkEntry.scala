@@ -1109,6 +1109,68 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("u", url), "doc_id", "u")
     }),
 
+    // --- A1/A2 driver gate for the QC merge SHAPES (QC.java:29-94):
+    // the reference applies THREE different merges to the variant core —
+    // mergeCS (ranked union), QC.merge (CI-substring delete then TreeSet
+    // union) for review_status/method_type, and the end-of-run collection
+    // replacement (incoming-only TreeSet, store value ages out) for
+    // submitter/trait_name/notes (notes re-join "; ", blank incoming
+    // keeps the store value). Fixtures plant a divergence for every
+    // shape; insert rows must pass through RAW (QC.run only feeds the
+    // collections when the variant matched). ---------------------------------------
+    "q79_merge_shapes" -> ((s, dir) => {
+      import graft.pipelines.LoadPipeline
+      val cust = t(s, dir, "customer")
+      val emptyChildren = cust.limit(0)
+      val store = LoadPipeline.Store(
+        variants = cust.filter(col("c_custkey") % 3 === 0).select(
+          col("c_custkey").as("rgd_id"),
+          concat(lit("C"), col("c_custkey")).as("symbol"),
+          col("c_name").as("name"),
+          concat(lit("RCV"), col("c_custkey")).as("rcv_acc"),
+          lit("variant").as("object_type"),
+          lit("pathogenic").as("clinical_significance"),
+          concat(lit("xABC"), col("c_custkey") % 7, lit("y|z")).as("review_status"),
+          lit("mB|mA").as("method_type"),
+          concat(lit("subOld"), col("c_custkey") % 5).as("submitter"),
+          lit("tOld").as("trait_name"),
+          when(col("c_custkey") % 9 === 0, lit("oldNote"))
+            .otherwise(lit(null).cast("string")).as("notes"),
+          lit("A").as("ref_nuc"), lit("T").as("var_nuc"),
+          lit(null).cast("date").as("date_last_evaluated")),
+        xdbIds = emptyChildren.select(
+          col("c_custkey").as("rgd_id"), lit(52).as("xdb_key"), col("c_name").as("acc_id")),
+        hgvsNames = emptyChildren.select(
+          col("c_custkey").as("rgd_id"), col("c_name").as("hgvs_type"), col("c_name").as("name")),
+        aliases = emptyChildren.select(
+          col("c_custkey").as("rgd_id"), col("c_name").as("value"), col("c_name").as("notes")),
+        geneAssocs = emptyChildren.select(
+          col("c_custkey").as("rgd_id"), col("c_custkey").as("gene_id")),
+        mapPositions = emptyChildren.select(
+          col("c_custkey").as("rgd_id"), col("c_name").as("assembly"),
+          col("c_name").as("chromosome"), col("c_custkey").as("start_pos"),
+          col("c_custkey").as("stop_pos")))
+      val incoming = cust.filter(col("c_custkey") % 2 === 0).select(
+        concat(lit("C"), col("c_custkey")).as("symbol"),
+        concat(lit("RCV"), col("c_custkey")).as("rcv_acc"),
+        col("c_name").as("name"),
+        lit("variant").as("object_type"),
+        lit("likely pathogenic").as("clinical_significance"),
+        concat(lit("abc"), col("c_custkey") % 7).as("review_status"),
+        lit("mA").as("method_type"),
+        concat(lit("sub"), col("c_custkey") % 5, lit("|subA|sub"),
+          col("c_custkey") % 5).as("submitter"),
+        concat(lit("t"), col("c_custkey") % 3, lit("|tA")).as("trait_name"),
+        when(col("c_custkey") % 4 === 0, lit("n2|n1"))
+          .otherwise(lit("   ")).as("notes"),
+        lit("A").as("ref_nuc"), lit("T").as("var_nuc"),
+        lit(null).cast("date").as("date_last_evaluated"))
+      val identified = LoadPipeline.matchIdentity(incoming, store)
+      LoadPipeline.mergeFields(identified, store)
+        .select(col("symbol"), col("clinical_significance"), col("review_status"),
+          col("method_type"), col("submitter"), col("trait_name"), col("notes"))
+    }),
+
     // --- scale: domain-level curation stats — URLs injected q55-style
     // (the fixture corpus has none), hosts extracted with the real
     // urlHosts regex, per-domain doc counts + blocklist flag. At 100 TB
@@ -2021,6 +2083,45 @@ object SparkEntry {
         |       '^(http://[^/:?#]*):80([/?#]|$)', '\1\2') AS u FROM c4)
         |SELECT u AS url, count(*) AS n_docs, min(doc_id) AS keeper
         |FROM c5 GROUP BY u""".stripMargin,
+
+    // the three QC merge shapes, DuckDB spelling. The planted constants
+    // make each shape's expected output closed-form: QC.merge's CI
+    // substring-delete of 'abc<d>' from 'xABC<d>y|z' leaves 'xy|z' (one
+    // loop iteration by construction), so the merged value is rs_in ||
+    // '|xy|z'; the collection replacements are computed with real list
+    // ops (split → filter '' → distinct → sort → join) so the oracle
+    // derives them rather than hardcoding.
+    "q79_merge_shapes" ->
+      """WITH store AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
+        |inc AS (
+        |  SELECT c_custkey AS k, 'C' || c_custkey AS symbol,
+        |    'abc' || (c_custkey % 7) AS rs_in,
+        |    'sub' || (c_custkey % 5) || '|subA|sub' || (c_custkey % 5) AS sub_in,
+        |    't' || (c_custkey % 3) || '|tA' AS tn_in,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'n2|n1' ELSE '   ' END AS no_in
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |j AS (
+        |  SELECT i.*, s.k IS NOT NULL AS matched,
+        |    CASE WHEN s.k % 9 = 0 THEN 'oldNote' END AS no_cur
+        |  FROM inc i LEFT JOIN store s ON i.k = s.k)
+        |SELECT symbol,
+        |  CASE WHEN matched THEN 'pathogenic|likely pathogenic'
+        |       ELSE 'likely pathogenic' END AS clinical_significance,
+        |  CASE WHEN matched THEN rs_in || '|xy|z' ELSE rs_in END AS review_status,
+        |  CASE WHEN matched THEN 'mA|mB' ELSE 'mA' END AS method_type,
+        |  CASE WHEN matched THEN array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split(sub_in, '|'), x -> x <> ''))), '|')
+        |       ELSE sub_in END AS submitter,
+        |  CASE WHEN matched THEN array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split(tn_in, '|'), x -> x <> ''))), '|')
+        |       ELSE tn_in END AS trait_name,
+        |  CASE WHEN NOT matched THEN no_in
+        |       WHEN trim(no_in) = '' THEN no_cur
+        |       ELSE array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split(no_in, '|'), x -> x <> ''))), '; ')
+        |  END AS notes
+        |FROM j""".stripMargin,
 
     // span = 8-token inclusive window at every position (list_slice is
     // 1-based inclusive like Spark's slice); the oracle groups by the

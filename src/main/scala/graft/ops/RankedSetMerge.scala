@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object RankedSetMerge {
 
-  /** The 27-entry clinical-significance rank table (QC.java:160-197).
+  /** The 31-entry clinical-significance rank table (QC.java:160-197).
     * Unknown values rank 999 (and the reference bumps a warning counter).
     */
   val ClinSigRanks: Map[String, Int] = Map(

@@ -57,7 +57,10 @@ object SetMerge {
     * Returns null only when both inputs are null.
     */
   def qcMergeValue(incoming: String, inRgd: String): String = {
-    if (incoming == null) return inRgd
+    // empty incoming = no info, like null (the reference NVLs empties
+    // away before QC; an actual "" would infinite-loop its substring-
+    // delete scan, QC.java:122-127 — contains("") is always true)
+    if (incoming == null || incoming.isEmpty) return inRgd
     if (inRgd == null) return incoming
     var cur = inRgd
     val incUpper = incoming.toUpperCase

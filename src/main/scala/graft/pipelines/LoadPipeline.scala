@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AliasSync, DiffSync, FallbackJoin, RankedSetMerge, SetMerge}
@@ -88,10 +88,15 @@ object LoadPipeline {
     hit.unionByName(inserts.select(hit.columns.map(col).toIndexedSeq: _*))
   }
 
-  /** Field-level merges against the matched store row (QC.run
-    * QC.java:29-94): ranked clinical-significance merge (A2), TreeSet
-    * merges for the list fields (A1), newest-wins date (A3).
+  /** TreeSet-normalize a `|`-list and re-join with `joinSep` — the
+    * collection classes' end-of-run form (split on `|`, TreeSet, join;
+    * Utils.concatenate absorbs the always-leading empty element, hence
+    * the non-empty filter).
     */
+  private def collectionNormalize(c: Column, joinSep: String): Column =
+    concat_ws(joinSep,
+      array_sort(array_distinct(filter(split(c, "\\|"), x => x =!= ""))))
+
   def mergeFields(identified: DataFrame, store: Store): DataFrame = {
     val cur = store.variants.select(
       col("rgd_id"),
@@ -100,18 +105,51 @@ object LoadPipeline {
       col("method_type").as("_mt_cur"),
       col("submitter").as("_sub_cur"),
       col("notes").as("_no_cur"),
-      col("date_last_evaluated").as("_dt_cur"))
+      col("trait_name").as("_tn_cur"),
+      col("date_last_evaluated").as("_dt_cur"),
+      lit(1).as("_in_store"))
+    // Field treatments mirror QC.run (QC.java:29-94) exactly — the
+    // reference uses THREE different merge shapes, not one:
+    //  - clinical_significance: rank-ordered union with the store row
+    //    (mergeCS, QC.java:145-224);
+    //  - review_status / method_type: union with the store row AFTER
+    //    deleting case-insensitive substring occurrences of the
+    //    incoming value (QC.merge, QC.java:112-142);
+    //  - submitter / notes / trait_name: REPLACED by the TreeSet-
+    //    normalized union of the INCOMING side only — the end-of-run
+    //    collections (SubmitterCollection:48-77, NotesCollection:55-84,
+    //    TraitNameCollection:53-76) use the store value purely for the
+    //    changed/unchanged compare, so store-only values age out.
+    //    Notes re-join with "; " and trim to 4000 UTF-8 bytes,
+    //    submitters keep "|" and trim, trait names keep "|" untrimmed;
+    //    blank incoming notes leave the store value in place
+    //    (NotesCollection.add:37-39 skips blanks). Insert rows bypass
+    //    the collections (QC.run only feeds them when the variant
+    //    matched), so the incoming value lands raw.
     identified.join(cur, Seq("rgd_id"), "left")
       .withColumn("clinical_significance",
         RankedSetMerge.mergeCSUdf(col("clinical_significance"), col("_cs_cur")))
-      .withColumn("review_status", SetMerge.mergeTwoLists(col("review_status"), col("_rs_cur")))
-      .withColumn("method_type", SetMerge.mergeTwoLists(col("method_type"), col("_mt_cur")))
-      .withColumn("submitter", SetMerge.mergeTwoLists(col("submitter"), col("_sub_cur")))
-      .withColumn("notes", SetMerge.mergeTwoLists(col("notes"), col("_no_cur")))
+      .withColumn("review_status", SetMerge.qcMergeUdf(col("review_status"), col("_rs_cur")))
+      .withColumn("method_type", SetMerge.qcMergeUdf(col("method_type"), col("_mt_cur")))
+      .withColumn("submitter",
+        when(col("_in_store").isNotNull && col("submitter").isNotNull,
+          graft.functions.TrimUtf8Bytes(collectionNormalize(col("submitter"), "|"), 4000))
+          .otherwise(coalesce(col("submitter"), col("_sub_cur"))))
+      .withColumn("notes",
+        when(col("_in_store").isNotNull,
+          when(col("notes").isNull || trim(col("notes")) === "", col("_no_cur"))
+            .otherwise(
+              graft.functions.TrimUtf8Bytes(collectionNormalize(col("notes"), "; "), 4000)))
+          .otherwise(col("notes")))
+      .withColumn("trait_name",
+        when(col("_in_store").isNotNull && col("trait_name").isNotNull,
+          collectionNormalize(col("trait_name"), "|"))
+          .otherwise(coalesce(col("trait_name"), col("_tn_cur"))))
       .withColumn("date_last_evaluated",
         greatest(coalesce(col("date_last_evaluated"), col("_dt_cur")),
           coalesce(col("_dt_cur"), col("date_last_evaluated"))))
-      .drop("_cs_cur", "_rs_cur", "_mt_cur", "_sub_cur", "_no_cur", "_dt_cur")
+      .drop("_cs_cur", "_rs_cur", "_mt_cur", "_sub_cur", "_no_cur", "_tn_cur",
+        "_dt_cur", "_in_store")
   }
 
   /** Full load: identity match + merges + per-entity DiffSync + guarded

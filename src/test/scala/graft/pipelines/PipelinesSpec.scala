@@ -60,6 +60,57 @@ class LoadPipelineSpec extends SparkSpec {
     assert(cv1._3 === "update")
   }
 
+  test("mergeFields: the reference's THREE merge shapes, not one (QC.java:29-94)") {
+    // store row 20 planted so every shape's divergence is observable:
+    //  - review_status "xABCy|z": CI-substring delete of incoming "abc"
+    //  - submitter "subOld": store-only values age out (collections
+    //    replace with the normalized INCOMING union)
+    //  - notes "oldNote": "; " re-join of split incoming; blank incoming
+    //    keeps the store value (NotesCollection.add:37-39)
+    val st = LoadPipeline.Store(
+      variants = Seq(
+        (20L, "CVM", "var m", "RCVM20", "snv", "pathogenic", "xABCy|z", "mB|mA",
+          "subOld", "tOld", "oldNote", "A", "G", "2020-01-01"),
+        (21L, "CVB", "var b", "RCVB21", "snv", "benign", "r", "m",
+          "s", "t", "keepMe", "A", "G", "2020-01-01")
+      ).toDF("rgd_id", "symbol", "name", "rcv_acc", "object_type", "clinical_significance",
+        "review_status", "method_type", "submitter", "trait_name", "notes", "ref_nuc", "var_nuc",
+        "date_last_evaluated"),
+      xdbIds = Seq.empty[(Long, Int, String)].toDF("rgd_id", "xdb_key", "acc_id"),
+      hgvsNames = Seq.empty[(Long, String, String)].toDF("rgd_id", "hgvs_type", "name"),
+      aliases = Seq.empty[(Long, String, String)].toDF("rgd_id", "value", "notes"),
+      geneAssocs = Seq.empty[(Long, String)].toDF("rgd_id", "gene_id"),
+      mapPositions = Seq.empty[(Long, String, String, Long, Long)]
+        .toDF("rgd_id", "assembly", "chromosome", "start_pos", "stop_pos"))
+    val inc = Seq(
+      ("CVM", "RCVM20", "var m", "snv", "likely pathogenic", "abc", "mA",
+        "sub2|sub1|sub2", "t2|t1", "n2|n1", "A", "G", "2021-06-01"),
+      ("CVB", "RCVB21", "var b", "snv", "benign", "r", "m",
+        "s", "t", "   ", "A", "G", "2020-01-01"),          // blank notes
+      ("CVN", "RCVN99", "var n", "snv", "benign", "rNew", "mNew",
+        "z|a|z", "tz|ta", "nz|na", "C", "T", "2021-01-01") // insert: raw passthrough
+    ).toDF("symbol", "rcv_acc", "name", "object_type", "clinical_significance",
+      "review_status", "method_type", "submitter", "trait_name", "notes", "ref_nuc", "var_nuc",
+      "date_last_evaluated")
+    val identified = LoadPipeline.matchIdentity(inc, st)
+    val out = LoadPipeline.mergeFields(identified, st)
+      .select("symbol", "clinical_significance", "review_status", "method_type",
+        "submitter", "trait_name", "notes")
+      .as[(String, String, String, String, String, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val m = out("CVM")
+    assert(m._2 === "pathogenic|likely pathogenic")  // mergeCS rank order (A2)
+    assert(m._3 === "abc|xy|z")                      // QC.merge: CI delete + TreeSet union
+    assert(m._4 === "mA|mB")                         // "mA" deleted from "mB|mA", re-added
+    assert(m._5 === "sub1|sub2")                     // subOld aged out, incoming normalized
+    assert(m._6 === "t1|t2")                         // trait collection, "|" untrimmed
+    assert(m._7 === "n1; n2")                        // notes re-join with "; "
+    val b = out("CVB")
+    assert(b._7 === "keepMe")                        // blank incoming keeps store notes
+    val n = out("CVN")
+    assert((n._5, n._6, n._7) === (("z|a|z", "tz|ta", "nz|na"))) // insert path: raw
+  }
+
   test("per-entity diff classification + counters (§2.6/K7)") {
     val c = result.counters.as[(String, String, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
