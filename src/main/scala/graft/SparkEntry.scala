@@ -1299,6 +1299,60 @@ object SparkEntry {
         NameNormalize.stripRcvSuffix(col("trait_name")).as("stripped"),
         NameNormalize.normalizeName(
           NameNormalize.stripRcvSuffix(col("trait_name"))).as("norm_name"))
+    }),
+
+    // --- scale: corpus heavy-hitter trigrams — true occurrence counts
+    // (two-level agg, no Expand) + doc frequency, TakeOrdered top-50
+    // with a full deterministic tie-break ------------------------------------------
+    "q80_topk_ngrams" -> ((s, dir) =>
+      TextStats.topKNgrams(t(s, dir, "documents"), "doc_id", "text", n = 3, k = 50)),
+
+    // --- scale: C4-style policy filter (Raffel et al. 2020 §2.2). The
+    // synthetic corpus has no newlines or punctuation, so the closure
+    // builds structured text deterministically from doc_id (the q78
+    // pattern): 10-token lines, terminal '.' except every (doc_id+j)%4
+    // line, a 'lorem ipsum' line planted on %13 docs and a curly-brace
+    // code line on %17 docs — then runs the REAL operator on the
+    // '\n'-joined text. Every rule branch fires somewhere in sf0.01. -----------
+    "q81_policy_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .withColumn("lines", expr(
+          "transform(sequence(0, (size(t) - 1) div 10), " +
+            "j -> concat(array_join(slice(t, cast(j * 10 + 1 as int), 10), ' '), " +
+            "case when (doc_id + j) % 4 = 0 then '' else '.' end))"))
+        .withColumn("lines", when(col("doc_id") % 13 === 0,
+          concat(col("lines"), array(lit("lorem ipsum dolor sit"))))
+          .otherwise(col("lines")))
+        .withColumn("lines", when(col("doc_id") % 17 === 0,
+          concat(col("lines"), array(lit("function() { return 1; } and more words."))))
+          .otherwise(col("lines")))
+        .select(col("doc_id"), concat_ws("\n", col("lines")).as("text"))
+      TextStats.policyFilter(docs, "doc_id", "text")
+    }),
+
+    // --- scale: vocabulary coverage curve — distributed counts,
+    // TakeOrdered top-100, window only over the k-row frame -----------------------
+    "q82_vocab_coverage" -> ((s, dir) =>
+      TextStats.vocabCoverage(t(s, dir, "documents"), "text", k = 100)),
+
+    // --- scale: deterministic token-budget shard packing via the
+    // two-phase distributed prefix sum (no single-partition window) ---------------
+    "q83_shard_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.packByTokenBudget(docs, "doc_id", "n_tok", budget = 2000L)
+    }),
+
+    // --- scale: Bloom-prefiltered decontamination — q68's big-benchmark
+    // twin; exact semantics (no false negatives + exact verify semi-join)
+    // so it shares q68's oracle verbatim -------------------------------------------
+    "q84_decontam_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", 4)
     })
   )
 
@@ -2614,7 +2668,100 @@ object SparkEntry {
         |        FROM rec WHERE length(rest) > 120) t)
         |SELECT l_suppkey, head AS xrefs FROM rec WHERE head IS NOT NULL
         |UNION ALL
-        |SELECT l_suppkey, rest AS xrefs FROM rec WHERE length(rest) <= 120""".stripMargin
+        |SELECT l_suppkey, rest AS xrefs FROM rec WHERE length(rest) <= 120""".stripMargin,
+
+    "q80_topk_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |pg AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT gram, CAST(sum(c) AS BIGINT) AS n_occ, count(*) AS n_docs
+        |FROM pg GROUP BY gram
+        |ORDER BY n_occ DESC, n_docs DESC, gram LIMIT 50""".stripMargin,
+
+    // mirrors the q81 closure's line construction (10-token lines,
+    // (doc_id+j)%4 drops the '.', planted lorem/curly lines at i=1000/
+    // 1001 so they sort last like the Spark-side array appends), then
+    // the C4 rules: line kept iff terminal punct AND >= 5 words; doc
+    // kept iff no bad phrase anywhere AND >= 3 kept lines
+    "q81_policy_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(t[i*10+1:i*10+10], ' ') ||
+        |      CASE WHEN (doc_id + i) % 4 = 0 THEN '' ELSE '.' END AS line
+        |  FROM tok, unnest(generate_series(0, (len(t) - 1) // 10)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 1000, 'lorem ipsum dolor sit' FROM tok WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1001, 'function() { return 1; } and more words.'
+        |  FROM tok WHERE doc_id % 17 = 0),
+        |flag AS (
+        |  SELECT doc_id, i, line,
+        |    (regexp_matches(line, '[.!?]\s*$') AND
+        |     len(regexp_split_to_array(trim(line), '\s+')) >= 5) AS k
+        |  FROM seg),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    string_agg(CASE WHEN k THEN line END, chr(10) ORDER BY i) AS clean_all,
+        |    max(CASE WHEN contains(lower(line), 'lorem ipsum')
+        |             OR contains(line, '{') THEN 1 ELSE 0 END) AS bad
+        |  FROM flag GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_kept,
+        |  CAST(CASE WHEN bad = 0 AND n_kept >= 3 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  CASE WHEN bad = 0 AND n_kept >= 3 THEN clean_all END AS clean_text
+        |FROM agg""".stripMargin,
+
+    "q82_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 100)
+        |SELECT tok, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |  CAST(1000 * CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) // tot AS BIGINT) AS cover_milli
+        |FROM top, tt""".stripMargin,
+
+    // the global running sum the two-phase prefix sum computes,
+    // expressed directly as an unbounded window over the same
+    // (md5 key, doc_id) total order
+    "q83_shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    md5('shard:' || doc_id) AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+        |FROM t""".stripMargin,
+
+    // q84 shares q68's oracle verbatim: decontaminateBloom is the same
+    // operator in a different memory regime (no false negatives + exact
+    // verify semi-join => identical output by construction)
+    "q84_decontam_bloom" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+        |  FROM tok, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+        |FROM grams g JOIN bench b ON g.g = b.g
+        |WHERE g.doc_id % 11 <> 0
+        |GROUP BY g.doc_id""".stripMargin
   )
 
   /** q59 oracle: the A8/A9 two-phase annotation merge

@@ -612,6 +612,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]]'s big-benchmark twin — SAME results, different
+    * regime. `decontaminate` broadcasts the exact benchmark gram set;
+    * past a few hundred MB of distinct grams (a 100 TB run
+    * decontaminating against a large held-out suite) that broadcast
+    * kills the driver. Here the benchmark compresses to a fixed-size
+    * Bloom filter (`spark.util.sketch.BloomFilter`, built by Spark's
+    * distributed `stat.bloomFilter` aggregation — never collected as
+    * rows), the corpus grams prefilter against the broadcast sketch,
+    * and only the survivors — true matches + the `fpp` false-positive
+    * sliver — reach an EXACT shuffled semi-join that removes the false
+    * positives. Bloom filters have no false negatives, so the output is
+    * bit-identical to [[decontaminate]] (DecontaminateBloomSpec pins
+    * equality; the driver gate shares q68's oracle).
+    *
+    * Cost model vs `decontaminate`: driver/executor memory drops from
+    * O(distinct benchmark grams) to O(bits(expectedItems, fpp)); the
+    * price is one shuffle of ~(matches + fpp · corpus grams) slim rows
+    * for the verify join. At fpp = 1e-2 that shuffle is ~1% of corpus
+    * gram volume — linear, skew-free (gram keys), AQE-coalesced.
+    * The `mightContain` probe is the one sanctioned UDF boundary: the
+    * sketch lives in a broadcast, outside Catalyst's expression reach.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    def grams(df: DataFrame) =
+      df.select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+    val bench = grams(benchmark).select("gram").distinct()
+    val bf = bench.stat.bloomFilter("gram", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    grams(corpus)
+      .filter(mightContain(col("gram")))
+      .join(bench, Seq("gram"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Cross-document duplicated-span stats — substring-level exact-dup
     * signal after "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al. 2022): for each document, how many of its

@@ -368,4 +368,118 @@ object TextStats {
       explode(when(n > 0, sequence(lit(0L), n - 1))
         .otherwise(array().cast("array<bigint>"))))
   }
+
+  /** Corpus-wide heavy-hitter word n-grams — the "what is my corpus
+    * full of" diagnostic (and the contamination-analysis input: the top
+    * repeated n-grams are where template chrome and benchmark leakage
+    * concentrate). Returns the global top `k` n-grams by total
+    * occurrence count with document frequency:
+    * (gram, n_occ, n_docs), tie-broken (n_occ desc, n_docs desc, gram
+    * asc) so the top-k SET is deterministic.
+    *
+    * Scale shape: the occurrence explode is inherent (every position
+    * seen once — [[graft.functions.WordShingles]] is NOT used because
+    * it dedups per document and this operator needs true occurrence
+    * counts). Aggregation is TWO-LEVEL — (gram, id) partial counts,
+    * then (gram) totals with `n_docs = count(*)` — instead of one
+    * `agg(count, countDistinct)`, which would plan an Expand (2× the
+    * exploded rows through the first shuffle). Both levels map-side
+    * combine, and the final top-k is `TakeOrderedAndProject`:
+    * per-partition k rows to the driver, never a global sort. k·P
+    * driver rows bound the collect at any corpus size.
+    */
+  def topKNgrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 50): DataFrame = {
+    val occ = docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("t"))
+      .select(col("id"), explode(when(size(col("t")) >= n,
+        expr(s"transform(sequence(0, size(t) - $n), " +
+          s"i -> array_join(slice(t, i + 1, $n), ' '))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    occ
+      .groupBy("gram", "id").agg(count(lit(1)).as("c"))
+      .groupBy("gram").agg(sum("c").as("n_occ"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** C4-style document policy filter ("Exploring the Limits of Transfer
+    * Learning with a Unified Text-to-Text Transformer", Raffel et al.
+    * 2020, §2.2 cleaning heuristics): keep only lines that end in
+    * terminal punctuation AND have at least `minWordsPerLine` words;
+    * drop the whole document when any bad phrase occurs (case-
+    * insensitive) or fewer than `minKeptLines` lines survive.
+    *
+    * Total function over the corpus: every document gets a row
+    * (id, n_lines, n_kept, keep, clean_text) with `keep` a 0/1 long
+    * (cross-engine hash-stable) and `clean_text` the surviving lines
+    * re-joined with '\n' — NULL for dropped docs, so the dropped text
+    * never materializes downstream.
+    *
+    * Scale shape: pure higher-order-function composite (split /
+    * filter / array_join) inside whole-stage codegen — zero shuffles,
+    * zero UDFs; the filter runs at scan speed over a 100 TB corpus.
+    */
+  def policyFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minKeptLines: Int = 3,
+      badPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = expr(
+      s"filter(split($textCol, '\\n'), l -> " +
+        s"l rlike '[.!?]\\\\s*$$' and size(split(trim(l), '\\\\s+')) >= $minWordsPerLine)")
+    val bad = badPhrases
+      .map(p => lower(col(textCol)).contains(p.toLowerCase))
+      .reduce(_ || _)
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      when(!bad && size(kept) >= minKeptLines, 1L).otherwise(0L).as("keep"),
+      when(!bad && size(kept) >= minKeptLines, array_join(kept, "\n"))
+        .as("clean_text"))
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-design diagnostic: the
+    * top `k` corpus tokens with rank, cumulative count, and cumulative
+    * coverage in integer per-mille of ALL token occurrences
+    * (`cover_milli`, integer division so the value hashes identically
+    * across engines). A reader learns e.g. "100 tokens cover 41% of
+    * the corpus".
+    *
+    * Scale shape: the token counts aggregate distributed (map-side
+    * combined), the total is a 1-row agg broadcast by the cross join
+    * (the sanctioned 1-row-frame pattern), and the rank/cumsum WINDOW
+    * — the only single-partition step — runs AFTER
+    * `TakeOrderedAndProject` reduced the frame to k rows. The
+    * unbounded-frame window never sees the vocabulary, only the top-k.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 100): DataFrame = {
+    val counts = docs
+      .select(explode(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok").asc)
+    counts
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum("n").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("cover_milli", expr("cast(1000 * cum_n div tot as bigint)"))
+      .select("tok", "n", "rank", "cum_n", "cover_milli")
+  }
 }

@@ -130,6 +130,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(countNodes(p, _.nodeName.contains("BroadcastHashJoin")) === 1, p.toString.take(600))
   }
 
+  test("r9 corpus-ops budgets: top-k stays TakeOrdered, policy filter stays scan-pure") {
+    // q80: two-level agg = 2 shuffles, then the top-k must plan as
+    // TakeOrderedAndProject (per-partition k to the driver) — a global
+    // sort here would shuffle the whole gram table; q81: the C4 filter
+    // is a pure HOF composite and must stay INSIDE the scan stage;
+    // q84: bloom prefilter (scan-side UDF) + exact verify semi-join +
+    // per-doc agg — the corpus grams shuffle only AFTER the prefilter
+    val budgets = Map(
+      "q80_topk_ngrams" -> 2, "q81_policy_filter" -> 0, "q84_decontam_bloom" -> 3)
+    val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
+      val n = exchanges(planOf(q))
+      if (n > b) Some(s"$q exchanges=$n > budget $b") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+    val p80 = planOf("q80_topk_ngrams")
+    assert(countNodes(p80, _.nodeName.contains("TakeOrderedAndProject")) === 1,
+      p80.toString.take(600))
+    // q83's output frame is the prefix-summed RDD: the shard assignment
+    // itself adds NO exchange beyond the one range repartition inside
+    // packByTokenBudget (which happens at construction, not in this plan)
+    assert(exchanges(planOf("q83_shard_pack")) === 0)
+  }
+
   test("q70 boilerplate: AQE broadcasts the un-hinted repeated-line index at sf0.1") {
     // The index join carries no hint (on a 100 TB crawl the repeated-
     // line set can outgrow broadcast and MUST be allowed to stay a
@@ -153,10 +176,14 @@ class PlanGuardSpec extends SparkSpec {
     //   q51: max(rgd_id) over the store for the surrogate-id base
     //   q79: the same max(rgd_id) base — q79 calls matchIdentity
     //        directly (q62/q63 hide theirs behind the pipeline cache)
+    //   q82: the rank/cumsum window runs AFTER TakeOrderedAndProject
+    //        cut the frame to k rows — its exchange carries <= k+1 rows
+    //        at any corpus size (the vocabulary itself never rides it)
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
-      "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1)
+      "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1,
+      "q82_vocab_coverage" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

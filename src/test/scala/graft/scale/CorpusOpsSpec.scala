@@ -1,0 +1,173 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the r9 corpus-diagnostics additions: heavy-hitter n-grams,
+  * the C4 policy filter, the vocabulary coverage curve, token-budget
+  * shard packing (two-phase prefix sum), and Bloom-prefiltered
+  * decontamination.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- topKNgrams -----------------------------------------------------------
+
+  test("topKNgrams counts true occurrences (not per-doc distinct) + doc freq") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // "a b a" x2, "b a b" x2 within ONE doc
+      (2L, "a b a x y z"),
+      (3L, "x y")          // shorter than n: contributes nothing
+    ).toDF("doc_id", "text")
+    val out = TextStats.topKNgrams(docs, "doc_id", "text", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "a b a": 2 occurrences in doc 1 + 1 in doc 2 = 3 occ / 2 docs
+    assert(out.head === (("a b a", 3L, 2L)))
+    // "b a b": 2 occurrences, 1 doc — beats the five 1/1 grams
+    assert(out(1) === (("b a b", 2L, 1L)))
+  }
+
+  test("topKNgrams tie-break is deterministic: n_occ desc, n_docs desc, gram asc") {
+    val docs = Seq(
+      (1L, "p q r"), (2L, "p q r"), // "p q r" 2/2
+      (3L, "a b c c b a")           // four distinct grams, 1/1 each
+    ).toDF("doc_id", "text")
+    val out = TextStats.topKNgrams(docs, "doc_id", "text", n = 3, k = 3)
+      .collect().map(_.getString(0))
+    // rank 1 = "p q r"; among the 1/1 ties the lexicographically
+    // smallest two grams of doc 3 fill the remaining k slots
+    assert(out.toSeq === Seq("p q r", "a b c", "b c c"))
+  }
+
+  // --- policyFilter ---------------------------------------------------------
+
+  private val goodLine = "one two three four five six."
+
+  test("policyFilter keeps only terminal-punct lines with enough words") {
+    val text = Seq(
+      goodLine,                    // kept
+      "short words.",              // < 5 words: dropped
+      "no terminal punctuation here at all", // no punct: dropped
+      "does this line have five words?",     // kept ('?')
+      "exclaim one two three four five!"     // kept ('!')
+    ).mkString("\n")
+    val out = TextStats.policyFilter(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(out.getLong(1) === 5L) // n_lines
+    assert(out.getLong(2) === 3L) // n_kept
+    assert(out.getLong(3) === 1L) // keep
+    assert(out.getString(4) ===
+      Seq(goodLine, "does this line have five words?",
+        "exclaim one two three four five!").mkString("\n"))
+  }
+
+  test("policyFilter drops docs on bad phrase (case-insensitive) or too few kept lines") {
+    val base = Seq(goodLine, goodLine, goodLine).mkString("\n")
+    val docs = Seq(
+      (1L, base),                               // kept: 3 good lines
+      (2L, base + "\nsome Lorem IPSUM filler."), // bad phrase, any case
+      (3L, base + "\nif (x) { return 1; } done."), // '{'
+      (4L, Seq(goodLine, goodLine).mkString("\n")) // only 2 kept lines
+    ).toDF("doc_id", "text")
+    val out = TextStats.policyFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // dropped docs carry NULL clean_text: the rejected text never flows on
+    val cleans = TextStats.policyFilter(docs, "doc_id", "text")
+      .filter(col("keep") === 0).select("clean_text")
+      .collect().map(_.isNullAt(0))
+    assert(cleans.forall(identity))
+  }
+
+  // --- vocabCoverage --------------------------------------------------------
+
+  test("vocabCoverage folds case/punct, ranks, and accumulates to 1000 per-mille") {
+    val docs = Seq(
+      (1L, "The the, THE! cat"),
+      (2L, "cat dog")
+    ).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 6 occurrences total: the x3, cat x2, dog x1
+    assert(out.toSeq === Seq(
+      ("the", 3L, 1L, 3L, 500L),
+      ("cat", 2L, 2L, 5L, 833L),
+      ("dog", 1L, 3L, 6L, 1000L)))
+  }
+
+  test("vocabCoverage rank ties break lexicographically") {
+    val docs = Seq((1L, "b a b a")).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", 1L), ("b", 2L)))
+  }
+
+  // --- ShardPack ------------------------------------------------------------
+
+  private def shardDocs(n: Int) = spark.range(n).select(
+    col("id").as("doc_id"),
+    (col("id") % 17 * 7 + 3).as("n_tok"))
+
+  test("packByTokenBudget equals the direct single-window prefix sum") {
+    val docs = shardDocs(500)
+    val got = ShardPack.packByTokenBudget(docs, "doc_id", "n_tok", budget = 100L, numPartitions = 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val want = docs
+      .withColumn("k", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(
+        col("doc_id"),
+        col("n_tok").cast("long").as("n_tokens"),
+        ((col("cum") - col("n_tok")) / 100L).cast("long").as("shard"))
+    assert(rows(got) === rows(want))
+  }
+
+  test("packByTokenBudget is independent of the partition count") {
+    val docs = shardDocs(300)
+    val a = ShardPack.packByTokenBudget(docs, "doc_id", "n_tok", budget = 250L, numPartitions = 2)
+    val b = ShardPack.packByTokenBudget(docs, "doc_id", "n_tok", budget = 250L, numPartitions = 7)
+    assert(rows(a) === rows(b))
+  }
+
+  test("packByTokenBudget shard boundaries respect the budget law") {
+    val out = ShardPack.packByTokenBudget(shardDocs(400), "doc_id", "n_tok", budget = 300L)
+      .groupBy("shard").agg(sum("n_tokens").as("tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxDoc = 16L * 7 + 3
+    val maxShard = out.keys.max
+    // every non-terminal shard fills to >= budget minus one doc's
+    // overhang, and no shard exceeds budget + one doc's overhang
+    out.foreach { case (s, tok) =>
+      assert(tok <= 300L + maxDoc, s"shard $s overfull: $tok")
+      if (s != maxShard) assert(tok >= 300L - maxDoc, s"shard $s underfull: $tok")
+    }
+  }
+
+  // --- decontaminateBloom ---------------------------------------------------
+
+  test("decontaminateBloom equals exact decontaminate even when FPs are forced") {
+    // 200 corpus docs x distinct grams vs a tiny sketch at fpp=0.3:
+    // the Bloom prefilter WILL pass false positives; the exact verify
+    // semi-join must remove every one of them
+    val corpus = spark.range(200).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", col("id").cast("string"),
+        (col("id") + 1).cast("string"), (col("id") + 2).cast("string"),
+        (col("id") + 3).cast("string"), lit("tail"), lit("words")).as("text"))
+    val bench = Seq((9000L, "5 6 7 8"), (9001L, "100 101 102 103")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", 4)
+    val bloom = Dedup.decontaminateBloom(
+      corpus, bench, "doc_id", "text", 4, expectedItems = 8L, fpp = 0.3)
+    assert(rows(bloom) === rows(exact))
+    assert(bloom.count() > 0) // the pin is non-vacuous
+  }
+
+  test("decontaminateBloom returns empty on a disjoint benchmark") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq((2L, "q r s t u v")).toDF("doc_id", "text")
+    assert(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 4).count() === 0)
+  }
+}
