@@ -1353,7 +1353,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 11 =!= 0),
         docs.filter(col("doc_id") % 11 === 0),
         "doc_id", "text", 4)
-    })
+    }),
+
+    // --- scale: deterministic stratified sampling — exactly 20 docs per
+    // language by md5 order, via the two-pass group-wise top-n (both
+    // passes bounded by partition size, never group size) -------------------------
+    "q85_stratified_sample" -> ((s, dir) =>
+      Sampling.topNPerGroup(t(s, dir, "documents"), "lang", "doc_id", n = 20)),
+
+    // --- scale: count-min heavy hitters — the exact top-50 trigrams
+    // probed against one fixed-memory CmsSketch pass (custom Catalyst
+    // TypedImperativeAggregate; md5-window hash family the oracle
+    // rebuilds relationally) -------------------------------------------------------
+    "q86_cms_heavyhitters" -> ((s, dir) =>
+      TextStats.cmsHeavyHitters(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 50, depth = 4, width = 256))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -2761,7 +2775,45 @@ object SparkEntry {
         |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 11 <> 0
-        |GROUP BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id""".stripMargin,
+
+    // the two-pass group-wise top-n is semantically the per-group
+    // row_number window — the oracle states it directly
+    "q85_stratified_sample" ->
+      """SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat:' || doc_id), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
+
+    // rebuilds the CmsSketch counter table relationally: 48-bit md5
+    // base split into four 8-bit windows (divisors 256^j), counters =
+    // per-(row, bucket) occurrence counts, estimate = min over rows
+    "q86_cms_heavyhitters" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |jd AS (SELECT * FROM (VALUES (0, 1), (1, 256), (2, 65536), (3, 16777216)) AS v(j, d)),
+        |base AS (
+        |  SELECT ('0x' || substr(md5(gram), 1, 12))::BIGINT AS b FROM occ),
+        |cells AS (
+        |  SELECT j, (b // d) % 256 AS bucket, count(*) AS c
+        |  FROM base CROSS JOIN jd GROUP BY 1, 2),
+        |pg AS (SELECT gram, doc_id, count(*) AS c FROM occ GROUP BY 1, 2),
+        |top AS (
+        |  SELECT gram, CAST(sum(c) AS BIGINT) AS n_occ, count(*) AS n_docs
+        |  FROM pg GROUP BY gram
+        |  ORDER BY n_occ DESC, n_docs DESC, gram LIMIT 50)
+        |SELECT t.gram, t.n_occ, CAST(min(cl.c) AS BIGINT) AS cms_est
+        |FROM top t
+        |CROSS JOIN jd
+        |JOIN cells cl ON cl.j = jd.j
+        |  AND cl.bucket = (('0x' || substr(md5(t.gram), 1, 12))::BIGINT // jd.d) % 256
+        |GROUP BY t.gram, t.n_occ""".stripMargin
   )
 
   /** q59 oracle: the A8/A9 two-phase annotation merge

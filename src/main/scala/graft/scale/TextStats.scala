@@ -393,18 +393,68 @@ object TextStats {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      k: Int = 50): DataFrame = {
-    val occ = docs
+      k: Int = 50): DataFrame =
+    ngramOccurrences(docs, idCol, textCol, n)
+      .groupBy("gram", "id").agg(count(lit(1)).as("c"))
+      .groupBy("gram").agg(sum("c").as("n_occ"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("gram").asc)
+      .limit(k)
+
+  /** One (id, gram) row per n-gram OCCURRENCE (duplicates kept — vs the
+    * per-doc-distinct [[graft.functions.WordShingles]]).
+    */
+  private def ngramOccurrences(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
       .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("t"))
       .select(col("id"), explode(when(size(col("t")) >= n,
         expr(s"transform(sequence(0, size(t) - $n), " +
           s"i -> array_join(slice(t, i + 1, $n), ' '))"))
         .otherwise(array().cast("array<string>"))).as("gram"))
-    occ
-      .groupBy("gram", "id").agg(count(lit(1)).as("c"))
-      .groupBy("gram").agg(sum("c").as("n_occ"), count(lit(1)).as("n_docs"))
-      .orderBy(col("n_occ").desc, col("n_docs").desc, col("gram").asc)
-      .limit(k)
+
+  /** Query-side count-min point estimate against a
+    * [[graft.functions.CmsSketch]] array column: min over the `depth`
+    * counter rows at this value's md5-window buckets. Pure `functions._`
+    * composite — the same 48-bit md5 base and bit windows as the
+    * aggregate's update path ([[graft.functions.CmsSketch.md5Base48]]).
+    */
+  def cmsEstimate(sketch: Column, value: Column, depth: Int, width: Int): Column = {
+    val bits = Integer.numberOfTrailingZeros(width)
+    val base = conv(substring(md5(value.cast("binary")), 1, 12), 16, 10).cast("long")
+    least((0 until depth).map { j =>
+      element_at(sketch,
+        (shiftrightunsigned(base, bits * j).bitwiseAND(lit((width - 1).toLong)))
+          .cast("int") + lit(j * width) + lit(1))
+    }: _*)
+  }
+
+  /** Heavy hitters with count-min verification — the q80/CMS composite:
+    * the exact top-k n-grams joined with their estimates from ONE
+    * fixed-memory sketch pass. At 100 TB the exact (gram, id) agg can be
+    * the thing you cannot afford; the sketch column is the
+    * constant-memory stand-in, and this operator is the accuracy gate
+    * showing est >= exact with collision-bounded overcount on live data.
+    *
+    * Scale shape: the sketch is one global `TypedImperativeAggregate`
+    * (8 KiB buffer per partition, element-wise merge — the exchange
+    * carries one partial sketch row per partition); the top-k side is
+    * [[topKNgrams]] (TakeOrdered); the final estimate probe is a
+    * broadcast cross join of the 1-row sketch against k rows.
+    */
+  def cmsHeavyHitters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 50,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val occ = ngramOccurrences(docs, idCol, textCol, n)
+    val sketch = occ.agg(graft.functions.CmsSketch(col("gram"), depth, width).as("sk"))
+    topKNgrams(docs, idCol, textCol, n, k)
+      .crossJoin(broadcast(sketch))
+      .select(col("gram"), col("n_occ"),
+        cmsEstimate(col("sk"), col("gram"), depth, width).as("cms_est"))
   }
 
   /** C4-style document policy filter ("Exploring the Limits of Transfer

@@ -137,8 +137,13 @@ class PlanGuardSpec extends SparkSpec {
     // is a pure HOF composite and must stay INSIDE the scan stage;
     // q84: bloom prefilter (scan-side UDF) + exact verify semi-join +
     // per-doc agg — the corpus grams shuffle only AFTER the prefilter
+    // q85: ONE hash exchange (the pass-B group repartition of the
+    // already-pruned <= n·P rows); pass A is sortWithinPartitions only.
+    // q86: topKNgrams' 2 aggs + the global sketch agg's partial merge +
+    // the broadcast of the 1-row sketch
     val budgets = Map(
-      "q80_topk_ngrams" -> 2, "q81_policy_filter" -> 0, "q84_decontam_bloom" -> 3)
+      "q80_topk_ngrams" -> 2, "q81_policy_filter" -> 0, "q84_decontam_bloom" -> 3,
+      "q85_stratified_sample" -> 1, "q86_cms_heavyhitters" -> 5)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None
@@ -179,11 +184,13 @@ class PlanGuardSpec extends SparkSpec {
     //   q82: the rank/cumsum window runs AFTER TakeOrderedAndProject
     //        cut the frame to k rows — its exchange carries <= k+1 rows
     //        at any corpus size (the vocabulary itself never rides it)
+    //   q86: the global CmsSketch aggregation — the exchange carries
+    //        one 8 KiB partial sketch per upstream partition
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
       "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1,
-      "q82_vocab_coverage" -> 1)
+      "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

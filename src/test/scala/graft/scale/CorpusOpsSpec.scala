@@ -170,4 +170,88 @@ class CorpusOpsSpec extends SparkSpec {
     val bench = Seq((2L, "q r s t u v")).toDF("doc_id", "text")
     assert(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 4).count() === 0)
   }
+
+  // --- Sampling.topNPerGroup ------------------------------------------------
+
+  private def stratDocs = spark.range(1000).select(
+    col("id").as("doc_id"),
+    // skewed groups: 'big' holds ~90% of rows
+    when(col("id") % 10 < 9, "big").otherwise(concat(lit("s"), col("id") % 3)).as("grp"))
+
+  test("topNPerGroup equals the per-group row_number window") {
+    val got = Sampling.topNPerGroup(stratDocs, "grp", "doc_id", n = 7)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))), col("doc_id"))
+    val want = stratDocs
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 7)
+      .select(col("grp"), col("doc_id"), col("sample_rank"))
+    assert(rows(got) === rows(want))
+  }
+
+  test("topNPerGroup is exact on groups smaller than n and invariant to input layout") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "grp")
+    val out = Sampling.topNPerGroup(docs, "grp", "doc_id", n = 5)
+    assert(out.count() === 3) // undersized groups keep every member
+    assert(out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 2L, "b" -> 1L))
+    // partition layout must not change the sample
+    val a = Sampling.topNPerGroup(stratDocs.repartition(13), "grp", "doc_id", n = 4)
+    val b = Sampling.topNPerGroup(stratDocs.repartition(2), "grp", "doc_id", n = 4)
+    assert(rows(a) === rows(b))
+  }
+
+  // --- CmsSketch / cmsHeavyHitters ------------------------------------------
+
+  test("cms estimates never undercount and are exact absent collisions") {
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // "x y z" x3 (+ wraps)
+      (2L, "x y z q r s")
+    ).toDF("doc_id", "text")
+    val out = TextStats.cmsHeavyHitters(docs, "doc_id", "text", n = 3, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (g, exact, est) =>
+      assert(est >= exact, s"CMS undercounted '$g': $est < $exact")
+    }
+    // 7 distinct grams in a 4x256 sketch: collisions are impossible to
+    // rule out per-row but the min-over-4-windows estimate must be
+    // exact for the top gram here (verified value, not just a bound)
+    val topRow = out.find(_._1 == "x y z").get
+    assert(topRow._2 === 4L && topRow._3 === 4L)
+  }
+
+  test("cms sketch is partitioning-invariant and mass-conserving") {
+    val docs = spark.range(500).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (col("id") % 7).cast("string"), (col("id") % 11).cast("string"),
+        (col("id") % 13).cast("string"), lit("pad"), lit("tail")).as("text"))
+    def sketch(df: org.apache.spark.sql.DataFrame) = {
+      val occ = df.select(explode(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))")).as("gram"))
+      occ.agg(graft.functions.CmsSketch(col("gram"), 4, 256).as("sk"))
+        .collect().head.getSeq[Long](0)
+    }
+    val s1 = sketch(docs.repartition(1))
+    val s7 = sketch(docs.repartition(7))
+    assert(s1 === s7)
+    // every occurrence increments exactly one counter per depth row
+    val totalOcc = 500L * 3 // 5 tokens -> 3 trigrams per doc
+    (0 until 4).foreach { j =>
+      assert(s1.slice(j * 256, (j + 1) * 256).sum === totalOcc, s"row $j mass")
+    }
+  }
+
+  test("md5Base48 matches the SQL conv(substring(md5, 1, 12)) formulation") {
+    val vals = Seq("alpha beta", "x", "", "the quick brown fox")
+    val fromSql = vals.toDF("v")
+      .select(conv(substring(md5(col("v").cast("binary")), 1, 12), 16, 10)
+        .cast("long").as("b"))
+      .collect().map(_.getLong(0))
+    val fromJvm = vals.map(v =>
+      graft.functions.CmsSketch.md5Base48(v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(fromSql.toSeq === fromJvm)
+  }
 }
