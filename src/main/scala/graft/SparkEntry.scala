@@ -1367,7 +1367,19 @@ object SparkEntry {
     // rebuilds relationally) -------------------------------------------------------
     "q86_cms_heavyhitters" -> ((s, dir) =>
       TextStats.cmsHeavyHitters(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 50, depth = 4, width = 256))
+        n = 3, k = 50, depth = 4, width = 256)),
+
+    // --- scale: END-TO-END corpus curation — quality gate -> exact
+    // dedup -> decontamination (q68's holdout split) -> token-budget
+    // shard packing, as ONE composed call; the oracle composes the
+    // stage oracles as CTEs ---------------------------------------------------------
+    "q87_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.curate(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text")
+    })
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -2813,7 +2825,42 @@ object SparkEntry {
         |CROSS JOIN jd
         |JOIN cells cl ON cl.j = jd.j
         |  AND cl.bucket = (('0x' || substr(md5(t.gram), 1, 12))::BIGINT // jd.d) % 256
-        |GROUP BY t.gram, t.n_occ""".stripMargin
+        |GROUP BY t.gram, t.n_occ""".stripMargin,
+
+    // the stage oracles composed as CTEs: q17's token count as the
+    // quality gate, q16's min-id digest keep, q68's gram containment
+    // on the survivors, q83's window prefix sum for the shard cut
+    "q87_curation_e2e" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM train),
+        |filt AS (SELECT * FROM q WHERE n_tokens >= 20),
+        |ded AS (
+        |  SELECT doc_id, text, n_tokens FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM filt)
+        |  WHERE doc_id = keeper),
+        |tokh AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM ded),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+        |  FROM tokh, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+        |btok AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS g
+        |  FROM btok, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+        |contaminated AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)),
+        |clean AS (
+        |  SELECT d.doc_id, d.n_tokens FROM ded d
+        |  LEFT JOIN contaminated c ON d.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+        |keyed AS (SELECT doc_id, n_tokens, md5('shard:' || doc_id) AS k FROM clean)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+        |FROM keyed""".stripMargin
   )
 
   /** q59 oracle: the A8/A9 two-phase annotation merge

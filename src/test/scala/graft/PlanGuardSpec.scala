@@ -141,9 +141,12 @@ class PlanGuardSpec extends SparkSpec {
     // already-pruned <= n·P rows); pass A is sortWithinPartitions only.
     // q86: topKNgrams' 2 aggs + the global sketch agg's partial merge +
     // the broadcast of the 1-row sketch
+    // q87: the final frame is the prefix-summed RDD (like q83); all the
+    // curation exchanges happen at construction inside curate()
     val budgets = Map(
       "q80_topk_ngrams" -> 2, "q81_policy_filter" -> 0, "q84_decontam_bloom" -> 3,
-      "q85_stratified_sample" -> 1, "q86_cms_heavyhitters" -> 5)
+      "q85_stratified_sample" -> 1, "q86_cms_heavyhitters" -> 5,
+      "q87_curation_e2e" -> 0)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None

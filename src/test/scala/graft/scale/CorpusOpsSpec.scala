@@ -244,6 +244,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // --- Curation.curate ------------------------------------------------------
+
+  test("curate applies every stage: quality gate, dedup keep, decontamination, packing") {
+    val longText = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens: passes the gate
+    val corpus = Seq(
+      (10L, longText),                 // kept (duplicate group keeper)
+      (11L, longText),                 // dropped: exact duplicate of 10
+      (12L, "too short"),              // dropped: < 20 tokens
+      (13L, longText + " extra tail"), // kept: distinct text
+      (14L, (1 to 21).map(i => s"c$i").mkString(" ")) // dropped: contaminated
+    ).toDF("doc_id", "text")
+    val holdout = Seq((99L, "c5 c6 c7 c8")).toDF("doc_id", "text")
+    val out = Curation.curate(corpus, holdout, "doc_id", "text", minTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(10L, 13L))
+    assert(out(10L) === 25L && out(13L) === 27L)
+    // both fit one 2000-token shard
+    val shards = Curation.curate(corpus, holdout, "doc_id", "text", minTokens = 20)
+      .select("shard").distinct().collect().map(_.getLong(0)).toSet
+    assert(shards === Set(0L))
+  }
+
   test("md5Base48 matches the SQL conv(substring(md5, 1, 12)) formulation") {
     val vals = Seq("alpha beta", "x", "", "the quick brown fox")
     val fromSql = vals.toDF("v")
