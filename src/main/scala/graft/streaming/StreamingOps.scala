@@ -149,10 +149,59 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming decontamination — the continuous form of q68's
+    * [[graft.scale.Dedup.decontaminate]]: flag arriving documents that
+    * share any word n-gram with a static benchmark set.
+    *
+    * Deliberately STATELESS: a document arrives whole in one row, so
+    * contamination is decidable per-row — the benchmark's distinct
+    * grams collect to the driver once (the SAME driver-sized regime as
+    * the batch operator's broadcast; a benchmark too big for this goes
+    * to the Bloom regime) and the probe is a codegen'd
+    * `array_intersect` against the shingle set, no watermark, no state
+    * store, no shuffle. `n_hits` = distinct shared grams — identical to
+    * the batch operator's count (StreamingOpsSpec pins equality).
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    import graft.scale.Dedup
+    val grams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    docs
+      .select(
+        col(idCol),
+        size(array_intersect(Dedup.shingles(col(textCol), n), typedlit(grams)))
+          .cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** Streaming count-min sketch — the [[graft.functions.CmsSketch]]
+    * aggregate run as a continuous global aggregation (complete mode):
+    * each micro-batch folds into the same fixed d×w counter buffer via
+    * the aggregate's element-wise merge, so the sketch after any prefix
+    * of the stream equals the batch sketch of the same rows
+    * (StreamingOpsSpec pins this across micro-batch boundaries). State
+    * is the one serialized buffer — constant regardless of stream
+    * length, the whole point of sketching a stream.
+    */
+  def cmsSketchStream(
+      values: DataFrame,
+      valueCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame =
+    values.agg(graft.functions.CmsSketch(col(valueCol), depth, width).as("sketch"))
+
   /** Required output mode per operator (documented contract for sinks). */
   val OutputModes: Map[String, OutputMode] = Map(
     "windowedCounts" -> OutputMode.Append(), // closed windows only
     "userRunningTotals" -> OutputMode.Update(),
     "dedupStream" -> OutputMode.Append(),
-    "latestPerUser" -> OutputMode.Update())
+    "latestPerUser" -> OutputMode.Update(),
+    "decontaminateStream" -> OutputMode.Append(), // stateless
+    "cmsSketchStream" -> OutputMode.Complete())
 }

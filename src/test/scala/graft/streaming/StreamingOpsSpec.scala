@@ -177,4 +177,54 @@ class StreamingOpsSpec extends SparkSpec {
       assert(out === Set((100L, 2L, 7.0)))
     } finally q.stop()
   }
+
+  test("decontaminateStream == batch q68 on a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 11 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"),
+      all.filter(col("doc_id") % 11 === 0), "doc_id", "text", n = 4)
+      .writeStream.format("memory").queryName("dc_eq").outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: per-row statelessness means the split point
+      // cannot matter
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("dc_eq")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.SparkEntry.queries("q68_decontam")(spark, dir)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("cmsSketchStream: the sketch after N micro-batches equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+    val vals = toks.as[String].collect()
+    val input = MemoryStream[String]
+    val q = StreamingOps.cmsSketchStream(input.toDF().toDF("tok"), "tok")
+      .writeStream.format("memory").queryName("cms_eq").outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = vals.splitAt(vals.length / 3)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("cms_eq").as[Seq[Long]].collect().head
+      val batch = StreamingOps.cmsSketchStream(toks, "tok")
+        .as[Seq[Long]].collect().head
+      assert(streamed === batch)
+      assert(streamed.sum === 4L * vals.length, "mass conservation across micro-batches")
+    } finally q.stop()
+  }
 }
