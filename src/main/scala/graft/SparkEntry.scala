@@ -1379,7 +1379,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 11 =!= 0),
         docs.filter(col("doc_id") % 11 === 0),
         "doc_id", "text")
-    })
+    }),
+
+    // --- scale: hashed-feature linear scorer (fastText-style serving
+    // path; deterministic integer weights so the margin is bit-stable
+    // and oracle-exact) -------------------------------------------------------------
+    "q88_hash_classifier" -> ((s, dir) =>
+      TextStats.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -2860,7 +2866,21 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST((CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
-        |FROM keyed""".stripMargin
+        |FROM keyed""".stripMargin,
+
+    // the scorer rebuilt relationally: md5-bucket feature hash, the
+    // same Knuth-scrambled integer weights, integer margin sum
+    "q88_hash_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    ((('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096) * 2654435761) % 1000 - 500 AS w
+        |  FROM tok WHERE length(tok) > 0)
+        |SELECT doc_id, CAST(sum(w) AS BIGINT) AS margin, count(*) AS n_feats,
+        |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+        |FROM feat GROUP BY doc_id""".stripMargin
   )
 
   /** q59 oracle: the A8/A9 two-phase annotation merge

@@ -441,6 +441,45 @@ object TextStats {
     * [[topKNgrams]] (TakeOrdered); the final estimate probe is a
     * broadcast cross join of the 1-row sketch against k rows.
     */
+  /** Hashed-feature linear document scorer — the fastText-style quality
+    * classifier shape (bag of words → feature hashing → linear margin):
+    * each token hashes to one of `dim` feature buckets, the document's
+    * margin is the sum of its tokens' bucket weights, and
+    * `label = margin > 0`. In production the weight vector comes from
+    * training; here the weights are a deterministic function of the
+    * bucket index (a fixed Knuth-multiplier scramble centered on zero)
+    * so the driver oracle can rebuild the scorer exactly — the SHAPE
+    * under test is the serving path, which is what the engine owns.
+    *
+    * Weights are INTEGERS on purpose: a double-weight margin depends on
+    * floating-point addition order, which differs across engines and
+    * even across partitionings of the same engine. Integer sums are
+    * associative, so the margin is bit-stable everywhere.
+    *
+    * Scale shape: explode tokens → hash → two map-side-combined aggs
+    * keyed (id): the per-doc sum shuffles slim (id, partial margin)
+    * rows; the weight "vector" never materializes anywhere (it is a
+    * closed-form expression of the bucket id).
+    */
+  def hashedLinearScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 4096): DataFrame = {
+    require(dim > 0 && dim <= (1 << 20), s"dim must be in (0, 2^20], got $dim")
+    val bucket = hashBucket(col("tok"), dim)
+    // deterministic stand-in weights: Knuth-scrambled bucket id folded
+    // to [-500, 499]
+    val weight = pmod(bucket * lit(2654435761L), lit(1000L)) - lit(500L)
+    docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), weight.as("w"))
+      .groupBy(idCol)
+      .agg(sum("w").as("margin"), count(lit(1)).as("n_feats"))
+      .withColumn("label", (col("margin") > 0).cast("long"))
+  }
+
   def cmsHeavyHitters(
       docs: DataFrame,
       idCol: String,

@@ -244,6 +244,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // --- hashedLinearScore ----------------------------------------------------
+
+  test("hashedLinearScore: integer margin is partitioning-invariant and matches per-token weights") {
+    val docs = spark.range(300).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (col("id") % 23).cast("string"), (col("id") % 17).cast("string"),
+        lit("common"), (col("id") % 5).cast("string")).as("text"))
+    val a = TextStats.hashedLinearScore(docs.repartition(1), "doc_id", "text")
+    val b = TextStats.hashedLinearScore(docs.repartition(11), "doc_id", "text")
+    assert(rows(a) === rows(b)) // integer sums are order-independent
+    // independent reformulation: weight each token via the same closed
+    // form, aggregated through a different plan (array transform + HOF
+    // aggregate instead of explode + groupBy)
+    val want = docs.select(
+      col("doc_id"),
+      expr("""aggregate(
+        transform(filter(split(trim(text), '\\s+'), t -> length(t) > 0),
+          t -> pmod(cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10) as bigint) % 4096
+                         * 2654435761L, 1000L) - 500L),
+        0L, (acc, w) -> acc + w)""").as("margin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // label is the margin's sign
+    a.collect().foreach { r =>
+      assert(r.getLong(3) === (if (r.getLong(1) > 0) 1L else 0L))
+    }
+  }
+
   // --- Curation.curate ------------------------------------------------------
 
   test("curate applies every stage: quality gate, dedup keep, decontamination, packing") {
