@@ -143,10 +143,11 @@ class PlanGuardSpec extends SparkSpec {
     // the broadcast of the 1-row sketch
     // q87: the final frame is the prefix-summed RDD (like q83); all the
     // curation exchanges happen at construction inside curate()
+    // q88: ONE shuffle — the per-doc margin agg on slim (id, weight)
     val budgets = Map(
       "q80_topk_ngrams" -> 2, "q81_policy_filter" -> 0, "q84_decontam_bloom" -> 3,
       "q85_stratified_sample" -> 1, "q86_cms_heavyhitters" -> 5,
-      "q87_curation_e2e" -> 0)
+      "q87_curation_e2e" -> 0, "q88_hash_classifier" -> 1)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None
