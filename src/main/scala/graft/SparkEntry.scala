@@ -1385,7 +1385,13 @@ object SparkEntry {
     // path; deterministic integer weights so the margin is bit-stable
     // and oracle-exact) -------------------------------------------------------------
     "q88_hash_classifier" -> ((s, dir) =>
-      TextStats.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text"))
+      TextStats.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- scale: duplicated-span CUT — the rewrite q76's stats point at
+    // (Lee et al. 2022 exact-substring dedup: remove every token inside
+    // a cross-document duplicated 8-token span) -----------------------------------
+    "q89_span_cut" -> ((s, dir) =>
+      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -2880,7 +2886,34 @@ object SparkEntry {
         |  FROM tok WHERE length(tok) > 0)
         |SELECT doc_id, CAST(sum(w) AS BIGINT) AS margin, count(*) AS n_feats,
         |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
-        |FROM feat GROUP BY doc_id""".stripMargin
+        |FROM feat GROUP BY doc_id""".stripMargin,
+
+    // span identity by TEXT here vs xxhash64 on the Spark side — the
+    // q76 duality (collision odds vanishing, scaladoc'd); coverage =
+    // position within [start, start+7] of any duplicated span
+    "q89_span_cut" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, t[i + 1] AS tok
+        |  FROM tok, unnest(generate_series(0, len(t) - 1)) AS u(i)),
+        |spans AS (
+        |  SELECT doc_id, i, array_to_string(t[i+1:i+8], ' ') AS sp
+        |  FROM tok, unnest(generate_series(0, len(t) - 8)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |idx AS (SELECT sp FROM spans GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT s.doc_id, s.i FROM spans s JOIN idx USING (sp)),
+        |kept AS (
+        |  SELECT p.doc_id, p.i, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM dup d
+        |    WHERE d.doc_id = p.doc_id AND p.i BETWEEN d.i AND d.i + 7)),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n, string_agg(tok, ' ' ORDER BY i) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.n, 0) AS BIGINT) AS n_kept,
+        |  coalesce(p.txt, '') AS clean_text
+        |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin
   )
 
   /** q59 oracle: the A8/A9 two-phase annotation merge

@@ -704,4 +704,60 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
+
+  /** The ACTION [[duplicatedSpanStats]]'s numbers point at — Lee et al.
+    * 2022's actual dedup step: REWRITE each document with every token
+    * that falls inside a cross-document duplicated span removed (a
+    * token at position p is cut iff some duplicated `spanTokens`-window
+    * start i has i <= p <= i + spanTokens - 1). Returns
+    * (id, n_tokens, n_kept, clean_text); documents with no duplicated
+    * span pass through whole, a fully-duplicated document collapses to
+    * the empty string (the caller's drop policy, not ours).
+    *
+    * Scale shape: the span index build and membership probe are exactly
+    * [[duplicatedSpanStats]]'s (slim (xxhash64, id) shuffles, span text
+    * never rides). The new piece is the rewrite: duplicated span STARTS
+    * collect per document (bounded by the doc's own span count — a
+    * per-doc array, never corpus-sized), broadcast-join back to the
+    * doc row, and a codegen'd HOF filter drops covered positions in one
+    * pass over the token array. No position ever explodes into the
+    * shuffle: coverage is evaluated doc-locally against the starts
+    * array.
+    */
+  def cutDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+      .select(col(idCol), explode(expr(
+        s"case when size(t) >= $spanTokens then " +
+          s"transform(sequence(0, size(t) - $spanTokens), " +
+          s"i -> struct(i as i, xxhash64(array_join(slice(t, i + 1, $spanTokens), ' ')) as h)) " +
+          s"else cast(array() as array<struct<i:int,h:bigint>>) end"))
+        .as("sp"))
+      .select(col(idCol), col("sp.i").as("i"), col("sp.h").as("span_h"))
+    val idx = spans.groupBy("span_h")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span_h")
+    val dupStarts = spans
+      .join(idx, Seq("span_h"), "left_semi")
+      .groupBy(idCol)
+      .agg(collect_list(col("i")).as("starts"))
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+      .join(dupStarts, Seq(idCol), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", expr(
+        s"filter(transform(t, (x, p) -> struct(x as x, p as p)), " +
+          s"s -> !exists(starts, d -> s.p >= d and s.p <= d + ${spanTokens - 1}))"))
+      .select(
+        col(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("array_join(transform(kept, s -> s.x), ' ')").as("clean_text"))
+  }
 }

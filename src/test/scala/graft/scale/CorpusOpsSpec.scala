@@ -244,6 +244,31 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // --- cutDuplicatedSpans ---------------------------------------------------
+
+  test("cutDuplicatedSpans removes exactly the covered positions") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // the duplicated span
+    val docs = Seq(
+      (1L, s"a b c $shared x y z"), // span at positions 3..10: cut
+      (2L, s"$shared p q"),         // span at 0..7: cut
+      (3L, "u v w only here no repeats at all"), // untouched
+      (4L, shared)                  // fully duplicated: collapses to ''
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((14L, 6L, "a b c x y z")))
+    assert(out(2L) === ((10L, 2L, "p q")))
+    assert(out(3L) === ((9L, 9L, "u v w only here no repeats at all")))
+    assert(out(4L) === ((8L, 0L, "")))
+    // consistency with the stats operator: a doc loses tokens iff it
+    // reported duplicated spans
+    val stats = Dedup.duplicatedSpanStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (id, (nt, nk, _)) =>
+      assert((nk < nt) === (stats(id) > 0L), s"doc $id cut/stats disagree")
+    }
+  }
+
   // --- hashedLinearScore ----------------------------------------------------
 
   test("hashedLinearScore: integer margin is partitioning-invariant and matches per-token weights") {
