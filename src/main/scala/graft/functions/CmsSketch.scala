@@ -105,12 +105,19 @@ case class CmsSketchAgg(
 
 object CmsSketch {
 
+  // MessageDigest is stateful and not thread-safe; getInstance per row
+  // would dominate the update hot loop, so each task thread reuses one
+  private val Md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   /** First 48 bits of md5(bytes) as a non-negative long — identical to
     * SQL `conv(substring(md5(x), 1, 12), 16, 10)` and DuckDB
     * `('0x' || substr(md5(x), 1, 12))::BIGINT`.
     */
   def md5Base48(bytes: Array[Byte]): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(bytes)
     ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
