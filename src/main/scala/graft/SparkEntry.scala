@@ -1391,7 +1391,34 @@ object SparkEntry {
     // (Lee et al. 2022 exact-substring dedup: remove every token inside
     // a cross-document duplicated 8-token span) -----------------------------------
     "q89_span_cut" -> ((s, dir) =>
-      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text"))
+      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- scale: inverted-index retrieval — BM25-shaped integer scoring
+    // of a broadcast query set (every 101st doc's first 8 tokens)
+    // against corpus postings; top-5 docs per query ------------------------------
+    "q90_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs
+        .filter(col("doc_id") % 101 === 0)
+        .select(
+          col("doc_id").as("query_id"),
+          array_join(
+            slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)), 1, 8),
+            " ").as("qtext"))
+      Retrieval.searchTopK(docs, queries, "doc_id", "text", "query_id", "qtext", k = 5)
+    }),
+
+    // --- scale: distributed Lloyd k-means over integer-quantized
+    // embeddings (2 unrolled iterations, k=8, first-k init) — the IVF
+    // centroid trainer; exact integer distances/means so the oracle
+    // unrolls the same iterations as CTEs ----------------------------------------
+    "q91_kmeans" -> ((s, dir) =>
+      KMeans.lloydAssign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
+
+    // --- scale: per-domain adaptive quality cutoff — drop the bottom
+    // quartile of n_chars PER SOURCE (dyadic quantile => engine-exact) -----------
+    "q92_adaptive_cutoff" -> ((s, dir) =>
+      TextStats.adaptiveQualityCutoff(t(s, dir, "documents"), "doc_id", "source", "n_chars"))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -2913,7 +2940,82 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(p.n, 0) AS BIGINT) AS n_kept,
         |  coalesce(p.txt, '') AS clean_text
-        |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin
+        |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // the same integer-milli BM25 surrogate rebuilt relationally —
+    // every factor is an integer `//` quotient, so the score is
+    // bit-identical (see Retrieval.searchTopK's determinism contract)
+    "q90_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |postings AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |doclen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    greatest(CAST(sum(dl) AS BIGINT) // count(*), 1) AS avgdl
+        |  FROM doclen),
+        |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+        |qt AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')[1:8]) AS term
+        |    FROM documents WHERE doc_id % 101 = 0)),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(
+        |      ((1000 * (s.n_docs - f.df + 1)) // (f.df + 1)) *
+        |      ((p.tf * 2200000) // (p.tf * 1000 +
+        |        (1200 * (250 + (750 * ((1000 * d.dl) // s.avgdl)) // 1000)) // 1000))
+        |    ) AS BIGINT) AS score
+        |  FROM postings p
+        |  JOIN qt q USING (term)
+        |  JOIN dfreq f USING (term)
+        |  JOIN doclen d USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+
+    // the 2 Lloyd iterations unrolled as CTEs over the same
+    // floor(x*1000)+32768 quantization — all-integer distances and
+    // truncating means, so both engines agree bit-for-bit
+    "q91_kmeans" ->
+      """WITH quant AS (
+        |  SELECT vec_id AS id, i - 1 AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000) + 32768 AS BIGINT) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cent0 AS (SELECT id AS cluster, dim, v AS cv FROM quant WHERE id < 8),
+        |d1 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent0 c USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM d1)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a1 a USING (id) GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent1 c USING (dim) GROUP BY 1, 2)
+        |SELECT id AS vec_id, cluster, dist2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |  FROM d2)
+        |WHERE rk = 1""".stripMargin,
+
+    "q92_adaptive_cutoff" ->
+      """WITH cut AS (
+        |  SELECT source, quantile_cont(n_chars, 0.25) AS cutoff
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars, c.cutoff,
+        |  CAST(CASE WHEN d.n_chars >= c.cutoff THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d JOIN cut c USING (source)""".stripMargin
   )
 
   /** q59 oracle: the A8/A9 two-phase annotation merge

@@ -350,6 +350,45 @@ object TextStats {
         sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
   }
 
+  /** Per-domain ADAPTIVE quality cutoff — the curation pass that fixed
+    * global thresholds get wrong: a single corpus-wide floor on a
+    * quality signal (length, score, …) over-prunes terse domains and
+    * under-prunes verbose ones, so production pipelines cut each domain
+    * at its own quantile (e.g. drop the bottom quartile PER SOURCE).
+    * Emits every document with its domain's cutoff and a 0/1 `keep`
+    * (signal >= cutoff), so downstream composes it like
+    * [[policyFilter]].
+    *
+    * `q` should be DYADIC (0.25, 0.5, 0.75): the interpolated exact
+    * percentile is then a sum of exactly-representable dyadic products,
+    * bit-identical across engines regardless of evaluation order.
+    *
+    * Scale shape: the cutoff frame is domain-sized and aggregates with
+    * `percentile` — which buffers every group value, the documented
+    * exact-vs-approx trade of [[corpusStats]]; at 100 TB swap in
+    * `approx_percentile` (same frame shape, sketch memory). The join
+    * back to the scan is UN-HINTED: AQE broadcasts the domain frame
+    * while it fits (PlanGuardSpec pins this), and a corpus with more
+    * domains than driver memory degrades to a slim (domain, cutoff)
+    * shuffle join — never a corpus-wide window, which would shuffle
+    * every document to its domain's single partition.
+    */
+  def adaptiveQualityCutoff(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      signalCol: String,
+      q: Double = 0.25): DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+    val cutoffs = docs
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($signalCol, $q)").as("cutoff"))
+    docs
+      .select(col(idCol), col(groupCol), col(signalCol))
+      .join(cutoffs, groupCol)
+      .withColumn("keep", (col(signalCol) >= col("cutoff")).cast("long"))
+  }
+
   /** Deterministic epoch-weighted replication — the mixture-building
     * primitive: a row with weight w per-mille keeps w/1000 whole copies
     * plus one more iff its hash bucket falls below w mod 1000, so

@@ -1,0 +1,140 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the r9 session-3 additions: inverted-index retrieval
+  * (integer BM25 surrogate), quantized distributed Lloyd k-means, and
+  * the per-domain adaptive quality cutoff.
+  */
+class RetrievalKMeansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- Retrieval.searchTopK -------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "apple banana banana banana"),
+    (3L, "cherry cherry cherry cherry date"),
+    (4L, "elephant fig grape huckleberry iris"),
+    (5L, "apple")
+  ).toDF("doc_id", "text")
+
+  test("searchTopK ranks the exact-match doc first and bounds output by k") {
+    val queries = Seq((10L, "elephant fig")).toDF("query_id", "qtext")
+    val out = Retrieval
+      .searchTopK(corpus, queries, "doc_id", "text", "query_id", "qtext", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 'elephant'/'fig' occur only in doc 4 — one hit, rank 1
+    assert(out.toSeq === Seq((10L, 1L, 4L)))
+  }
+
+  test("searchTopK matches the hand-computed integer formula") {
+    // query 'apple': df=3, N=5. postings: doc1 tf=2, doc2 tf=1, doc5 tf=1.
+    // tot_tokens=19, avgdl = 19 div 5 = 3.
+    val queries = Seq((7L, "apple")).toDF("query_id", "qtext")
+    val out = Retrieval
+      .searchTopK(corpus, queries, "doc_id", "text", "query_id", "qtext", k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    def score(tf: Long, dl: Long): Long = {
+      val relMilli = (1000 * dl) / 3
+      val inner = 250 + (750 * relMilli) / 1000
+      val tfsat = (tf * 2200000) / (tf * 1000 + (1200 * inner) / 1000)
+      val idf = (1000 * (5 - 3 + 1)) / (3 + 1)
+      idf * tfsat
+    }
+    assert(out === Map(1L -> score(2, 4), 2L -> score(1, 4), 5L -> score(1, 1)))
+    // the short all-apple doc 5 outscores the tf=1 long doc 2
+    assert(out(5L) > out(2L))
+  }
+
+  test("searchTopK scores are partitioning-invariant (integer sums)") {
+    val queries = Seq((1L, "apple cherry"), (2L, "banana date")).toDF("query_id", "qtext")
+    val a = Retrieval
+      .searchTopK(corpus, queries, "doc_id", "text", "query_id", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Retrieval
+      .searchTopK(corpus.repartition(7), queries.repartition(3),
+        "doc_id", "text", "query_id", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+  }
+
+  // --- KMeans.lloydAssign ---------------------------------------------------
+
+  /** Driver-side reference Lloyd on the same quantization. */
+  private def refLloyd(
+      vecs: Map[Long, Array[Long]], k: Int, iters: Int): Map[Long, (Long, Long)] = {
+    var cent: Map[Long, Array[Long]] =
+      (0L until k.toLong).map(j => j -> vecs(j)).toMap
+    var asg: Map[Long, (Long, Long)] = null
+    for (_ <- 1 to iters) {
+      asg = vecs.map { case (id, v) =>
+        val (c, d) = cent.toSeq
+          .map { case (cid, cv) =>
+            (cid, v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }
+          .minBy { case (cid, d) => (d, cid) }
+        id -> ((c, d))
+      }
+      cent = asg.groupBy(_._2._1).map { case (cid, members) =>
+        val ids = members.keys.toSeq
+        val dims = vecs(ids.head).length
+        cid -> Array.tabulate(dims) { d =>
+          ids.map(vecs(_)(d)).sum / ids.size
+        }
+      }
+    }
+    asg
+  }
+
+  private def quantized(rows: Seq[(Long, Seq[Float])]): Map[Long, Array[Long]] =
+    rows.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000).toLong + 32768L).toArray
+    }.toMap
+
+  test("lloydAssign matches a driver-side reference implementation") {
+    val rows: Seq[(Long, Seq[Float])] = (0L until 40L).map { i =>
+      val base = (i % 4).toFloat
+      (i, Seq(base + i * 0.001f, -base * 0.5f + 0.002f * i, 0.1f * base))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val got = KMeans.lloydAssign(df, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === refLloyd(quantized(rows), k = 3, iters = 3))
+  }
+
+  test("lloydAssign is partitioning-invariant and covers every vector once") {
+    val rows: Seq[(Long, Seq[Float])] =
+      (0L until 30L).map(i => (i, Seq(0.01f * i, 0.5f - 0.02f * i)))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val a = KMeans.lloydAssign(df, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = KMeans.lloydAssign(df.repartition(11), "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(a.map(_._1) === (0L until 30L).toSet)
+  }
+
+  // --- TextStats.adaptiveQualityCutoff --------------------------------------
+
+  test("adaptiveQualityCutoff keeps ~the top 3 quartiles per group") {
+    val docs = (1L to 8L).map(i => (i, "g1", i * 10L)) ++
+      (11L to 18L).map(i => (i, "g2", 1000L + i))
+    val out = TextStats
+      .adaptiveQualityCutoff(docs.toDF("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars")
+      .collect()
+      // join on groupCol puts the key column first
+      .map(r => (r.getLong(1), r.getString(0), r.getDouble(3), r.getLong(4)))
+    // g1 p25 of 10..80 = 27.5 -> docs 3..8 kept; g2 analogous
+    assert(out.filter(_._2 == "g1").forall(_._3 === 27.5))
+    assert(out.filter(r => r._2 == "g1" && r._4 == 1L).map(_._1).sorted.toSeq
+      === (3L to 8L))
+    assert(out.filter(r => r._2 == "g2" && r._4 == 1L).map(_._1).sorted.toSeq
+      === (13L to 18L))
+  }
+}
