@@ -39,10 +39,10 @@ import org.apache.spark.sql.functions._
   * by construction), the distance agg shuffles (id, cluster) partial
   * sums with map-side combine, and the update agg shuffles (cluster,
   * dim) partials — both exchanges carry counters, never vectors. No
-  * iteration collects to the driver; the plan is one DAG and Spark
-  * re-scans the source per iteration (persist the exploded frame
-  * upstream when the scan dominates — at 64-dim × 1e9 rows that is the
-  * standard cache-the-training-set call the caller owns).
+  * iteration collects to the driver; the plan is one DAG over the
+  * PERSISTED exploded frame ([[graft.ops.CacheScope]] lifecycle — the
+  * standard cache-the-training-set shape, done here because every
+  * assign and update branch reads it).
   */
 object KMeans {
 
@@ -57,15 +57,27 @@ object KMeans {
 
   /** One assignment pass: (id, cluster, dist2) under `cent` =
     * (cluster, dim, cv).
+    *
+    * The argmin packs (dist2, cluster) into ONE long — `dist2 * k +
+    * cluster`, exact because both are nonnegative and cluster < k — so
+    * the aggregation is a plain `min(long)` inside HashAggregate with
+    * map-side partials. Both `min(struct(...))` and `min_by(_,
+    * struct(...))` carry a struct buffer and regress the whole pass to
+    * SortAggregate (measured; PlanGuardSpec pins the absence). Overflow
+    * bound: dist2 <= dims * 65536^2, so dims * k < 2^31 keeps the
+    * packed value far inside a long — enforced below.
     */
-  private def assign(quant: DataFrame, cent: DataFrame): DataFrame =
+  private def assign(quant: DataFrame, cent: DataFrame, k: Int): DataFrame =
     quant
       .join(broadcast(cent), "dim")
       .groupBy("id", "cluster")
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist2"))
       .groupBy("id")
-      .agg(min(struct(col("dist2"), col("cluster"))).as("m"))
-      .select(col("id"), col("m.cluster").as("cluster"), col("m.dist2").as("dist2"))
+      .agg(min(col("dist2") * k + col("cluster")).as("enc"))
+      .select(
+        col("id"),
+        pmod(col("enc"), lit(k.toLong)).as("cluster"),
+        expr(s"enc div ${k}L").as("dist2"))
 
   /** Truncating-integer mean per (cluster, dim) of the assigned members. */
   private def update(quant: DataFrame, asg: DataFrame): DataFrame =
@@ -85,11 +97,18 @@ object KMeans {
       iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val quant = quantize(embeds, idCol, vecCol)
+    val dims = embeds.selectExpr(s"size($vecCol)").head().getInt(0)
+    require(dims.toLong * k < (1L << 31),
+      s"dims * k = ${dims.toLong * k} overflows the packed argmin encoding")
+    // persisted: the exploded frame feeds 2·iters-1 branches (every
+    // assign + every update) — without it each iteration re-scans and
+    // re-explodes the source (CacheScope lifecycle, released by the
+    // query driver after materialization)
+    val quant = graft.ops.CacheScope.persisted(quantize(embeds, idCol, vecCol))
     val cent0 = quant.filter(col("id") < k)
       .select(col("id").as("cluster"), col("dim"), col("v").as("cv"))
-    val finalAssign = (1 until iters).foldLeft(assign(quant, cent0)) { (asg, _) =>
-      assign(quant, update(quant, asg))
+    val finalAssign = (1 until iters).foldLeft(assign(quant, cent0, k)) { (asg, _) =>
+      assign(quant, update(quant, asg), k)
     }
     finalAssign.select(col("id").as(idCol), col("cluster"), col("dist2"))
   }

@@ -36,17 +36,25 @@ import org.apache.spark.sql.functions._
   * same postings and formula relationally.
   *
   * Scale shape: ONE corpus-sized shuffle builds the postings
-  * (`(doc, term) -> tf`, map-side combined); doc lengths and the global
-  * (n_docs, tot_tokens) stats derive from the postings, never a second
-  * scan. The document-frequency frame is vocabulary-sized and joins the
-  * postings UN-HINTED — AQE broadcasts it while it fits (PlanGuardSpec
-  * pins this at test scale) and falls back to a slim (term, df) shuffle
-  * join on a 100 TB vocabulary. Query terms are a broadcast probe, so
-  * only postings of queried terms survive into the scoring aggregation:
-  * per-query candidate work is bounded by the posting lists of its
-  * terms, not the corpus. The final top-k window partitions BY QUERY
-  * over those candidates; for adversarially common query terms swap in
-  * the two-pass [[Sampling.topNPerGroup]] prune, same contract.
+  * (`(doc, term) -> tf`, map-side combined), and the postings frame is
+  * PERSISTED ([[graft.ops.CacheScope]] lifecycle) because it feeds four
+  * consumers — the probe join, document frequencies, document lengths,
+  * and the global stats. Without the persist, column pruning makes each
+  * branch's postings subtree canonically distinct, so nothing reuses
+  * and a 100 TB corpus would be tokenized four times (PlanGuardSpec
+  * pins the cached scan in the executed plan). This is also the honest
+  * production shape: the inverted index is an artifact built once and
+  * probed many times. The document-frequency frame is vocabulary-sized
+  * and joins the postings UN-HINTED — AQE broadcasts it while it fits
+  * and falls back to a slim (term, df) shuffle join on a 100 TB
+  * vocabulary. Query terms are a broadcast probe, so only postings of
+  * queried terms survive into the scoring aggregation: per-query
+  * candidate work is bounded by the posting lists of its terms, not the
+  * corpus. The final top-k window partitions BY QUERY over those
+  * candidates (Spark plans it with WindowGroupLimit, so each partition
+  * pre-prunes to k before the shuffle); for adversarially common query
+  * terms swap in the two-pass [[Sampling.topNPerGroup]] prune, same
+  * contract.
   */
 object Retrieval {
 
@@ -72,10 +80,11 @@ object Retrieval {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
 
-    val postings = corpus
-      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    val postings = graft.ops.CacheScope.persisted(
+      corpus
+        .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")))
 
     val doclen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
 

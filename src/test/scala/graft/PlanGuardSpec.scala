@@ -162,6 +162,57 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges(planOf("q83_shard_pack")) === 0)
   }
 
+  test("r9 retrieval / k-means / adaptive-cutoff budgets") {
+    // q90: branches over the CACHED postings (cache scan pinned in the
+    // next test) — df/dl/stats derivations + the score agg + the
+    // window's per-query exchange. q91 (iters=2): the two assign
+    // passes' agg pairs + the update's (id) join pair + (cluster,dim)
+    // agg, all over the cached exploded frame.
+    // q92: the percentile agg + the join back — the domain frame side.
+    val budgets = Map(
+      "q90_retrieval" -> 11, "q91_kmeans" -> 8, "q92_adaptive_cutoff" -> 2)
+    val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
+      val n = exchanges(planOf(q))
+      if (n > b) Some(s"$q exchanges=$n > budget $b") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+    // q90: query terms and df/dl frames probe as BROADCAST hash joins —
+    // the corpus-sized postings never shuffle for them; the ONLY
+    // nested-loop is the sanctioned 1-row stats crossJoin
+    val p90 = planOf("q90_retrieval")
+    assert(countNodes(p90, _.nodeName.contains("BroadcastHashJoin")) === 3,
+      p90.toString.take(800))
+    assert(countNodes(p90, _.nodeName.contains("BroadcastNestedLoop")) === 1,
+      p90.toString.take(800))
+    // q91: both assignment passes probe the dim-sized centroid frame as
+    // a broadcast — the exploded corpus never shuffles on dim (the
+    // update's (id) join may broadcast too at test scale, hence >=);
+    // and the argmin must stay inside HashAggregate — min(struct(...))
+    // regressed to SortAggregate
+    val p91 = planOf("q91_kmeans")
+    assert(countNodes(p91, _.nodeName.contains("BroadcastHashJoin")) >= 2,
+      p91.toString.take(800))
+    assert(countNodes(p91, _.nodeName.contains("SortAggregate")) === 0,
+      p91.toString.take(800))
+  }
+
+  test("q90/q91: the shared frame is cached, not re-derived per branch") {
+    // q90's postings feed four consumers (probe/df/dl/stats), q91's
+    // exploded quantized frame feeds every assign+update branch. Column
+    // pruning makes each branch's subtree canonically DISTINCT, so
+    // exchange reuse never fires and an unpersisted formulation
+    // tokenizes / explodes a 100 TB corpus once per branch — the
+    // operators persist instead (CacheScope), and the plan must show
+    // the in-memory scan.
+    for (q <- Seq("q90_retrieval", "q91_kmeans")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"$q shows no cached scan:\n" + plan.take(800))
+    }
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("q70 boilerplate: AQE broadcasts the un-hinted repeated-line index at sf0.1") {
     // The index join carries no hint (on a 100 TB crawl the repeated-
     // line set can outgrow broadcast and MUST be allowed to stay a
@@ -190,11 +241,13 @@ class PlanGuardSpec extends SparkSpec {
     //        at any corpus size (the vocabulary itself never rides it)
     //   q86: the global CmsSketch aggregation — the exchange carries
     //        one 8 KiB partial sketch per upstream partition
+    //   q90: the global (n_docs, avgdl) stats — one partially-aggregated
+    //        row per upstream partition of the cached postings
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
       "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1,
-      "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1)
+      "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1, "q90_retrieval" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
