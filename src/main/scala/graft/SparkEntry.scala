@@ -1418,7 +1418,19 @@ object SparkEntry {
     // --- scale: per-domain adaptive quality cutoff — drop the bottom
     // quartile of n_chars PER SOURCE (dyadic quantile => engine-exact) -----------
     "q92_adaptive_cutoff" -> ((s, dir) =>
-      TextStats.adaptiveQualityCutoff(t(s, dir, "documents"), "doc_id", "source", "n_chars"))
+      TextStats.adaptiveQualityCutoff(t(s, dir, "documents"), "doc_id", "source", "n_chars")),
+
+    // --- scale: TRAINED-centroid IVF — the q91 k-means quantizer
+    // (dequantized) serving the q44 IVF probe path: train -> assign ->
+    // nprobe-list cosine top-5 (replaces the deterministic-stride
+    // stand-in with a data-dependent coarse quantizer) ----------------------------
+    "q93_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKWithCentroids(
+        emb, emb.filter(col("vec_id") % 101 === 0),
+        KMeans.trainedCentroids(emb, "vec_id", "embedding", k = 8, iters = 2),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    })
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -3015,7 +3027,68 @@ object SparkEntry {
         |  FROM documents GROUP BY 1)
         |SELECT d.doc_id, d.source, d.n_chars, c.cutoff,
         |  CAST(CASE WHEN d.n_chars >= c.cutoff THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM documents d JOIN cut c USING (source)""".stripMargin
+        |FROM documents d JOIN cut c USING (source)""".stripMargin,
+
+    // q91's training CTEs + one more update pass (cent2 = means over
+    // the final assignment), dequantized, feeding q44's IVF serving
+    // shape (list_dot_product assignment / probe ranking / cosine top-k)
+    "q93_ivf_trained" ->
+      """WITH quant AS (
+        |  SELECT vec_id AS id, i - 1 AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000) + 32768 AS BIGINT) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cent0 AS (SELECT id AS cluster, dim, v AS cv FROM quant WHERE id < 8),
+        |d1 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent0 c USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM d1)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a1 a USING (id) GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent1 c USING (dim) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM d2)
+        |  WHERE rk = 1),
+        |cent2 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a2 a USING (id) GROUP BY 1, 2),
+        |cvec AS (
+        |  SELECT cluster AS cid, list((cv - 32768) / 1000.0 ORDER BY dim) AS cv
+        |  FROM cent2 GROUP BY cluster),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT c.vec_id, c.v, cvec.cid,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(c.v, cvec.cv) DESC, cvec.cid) AS rn
+        |    FROM c CROSS JOIN cvec) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id % 101 = 0),
+        |probed AS (
+        |  SELECT probe_id, pv, cid FROM (
+        |    SELECT p.probe_id, p.pv, cvec.cid,
+        |      row_number() OVER (PARTITION BY p.probe_id
+        |        ORDER BY list_dot_product(p.pv, cvec.cv) DESC, cvec.cid) AS rn
+        |    FROM probes p CROSS JOIN cvec) WHERE rn <= 2),
+        |pairs AS (
+        |  SELECT probed.probe_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(probed.pv, a.v) /
+        |      (sqrt(list_dot_product(probed.pv, probed.pv)) *
+        |       sqrt(list_dot_product(a.v, a.v))) AS cos
+        |  FROM probed JOIN assigned a USING (cid)
+        |  WHERE a.vec_id <> probed.probe_id)
+        |SELECT probe_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cos FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 5""".stripMargin
   )
 
   /** q59 oracle: the A8/A9 two-phase annotation merge

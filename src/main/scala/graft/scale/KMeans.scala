@@ -112,4 +112,32 @@ object KMeans {
     }
     finalAssign.select(col("id").as(idCol), col("cluster"), col("dist2"))
   }
+
+  /** The TRAINED coarse quantizer: centroid means over the final
+    * assignment, dequantized back to the embedding space
+    * (`(cv - 32768) / 1000.0` — one exact subtraction and one
+    * correctly-rounded division, identical in any IEEE engine), shaped
+    * for [[Similarity.ivfTopKWithCentroids]]:
+    * (centroid_id, centroid_vec array<double>). The per-cluster
+    * assembly is a (cluster, dim) agg + one dim-sized
+    * `array_sort(collect_list(struct(dim, mean)))` per centroid — k·D
+    * rows, never corpus-sized.
+    */
+  def trainedCentroids(
+      embeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val asg = lloydAssign(embeds, idCol, vecCol, k, iters)
+      .select(col(idCol).as("id"), col("cluster"))
+    val quant = quantize(embeds, idCol, vecCol)
+    update(quant, asg)
+      .groupBy(col("cluster").as("centroid_id"))
+      // 1000.0D: the plain literal parses as DECIMAL in SQL exprs and
+      // would silently make the whole vector decimal-typed
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, cv))), s -> (s.cv - 32768) / 1000.0D)")
+        .as("centroid_vec"))
+  }
 }

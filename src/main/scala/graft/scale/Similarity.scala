@@ -267,9 +267,33 @@ object Similarity {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("neighbor_vec"))
-    val centroids = broadcast(
+    val centroids =
       c.filter(pmod(col("neighbor_id"), lit(centroidStride)) === 0)
-        .select(col("neighbor_id").as("centroid_id"), col("neighbor_vec").as("centroid_vec")))
+        .select(col("neighbor_id").as("centroid_id"), col("neighbor_vec").as("centroid_vec"))
+    ivfTopKWithCentroids(corpus, probes, centroids, idCol, vecCol, k, nprobe)
+  }
+
+  /** IVF search against an EXTERNAL coarse quantizer — the serving half
+    * of a trained index: `centroids` is any (centroid_id numeric,
+    * centroid_vec array<double>) frame, e.g.
+    * [[graft.scale.KMeans.trainedCentroids]]'s output (the trained
+    * quantizer replaces [[ivfTopK]]'s deterministic-stride stand-in —
+    * same plan, better list balance). Centroids must be dim-sized
+    * (they are broadcast to both the assignment and the probe ranking).
+    */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      probes: DataFrame,
+      centroidFrame: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("neighbor_vec"))
+    val centroids = broadcast(
+      centroidFrame.select(col("centroid_id"), col("centroid_vec")))
 
     // assign each corpus vector to its best list by inner product; ties
     // break to the LOWEST centroid id (the -centroid_id struct field)

@@ -119,6 +119,44 @@ class RetrievalKMeansSpec extends SparkSpec {
     assert(a.map(_._1) === (0L until 30L).toSet)
   }
 
+  test("trainedCentroids equals the reference means, dequantized, in dim order") {
+    val rows: Seq[(Long, Seq[Float])] = (0L until 24L).map { i =>
+      (i, Seq(0.05f * (i % 3), 0.3f - 0.01f * i, 0.002f * i))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val got = KMeans.trainedCentroids(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    // reference: means over the final (iters=2) assignment
+    val asg = refLloyd(quantized(rows), k = 3, iters = 2)
+    val want = asg.groupBy(_._2._1).map { case (cid, members) =>
+      val ids = members.keys.toSeq
+      val q = quantized(rows)
+      cid -> (0 until 3).map { d =>
+        (ids.map(q(_)(d)).sum / ids.size - 32768L) / 1000.0
+      }
+    }
+    assert(got === want)
+  }
+
+  test("ivfTopK == ivfTopKWithCentroids on the stride quantizer (delegation)") {
+    val rows: Seq[(Long, Seq[Float])] =
+      (0L until 32L).map(i => (i, Seq(0.11f * (i % 5) - 0.2f, 0.07f * (i % 7))))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val probes = df.filter(col("vec_id") % 8 === 0)
+    val a = Similarity.ivfTopK(df, probes, "vec_id", "embedding",
+      k = 3, centroidStride = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val cents = df.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid_vec"))
+    val b = Similarity.ivfTopKWithCentroids(df, probes, cents, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
   // --- TextStats.adaptiveQualityCutoff --------------------------------------
 
   test("adaptiveQualityCutoff keeps ~the top 3 quartiles per group") {
