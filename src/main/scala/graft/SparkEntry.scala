@@ -1430,7 +1430,13 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") % 101 === 0),
         KMeans.trainedCentroids(emb, "vec_id", "embedding", k = 8, iters = 2),
         "vec_id", "embedding", k = 5, nprobe = 2)
-    })
+    }),
+
+    // --- scale: temperature-weighted domain mixture — UniMax-style
+    // alpha=0.5 over the (imbalanced) lang domains, ~200-doc budget,
+    // integer isqrt weights + epochSample replication --------------------------
+    "q94_temperature_mix" -> ((s, dir) =>
+      TextStats.temperatureMix(t(s, dir, "documents"), "doc_id", "lang", budgetDocs = 200L))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -3088,7 +3094,30 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
         |  FROM pairs)
-        |WHERE rk <= 5""".stripMargin
+        |WHERE rk <= 5""".stripMargin,
+
+    // the same integer pipeline: isqrt domain scores, div-exact
+    // per-mille rates, q58's md5-bucket replication scheme
+    "q94_temperature_mix" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(s) AS BIGINT) AS s_tot FROM n),
+        |rates AS (
+        |  SELECT lang, n_docs, (1000 * 200 * s) // (s_tot * n_docs) AS permille
+        |  FROM n CROSS JOIN tot),
+        |w AS (
+        |  SELECT d.doc_id, d.lang, r.n_docs, r.permille,
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+        |  FROM documents d JOIN rates r USING (lang)),
+        |c AS (
+        |  SELECT doc_id, lang, n_docs, permille,
+        |    (permille // 1000) + (CASE WHEN b < permille % 1000 THEN 1 ELSE 0 END) AS copies
+        |  FROM w)
+        |SELECT doc_id, lang, n_docs, permille,
+        |  CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+        |FROM c WHERE copies > 0""".stripMargin
   )
 
   /** q59 oracle: the A8/A9 two-phase annotation merge

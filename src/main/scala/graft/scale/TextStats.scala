@@ -408,6 +408,44 @@ object TextStats {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Temperature-weighted domain mixture (the UniMax / GPT-3-style
+    * mixing step: sampling weight per domain ∝ n^α with α < 1, so
+    * small domains are upweighted relative to proportional sampling
+    * and no single huge domain swamps the mix): with α = 1/2 the
+    * domain score is the INTEGER square root s_g = floor(sqrt(n_g)) —
+    * exact in both engines (sqrt of a < 2^52 integer is correctly
+    * rounded; perfect squares are exact) — and each document of
+    * domain g replicates with
+    * `permille_g = (1000 * budgetDocs * s_g) div (S * n_g)` where
+    * S = Σ s_h, so the expected output size is ~budgetDocs and every
+    * quotient is integer arithmetic (engine- and partition-exact).
+    * Replication itself is [[epochSample]]'s deterministic md5-bucket
+    * scheme (fractional part as a hash draw, whole part as copies).
+    *
+    * Scale shape: the domain frame is one map-side-combined count agg;
+    * S is the sanctioned 1-row crossJoin; rates join the corpus back
+    * UN-HINTED (AQE broadcasts a domain frame); the replication is a
+    * scan-side explode. No corpus-sized shuffle anywhere.
+    */
+  def temperatureMix(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      budgetDocs: Long): DataFrame = {
+    require(budgetDocs >= 1, s"budgetDocs must be >= 1, got $budgetDocs")
+    val sized = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", expr("cast(floor(sqrt(n_docs)) as bigint)"))
+    val tot = sized.agg(sum(col("s")).as("s_tot"))
+    val rates = sized.crossJoin(broadcast(tot))
+      .withColumn("permille",
+        expr(s"(1000 * ${budgetDocs}L * s) div (s_tot * n_docs)"))
+      .select(col(groupCol), col("n_docs"), col("permille"))
+    epochSample(
+      docs.select(col(idCol), col(groupCol)).join(rates, groupCol),
+      col(idCol).cast("string"), col("permille"))
+      .select(col(idCol), col(groupCol), col("n_docs"), col("permille"), col("copy"))
+  }
+
   /** Corpus-wide heavy-hitter word n-grams — the "what is my corpus
     * full of" diagnostic (and the contamination-analysis input: the top
     * repeated n-grams are where template chrome and benchmark leakage

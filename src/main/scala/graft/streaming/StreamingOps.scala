@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -180,6 +180,59 @@ object StreamingOps {
       .filter(col("n_hits") > 0)
   }
 
+  /** Streaming retrieval — STANDING QUERIES over a document stream
+    * (the alerting/routing form of q90's [[graft.scale.Retrieval]]:
+    * "tell me when a document matching this benchmark prompt
+    * arrives"). A static index snapshot supplies the per-(query, term)
+    * integer idf weights and the corpus `avgdl`; each arriving
+    * document is scored per-row with the SAME integer-milli BM25
+    * surrogate — tf from its own token array, saturation from its own
+    * length — so the operator is STATELESS: no watermark, no state
+    * store, no shuffle, and the scores equal the batch operator's
+    * under the same frozen stats (StreamingOpsSpec pins equality).
+    *
+    * The standing query set is driver-sized by contract (the same
+    * regime as [[decontaminateStream]]'s collected grams): each
+    * (query, term, idf) becomes a codegen'd filter/count over the
+    * token array. Emits one row per (document, query) with at least
+    * one matched term: (idCol, query_id, score).
+    */
+  def retrieveStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTermWeights: Seq[(Long, String, Long)],
+      avgdl: Long): DataFrame = {
+    require(avgdl >= 1, s"avgdl must be >= 1, got $avgdl")
+    require(queryTermWeights.nonEmpty, "standing query set is empty")
+    // truncating div for NONNEGATIVE longs via exact double math:
+    // (a - a%b) is an exact multiple of b and far below 2^53 here
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val withToks = docs
+      .withColumn("toks",
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .withColumn("rel_milli", idiv(lit(1000L) * col("dl"), lit(avgdl)))
+    val hits = queryTermWeights.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (qid, ws) =>
+        val (scores, tfs) = ws.sortBy(_._2).map { case (_, term, idfMilli) =>
+          val tf = size(filter(col("toks"), x => x === lit(term))).cast("long")
+          val inner = lit(250L) + idiv(lit(750L) * col("rel_milli"), lit(1000L))
+          val tfsat = idiv(tf * lit(2200000L),
+            tf * lit(1000L) + idiv(lit(1200L) * inner, lit(1000L)))
+          (lit(idfMilli) * tfsat, tf)
+        }.unzip
+        struct(
+          lit(qid).as("query_id"),
+          scores.reduce(_ + _).as("score"),
+          (tfs.reduce(_ + _) > 0).as("matched"))
+    }
+    withToks
+      .withColumn("hit", explode(array(hits: _*)))
+      .filter(col("hit.matched"))
+      .select(col(idCol), col("hit.query_id").as("query_id"), col("hit.score").as("score"))
+  }
+
   /** Streaming count-min sketch — the [[graft.functions.CmsSketch]]
     * aggregate run as a continuous global aggregation (complete mode):
     * each micro-batch folds into the same fixed d×w counter buffer via
@@ -203,5 +256,6 @@ object StreamingOps {
     "dedupStream" -> OutputMode.Append(),
     "latestPerUser" -> OutputMode.Update(),
     "decontaminateStream" -> OutputMode.Append(), // stateless
+    "retrieveStream" -> OutputMode.Append(), // stateless
     "cmsSketchStream" -> OutputMode.Complete())
 }

@@ -169,8 +169,14 @@ class PlanGuardSpec extends SparkSpec {
     // passes' agg pairs + the update's (id) join pair + (cluster,dim)
     // agg, all over the cached exploded frame.
     // q92: the percentile agg + the join back — the domain frame side.
+    // q93: q91's training exchanges + the IVF serving aggs; its two
+    // nested-loop joins are the q44-sanctioned dim-sized centroid
+    // crossJoins (assignment + probe ranking). q94: two domain-frame
+    // aggs + the 1-row total + the rates join; the replication explode
+    // adds no exchange.
     val budgets = Map(
-      "q90_retrieval" -> 11, "q91_kmeans" -> 8, "q92_adaptive_cutoff" -> 2)
+      "q90_retrieval" -> 11, "q91_kmeans" -> 8, "q92_adaptive_cutoff" -> 2,
+      "q93_ivf_trained" -> 15, "q94_temperature_mix" -> 5)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None
@@ -243,11 +249,13 @@ class PlanGuardSpec extends SparkSpec {
     //        one 8 KiB partial sketch per upstream partition
     //   q90: the global (n_docs, avgdl) stats — one partially-aggregated
     //        row per upstream partition of the cached postings
+    //   q94: the global Σ isqrt(n_domain) — over the domain-sized frame
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
       "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1,
-      "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1, "q90_retrieval" -> 1)
+      "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1, "q90_retrieval" -> 1,
+      "q94_temperature_mix" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

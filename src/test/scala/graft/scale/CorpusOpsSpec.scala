@@ -320,6 +320,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shards === Set(0L))
   }
 
+  test("temperatureMix flattens: small domains get higher per-doc rates, budget holds") {
+    // 400 docs in 'big', 25 in 'small': proportional sampling would give
+    // both the same per-doc rate; alpha=0.5 must upweight 'small'
+    val docs = ((1L to 400L).map(i => (i, "big")) ++ (501L to 525L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    val out = TextStats.temperatureMix(docs, "doc_id", "lang", budgetDocs = 100L)
+    val rates = out.select("lang", "n_docs", "permille").distinct()
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // s_big = 20, s_small = 5, S = 25:
+    // permille_big = 100_000*20/(25*400) = 200; small = 100_000*5/(25*25) = 800
+    assert(rates === Map("big" -> ((400L, 200L)), "small" -> ((25L, 800L))))
+    // expected kept docs = 400*0.2 + 25*0.8 = 100 exactly in rates;
+    // the md5 draw realizes it within a loose band
+    val kept = out.count()
+    assert(kept > 60 && kept < 140, s"mixture size $kept implausible for budget 100")
+    // every small-domain doc has at most 1 copy here (permille < 1000)
+    assert(out.groupBy("doc_id").count().agg(max("count")).head().getLong(0) === 1L)
+  }
+
   test("md5Base48 matches the SQL conv(substring(md5, 1, 12)) formulation") {
     val vals = Seq("alpha beta", "x", "", "the quick brown fox")
     val fromSql = vals.toDF("v")

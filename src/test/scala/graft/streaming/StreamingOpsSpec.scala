@@ -205,6 +205,56 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retrieveStream == batch searchTopK scores under the frozen index stats") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val queries = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(toks, 1, 8), " ").as("qtext"))
+
+    // freeze the index stats the way a snapshot would
+    val postings = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val doclen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val statsRow = doclen.agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
+    val (nDocs, avgdl) =
+      (statsRow.getLong(0), math.max(statsRow.getLong(1) / statsRow.getLong(0), 1L))
+    val dfMap = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct().collect()
+      .flatMap { r =>
+        dfMap.get(r.getString(1)).map { d =>
+          (r.getLong(0), r.getString(1), (1000L * (nDocs - d + 1)) / (d + 1))
+        }
+      }.toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.retrieveStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", weights, avgdl)
+      .writeStream.format("memory").queryName("ret_eq").outputMode(OutputMode.Append()).start()
+    try {
+      val corpus = docs.select("doc_id", "text").as[(Long, String)].collect()
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("ret_eq")
+        .as[(Long, Long, Long)].collect().map(t => (t._2, t._1, t._3)).toSet
+      // batch comparator: k >= corpus size => the full scored set
+      val batch = graft.scale.Retrieval
+        .searchTopK(docs, queries, "doc_id", "text", "query_id", "qtext", k = 10000)
+        .select("query_id", "doc_id", "score")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("cmsSketchStream: the sketch after N micro-batches equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
