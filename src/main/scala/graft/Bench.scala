@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,20 +29,31 @@ object Bench {
     // internal caches release AFTER EACH run — run 2 must recompute from
     // the scan, not read run 1's persisted intermediates, or the min
     // would report a cache-hit time no first run ever sees.
+    // A failed run records -1, NOT its fail-fast wall time: an analysis
+    // exception "completes" in milliseconds and would otherwise pollute
+    // cross-round perf comparison with a number that measured nothing.
     val results = ordered.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.ops.CacheScope.releaseAll()
-        dt
+        if (ok) dt else -1.0
       }
-      name -> times.min
+      val good = times.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.count(_._2 < 0)
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver's artifact keeps only the TAIL of stdout; the full JSON
+    // above can outgrow that window, so repeat the totals in a compact
+    // trailer line that always survives truncation
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -93,10 +93,16 @@ object Profile {
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         dir.resolve("events.parquet"))
       val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val stream = spark.readStream
+      // ts vintage: long nanos -> rebuild a timestamp; timestamp[us] ->
+      // cast through (NTZ interpreted in the session zone)
+      val rawStream = spark.readStream
         .schema(batchSchema)
         .parquet(dir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = batchSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          rawStream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => rawStream.withColumn("ts", col("ts").cast("timestamp"))
+      }
       val q = graft.streaming.StreamingOps
         .windowedCounts(stream, "1 hour", "10 minutes")
         .writeStream.format("memory").queryName("stream_demo")
@@ -117,6 +123,31 @@ object Profile {
       q2.processAllAvailable()
       q2.stop()
       println(s"[demo] streaming sessionize closed sessions=${spark.table("sess_demo").count()}")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("time")) {
+      // targeted best-of-2 timing for a comma-separated query list at
+      // SPARK_GRAFT_SF_DIR — the Bench protocol (warmup at sf0.001,
+      // caches released between runs) without the full 90+-query sweep
+      val qs = args.drop(1).headOption.map(_.split(",").toSeq)
+        .getOrElse(Seq("q56_incr_dedup"))
+      qs.foreach { q =>
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        graft.ops.CacheScope.releaseAll()
+      }
+      qs.foreach { q =>
+        var rows = 0L
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          rows = SparkEntry.queries(q)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.CacheScope.releaseAll()
+          dt
+        }
+        println(f"[time] $q rows=$rows t=${times.min}%.2fs")
+      }
       spark.stop()
       return
     }

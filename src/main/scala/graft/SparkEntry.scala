@@ -17,8 +17,27 @@ import graft.scale._
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read a testdata table, normalizing the `ts` column to the long-nanos
+    * contract every query is written against. The driver has generated
+    * `events.parquet` with two vintages of `ts`: INT64 nanos (surfaces as
+    * LongType under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * `timestamp[us]` (surfaces as TIMESTAMP / TIMESTAMP_NTZ, on which long
+    * arithmetic fails analysis). Deriving nanos at the read boundary keeps
+    * q10/q49 and the streaming twins working against BOTH vintages; the
+    * cast-to-TIMESTAMP leg interprets NTZ in the session time zone (UTC,
+    * set by every entry point), matching DuckDB's epoch_ns on the same
+    * file.
+    */
+  private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
 
   /** Resolve a committed repo fixture (under `data/fixtures`) from ANY
     * working directory: try the cwd first (the driver runs from the
@@ -185,7 +204,7 @@ object SparkEntry {
     }),
 
     // --- A3: newest-wins resolution (last-evaluated-date pattern) -----------
-    // (`ts` surfaces as LongType nanos via nanosAsLong — see Verify/Bench)
+    // (`ts` is normalized to LongType nanos at the t() read boundary)
     "q10_newest_wins" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
       t(s, dir, "events")
@@ -859,8 +878,12 @@ object SparkEntry {
     // --- scale: SemDeDup — semantic dedup by nearest-centroid cluster
     // then within-cluster cosine prune (min-id representative kept);
     // q38's threshold regime, q72's keep-list contract -----------------------
+    // explicit stride 64: the DuckDB oracle embeds the stride-64
+    // centroid selection; production callers omit it and get the
+    // auto nlist ≈ √N stride (Similarity.sqrtNStride)
     "q77_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.42)
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.42,
+        centroidStride = 64)
         .select(col("id").as("vec_id"))),
 
     "q38_embed_neardup" -> ((s, dir) => {
@@ -1023,6 +1046,10 @@ object SparkEntry {
           .otherwise("pathogenic").as("clinical_significance"),
         when(col("o_orderkey") % 3 === 0,
           "Leeds Institute of Molecular Medicine (LIMM)")
+          // NULL submitter rows gate the null-safe LIMM equality: an
+          // 'uncertain significance' + NULL-submitter variant must be
+          // KEPT (reference Utils.stringsAreEqual semantics)
+          .when(col("o_orderkey") % 3 === 1, lit(null).cast("string"))
           .otherwise("Lab X").as("submitter"),
         element_at(
           typedlit(graft.pipelines.AnnotatePipeline.ExcludedConditionNames
@@ -1436,7 +1463,18 @@ object SparkEntry {
     // alpha=0.5 over the (imbalanced) lang domains, ~200-doc budget,
     // integer isqrt weights + epochSample replication --------------------------
     "q94_temperature_mix" -> ((s, dir) =>
-      TextStats.temperatureMix(t(s, dir, "documents"), "doc_id", "lang", budgetDocs = 200L))
+      TextStats.temperatureMix(t(s, dir, "documents"), "doc_id", "lang", budgetDocs = 200L)),
+
+    // --- scale: SemDeDup served by the TRAINED quantizer (q93's k-means
+    // centroids replacing q77's stride stand-in — balanced clusters keep
+    // the sum(cluster²) law on skewed corpora) -------------------------------
+    "q95_semdedup_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedupWithCentroids(
+        emb, "vec_id", "embedding", 0.42,
+        KMeans.trainedCentroids(emb, "vec_id", "embedding", k = 8, iters = 2))
+        .select(col("id").as("vec_id"))
+    })
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -1968,6 +2006,7 @@ object SparkEntry {
         |      ELSE 'pathogenic' END AS clinical_significance,
         |    CASE WHEN o_orderkey % 3 = 0
         |         THEN 'Leeds Institute of Molecular Medicine (LIMM)'
+        |         WHEN o_orderkey % 3 = 1 THEN NULL
         |         ELSE 'Lab X' END AS submitter,
         |    CASE o_orderkey % 11
         |      WHEN 0 THEN 'AllHighlyPenetrant' WHEN 1 THEN 'none provided'
@@ -1984,7 +2023,8 @@ object SparkEntry {
         |                      'duplication', 'insertion')
         |  AND clinical_significance <> 'not provided'
         |  AND NOT (clinical_significance = 'uncertain significance'
-        |           AND submitter = 'Leeds Institute of Molecular Medicine (LIMM)')
+        |           AND submitter IS NOT DISTINCT FROM
+        |             'Leeds Institute of Molecular Medicine (LIMM)')
         |  AND condition NOT IN ('AllHighlyPenetrant', 'none provided',
         |    'not provided', 'Not provided', 'not specified',
         |    'repeat number of microsatellite', 'See cases', 'Unclassifed',
@@ -3095,6 +3135,55 @@ object SparkEntry {
         |    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
         |  FROM pairs)
         |WHERE rk <= 5""".stripMargin,
+
+    // q93's trained-centroid CTE chain (2 Lloyd iterations on the
+    // integer-quantized grid, dequantized means) + q77's assignment /
+    // within-cluster cosine prune, over the k-means lists
+    "q95_semdedup_trained" ->
+      """WITH quant AS (
+        |  SELECT vec_id AS id, i - 1 AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000) + 32768 AS BIGINT) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cent0 AS (SELECT id AS cluster, dim, v AS cv FROM quant WHERE id < 8),
+        |d1 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent0 c USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM d1)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a1 a USING (id) GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent1 c USING (dim) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM d2)
+        |  WHERE rk = 1),
+        |cent2 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a2 a USING (id) GROUP BY 1, 2),
+        |cvec AS (
+        |  SELECT cluster AS cid, list((cv - 32768) / 1000.0 ORDER BY dim) AS cv
+        |  FROM cent2 GROUP BY cluster),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |assigned AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT c.id, c.v, cvec.cid,
+        |      row_number() OVER (PARTITION BY c.id
+        |        ORDER BY list_dot_product(c.v, cvec.cv) DESC, cvec.cid) AS rn
+        |    FROM c CROSS JOIN cvec) WHERE rn = 1),
+        |losers AS (
+        |  SELECT DISTINCT b.id
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.42)
+        |SELECT c.id AS vec_id FROM c LEFT JOIN losers l ON c.id = l.id
+        |WHERE l.id IS NULL""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

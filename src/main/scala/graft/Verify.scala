@@ -14,12 +14,18 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // driver-generated events.parquet uses TIMESTAMP(NANOS) (pandas ns)
+      // older testdata vintages wrote events.ts as TIMESTAMP(NANOS); the
+      // flag makes those surface as LongType, and SparkEntry.t() maps the
+      // current timestamp[us] vintage to the same long-nanos contract
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a LOUD artifact: a swallowed
+    // exception just removes the row from the correctness record, which
+    // reads as green (this silently hid two regressed queries in round 9).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -31,6 +37,7 @@ object Verify {
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operator-internal caches are per-query; don't accumulate across
@@ -52,6 +59,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (empty object when clean) so "file absent" can never
+    // be confused with "nothing failed"
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    if (failures.nonEmpty)
+      println(s"VERIFY FAILURES: ${failures.size} -> ${failures.keys.mkString(",")}")
     spark.stop()
   }
 }

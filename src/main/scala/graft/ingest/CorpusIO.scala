@@ -34,6 +34,33 @@ object CorpusIO {
   def corruptRecords(df: DataFrame): DataFrame =
     df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
 
+  /** S1's Spark analog (SURVEY §2.1; reference `Downloader.java:15-24`
+    * keeps date-stamped local copies of each fetched release and
+    * re-reads only if new). The FETCH stays out of engine scope
+    * (driver-side curl/cron); the LANDING CONVENTION is engine-side:
+    * each fetched release lands under `<root>/<yyyy-MM-dd>/…` (any
+    * lexicographically ordered stamp works, e.g. yyyy-MM-ddTHH-mm) and
+    * readers resolve the newest dated subdirectory. Pure namenode/
+    * object-store LISTing via the Hadoop FileSystem API — works on
+    * HDFS/S3/local alike, no data scan, no driver collect of anything
+    * row-shaped. A daily LoadMain run does
+    * `latestSnapshot(spark, root).map(spark.read.parquet(_))` and
+    * re-reads only when a new date directory appeared.
+    */
+  def latestSnapshot(spark: SparkSession, root: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val dated = fs.listStatus(path)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.matches("""\d{4}-\d{2}-\d{2}.*"""))
+      if (dated.isEmpty) None
+      else Some(dated.maxBy(_.getName).toString)
+    }
+  }
+
   /** Land a curated corpus as partition-pruned, rowgroup-sorted parquet:
     * `partitionCols` become directory partitions (scans with equality
     * predicates read only their directories) and `sortCols` order rows

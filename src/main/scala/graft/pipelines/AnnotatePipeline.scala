@@ -36,8 +36,12 @@ object AnnotatePipeline {
     variants.filter(
       col("object_type").isin(CarpeTypes: _*) &&
         !(col("clinical_significance") <=> "not provided") &&
-        !(col("clinical_significance") === "uncertain significance" &&
-          col("submitter") === "Leeds Institute of Molecular Medicine (LIMM)"))
+        // <=> on BOTH operands: the reference's Utils.stringsAreEqual
+        // (VariantAnnotator.java:261-262) is null-safe, so a NULL
+        // submitter makes the LIMM test FALSE and keeps the row; plain
+        // === would yield NULL and !(NULL) drops it
+        !(col("clinical_significance") <=> "uncertain significance" &&
+          col("submitter") <=> "Leeds Institute of Molecular Medicine (LIMM)"))
 
   /** The full 9-name excluded-condition set, exact + case-sensitive as
     * the reference's Set<String> membership is (AppConfigure.xml:49-61).

@@ -64,10 +64,27 @@ object Dedup {
       banded
     } else {
       val bandedP = graft.ops.CacheScope.persisted(banded)
-      val ok = bandedP.groupBy("band").count()
-        .filter(col("count").between(minBucket, maxBucket))
-        .select("band")
-      bandedP.join(ok, Seq("band"))
+      val counts = bandedP.groupBy("band").count()
+      // One driver-readable scalar decides whether the member join runs
+      // at all: on healthy corpora NO bucket exceeds the cap, and the
+      // join back would be pure overhead (measured 2.5x on the sf0.1
+      // incremental-dedup bench) paid on every query to guard against a
+      // condition that isn't present. The count agg itself is the cheap
+      // half (slim two-long rows, map-side partials); keeping only its
+      // max costs one scan of the already-persisted banding. Sub-
+      // minBucket buckets are left in place on the fast path — they
+      // produce no pairs downstream (pair explode needs a partner), so
+      // dropping them was never load-bearing for correctness, only a
+      // collect_list buffer trim that the no-skew case doesn't need.
+      val maxRow = counts.agg(max(col("count"))).head()
+      val anyOversize = !maxRow.isNullAt(0) && maxRow.getLong(0) > maxBucket
+      if (!anyOversize) bandedP
+      else {
+        val ok = counts
+          .filter(col("count").between(minBucket, maxBucket))
+          .select("band")
+        bandedP.join(ok, Seq("band"))
+      }
     }
 
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with true

@@ -256,19 +256,44 @@ object Similarity {
     * provably hits (an empty quantizer yields an empty result, the same
     * contract as an unfitted index).
     */
+  /** Sentinel default for `centroidStride`: resolve it from the corpus
+    * via [[sqrtNStride]] (the nlist ≈ √N law) instead of a fixed value.
+    */
+  val AutoStride: Long = 0L
+
+  /** The nlist ≈ √N parameterization, made automatic. With nlist lists
+    * the IVF/SemDeDup cost is assignment ~N·nlist plus within-list work
+    * ~N²/nlist, minimized at nlist ≈ √N (total ~N^1.5); a FIXED stride
+    * instead makes nlist ∝ N and the assignment term quadratic (the
+    * 10× bench measured exactly that regime on the old default). On the
+    * dense or hash-assigned id spaces the stride-quantizer contract
+    * already requires, multiples of `s` in [0, N) number ~N/s, so
+    * s = N / round(√N) ≈ √N lands nlist at ~√N. The only driver action
+    * is one count() over the pruned id column — against a parquet
+    * source this is a metadata-cheap scan, and it runs once at plan
+    * construction, not per stage.
+    */
+  def sqrtNStride(corpus: DataFrame, idCol: String): Long = {
+    val n = corpus.select(col(idCol)).count()
+    if (n <= 1L) 1L
+    else math.max(1L, n / math.max(1L, math.round(math.sqrt(n.toDouble))))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       probes: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      centroidStride: Long = 64,
+      centroidStride: Long = AutoStride,
       nprobe: Int = 4): DataFrame = {
+    val stride =
+      if (centroidStride > 0) centroidStride else sqrtNStride(corpus, idCol)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("neighbor_vec"))
     val centroids =
-      c.filter(pmod(col("neighbor_id"), lit(centroidStride)) === 0)
+      c.filter(pmod(col("neighbor_id"), lit(stride)) === 0)
         .select(col("neighbor_id").as("centroid_id"), col("neighbor_vec").as("centroid_vec"))
     ivfTopKWithCentroids(corpus, probes, centroids, idCol, vecCol, k, nprobe)
   }
@@ -350,25 +375,49 @@ object Similarity {
     * row per side. Recall trade, stated: near-dups STRADDLING a
     * cluster boundary are not compared (the paper accepts this;
     * [[cosineNearDupPairs]] is the cross-cluster-complete alternative).
-    * PARAMETERIZE FOR THE CORPUS: with nlist centroids the total work
-    * is assignment N·nlist + within-cluster pairs ~N²/nlist, minimized
-    * at nlist ≈ √N (total ~N^1.5) — so `centroidStride` should GROW
-    * ~√N, not stay fixed (a fixed stride makes nlist ∝ N and the
-    * assignment term quadratic; the 10× bench measures exactly that
-    * regime). Skewed data wants real k-means centroids upstream —
-    * stride centroids are the deterministic oracle-portable stand-in,
-    * same contract as [[ivfTopK]].
+    * PARAMETERIZATION: with nlist centroids the total work is
+    * assignment N·nlist + within-cluster pairs ~N²/nlist, minimized at
+    * nlist ≈ √N (total ~N^1.5) — the default stride now RESOLVES to
+    * that law via [[sqrtNStride]] (pass an explicit stride only for an
+    * oracle-reproducible fixed shape). Skewed data wants real k-means
+    * centroids upstream — stride centroids are the deterministic
+    * oracle-portable stand-in, same contract as [[ivfTopK]].
     */
   def semDedup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      centroidStride: Long = 64): DataFrame = {
+      centroidStride: Long = AutoStride): DataFrame = {
+    val stride =
+      if (centroidStride > 0) centroidStride else sqrtNStride(emb, idCol)
+    val cents = emb
+      .select(
+        col(idCol).as("centroid_id"),
+        col(vecCol).cast("array<double>").as("centroid_vec"))
+      .filter(pmod(col("centroid_id"), lit(stride)) === 0)
+    semDedupWithCentroids(emb, idCol, vecCol, threshold, cents)
+  }
+
+  /** SemDeDup against an EXTERNAL coarse quantizer — the trained-index
+    * counterpart, mirroring [[ivfTopKWithCentroids]] vs [[ivfTopK]]:
+    * `centroidFrame` is any (centroid_id numeric, centroid_vec
+    * array<double>) frame, e.g. [[graft.scale.KMeans.trainedCentroids]],
+    * whose balanced clusters keep the sum(cluster²) within-cluster work
+    * even on skewed corpora where stride centroids would let one hot
+    * cluster dominate. Same plan shape as [[semDedup]]: broadcast
+    * centroids, argmax-in-HashAggregate assignment, slim self-join on
+    * centroid_id.
+    */
+  def semDedupWithCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroidFrame: DataFrame): DataFrame = {
     val c = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val centroids = broadcast(
-      c.filter(pmod(col("id"), lit(centroidStride)) === 0)
-        .select(col("id").as("centroid_id"), col("v").as("cv")))
+      centroidFrame.select(col("centroid_id"), col("centroid_vec").as("cv")))
     val assigned = c
       .crossJoin(centroids)
       .withColumn("cdist", dot(col("v"), col("cv")))

@@ -26,6 +26,20 @@ class CorpusIOSpec extends graft.SparkSpec {
     df.unpersist()
   }
 
+  test("latestSnapshot: newest dated subdir wins; undated dirs and files ignored (S1)") {
+    val root = java.nio.file.Files.createTempDirectory("landing").toFile
+    Seq("2026-01-05", "2026-02-03", "scratch").foreach(d =>
+      new java.io.File(root, d).mkdir())
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "2026-09-09").toPath, "a FILE, not a snapshot dir")
+    val got = CorpusIO.latestSnapshot(spark, root.getAbsolutePath)
+    assert(got.isDefined && got.get.endsWith("2026-02-03"), s"got $got")
+    // empty / absent roots resolve to None, not an exception
+    val empty = java.nio.file.Files.createTempDirectory("landing2").toFile
+    assert(CorpusIO.latestSnapshot(spark, empty.getAbsolutePath).isEmpty)
+    assert(CorpusIO.latestSnapshot(spark, empty.getAbsolutePath + "/nope").isEmpty)
+  }
+
   test("writePartitioned: directory partitions + equality scans prune") {
     val out = java.nio.file.Files.createTempDirectory("pq").toFile.getAbsolutePath
     val docs = Seq(

@@ -196,7 +196,10 @@ class AnnotatePipelineSpec extends SparkSpec {
     (1L, "snv", "pathogenic", "OMIM", "Usher Syndrome, Type 2 [RCV1]"),
     (2L, "snv", "not provided", "x", "t [RCV2]"),          // F5: dropped
     (3L, "inversion", "pathogenic", "x", "t [RCV3]"),      // F5: non-carpe type
-    (4L, "deletion", "benign", "x", "Rare Thing [RCV4]")   // resolved by name
+    (4L, "deletion", "benign", "x", "Rare Thing [RCV4]"),  // resolved by name
+    // null-safe LIMM test: NULL submitter + 'uncertain significance'
+    // is KEPT (Utils.stringsAreEqual semantics) — === would drop it
+    (5L, "snv", "uncertain significance", null, "t [RCV5]")
   ).toDF("rgd_id", "object_type", "clinical_significance", "submitter", "trait_name")
 
   private def variantXdb = Seq((1L, 54, "C100"), (4L, 54, "C404"), (1L, 11, "pm77"))
@@ -222,7 +225,7 @@ class AnnotatePipelineSpec extends SparkSpec {
 
   test("carpe filter drops 'not provided' and non-carpe types (F5)") {
     val kept = AnnotatePipeline.carpeCompliant(variants).select("rgd_id").as[Long].collect().toSet
-    assert(kept === Set(1L, 4L))
+    assert(kept === Set(1L, 4L, 5L))
   }
 
   test("concept chain resolves variant 1; name fallback resolves variant 4 (J8/J9)") {

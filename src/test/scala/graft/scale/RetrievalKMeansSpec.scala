@@ -157,6 +157,38 @@ class RetrievalKMeansSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("semDedup == semDedupWithCentroids on the stride quantizer (delegation)") {
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(Long, Seq[Float])] =
+      (0L until 48L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val a = Similarity.semDedup(df, "vec_id", "embedding", 0.3, centroidStride = 6)
+      .as[Long].collect().toSet
+    val cents = df.filter(col("vec_id") % 6 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid_vec"))
+    val b = Similarity.semDedupWithCentroids(df, "vec_id", "embedding", 0.3, cents)
+      .as[Long].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("trained-centroid semDedup keeps min id per near-dup pair; keep list covers all clusters") {
+    // planted near-dups: 2i and 2i+1 are scaled copies (cosine 1)
+    val rnd = new scala.util.Random(9)
+    val base = (0L until 20L).map(_ => Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val rows: Seq[(Long, Seq[Float])] = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v), (2L * i + 1, v.map(_ * 2.0f)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val keep = Similarity.semDedupWithCentroids(
+      df, "vec_id", "embedding", 0.999,
+      KMeans.trainedCentroids(df, "vec_id", "embedding", k = 4, iters = 2))
+      .as[Long].collect().toSet
+    // copies land in the same cluster (identical direction -> same argmax),
+    // so every odd id loses to its even twin
+    assert(keep === (0L until 40L by 2).toSet)
+  }
+
   // --- TextStats.adaptiveQualityCutoff --------------------------------------
 
   test("adaptiveQualityCutoff keeps ~the top 3 quartiles per group") {

@@ -391,6 +391,20 @@ class ScaleSpec extends SparkSpec {
     assert(keep.size < ids.size) // the low threshold must actually prune
   }
 
+  test("law: auto centroid stride tracks √N — 100× corpus gives ~10× lists") {
+    def nlistFor(n: Long): Long = {
+      val ids = (0L until n).toDF("vec_id")
+      val stride = Similarity.sqrtNStride(ids, "vec_id")
+      ids.filter(pmod($"vec_id", lit(stride)) === 0).count()
+    }
+    val small = nlistFor(100L)
+    val big = nlistFor(10000L)
+    assert(math.abs(small - 10L) <= 2, s"nlist(100)=$small")
+    assert(math.abs(big - 100L) <= 10, s"nlist(10000)=$big")
+    // the law itself: lists grow ~√(corpus growth), never linearly
+    assert(big < 20 * small, s"nlist grew linearly: $small -> $big")
+  }
+
   test("urlHosts: extracts http/https hosts in order; path and bare text ignored") {
     val out = Seq("see http://a.example/x and https://b.example:8080/y, no ftp://c.example")
       .toDF("t").select(TextStats.urlHosts($"t")).as[Seq[String]].head()

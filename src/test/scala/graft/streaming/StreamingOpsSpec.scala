@@ -104,7 +104,8 @@ class StreamingOpsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     // replay a deterministic user slice; ns→ms floor matches the batch
     // query's `ts div 1e6`
-    val evs = spark.read.parquet(s"$dir/events.parquet")
+    // SparkEntry.t normalizes ts to long nanos across testdata vintages
+    val evs = graft.SparkEntry.t(spark, dir, "events")
       .filter(col("user_id") % 5 === 0)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .collect()
