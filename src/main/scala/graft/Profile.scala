@@ -152,6 +152,32 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("semauto")) {
+      // the √N-law measurement: semDedup with the AUTO stride (nlist
+      // tracks √N) vs the fixed oracle stride 64 (nlist ∝ N), at sf0.1
+      // and the staged 10x embeddings (requires tmp/sf1full from
+      // sf1bench staging)
+      Seq("/root/testdata/sf0.1" -> "sf0.1", "tmp/sf1full" -> "sf1(10x)").foreach {
+        case (dir, tag) =>
+          val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          Seq("auto" -> 0L, "fixed64" -> 64L).foreach { case (mode, stride) =>
+            var rows = 0L
+            val times = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              rows = graft.scale.Similarity
+                .semDedup(emb, "vec_id", "embedding", 0.42, centroidStride = stride)
+                .count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              graft.ops.CacheScope.releaseAll()
+              dt
+            }
+            println(f"[semauto] $tag $mode keep=$rows t=${times.min}%.2fs")
+          }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("scale23")) {
       // scaling behavior of the MinHash-LSH pipeline: same operator at
       // 1x and 10x the doc count (ids offset so copies are exact dups

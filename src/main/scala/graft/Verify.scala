@@ -41,7 +41,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operator-internal caches are per-query; don't accumulate across
-      // the 58-query sweep
+      // the 95-query sweep
       graft.ops.CacheScope.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
