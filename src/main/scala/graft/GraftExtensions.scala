@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, TrimUtf8Bytes, WordShingles}
+import graft.functions.{ArgMaxTieMin, DotProduct, TrimUtf8Bytes, WordShingles}
 
 /** Registers the engine's native Catalyst expressions as SQL functions,
   * so `spark.sql` queries can call them directly:
@@ -13,6 +13,7 @@ import graft.functions.{DotProduct, TrimUtf8Bytes, WordShingles}
   *   - `trim_utf8_bytes(str, maxBytes)`  (X1)
   *   - `dot_product(arr, arr)`           (vector math, scale/)
   *   - `word_shingles(arr, n)`           (n-gram shingling, scale/)
+  *   - `argmax_tie_min(id, score)`       (hash-aggregable argmax, scale/)
   *
   * Two entry points:
   *   - config: `spark.sql.extensions=graft.GraftExtensions` at session
@@ -48,7 +49,12 @@ object GraftExtensions {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) =>
-        WordShingles(children.head, intLit(children(1), "word_shingles n"))))
+        WordShingles(children.head, intLit(children(1), "word_shingles n"))),
+    (
+      FunctionIdentifier("argmax_tie_min"),
+      new ExpressionInfo(classOf[ArgMaxTieMin].getName, "argmax_tie_min"),
+      (children: Seq[Expression]) =>
+        ArgMaxTieMin(children.head, children(1)).toAggregateExpression()))
 
   /** Register on an already-built session (tests, REPLs). */
   def register(spark: SparkSession): Unit =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.DotProduct
+import graft.functions.{ArgMaxTieMin, DotProduct}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), for training-data curation at scale.
@@ -321,14 +321,23 @@ object Similarity {
       centroidFrame.select(col("centroid_id"), col("centroid_vec")))
 
     // assign each corpus vector to its best list by inner product; ties
-    // break to the LOWEST centroid id (the -centroid_id struct field)
-    val assigned = c
+    // break to the LOWEST centroid id. The score rows entering the agg
+    // are SLIM (id, centroid_id, cdist) — the vector is projected away
+    // before the N·nlist blow-up and joined back per-id afterwards — and
+    // the argmax is the fixed-width-buffer [[graft.functions.ArgMaxTieMin]],
+    // so the whole assignment stays in HashAggregate (max_by over a
+    // struct ordering, or a first(vector) alongside it, would demote the
+    // pass to SortAggregate over the blown-up rows; PlanGuardSpec pins
+    // the absence).
+    val best = c
       .crossJoin(centroids)
-      .withColumn("cdist", dot(col("neighbor_vec"), col("centroid_vec")))
+      .select(
+        col("neighbor_id"),
+        col("centroid_id"),
+        dot(col("neighbor_vec"), col("centroid_vec")).as("cdist"))
       .groupBy(col("neighbor_id"))
-      .agg(
-        expr("max_by(centroid_id, struct(cdist, -centroid_id))").as("centroid_id"),
-        first(col("neighbor_vec")).as("neighbor_vec"))
+      .agg(ArgMaxTieMin(col("centroid_id"), col("cdist")).as("centroid_id"))
+    val assigned = c.join(best, Seq("neighbor_id"))
       .withColumn("neighbor_norm", l2Norm(col("neighbor_vec")))
 
     // probes are broadcast-sized: a per-probe window is fine here
@@ -418,14 +427,22 @@ object Similarity {
     val c = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val centroids = broadcast(
       centroidFrame.select(col("centroid_id"), col("centroid_vec").as("cv")))
-    val assigned = c
-      .crossJoin(centroids)
-      .withColumn("cdist", dot(col("v"), col("cv")))
-      .groupBy(col("id"))
-      .agg(
-        expr("max_by(centroid_id, struct(cdist, -centroid_id))").as("centroid_id"),
-        first(col("v")).as("v"))
-      .withColumn("norm", l2Norm(col("v")))
+    // slim-score assignment (see ivfTopKWithCentroids): vectors never
+    // ride through the N·nlist score rows or the agg buffer — the
+    // ArgMaxTieMin HashAggregate folds (id, centroid_id, cdist) and the
+    // per-id join reattaches v. PERSISTED: the within-cluster self-join
+    // consumes `assigned` twice (lo/hi), and column pruning makes the
+    // two subtrees canonically distinct, so exchange reuse never fires —
+    // without the cache the N·nlist dot-product pass runs once PER SIDE
+    // (measured 2.4x at 10x). The cached rows are two longs per vector
+    // (id, centroid_id) — the bounded size class of the q56 slim-cache
+    // contract, never the vectors.
+    val best = graft.ops.CacheScope.persisted(
+      c.crossJoin(centroids)
+        .select(col("id"), col("centroid_id"), dot(col("v"), col("cv")).as("cdist"))
+        .groupBy(col("id"))
+        .agg(ArgMaxTieMin(col("centroid_id"), col("cdist")).as("centroid_id")))
+    val assigned = c.join(best, Seq("id")).withColumn("norm", l2Norm(col("v")))
     val lo = assigned.select(
       col("centroid_id"), col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
     val hi = assigned.select(

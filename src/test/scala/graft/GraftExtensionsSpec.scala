@@ -21,6 +21,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row._3 === Seq("a b", "b c", "c d"))
   }
 
+  test("SQL surface: argmax_tie_min aggregates with min-id tie-break, in HashAggregate") {
+    GraftExtensions.register(spark)
+    Seq((1L, 10L, 1.0), (1L, 3L, 2.0), (1L, 2L, 2.0), (2L, 7L, 0.5))
+      .toDF("g", "id", "score")
+      .createOrReplaceTempView("ext_agg")
+    val df = spark.sql(
+      "SELECT g, argmax_tie_min(id, score) AS best FROM ext_agg GROUP BY g")
+    val out = df.as[(Long, Long)].collect().toMap
+    // g=1: max score 2.0 tied between ids 3 and 2 -> smallest id wins
+    assert(out === Map(1L -> 2L, 2L -> 7L))
+    // the whole point: a fixed-width buffer keeps the agg hash-based
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan.take(500))
+  }
+
   test("non-literal maxBytes is rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -114,8 +114,11 @@ class PlanGuardSpec extends SparkSpec {
       "q76_span_dedup" -> 5,
       // r9: q77 = centroid-assign argmax agg + within-cluster self-join
       // + loser distinct + keep anti-join (its one BNLJ is the q44-style
-      // broadcast of the dim-sized stride centroids)
-      "q77_semdedup" -> 5,
+      // broadcast of the dim-sized stride centroids). r10: +1 for the
+      // slim-score assignment's per-id vector join-back — the trade
+      // that keeps the N·nlist score fold in HashAggregate (vectors
+      // and struct orderings out of the agg buffer)
+      "q77_semdedup" -> 6,
       // r9: q78 = scan-side regex canonicalization + ONE groupBy on the
       // canonical key
       "q78_url_dedup" -> 1)
@@ -176,7 +179,9 @@ class PlanGuardSpec extends SparkSpec {
     // adds no exchange.
     val budgets = Map(
       "q90_retrieval" -> 11, "q91_kmeans" -> 8, "q92_adaptive_cutoff" -> 2,
-      "q93_ivf_trained" -> 15, "q94_temperature_mix" -> 5)
+      // q93: r10 +1 — the serving assignment's slim-score join-back
+      // (see q77's budget note)
+      "q93_ivf_trained" -> 16, "q94_temperature_mix" -> 5)
     val over = budgets.toSeq.sorted.flatMap { case (q, b) =>
       val n = exchanges(planOf(q))
       if (n > b) Some(s"$q exchanges=$n > budget $b") else None
@@ -200,6 +205,16 @@ class PlanGuardSpec extends SparkSpec {
       p91.toString.take(800))
     assert(countNodes(p91, _.nodeName.contains("SortAggregate")) === 0,
       p91.toString.take(800))
+    // q95 (trained-quantizer SemDeDup): q91's training plan + serving.
+    // Same laws — the argmax/argmin aggs stay hash-based, and the only
+    // nested loop is the dim-sized broadcast-centroid assignment
+    // crossJoin; the within-cluster pair join is an equi-join on
+    // centroid_id, NEVER a corpus-sized nested loop.
+    val p95 = planOf("q95_semdedup_trained")
+    assert(countNodes(p95, _.nodeName.contains("SortAggregate")) === 0,
+      p95.toString.take(800))
+    assert(countNodes(p95, _.nodeName.contains("BroadcastNestedLoop")) <= 2,
+      p95.toString.take(800))
   }
 
   test("q90/q91: the shared frame is cached, not re-derived per branch") {
