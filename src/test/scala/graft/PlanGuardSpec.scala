@@ -34,6 +34,17 @@ class PlanGuardSpec extends SparkSpec {
   private def exchanges(p: SparkPlan): Int =
     countNodes(p, _.isInstanceOf[Exchange])
 
+  test("driver contract: every query has an oracle and every oracle a query") {
+    // A queries entry whose oracleSql key is missing (or misspelled)
+    // silently downgrades to the driver's weaker rows-only check — the
+    // same invisible-degradation class as the r9 dropped-row bug. Keep
+    // the two maps in exact 1:1 correspondence.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("q03 fallback join: ONE probe scan + one scan per stage dim") {
     // 1 probe (orders) + 2 dims; the remainder-cascade formulation had 6
     assert(scans(planOf("q03_fallback_join")) <= 3)
