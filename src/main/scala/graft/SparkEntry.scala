@@ -1474,6 +1474,15 @@ object SparkEntry {
         emb, "vec_id", "embedding", 0.42,
         KMeans.trainedCentroids(emb, "vec_id", "embedding", k = 8, iters = 2))
         .select(col("id").as("vec_id"))
+    }),
+
+    // --- scale: hashed-feature perceptron TRAINING (the training half
+    // of q88's serving shape) — batch all-integer updates, 2 unrolled
+    // iterations, lang=='en' as the ±1 supervision signal ---------------------
+    "q96_perceptron" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+      TextStats.perceptronTrain(docs, "doc_id", "text", "y", dim = 64, iters = 2)
     })
   )
 
@@ -3184,6 +3193,29 @@ object SparkEntry {
         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.42)
         |SELECT c.id AS vec_id FROM c LEFT JOIN losers l ON c.id = l.id
         |WHERE l.id IS NULL""".stripMargin,
+
+    // q88's tokenization + md5 feature hashing; w1 = X'y (w0 = 0 makes
+    // every doc misclassified), step 2 adds X'y over docs with y*m <= 0
+    "q96_perceptron" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, y,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS j, count(*) AS c
+        |  FROM tok WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+        |w1 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w FROM feat GROUP BY j),
+        |m2 AS (
+        |  SELECT f.doc_id, f.y, CAST(sum(w1.w * f.c) AS BIGINT) AS m
+        |  FROM feat f JOIN w1 USING (j) GROUP BY 1, 2),
+        |mis2 AS (SELECT doc_id FROM m2 WHERE y * m <= 0),
+        |upd2 AS (
+        |  SELECT j, CAST(sum(y * c) AS BIGINT) AS dw
+        |  FROM feat WHERE doc_id IN (SELECT doc_id FROM mis2) GROUP BY j)
+        |SELECT w1.j AS feature_id,
+        |  CAST(w1.w + coalesce(upd2.dw, 0) AS BIGINT) AS weight
+        |FROM w1 LEFT JOIN upd2 USING (j)""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -518,6 +518,76 @@ object TextStats {
     * [[topKNgrams]] (TakeOrdered); the final estimate probe is a
     * broadcast cross join of the 1-row sketch against k rows.
     */
+  /** Batch perceptron TRAINING of a hashed-feature linear classifier —
+    * the training half of the [[hashedLinearScore]] serving shape and
+    * the quality-classifier loop a curation pipeline actually runs
+    * (fastText-style: bag of words → feature hashing → linear margin;
+    * the label column is any ±1 supervision signal, e.g. "is this the
+    * high-resource language" or a curated good/bad seed set).
+    *
+    * The batch perceptron update is ALL-INTEGER — no learning rate, no
+    * division: w⁽¹⁾ = Σᵢ yᵢxᵢ (with w⁽⁰⁾ = 0 every document starts
+    * misclassified), then each further step adds Σ yᵢxᵢ over the
+    * currently misclassified documents (yᵢ·marginᵢ ≤ 0). Integer sums
+    * are associative, so the trained weights are bit-identical across
+    * engines and partitionings — the DuckDB oracle reproduces them
+    * exactly (the same reason [[hashedLinearScore]] and the k-means
+    * quantizer stay integer).
+    *
+    * Scale shape: the (id, y, bucket, count) feature frame is built
+    * once (explode → hash → one hash-agg) and CacheScope-persisted
+    * across iterations; each iteration is margin = feats ⋈ BROADCAST
+    * weights → per-doc agg (slim rows), a left-semi join of feats
+    * against the misclassified ids on the same id hash-partitioning,
+    * and a per-feature agg down to `dim` rows. The weight frame never
+    * exceeds `dim` rows, so it broadcasts everywhere; iterations are
+    * unrolled ([[graft.scale.KMeans]] regime — each adds a fixed set of
+    * exchanges, no driver loop on data).
+    *
+    * @return (feature_id, weight) — `dim`-bounded, exact integers
+    */
+  def perceptronTrain(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 64,
+      iters: Int = 2): DataFrame = {
+    require(dim > 0 && dim <= (1 << 20), s"dim must be in (0, 2^20], got $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val feats = graft.ops.CacheScope.persisted(
+      docs
+        .select(
+          col(idCol).as("id"),
+          col(labelCol).cast("long").as("y"),
+          explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("id"), col("y"), hashBucket(col("tok"), dim).as("j"))
+        .groupBy(col("id"), col("y"), col("j"))
+        .agg(count(lit(1)).as("c")))
+    // w⁰ = 0 ⇒ every margin is 0 ⇒ every doc misclassified ⇒ the first
+    // step is the plain label-weighted count, computed directly
+    val w1 = feats.groupBy(col("j")).agg(sum(col("y") * col("c")).as("w"))
+    val trained = (2 to iters).foldLeft(w1) { (w, _) =>
+      val margins = feats
+        .join(broadcast(w), Seq("j"), "left")
+        .groupBy(col("id"), col("y"))
+        .agg(sum(coalesce(col("w"), lit(0L)) * col("c")).as("m"))
+      val mis = margins.filter(col("y") * col("m") <= 0).select(col("id"))
+      val upd = feats
+        .join(mis, Seq("id"), "left_semi")
+        .groupBy(col("j"))
+        .agg(sum(col("y") * col("c")).as("dw"))
+      // upd's keys ⊆ w's keys (both derive from feats' buckets), but
+      // keep the join total for safety
+      w.join(upd, Seq("j"), "full")
+        .select(
+          col("j"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+    }
+    trained.select(col("j").as("feature_id"), col("w").as("weight"))
+  }
+
   /** Hashed-feature linear document scorer — the fastText-style quality
     * classifier shape (bag of words → feature hashing → linear margin):
     * each token hashes to one of `dim` feature buckets, the document's

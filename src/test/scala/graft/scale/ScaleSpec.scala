@@ -391,6 +391,28 @@ class ScaleSpec extends SparkSpec {
     assert(keep.size < ids.size) // the low threshold must actually prune
   }
 
+  test("perceptronTrain: first step is exactly X'y; separable data is a fixed point") {
+    // two disjoint vocabularies, labels follow the vocabulary
+    val train = ((1L to 8L).map(i => (i, s"good_$i nice_$i fine_$i", 1L)) ++
+      (11L to 18L).map(i => (i, s"bad_$i awful_$i poor_$i", -1L)))
+      .toDF("doc_id", "text", "y")
+    val w1 = TextStats.perceptronTrain(train, "doc_id", "text", "y", dim = 256, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // independent X'y derivation: every token occurs once, so each hit
+    // bucket's weight is the sum of its tokens' labels
+    val expected = train.select($"y", explode(split($"text", " ")).as("tok"))
+      .select(TextStats.hashBucket($"tok", 256).as("j"), $"y")
+      .groupBy("j").agg(sum("y").as("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(w1 === expected)
+    // w1 separates the disjoint vocabularies (modulo the recorded
+    // absence of cross-class bucket ties), so step 2 finds no
+    // misclassified docs and the weights are a fixed point
+    val w2 = TextStats.perceptronTrain(train, "doc_id", "text", "y", dim = 256, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(w2 === w1)
+  }
+
   test("law: auto centroid stride tracks √N — 100× corpus gives ~10× lists") {
     def nlistFor(n: Long): Long = {
       val ids = (0L until n).toDF("vec_id")
