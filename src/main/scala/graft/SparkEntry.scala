@@ -1483,6 +1483,17 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
       TextStats.perceptronTrain(docs, "doc_id", "text", "y", dim = 64, iters = 2)
+    }),
+
+    // --- scale: train → serve composition — q96's trained weights score
+    // the same corpus (the curation loop: train a quality/lang model on
+    // a labeled seed, filter the corpus with it) -----------------------------
+    "q97_train_serve" -> ((s, dir) => {
+      val raw = t(s, dir, "documents")
+      val w = TextStats.perceptronTrain(
+        raw.withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L)),
+        "doc_id", "text", "y", dim = 64, iters = 2)
+      TextStats.scoreWithWeights(raw, "doc_id", "text", w, dim = 64)
     })
   )
 
@@ -3216,6 +3227,31 @@ object SparkEntry {
         |SELECT w1.j AS feature_id,
         |  CAST(w1.w + coalesce(upd2.dw, 0) AS BIGINT) AS weight
         |FROM w1 LEFT JOIN upd2 USING (j)""".stripMargin,
+
+    // q96's training CTEs + a margin-scoring pass with the final weights
+    "q97_train_serve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, y,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS j, count(*) AS c
+        |  FROM tok WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+        |w1 AS (SELECT j, CAST(sum(y * c) AS BIGINT) AS w FROM feat GROUP BY j),
+        |m2 AS (
+        |  SELECT f.doc_id, f.y, CAST(sum(w1.w * f.c) AS BIGINT) AS m
+        |  FROM feat f JOIN w1 USING (j) GROUP BY 1, 2),
+        |mis2 AS (SELECT doc_id FROM m2 WHERE y * m <= 0),
+        |upd2 AS (
+        |  SELECT j, CAST(sum(y * c) AS BIGINT) AS dw
+        |  FROM feat WHERE doc_id IN (SELECT doc_id FROM mis2) GROUP BY j),
+        |wf AS (
+        |  SELECT w1.j, CAST(w1.w + coalesce(upd2.dw, 0) AS BIGINT) AS w
+        |  FROM w1 LEFT JOIN upd2 USING (j))
+        |SELECT f.doc_id, CAST(sum(wf.w * f.c) AS BIGINT) AS margin,
+        |  CAST(CASE WHEN sum(wf.w * f.c) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+        |FROM feat f JOIN wf USING (j) GROUP BY f.doc_id""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -588,6 +588,32 @@ object TextStats {
     trained.select(col("j").as("feature_id"), col("w").as("weight"))
   }
 
+  /** Serving against a TRAINED weight frame — the composition target of
+    * [[perceptronTrain]] (whose (feature_id, weight) output plugs in
+    * directly): margin = Σ weight(bucket(token)), label = margin > 0.
+    * Same integer bit-stability contract as [[hashedLinearScore]];
+    * unknown buckets score 0 (the left join's coalesce), so a model
+    * trained on one corpus serves any other. The weight frame is
+    * dim-bounded → broadcast; the corpus side is one explode + one
+    * hash-agg, no shuffle beyond the per-doc sum.
+    */
+  def scoreWithWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      dim: Int = 64): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), hashBucket(col("tok"), dim).as("feature_id"))
+      .join(broadcast(weights), Seq("feature_id"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("margin"))
+      .withColumn("label", (col("margin") > 0).cast("long"))
+
   /** Hashed-feature linear document scorer — the fastText-style quality
     * classifier shape (bag of words → feature hashing → linear margin):
     * each token hashes to one of `dim` feature buckets, the document's

@@ -180,6 +180,42 @@ object StreamingOps {
       .filter(col("n_hits") > 0)
   }
 
+  /** Streaming classifier serving — score an arriving document stream
+    * with a TRAINED hashed-feature linear model (the continuous form of
+    * [[graft.scale.TextStats.scoreWithWeights]], fed by
+    * `perceptronTrain`'s (feature_id, weight) output frozen at stream
+    * start). STATELESS by the same argument as [[decontaminateStream]]:
+    * a document arrives whole, its margin is a per-row fold of its own
+    * tokens against the dim-bounded weight map (driver-sized by
+    * contract — `dim` ≤ 2^20 and in practice tiny) — no watermark, no
+    * state store, no shuffle. Integer weights keep the margin
+    * bit-identical to the batch operator (StreamingOpsSpec pins
+    * equality). Model refresh = restart the query with a new snapshot,
+    * the standard frozen-model serving contract.
+    */
+  def classifyStream(
+      docs: DataFrame,
+      weights: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64): DataFrame = {
+    val w: Map[Long, Long] = weights
+      .select(col("feature_id").cast("long"), col("weight").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wMap = typedlit(w)
+    docs
+      .select(
+        col(idCol),
+        aggregate(
+          filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0),
+          lit(0L),
+          (acc, t) => acc + coalesce(
+            element_at(wMap,
+              graft.scale.TextStats.hashBucket(t, dim)), lit(0L)))
+          .as("margin"))
+      .withColumn("label", (col("margin") > 0).cast("long"))
+  }
+
   /** Streaming retrieval — STANDING QUERIES over a document stream
     * (the alerting/routing form of q90's [[graft.scale.Retrieval]]:
     * "tell me when a document matching this benchmark prompt

@@ -206,6 +206,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifyStream == batch scoreWithWeights under frozen trained weights") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val trained = graft.scale.TextStats.perceptronTrain(
+      docs.withColumn("y",
+        org.apache.spark.sql.functions.when(col("lang") === "en", 1L).otherwise(-1L)),
+      "doc_id", "text", "y", dim = 64, iters = 2)
+    val batch = graft.scale.TextStats
+      .scoreWithWeights(docs, "doc_id", "text", trained, dim = 64)
+      .select("doc_id", "margin", "label")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.ops.CacheScope.releaseAll()
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.classifyStream(
+      input.toDF().toDF("doc_id", "text"), trained, "doc_id", "text", dim = 64)
+      .writeStream.format("memory").queryName("clf_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("clf_eq")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("retrieveStream == batch searchTopK scores under the frozen index stats") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
