@@ -43,6 +43,12 @@ object Bench {
         if (ok) dt else -1.0
       }
       val good = times.filter(_ >= 0)
+      // GC hint OUTSIDE the timed window: a ~100-query single-JVM sweep
+      // otherwise inflates its own tail (just-released cache blocks +
+      // codegen churn raise later queries 2-8x vs a fresh JVM — measured
+      // in the r10 sf1 sweep); reclaiming between queries keeps each
+      // row measuring the query, not the sweep's accumulated state
+      System.gc()
       name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
