@@ -147,6 +147,7 @@ object Profile {
           dt
         }
         println(f"[time] $q rows=$rows t=${times.min}%.2fs")
+        System.gc() // outside the timed window — see Bench's tail note
       }
       spark.stop()
       return
@@ -400,6 +401,7 @@ object Profile {
               dt
             }
             println(f"[sf1bench] $tag $q rows=$rows t=${times.min}%.2fs")
+            System.gc() // outside the timed window — see Bench's tail note
             q -> (rows, times.min)
           }.toMap
       }

@@ -292,4 +292,20 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("NO query plan contains a CartesianProduct (scale-killer guard)") {
+    // The non-broadcast cartesian join is the worst scale class: |A|·|B|
+    // rows with BOTH sides shuffled to every pairing task. Every
+    // sanctioned cross join in the surface (1-row stats frames,
+    // dim-sized centroid/plane frames) must plan as
+    // BroadcastNestedLoopJoin — if one ever degrades to
+    // CartesianProductExec (e.g. a broadcast hint lost in a refactor,
+    // or a stats regression making Spark think both sides are big),
+    // this guard names it before the driver's bench melts.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val n = countNodes(planOf(q), _.nodeName.contains("CartesianProduct"))
+      if (n > 0) Some(s"$q has $n CartesianProduct(s)") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
