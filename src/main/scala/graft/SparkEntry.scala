@@ -1494,6 +1494,18 @@ object SparkEntry {
         raw.withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L)),
         "doc_id", "text", "y", dim = 64, iters = 2)
       TextStats.scoreWithWeights(raw, "doc_id", "text", w, dim = 64)
+    }),
+
+    // --- scale: incremental sketch-store merge — per-source CMS
+    // sketches element-wise merged == the whole-corpus sketch; the
+    // merged 4×256 counter table is emitted as rows so DuckDB can
+    // rebuild it cell-for-cell from the raw grams -----------------------------
+    "q98_cms_merge" -> ((s, dir) => {
+      val perSource = TextStats.cmsSketchByGroup(
+        t(s, dir, "documents"), "source", "text", n = 3, depth = 4, width = 256)
+      TextStats.mergeCmsSketches(perSource, "sk")
+        .select(posexplode(col("sk")).as(Seq("pos", "counter")))
+        .select(col("pos").cast("long").as("pos"), col("counter"))
     })
   )
 
@@ -3252,6 +3264,27 @@ object SparkEntry {
         |SELECT f.doc_id, CAST(sum(wf.w * f.c) AS BIGINT) AS margin,
         |  CAST(CASE WHEN sum(wf.w * f.c) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
         |FROM feat f JOIN wf USING (j) GROUP BY f.doc_id""".stripMargin,
+
+    // q86's cell construction, but emitting the FULL flat counter table
+    // (zeros included — the merged array has all depth*width positions)
+    "q98_cms_merge" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |occ AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |jd AS (SELECT * FROM (VALUES (0, 1), (1, 256), (2, 65536), (3, 16777216)) AS v(j, d)),
+        |base AS (
+        |  SELECT ('0x' || substr(md5(gram), 1, 12))::BIGINT AS b FROM occ),
+        |cells AS (
+        |  SELECT j, (b // d) % 256 AS bucket, count(*) AS c
+        |  FROM base CROSS JOIN jd GROUP BY 1, 2),
+        |allpos AS (
+        |  SELECT j, bucket FROM jd, unnest(generate_series(0, 255)) AS u(bucket))
+        |SELECT CAST(a.j * 256 + a.bucket AS BIGINT) AS pos,
+        |  CAST(coalesce(c.c, 0) AS BIGINT) AS counter
+        |FROM allpos a LEFT JOIN cells c ON a.j = c.j AND a.bucket = c.bucket""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -653,6 +653,41 @@ object TextStats {
       .withColumn("label", (col("margin") > 0).cast("long"))
   }
 
+  /** Per-group n-gram count-min sketches — the WRITE side of an
+    * incremental sketch store: each group (a source, a shard, a day's
+    * landing dir) aggregates to one `array<bigint>` counter row via
+    * [[graft.functions.CmsSketch]], and those rows persist wherever the
+    * pipeline keeps state.
+    */
+  def cmsSketchByGroup(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      depth: Int = 4,
+      width: Int = 256): DataFrame =
+    ngramOccurrences(docs, groupCol, textCol, n)
+      .groupBy(col("id").as(groupCol))
+      .agg(graft.functions.CmsSketch(col("gram"), depth, width).as("sk"))
+
+  /** Element-wise merge of STORED count-min sketches — the incremental
+    * corpus-frequency contract: counters are plain sums, so
+    * `sketch(A ∪ B) == merge(sketch(A), sketch(B))` EXACTLY (not
+    * approximately — the sketch is deterministic given its inputs).
+    * Daily/per-shard sketch rows land in a store; any window's summary
+    * is then one merge over depth·width-long rows — never a corpus
+    * rescan. Shape: posexplode → slim (pos, partial-sum) hash-agg →
+    * one dim-bounded reassembly row; nothing here scales with the
+    * corpus, only with the number of stored sketches.
+    */
+  def mergeCmsSketches(sketches: DataFrame, skCol: String): DataFrame =
+    sketches
+      .select(posexplode(col(skCol)).as(Seq("pos", "c")))
+      .groupBy(col("pos"))
+      .agg(sum(col("c")).as("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as(skCol))
+
   def cmsHeavyHitters(
       docs: DataFrame,
       idCol: String,

@@ -36,6 +36,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(500))
   }
 
+  test("argmax_tie_min is partitioning-invariant (merge path == single partition)") {
+    // ties planted across partitions: the merge expressions must
+    // resolve (score, then min id) identically however rows are split
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 500L).map { i =>
+      (i % 7, i, (rnd.nextInt(5) * 0.25): Double) // few distinct scores -> many ties
+    }
+    val base = rows.toDF("g", "id", "score")
+    def result(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("g")
+      .agg(graft.functions.ArgMaxTieMin(col("id"), col("score")).as("best"))
+      .as[(Long, Long)].collect().toMap
+    val one = result(base.coalesce(1))
+    (2 to 13 by 11).foreach { p =>
+      assert(result(base.repartition(p)) === one, s"diverged at $p partitions")
+    }
+  }
+
   test("non-literal maxBytes is rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

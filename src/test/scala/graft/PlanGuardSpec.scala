@@ -276,12 +276,14 @@ class PlanGuardSpec extends SparkSpec {
     //   q90: the global (n_docs, avgdl) stats — one partially-aggregated
     //        row per upstream partition of the cached postings
     //   q94: the global Σ isqrt(n_domain) — over the domain-sized frame
+    //   q98: the merged-sketch reassembly — the exchange carries at most
+    //        depth·width (pos, count) rows (1024 here) at ANY corpus size
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
       "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1,
       "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1, "q90_retrieval" -> 1,
-      "q94_temperature_mix" -> 1)
+      "q94_temperature_mix" -> 1, "q98_cms_merge" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

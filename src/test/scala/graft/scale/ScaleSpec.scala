@@ -391,6 +391,18 @@ class ScaleSpec extends SparkSpec {
     assert(keep.size < ids.size) // the low threshold must actually prune
   }
 
+  test("law: merged per-group CMS sketches == the whole-corpus sketch, exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val whole = TextStats
+      .cmsSketchByGroup(docs.withColumn("one", lit(1)), "one", "text", n = 3)
+      .select("sk").as[Seq[Long]].head()
+    val merged = TextStats.mergeCmsSketches(
+      TextStats.cmsSketchByGroup(docs, "source", "text", n = 3), "sk")
+      .as[Seq[Long]].head()
+    assert(merged === whole)
+    assert(merged.sum > 0) // the corpus actually contributed counts
+  }
+
   test("perceptronTrain: first step is exactly X'y; separable data is a fixed point") {
     // two disjoint vocabularies, labels follow the vocabulary
     val train = ((1L to 8L).map(i => (i, s"good_$i nice_$i fine_$i", 1L)) ++
