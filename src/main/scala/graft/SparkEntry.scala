@@ -1506,6 +1506,17 @@ object SparkEntry {
       TextStats.mergeCmsSketches(perSource, "sk")
         .select(posexplode(col("sk")).as(Seq("pos", "counter")))
         .select(col("pos").cast("long").as("pos"), col("counter"))
+    }),
+
+    // --- scale: integer PageRank over a deterministic host graph (the
+    // crawl-quality prior; 2 unrolled steps, milli-ranks, dropped
+    // dangling mass mirrored by the oracle) -----------------------------------
+    "q99_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 101).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + 3) % 101).cast("string")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      LinkGraph.pagerankMilli(edges, "src", "dst", iters = 2)
     })
   )
 
@@ -3285,6 +3296,31 @@ object SparkEntry {
         |SELECT CAST(a.j * 256 + a.bucket AS BIGINT) AS pos,
         |  CAST(coalesce(c.c, 0) AS BIGINT) AS counter
         |FROM allpos a LEFT JOIN cells c ON a.j = c.j AND a.bucket = c.bucket""".stripMargin,
+
+    // all quantities non-negative, so DuckDB's floor // equals Spark's
+    // truncating div; two rank steps as CTEs, dangling mass dropped
+    "q99_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'h' || (doc_id % 101) AS src,
+        |    'h' || ((doc_id * 7 + 3) % 101) AS dst
+        |  FROM documents
+        |  WHERE 'h' || (doc_id % 101) <> 'h' || ((doc_id * 7 + 3) % 101)),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000 AS BIGINT) AS rank FROM n),
+        |c1 AS (
+        |  SELECT e.dst AS node, CAST(sum(r0.rank // od.outdeg) AS BIGINT) AS inflow
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node, CAST(150 + (850 * coalesce(c1.inflow, 0)) // 1000 AS BIGINT) AS rank
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node, CAST(sum(r1.rank // od.outdeg) AS BIGINT) AS inflow
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node, CAST(150 + (850 * coalesce(c2.inflow, 0)) // 1000 AS BIGINT) AS rank
+        |  FROM n LEFT JOIN c2 USING (node))
+        |SELECT node, rank FROM r2""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

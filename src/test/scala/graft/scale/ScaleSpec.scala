@@ -391,6 +391,16 @@ class ScaleSpec extends SparkSpec {
     assert(keep.size < ids.size) // the low threshold must actually prune
   }
 
+  test("pagerankMilli: hand-computed ranks on a 3-node chain; dedup of repeated edges") {
+    // a -> b -> c, with the a->b edge repeated (must dedup):
+    //   r1 = (150, 1000, 1000)
+    //   r2 = (150, 150 + (850*150) div 1000 = 277, 150 + 850 = 1000)
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("s", "d")
+    val r = LinkGraph.pagerankMilli(edges, "s", "d", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r === Map("a" -> 150L, "b" -> 277L, "c" -> 1000L))
+  }
+
   test("law: merged per-group CMS sketches == the whole-corpus sketch, exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val whole = TextStats
