@@ -1517,6 +1517,19 @@ object SparkEntry {
         concat(lit("h"), ((col("doc_id") * 7 + 3) % 101).cast("string")).as("dst"))
         .filter(col("src") =!= col("dst"))
       LinkGraph.pagerankMilli(edges, "src", "dst", iters = 2)
+    }),
+
+    // --- scale: leakage-safe split — the split bucket hashes q50's
+    // near-dup cluster REPRESENTATIVE, so connected documents share a
+    // split by construction (eval never sees a near-copy of train) -----------
+    "q100_leakage_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 10 <= 2)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val cross = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 5).as("id_b"))
+      Sampling.leakageSafeSplit(
+        d, chain.unionByName(cross), "doc_id", "id_a", "id_b")
     })
   )
 
@@ -3321,6 +3334,33 @@ object SparkEntry {
         |  SELECT n.node, CAST(150 + (850 * coalesce(c2.inflow, 0)) // 1000 AS BIGINT) AS rank
         |  FROM n LEFT JOIN c2 USING (node))
         |SELECT node, rank FROM r2""".stripMargin,
+
+    // q50's CC CTEs give the representative; the split bucket is the
+    // md5 permille of the rep (singletons = own id)
+    "q100_leakage_split" ->
+      """WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM base WHERE doc_id % 10 <= 2
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 5 FROM base WHERE doc_id % 20 = 0),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |r AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+        |reps AS (SELECT a AS id, least(a, min(b)) AS rep FROM r GROUP BY a),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(reps.rep, d.doc_id) AS rep
+        |  FROM base d LEFT JOIN reps ON d.doc_id = reps.id),
+        |b AS (
+        |  SELECT doc_id, rep,
+        |    ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 1000 AS bucket
+        |  FROM assigned)
+        |SELECT doc_id, rep,
+        |  CASE WHEN bucket < 100 THEN 'test'
+        |       WHEN bucket < 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM b""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

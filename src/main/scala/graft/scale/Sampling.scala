@@ -29,6 +29,50 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Leakage-safe train/val/test split: the split bucket hashes the
+    * NEAR-DUP CLUSTER REPRESENTATIVE, not the document id — any two
+    * documents connected by a near-dup pair share a representative
+    * ([[Dedup.connectedComponents]] min-label) and therefore land in
+    * the same split by construction, so eval can never contain a
+    * near-copy of a training document (the classic contamination bug a
+    * per-document random split invites). Singleton documents (no pair)
+    * are their own representative. Deterministic: the bucket is the
+    * md5 permille of the representative id, so the same corpus + pair
+    * list always yields the same split.
+    *
+    * Scale shape: cluster formation is the CC operator (size-switched
+    * driver union-find / distributed min-label); the assignment itself
+    * is one left join against the pair-bounded rep frame plus per-row
+    * hashing — the corpus never shuffles on anything but the id join
+    * key.
+    *
+    * @return (idCol, rep, split) with split ∈ {train, val, test}
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      aCol: String,
+      bCol: String,
+      testPermille: Int = 100,
+      valPermille: Int = 100): DataFrame = {
+    require(testPermille >= 0 && valPermille >= 0 &&
+      testPermille + valPermille <= 1000, "permilles must fit in [0, 1000]")
+    val reps = Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    docs
+      .join(reps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+      .withColumn(
+        "bucket", TextStats.hashBucket(col("rep").cast("string"), 1000))
+      .withColumn(
+        "split",
+        when(col("bucket") < testPermille, "test")
+          .when(col("bucket") < testPermille + valPermille, "val")
+          .otherwise("train"))
+      .select(col(idCol), col("rep"), col("split"))
+  }
+
   def topNPerGroup(
       df: DataFrame,
       groupCol: String,

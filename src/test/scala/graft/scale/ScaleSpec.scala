@@ -391,6 +391,28 @@ class ScaleSpec extends SparkSpec {
     assert(keep.size < ids.size) // the low threshold must actually prune
   }
 
+  test("leakageSafeSplit: no cluster straddles splits; singletons covered; fractions sane") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id")
+    val pairs = d.filter($"doc_id" % 4 === 0)
+      .select($"doc_id".as("id_a"), ($"doc_id" + 1).as("id_b"))
+    val out = Sampling.leakageSafeSplit(d, pairs, "doc_id", "id_a", "id_b")
+    // THE invariant: a cluster maps to exactly one split
+    assert(out.groupBy("rep").agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count() === 0)
+    // total coverage: every document got a split
+    assert(out.count() === d.count())
+    // paired docs share their rep's split
+    val byId = out.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      if (byId.contains(b)) assert(byId(a) === byId(b), s"pair ($a,$b) straddles")
+    }
+    // md5 permille buckets: train dominates, both holdouts non-empty
+    val frac = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(frac.getOrElse("train", 0L) > frac.getOrElse("val", 0L))
+    assert(frac.getOrElse("val", 0L) > 0 && frac.getOrElse("test", 0L) > 0)
+  }
+
   test("pagerankMilli: hand-computed ranks on a 3-node chain; dedup of repeated edges") {
     // a -> b -> c, with the a->b edge repeated (must dedup):
     //   r1 = (150, 1000, 1000)
