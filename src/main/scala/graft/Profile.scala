@@ -58,6 +58,9 @@ object Profile {
       val s2 = SparkSession.builder()
         .master(s"local[4]")
         .config("spark.sql.extensions", "graft.GraftExtensions")
+        // every graft entry point pins UTC: SparkEntry.t()'s timestamp
+        // normalization (unix_micros of an NTZ->TZ cast) depends on it
+        .config("spark.sql.session.timeZone", "UTC")
         .appName("ext-demo")
         .getOrCreate()
       val row = s2.sql(
@@ -73,6 +76,10 @@ object Profile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC like Bench/Verify/SparkSpec: SparkEntry.t()'s timestamp
+      // normalization relies on the session zone, so a host-local zone
+      // here would shift q10/q49/streaming ts values vs the oracle
+      .config("spark.sql.session.timeZone", "UTC")
       // profiling harness only: q38's ORACLE parameterization is
       // deliberately quadratic at 10x (bulk-tail threshold, 3-bit band
       // space — see BASELINE sf1 smoke), and its AQE broadcast collect

@@ -66,7 +66,6 @@ object LoadMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(xmlPath, storeDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -75,12 +74,64 @@ object LoadMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val counters = run(spark, xmlPath, storeDir)
+    val counters = args.toSeq match {
+      // daily-load convention (S1): resolve the newest dated landing
+      // dir and load it, a no-op when that release was already loaded
+      case Seq("--landing", root, storeDir, _*) =>
+        runLatest(spark, root, storeDir) match {
+          case Some(c) => c
+          case None =>
+            println("[load] landing: no new release to load"); Map.empty[(String, String), Long]
+        }
+      case Seq(xmlPath, storeDir, _*) => run(spark, xmlPath, storeDir)
+      case _ => sys.error(
+        "usage: LoadMain (<vcv-xml> <store-dir> | --landing <landing-root> <store-dir>)")
+    }
     counters.toSeq.sorted.foreach { case ((entity, action), n) =>
       println(s"[load] $entity.$action: $n")
     }
     spark.stop()
   }
+
+  /** The stamp of the release a store last loaded via [[runLatest]];
+    * kept as a one-line marker file next to the snapshots.
+    */
+  def lastLoadedStamp(spark: SparkSession, storeDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, "_last_landing")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** S1 wired END-TO-END (reference `Downloader.java:15-24`'s dated
+    * local copies + "re-read only if new"): resolve the newest dated
+    * subdirectory of `landingRoot` via
+    * [[graft.ingest.CorpusIO.latestSnapshot]], load it against the
+    * store, and record its stamp in the store's `_last_landing` marker.
+    * Returns None — a NO-OP, nothing read, nothing written — when no
+    * dated dir exists or the newest one was already loaded; the daily
+    * cron just calls this unconditionally.
+    */
+  def runLatest(
+      spark: SparkSession,
+      landingRoot: String,
+      storeDir: String): Option[Map[(String, String), Long]] =
+    graft.ingest.CorpusIO.latestSnapshot(spark, landingRoot).flatMap { dir =>
+      val stamp = new org.apache.hadoop.fs.Path(dir).getName
+      if (lastLoadedStamp(spark, storeDir).contains(stamp)) None
+      else {
+        val counters = run(spark, dir, storeDir)
+        val p = new org.apache.hadoop.fs.Path(storeDir, "_last_landing")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+        Some(counters)
+      }
+    }
 
   /** One full load pass against the store under `storeDir` (bootstraps
     * empty). Returns the (entity, action) -> count counters — also the

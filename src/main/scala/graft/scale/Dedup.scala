@@ -45,47 +45,31 @@ object Dedup {
       xxhash64(lit(b), array_join(slice(sigCol, b * rowsPerBand + 1, rowsPerBand), ","))
     }: _*)
 
-  /** Prune band keys whose population falls outside [minBucket,
-    * maxBucket] BEFORE any collect_list materializes members: a count
-    * aggregation (map-side partials, slim rows) finds surviving keys,
-    * and the member-carrying frame joins back on the same key. The join
-    * and the downstream collect hash-partition identically, so the
-    * prune costs one slim count shuffle — an exhausted band space never
-    * buffers ~N/band-space members in a single aggregation buffer (the
-    * executor-OOM mode the cap exists to prevent).
+  /** Per-band member lists under a hard bucket cap — the LSH skew
+    * guard. Buckets that exceed `maxBucket` members (degenerate or
+    * boilerplate content funneling into one band key, the condition
+    * that would make pair work explode as bucket² and buffer ~N members
+    * in one aggregation buffer) evaluate to NULL INSIDE the aggregation
+    * itself ([[graft.functions.BoundedCollectList]] — buffer memory
+    * bounded at cap+1 members per group, map-side and merge-side) and
+    * the filter drops them. One shuffle total, NO driver probe: unlike
+    * the earlier count+join prune, constructing this frame never runs a
+    * Spark job (the plan stays fully lazy until the caller's first
+    * action — ScaleSpec pins this with a job listener), and sub-cap
+    * buckets of every size are retained in BOTH regimes (singletons
+    * yield no pairs downstream, so retention is harmless and the
+    * capped/uncapped shapes agree wherever no bucket overflows).
     */
-  private def withoutOversizedBuckets(
-      banded: DataFrame, maxBucket: Int, minBucket: Int = 2): DataFrame =
-    if (maxBucket == Int.MaxValue) {
-      // cap disabled (oracle 1:1 shape): the prune would only drop
-      // sub-minBucket buckets, and those yield no pairs downstream
-      // anyway (pair explode needs >= 2 members) — skip its count+join
-      // exchanges and the cache entirely
+  private def bucketMembers(
+      banded: DataFrame, member: Column, maxBucket: Int, out: String): DataFrame =
+    if (maxBucket == Int.MaxValue)
+      // cap disabled (oracle 1:1 shape): plain collect_list
+      banded.groupBy("band").agg(collect_list(member).as(out))
+    else
       banded
-    } else {
-      val bandedP = graft.ops.CacheScope.persisted(banded)
-      val counts = bandedP.groupBy("band").count()
-      // One driver-readable scalar decides whether the member join runs
-      // at all: on healthy corpora NO bucket exceeds the cap, and the
-      // join back would be pure overhead (measured 2.5x on the sf0.1
-      // incremental-dedup bench) paid on every query to guard against a
-      // condition that isn't present. The count agg itself is the cheap
-      // half (slim two-long rows, map-side partials); keeping only its
-      // max costs one scan of the already-persisted banding. Sub-
-      // minBucket buckets are left in place on the fast path — they
-      // produce no pairs downstream (pair explode needs a partner), so
-      // dropping them was never load-bearing for correctness, only a
-      // collect_list buffer trim that the no-skew case doesn't need.
-      val maxRow = counts.agg(max(col("count"))).head()
-      val anyOversize = !maxRow.isNullAt(0) && maxRow.getLong(0) > maxBucket
-      if (!anyOversize) bandedP
-      else {
-        val ok = counts
-          .filter(col("count").between(minBucket, maxBucket))
-          .select("band")
-        bandedP.join(ok, Seq("band"))
-      }
-    }
+        .groupBy("band")
+        .agg(graft.functions.BoundedCollectList(member, maxBucket).as(out))
+        .filter(col(out).isNotNull)
 
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with true
     * shingle-set Jaccard >= `threshold`. Returns (id_a, id_b, jaccard)
@@ -110,14 +94,8 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("band", explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
 
-    // the prune makes withSig a TWO-consumer frame (count + member
-    // join); the helper persists it so the shingle explode computes
-    // once. This variant's persisted frame carries shingle arrays —
-    // fine for its convenience role; the production path is
-    // [[minhashPairsExact]], whose persisted frames stay shingle-free.
-    val buckets = withoutOversizedBuckets(withSig, maxBucket)
-      .groupBy("band")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+    val buckets = bucketMembers(
+      withSig, struct(col("id"), col("sh")), maxBucket, "members")
 
     val pairs = buckets
       .select(explode(col("members")).as("a"), col("members"))
@@ -167,16 +145,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
 
-    // SLIM (id, band) rows: the bucket prune consumes the banding twice
-    // (count + member join), and without the helper's cache each
-    // consumer would re-run the md5-per-shingle signature pipeline —
-    // measured 2x wall-clock on the sf1 bench. Shingle text never
-    // persists (the rows are two longs), keeping the 100 TB contract.
+    // SLIM (id, band) rows into ONE capped aggregation — the banding has
+    // a single consumer, so nothing here needs a cache, and shingle text
+    // never shuffles (the rows are two longs), keeping the 100 TB
+    // contract.
     val banded = bandKeysOf(sig, bands, numHashes / bands)
 
-    val buckets = withoutOversizedBuckets(banded, maxBucket)
-      .groupBy("band")
-      .agg(collect_list(col("id")).as("ids"))
+    val buckets = bucketMembers(banded, col("id"), maxBucket, "ids")
     // the LSH-bounded candidate list is tiny next to the corpus; persist
     // it — three consumers below (both verify-side id joins and the pair
     // join itself) would re-run the whole band pipeline otherwise.
@@ -420,16 +395,11 @@ object Dedup {
       threshold: Double = 0.2,
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // minBucket = 1: a single-member corpus bucket is still a valid
-    // probe target (the pair forms against the NEW side, not in-bucket).
-    // The helper's slim (id, band) cache spans the prune's two
-    // consumers — a bounded per-query cache of two-long rows, NOT the
-    // caller-owned index persistence (which stays the caller's
-    // decision, per this function's contract).
-    val corpBuckets = withoutOversizedBuckets(
-        bandKeysOf(sigCorp, bands, rowsPerBand), maxBucket, minBucket = 1)
-      .groupBy("band")
-      .agg(collect_list(col("id")).as("ids"))
+    // single-member corpus buckets stay valid probe targets (the pair
+    // forms against the NEW side, not in-bucket) — bucketMembers keeps
+    // every sub-cap bucket, so no minBucket parameter is needed here
+    val corpBuckets = bucketMembers(
+      bandKeysOf(sigCorp, bands, rowsPerBand), col("id"), maxBucket, "ids")
     // persisted: the candidate list feeds both verify-side semi-joins
     // and the final pair join — LSH-bounded, tiny next to the corpus;
     // CacheScope-registered so the query driver can release it

@@ -69,6 +69,22 @@ object Retrieval {
     * distinct query term votes once — standard bag-of-terms probing).
     * Output: (query_id, rank, doc_id, score) with rank 1-based,
     * deterministic ties (score desc, doc_id asc).
+    *
+    * `maxDfPermille` is the DEGENERATE-VOCABULARY guard — the classic
+    * stop-word cut: a term whose document frequency exceeds
+    * `maxDfPermille`/1000 of the corpus contributes NOTHING (it is
+    * dropped before the scoring aggregation), which bounds scored pairs
+    * at Σ min(df, ceil·N) per query term even when the vocabulary is so
+    * small that idf pruning fails (every term near-ubiquitous — the
+    * regime where scored pairs otherwise grow ~queries·N and the
+    * operator turns quadratic at scale). RECALL CONTRACT: dropping a
+    * term loses exactly its additive score contribution; for genuinely
+    * ubiquitous terms the integer idf is already ~0 (df ≈ N ⇒
+    * `idf_milli = 1000·(N−df+1) div (df+1) = 0` once df+1 > 1000·(N−df+1)),
+    * so the cut changes nothing on corpora ≥ ~1000 docs — the
+    * capped==uncapped equality RetrievalKMeansSpec pins. The default
+    * 1000 (= 100% of N) disables the cut: the DuckDB-oracle shape, like
+    * `cosineNearDupPairs`' unbounded `maxBucket`.
     */
   def searchTopK(
       corpus: DataFrame,
@@ -77,8 +93,11 @@ object Retrieval {
       textCol: String,
       queryIdCol: String,
       queryTextCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxDfPermille: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
 
     val postings = graft.ops.CacheScope.persisted(
       corpus
@@ -95,6 +114,17 @@ object Retrieval {
 
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
 
+    // the stop-word cut happens at the VOCABULARY level, before the
+    // postings probe's output reaches the scoring shuffle: the capped
+    // (term, df) frame inner-joins the probe, so postings of over-ceiling
+    // terms never enter the (query_id, doc_id) aggregation
+    val dfreqKept =
+      if (maxDfPermille >= 1000) dfreq
+      else dfreq
+        .crossJoin(broadcast(stats.select("n_docs")))
+        .filter(col("df") * 1000 <= col("n_docs") * maxDfPermille)
+        .select("term", "df")
+
     val qterms = broadcast(
       queries
         .select(col(queryIdCol).as("query_id"), explode(toks(col(queryTextCol))).as("term"))
@@ -102,7 +132,7 @@ object Retrieval {
 
     val scored = postings
       .join(qterms, "term")
-      .join(dfreq, "term") // un-hinted: AQE broadcasts while vocab fits
+      .join(dfreqKept, "term") // un-hinted: AQE broadcasts while vocab fits
       .join(doclen, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("rel_milli", expr("(1000 * dl) div avgdl"))

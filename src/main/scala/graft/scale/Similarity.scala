@@ -279,6 +279,31 @@ object Similarity {
     else math.max(1L, n / math.max(1L, math.round(math.sqrt(n.toDouble))))
   }
 
+  /** Auto-stride resolution with a NON-EMPTY guarantee: one aggregation
+    * derives the √N stride AND the corpus minimum id, and the auto path
+    * selects centroids in the min-id RESIDUE CLASS —
+    * `pmod(id − min_id, stride) = 0` — instead of residue 0. On the
+    * dense 0-based id spaces the stride contract describes, min_id = 0
+    * and the selection is identical to the fixed-stride form; on sparse
+    * or offset id spaces (where residue 0 can be unpopulated and the
+    * old auto path silently built an EMPTY quantizer → empty results)
+    * the anchor itself always qualifies, so the centroid frame is never
+    * empty. NOTE: this makes auto-stride construction EAGER — one
+    * count+min aggregation job runs when the operator frame is built
+    * (metadata-cheap against a parquet source). Pass an explicit stride
+    * for fully lazy construction / an oracle-reproducible fixed shape.
+    */
+  private def autoStrideAnchor(corpus: DataFrame, idCol: String): (Long, Long) = {
+    val row = corpus.agg(
+      count(lit(1)).as("n"), min(col(idCol).cast("long")).as("min_id")).head()
+    val n = row.getLong(0)
+    val anchor = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val stride =
+      if (n <= 1L) 1L
+      else math.max(1L, n / math.max(1L, math.round(math.sqrt(n.toDouble))))
+    (stride, anchor)
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       probes: DataFrame,
@@ -287,13 +312,20 @@ object Similarity {
       k: Int,
       centroidStride: Long = AutoStride,
       nprobe: Int = 4): DataFrame = {
-    val stride =
-      if (centroidStride > 0) centroidStride else sqrtNStride(corpus, idCol)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("neighbor_vec"))
+    // explicit stride: residue-0 selection, oracle-exact and fully lazy.
+    // auto: min-id-anchored residue class (see [[autoStrideAnchor]] —
+    // never empty, eager by one count+min job).
+    val pick =
+      if (centroidStride > 0) pmod(col("neighbor_id"), lit(centroidStride)) === 0
+      else {
+        val (stride, anchor) = autoStrideAnchor(corpus, idCol)
+        pmod(col("neighbor_id") - lit(anchor), lit(stride)) === 0
+      }
     val centroids =
-      c.filter(pmod(col("neighbor_id"), lit(stride)) === 0)
+      c.filter(pick)
         .select(col("neighbor_id").as("centroid_id"), col("neighbor_vec").as("centroid_vec"))
     ivfTopKWithCentroids(corpus, probes, centroids, idCol, vecCol, k, nprobe)
   }
@@ -398,13 +430,20 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       centroidStride: Long = AutoStride): DataFrame = {
-    val stride =
-      if (centroidStride > 0) centroidStride else sqrtNStride(emb, idCol)
+    // explicit stride: residue-0 selection, oracle-exact and fully lazy.
+    // auto: min-id-anchored residue class (see [[autoStrideAnchor]] —
+    // never empty, eager by one count+min job).
+    val pick =
+      if (centroidStride > 0) pmod(col("centroid_id"), lit(centroidStride)) === 0
+      else {
+        val (stride, anchor) = autoStrideAnchor(emb, idCol)
+        pmod(col("centroid_id") - lit(anchor), lit(stride)) === 0
+      }
     val cents = emb
       .select(
         col(idCol).as("centroid_id"),
         col(vecCol).cast("array<double>").as("centroid_vec"))
-      .filter(pmod(col("centroid_id"), lit(stride)) === 0)
+      .filter(pick)
     semDedupWithCentroids(emb, idCol, vecCol, threshold, cents)
   }
 

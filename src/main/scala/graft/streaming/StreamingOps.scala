@@ -206,8 +206,16 @@ object StreamingOps {
     docs
       .select(
         col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
+      // token-less documents emit NO row, matching the batch operator
+      // exactly (scoreWithWeights' explode+filter leaves them rowless) —
+      // without this the stream==batch pin held only because the test
+      // corpus had no empty/whitespace-only texts
+      .filter(size(col("toks")) > 0)
+      .select(
+        col(idCol),
         aggregate(
-          filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0),
+          col("toks"),
           lit(0L),
           (acc, t) => acc + coalesce(
             element_at(wMap,

@@ -38,4 +38,35 @@ class LoadMainIntegrationSpec extends SparkSpec {
     assert(graft.ops.SnapshotStore.readManifest(store) === manifestBefore,
       "an all-match load rewrote buckets")
   }
+
+  test("--landing mode: loads the newest dated dir once; re-run without a new dir is a no-op") {
+    import java.nio.file.{Files, Paths}
+    val store = Files.createTempDirectory("landstore").toFile.getAbsolutePath
+    val landing = Files.createTempDirectory("landing").toFile.getAbsolutePath
+    val xml = Paths.get(graft.SparkEntry.fixturePath("data/fixtures/vcv_sample.xml"))
+    def stage(stamp: String): Unit = {
+      val d = Paths.get(landing, stamp)
+      Files.createDirectories(d)
+      Files.copy(xml, d.resolve("vcv_release.xml"))
+    }
+    // empty landing root: nothing to do, no store mutation
+    assert(LoadMain.runLatest(spark, landing, store).isEmpty)
+
+    stage("2025-01-01")
+    stage("2025-06-01")
+    val r1 = LoadMain.runLatest(spark, landing, store)
+    assert(r1.isDefined, "a fresh dated dir must load")
+    assert(r1.get(("variants", "insert")) === 3L) // bootstrap insert = read the release
+    assert(LoadMain.lastLoadedStamp(spark, store).contains("2025-06-01"),
+      "must have loaded the NEWER dated dir")
+
+    // no new dated dir appeared: the daily cron's call is a no-op
+    assert(LoadMain.runLatest(spark, landing, store).isEmpty)
+
+    // a new release lands: loaded again (same content -> converging actions)
+    stage("2025-07-15")
+    val r3 = LoadMain.runLatest(spark, landing, store)
+    assert(r3.isDefined)
+    assert(LoadMain.lastLoadedStamp(spark, store).contains("2025-07-15"))
+  }
 }

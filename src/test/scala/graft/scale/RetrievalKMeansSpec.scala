@@ -94,6 +94,39 @@ class RetrievalKMeansSpec extends SparkSpec {
       id -> v.map(x => math.floor(x.toDouble * 1000).toLong + 32768L).toArray
     }.toMap
 
+  test("df-ceiling: capped == uncapped on a Zipfian corpus (ubiquitous term scores 0 anyway)") {
+    // 1200 docs; the stop term 'the' is in EVERY doc, so its integer idf
+    // is exactly 0 (1000·(N−df+1) div (df+1) = 1000 div 1201 = 0) and
+    // the 999‰ ceiling — which drops ONLY terms with df > 0.999·N, i.e.
+    // exactly the ubiquitous one here — cannot change any score. The
+    // Zipf body terms w0..w36 (df ≈ N/37) stay under every ceiling.
+    val zipf = (1L to 1200L).map { i =>
+      (i, s"the w${i % 37} w${i % 7} unique$i")
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      (9001L, "the w3 w5"),
+      (9003L, "the")).toDF("query_id", "qtext")
+    def run(cap: Int) = Retrieval
+      .searchTopK(zipf, queries, "doc_id", "text", "query_id", "qtext", k = 4,
+        maxDfPermille = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val uncapped = run(1000)
+    graft.ops.CacheScope.releaseAll()
+    val capped = run(999)
+    graft.ops.CacheScope.releaseAll()
+    // mixed query: ~204 docs match a kept term with POSITIVE score, so
+    // the top-4 is decided by kept terms alone — capped == uncapped,
+    // scores included (the ubiquitous term added 0 to every candidate)
+    assert(capped.filter(_._1 == 9001L) === uncapped.filter(_._1 == 9001L))
+    assert(capped.count(_._1 == 9001L) === 4)
+    // the documented recall trade, pinned: a query of ONLY capped terms
+    // loses its candidates entirely (uncapped padded k rows of score 0)
+    assert(uncapped.count(_._1 == 9003L) === 4)
+    assert(uncapped.filter(_._1 == 9003L).forall(_._4 == 0L))
+    assert(capped.count(_._1 == 9003L) === 0,
+      "the ceiling must remove the ubiquitous term's postings from scoring")
+  }
+
   test("lloydAssign matches a driver-side reference implementation") {
     val rows: Seq[(Long, Seq[Float])] = (0L until 40L).map { i =>
       val base = (i % 4).toFloat

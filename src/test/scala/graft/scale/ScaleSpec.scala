@@ -499,4 +499,117 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(asrcs - srcs).toDouble <= math.max(1.0, 0.06 * srcs), s"$lang srcs $asrcs vs $srcs")
     }
   }
+
+  test("bounded_collect_list: sub-cap groups keep all members, overflowed groups are NULL") {
+    import graft.functions.BoundedCollectList
+    // group 0: 70 members (overflows cap 10); groups 71..80: singletons
+    val df = ((1 to 70).map(i => (0L, i.toLong)) ++ (71 to 80).map(i => (i.toLong, i.toLong)))
+      .toDF("g", "v").repartition(8) // force map-side partials + serialize round-trips
+    val out = df.groupBy("g").agg(BoundedCollectList($"v", 10).as("vs"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out(0L).isEmpty, "the 70-member group must evaluate to NULL under cap 10")
+    (71 to 80).foreach(i => assert(out(i.toLong).contains(Seq(i.toLong))))
+    // exactly at the cap: survives with every member
+    val atCap = df.filter($"g" === 0L).limit(10).groupBy("g")
+      .agg(BoundedCollectList($"v", 10).as("vs"))
+      .collect().head.getSeq[Long](1)
+    assert(atCap.length === 10)
+    // struct elements survive the shuffle serialization
+    val st = df.groupBy("g")
+      .agg(BoundedCollectList(struct($"v", $"v" * 2), 10).as("vs"))
+      .filter($"vs".isNotNull)
+    assert(st.count() === 10)
+    assert(st.select(explode($"vs").as("s")).select("s.*").count() === 10)
+  }
+
+  test("capped LSH dedup frames are LAZY: construction runs zero Spark jobs") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    // the listener bus is FIFO: when a sentinel job submitted AFTER the
+    // constructions has been counted, any construction-triggered job
+    // would have been counted before it
+    def settle(atLeast: Int): Int = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (counter.get() < atLeast && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      counter.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // sentinels are collect()s of an unshuffled range: exactly ONE
+      // job each (a count() under AQE runs one job per shuffle stage,
+      // which would skew the arithmetic)
+      spark.range(1).collect() // sentinel 1: the listener is live
+      val base = settle(1)
+      val sigNew = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      val sigCorp = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      val frames = Seq(
+        Dedup.minhashPairsExact(docs, "doc_id", "text"),
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text"),
+        Dedup.nearDupAgainstSignatures(docs, docs, sigNew, sigCorp, "doc_id", "text"))
+      assert(frames.forall(_.columns.nonEmpty)) // constructed, never executed
+      spark.range(1).collect() // sentinel 2
+      val after = settle(base + 1)
+      assert(after === base + 1,
+        s"constructing capped dedup frames ran ${after - base - 1} Spark job(s); must run none")
+      // and the frames still execute correctly afterwards
+      // ((1,4) exact dup; 2 near-dups both -> (1,2) and (2,4))
+      assert(frames.head.count() === 3)
+      graft.ops.CacheScope.releaseAll()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bucket cap drops ONLY overflowing buckets' pairs; capped==uncapped when nothing overflows") {
+    // 12 exact copies land in the same bucket in every band: cap 8
+    // overflows every bucket they occupy -> no pairs; the unrelated
+    // near-dup pair (21,22) lives in sub-cap buckets and must survive
+    val copies = (1 to 12).map(i => (i.toLong, "same text repeated for every copy here"))
+    val other = Seq(
+      (21L, "an unrelated sentence about distributed systems design"),
+      (22L, "an unrelated sentence about distributed systems designs"))
+    val d = (copies ++ other).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairsExact(d, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3, maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((21L, 22L)))
+    graft.ops.CacheScope.releaseAll()
+    val uncapped = Dedup.minhashPairsExact(d, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 12 * 11 / 2 + 1)
+    graft.ops.CacheScope.releaseAll()
+    // no overflow anywhere -> capped and uncapped shapes agree exactly
+    val cappedSmall = Dedup.minhashPairsExact(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3, maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.ops.CacheScope.releaseAll()
+    val uncappedSmall = Dedup.minhashPairsExact(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedSmall === uncappedSmall)
+    graft.ops.CacheScope.releaseAll()
+  }
+
+  test("auto stride guard: sparse/offset id spaces still get a NON-EMPTY quantizer") {
+    // 40 odd ids offset by 1e6: residue-0 selection would pick NOTHING
+    // for any even stride (the old silent-empty failure); the min-id
+    // anchored residue class always contains the anchor itself
+    val emb = (0 until 40).map { i =>
+      val id = 1000001L + 2 * i
+      val v = Seq.tabulate(4)(d => if (d == i % 4) 1.0f else 0.01f * (i % 7))
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val probes = emb.limit(3)
+    val res = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", k = 2, nprobe = 4)
+    assert(res.count() > 0, "auto-stride IVF on offset-odd ids must not be empty")
+    graft.ops.CacheScope.releaseAll()
+    val keep = Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.999)
+    val n = keep.count()
+    assert(n > 0 && n <= 40)
+    graft.ops.CacheScope.releaseAll()
+  }
 }

@@ -215,12 +215,19 @@ class StreamingOpsSpec extends SparkSpec {
       docs.withColumn("y",
         org.apache.spark.sql.functions.when(col("lang") === "en", 1L).otherwise(-1L)),
       "doc_id", "text", "y", dim = 64, iters = 2)
+    // planted token-less docs: the batch operator emits NO row for them
+    // (explode leaves nothing), and the stream must agree — this is the
+    // empty-text parity case the corpus itself doesn't contain
+    val planted = Seq((9000001L, ""), (9000002L, "   \t ")).toDF("doc_id", "text")
+    val scored = docs.select(col("doc_id"), col("text")).unionByName(planted)
     val batch = graft.scale.TextStats
-      .scoreWithWeights(docs, "doc_id", "text", trained, dim = 64)
+      .scoreWithWeights(scored, "doc_id", "text", trained, dim = 64)
       .select("doc_id", "margin", "label")
       .as[(Long, Long, Long)].collect().toSet
+    assert(!batch.exists(r => r._1 >= 9000001L),
+      "batch must drop token-less docs entirely")
     graft.ops.CacheScope.releaseAll()
-    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val rows = scored.as[(Long, String)].collect()
     val input = MemoryStream[(Long, String)]
     val q = StreamingOps.classifyStream(
       input.toDF().toDF("doc_id", "text"), trained, "doc_id", "text", dim = 64)
