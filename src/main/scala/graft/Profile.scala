@@ -49,6 +49,35 @@ object Profile {
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
+  /** Best-of-2 timing of one query in a FRESH child JVM — the
+    * adjudication instrument the BASELINE protocol prescribes (a
+    * single-JVM sweep inflates its own tail via GC/codegen churn; a
+    * per-query fork can't). The child re-runs `Profile time <q>` with
+    * the parent's own JVM flags and classpath (sbt forks `run`, so
+    * java.class.path IS the application classpath) and its one `[time]`
+    * line is the measurement.
+    */
+  private def runFreshChild(q: String, sfDir: String): (Long, Double) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib")).toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Profile", "time", q)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    // drain fully BEFORE waitFor: an unread pipe deadlocks the child
+    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    val code = p.waitFor()
+    val re = """\[time\] \S+ rows=(\d+) t=([\d.]+)s""".r.unanchored
+    out.collectFirst { case re(r, t) => (r.toLong, t.toDouble) }
+      .getOrElse(throw new IllegalStateException(
+        s"fresh child for $q exited $code without a [time] line:\n" +
+          out.takeRight(20).mkString("\n")))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -346,13 +375,18 @@ object Profile {
       // stageScaledEmbeddings). Fixture-file queries (q45/q57/q64/q66/
       // q67/q74) read committed XML/TSV/media that do not scale with
       // SF — their ratio ~1 is expected, kept for completeness.
-      // extra args: "reuse" skips staging when tmp/sf1full exists;
+      // extra args: "reuse" skips staging when the staged dir exists;
       // "only=qA,qB" restricts the timed set; a bare number = copies
-      val out = "tmp/sf1full"
+      // (10 = the sf1 decade under tmp/sf1full, 100 = the sf10 century
+      // under tmp/sfx100); "fresh" forks ONE CHILD JVM PER QUERY
+      // (best-of-2 inside each child) — the adjudication-grade protocol,
+      // immune to cross-query JVM contamination by construction
       val extra = args.drop(1)
       val copies = extra.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+      val out = if (copies == 10) "tmp/sf1full" else s"tmp/sfx$copies"
       val only: Option[Set[String]] =
         extra.find(_.startsWith("only=")).map(_.stripPrefix("only=").split(",").toSet)
+      val fresh = extra.contains("fresh")
       val reuse = extra.contains("reuse") && new java.io.File(s"$out/lineitem.parquet").exists()
       val off = 100000000L
       def stage(table: String, keyCols: Seq[String]): Unit = {
@@ -392,11 +426,44 @@ object Profile {
         overrides.getOrElse(q, SparkEntry.queries(q))(spark, dir).count()
       val qs = SparkEntry.queries.keys.toSeq.sorted
         .filter(q => only.forall(_.contains(q)))
+      val dirs = Seq("/root/testdata/sf0.1" -> "sf0.1", out -> s"${copies}x")
+      if (fresh) {
+        // demonstrate the CC size switch at this scale: q101's edge
+        // fixture vs the DEFAULT driver union-find threshold (q101
+        // itself passes 100 explicitly; past 2M edges even the default
+        // takes the distributed propagation path)
+        val ev = spark.read.parquet(s"$out/events.parquet").select(col("event_id"))
+        val nEdges = ev.filter(col("event_id") % 10 <= 2).count() +
+          ev.filter(col("event_id") % 20 === 0).count()
+        println(s"[sf1bench] q101 edge fixture at ${copies}x: $nEdges edges " +
+          s"(default driver union-find threshold 2000000 -> " +
+          s"${if (nEdges > 2000000) "DISTRIBUTED" else "driver"} path)")
+        val results = dirs.map { case (dir, tag) =>
+          tag -> qs.map { q =>
+            val (rows, t) = runFreshChild(q, dir)
+            println(f"[sf1bench-fresh] $tag $q rows=$rows t=$t%.2fs")
+            q -> (rows, t)
+          }.toMap
+        }
+        val (base, scaled) = (results.head._2, results.last._2)
+        println("[sf1bench-fresh] ==== ratio table (markdown) ====")
+        qs.foreach { q =>
+          val (r0, t0) = base(q)
+          val (r1, t1) = scaled(q)
+          println(f"| $q | $r0 | $t0%.2f s | $r1 | ${t1 / t0}%.1fx (${t1}%.2f s) |")
+        }
+        val tot0 = base.values.map(_._2).sum
+        val tot1 = scaled.values.map(_._2).sum
+        println(f"[sf1bench-fresh] TOTAL sf0.1=${tot0}%.1fs ${copies}x=${tot1}%.1fs " +
+          f"ratio=${tot1 / tot0}%.1fx")
+        spark.stop()
+        return
+      }
       qs.foreach { q => // JIT/codegen warmup at the smallest SF, as Bench does
         runQ(q, "/root/testdata/sf0.001")
         graft.ops.CacheScope.releaseAll()
       }
-      val results = Seq("/root/testdata/sf0.1" -> "sf0.1", out -> s"sf1(${copies}x)").map {
+      val results = dirs.map {
         case (dir, tag) =>
           tag -> qs.map { q =>
             var rows = 0L

@@ -1530,6 +1530,32 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 5).as("id_b"))
       Sampling.leakageSafeSplit(
         d, chain.unionByName(cross), "doc_id", "id_a", "id_b")
+    }),
+
+    // --- scale: connected components on the DISTRIBUTED min-label
+    // propagation path — q50 exercises the driver union-find (its edge
+    // fixture is dim-sized); here the threshold is passed explicitly so
+    // the per-round join+min-agg path is the one the oracle gates. The
+    // events-derived fixture exceeds 100 edges at every driver SF. ----------
+    "q101_cc_distributed" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"))
+      val chain = e.filter(col("event_id") % 10 <= 2)
+        .select(col("event_id").as("id_a"), (col("event_id") + 1).as("id_b"))
+      val cross = e.filter(col("event_id") % 20 === 0)
+        .select(col("event_id").as("id_a"), (col("event_id") + 5).as("id_b"))
+      Dedup.connectedComponents(
+        chain.unionByName(cross), "id_a", "id_b", driverThreshold = 100L)
+    }),
+
+    // --- scale: measured LSH recall on a deterministic half-sample — the
+    // observability surface for the banding trade-off (q23's production
+    // parameterization, ground truth = exact shingle-equi-join Jaccard) ------
+    "q102_lsh_recall" -> ((s, dir) => {
+      Dedup.recallReport(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2,
+        samplePermille = 500)
     })
   )
 
@@ -3362,6 +3388,52 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM b""".stripMargin,
 
+    "q101_cc_distributed" ->
+      """WITH RECURSIVE base AS (SELECT event_id FROM events),
+        |e0 AS (
+        |  SELECT event_id AS a, event_id + 1 AS b FROM base WHERE event_id % 10 <= 2
+        |  UNION ALL
+        |  SELECT event_id, event_id + 5 FROM base WHERE event_id % 20 = 0),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |r AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS rep FROM r GROUP BY a""".stripMargin,
+
+    "q102_lsh_recall" ->
+      s"""WITH sample AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 500),
+         |lsh AS (
+         |${lshPairsSqlFrom("sample")}
+         |),
+         |w2 AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM sample),
+         |sh2 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(w) - 3, 0) + 1),
+         |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+         |  FROM w2),
+         |cnt2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+         |inter2 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+         |  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT id_a, id_b FROM inter2
+         |  JOIN cnt2 ca ON ca.doc_id = id_a
+         |  JOIN cnt2 cb ON cb.doc_id = id_b
+         |  WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.2),
+         |s AS (
+         |  SELECT (SELECT count(*) FROM sample) AS n_docs,
+         |         (SELECT count(*) FROM truth) AS n_true_pairs,
+         |         (SELECT count(*) FROM lsh) AS n_lsh_pairs)
+         |SELECT n_docs, n_true_pairs, n_lsh_pairs,
+         |  CASE WHEN n_true_pairs = 0 THEN 1000
+         |       ELSE n_lsh_pairs * 1000 // n_true_pairs END AS recall_milli
+         |FROM s""".stripMargin,
+
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme
     "q94_temperature_mix" ->
@@ -3525,7 +3597,14 @@ object SparkEntry {
     * Dedup.minhashPairsExact in DuckDB SQL (signature/band lists
     * generated to mirror the Spark column expressions 1:1).
     */
-  private lazy val lshPairsOracleSql: String = {
+  private lazy val lshPairsOracleSql: String = lshPairsSqlFrom("documents")
+
+  /** q23/q72/q102 oracle core: the md5-bijection MinHash + banded-LSH
+    * verified-pair pipeline as one self-contained WITH...SELECT over
+    * `src` (a table or CTE with (doc_id, text)) — mirrors
+    * Dedup.minhashPairsExact at the production parameterization.
+    */
+  private def lshPairsSqlFrom(src: String): String = {
     val numHashes = 16
     val bands = 8
     val rpb = numHashes / bands
@@ -3539,7 +3618,7 @@ object SparkEntry {
       s"md5('$b:' || $slice)"
     }.mkString(", ")
     s"""WITH words AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(0, greatest(len(w) - 3, 0) + 1),

@@ -458,25 +458,58 @@ object Dedup {
       edges.unpersist()
       return out
     }
-    var labels = edges.select(col("src").as("id"), col("src").as("rep")).distinct().persist()
+    // initialization FUSED with propagation round 1: every node of the
+    // symmetric edge list appears as src, so one groupBy yields
+    // rep = min(self, direct neighbors) — the state after the first
+    // round — for the cost of the node-distinct shuffle alone
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("rep"))
+      .persist()
+    // Convergence detection: labels are MONOTONE (a node's rep only ever
+    // decreases), so for numeric ids the rounds have converged exactly
+    // when Σrep stops falling — one cheap aggregation over the persisted
+    // next frame (which also materializes it), vs a whole node-sized
+    // join per round for the type-generic changed-rows check (kept as
+    // the fallback for string ids). decimal(38,0) so a 100 TB id space
+    // can't overflow the sum.
+    val numericIds =
+      edges.schema.fields.head.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // seed the sum with the fused-init state (the same aggregation also
+    // materializes the persisted labels), so a graph that converges at
+    // init (stars) exits after ONE confirming loop round
+    var prevSum: java.math.BigDecimal =
+      if (numericIds) labels.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+      else null
     var round = 0
     var changed = true
     while (changed) {
       if (round >= maxRounds)
         throw new IllegalStateException(
           s"components did not converge after $maxRounds rounds (pathological chain?)")
-      val neighborMin = edges
+      // one round = ONE join (edge relabel) + ONE min-agg over the
+      // union with the current labels: "take the min of yourself and
+      // your neighbors" without a second node-sized join back (the
+      // earlier neighborMin⋈labels formulation paid an extra shuffle
+      // stage per round — pure latency at dim scale, pure cost at 100 TB)
+      val next = edges
         .join(labels, col("src") === col("id"))
-        .groupBy(col("dst"))
-        .agg(min(col("rep")).as("n_rep"))
-      val next = labels
-        .join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("n_rep"), col("rep"))).as("rep"))
+        .select(col("dst").as("id"), col("rep"))
+        .unionByName(labels)
+        .groupBy("id")
+        .agg(min(col("rep")).as("rep"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("rep", "old_rep"), Seq("id"))
-        .filter(col("rep") =!= col("old_rep"))
-        .limit(1)
-        .count() > 0
+      if (numericIds) {
+        val s = next.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+        changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
+        prevSum = s
+      } else {
+        changed = next.join(labels.withColumnRenamed("rep", "old_rep"), Seq("id"))
+          .filter(col("rep") =!= col("old_rep"))
+          .limit(1)
+          .count() > 0
+      }
       labels.unpersist()
       labels = next
       round += 1
@@ -746,5 +779,60 @@ object Dedup {
         size(col("t")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         expr("array_join(transform(kept, s -> s.x), ' ')").as("clean_text"))
+  }
+
+  /** Measured LSH pair RECALL on a deterministic document sample — the
+    * observability surface for the approximate-dedup trade-off: every
+    * LSH parameterization (bands × rows-per-band, bucket cap) trades
+    * recall for bounded work, and this report measures that trade ON
+    * THE CALLER'S OWN CORPUS instead of trusting the banding math's
+    * uniformity assumptions.
+    *
+    * Ground truth on the sample is EXACT Jaccard via the blocked
+    * shingle equi-join ([[ngramJaccardJoin]] with a single constant
+    * block): cost is shingle-collision pairs, never sample², and any
+    * pair at jaccard ≥ threshold > 0 shares a shingle, so no true pair
+    * is missed. The LSH side is [[minhashPairsExact]] with the SAME
+    * shingle/signature construction, so its verified pairs are a
+    * subset of the truth set and recall ≤ 1. The sample is an md5
+    * permille bucket of the id ([[TextStats.hashBucket]] — the q53/q100
+    * scheme), so reruns and engines agree on the exact document set.
+    *
+    * Returns ONE row: (n_docs, n_true_pairs, n_lsh_pairs,
+    * recall_milli) with recall_milli = n_lsh·1000 div n_true
+    * (truncating; 1000 when the sample has no true pair — vacuous
+    * recall). Integer output keeps the report oracle-portable.
+    *
+    * Scale shape: both pair pipelines run on the sample only (a
+    * permille knob bounds absolute cost on any corpus), the three
+    * 1-row aggregates combine via broadcast nested-loop joins, and
+    * nothing corpus-sized reaches the driver.
+    */
+  def recallReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.2,
+      maxBucket: Int = 1000,
+      samplePermille: Int = 1000): DataFrame = {
+    require(samplePermille > 0 && samplePermille <= 1000,
+      s"samplePermille must be in (0, 1000], got $samplePermille")
+    val sample =
+      if (samplePermille >= 1000) docs
+      else docs.filter(
+        TextStats.hashBucket(col(idCol).cast("string"), 1000) < samplePermille)
+    val truth = ngramJaccardJoin(
+      sample, idCol, textCol, Seq(lit(1)), shingleSize, threshold)
+    val lsh = minhashPairsExact(
+      sample, idCol, textCol, shingleSize, numHashes, bands, threshold, maxBucket)
+    sample.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_pairs"))))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh_pairs"))))
+      .withColumn("recall_milli",
+        when(col("n_true_pairs") === 0L, lit(1000L))
+          .otherwise(expr("n_lsh_pairs * 1000 div n_true_pairs")))
   }
 }

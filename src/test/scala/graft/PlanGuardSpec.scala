@@ -245,6 +245,25 @@ class PlanGuardSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll()
   }
 
+  test("q101 runs the DISTRIBUTED propagation path, q50 the driver union-find") {
+    // The two CC paths are a size switch (Dedup.connectedComponents):
+    // below the threshold a driver union-find parallelizes its result
+    // back out (Scan ExistingRDD), above it the per-round join+min-agg
+    // loop leaves a PERSISTED labels frame (InMemoryTableScan). q101
+    // passes driverThreshold=100 explicitly so the distributed path is
+    // the one the DuckDB oracle gates — pin each query to its path so a
+    // threshold regression can't silently swap them.
+    val q101 = SparkEntry.queries("q101_cc_distributed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q101.contains("InMemoryTableScan") && !q101.contains("ExistingRDD"),
+      "q101 did not take the distributed propagation path:\n" + q101.take(800))
+    val q50 = SparkEntry.queries("q50_dedup_cluster")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q50.contains("ExistingRDD"),
+      "q50 did not take the driver union-find path:\n" + q50.take(800))
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("q70 boilerplate: AQE broadcasts the un-hinted repeated-line index at sf0.1") {
     // The index join carries no hint (on a 100 TB crawl the repeated-
     // line set can outgrow broadcast and MUST be allowed to stay a
@@ -278,12 +297,15 @@ class PlanGuardSpec extends SparkSpec {
     //   q94: the global Σ isqrt(n_domain) — over the domain-sized frame
     //   q98: the merged-sketch reassembly — the exchange carries at most
     //        depth·width (pos, count) rows (1024 here) at ANY corpus size
+    //   q102: the recall report's THREE global counts (n_docs / n_true /
+    //        n_lsh) — each exchange carries one partially-aggregated row
+    //        per upstream partition; the report is one row by contract
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
       "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1,
       "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1, "q90_retrieval" -> 1,
-      "q94_temperature_mix" -> 1, "q98_cms_merge" -> 1)
+      "q94_temperature_mix" -> 1, "q98_cms_merge" -> 1, "q102_lsh_recall" -> 3)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

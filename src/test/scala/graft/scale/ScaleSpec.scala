@@ -32,6 +32,39 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 === 1.0)
   }
 
+  test("recallReport: LSH pairs are a subset of the exact-Jaccard truth set") {
+    val r = Dedup.recallReport(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3)
+      .as[(Long, Long, Long, Long)].head()
+    val (nDocs, nTrue, nLsh, recall) = r
+    assert(nDocs === 4L)
+    assert(nTrue === 3L) // (1,2) (1,4) (2,4) — doc 3 is unrelated
+    assert(nLsh <= nTrue) // minhashPairsExact verifies exact Jaccard
+    assert(nLsh >= 1L) // the exact dup (1,4) ALWAYS collides in every band
+    assert(recall === nLsh * 1000L / nTrue)
+  }
+
+  test("recallReport: no true pair -> vacuous recall 1000; sampling is deterministic") {
+    val disjoint = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val r = Dedup.recallReport(disjoint, "doc_id", "text",
+      shingleSize = 2, threshold = 0.3)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r === ((3L, 0L, 0L, 1000L)))
+    // md5-permille sampling: same corpus + knob -> same sampled set
+    val wide = spark.range(100).select($"id".as("doc_id"),
+      concat(lit("tok"), $"id".cast("string"), lit(" filler words here")).as("text"))
+    val a = Dedup.recallReport(wide, "doc_id", "text", samplePermille = 500)
+      .as[(Long, Long, Long, Long)].head()
+    val b = Dedup.recallReport(wide, "doc_id", "text", samplePermille = 500)
+      .as[(Long, Long, Long, Long)].head()
+    assert(a === b)
+    assert(a._1 > 0L && a._1 < 100L) // a strict, non-empty subsample
+  }
+
   test("jaccard column function") {
     val out = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
       .toDF("a", "b").select(Dedup.jaccard($"a", $"b")).as[Double].head()

@@ -73,6 +73,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: state is watermark-BOUNDED — flushed sessions leave the store, late events drop") {
+    // The 100 TB stream safety story: an unbounded user-key space must
+    // not grow state without bound. Event-time timeouts REMOVE flushed
+    // sessions from the state store, and rows older than the watermark
+    // are filtered before the state function — pin both via the query's
+    // own stateOperators metrics, not just output rows.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessbound")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // b1: two users open sessions -> 2 state rows
+      input.addData(
+        Event(1, ts(1), 100, "click", 1.0),
+        Event(2, ts(3), 100, "click", 2.0),
+        Event(3, ts(2), 200, "view", 4.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L)
+      // b2: a third user far ahead advances the watermark to minute 49
+      input.addData(Event(9, ts(59), 999, "click", 0.0))
+      q.processAllAvailable()
+      // b3: 999's session extends (3-min gap); the watermark now past
+      // users 100/200's timeout timestamps EVICTS their state; a late
+      // minute-2 event (47 min below the watermark) must be filtered —
+      // neither a new session nor a mutation of the flushed one
+      input.addData(
+        Event(10, java.sql.Timestamp.valueOf("2026-01-01 11:02:00"), 999, "click", 0.0),
+        Event(11, ts(2), 100, "late", 99.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 1L,
+        "flushed sessions must be evicted from the state store")
+      val out = spark.table("sessbound")
+        .selectExpr("userId", "nEvents", "totalValue").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(out.contains((100L, 2L, 3.0))) // flushed whole, late row excluded
+      assert(out.contains((200L, 1L, 4.0)))
+      assert(!out.exists(r => r._1 == 100L && r._3 == 99.0),
+        "late event leaked into a session")
+    } finally q.stop()
+  }
+
   test("dedupStream: same-fingerprint docs collapse across micro-batches within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
