@@ -298,6 +298,75 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("ivfprobe")) {
+      // stage breakdown of the q93 trained-IVF path at SPARK_GRAFT_SF_DIR
+      import graft.scale.{KMeans, Similarity}
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val probes = emb.filter(col("vec_id") % 101 === 0)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[ivfprobe] $tag n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      time("centroids") {
+        KMeans.trainedCentroids(emb, "vec_id", "embedding", k = 8, iters = 2).count()
+      }
+      graft.ops.CacheScope.releaseAll()
+      val cents = KMeans.trainedCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      time("full") {
+        Similarity.ivfTopKWithCentroids(
+          emb, probes, cents, "vec_id", "embedding", k = 5, nprobe = 2).count()
+      }
+      graft.ops.CacheScope.releaseAll()
+      time("full2") {
+        Similarity.ivfTopKWithCentroids(
+          emb, probes, cents, "vec_id", "embedding", k = 5, nprobe = 2).count()
+      }
+      graft.ops.CacheScope.releaseAll()
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("retrievalcap")) {
+      // q90's degenerate-vocabulary robustness measurement: time the
+      // PRODUCTION retrieval shape (df-ceiling engaged) vs the oracle
+      // shape (cap disabled) over SPARK_GRAFT_SF_DIR's documents. The
+      // staged 10x/100x corpora share the base fixture vocabulary
+      // across copies (the copy tag becomes its own token under the
+      // [a-z0-9]+ tokenizer), so the uncapped shape's scored pairs grow
+      // ~quadratically with corpus size — exactly the wall the
+      // stop-word cut bounds. Pass "both" to also time the uncapped
+      // shape (affordable up to ~10x only); a bare number overrides the
+      // default 300 permille ceiling.
+      val cap = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(300)
+      val runUncapped = args.contains("both")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val queries = docs
+        .filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(
+            regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)), 1, 8),
+            " ").as("qtext"))
+      val shapes = Seq(s"capped$cap" -> cap) ++
+        (if (runUncapped) Seq("uncapped" -> 1000) else Nil)
+      shapes.foreach { case (tag, mp) =>
+        var rows = 0L
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          rows = graft.scale.Retrieval.searchTopK(
+            docs, queries, "doc_id", "text", "query_id", "qtext", 5,
+            maxDfPermille = mp).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.CacheScope.releaseAll()
+          dt
+        }
+        println(f"[retrievalcap] $sfDir $tag rows=$rows t=${times.min}%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("sigprobe")) {
       // why does the 160-plane signature cost ~11s for 20k vectors?
       // isolate the signature projection and check codegen coverage

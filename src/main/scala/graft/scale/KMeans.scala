@@ -46,17 +46,33 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** (id, dim, v) exploded quantized coordinates. */
-  private[scale] def quantize(embeds: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** (id, qv array<long>) quantized vector rows — ONE row per vector.
+    * The per-dimension form only materializes where the update step's
+    * per-coordinate means need it ([[explodeQv]]).
+    */
+  private[scale] def quantizeVec(embeds: DataFrame, idCol: String, vecCol: String): DataFrame =
     embeds.select(
       col(idCol).cast("long").as("id"),
-      posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .select(
-        col("id"), col("dim"),
-        (floor(col("x").cast("double") * 1000) + 32768).cast("long").as("v"))
+      transform(col(vecCol),
+        x => (floor(x.cast("double") * 1000) + 32768).cast("long")).as("qv"))
 
-  /** One assignment pass: (id, cluster, dist2) under `cent` =
-    * (cluster, dim, cv).
+  /** (id, dim, v) per-dimension rows derived from the cached vector
+    * frame — the update step's input.
+    */
+  private def explodeQv(qv: DataFrame): DataFrame =
+    qv.select(col("id"), posexplode(col("qv")).as(Seq("dim", "v")))
+
+  /** One assignment pass over VECTOR rows: (id, cluster, dist2) under
+    * `cent` = (cluster, cva array<long>).
+    *
+    * dist2 is the codegen'd exact-integer
+    * [[graft.functions.SqDistLong]] over the quantized arrays, so the
+    * frame entering the argmin is N·k rows — NOT the N·D·k
+    * per-dimension explosion an (id, dim)-keyed formulation pushes
+    * through the aggregation machinery (measured at 10×: the exploded
+    * form spent ~8 s/iteration shuffling 102M slim rows; this form is
+    * 64× fewer rows with the same arithmetic, bit-identical because
+    * integer addition is associative in any evaluation order).
     *
     * The argmin packs (dist2, cluster) into ONE long — `dist2 * k +
     * cluster`, exact because both are nonnegative and cluster < k — so
@@ -67,11 +83,11 @@ object KMeans {
     * bound: dist2 <= dims * 65536^2, so dims * k < 2^31 keeps the
     * packed value far inside a long — enforced below.
     */
-  private def assign(quant: DataFrame, cent: DataFrame, k: Int): DataFrame =
-    quant
-      .join(broadcast(cent), "dim")
-      .groupBy("id", "cluster")
-      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist2"))
+  private def assign(qv: DataFrame, cent: DataFrame, k: Int): DataFrame =
+    qv
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("cluster"),
+        graft.functions.SqDistLong(col("qv"), col("cva")).as("dist2"))
       .groupBy("id")
       .agg(min(col("dist2") * k + col("cluster")).as("enc"))
       .select(
@@ -86,6 +102,41 @@ object KMeans {
       .groupBy("cluster", "dim")
       .agg(expr("sum(v) div count(1)").as("cv"))
 
+  /** (cluster, cva array<long>) assembly of a per-dim centroid frame —
+    * k·D rows in, k rows out, never corpus-sized.
+    */
+  private def centArrays(cent: DataFrame): DataFrame =
+    cent.groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)").as("cva"))
+
+  /** Shared trainer core: the persisted quantized-vector frame + the
+    * final assignment DAG (so [[trainedCentroids]]'s closing update
+    * reads the SAME cache instead of re-quantizing the corpus).
+    */
+  private def lloydCore(
+      embeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dims = embeds.selectExpr(s"size($vecCol)").head().getInt(0)
+    require(dims.toLong * k < (1L << 31),
+      s"dims * k = ${dims.toLong * k} overflows the packed argmin encoding")
+    // persisted: the quantized frame feeds 2·iters-1 branches (every
+    // assign + every update) — without it each iteration re-scans and
+    // re-quantizes the source (CacheScope lifecycle, released by the
+    // query driver after materialization)
+    val qv = graft.ops.CacheScope.persisted(quantizeVec(embeds, idCol, vecCol))
+    val cent0 = qv.filter(col("id") < k)
+      .select(col("id").as("cluster"), col("qv").as("cva"))
+    val finalAssign = (1 until iters).foldLeft(assign(qv, cent0, k)) { (asg, _) =>
+      assign(qv, centArrays(update(explodeQv(qv), asg)), k)
+    }
+    (qv, finalAssign)
+  }
+
   /** Run `iters` Lloyd iterations; returns the FINAL assignment
     * (idCol, cluster, dist2) — exact integers, 1 row per input vector.
     */
@@ -95,21 +146,7 @@ object KMeans {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val dims = embeds.selectExpr(s"size($vecCol)").head().getInt(0)
-    require(dims.toLong * k < (1L << 31),
-      s"dims * k = ${dims.toLong * k} overflows the packed argmin encoding")
-    // persisted: the exploded frame feeds 2·iters-1 branches (every
-    // assign + every update) — without it each iteration re-scans and
-    // re-explodes the source (CacheScope lifecycle, released by the
-    // query driver after materialization)
-    val quant = graft.ops.CacheScope.persisted(quantize(embeds, idCol, vecCol))
-    val cent0 = quant.filter(col("id") < k)
-      .select(col("id").as("cluster"), col("dim"), col("v").as("cv"))
-    val finalAssign = (1 until iters).foldLeft(assign(quant, cent0, k)) { (asg, _) =>
-      assign(quant, update(quant, asg), k)
-    }
+    val (_, finalAssign) = lloydCore(embeds, idCol, vecCol, k, iters)
     finalAssign.select(col("id").as(idCol), col("cluster"), col("dist2"))
   }
 
@@ -129,10 +166,9 @@ object KMeans {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame = {
-    val asg = lloydAssign(embeds, idCol, vecCol, k, iters)
-      .select(col(idCol).as("id"), col("cluster"))
-    val quant = quantize(embeds, idCol, vecCol)
-    update(quant, asg)
+    val (qv, finalAssign) = lloydCore(embeds, idCol, vecCol, k, iters)
+    val asg = finalAssign.select(col("id"), col("cluster"))
+    update(explodeQv(qv), asg)
       .groupBy(col("cluster").as("centroid_id"))
       // 1000.0D: the plain literal parses as DECIMAL in SQL exprs and
       // would silently make the whole vector decimal-typed
