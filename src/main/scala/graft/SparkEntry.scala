@@ -1556,6 +1556,56 @@ object SparkEntry {
         "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2,
         samplePermille = 500)
+    }),
+
+    // --- scale: bigram-LM surprisal quality scoring — the CCNet-style
+    // perplexity filter as an all-integer inverse-conditional-frequency
+    // surrogate, model trained on the corpus itself ---------------------------
+    "q103_bigram_surprisal" -> ((s, dir) =>
+      TextStats.bigramSurprisal(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")),
+
+    // --- scale: product-quantization ADC top-k — per-subspace k-means
+    // codebooks (m=2, k=4, one Lloyd iteration), corpus encoded as m
+    // codes, queries answered by LUT-summed exact-integer distances ----------
+    "q104_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      PQ.adcTopK(emb, emb.filter(col("vec_id") % 101 === 0),
+        "vec_id", "embedding", m = 2, k = 4, topK = 5)
+    }),
+
+    // --- scale: IVFADC — coarse full-vector k-means lists bound the ADC
+    // scan to the probed lists (Jégou et al. §V); the production-scale
+    // composition of q104's exhaustive baseline ------------------------------
+    "q105_ivfadc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      PQ.ivfAdcTopK(emb, emb.filter(col("vec_id") % 101 === 0),
+        "vec_id", "embedding", coarseK = 8, nprobe = 2, m = 2, k = 4, topK = 5)
+    }),
+
+    // --- scale: corpus-overlap bottom-k sketch — gram-level Jaccard
+    // between two corpora estimated from the k smallest union hashes;
+    // no pairwise document join anywhere -------------------------------------
+    "q106_corpus_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.corpusOverlapEstimate(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "text", shingleSize = 3, k = 256)
+    }),
+
+    // --- scale: priority-aware canonical selection — q72's near-dup
+    // clusters with the survivor chosen by (source priority, id) argmin:
+    // keep the curated-source copy, drop the crawl copies --------------------
+    "q107_priority_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairsExact(
+        docs.repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2)
+      Dedup.dedupByClusterPriority(
+        docs.select(col("doc_id"),
+          substring(col("source"), 4, 10).cast("long").as("priority")),
+        pairs, "doc_id", "priority")
     })
   )
 
@@ -3433,6 +3483,218 @@ object SparkEntry {
          |  CASE WHEN n_true_pairs = 0 THEN 1000
          |       ELSE n_lsh_pairs * 1000 // n_true_pairs END AS recall_milli
          |FROM s""".stripMargin,
+
+    // the same [a-z0-9]+ token stream; prefix counts derive from bigram
+    // counts; all-integer surprisal 1000*c1 // cb
+    "q103_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+        |m AS (
+        |  SELECT cb.w1, cb.w2, CAST((1000 * c1.c1) // cb.cb AS BIGINT) AS surp
+        |  FROM cb JOIN c1 USING (w1))
+        |SELECT bi.doc_id, CAST(sum(m.surp) AS BIGINT) AS total_surp,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(m.surp) // count(*) AS BIGINT) AS avg_surp
+        |FROM bi JOIN m USING (w1, w2)
+        |GROUP BY 1""".stripMargin,
+
+    // the sub-keyed relational form of the PQ chain: quantize on the
+    // same floor(x*1000)+32768 grid, per-subspace Lloyd (first-k init ->
+    // assign -> truncating-integer means), encode, LUT, ADC sum — every
+    // step exact integers, ties to the smaller cluster/neighbor id
+    "q104_pq_adc" ->
+      """WITH quant AS (
+        |  SELECT vec_id AS id, i - 1 AS dim,
+        |    CAST((i - 1) // (len(embedding) // 2) AS BIGINT) AS sub,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000) + 32768 AS BIGINT) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cent0 AS (SELECT sub, id AS cluster, dim, v AS cv FROM quant WHERE id < 4),
+        |d1 AS (
+        |  SELECT q.id, q.sub, c.cluster,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent0 c ON q.sub = c.sub AND q.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |a1 AS (
+        |  SELECT id, sub, cluster FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY dist2, cluster) AS rk
+        |    FROM d1)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT a.sub, a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a1 a ON q.id = a.id AND q.sub = a.sub
+        |  GROUP BY 1, 2, 3),
+        |d2 AS (
+        |  SELECT q.id, q.sub, c.cluster,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent1 c ON q.sub = c.sub AND q.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT id, sub, cluster AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY dist2, cluster) AS rk
+        |    FROM d2)
+        |  WHERE rk = 1),
+        |lut AS (
+        |  SELECT q.id AS qid, q.sub, c.cluster AS code,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d2
+        |  FROM quant q JOIN cent1 c ON q.sub = c.sub AND q.dim = c.dim
+        |  WHERE q.id % 101 = 0
+        |  GROUP BY 1, 2, 3),
+        |adc AS (
+        |  SELECT l.qid, c.id, CAST(sum(l.d2) AS BIGINT) AS adc2
+        |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        |  GROUP BY 1, 2)
+        |SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id, adc2
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc2, id) AS rk
+        |  FROM adc WHERE id <> qid)
+        |WHERE rk <= 5""".stripMargin,
+
+    // q104's PQ chain + a coarse full-vector Lloyd chain (q91's CTE
+    // shape, k=8, 1 iteration); candidate pairs = probed-list members
+    // (nprobe=2), ADC restricted to them
+    "q105_ivfadc" ->
+      """WITH quant AS (
+        |  SELECT vec_id AS id, i - 1 AS dim,
+        |    CAST((i - 1) // (len(embedding) // 2) AS BIGINT) AS sub,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000) + 32768 AS BIGINT) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cc0 AS (SELECT id AS cluster, dim, v AS cv FROM quant WHERE id < 8),
+        |cd1 AS (
+        |  SELECT q.id, c.cluster,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cc0 c ON q.dim = c.dim GROUP BY 1, 2),
+        |ca1 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM cd1)
+        |  WHERE rk = 1),
+        |cc1 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN ca1 a USING (id) GROUP BY 1, 2),
+        |cd2 AS (
+        |  SELECT q.id, c.cluster,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cc1 c ON q.dim = c.dim GROUP BY 1, 2),
+        |lists AS (
+        |  SELECT id, cluster AS list FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM cd2)
+        |  WHERE rk = 1),
+        |plists AS (
+        |  SELECT qid, list FROM (
+        |    SELECT id AS qid, cluster AS list, row_number() OVER (
+        |      PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM cd2 WHERE id % 101 = 0)
+        |  WHERE rk <= 2),
+        |cent0 AS (SELECT sub, id AS cluster, dim, v AS cv FROM quant WHERE id < 4),
+        |d1 AS (
+        |  SELECT q.id, q.sub, c.cluster,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent0 c ON q.sub = c.sub AND q.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |a1 AS (
+        |  SELECT id, sub, cluster FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY dist2, cluster) AS rk
+        |    FROM d1)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT a.sub, a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a1 a ON q.id = a.id AND q.sub = a.sub
+        |  GROUP BY 1, 2, 3),
+        |d2 AS (
+        |  SELECT q.id, q.sub, c.cluster,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent1 c ON q.sub = c.sub AND q.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT id, sub, cluster AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY dist2, cluster) AS rk
+        |    FROM d2)
+        |  WHERE rk = 1),
+        |lut AS (
+        |  SELECT q.id AS qid, q.sub, c.cluster AS code,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d2
+        |  FROM quant q JOIN cent1 c ON q.sub = c.sub AND q.dim = c.dim
+        |  WHERE q.id % 101 = 0
+        |  GROUP BY 1, 2, 3),
+        |cand AS (SELECT p.qid, l.id FROM lists l JOIN plists p USING (list)),
+        |adc AS (
+        |  SELECT c.qid, c.id, CAST(sum(l.d2) AS BIGINT) AS adc2
+        |  FROM cand c
+        |  JOIN codes co ON co.id = c.id
+        |  JOIN lut l ON l.qid = c.qid AND l.sub = co.sub AND l.code = co.code
+        |  GROUP BY 1, 2)
+        |SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id, adc2
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc2, id) AS rk
+        |  FROM adc WHERE id <> qid)
+        |WHERE rk <= 5""".stripMargin,
+
+    // q102's shingle idiom + the q86 48-bit md5 hash pairing; bottom-k
+    // of the union via ORDER BY h LIMIT k
+    "q106_corpus_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 3, 0) + 1),
+        |    i -> array_to_string(w[i+1:i+3], ' ')))) AS g
+        |  FROM w),
+        |ha AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 12))::BIGINT AS h
+        |  FROM sh WHERE doc_id % 2 = 0),
+        |hb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 12))::BIGINT AS h
+        |  FROM sh WHERE doc_id % 2 = 1),
+        |u AS (
+        |  SELECT h, max(a) AS in_a, max(b) AS in_b FROM (
+        |    SELECT h, 1 AS a, 0 AS b FROM ha
+        |    UNION ALL
+        |    SELECT h, 0, 1 FROM hb) t
+        |  GROUP BY h),
+        |bk AS (SELECT * FROM u ORDER BY h LIMIT 256)
+        |SELECT
+        |  (SELECT count(*) FROM ha) AS n_grams_a,
+        |  (SELECT count(*) FROM hb) AS n_grams_b,
+        |  count(*) AS k_used,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |  CAST((1000 * sum(in_a * in_b)) // count(*) AS BIGINT) AS jaccard_milli
+        |FROM bk""".stripMargin,
+
+    // q72's CC CTEs + the two-step (priority, id) argmin
+    "q107_priority_dedup" ->
+      s"""WITH RECURSIVE p0 AS (
+         |$lshPairsOracleSql
+         |),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p0 UNION SELECT id_b, id_a FROM p0),
+         |r AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+         |reps AS (SELECT a AS id, least(a, min(b)) AS rep FROM r GROUP BY a),
+         |d AS (
+         |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS priority,
+         |    coalesce(reps.rep, doc_id) AS rep
+         |  FROM documents LEFT JOIN reps ON doc_id = reps.id),
+         |mp AS (SELECT rep, min(priority) AS best_prio FROM d GROUP BY rep),
+         |keep AS (
+         |  SELECT min(d.doc_id) AS doc_id
+         |  FROM d JOIN mp ON d.rep = mp.rep AND d.priority = mp.best_prio
+         |  GROUP BY d.rep)
+         |SELECT d2.doc_id, CAST(substr(d2.source, 4) AS BIGINT) AS priority
+         |FROM documents d2 JOIN keep USING (doc_id)""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -583,6 +583,46 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Canonical-source selection within near-dup clusters — the
+    * priority-aware form of [[dedupByCluster]]: among each connected
+    * component's members the survivor is the one minimizing
+    * (priority, id) — e.g. "keep the curated-source copy, drop the
+    * crawl copies" (smaller priority = more trusted). Members absent
+    * from `pairs` are singleton clusters and always survive.
+    *
+    * The argmin is deliberately TWO hash aggregations (min priority per
+    * cluster, then min id among members at that priority) instead of a
+    * `min(struct(priority, id))` — struct-buffer aggs demote to
+    * SortAggregate (the ArgMaxTieMin lesson), and a packed single-long
+    * encoding would cap the id space; the two-agg form stays map-side
+    * partial everywhere and survives any 100 TB id/priority domain.
+    *
+    * Returns the kept rows of `docs`, original columns unchanged.
+    */
+  def dedupByClusterPriority(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      priorityCol: String,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("rep"))
+    val withRep = docs.select(col(idCol), col(priorityCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol), col(priorityCol),
+        coalesce(col("rep"), col(idCol)).as("rep"))
+    val minPrio = withRep.groupBy("rep")
+      .agg(min(col(priorityCol)).as("best_prio"))
+    val keep = withRep
+      .join(minPrio, Seq("rep"))
+      .filter(col(priorityCol) <=> col("best_prio"))
+      .groupBy("rep")
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** SimHash near-dup candidate groups: documents sharing the same
     * simhash band (4 x 16-bit bands => hamming distance <= 3 candidates
     * land in at least one common band with high probability).
@@ -834,5 +874,55 @@ object Dedup {
       .withColumn("recall_milli",
         when(col("n_true_pairs") === 0L, lit(1000L))
           .otherwise(expr("n_lsh_pairs * 1000 div n_true_pairs")))
+  }
+
+  /** Corpus-level overlap ESTIMATE between two corpora via a bottom-k
+    * gram sketch (Broder 1997's min-wise estimator in its bottom-k
+    * form, Cohen & Kaplan 2007) — "how much does crawl B overlap crawl
+    * A" answered WITHOUT any pairwise document join: each corpus
+    * reduces to its distinct shingle-hash set, the k smallest hashes of
+    * the UNION are a uniform sample of it, and the fraction of that
+    * sample present in both corpora estimates gram-level Jaccard.
+    *
+    * Hashes are the 48-bit md5 prefix (`conv(substr(md5, 1, 12))` —
+    * the [[graft.functions.CmsSketch.md5Base48]] idiom), so the DuckDB
+    * oracle reproduces the exact sample and the report is
+    * deterministic, not probabilistic-in-the-engine (the ESTIMATE's
+    * error is statistical in k, but both engines compute the identical
+    * estimate).
+    *
+    * Returns ONE row: (n_grams_a, n_grams_b, k_used, n_both,
+    * jaccard_milli) with jaccard_milli = 1000·n_both div k_used.
+    *
+    * Scale shape: per-corpus distinct-gram aggs are map-side-partial
+    * hash aggs over slim (hash) longs; the bottom-k cut is a
+    * TakeOrderedAndProject (k driver-sized rows, never a global sort);
+    * the three 1-row/k-row frames combine via broadcast joins. Nothing
+    * corpus-sized reaches the driver, and the sketch cost is
+    * independent of corpus skew.
+    */
+  def corpusOverlapEstimate(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def gramHashes(df: DataFrame): DataFrame =
+      df.select(explode(shingles(col(textCol), shingleSize)).as("g"))
+        .select(conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
+        .distinct()
+    val ha = gramHashes(a)
+    val hb = gramHashes(b)
+    val u = ha.select(col("h"), lit(1L).as("a"), lit(0L).as("b"))
+      .unionByName(hb.select(col("h"), lit(0L).as("a"), lit(1L).as("b")))
+      .groupBy("h").agg(max("a").as("in_a"), max("b").as("in_b"))
+    val bk = u.orderBy(col("h").asc).limit(k)
+    ha.agg(count(lit(1)).as("n_grams_a"))
+      .crossJoin(broadcast(hb.agg(count(lit(1)).as("n_grams_b"))))
+      .crossJoin(broadcast(bk.agg(
+        count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("n_both"))))
+      .withColumn("jaccard_milli", expr("1000 * n_both div k_used"))
   }
 }

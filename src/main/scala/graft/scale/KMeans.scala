@@ -59,7 +59,7 @@ object KMeans {
   /** (id, dim, v) per-dimension rows derived from the cached vector
     * frame — the update step's input.
     */
-  private def explodeQv(qv: DataFrame): DataFrame =
+  private[scale] def explodeQv(qv: DataFrame): DataFrame =
     qv.select(col("id"), posexplode(col("qv")).as(Seq("dim", "v")))
 
   /** One assignment pass over VECTOR rows: (id, cluster, dist2) under
@@ -83,7 +83,7 @@ object KMeans {
     * bound: dist2 <= dims * 65536^2, so dims * k < 2^31 keeps the
     * packed value far inside a long — enforced below.
     */
-  private def assign(qv: DataFrame, cent: DataFrame, k: Int): DataFrame =
+  private[scale] def assign(qv: DataFrame, cent: DataFrame, k: Int): DataFrame =
     qv
       .crossJoin(broadcast(cent))
       .select(col("id"), col("cluster"),
@@ -96,7 +96,7 @@ object KMeans {
         expr(s"enc div ${k}L").as("dist2"))
 
   /** Truncating-integer mean per (cluster, dim) of the assigned members. */
-  private def update(quant: DataFrame, asg: DataFrame): DataFrame =
+  private[scale] def update(quant: DataFrame, asg: DataFrame): DataFrame =
     quant
       .join(asg.select("id", "cluster"), "id")
       .groupBy("cluster", "dim")
@@ -105,7 +105,7 @@ object KMeans {
   /** (cluster, cva array<long>) assembly of a per-dim centroid frame —
     * k·D rows in, k rows out, never corpus-sized.
     */
-  private def centArrays(cent: DataFrame): DataFrame =
+  private[scale] def centArrays(cent: DataFrame): DataFrame =
     cent.groupBy("cluster")
       .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)").as("cva"))
 

@@ -779,4 +779,58 @@ object TextStats {
       .withColumn("cover_milli", expr("cast(1000 * cum_n div tot as bigint)"))
       .select("tok", "n", "rank", "cum_n", "cover_milli")
   }
+
+  /** Bigram language-model surprisal scoring — the CCNet-style
+    * "perplexity vs an in-domain LM" quality signal (Wenzek et al.,
+    * "CCNet", 2020) made oracle-exact: the corpus trains an integer
+    * bigram model over itself, and each document is scored by its mean
+    * INVERSE conditional bigram frequency,
+    * `surp(w1,w2) = (1000 * c(w1·)) div c(w1,w2)` — an all-integer
+    * monotone surrogate for per-bigram perplexity (low = the document's
+    * transitions are common corpus-wide; high = rare transitions, the
+    * gibberish/boilerplate tail a perplexity filter cuts). Tokens are
+    * the `[a-z0-9]+` lowercase stream (same tokenizer as
+    * [[Retrieval]]); prefix counts derive from the bigram counts (one
+    * corpus pass, no separate unigram scan). Documents with < 2 tokens
+    * have no bigrams and emit no row.
+    *
+    * Returns (idCol, total_surp, n_bigrams, avg_surp).
+    *
+    * Scale shape: the corpus-sized frame is the (id, w1, w2) bigram
+    * occurrence stream — persisted once, consumed by the model build
+    * and the scoring join. Model frames are bigram-TYPE-sized
+    * (vocabulary², in practice Zipf-bounded); counts aggregate with
+    * map-side partials, and the scoring join shuffles on (w1, w2) with
+    * a slim (id) payload — at 100 TB cap the model with a min-count
+    * floor (rare bigrams hit a default surprisal) to keep it
+    * broadcastable; here the join stays a plain shuffle-hash equi-join
+    * so the oracle is 1:1.
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bi = graft.ops.CacheScope.persisted(
+      docs
+        .select(
+          col(idCol).as("id"),
+          regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val c1 = cb.groupBy("w1").agg(sum("cb").as("c1"))
+    val model = cb.join(c1, "w1")
+      .select(col("w1"), col("w2"), expr("(1000 * c1) div cb").as("surp"))
+    bi
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        sum("surp").as("total_surp"),
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(surp) div count(1)").as("avg_surp"))
+  }
 }

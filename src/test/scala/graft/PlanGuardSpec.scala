@@ -266,6 +266,35 @@ class PlanGuardSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll()
   }
 
+  test("q103/q104: aggs stay hash-based; PQ nested loops are codebook broadcasts only") {
+    // q103: model counts and scoring sums are string-keyed groupBys —
+    // all HashAggregate (map-side partials), no window, no sort path.
+    val p103 = planOf("q103_bigram_surprisal")
+    assert(countNodes(p103, _.nodeName.contains("SortAggregate")) === 0,
+      p103.toString.take(800))
+    assert(countNodes(p103, _.nodeName.toLowerCase.contains("window")) === 0,
+      p103.toString.take(800))
+    // q104: the only nested loops are the 4 k-sized codebook broadcast
+    // assignments (per subspace: training assign + encode assign); the
+    // LUT probe is an equi-join and the packed argmin/ADC sums stay in
+    // HashAggregate.
+    val p104 = planOf("q104_pq_adc")
+    assert(countNodes(p104, _.nodeName.contains("BroadcastNestedLoop")) === 4,
+      p104.toString.take(800))
+    assert(countNodes(p104, _.nodeName.contains("SortAggregate")) === 0,
+      p104.toString.take(800))
+    // q105 adds the coarse layer: +2 k-sized assignment broadcasts and
+    // the probe crossJoin (7 total); the candidate restriction itself
+    // must stay an equi-join on the list id — pinned by the global
+    // CartesianProduct guard plus the exact nested-loop budget here.
+    val p105 = planOf("q105_ivfadc")
+    assert(countNodes(p105, _.nodeName.contains("BroadcastNestedLoop")) === 7,
+      p105.toString.take(800))
+    assert(countNodes(p105, _.nodeName.contains("SortAggregate")) === 0,
+      p105.toString.take(800))
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("q70 boilerplate: AQE broadcasts the un-hinted repeated-line index at sf0.1") {
     // The index join carries no hint (on a 100 TB crawl the repeated-
     // line set can outgrow broadcast and MUST be allowed to stay a
@@ -302,12 +331,17 @@ class PlanGuardSpec extends SparkSpec {
     //   q102: the recall report's THREE global counts (n_docs / n_true /
     //        n_lsh) — each exchange carries one partially-aggregated row
     //        per upstream partition; the report is one row by contract
+    //   q106: the overlap report's three global aggs (n_grams_a /
+    //        n_grams_b / bottom-k flags) — same 1-row-by-contract shape;
+    //        the bottom-k cut itself is a TakeOrderedAndProject, not a
+    //        global sort
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
       "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1,
       "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1, "q90_retrieval" -> 1,
-      "q94_temperature_mix" -> 1, "q98_cms_merge" -> 1, "q102_lsh_recall" -> 3)
+      "q94_temperature_mix" -> 1, "q98_cms_merge" -> 1, "q102_lsh_recall" -> 3,
+      "q106_corpus_overlap" -> 3)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -1,0 +1,173 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the round-11 additions: bigram-LM surprisal scoring and
+  * product-quantization ADC top-k.
+  */
+class PQSurprisalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- TextStats.bigramSurprisal -------------------------------------------
+
+  private val surpDocs = Seq(
+    (1L, "a b a b"),
+    (2L, "a b c"),
+    (3L, "x"),
+    (4L, "   ")
+  ).toDF("doc_id", "text")
+
+  test("bigramSurprisal matches the hand-computed integer formula") {
+    // cb: (a,b)=3, (b,a)=1, (b,c)=1; c1: a=3, b=2
+    // surp(a,b) = 1000*3 div 3 = 1000; surp(b,a) = surp(b,c) = 2000
+    val out = TextStats.bigramSurprisal(surpDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((4000L, 3L, 1333L)), // ab, ba, ab
+      2L -> ((3000L, 2L, 1500L)) // ab, bc
+    ))
+    graft.ops.CacheScope.releaseAll()
+  }
+
+  test("bigramSurprisal drops token-less docs and is partitioning-invariant") {
+    val base = TextStats.bigramSurprisal(surpDocs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    graft.ops.CacheScope.releaseAll()
+    val shuffled = TextStats.bigramSurprisal(
+      surpDocs.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(base === shuffled)
+    assert(!base.exists(r => r.head == 3L || r.head == 4L))
+  }
+
+  // --- PQ.adcTopK ----------------------------------------------------------
+
+  // 4 distinct vectors (ids 0-3, the first-k init set) duplicated at
+  // ids 4-7: training converges in one iteration to the distinct set
+  // itself (integer means of identical members are exact), every code
+  // reconstructs its vector exactly, and ADC == the true quantized
+  // squared distance — checkable against a driver-side brute force.
+  private val distinct4 = Seq(
+    Array(0.0f, 0.0f, 1.0f, 1.0f),
+    Array(1.0f, 0.0f, 0.0f, 1.0f),
+    Array(0.5f, 0.5f, 0.5f, 0.5f),
+    Array(0.9f, 0.1f, 0.2f, 0.8f))
+  private val pqVecs = (0 until 8).map(i => (i.toLong, distinct4(i % 4)))
+  private val pqDf = pqVecs.toDF("vec_id", "embedding")
+
+  private def quant(v: Array[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1000).toLong + 32768L)
+
+  private def sqDist(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("adcTopK on an exactly-clusterable corpus equals brute-force quantized distance") {
+    val queries = pqDf.filter(col("vec_id") < 2)
+    val out = PQ.adcTopK(pqDf, queries, "vec_id", "embedding", m = 2, k = 4, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.ops.CacheScope.releaseAll()
+    val expected = (0L until 2L).flatMap { qid =>
+      val qv = quant(distinct4(qid.toInt % 4))
+      pqVecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, sqDist(qv, quant(v))) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, d), i) => (qid, (i + 1).toLong, id, d) }
+    }
+    assert(out.sortBy(r => (r._1, r._2)).toSeq === expected)
+  }
+
+  test("adcTopK ranks are contiguous per query, self-free, and partitioning-invariant") {
+    val queries = pqDf.filter(col("vec_id") % 4 === 1)
+    val base = PQ.adcTopK(pqDf, queries, "vec_id", "embedding", m = 2, k = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.ops.CacheScope.releaseAll()
+    val shuffledOut = PQ.adcTopK(
+      pqDf.repartition(5), queries, "vec_id", "embedding", m = 2, k = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.ops.CacheScope.releaseAll()
+    assert(base.sorted.toSeq === shuffledOut.sorted.toSeq)
+    assert(base.forall { case (qid, _, nid, _) => qid != nid })
+    base.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length.toLong))
+    }
+  }
+
+  test("ivfAdcTopK with nprobe=1 returns only the query's own coarse list") {
+    // coarseK=4 on the duplicated fixture: each coarse list is exactly
+    // {i, i+4}; probing 1 list leaves the query's exact duplicate as the
+    // only candidate — rank 1, ADC distance 0.
+    val queries = pqDf.filter(col("vec_id") < 2)
+    val out = PQ.ivfAdcTopK(
+      pqDf, queries, "vec_id", "embedding",
+      coarseK = 4, nprobe = 1, m = 2, k = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.ops.CacheScope.releaseAll()
+    assert(out.sortBy(_._1).toSeq === Seq((0L, 1L, 4L, 0L), (1L, 1L, 5L, 0L)))
+  }
+
+  test("ivfAdcTopK probing ALL lists equals exhaustive adcTopK") {
+    val queries = pqDf.filter(col("vec_id") % 4 === 2)
+    val full = PQ.adcTopK(pqDf, queries, "vec_id", "embedding", m = 2, k = 4, topK = 4)
+      .collect().map(_.toSeq).toSet
+    graft.ops.CacheScope.releaseAll()
+    val ivf = PQ.ivfAdcTopK(
+      pqDf, queries, "vec_id", "embedding",
+      coarseK = 4, nprobe = 4, m = 2, k = 4, topK = 4)
+      .collect().map(_.toSeq).toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(ivf === full)
+  }
+
+  // --- Dedup.corpusOverlapEstimate -----------------------------------------
+
+  test("corpusOverlapEstimate: hand-computed bottom-k overlap, identical and disjoint bounds") {
+    val a = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val b = Seq((2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    // grams: A = {"a b c"}; B = {"a b c", "x y z"} -> union 2, both 1
+    val row = Dedup.corpusOverlapEstimate(a, b, "text", shingleSize = 3, k = 256)
+      .collect().head
+    assert(row.getLong(0) === 1L) // n_grams_a
+    assert(row.getLong(1) === 2L) // n_grams_b
+    assert(row.getLong(2) === 2L) // k_used
+    assert(row.getLong(3) === 1L) // n_both
+    assert(row.getLong(4) === 500L) // jaccard_milli
+
+    val same = Dedup.corpusOverlapEstimate(b, b, "text", 3, 256).collect().head
+    assert(same.getLong(3) === same.getLong(2) && same.getLong(4) === 1000L)
+    val disj = Dedup.corpusOverlapEstimate(a,
+      Seq((9L, "p q r")).toDF("doc_id", "text"), "text", 3, 256).collect().head
+    assert(disj.getLong(3) === 0L && disj.getLong(4) === 0L)
+  }
+
+  test("corpusOverlapEstimate k bounds the sketch and the estimate is partitioning-invariant") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"tok${i % 12} tok${(i + 1) % 12} tok${(i + 2) % 12} shared common text"))
+      .toDF("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val r1 = Dedup.corpusOverlapEstimate(a, b, "text", 3, 8).collect().head
+    val r2 = Dedup.corpusOverlapEstimate(
+      a.repartition(7), b.repartition(3), "text", 3, 8).collect().head
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.getLong(2) <= 8L)
+  }
+
+  // --- Dedup.dedupByClusterPriority ----------------------------------------
+
+  test("dedupByClusterPriority keeps the (priority, id) argmin per cluster, singletons survive") {
+    val docs = Seq(
+      (1L, Some(5L)), (2L, Some(3L)), (3L, Some(3L)), // cluster {1,2,3}: tie at 3 -> id 2
+      (4L, Some(1L)), // singleton
+      (6L, None: Option[Long]), (7L, Some(2L)), // cluster {6,7}: non-null 2 wins
+      (8L, None: Option[Long]), (9L, None: Option[Long]) // all-null cluster -> min id 8
+    ).toDF("doc_id", "priority")
+    val pairs = Seq((1L, 2L), (2L, 3L), (6L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusterPriority(docs, pairs, "doc_id", "priority")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L, 7L, 8L))
+  }
+}
