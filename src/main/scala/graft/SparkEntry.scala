@@ -1606,6 +1606,17 @@ object SparkEntry {
         docs.select(col("doc_id"),
           substring(col("source"), 4, 10).cast("long").as("priority")),
         pairs, "doc_id", "priority")
+    }),
+
+    // --- scale: LM train → serve split — q103's bigram model trained on
+    // the even-doc reference corpus scoring the odd-doc incoming batch
+    // (the CCNet deployment shape; surprisalStream is the stateless twin) ---
+    "q108_lm_train_serve" -> ((s, dir) => {
+      val d = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+      TextStats.surprisalWithModel(
+        d.filter(col("doc_id") % 2 === 1),
+        TextStats.bigramModel(d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        "doc_id", "text")
     })
   )
 
@@ -3695,6 +3706,29 @@ object SparkEntry {
          |  GROUP BY d.rep)
          |SELECT d2.doc_id, CAST(substr(d2.source, 4) AS BIGINT) AS priority
          |FROM documents d2 JOIN keep USING (doc_id)""".stripMargin,
+
+    // q103's CTEs with the model restricted to even docs and scoring to
+    // odd docs (train -> serve split)
+    "q108_lm_train_serve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |cb AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+        |m AS (
+        |  SELECT cb.w1, cb.w2, CAST((1000 * c1.c1) // cb.cb AS BIGINT) AS surp
+        |  FROM cb JOIN c1 USING (w1))
+        |SELECT bi.doc_id, CAST(sum(m.surp) AS BIGINT) AS total_surp,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(m.surp) // count(*) AS BIGINT) AS avg_surp
+        |FROM bi JOIN m USING (w1, w2)
+        |WHERE bi.doc_id % 2 = 1
+        |GROUP BY 1""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

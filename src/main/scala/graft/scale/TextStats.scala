@@ -810,21 +810,34 @@ object TextStats {
       docs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val bi = graft.ops.CacheScope.persisted(
-      docs
-        .select(
-          col(idCol).as("id"),
-          regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("id"), explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val bi = graft.ops.CacheScope.persisted(bigramOccurrences(docs, idCol, textCol))
+    scoreBigrams(bi, modelFromBigrams(bi), idCol)
+  }
+
+  /** (id, w1, w2) one row per bigram OCCURRENCE; token-less and
+    * single-token docs emit nothing.
+    */
+  private def bigramOccurrences(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol).as("id"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  private def modelFromBigrams(bi: DataFrame): DataFrame = {
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val c1 = cb.groupBy("w1").agg(sum("cb").as("c1"))
-    val model = cb.join(c1, "w1")
+    cb.join(c1, "w1")
       .select(col("w1"), col("w2"), expr("(1000 * c1) div cb").as("surp"))
+  }
+
+  private def scoreBigrams(bi: DataFrame, model: DataFrame, idCol: String): DataFrame =
     bi
       .join(model, Seq("w1", "w2"))
       .groupBy(col("id").as(idCol))
@@ -832,5 +845,27 @@ object TextStats {
         sum("surp").as("total_surp"),
         count(lit(1)).as("n_bigrams"),
         expr("sum(surp) div count(1)").as("avg_surp"))
-  }
+
+  /** The TRAINED bigram model alone: (w1, w2, surp) over `docs` —
+    * [[bigramSurprisal]]'s training half, for the train→serve split
+    * ([[surprisalWithModel]] / `StreamingOps.surprisalStream`).
+    */
+  def bigramModel(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    modelFromBigrams(bigramOccurrences(docs, idCol, textCol))
+
+  /** Score `docs` against a FROZEN (w1, w2, surp) model — the serving
+    * half of [[bigramSurprisal]] (an in-domain reference corpus trains
+    * once; every incoming batch scores against it, the actual CCNet
+    * deployment shape). `n_bigrams` counts MODEL-KNOWN bigrams only
+    * (unseen transitions don't score — the inner join drops them), and
+    * docs with no known bigram emit no row. Same output columns as
+    * [[bigramSurprisal]]; same scale shape, with the model frame now a
+    * fixed input (broadcast it upstream if dim-bounded).
+    */
+  def surprisalWithModel(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    scoreBigrams(bigramOccurrences(docs, idCol, textCol), model, idCol)
 }

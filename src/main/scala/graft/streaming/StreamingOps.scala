@@ -224,6 +224,51 @@ object StreamingOps {
       .withColumn("label", (col("margin") > 0).cast("long"))
   }
 
+  /** Streaming LM-surprisal scoring — the continuous serving form of
+    * `TextStats.surprisalWithModel` (an in-domain reference corpus
+    * trains `TextStats.bigramModel` once; arriving documents score
+    * against the frozen snapshot). STATELESS by the
+    * [[classifyStream]] argument: a document arrives whole, its score
+    * is a per-row fold of its own bigrams against the collected model
+    * map (driver-sized by contract — a corpus-trained bigram model is
+    * vocabulary-bounded and Zipf-concentrated; cap it with a min-count
+    * floor upstream when it isn't). Bigrams absent from the model
+    * don't score and docs with no known bigram emit NO row — exactly
+    * the batch operator's inner-join semantics (StreamingOpsSpec pins
+    * stream == batch). Integer sums keep the margin bit-identical.
+    */
+  def surprisalStream(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val m: Map[String, Long] = model
+      .select(col("w1"), col("w2"), col("surp").cast("long"))
+      .collect().map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2))
+      .toMap
+    val mMap = typedlit(m)
+    docs
+      .select(
+        col(idCol),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        col(idCol),
+        filter(
+          zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b)),
+          k => element_at(mMap, k).isNotNull).as("known"))
+      .filter(size(col("known")) > 0)
+      .select(
+        col(idCol),
+        aggregate(col("known"), lit(0L),
+          (acc, k) => acc + element_at(mMap, k)).as("total_surp"),
+        size(col("known")).cast("long").as("n_bigrams"))
+      .withColumn("avg_surp", expr("total_surp div n_bigrams"))
+  }
+
   /** Streaming retrieval — STANDING QUERIES over a document stream
     * (the alerting/routing form of q90's [[graft.scale.Retrieval]]:
     * "tell me when a document matching this benchmark prompt

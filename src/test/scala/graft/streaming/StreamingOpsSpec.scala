@@ -286,6 +286,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("surprisalStream == batch surprisalWithModel under a frozen bigram model") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.scale.TextStats.bigramModel(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    // planted parity cases the corpus doesn't contain: token-less and
+    // single-token docs (no bigrams), and a doc whose bigrams are all
+    // UNSEEN by the model — the batch inner join emits no row for any
+    // of them, and the stream must agree
+    val planted = Seq(
+      (9000001L, ""), (9000002L, " \t "), (9000003L, "solo"),
+      (9000004L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+    val serve = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val batch = graft.scale.TextStats
+      .surprisalWithModel(serve, model, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(!batch.exists(_._1 >= 9000001L),
+      "batch must drop no-known-bigram docs entirely")
+    graft.ops.CacheScope.releaseAll()
+    val rows = serve.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.surprisalStream(
+      input.toDF().toDF("doc_id", "text"), model, "doc_id", "text")
+      .writeStream.format("memory").queryName("surp_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("surp_eq")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("retrieveStream == batch searchTopK scores under the frozen index stats") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
