@@ -367,6 +367,20 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("mixppm")) {
+      // q94's century starvation vs the ppm regime: same 200-doc budget
+      // at per-mille and per-million resolution over SPARK_GRAFT_SF_DIR
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      Seq(1000L, 1000000L).foreach { res =>
+        val t0 = System.nanoTime()
+        val n = graft.scale.TextStats
+          .temperatureMixAtResolution(docs, "doc_id", "lang", 200L, res).count()
+        println(f"[mixppm] $sfDir res=$res rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("sigprobe")) {
       // why does the 160-plane signature cost ~11s for 20k vectors?
       // isolate the signature projection and check codegen coverage

@@ -1617,7 +1617,28 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 1),
         TextStats.bigramModel(d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
         "doc_id", "text")
-    })
+    }),
+
+    // --- scale: CONJUNCTIVE retrieval — q90's index/scoring with the
+    // all-terms-required filter (phrase-ish precision queries) ----------------
+    "q109_retrieval_conj" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs
+        .filter(col("doc_id") % 101 === 0)
+        .select(
+          col("doc_id").as("query_id"),
+          array_join(
+            slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)), 1, 8),
+            " ").as("qtext"))
+      Retrieval.searchTopK(docs, queries, "doc_id", "text", "query_id", "qtext",
+        k = 5, requireAllTerms = true)
+    }),
+
+    // --- scale: exact dedup with PROVENANCE — the keeper row carries the
+    // sorted distinct source set of its duplicate group (curation lineage) ---
+    "q110_dedup_provenance" -> ((s, dir) =>
+      Dedup.exactGroupsWithProvenance(
+        t(s, dir, "documents"), "doc_id", "text", "source"))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -3729,6 +3750,51 @@ object SparkEntry {
         |FROM bi JOIN m USING (w1, w2)
         |WHERE bi.doc_id % 2 = 1
         |GROUP BY 1""".stripMargin,
+
+    // q90's CTEs + the matched-term count vs the per-query term count
+    "q109_retrieval_conj" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |postings AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |doclen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    greatest(CAST(sum(dl) AS BIGINT) // count(*), 1) AS avgdl
+        |  FROM doclen),
+        |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+        |qt AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')[1:8]) AS term
+        |    FROM documents WHERE doc_id % 101 = 0)),
+        |nq AS (SELECT query_id, count(*) AS n_qterms FROM qt GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(
+        |      ((1000 * (s.n_docs - f.df + 1)) // (f.df + 1)) *
+        |      ((p.tf * 2200000) // (p.tf * 1000 +
+        |        (1200 * (250 + (750 * ((1000 * d.dl) // s.avgdl)) // 1000)) // 1000))
+        |    ) AS BIGINT) AS score,
+        |    count(*) AS n_matched
+        |  FROM postings p
+        |  JOIN qt q USING (term)
+        |  JOIN dfreq f USING (term)
+        |  JOIN doclen d USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score FROM (
+        |  SELECT s.*, row_number() OVER (
+        |    PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rk
+        |  FROM scored s JOIN nq USING (query_id)
+        |  WHERE s.n_matched = nq.n_qterms)
+        |WHERE rk <= 5""".stripMargin,
+
+    "q110_dedup_provenance" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper,
+        |  string_agg(DISTINCT source, '|' ORDER BY source) AS provenance
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

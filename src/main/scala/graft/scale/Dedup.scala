@@ -22,6 +22,26 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         min(col(idCol)).as("keeper"))
 
+  /** [[exactGroups]] with PROVENANCE: the keeper row additionally
+    * carries the sorted '|'-joined distinct values of `provCol` across
+    * its duplicate group (which sources contributed copies — the
+    * lineage record a curation pipeline keeps when it drops
+    * duplicates, and the priority input for source-aware keep rules).
+    * The provenance set is source-DOMAIN-sized per group (collect_set
+    * dedups map-side), never copy-count-sized.
+    */
+  def exactGroupsWithProvenance(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      provCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("keeper"),
+        concat_ws("|", array_sort(collect_set(col(provCol)))).as("provenance"))
+
   /** Word n-gram shingles of `text` (distinct, as strings) — a single
     * codegen'd per-document loop (see [[graft.functions.WordShingles]]).
     */

@@ -94,7 +94,8 @@ object Retrieval {
       queryIdCol: String,
       queryTextCol: String,
       k: Int,
-      maxDfPermille: Int = 1000): DataFrame = {
+      maxDfPermille: Int = 1000,
+      requireAllTerms: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDfPermille >= 1 && maxDfPermille <= 1000,
       s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
@@ -140,10 +141,31 @@ object Retrieval {
         "(tf * 2200000) div (tf * 1000 + (1200 * (250 + (750 * rel_milli) div 1000)) div 1000)"))
       .withColumn("idf_milli", expr("(1000 * (n_docs - df + 1)) div (df + 1)"))
       .groupBy("query_id", "doc_id")
-      .agg(sum(expr("idf_milli * tfsat_milli")).as("score"))
+
+    // CONJUNCTIVE mode: a candidate survives only when it matched every
+    // distinct query term — per (query, doc) group the matched-term
+    // count (postings are (doc, term)-unique and qterms distinct, so
+    // rows == matched terms) must equal the query's term count. The
+    // query-sized count frame broadcasts; a query with an out-of-corpus
+    // term returns nothing (strict AND), and under a maxDfPermille cut
+    // stop-worded terms can never match — conjunctive callers should
+    // keep the default permille. The match counter only exists on this
+    // branch, so the disjunctive (default) plan is unchanged.
+    val conj =
+      if (!requireAllTerms)
+        scored.agg(sum(expr("idf_milli * tfsat_milli")).as("score"))
+      else
+        scored
+          .agg(
+            sum(expr("idf_milli * tfsat_milli")).as("score"),
+            count(lit(1)).as("n_matched"))
+          .join(
+            broadcast(qterms.groupBy("query_id").agg(count(lit(1)).as("n_qterms"))),
+            "query_id")
+          .filter(col("n_matched") === col("n_qterms"))
 
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
-    scored
+    conj
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")

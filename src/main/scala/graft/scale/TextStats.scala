@@ -397,10 +397,25 @@ object TextStats {
     * double weights truncate differently across engines. Emits a `copy`
     * index column (0-based); rows with weight 0 drop out.
     */
-  def epochSample(df: DataFrame, keyCol: Column, permille: Column): DataFrame = {
-    val whole = (permille.cast("long") / 1000).cast("long")
-    val extra = when(hashBucket(keyCol, 1000) < pmod(permille.cast("long"), lit(1000L)), 1L)
-      .otherwise(0L)
+  def epochSample(df: DataFrame, keyCol: Column, permille: Column): DataFrame =
+    epochSampleAtResolution(df, keyCol, permille, 1000L)
+
+  /** [[epochSample]] at an arbitrary rate RESOLUTION (rate in units of
+    * 1/`resolution`): the per-mille grid floors any corpus/budget ratio
+    * beyond 1000:1 to rate 0 (the q94 century measurement — a 200-doc
+    * budget over 500k docs is 0.4‰, which truncates to nothing), so
+    * planet-scale mixtures use per-million or finer. The md5 draw uses
+    * 32 hash bits — keep `resolution` ≤ ~1e6 so the modular bias stays
+    * negligible.
+    */
+  def epochSampleAtResolution(
+      df: DataFrame, keyCol: Column, rate: Column, resolution: Long): DataFrame = {
+    require(resolution >= 1 && resolution <= 16777216L,
+      s"resolution must be in [1, 2^24], got $resolution")
+    val whole = (rate.cast("long") / resolution).cast("long")
+    val extra =
+      when(hashBucket(keyCol, resolution.toInt) < pmod(rate.cast("long"), lit(resolution)), 1L)
+        .otherwise(0L)
     val n = whole + extra
     df.withColumn(
       "copy",
@@ -431,19 +446,37 @@ object TextStats {
       docs: DataFrame,
       idCol: String,
       groupCol: String,
-      budgetDocs: Long): DataFrame = {
+      budgetDocs: Long): DataFrame =
+    temperatureMixAtResolution(docs, idCol, groupCol, budgetDocs, 1000L)
+      .withColumnRenamed("rate", "permille")
+
+  /** [[temperatureMix]] at an arbitrary rate resolution (the
+    * [[epochSampleAtResolution]] contract): at per-mille resolution a
+    * budget below 1/1000 of the corpus floors every rate to 0 and the
+    * mixture STARVES — measured at the 100× staging (q94's 200-doc
+    * budget over 500k docs → 0 rows). Production mixtures over
+    * planet-scale corpora run per-million (resolution = 1_000_000);
+    * the oracle query keeps per-mille for the 1:1 DuckDB shape. Output
+    * rate column is named `rate` (in 1/resolution units).
+    */
+  def temperatureMixAtResolution(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      budgetDocs: Long,
+      resolution: Long): DataFrame = {
     require(budgetDocs >= 1, s"budgetDocs must be >= 1, got $budgetDocs")
     val sized = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
       .withColumn("s", expr("cast(floor(sqrt(n_docs)) as bigint)"))
     val tot = sized.agg(sum(col("s")).as("s_tot"))
     val rates = sized.crossJoin(broadcast(tot))
-      .withColumn("permille",
-        expr(s"(1000 * ${budgetDocs}L * s) div (s_tot * n_docs)"))
-      .select(col(groupCol), col("n_docs"), col("permille"))
-    epochSample(
+      .withColumn("rate",
+        expr(s"(${resolution}L * ${budgetDocs}L * s) div (s_tot * n_docs)"))
+      .select(col(groupCol), col("n_docs"), col("rate"))
+    epochSampleAtResolution(
       docs.select(col(idCol), col(groupCol)).join(rates, groupCol),
-      col(idCol).cast("string"), col("permille"))
-      .select(col(idCol), col(groupCol), col("n_docs"), col("permille"), col("copy"))
+      col(idCol).cast("string"), col("rate"), resolution)
+      .select(col(idCol), col(groupCol), col("n_docs"), col("rate"), col("copy"))
   }
 
   /** Corpus-wide heavy-hitter word n-grams — the "what is my corpus

@@ -325,6 +325,8 @@ class PlanGuardSpec extends SparkSpec {
     //        one 8 KiB partial sketch per upstream partition
     //   q90: the global (n_docs, avgdl) stats — one partially-aggregated
     //        row per upstream partition of the cached postings
+    //   q109: the same global stats agg (q90's chain + the conjunctive
+    //        filter, which adds only a query-sized broadcast count)
     //   q94: the global Σ isqrt(n_domain) — over the domain-sized frame
     //   q98: the merged-sketch reassembly — the exchange carries at most
     //        depth·width (pos, count) rows (1024 here) at ANY corpus size
@@ -341,7 +343,7 @@ class PlanGuardSpec extends SparkSpec {
       "q07_guarded_delete" -> 1, "q51_insert_ids" -> 1, "q79_merge_shapes" -> 1,
       "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1, "q90_retrieval" -> 1,
       "q94_temperature_mix" -> 1, "q98_cms_merge" -> 1, "q102_lsh_recall" -> 3,
-      "q106_corpus_overlap" -> 3)
+      "q106_corpus_overlap" -> 3, "q109_retrieval_conj" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

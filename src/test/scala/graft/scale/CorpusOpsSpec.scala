@@ -339,6 +339,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.groupBy("doc_id").count().agg(max("count")).head().getLong(0) === 1L)
   }
 
+  test("temperatureMix per-mille STARVES past 1000:1 corpus/budget; ppm resolution samples") {
+    // budget 3 over 5000 docs = 0.6 per-mille -> floors to rate 0 at
+    // the per-mille grid (the q94 century 0-rows measurement); the same
+    // mixture at per-million resolution has rate 600 ppm and keeps a
+    // budget-sized sample
+    val docs = (1L to 5000L).map(i => (i, "only")).toDF("doc_id", "lang")
+    val starved = TextStats.temperatureMix(docs, "doc_id", "lang", budgetDocs = 3L)
+    assert(starved.count() === 0L)
+    val ppm = TextStats.temperatureMixAtResolution(
+      docs, "doc_id", "lang", budgetDocs = 3L, resolution = 1000000L)
+    val rates = ppm.select("rate").distinct().collect().map(_.getLong(0))
+    assert(rates.toSeq === Seq(600L)) // 1e6 * 3 / 5000
+    val kept = ppm.count()
+    assert(kept >= 1 && kept <= 12, s"ppm mixture size $kept implausible for budget 3")
+  }
+
   test("md5Base48 matches the SQL conv(substring(md5, 1, 12)) formulation") {
     val vals = Seq("alpha beta", "x", "", "the quick brown fox")
     val fromSql = vals.toDF("v")

@@ -170,4 +170,17 @@ class PQSurprisalSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(2L, 4L, 7L, 8L))
   }
+
+  // --- Dedup.exactGroupsWithProvenance -------------------------------------
+
+  test("exactGroupsWithProvenance records the sorted distinct source set per group") {
+    val docs = Seq(
+      (1L, "same text", "web"), (2L, "same text", "wiki"), (3L, "same text", "web"),
+      (4L, "unique", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.exactGroupsWithProvenance(docs, "doc_id", "text", "source")
+      .select("keeper", "n_copies", "provenance")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out === Set((1L, 3L, "web|wiki"), (4L, 1L, "books")))
+  }
 }

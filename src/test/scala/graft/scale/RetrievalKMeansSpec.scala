@@ -30,6 +30,29 @@ class RetrievalKMeansSpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, 1L, 4L)))
   }
 
+  test("conjunctive searchTopK keeps only all-terms matches; OR mode keeps partials") {
+    // 'apple banana': docs 1 and 2 contain both; doc 5 has apple only
+    val queries = Seq((11L, "apple banana")).toDF("query_id", "qtext")
+    val conj = Retrieval.searchTopK(
+      corpus, queries, "doc_id", "text", "query_id", "qtext", k = 5,
+      requireAllTerms = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    graft.ops.CacheScope.releaseAll()
+    assert(conj === Seq(1L, 2L))
+    val or = Retrieval.searchTopK(
+      corpus, queries, "doc_id", "text", "query_id", "qtext", k = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    graft.ops.CacheScope.releaseAll()
+    assert(or === Seq(1L, 2L, 5L))
+    // a query with any out-of-corpus term returns nothing under AND
+    val oov = Seq((12L, "apple zzznope")).toDF("query_id", "qtext")
+    val strict = Retrieval.searchTopK(
+      corpus, oov, "doc_id", "text", "query_id", "qtext", k = 5,
+      requireAllTerms = true).collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(strict.isEmpty)
+  }
+
   test("searchTopK matches the hand-computed integer formula") {
     // query 'apple': df=3, N=5. postings: doc1 tf=2, doc2 tf=1, doc5 tf=1.
     // tot_tokens=19, avgdl = 19 div 5 = 3.
