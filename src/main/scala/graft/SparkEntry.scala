@@ -1638,7 +1638,21 @@ object SparkEntry {
     // sorted distinct source set of its duplicate group (curation lineage) ---
     "q110_dedup_provenance" -> ((s, dir) =>
       Dedup.exactGroupsWithProvenance(
-        t(s, dir, "documents"), "doc_id", "text", "source"))
+        t(s, dir, "documents"), "doc_id", "text", "source")),
+
+    // --- J-family extension: AS-OF join — the latest 'view' at or
+    // before each 'click' per user; union-and-sweep plan, no range join ------
+    "q111_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      AsOfJoin.asOf(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id")),
+        "user_id", "ts", "click_id", "view_id")
+        .select(col("click_id"), col("user_id"),
+          expr("ts div 1000000").as("ts_ms"), col("asof_view_id"))
+    })
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -3795,6 +3809,21 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper,
         |  string_agg(DISTINCT source, '|' ORDER BY source) AS provenance
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN as the oracle; right side pre-deduped to
+    // one row per (user, ts) — the same determinism contract both engines
+    // require at duplicate timestamps
+    "q111_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |r0 AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.click_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |  r0.view_id AS asof_view_id
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND l.ts >= r0.ts""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

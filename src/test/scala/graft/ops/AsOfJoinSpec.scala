@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L), // key 1 at ts 10/20/5
+    (1L, 8L, 104L), // equal-ts inclusivity vs right (1, 8)
+    (2L, 7L, 103L) // key with no right rows
+  ).toDF("k", "ts", "lid")
+
+  private val right = Seq(
+    (1L, 8L, 200L),
+    (1L, 15L, 201L), (1L, 15L, 202L), // duplicate ts -> max payload 202 wins
+    (3L, 1L, 203L) // key with no left rows
+  ).toDF("k", "ts", "rid")
+
+  test("asOf matches the latest right row at or before each left ts; left-join semantics") {
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "lid", "rid")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      100L -> Some(200L), // ts 10 -> right ts 8
+      101L -> Some(202L), // ts 20 -> right ts 15, equal-ts dup resolved to max id
+      102L -> None, // ts 5 precedes every right row
+      104L -> Some(200L), // ts 8 == right ts 8 (inclusive)
+      103L -> None // no right rows for key 2
+    ))
+  }
+
+  test("asOf is partitioning-invariant and emits exactly one row per left row") {
+    val base = AsOfJoin.asOf(left, right, "k", "ts", "lid", "rid")
+      .collect().map(_.toSeq).toSet
+    val shuffled = AsOfJoin.asOf(left.repartition(7), right.repartition(3),
+      "k", "ts", "lid", "rid")
+      .collect().map(_.toSeq).toSet
+    assert(base === shuffled)
+    assert(base.size === left.count())
+  }
+
+  test("asOf equals the correlated-subquery reference on a generated fixture") {
+    val l = (0L until 200L).map(i => (i % 7, (i * 13) % 101, i)).toDF("k", "ts", "lid")
+    val r = (0L until 150L).map(i => (i % 5, (i * 17) % 97, 1000L + i)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.asOf(l, r, "k", "ts", "lid", "rid")
+      .collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3)))
+      .toMap
+    val rRows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val expected = l.collect().map { x =>
+      val (k, ts, lid) = (x.getLong(0), x.getLong(1), x.getLong(2))
+      val cands = rRows.filter(rr => rr._1 == k && rr._2 <= ts)
+      val best =
+        if (cands.isEmpty) -1L
+        else { val mts = cands.map(_._2).max; cands.filter(_._2 == mts).map(_._3).max }
+      lid -> best
+    }.toMap
+    assert(out === expected)
+  }
+}
