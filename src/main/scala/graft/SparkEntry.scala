@@ -1652,6 +1652,22 @@ object SparkEntry {
         "user_id", "ts", "click_id", "view_id")
         .select(col("click_id"), col("user_id"),
           expr("ts div 1000000").as("ts_ms"), col("asof_view_id"))
+    }),
+
+    // --- J-family extension: RANGE join — clicks inside each signup's
+    // 24 h attribution window per user; grid-bucket equi-join, no
+    // nested loop ------------------------------------------------------------
+    "q112_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val dayNanos = 86400L * 1000000000L
+      RangeJoin.pointsInIntervals(
+        e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"),
+            col("ts").as("lo"), (col("ts") + dayNanos).as("hi")),
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts")),
+        "user_id", "lo", "hi", "ts", "signup_id", "click_id",
+        cellSize = dayNanos)
     })
   )
 
@@ -3824,6 +3840,20 @@ object SparkEntry {
         |  r0.view_id AS asof_view_id
         |FROM l ASOF LEFT JOIN r0
         |  ON l.user_id = r0.user_id AND l.ts >= r0.ts""".stripMargin,
+
+    // the inequality join DuckDB plans natively (IEJoin); the Spark side
+    // is the grid-bucket equi-join — same pair set
+    "q112_range_join" ->
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, user_id, ts
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT s.signup_id, c.click_id, s.user_id
+        |FROM s JOIN c
+        |  ON s.user_id = c.user_id
+        |  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 24 HOUR""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme
