@@ -367,6 +367,31 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("pqlaw")) {
+      // IVFADC coarse-list law: the ORACLE shape's fixed coarseK=8 vs
+      // coarseK ≈ √N, same nprobe — candidates per query scale
+      // N·nprobe/coarseK, so √N lists hold the ~N^1.5 end-to-end curve
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = emb.count()
+      val sqrtK = math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+      Seq("fixed8" -> 8, s"sqrtN$sqrtK" -> sqrtK).foreach { case (tag, ck) =>
+        var rows = 0L
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          rows = graft.scale.PQ.ivfAdcTopK(
+            emb, emb.filter(col("vec_id") % 101 === 0),
+            "vec_id", "embedding", coarseK = ck, nprobe = 2, m = 2, k = 4,
+            topK = 5).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.CacheScope.releaseAll()
+          dt
+        }
+        println(f"[pqlaw] $sfDir $tag rows=$rows t=${times.min}%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("mixppm")) {
       // q94's century starvation vs the ppm regime: same 200-doc budget
       // at per-mille and per-million resolution over SPARK_GRAFT_SF_DIR

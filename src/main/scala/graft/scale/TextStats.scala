@@ -721,6 +721,45 @@ object TextStats {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
         .as(skCol))
 
+  /** Per-group DISTINCT-COUNT sketch store — the cardinality twin of
+    * [[cmsSketchByGroup]] (frequency) and the Bloom decontamination
+    * sketch (membership), completing the mergeable-sketch family:
+    * each group aggregates its distinct `valueCol` cardinality into one
+    * Apache DataSketches HLL row (`hll_sketch_agg`, built into Spark 4;
+    * fixed 2^lgK registers per row). Stored rows answer any window's
+    * "how many distinct users/tokens/urls" by MERGING sketches —
+    * never by rescanning the corpus.
+    *
+    * Not oracle-gated: DataSketches HLL bytes have no DuckDB twin.
+    * The laws that make the store sound ARE in-engine testable and
+    * pinned by CorpusOpsSpec: duplicates never move a register (feeding
+    * the corpus twice leaves the merged estimate IDENTICAL), and
+    * re-sharding the corpus into different stored rows moves the merged
+    * estimate only within the HLL4 union-clipping tolerance (measured
+    * ±2 at 700 distinct). Exact bit-equality across groupings does NOT
+    * hold — single-sketch estimates use the stream-order-dependent HIP
+    * estimator and HLL4 unions clip offset-encoded registers — so the
+    * store's contract is: always read estimates through
+    * [[mergeHllSketches]], treat them as estimates. Scale shape: one
+    * map-side-combined agg; the shuffle carries one sketch row per
+    * group.
+    */
+  def hllSketchByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+
+  /** Merge STORED HLL sketch rows into one distinct-count estimate —
+    * cost scales with the number of stored sketches, never the corpus.
+    */
+  def mergeHllSketches(sketches: DataFrame, skCol: String): DataFrame =
+    sketches
+      .agg(hll_union_agg(col(skCol), lit(false)).as("hll"))
+      .select(hll_sketch_estimate(col("hll")).as("n_distinct_est"))
+
   def cmsHeavyHitters(
       docs: DataFrame,
       idCol: String,

@@ -355,6 +355,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept >= 1 && kept <= 12, s"ppm mixture size $kept implausible for budget 3")
   }
 
+  test("HLL sketch store: merged per-source estimate == whole-corpus estimate, duplicate-proof") {
+    val docs = (1L to 3000L).map(i => (s"src${i % 4}", s"user${i % 700}"))
+      .toDF("source", "user")
+    val perSource = TextStats.hllSketchByGroup(docs, "source", "user")
+    assert(perSource.count() === 4L)
+    val merged = TextStats.mergeHllSketches(perSource, "hll")
+      .head().getLong(0)
+    // sharding-insensitivity, within the documented HLL4 tolerance:
+    // merging the 4 per-source rows vs 2 per-parity rows differs only
+    // by the union's register clipping (measured ±2 at 700 distinct —
+    // single-sketch HIP estimates and cross-grouping unions are NOT
+    // bit-pinned; the store's contract is the union path + the band)
+    val byParity = TextStats.mergeHllSketches(
+      TextStats.hllSketchByGroup(
+        docs.withColumn("source", expr("length(user) % 2")), "source", "user"),
+      "hll").head().getLong(0)
+    assert(math.abs(merged - byParity) <= 7L,
+      s"sharding moved the estimate: $merged vs $byParity")
+    // duplicates never move a register: doubling the corpus changes nothing
+    val doubled = TextStats.mergeHllSketches(
+      TextStats.hllSketchByGroup(docs.unionAll(docs), "source", "user"), "hll")
+      .head().getLong(0)
+    assert(doubled === merged)
+    // the estimate is an estimate — but at 700 true distinct and 2^12
+    // registers it must land within a tight band
+    assert(math.abs(merged - 700L) < 35L, s"estimate $merged far from 700")
+  }
+
   test("md5Base48 matches the SQL conv(substring(md5, 1, 12)) formulation") {
     val vals = Seq("alpha beta", "x", "", "the quick brown fox")
     val fromSql = vals.toDF("v")
