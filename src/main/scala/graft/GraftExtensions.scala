@@ -5,13 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArgMaxTieMin, DotProduct, TrimUtf8Bytes, WordShingles}
+import graft.functions.{ArgMaxTieMin, DotProduct, SqDistLong, TrimUtf8Bytes, WordShingles}
 
 /** Registers the engine's native Catalyst expressions as SQL functions,
   * so `spark.sql` queries can call them directly:
   *
   *   - `trim_utf8_bytes(str, maxBytes)`  (X1)
   *   - `dot_product(arr, arr)`           (vector math, scale/)
+  *   - `sqdist_long(arr, arr)`           (integer squared L2, scale/ k-means/PQ)
   *   - `word_shingles(arr, n)`           (n-gram shingling, scale/)
   *   - `argmax_tie_min(id, score)`       (hash-aggregable argmax, scale/)
   *
@@ -45,6 +46,10 @@ object GraftExtensions {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+    (
+      FunctionIdentifier("sqdist_long"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "sqdist_long"),
+      (children: Seq[Expression]) => SqDistLong(children.head, children(1))),
     (
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 class GraftExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("SQL surface: trim_utf8_bytes / dot_product / word_shingles registered") {
+  test("SQL surface: trim_utf8_bytes / dot_product / sqdist_long / word_shingles registered") {
     GraftExtensions.register(spark)
     Seq(("x" * 50, Seq(1.0, 2.0), Seq(3.0, 4.0), "a b c d"))
       .toDF("s", "va", "vb", "t")
@@ -13,12 +13,14 @@ class GraftExtensionsSpec extends SparkSpec {
     val row = spark.sql(
       """SELECT trim_utf8_bytes(s, 12) AS trimmed,
         |       dot_product(va, vb) AS dp,
+        |       sqdist_long(array(1L, 5L), array(4L, 1L)) AS d2,
         |       word_shingles(split(t, ' '), 2) AS sh
         |FROM ext_t""".stripMargin)
-      .as[(String, Double, Seq[String])].head()
+      .as[(String, Double, Long, Seq[String])].head()
     assert(row._1 === "x" * 8 + " ...")
     assert(row._2 === 11.0)
-    assert(row._3 === Seq("a b", "b c", "c d"))
+    assert(row._3 === 25L) // 3^2 + 4^2
+    assert(row._4 === Seq("a b", "b c", "c d"))
   }
 
   test("SQL surface: argmax_tie_min aggregates with min-id tie-break, in HashAggregate") {
