@@ -131,6 +131,13 @@ object KMeans {
     val qv = graft.ops.CacheScope.persisted(quantizeVec(embeds, idCol, vecCol))
     val cent0 = qv.filter(col("id") < k)
       .select(col("id").as("cluster"), col("qv").as("cva"))
+    // fail LOUD on sparse/offset id spaces: with no ids in [0, k) the
+    // assignment frame would be silently EMPTY (the autoStrideAnchor
+    // lesson). Construction is already eager (the dims head() above),
+    // so this k-bounded count adds one trivial job.
+    require(cent0.count() > 0,
+      s"first-$k init found no ids < $k in '$idCol' — the trainer's id " +
+        "contract is dense 0-based (renumber upstream, e.g. zipWithIndex)")
     val finalAssign = (1 until iters).foldLeft(assign(qv, cent0, k)) { (asg, _) =>
       assign(qv, centArrays(update(explodeQv(qv), asg)), k)
     }

@@ -79,6 +79,11 @@ object PQ {
         quantSub(corpus, idCol, vecCol, s, subDim).drop("sub"))
       val cent0 = qv.filter(col("id") < k)
         .select(col("id").as("cluster"), col("qv").as("cva"))
+      // dense-id contract, fail-loud (see KMeans.lloydCore): an empty
+      // first-k init would otherwise silently produce an empty codebook
+      if (s == 0) require(cent0.count() > 0,
+        s"first-$k init found no ids < $k in '$idCol' — PQ's id contract " +
+          "is dense 0-based (renumber upstream, e.g. zipWithIndex)")
       val a1 = KMeans.assign(qv, cent0, k)
       val cent1 = KMeans.centArrays(
         KMeans.update(KMeans.explodeQv(qv), a1))
@@ -195,6 +200,9 @@ object PQ {
       KMeans.quantizeVec(corpus, idCol, vecCol))
     val cc0 = qv.filter(col("id") < coarseK)
       .select(col("id").as("cluster"), col("qv").as("cva"))
+    require(cc0.count() > 0,
+      s"coarse first-$coarseK init found no ids < $coarseK in '$idCol' — " +
+        "IVFADC's id contract is dense 0-based (renumber upstream)")
     val ca1 = KMeans.assign(qv, cc0, coarseK)
     val cc1 = KMeans.centArrays(
       KMeans.update(KMeans.explodeQv(qv), ca1))

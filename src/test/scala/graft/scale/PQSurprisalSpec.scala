@@ -122,6 +122,25 @@ class PQSurprisalSpec extends SparkSpec {
     assert(ivf === full)
   }
 
+  test("sparse id spaces fail LOUD at trainer construction, never return empty") {
+    val sparse = pqVecs.map { case (i, v) => (i + 1000L, v) }.toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      KMeans.lloydAssign(sparse, "vec_id", "embedding", k = 4, iters = 1)
+    }
+    assert(e1.getMessage.contains("dense 0-based"))
+    graft.ops.CacheScope.releaseAll()
+    val e2 = intercept[IllegalArgumentException] {
+      PQ.adcTopK(sparse, sparse.limit(1), "vec_id", "embedding", m = 2, k = 4)
+    }
+    assert(e2.getMessage.contains("dense 0-based"))
+    graft.ops.CacheScope.releaseAll()
+    val e3 = intercept[IllegalArgumentException] {
+      PQ.ivfAdcTopK(sparse, sparse.limit(1), "vec_id", "embedding", coarseK = 4)
+    }
+    assert(e3.getMessage.contains("dense 0-based"))
+    graft.ops.CacheScope.releaseAll()
+  }
+
   // --- Dedup.corpusOverlapEstimate -----------------------------------------
 
   test("corpusOverlapEstimate: hand-computed bottom-k overlap, identical and disjoint bounds") {
