@@ -1668,7 +1668,14 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("click_id"), col("ts")),
         "user_id", "lo", "hi", "ts", "signup_id", "click_id",
         cellSize = dayNanos)
-    })
+    }),
+
+    // --- scale: pretraining chunking — fixed 32-token windows, stride 16
+    // (overlapping context windows; trailing remnant kept) -------------------
+    "q113_chunk_windows" -> ((s, dir) =>
+      TextStats.chunkByTokens(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", window = 32, stride = 16))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -3854,6 +3861,24 @@ object SparkEntry {
         |FROM s JOIN c
         |  ON s.user_id = c.user_id
         |  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 24 HOUR""".stripMargin,
+
+    // same window arithmetic: starts 0, 16, ..., ceil((n-32)/16)*16
+    // (clamped at 0), inclusive 32-token slices, remnant kept
+    "q113_chunk_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM w WHERE len(t) > 0),
+        |starts AS (
+        |  SELECT doc_id, t, CAST(u.s AS BIGINT) AS st
+        |  FROM nz, unnest(generate_series(0,
+        |    greatest(0, CAST(ceil((n - 32) / 16.0) AS INT)) * 16, 16)) AS u(s))
+        |SELECT doc_id, st // 16 AS chunk_idx,
+        |  array_to_string(t[st+1:st+32], ' ') AS chunk_text,
+        |  CAST(len(t[st+1:st+32]) AS BIGINT) AS n_tokens
+        |FROM starts""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

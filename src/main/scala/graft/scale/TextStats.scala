@@ -918,6 +918,47 @@ object TextStats {
         count(lit(1)).as("n_bigrams"),
         expr("sum(surp) div count(1)").as("avg_surp"))
 
+  /** Fixed-size token-window CHUNKING — the pretraining-data step that
+    * turns documents into model-ready sequences: each document's token
+    * stream splits into windows of `window` tokens advancing by
+    * `stride` (stride < window = overlapping context windows, the
+    * standard long-document treatment). Emits
+    * (idCol, chunk_idx, chunk_text, n_tokens); the final short window
+    * is kept (a trailing remnant is real training data), empty docs
+    * emit nothing, and a doc at most `window` tokens long emits exactly
+    * one chunk.
+    *
+    * Scale shape: pure per-row expression work — tokenize once,
+    * generate window start offsets with `sequence`, explode, slice.
+    * No shuffle anywhere (scan-pure like the quality filters); output
+    * rows ≈ Σ ceil(len/stride), the chunk inventory itself.
+    */
+  def chunkByTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs
+      .select(
+        col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(
+        col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(0, cast(ceil((size(t) - $window) / " +
+            s"cast($stride as double)) as int)) * $stride, $stride), " +
+            s"st -> array_join(slice(t, st + 1, $window), ' '))"))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), "\\s+")).cast("long"))
+  }
+
   /** The TRAINED bigram model alone: (w1, w2, surp) over `docs` —
     * [[bigramSurprisal]]'s training half, for the train→serve split
     * ([[surprisalWithModel]] / `StreamingOps.surprisalStream`).

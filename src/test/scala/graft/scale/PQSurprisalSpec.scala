@@ -190,6 +190,32 @@ class PQSurprisalSpec extends SparkSpec {
     assert(kept === Seq(2L, 4L, 7L, 8L))
   }
 
+  // --- TextStats.chunkByTokens ---------------------------------------------
+
+  test("chunkByTokens: window/stride arithmetic, remnant kept, empty dropped") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0, 4, 8
+      (2L, "a b c"), // shorter than window -> one chunk
+      (3L, ""), (4L, "  \t ") // no tokens -> no rows
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunkByTokens(docs, "doc_id", "text", window = 4, stride = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      (1L, 0L) -> (("t1 t2 t3 t4", 4L)),
+      (1L, 1L) -> (("t5 t6 t7 t8", 4L)),
+      (1L, 2L) -> (("t9 t10", 2L)), // trailing remnant
+      (2L, 0L) -> (("a b c", 3L))
+    ))
+    // overlapping stride: 10 tokens, window 4, stride 2 -> starts 0,2,4,6
+    val ov = TextStats.chunkByTokens(
+      docs.filter($"doc_id" === 1L), "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(ov.map(_._1).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(ov.toMap.apply(3L) === "t7 t8 t9 t10") // exact cover, no empty chunk
+  }
+
   // --- Dedup.exactGroupsWithProvenance -------------------------------------
 
   test("exactGroupsWithProvenance records the sorted distinct source set per group") {
