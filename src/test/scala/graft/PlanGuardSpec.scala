@@ -295,6 +295,31 @@ class PlanGuardSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll()
   }
 
+  test("q111/q112/q113: as-of has NO join node, range join has NO nested loop, chunking is scan-pure") {
+    // q111: the union-and-sweep formulation replaces the join entirely —
+    // any *Join node means the range-scan regression came back
+    val p111 = planOf("q111_asof_join")
+    assert(countNodes(p111, _.nodeName.contains("Join")) === 0,
+      p111.toString.take(800))
+    // q112: the grid-bucket formulation's entire reason to exist is the
+    // equi-join plan; a BroadcastNestedLoop/CartesianProduct here means
+    // Spark fell back to the inequality join
+    val p112 = planOf("q112_range_join")
+    assert(countNodes(p112, _.nodeName.contains("BroadcastNestedLoop")) === 0,
+      p112.toString.take(800))
+    assert(countNodes(p112, n =>
+      n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin") ||
+        n.nodeName.contains("BroadcastHashJoin")) === 1,
+      p112.toString.take(800))
+    // q113: chunking must stay a pure scan — the only exchange is the
+    // explicit repartition in the query definition
+    val p113 = planOf("q113_chunk_windows")
+    assert(exchanges(p113) <= 1, p113.toString.take(800))
+    assert(countNodes(p113, _.nodeName.contains("Join")) === 0,
+      p113.toString.take(800))
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("q70 boilerplate: AQE broadcasts the un-hinted repeated-line index at sf0.1") {
     // The index join carries no hint (on a 100 TB crawl the repeated-
     // line set can outgrow broadcast and MUST be allowed to stay a
