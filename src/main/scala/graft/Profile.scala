@@ -367,6 +367,38 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("lshstages")) {
+      // q72/q107 stage breakdown: signatures -> candidate pairs ->
+      // verified pairs -> CC keep, each timed from cold (caches
+      // released), best-of-2, at SPARK_GRAFT_SF_DIR
+      import graft.scale.Dedup
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+      def time(tag: String)(f: => Long): Unit = {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.CacheScope.releaseAll()
+          (dt, n)
+        }
+        println(f"[lshstages] $tag n=${times.head._2} t=${times.map(_._1).min}%.2fs")
+      }
+      time("signatures") {
+        Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16).count()
+      }
+      time("verified_pairs") {
+        Dedup.minhashPairsExact(docs, "doc_id", "text", 3, 16, 8, 0.2).count()
+      }
+      time("cc_keep_q72") {
+        Dedup.dedupByCluster(docs.select("doc_id"),
+          Dedup.minhashPairsExact(docs, "doc_id", "text", 3, 16, 8, 0.2),
+          "doc_id").count()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("pqlaw")) {
       // IVFADC coarse-list law: the ORACLE shape's fixed coarseK=8 vs
       // coarseK ≈ √N, same nprobe — candidates per query scale
