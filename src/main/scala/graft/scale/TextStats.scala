@@ -928,10 +928,14 @@ object TextStats {
     * emit nothing, and a doc at most `window` tokens long emits exactly
     * one chunk.
     *
-    * Scale shape: pure per-row expression work — tokenize once,
-    * generate window start offsets with `sequence`, explode, slice.
-    * No shuffle anywhere (scan-pure like the quality filters); output
-    * rows ≈ Σ ceil(len/stride), the chunk inventory itself.
+    * Scale shape: pure per-row expression work — tokenize once, emit
+    * all chunks with the codegen'd
+    * [[graft.functions.ChunkWindows]] kernel (the HOF
+    * transform/slice composite is CodegenFallback and paid per-chunk
+    * interpreted dispatch — 17.7 s → see BASELINE for the measured
+    * century delta), explode. No shuffle anywhere (scan-pure like the
+    * quality filters); output rows ≈ Σ ceil(len/stride), the chunk
+    * inventory itself.
     */
   def chunkByTokens(
       docs: DataFrame,
@@ -949,10 +953,7 @@ object TextStats {
       .filter(size(col("t")) > 0)
       .select(
         col(idCol),
-        posexplode(expr(
-          s"transform(sequence(0, greatest(0, cast(ceil((size(t) - $window) / " +
-            s"cast($stride as double)) as int)) * $stride, $stride), " +
-            s"st -> array_join(slice(t, st + 1, $window), ' '))"))
+        posexplode(graft.functions.ChunkWindows(col("t"), window, stride))
           .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("n_tokens",
