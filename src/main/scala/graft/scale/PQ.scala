@@ -138,6 +138,12 @@ object PQ {
     * (query_id, rank, neighbor_id, adc2) with rank 1..topK by ascending
     * approximate squared distance, ties to the smaller neighbor id;
     * self-matches excluded.
+    *
+    * Query-set contract: the LUT (q·m·k rows) is broadcast BY HINT —
+    * its join key is only m·k-ary, so the shuffle alternative would
+    * skew the whole code frame onto m·k partitions. Keep the query set
+    * driver-broadcast-sized; corpus-scale query sets belong on
+    * [[ivfAdcTopK]], whose query-side joins are un-hinted.
     */
   def adcTopK(
       corpus: DataFrame,
@@ -222,8 +228,17 @@ object PQ {
       .filter(col("rk") <= nprobe)
       .select("qid", "list")
 
-    // candidate pairs = probed lists' members; bounded BEFORE scoring
-    val cand = docLists.join(broadcast(probeLists), Seq("list"))
+    // candidate pairs = probed lists' members; bounded BEFORE scoring.
+    // Both query-side joins are UN-HINTED on purpose: probeLists and
+    // the LUT are Q-scale frames, and at corpus-scale query sets a
+    // forced broadcast would collect them to the driver. AQE broadcasts
+    // them while they fit; past that the joins fall back to shuffles on
+    // healthy keys — `list` has coarseK (≈ √N in production) distinct
+    // values and the LUT key includes qid. (adcTopK's LUT broadcast
+    // stays hinted: its join key is only m·k-ary, so a shuffle there
+    // would skew onto m·k partitions — that operator's contract bounds
+    // Q instead.)
+    val cand = docLists.join(probeLists, Seq("list"))
       .select("qid", "id")
 
     val (codes, cents) = trainAndEncode(corpus, idCol, vecCol, m, k, subDim)
@@ -231,7 +246,7 @@ object PQ {
     rankTopK(
       cand
         .join(codes, Seq("id"))
-        .join(broadcast(lut), Seq("qid", "sub", "code"))
+        .join(lut, Seq("qid", "sub", "code"))
         .groupBy("qid", "id")
         .agg(sum("d2").as("adc2")),
       topK)
