@@ -1675,7 +1675,12 @@ object SparkEntry {
     "q113_chunk_windows" -> ((s, dir) =>
       TextStats.chunkByTokens(
         t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text", window = 32, stride = 16))
+        "doc_id", "text", window = 32, stride = 16)),
+
+    // --- scale: duplication-rate histogram — the corpus-health report
+    // (group sizes rolled up to one row per copy-count) ----------------------
+    "q114_dup_histogram" -> ((s, dir) =>
+      Dedup.duplicationHistogram(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -3879,6 +3884,15 @@ object SparkEntry {
         |  array_to_string(t[st+1:st+32], ' ') AS chunk_text,
         |  CAST(len(t[st+1:st+32]) AS BIGINT) AS n_tokens
         |FROM starts""".stripMargin,
+
+    "q114_dup_histogram" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS h, count(*) AS n_copies
+        |  FROM documents GROUP BY 1)
+        |SELECT n_copies, count(*) AS n_groups,
+        |  CAST(n_copies * count(*) AS BIGINT) AS n_docs,
+        |  CAST((n_copies - 1) * count(*) AS BIGINT) AS n_removable
+        |FROM g GROUP BY 1""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -22,6 +22,24 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         min(col(idCol)).as("keeper"))
 
+  /** Duplication-rate histogram — the corpus-health report a curation
+    * run leads with ("N% of the crawl is exact-duplicate"): group sizes
+    * from [[exactGroups]] rolled up to one row per copy-count.
+    * (n_copies, n_groups, n_docs, n_removable) where n_docs =
+    * n_copies·n_groups and n_removable = (n_copies − 1)·n_groups (the
+    * docs exact dedup would drop). Two map-side-combined aggs; the
+    * histogram is copy-count-ary, never corpus-sized.
+    */
+  def duplicationHistogram(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactGroups(docs, idCol, textCol)
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_groups"))
+      .select(
+        col("n_copies"),
+        col("n_groups"),
+        (col("n_copies") * col("n_groups")).as("n_docs"),
+        ((col("n_copies") - 1) * col("n_groups")).as("n_removable"))
+
   /** [[exactGroups]] with PROVENANCE: the keeper row additionally
     * carries the sorted '|'-joined distinct values of `provCol` across
     * its duplicate group (which sources contributed copies — the

@@ -216,6 +216,26 @@ class PQSurprisalSpec extends SparkSpec {
     assert(ov.toMap.apply(3L) === "t7 t8 t9 t10") // exact cover, no empty chunk
   }
 
+  // --- Dedup.duplicationHistogram ------------------------------------------
+
+  test("duplicationHistogram rolls group sizes up; docs and removables reconcile") {
+    val docs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"), // one group of 3
+      (4L, "y"), (5L, "y"), // one group of 2
+      (6L, "z"), (7L, "w") // two singletons
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicationHistogram(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      3L -> ((1L, 3L, 2L)),
+      2L -> ((1L, 2L, 1L)),
+      1L -> ((2L, 2L, 0L))
+    ))
+    assert(out.values.map(_._2).sum === docs.count())
+  }
+
   // --- Dedup.exactGroupsWithProvenance -------------------------------------
 
   test("exactGroupsWithProvenance records the sorted distinct source set per group") {
