@@ -1604,7 +1604,7 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.2)
       Dedup.dedupByClusterPriority(
         docs.select(col("doc_id"),
-          substring(col("source"), 4, 10).cast("long").as("priority")),
+          expr("substring(source, 4)").cast("long").as("priority")),
         pairs, "doc_id", "priority")
     }),
 

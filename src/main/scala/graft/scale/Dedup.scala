@@ -511,9 +511,17 @@ object Dedup {
     // next frame (which also materializes it), vs a whole node-sized
     // join per round for the type-generic changed-rows check (kept as
     // the fallback for string ids). decimal(38,0) so a 100 TB id space
-    // can't overflow the sum.
-    val numericIds =
-      edges.schema.fields.head.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // can't overflow the sum. INTEGRAL types only: fractional ids
+    // (Double/Float/scaled Decimal) would truncate under the
+    // decimal(38,0) cast, so a sub-1.0 total label decrease could leave
+    // the sum unchanged and exit propagation early — those fall back to
+    // the exact changed-rows check.
+    val numericIds = edges.schema.fields.head.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
     // seed the sum with the fused-init state (the same aggregation also
     // materializes the persisted labels), so a graph that converges at
     // init (stars) exits after ONE confirming loop round

@@ -80,8 +80,11 @@ object PQ {
       val cent0 = qv.filter(col("id") < k)
         .select(col("id").as("cluster"), col("qv").as("cva"))
       // dense-id contract, fail-loud (see KMeans.lloydCore): an empty
-      // first-k init would otherwise silently produce an empty codebook
-      if (s == 0) require(cent0.count() > 0,
+      // first-k init would otherwise silently produce an empty codebook.
+      // Probed on the RAW corpus with limit-1 short-circuit — not a
+      // count() over the quantized frame, which would materialize the
+      // whole persisted qv cache at construction time.
+      if (s == 0) require(!corpus.filter(col(idCol) < k).limit(1).isEmpty,
         s"first-$k init found no ids < $k in '$idCol' — PQ's id contract " +
           "is dense 0-based (renumber upstream, e.g. zipWithIndex)")
       val a1 = KMeans.assign(qv, cent0, k)
@@ -119,11 +122,16 @@ object PQ {
 
   /** Rank (qid, id, adc2) rows into (query_id, rank, neighbor_id, adc2),
     * rank 1..topK ascending adc2, ties to the smaller neighbor id.
+    *
+    * `excludeSelf` drops rows where qid == id — correct when queries are
+    * drawn from the corpus id space (the q104/q105 shape). Callers whose
+    * query ids are UNRELATED to corpus ids must pass false, or a
+    * legitimate neighbor whose corpus id collides with a query id is
+    * silently dropped.
     */
-  private def rankTopK(scored: DataFrame, topK: Int): DataFrame = {
+  private def rankTopK(scored: DataFrame, topK: Int, excludeSelf: Boolean): DataFrame = {
     val win = Window.partitionBy("qid").orderBy(col("adc2").asc, col("id").asc)
-    scored
-      .filter(col("qid") =!= col("id"))
+    (if (excludeSelf) scored.filter(col("qid") =!= col("id")) else scored)
       .withColumn("rank", row_number().over(win).cast("long"))
       .filter(col("rank") <= topK)
       .select(
@@ -144,6 +152,17 @@ object PQ {
     * skew the whole code frame onto m·k partitions. Keep the query set
     * driver-broadcast-sized; corpus-scale query sets belong on
     * [[ivfAdcTopK]], whose query-side joins are un-hinted.
+    *
+    * Construction is DOCUMENTED-EAGER: building the returned plan runs
+    * exactly two bounded probe jobs before the caller's first action —
+    * a 1-row `size(vec)` dims probe (subspace widths are plan-time
+    * literals) and a limit-1 short-circuit existence probe for the
+    * dense-id init contract. Neither scans the corpus; the training
+    * aggregations themselves stay lazy (see `PQLazinessSpec`).
+    *
+    * `excludeSelf` (default true) assumes queries share the corpus id
+    * space and drops qid == id rows; pass false when query ids are
+    * unrelated to corpus ids (see [[rankTopK]]).
     */
   def adcTopK(
       corpus: DataFrame,
@@ -152,7 +171,8 @@ object PQ {
       vecCol: String,
       m: Int = 2,
       k: Int = 4,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
     require(m >= 1 && k >= 1 && topK >= 1, s"bad PQ params m=$m k=$k topK=$topK")
     val dims = corpus.selectExpr(s"size($vecCol)").head().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
@@ -164,7 +184,7 @@ object PQ {
         .join(broadcast(lut), Seq("sub", "code"))
         .groupBy("qid", "id")
         .agg(sum("d2").as("adc2")),
-      topK)
+      topK, excludeSelf)
   }
 
   /** IVFADC: a COARSE full-vector k-means (the [[KMeans]] trainer,
@@ -181,6 +201,14 @@ object PQ {
     * (doc lists, probe lists) are N- and Q-sized slim long rows; the
     * candidate join is an equi-join on the list id, never a nested
     * loop.
+    *
+    * Construction is DOCUMENTED-EAGER: exactly three bounded probe jobs
+    * run before the caller's first action — a 1-row dims probe and two
+    * limit-1 existence probes (coarse + sub-codebook dense-id init
+    * guards). None scans the corpus; training stays lazy
+    * (see `PQLazinessSpec`).
+    *
+    * `excludeSelf` as on [[adcTopK]].
     */
   def ivfAdcTopK(
       corpus: DataFrame,
@@ -191,7 +219,8 @@ object PQ {
       nprobe: Int = 2,
       m: Int = 2,
       k: Int = 4,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
     require(coarseK >= 1 && nprobe >= 1, s"bad IVF params coarseK=$coarseK nprobe=$nprobe")
     require(m >= 1 && k >= 1 && topK >= 1, s"bad PQ params m=$m k=$k topK=$topK")
     val dims = corpus.selectExpr(s"size($vecCol)").head().getInt(0)
@@ -206,7 +235,9 @@ object PQ {
       KMeans.quantizeVec(corpus, idCol, vecCol))
     val cc0 = qv.filter(col("id") < coarseK)
       .select(col("id").as("cluster"), col("qv").as("cva"))
-    require(cc0.count() > 0,
+    // limit-1 existence probe on the raw corpus (short-circuits; does
+    // NOT materialize the persisted qv cache like a count() would)
+    require(!corpus.filter(col(idCol) < coarseK).limit(1).isEmpty,
       s"coarse first-$coarseK init found no ids < $coarseK in '$idCol' — " +
         "IVFADC's id contract is dense 0-based (renumber upstream)")
     val ca1 = KMeans.assign(qv, cc0, coarseK)
@@ -249,6 +280,6 @@ object PQ {
         .join(lut, Seq("qid", "sub", "code"))
         .groupBy("qid", "id")
         .agg(sum("d2").as("adc2")),
-      topK)
+      topK, excludeSelf)
   }
 }

@@ -244,7 +244,7 @@ object StreamingOps {
       textCol: String): DataFrame = {
     val m: Map[String, Long] = model
       .select(col("w1"), col("w2"), col("surp").cast("long"))
-      .collect().map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2))
+      .collect().map(r => (r.getString(0) + "\u0000" + r.getString(1)) -> r.getLong(2))
       .toMap
     val mMap = typedlit(m)
     docs
@@ -258,7 +258,7 @@ object StreamingOps {
           zip_with(
             slice(col("t"), lit(1), size(col("t")) - 1),
             slice(col("t"), lit(2), size(col("t")) - 1),
-            (a, b) => concat(a, lit(" "), b)),
+            (a, b) => concat(a, lit("\u0000"), b)),
           k => element_at(mMap, k).isNotNull).as("known"))
       .filter(size(col("known")) > 0)
       .select(

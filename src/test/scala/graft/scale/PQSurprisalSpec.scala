@@ -141,6 +141,73 @@ class PQSurprisalSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll()
   }
 
+  test("excludeSelf=false keeps corpus neighbors whose id collides with a query id") {
+    // query ids 100-101 carry vectors identical to corpus ids 0-1: with
+    // the default self-filter nothing is dropped (ids are disjoint), and
+    // with excludeSelf=false an id-colliding query (id 3, vector of 0)
+    // still sees corpus doc 3 as a candidate instead of losing it
+    val disjointQ = pqDf.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val out = PQ.adcTopK(pqDf, disjointQ, "vec_id", "embedding",
+      m = 2, k = 4, topK = 1, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    graft.ops.CacheScope.releaseAll()
+    // rank-1 neighbor of each disjoint query is its exact duplicate, d2=0
+    assert(out.sortBy(_._1).toSeq === Seq((100L, 0L, 0L), (101L, 1L, 0L)))
+    // id-colliding query: vector of distinct4(0) but id 3 — corpus doc 3
+    // (same id, DIFFERENT vector) must remain eligible under
+    // excludeSelf=false and must NOT outrank the true duplicates
+    val collide = Seq((3L, distinct4(0))).toDF("vec_id", "embedding")
+    val got = PQ.adcTopK(pqDf, collide, "vec_id", "embedding",
+      m = 2, k = 4, topK = 8, excludeSelf = false)
+      .collect().map(r => r.getLong(2)).toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(got.contains(3L)) // would be silently dropped by the default filter
+  }
+
+  test("PQ construction runs ONLY the documented bounded probes (2 adc / 3 ivfadc)") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    // FIFO listener bus: once a sentinel submitted AFTER construction is
+    // counted, any construction job was counted before it (ScaleSpec's
+    // LSH-laziness pattern)
+    def settle(atLeast: Int): Int = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (counter.get() < atLeast && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      counter.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val queries = pqDf.filter(col("vec_id") < 2)
+      spark.range(1).collect() // sentinel: listener live
+      val base = settle(1)
+      val adc = PQ.adcTopK(pqDf, queries, "vec_id", "embedding", m = 2, k = 4, topK = 3)
+      spark.range(1).collect()
+      val afterAdc = settle(base + 1)
+      // dims head() + limit-1 init probe + the sentinel; local-relation
+      // fixtures may constant-fold a probe to ZERO jobs, so pin an upper
+      // bound — eager training (the regression this guards) would run a
+      // cache-materializing scan + aggregation far above it
+      assert(afterAdc - base - 1 <= 2,
+        s"adcTopK construction ran ${afterAdc - base - 1} jobs; documented contract is <=2")
+      val ivf = PQ.ivfAdcTopK(pqDf, queries, "vec_id", "embedding",
+        coarseK = 4, nprobe = 4, m = 2, k = 4, topK = 3)
+      spark.range(1).collect()
+      val afterIvf = settle(afterAdc + 1)
+      // dims + coarse init probe + sub-codebook init probe + sentinel
+      assert(afterIvf - afterAdc - 1 <= 3,
+        s"ivfAdcTopK construction ran ${afterIvf - afterAdc - 1} jobs; documented contract is <=3")
+      // and both frames still execute correctly afterwards
+      assert(adc.count() > 0 && ivf.count() > 0)
+      graft.ops.CacheScope.releaseAll()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   // --- Dedup.corpusOverlapEstimate -----------------------------------------
 
   test("corpusOverlapEstimate: hand-computed bottom-k overlap, identical and disjoint bounds") {

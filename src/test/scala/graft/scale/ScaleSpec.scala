@@ -153,6 +153,18 @@ class ScaleSpec extends SparkSpec {
     assert(viaDriver(11L) === 10L && viaDriver(22L) === 20L && viaDriver(21L) === 20L)
   }
 
+  test("connectedComponents: fractional ids take the exact changed-rows check, not the truncating sum") {
+    // a 4-node chain whose labels differ by < 1.0: every rep truncates
+    // to 0 under a decimal(38,0) cast, so the sum-convergence fast path
+    // would see an unchanged 0 total after round 1 and exit with 0.3
+    // still labeled 0.2 — the integral-only gate must route doubles to
+    // the changed-rows fallback
+    val fracPairs = Seq((0.1, 0.2), (0.2, 0.3), (0.3, 0.4)).toDF("id_a", "id_b")
+    val reps = Dedup.connectedComponents(fracPairs, "id_a", "id_b", driverThreshold = 0)
+      .as[(Double, Double)].collect().toMap
+    assert(reps === Map(0.1 -> 0.1, 0.2 -> 0.1, 0.3 -> 0.1, 0.4 -> 0.1))
+  }
+
   test("dedupByCluster keeps the min-id representative; unpaired docs pass through") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
