@@ -1680,7 +1680,24 @@ object SparkEntry {
     // --- scale: duplication-rate histogram — the corpus-health report
     // (group sizes rolled up to one row per copy-count) ----------------------
     "q114_dup_histogram" -> ((s, dir) =>
-      Dedup.duplicationHistogram(t(s, dir, "documents"), "doc_id", "text"))
+      Dedup.duplicationHistogram(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- J-family: AS-OF with a MULTI-COLUMN payload — the whole matched
+    // view row (id + value + props) rides the sweep struct-packed, so the
+    // enrichment columns can never mix across right rows -----------------
+    "q116_asof_payload" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      AsOfJoin.asOfAll(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+            col("value"), col("props")),
+        "user_id", "ts", "click_id", Seq("view_id", "value", "props"))
+        .select(col("click_id"), col("user_id"),
+          expr("ts div 1000000").as("ts_ms"),
+          col("asof_view_id"), col("asof_value"), col("asof_props"))
+    })
   )
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -3893,6 +3910,25 @@ object SparkEntry {
         |  CAST(n_copies * count(*) AS BIGINT) AS n_docs,
         |  CAST((n_copies - 1) * count(*) AS BIGINT) AS n_removable
         |FROM g GROUP BY 1""".stripMargin,
+
+    // equal-ts views dedup to the max-(view_id,value,props) row — view_id
+    // is unique, so ordering by it alone matches the Spark sweep's
+    // lexicographic struct max; DuckDB's native ASOF carries the row
+    "q116_asof_payload" ->
+      """WITH l AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |r0 AS (
+        |  SELECT user_id, ts, event_id AS view_id, value, props
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1)
+        |SELECT l.click_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |  r0.view_id AS asof_view_id, r0.value AS asof_value,
+        |  r0.props AS asof_props
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND l.ts >= r0.ts""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

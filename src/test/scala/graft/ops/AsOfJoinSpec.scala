@@ -42,6 +42,52 @@ class AsOfJoinSpec extends SparkSpec {
     assert(base.size === left.count())
   }
 
+  test("asOfAll carries a multi-column payload from ONE winning right row") {
+    // trades (key, ts, price, ccy, venue): the enrichment columns must
+    // never mix across right rows — a left row matching ts 15 gets
+    // (320, "eur", "B") as a unit, the lexicographic max among the
+    // equal-ts pair, not max price + max ccy independently
+    val trades = Seq(
+      (1L, 8L, 500L, "usd", "A"),
+      (1L, 15L, 320L, "eur", "B"),
+      (1L, 15L, 320L, "chf", "Z"), // equal ts AND price: ccy breaks the tie
+      (3L, 1L, 900L, "gbp", "C")
+    ).toDF("k", "ts", "price", "ccy", "venue")
+    val out = AsOfJoin.asOfAll(left, trades, "k", "ts", "lid",
+      Seq("price", "ccy", "venue"))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        (if (r.isNullAt(3)) None else Some(r.getLong(3))),
+        Option(r.getString(4)), Option(r.getString(5))))
+      .toMap
+    assert(out === Map(
+      100L -> ((Some(500L), Some("usd"), Some("A"))), // ts 10 -> right ts 8
+      101L -> ((Some(320L), Some("eur"), Some("B"))), // ts 20 -> max-(price,ccy,venue) of the ts-15 pair
+      102L -> ((None, None, None)), // ts 5 precedes all
+      104L -> ((Some(500L), Some("usd"), Some("A"))), // inclusive equal ts
+      103L -> ((None, None, None)) // key 2 has no trades
+    ))
+    // schema contract: asof_-prefixed payload columns in order
+    val cols = AsOfJoin.asOfAll(left, trades, "k", "ts", "lid",
+      Seq("price", "ccy", "venue")).columns.toSeq
+    assert(cols === Seq("lid", "k", "ts", "asof_price", "asof_ccy", "asof_venue"))
+  }
+
+  test("asOfAll has no join and no aggregate node (single-shuffle sweep)") {
+    val trades = Seq((1L, 8L, 500L, "usd")).toDF("k", "ts", "price", "ccy")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try AsOfJoin.asOfAll(left, trades, "k", "ts", "lid", Seq("price", "ccy"))
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.nodeName +: p.children.flatMap(nodes)
+    val names = nodes(plan)
+    assert(!names.exists(_.contains("Join")), names.mkString(", "))
+    assert(!names.exists(_.contains("Aggregate")), names.mkString(", "))
+    assert(names.count(_.contains("Exchange")) === 1, names.mkString(", "))
+  }
+
   test("asOf equals the correlated-subquery reference on a generated fixture") {
     val l = (0L until 200L).map(i => (i % 7, (i * 13) % 101, i)).toDF("k", "ts", "lid")
     val r = (0L until 150L).map(i => (i % 5, (i * 17) % 97, 1000L + i)).toDF("k", "ts", "rid")
