@@ -1697,6 +1697,24 @@ object SparkEntry {
         .select(col("click_id"), col("user_id"),
           expr("ts div 1000000").as("ts_ms"),
           col("asof_view_id"), col("asof_value"), col("asof_props"))
+    }),
+
+    // --- J-family: interval-interval OVERLAP join — signup attribution
+    // windows (24 h) colliding with click activity windows (1 h) per
+    // user; grid-bucket equi-join with the emit-once max-lo cell rule ----
+    "q117_interval_overlap" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val dayNanos = 86400L * 1000000000L
+      val hourNanos = 3600L * 1000000000L
+      RangeJoin.intervalOverlap(
+        e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"),
+            col("ts").as("s_lo"), (col("ts") + dayNanos).as("s_hi")),
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("c_lo"), (col("ts") + hourNanos).as("c_hi")),
+        "user_id", "s_lo", "s_hi", "c_lo", "c_hi", "signup_id", "click_id",
+        cellSize = dayNanos)
     })
   )
 
@@ -3929,6 +3947,22 @@ object SparkEntry {
         |  r0.props AS asof_props
         |FROM l ASOF LEFT JOIN r0
         |  ON l.user_id = r0.user_id AND l.ts >= r0.ts""".stripMargin,
+
+    // the inequality join DuckDB plans natively; the Spark side is the
+    // grid-bucket equi-join with the emit-once cell rule — same pair set
+    "q117_interval_overlap" ->
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, user_id,
+        |    ts AS lo, ts + INTERVAL 24 HOUR AS hi
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    ts AS lo, ts + INTERVAL 1 HOUR AS hi
+        |  FROM events WHERE event_type = 'click')
+        |SELECT s.signup_id, c.click_id, s.user_id
+        |FROM s JOIN c
+        |  ON s.user_id = c.user_id
+        |  AND s.lo <= c.hi AND c.lo <= s.hi""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

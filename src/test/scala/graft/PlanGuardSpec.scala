@@ -319,6 +319,14 @@ class PlanGuardSpec extends SparkSpec {
       n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin") ||
         n.nodeName.contains("BroadcastHashJoin")) === 1,
       p112.toString.take(800))
+    // q117: the overlap variant must keep the same single-equi-join shape
+    val p117 = planOf("q117_interval_overlap")
+    assert(countNodes(p117, _.nodeName.contains("BroadcastNestedLoop")) === 0,
+      p117.toString.take(800))
+    assert(countNodes(p117, n =>
+      n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin") ||
+        n.nodeName.contains("BroadcastHashJoin")) === 1,
+      p117.toString.take(800))
     // q113: chunking must stay a pure scan — the only exchange is the
     // explicit repartition in the query definition
     val p113 = planOf("q113_chunk_windows")
