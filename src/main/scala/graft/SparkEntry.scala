@@ -1715,8 +1715,36 @@ object SparkEntry {
             col("ts").as("c_lo"), (col("ts") + hourNanos).as("c_hi")),
         "user_id", "s_lo", "s_hi", "c_lo", "c_hi", "signup_id", "click_id",
         cellSize = dayNanos)
-    })
+    }),
+
+    // --- scale: the FULL pretraining curation pipeline as one call —
+    // chunk → cross-doc near-dup priority dedup → decontaminate →
+    // surprisal gate → ppm temperature mix → leakage-safe split →
+    // token-budget shard pack (the round-11 operator family composed;
+    // q118 gates the same run's per-stage counters) ----------------------
+    "q115_pretrain_curate" -> ((s, dir) =>
+      pretrainRun(s, dir).sequences),
+
+    // --- scale: q115's K7-style run counters — every stage's row count
+    // from the SAME composed pipeline, oracle-gated stage by stage ------
+    "q118_pretrain_counters" -> ((s, dir) =>
+      pretrainRun(s, dir).counters)
   )
+
+  /** Shared q115/q118 pipeline invocation — the q87 train/holdout split
+    * (doc_id % 11), q107's source-suffix priority, language as the
+    * mixture domain, defaults everywhere else.
+    */
+  private def pretrainRun(s: SparkSession, dir: String): graft.scale.Curation.PretrainResult = {
+    val docs = t(s, dir, "documents")
+    graft.scale.Curation.pretrainCurate(
+      docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("text"),
+          expr("substring(source, 4)").cast("long").as("priority"), col("lang"))
+        .repartition(s.sparkContext.defaultParallelism),
+      docs.filter(col("doc_id") % 11 === 0),
+      "doc_id", "text", "priority", "lang")
+  }
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
     * snapshots where every incoming record identity-matches the store
@@ -3964,6 +3992,28 @@ object SparkEntry {
         |  ON s.user_id = c.user_id
         |  AND s.lo <= c.hi AND c.lo <= s.hi""".stripMargin,
 
+    // the composed stage CTEs (see pretrainOracleBody): packed train
+    // sequences with their doc lineage
+    "q115_pretrain_curate" ->
+      s"""$pretrainOracleBody
+         |SELECT p.chunk_id, g.doc_id, g.chunk_idx, g.lang, p.n_tokens, p.shard
+         |FROM packed p JOIN gated g USING (chunk_id)""".stripMargin,
+
+    // the same composed CTEs, counted stage by stage — q115's run-report
+    // twin (K7 shape)
+    "q118_pretrain_counters" ->
+      s"""$pretrainOracleBody
+         |SELECT 'docs_in' AS stage, CAST(count(*) AS BIGINT) AS n FROM train
+         |UNION ALL SELECT 'chunks', CAST(count(*) AS BIGINT) FROM chunks
+         |UNION ALL SELECT 'near_dup_pairs', CAST(count(*) AS BIGINT) FROM px
+         |UNION ALL SELECT 'chunks_dedup', CAST(count(*) AS BIGINT) FROM ded
+         |UNION ALL SELECT 'chunks_clean', CAST(count(*) AS BIGINT) FROM clean
+         |UNION ALL SELECT 'chunks_gated', CAST(count(*) AS BIGINT) FROM gated
+         |UNION ALL SELECT 'sequences_mixed', CAST(count(*) AS BIGINT) FROM mixed
+         |UNION ALL SELECT 'train_sequences', CAST(count(*) AS BIGINT) FROM trainseq
+         |UNION ALL SELECT 'packed_sequences', CAST(count(*) AS BIGINT) FROM packed
+         |UNION ALL SELECT 'shards', CAST(count(DISTINCT shard) AS BIGINT) FROM packed""".stripMargin,
+
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme
     "q94_temperature_mix" ->
@@ -4134,7 +4184,7 @@ object SparkEntry {
     * `src` (a table or CTE with (doc_id, text)) — mirrors
     * Dedup.minhashPairsExact at the production parameterization.
     */
-  private def lshPairsSqlFrom(src: String): String = {
+  private def lshPairsSqlFrom(src: String, threshold: Double = 0.2): String = {
     val numHashes = 16
     val bands = 8
     val rpb = numHashes / bands
@@ -4181,8 +4231,124 @@ object SparkEntry {
        |FROM inter
        |JOIN cnt ca ON ca.doc_id = id_a
        |JOIN cnt cb ON cb.doc_id = id_b
-       |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.2""".stripMargin
+       |WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= $threshold""".stripMargin
   }
+
+  /** q115/q118 oracle core: the whole pretraining pipeline as composed
+    * CTEs — q113's chunker, [[lshPairsSqlFrom]] at threshold 0.6 over
+    * the chunk frame, q107's priority dedup, q87's decontamination,
+    * q103's surprisal, q94's mixture at ppm resolution, q100's split
+    * bucket, q83's pack window. Multi-referenced stages carry DuckDB
+    * MATERIALIZED hints: CTE inlining otherwise re-evaluates the whole
+    * upstream pipeline per reference (measured 257 s → 0.8 s at sf0.01).
+    */
+  private lazy val pretrainOracleBody: String =
+    s"""WITH RECURSIVE
+       |train AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+       |w0 AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS priority, lang,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS t
+       |  FROM train),
+       |nz AS (SELECT doc_id, priority, lang, t, len(t) AS n FROM w0 WHERE len(t) > 0),
+       |starts AS (
+       |  SELECT doc_id, priority, lang, t, CAST(u.s AS BIGINT) AS st
+       |  FROM nz, unnest(generate_series(0,
+       |    greatest(0, CAST(ceil((n - 32) / 16.0) AS INT)) * 16, 16)) AS u(s)),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id * 65536 + st // 16 AS chunk_id, doc_id, st // 16 AS chunk_idx,
+       |    priority, lang,
+       |    array_to_string(t[st+1:st+32], ' ') AS chunk_text,
+       |    CAST(len(t[st+1:st+32]) AS BIGINT) AS n_tokens
+       |  FROM starts),
+       |lshsrc AS (SELECT chunk_id AS doc_id, chunk_text AS text FROM chunks),
+       |p0 AS MATERIALIZED (
+       |${lshPairsSqlFrom("lshsrc", 0.6)}
+       |),
+       |px AS (SELECT id_a, id_b FROM p0 WHERE id_a // 65536 <> id_b // 65536),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM px UNION SELECT id_b, id_a FROM px),
+       |r AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+       |reps AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS rep FROM r GROUP BY a),
+       |dpr AS (
+       |  SELECT c.chunk_id, c.priority, coalesce(reps.rep, c.chunk_id) AS rep
+       |  FROM chunks c LEFT JOIN reps ON c.chunk_id = reps.id),
+       |mp AS (SELECT rep, min(priority) AS best_prio FROM dpr GROUP BY rep),
+       |keep AS (
+       |  SELECT min(dpr.chunk_id) AS chunk_id
+       |  FROM dpr JOIN mp ON dpr.rep = mp.rep AND dpr.priority = mp.best_prio
+       |  GROUP BY dpr.rep),
+       |ded AS MATERIALIZED (SELECT c.* FROM chunks c JOIN keep USING (chunk_id)),
+       |tokh AS (SELECT chunk_id, regexp_split_to_array(trim(chunk_text), '\\s+') AS t FROM ded),
+       |grams AS (
+       |  SELECT chunk_id, array_to_string(t[i:i+3], ' ') AS g
+       |  FROM tokh, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+       |btok AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |bench AS (
+       |  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS g
+       |  FROM btok, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+       |contaminated AS (SELECT DISTINCT chunk_id FROM grams JOIN bench USING (g)),
+       |clean AS MATERIALIZED (
+       |  SELECT d.* FROM ded d LEFT JOIN contaminated c USING (chunk_id)
+       |  WHERE c.chunk_id IS NULL),
+       |stoks AS (SELECT chunk_id, regexp_extract_all(lower(chunk_text), '[a-z0-9]+') AS t FROM clean),
+       |bi AS (
+       |  SELECT chunk_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM stoks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+       |m AS (
+       |  SELECT cb.w1, cb.w2, CAST((1000 * c1.c1) // cb.cb AS BIGINT) AS surp
+       |  FROM cb JOIN c1 USING (w1)),
+       |surp AS MATERIALIZED (
+       |  SELECT bi.chunk_id, CAST(sum(m.surp) // count(*) AS BIGINT) AS avg_surp
+       |  FROM bi JOIN m USING (w1, w2) GROUP BY 1),
+       |gated AS MATERIALIZED (
+       |  SELECT c.* FROM clean c JOIN surp s USING (chunk_id)
+       |  WHERE s.avg_surp <= 32000),
+       |nmix AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(floor(sqrt(count(*))) AS BIGINT) AS s
+       |  FROM gated GROUP BY 1),
+       |tot AS (SELECT CAST(sum(s) AS BIGINT) AS s_tot FROM nmix),
+       |rates AS (
+       |  SELECT lang, n_docs, (1000000 * 400 * s) // (s_tot * n_docs) AS rate
+       |  FROM nmix CROSS JOIN tot),
+       |wmix AS (
+       |  SELECT g.chunk_id, g.lang, r.rate,
+       |    ('0x' || substr(md5(CAST(g.chunk_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS b
+       |  FROM gated g JOIN rates r USING (lang)),
+       |cmix AS (
+       |  SELECT chunk_id, lang,
+       |    (rate // 1000000) + (CASE WHEN b < rate % 1000000 THEN 1 ELSE 0 END) AS copies
+       |  FROM wmix),
+       |mixed AS MATERIALIZED (
+       |  SELECT chunk_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+       |  FROM cmix WHERE copies > 0),
+       |splitb AS (
+       |  SELECT g.chunk_id, coalesce(reps.rep, g.chunk_id) AS rep
+       |  FROM gated g LEFT JOIN reps ON g.chunk_id = reps.id),
+       |splits AS MATERIALIZED (
+       |  SELECT chunk_id,
+       |    CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 1000 < 100 THEN 'test'
+       |         WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 1000 < 200 THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM splitb),
+       |trainseq AS MATERIALIZED (
+       |  SELECT m.chunk_id, m.copy FROM mixed m JOIN splits s USING (chunk_id)
+       |  WHERE s.split = 'train'),
+       |packin AS (
+       |  SELECT t.chunk_id, g.n_tokens, md5('shard:' || t.chunk_id) AS k
+       |  FROM trainseq t JOIN gated g USING (chunk_id)),
+       |packed AS MATERIALIZED (
+       |  SELECT chunk_id, n_tokens,
+       |    CAST((CAST(sum(n_tokens) OVER (ORDER BY k, chunk_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+       |  FROM packin)""".stripMargin
 
   /** q25 oracle: hyperplane signatures from the same literal dyadic
     * weight vectors the Spark side uses (Similarity.planeWeights), so

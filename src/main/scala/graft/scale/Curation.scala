@@ -56,4 +56,160 @@ object Curation {
     val clean = ded.join(contaminated, Seq(idCol), "left_anti")
     ShardPack.packByTokenBudget(clean, idCol, "n_tokens", shardBudget)
   }
+
+  /** [[pretrainCurate]]'s two result frames: the packed train sequences
+    * (one row per sequence COPY — the mixture replicates) and the
+    * K7-style per-stage run counters.
+    */
+  final case class PretrainResult(sequences: DataFrame, counters: DataFrame)
+
+  /** The FULL pretraining curation pipeline — the round-11 operator
+    * family composed as one call, sequence-level (each document splits
+    * into model-ready token windows and every later stage works on
+    * chunks, the production shape):
+    *
+    *   1. chunk — [[TextStats.chunkByTokens]] (window/stride, scan-pure,
+    *      doc attributes carried row-for-row); chunk ids pack as
+    *      `doc_id * chunkIdSpan + chunk_idx` with an in-plan fail-loud
+    *      guard on the span;
+    *   2. near-dup dedup — [[Dedup.minhashPairsExact]] at
+    *      `dedupThreshold` restricted to CROSS-document pairs
+    *      (within-doc window overlap is deliberate stride overlap, not
+    *      duplication), then priority-aware canonical selection
+    *      ([[Dedup.dedupByClusterPriorityWithReps]]: keep the
+    *      curated-source copy);
+    *   3. decontaminate — [[Dedup.decontaminate]] against the holdout's
+    *      `contamGramN`-gram set, anti-join;
+    *   4. quality gate — [[TextStats.bigramSurprisal]] trained on the
+    *      surviving chunks themselves; keep `avg_surp <= maxAvgSurp`
+    *      (chunks too short to score drop — unscoreable is ungateable);
+    *   5. temperature mix — [[TextStats.temperatureMixAtResolution]]
+    *      (√n domain weights at ppm resolution — the century-proof rate
+    *      grid) replicates each chunk into epoch copies toward
+    *      `budgetSeqs`;
+    *   6. leakage-safe split — [[Sampling.leakageSafeSplitWithReps]] on
+    *      the SAME near-dup clustering as stage 2 (one CC pass feeds
+    *      both consumers), so eval can never hold a near-copy of a
+    *      train sequence;
+    *   7. shard pack — [[ShardPack.packByTokenBudget]] over the train
+    *      split's copies (two-phase distributed prefix sum).
+    *
+    * Scale: every stage is the individually driver-gated operator in its
+    * documented 100 TB shape; the composite adds only slim id-keyed
+    * joins between stages (chunk-id semi/anti-joins, never text
+    * shuffles beyond what the stages themselves do). The multi-consumer
+    * frames (chunks, pairs, the gated survivors) are CacheScope-persisted.
+    *
+    * Determinism: every stage is hash-draw deterministic (md5 buckets,
+    * min-id representatives, integer rate arithmetic), so reruns over
+    * the same input produce bit-identical frames — `PretrainCurateSpec`
+    * pins rerun equality and partitioning invariance end-to-end.
+    *
+    * @param docs     (idCol, textCol, priorityCol, groupCol) — the
+    *                 training corpus; priority: smaller = preferred
+    *                 survivor; group: mixture domain (language/source)
+    * @param holdout  benchmark/eval documents (idCol, textCol shape)
+    * @return packed train sequences
+    *         (chunk_id, idCol, chunk_idx, groupCol, n_tokens, shard) —
+    *         one row per epoch copy — plus per-stage counters
+    *         (stage, n)
+    */
+  def pretrainCurate(
+      docs: DataFrame,
+      holdout: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: String,
+      groupCol: String,
+      window: Int = 32,
+      stride: Int = 16,
+      chunkIdSpan: Long = 65536L,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      dedupThreshold: Double = 0.6,
+      contamGramN: Int = 4,
+      maxAvgSurp: Long = 32000L,
+      budgetSeqs: Long = 400L,
+      mixResolution: Long = 1000000L,
+      testPermille: Int = 100,
+      valPermille: Int = 100,
+      shardTokenBudget: Long = 2000L): PretrainResult = {
+    require(chunkIdSpan >= 2, s"chunkIdSpan must be >= 2, got $chunkIdSpan")
+    // 1. chunk; the span guard is IN-PLAN (assert_true folds to null and
+    // the coalesce keeps the arithmetic long-typed) so a doc with more
+    // than chunkIdSpan windows fails loud at first action, never aliases
+    val chunks = CacheScope.persisted(
+      TextStats.chunkByTokens(
+        docs, idCol, textCol, window, stride, carryCols = Seq(priorityCol, groupCol))
+        .withColumn("chunk_id",
+          col(idCol).cast("long") * chunkIdSpan + col("chunk_idx") +
+            coalesce(
+              assert_true(col("chunk_idx") < chunkIdSpan,
+                lit(s"chunk_idx overflowed chunkIdSpan=$chunkIdSpan — raise the span"))
+                .cast("long"),
+              lit(0L))))
+    // 2. near-dup pairs at the duplication threshold, cross-doc only
+    val pairs = CacheScope.persisted(
+      Dedup.minhashPairsExact(
+        chunks.select(col("chunk_id"), col("chunk_text")),
+        "chunk_id", "chunk_text", shingleSize, numHashes, bands, dedupThreshold)
+        .filter(
+          expr(s"id_a div ${chunkIdSpan}L") =!= expr(s"id_b div ${chunkIdSpan}L")))
+    val reps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "chunk_id")
+    val ded = Dedup.dedupByClusterPriorityWithReps(
+      chunks, reps, "chunk_id", priorityCol)
+    // 3. decontaminate (holdout renamed to the chunk shape — only its
+    // gram set matters)
+    val clean = ded.join(
+      Dedup.decontaminate(
+        ded,
+        holdout.select(col(idCol).as("chunk_id"), col(textCol).as("chunk_text")),
+        "chunk_id", "chunk_text", contamGramN)
+        .select("chunk_id"),
+      Seq("chunk_id"), "left_anti")
+    // 4. surprisal quality gate (model trained on the survivors)
+    val gated = CacheScope.persisted(
+      clean.join(
+        TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
+          .filter(col("avg_surp") <= maxAvgSurp)
+          .select("chunk_id"),
+        Seq("chunk_id"), "left_semi"))
+    // 5. epoch mixture (ppm resolution)
+    val mixed = TextStats.temperatureMixAtResolution(
+      gated, "chunk_id", groupCol, budgetSeqs, mixResolution)
+    // 6. leakage-safe split on the SAME clustering as the dedup
+    val split = Sampling.leakageSafeSplitWithReps(
+      gated.select("chunk_id"), reps, "chunk_id", testPermille, valPermille)
+    val trainSeq = mixed.join(
+      split.filter(col("split") === "train").select("chunk_id"),
+      Seq("chunk_id"), "left_semi")
+    // 7. shard-pack the train copies
+    val packed = ShardPack.packByTokenBudget(
+      trainSeq.select("chunk_id")
+        .join(gated.select(col("chunk_id"), col("n_tokens")), Seq("chunk_id")),
+      "chunk_id", "n_tokens", shardTokenBudget)
+    val sequences = packed.join(
+      gated.select(col("chunk_id"), col(idCol), col("chunk_idx"), col(groupCol)),
+      Seq("chunk_id"))
+      .select(col("chunk_id"), col(idCol), col("chunk_idx"), col(groupCol),
+        col("n_tokens"), col("shard"))
+    def cnt(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(stage).as("stage"), col("n"))
+    val counters = Seq(
+      cnt("docs_in", docs),
+      cnt("chunks", chunks),
+      cnt("near_dup_pairs", pairs),
+      cnt("chunks_dedup", ded),
+      cnt("chunks_clean", clean),
+      cnt("chunks_gated", gated),
+      cnt("sequences_mixed", mixed),
+      cnt("train_sequences", trainSeq),
+      cnt("packed_sequences", sequences),
+      cnt("shards", packed.select("shard").distinct()))
+      .reduce(_.unionByName(_))
+    PretrainResult(sequences, counters)
+  }
 }

@@ -651,9 +651,24 @@ object Dedup {
       idCol: String,
       priorityCol: String,
       aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
-      .select(col("id").as(idCol), col("rep"))
+      bCol: String = "id_b"): DataFrame =
+    dedupByClusterPriorityWithReps(
+      docs,
+      connectedComponents(pairs, aCol, bCol).select(col("id").as(idCol), col("rep")),
+      idCol, priorityCol)
+
+  /** [[dedupByClusterPriority]] over PRE-COMPUTED cluster representatives
+    * (`reps` = (idCol, rep), the [[connectedComponents]] output) — for
+    * composites that consume the same clustering more than once
+    * ([[Curation.pretrainCurate]] shares one CC pass between the dedup
+    * and the leakage-safe split instead of running it twice).
+    */
+  def dedupByClusterPriorityWithReps(
+      docs: DataFrame,
+      reps: DataFrame,
+      idCol: String,
+      priorityCol: String): DataFrame = {
+    val comps = reps.select(col(idCol), col("rep"))
     val withRep = docs.select(col(idCol), col(priorityCol))
       .join(comps, Seq(idCol), "left")
       .select(col(idCol), col(priorityCol),

@@ -55,11 +55,24 @@ object Sampling {
       aCol: String,
       bCol: String,
       testPermille: Int = 100,
+      valPermille: Int = 100): DataFrame =
+    leakageSafeSplitWithReps(
+      docs,
+      Dedup.connectedComponents(pairs, aCol, bCol).withColumnRenamed("id", idCol),
+      idCol, testPermille, valPermille)
+
+  /** [[leakageSafeSplit]] over PRE-COMPUTED cluster representatives
+    * (`reps` = (idCol, rep)) — shares one CC pass with other consumers
+    * of the same clustering (see [[Curation.pretrainCurate]]).
+    */
+  def leakageSafeSplitWithReps(
+      docs: DataFrame,
+      reps: DataFrame,
+      idCol: String,
+      testPermille: Int = 100,
       valPermille: Int = 100): DataFrame = {
     require(testPermille >= 0 && valPermille >= 0 &&
       testPermille + valPermille <= 1000, "permilles must fit in [0, 1000]")
-    val reps = Dedup.connectedComponents(pairs, aCol, bCol)
-      .withColumnRenamed("id", idCol)
     docs
       .join(reps, Seq(idCol), "left")
       .withColumn("rep", coalesce(col("rep"), col(idCol)))

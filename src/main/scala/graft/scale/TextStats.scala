@@ -942,19 +942,25 @@ object TextStats {
       idCol: String,
       textCol: String,
       window: Int,
-      stride: Int): DataFrame = {
+      stride: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got $stride (window $window)")
+    // carryCols ride the scan row-for-row (doc-level attributes every
+    // chunk inherits — priority, language); carrying them here keeps the
+    // operator scan-pure instead of forcing callers into a chunk←doc
+    // attribute join afterwards
+    val carried = carryCols.map(col)
     docs
       .select(
-        col(idCol),
-        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("t"))
+        (col(idCol) +: carried) :+
+          filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("t"): _*)
       .filter(size(col("t")) > 0)
       .select(
-        col(idCol),
-        posexplode(graft.functions.ChunkWindows(col("t"), window, stride))
-          .as(Seq("chunk_idx", "chunk_text")))
+        (col(idCol) +: carried) :+
+          posexplode(graft.functions.ChunkWindows(col("t"), window, stride))
+            .as(Seq("chunk_idx", "chunk_text")): _*)
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("n_tokens",
         size(split(col("chunk_text"), "\\s+")).cast("long"))

@@ -1,0 +1,114 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Integration specs for [[Curation.pretrainCurate]] — the composed
+  * chunk → dedup → decontam → gate → mix → split → pack pipeline.
+  */
+class PretrainCurateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 40-token docs of POSITION-UNIQUE tokens (a cyclic vocabulary would
+  // make every window a near-dup of every other): cross-doc jaccard is
+  // 0 except for the planted duplicate, within-doc adjacent windows
+  // share stride/window < 0.6, and every bigram is unique so the
+  // surprisal gate scores exactly 1000 per chunk (kept). doc 4
+  // duplicates doc 1's text from a lower-priority source; doc 5 shares
+  // a 4-token run with the holdout (decontaminated away).
+  private def tokens(seed: Int, n: Int): String =
+    (0 until n).map(i => s"s${seed}t$i").mkString(" ")
+
+  private def corpus = Seq(
+    (1L, tokens(1, 40), 1L, "en"),
+    (2L, tokens(2, 40), 1L, "en"),
+    (3L, tokens(3, 44), 2L, "de"),
+    (4L, tokens(1, 40), 9L, "en"), // exact dup of doc 1, lower priority
+    (5L, tokens(4, 20) + " leak1 leak2 leak3 leak4", 1L, "de"),
+    (6L, "short", 1L, "de") // 1 token: chunks but never scores
+  ).toDF("doc_id", "text", "priority", "lang")
+
+  private def holdout = Seq(
+    (100L, "benchmark text with leak1 leak2 leak3 leak4 inside")
+  ).toDF("doc_id", "text")
+
+  private def run(docs: org.apache.spark.sql.DataFrame) =
+    Curation.pretrainCurate(
+      docs, holdout, "doc_id", "text", "priority", "lang",
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100)
+
+  private def collectAll(r: Curation.PretrainResult) = {
+    val seqs = r.sequences.collect().map(_.toSeq).toList.sortBy(_.toString)
+    val cnts = r.counters.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.CacheScope.releaseAll()
+    (seqs, cnts)
+  }
+
+  test("rerun idempotence: two invocations produce bit-identical frames") {
+    val (s1, c1) = collectAll(run(corpus))
+    val (s2, c2) = collectAll(run(corpus))
+    assert(s1 === s2)
+    assert(c1 === c2)
+    assert(s1.nonEmpty, "pipeline must not starve on the fixture")
+  }
+
+  test("partitioning invariance end-to-end") {
+    val (s1, c1) = collectAll(run(corpus))
+    val (s2, c2) = collectAll(run(corpus.repartition(7)))
+    assert(s1 === s2)
+    assert(c1 === c2)
+  }
+
+  test("stage counters are monotone and mutually consistent") {
+    val (seqs, c) = collectAll(run(corpus))
+    assert(c("docs_in") === 6L)
+    assert(c("chunks") > c("docs_in"), "windowing must fan out")
+    assert(c("chunks_dedup") <= c("chunks"))
+    assert(c("chunks_clean") <= c("chunks_dedup"))
+    assert(c("chunks_gated") <= c("chunks_clean"))
+    assert(c("train_sequences") <= c("sequences_mixed"))
+    assert(c("packed_sequences") === c("train_sequences"))
+    assert(c("packed_sequences") === seqs.length.toLong)
+    assert(c("shards") >= 1L)
+  }
+
+  test("cross-doc duplicate chunks dedup to the higher-priority doc; within-doc overlap survives") {
+    val (seqs, c) = collectAll(run(corpus))
+    val docsKept = seqs.map(_(1).asInstanceOf[Long]).toSet
+    // doc 4 (priority 9) duplicates doc 1 (priority 1): every doc-4
+    // chunk is a jaccard-1.0 twin of a doc-1 chunk, so none survive
+    assert(!docsKept.contains(4L), s"duplicate doc's chunks must lose: $docsKept")
+    // doc 1 keeps MULTIPLE overlapping chunks — stride overlap is not
+    // duplication (the cross-doc pair filter)
+    assert(seqs.count(_(1) == 1L) > 1)
+    // doc 5's leaked chunk is decontaminated: no surviving chunk of doc
+    // 5 contains the benchmark run (its tail chunks all do at stride 4)
+    assert(c("chunks_clean") < c("chunks_dedup"))
+  }
+
+  test("chunkIdSpan overflow fails loud at first action") {
+    val e = intercept[Exception] {
+      Curation.pretrainCurate(
+        corpus, holdout, "doc_id", "text", "priority", "lang",
+        window = 2, stride = 1, chunkIdSpan = 4L,
+        budgetSeqs = 5L).sequences.count()
+    }
+    assert(e.getMessage.contains("chunkIdSpan"))
+    graft.ops.CacheScope.releaseAll()
+  }
+
+  test("chunkByTokens carryCols ride the scan row-for-row") {
+    val out = TextStats.chunkByTokens(
+      corpus, "doc_id", "text", window = 8, stride = 4,
+      carryCols = Seq("priority", "lang"))
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "priority", "lang", "chunk_idx", "chunk_text", "n_tokens"))
+    val bad = out.join(
+      corpus.select(col("doc_id"), col("priority").as("p0"), col("lang").as("l0")),
+      Seq("doc_id"))
+      .filter(col("priority") =!= col("p0") || col("lang") =!= col("l0"))
+    assert(bad.isEmpty)
+  }
+}
