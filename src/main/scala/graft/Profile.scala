@@ -633,6 +633,52 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("frontier")) {
+      // the recall-vs-cost frontier harness: sweep the LSH banding knob
+      // and the IVF probe knob over SPARK_GRAFT_SF_DIR, timing the
+      // production operator per setting (best-of-2, caches released)
+      // and reading recall from the deterministic sweep frames — the
+      // (knob, recall, seconds) triples BASELINE records
+      import graft.scale.{Dedup, Similarity}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val bandsList = Seq(2, 4, 8, 16)
+      val lshRecall = Dedup.recallSweep(docs, "doc_id", "text", bandsList = bandsList)
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      graft.ops.CacheScope.releaseAll()
+      bandsList.foreach { b =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          Dedup.minhashPairsExact(docs, "doc_id", "text", 3, 16, b, 0.2).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.CacheScope.releaseAll()
+          dt
+        }
+        val (pairs, rec) = lshRecall(b.toLong)
+        println(f"[frontier] lsh bands=$b pairs=$pairs recall_milli=$rec t=${times.min}%.2fs")
+      }
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      val nprobes = Seq(1, 2, 4, 8)
+      val ivfRecall = Similarity.annRecallSweep(
+        emb, probes, "vec_id", "embedding", k = 5, nprobeList = nprobes)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      graft.ops.CacheScope.releaseAll()
+      nprobes.foreach { np =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5, nprobe = np).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.CacheScope.releaseAll()
+          dt
+        }
+        val (hit, rec) = ivfRecall(np.toLong)
+        println(f"[frontier] ivf nprobe=$np hits=$hit recall_milli=$rec t=${times.min}%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("plancounts")) {
       // static-plan Exchange / nested-loop census per query (AQE off so
       // the shape is deterministic) — feeds PlanGuardSpec's budgets

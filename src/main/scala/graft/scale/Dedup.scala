@@ -937,6 +937,37 @@ object Dedup {
           .otherwise(expr("n_lsh_pairs * 1000 div n_true_pairs")))
   }
 
+  /** The recall-vs-cost FRONTIER for the banding knob: [[recallReport]]
+    * at each bands value in `bandsList`, one row per knob setting —
+    * (bands, n_docs, n_true_pairs, n_lsh_pairs, recall_milli). With
+    * numHashes fixed, more bands = shorter band slices = more candidate
+    * buckets, so recall is monotone non-decreasing along the sweep
+    * (`ScaleSpec` pins the law); the cost side is the candidate-pair
+    * count each setting admits (n_lsh_pairs IS the verify-join size) —
+    * together they make the log2(N)-bands production rule demonstrable
+    * on any corpus instead of asserted in scaladoc. Wall-clock per
+    * setting comes from the `Profile frontier` harness (timing is a
+    * driver concern, not a frame column).
+    */
+  def recallSweep(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bandsList: Seq[Int] = Seq(2, 4, 8, 16),
+      threshold: Double = 0.2,
+      maxBucket: Int = 1000,
+      samplePermille: Int = 1000): DataFrame = {
+    require(bandsList.nonEmpty, "bandsList must be non-empty")
+    bandsList.map { b =>
+      recallReport(docs, idCol, textCol, shingleSize, numHashes, b,
+        threshold, maxBucket, samplePermille)
+        .select(lit(b.toLong).as("bands"), col("n_docs"),
+          col("n_true_pairs"), col("n_lsh_pairs"), col("recall_milli"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Corpus-level overlap ESTIMATE between two corpora via a bottom-k
     * gram sketch (Broder 1997's min-wise estimator in its bottom-k
     * form, Cohen & Kaplan 2007) — "how much does crawl B overlap crawl

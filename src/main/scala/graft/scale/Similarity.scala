@@ -330,6 +330,42 @@ object Similarity {
     ivfTopKWithCentroids(corpus, probes, centroids, idCol, vecCol, k, nprobe)
   }
 
+  /** The recall-vs-cost FRONTIER for the IVF probe knob: [[ivfTopK]] at
+    * each nprobe in `nprobeList`, scored against the [[bruteForceTopK]]
+    * ground truth — (nprobe, n_true, n_hit, recall_milli), one row per
+    * knob setting. More probed lists = a superset candidate pool, so
+    * recall is monotone non-decreasing along the sweep and reaches 1000
+    * when every list is probed (`ScaleSpec` pins both laws); the cost
+    * side is ~N·nprobe/nlist candidates per probe. Together with
+    * [[graft.scale.Dedup.recallSweep]] this makes the √N-lists /
+    * probe-budget production rules measurable on any corpus; wall-clock
+    * per setting comes from the `Profile frontier` harness.
+    */
+  def annRecallSweep(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobeList: Seq[Int] = Seq(1, 2, 4, 8),
+      centroidStride: Long = AutoStride): DataFrame = {
+    require(nprobeList.nonEmpty, "nprobeList must be non-empty")
+    val truth = graft.ops.CacheScope.persisted(
+      bruteForceTopK(corpus, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("neighbor_id")))
+    nprobeList.map { np =>
+      val hit = ivfTopK(corpus, probes, idCol, vecCol, k, centroidStride, np)
+        .select(col("probe_id"), col("neighbor_id"))
+        .join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(
+          lit(np.toLong).as("nprobe"), col("n_true"), col("n_hit"),
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(expr("n_hit * 1000 div n_true")).as("recall_milli"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** IVF search against an EXTERNAL coarse quantizer — the serving half
     * of a trained index: `centroids` is any (centroid_id numeric,
     * centroid_vec array<double>) frame, e.g.

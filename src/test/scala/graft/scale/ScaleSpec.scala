@@ -194,6 +194,49 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, Long)].collect().forall(_._2 <= 3))
   }
 
+  test("recallSweep law: recall is monotone non-decreasing in bands; LSH pairs stay a truth subset") {
+    // 30 docs with planted near-dup pairs at varying similarity so the
+    // banding knob actually moves recall (some pairs only surface at
+    // finer bands)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0 until 30).map { i =>
+      val t =
+        if (i % 3 == 1) base + s" extra$i mod${i % 5}" // near-dup of base
+        else if (i % 3 == 2) base.split(" ").drop(i % 4).mkString(" ") + s" tail$i"
+        else s"unique content row $i about topic ${i * 7} nothing shared here at all"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val sweep = Dedup.recallSweep(docs, "doc_id", "text",
+      bandsList = Seq(2, 4, 8, 16), threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    graft.ops.CacheScope.releaseAll()
+    // truth set is knob-independent
+    assert(sweep.map(_._2).distinct.length === 1)
+    // candidates and recall both monotone in bands; recall bounded by 1000
+    assert(sweep.map(_._3).toSeq === sweep.map(_._3).sorted.toSeq)
+    assert(sweep.map(_._4).toSeq === sweep.map(_._4).sorted.toSeq)
+    assert(sweep.forall(r => r._4 >= 0 && r._4 <= 1000))
+  }
+
+  test("annRecallSweep law: recall monotone in nprobe, 1000 at full probe") {
+    val rnd = new scala.util.Random(11)
+    val emb = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 40 === 0)
+    // stride 25 over ids 1..200 -> 8 lists; nprobe 8 = exhaustive
+    val sweep = Similarity.annRecallSweep(
+      emb, probes, "vec_id", "embedding", k = 3,
+      nprobeList = Seq(1, 2, 4, 8), centroidStride = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    graft.ops.CacheScope.releaseAll()
+    assert(sweep.map(_._2).distinct.length === 1) // truth fixed
+    assert(sweep.map(_._4).toSeq === sweep.map(_._4).sorted.toSeq) // monotone
+    assert(sweep.last._4 === 1000L, s"full probe must recover brute force: $sweep")
+  }
+
   test("cosineNearDupPairs: banded LSH equals brute force on planted scaled near-dups") {
     val rnd = new scala.util.Random(7)
     val base = (1 to 60).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
