@@ -679,6 +679,59 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("pretrainstages")) {
+      // q115 stage breakdown at SPARK_GRAFT_SF_DIR: time each pipeline
+      // stage's materialization from cold (caches released between),
+      // mirroring Curation.pretrainCurate's frames
+      import graft.scale.{Curation, Dedup, TextStats}
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docs0.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("text"),
+          expr("substring(source, 4)").cast("long").as("priority"), col("lang"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val holdout = docs0.filter(col("doc_id") % 11 === 0)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[pretrainstages] $tag n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      val chunks = TextStats.chunkByTokens(docs, "doc_id", "text", 32, 16,
+        carryCols = Seq("priority", "lang"))
+        .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
+        .persist()
+      time("chunk")(chunks.count())
+      val pairsX = Dedup.minhashPairsExact(
+        chunks.select(col("chunk_id"), col("chunk_text")),
+        "chunk_id", "chunk_text", 3, 16, 8, 0.6)
+        .filter(expr("(id_a div 65536) != (id_b div 65536)")).persist()
+      time("lsh_pairs")(pairsX.count())
+      val reps = Dedup.connectedComponents(pairsX, "id_a", "id_b")
+        .withColumnRenamed("id", "chunk_id").persist()
+      time("cc")(reps.count())
+      val ded = Dedup.dedupByClusterPriorityWithReps(chunks, reps, "chunk_id", "priority").persist()
+      time("priority_dedup")(ded.count())
+      val clean = ded.join(
+        Dedup.decontaminate(ded,
+          holdout.select(col("doc_id").as("chunk_id"), col("text").as("chunk_text")),
+          "chunk_id", "chunk_text", 4).select("chunk_id"),
+        Seq("chunk_id"), "left_anti").persist()
+      time("decontam")(clean.count())
+      val gated = clean.join(
+        TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
+          .filter(col("avg_surp") <= 32000L).select("chunk_id"),
+        Seq("chunk_id"), "left_semi").persist()
+      time("surprisal_gate")(gated.count())
+      val mixed = TextStats.temperatureMixAtResolution(gated, "chunk_id", "lang", 400L, 1000000L)
+      time("mix")(mixed.count())
+      val split = graft.scale.Sampling.leakageSafeSplitWithReps(
+        gated.select("chunk_id"), reps, "chunk_id", 100, 100)
+      time("split")(split.count())
+      time("full_q115")(SparkEntry.queries("q115_pretrain_curate")(spark, sfDir).count())
+      graft.ops.CacheScope.releaseAll()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("plancounts")) {
       // static-plan Exchange / nested-loop census per query (AQE off so
       // the shape is deterministic) — feeds PlanGuardSpec's budgets

@@ -322,6 +322,24 @@ object StreamingOps {
       .select(col(idCol), col("hit.query_id").as("query_id"), col("hit.score").as("score"))
   }
 
+  /** Streaming pretraining chunking — split an arriving document
+    * stream into fixed token windows ([[graft.scale.TextStats.chunkByTokens]]'s
+    * exact semantics and columns). STATELESS like
+    * [[decontaminateStream]]: a document arrives whole and its chunks
+    * are a per-row explode of its own token stream — no watermark, no
+    * state store, works in append mode — so the batch operator's plan
+    * IS the streaming plan (scan-pure per-row work; the
+    * [[graft.functions.ChunkWindows]] codegen kernel runs unchanged).
+    * StreamingOpsSpec pins stream == batch on a replayed corpus.
+    */
+  def chunkStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame =
+    graft.scale.TextStats.chunkByTokens(docs, idCol, textCol, window, stride)
+
   /** Streaming count-min sketch — the [[graft.functions.CmsSketch]]
     * aggregate run as a continuous global aggregation (complete mode):
     * each micro-batch folds into the same fixed d×w counter buffer via

@@ -248,6 +248,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkStream == batch chunkByTokens on a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.chunkStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", window = 32, stride = 16)
+      .writeStream.format("memory").queryName("ch_eq").outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: statelessness means the split point cannot matter
+      val (b1, b2) = corpus.splitAt(corpus.length / 3)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("ch_eq")
+        .as[(Long, Long, String, Long)].collect().toSet
+      val batch = graft.scale.TextStats.chunkByTokens(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 32, 16)
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(2)}; batch-only: ${(batch -- streamed).take(2)}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("classifyStream == batch scoreWithWeights under frozen trained weights") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
