@@ -1717,6 +1717,23 @@ object SparkEntry {
         cellSize = dayNanos)
     }),
 
+    // --- J-family: FORWARD as-of — the first view at or after each
+    // click per user (next-event enrichment); same joinless sweep with
+    // the timestamp sort reversed --------------------------------------
+    "q119_asof_next" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      AsOfJoin.asOfNext(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+            col("value")),
+        "user_id", "ts", "click_id", Seq("view_id", "value"))
+        .select(col("click_id"), col("user_id"),
+          expr("ts div 1000000").as("ts_ms"),
+          col("asof_view_id"), col("asof_value"))
+    }),
+
     // --- scale: the FULL pretraining curation pipeline as one call —
     // chunk → cross-doc near-dup priority dedup → decontaminate →
     // surprisal gate → ppm temperature mix → leakage-safe split →
@@ -3991,6 +4008,23 @@ object SparkEntry {
         |FROM s JOIN c
         |  ON s.user_id = c.user_id
         |  AND s.lo <= c.hi AND c.lo <= s.hi""".stripMargin,
+
+    // the FORWARD twin: DuckDB's native ASOF with the inequality
+    // reversed (l.ts <= r.ts); same equal-ts max-payload dedup
+    "q119_asof_next" ->
+      """WITH l AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |r0 AS (
+        |  SELECT user_id, ts, event_id AS view_id, value
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1)
+        |SELECT l.click_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |  r0.view_id AS asof_view_id, r0.value AS asof_value
+        |FROM l ASOF LEFT JOIN r0
+        |  ON l.user_id = r0.user_id AND l.ts <= r0.ts""".stripMargin,
 
     // the composed stage CTEs (see pretrainOracleBody): packed train
     // sequences with their doc lineage

@@ -47,6 +47,24 @@ object AsOfJoin {
       rightIdCol: String): DataFrame =
     asOfAll(left, right, keyCol, tsCol, leftIdCol, Seq(rightIdCol))
 
+  /** FORWARD as-of — for each left row, the single EARLIEST right row
+    * at or after its timestamp within the same key ("the next fill
+    * after this order", "the first view after this impression"). The
+    * same sweep with the timestamp sort reversed: rows at larger ts
+    * process first, so the last right row before a left row in sort
+    * order is the nearest ts >= leftTs; equal-ts winner and null
+    * semantics exactly as [[asOfAll]] (DuckDB twin:
+    * `ASOF LEFT JOIN ... ON l.ts <= r.ts`).
+    */
+  def asOfNext(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      leftIdCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    asOfAll(left, right, keyCol, tsCol, leftIdCol, payloadCols, forward = true)
+
   /** General multi-column payload AS-OF: carries EVERY column in
     * `payloadCols` from the matched right row (price + currency +
     * venue, not just an id to join back by). Returns
@@ -62,7 +80,8 @@ object AsOfJoin {
       keyCol: String,
       tsCol: String,
       leftIdCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      forward: Boolean = false): DataFrame = {
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     val packed = struct(payloadCols.map(col): _*)
     // plan-time schema access only — no jobs at construction
@@ -81,8 +100,12 @@ object AsOfJoin {
       // rv as tertiary sort: among equal-ts right rows the max payload
       // struct lands LAST, so the sweep's last() is the deterministic
       // winner (left rows tie on null rv — their value comes from
-      // preceding rows, so their relative order is irrelevant)
-      .orderBy(col(tsCol).asc, col("side").asc, col("rv").asc)
+      // preceding rows, so their relative order is irrelevant).
+      // forward = the ts sort reversed: larger ts processes first, so
+      // "last right row seen" = nearest ts >= leftTs
+      .orderBy(
+        (if (forward) col(tsCol).desc else col(tsCol).asc),
+        col("side").asc, col("rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = l.unionByName(r)
       .withColumn("asof_rv", last(col("rv"), ignoreNulls = true).over(w))

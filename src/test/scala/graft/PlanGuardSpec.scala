@@ -301,14 +301,16 @@ class PlanGuardSpec extends SparkSpec {
     val p111 = planOf("q111_asof_join")
     assert(countNodes(p111, _.nodeName.contains("Join")) === 0,
       p111.toString.take(800))
-    // q116: the multi-payload sweep must ALSO stay joinless AND
-    // aggregate-free (the struct tertiary sort replaced the equal-ts
-    // dedup aggregation)
-    val p116 = planOf("q116_asof_payload")
-    assert(countNodes(p116, _.nodeName.contains("Join")) === 0,
-      p116.toString.take(800))
-    assert(countNodes(p116, _.nodeName.contains("Aggregate")) === 0,
-      p116.toString.take(800))
+    // q116/q119: the multi-payload and forward sweeps must ALSO stay
+    // joinless AND aggregate-free (the struct tertiary sort replaced
+    // the equal-ts dedup aggregation)
+    Seq("q116_asof_payload", "q119_asof_next").foreach { q =>
+      val p = planOf(q)
+      assert(countNodes(p, _.nodeName.contains("Join")) === 0,
+        s"$q: " + p.toString.take(800))
+      assert(countNodes(p, _.nodeName.contains("Aggregate")) === 0,
+        s"$q: " + p.toString.take(800))
+    }
     // q112: the grid-bucket formulation's entire reason to exist is the
     // equi-join plan; a BroadcastNestedLoop/CartesianProduct here means
     // Spark fell back to the inequality join

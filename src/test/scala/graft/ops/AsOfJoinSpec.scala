@@ -88,6 +88,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(names.count(_.contains("Exchange")) === 1, names.mkString(", "))
   }
 
+  test("asOfNext matches the earliest right row at or after each left ts") {
+    val out = AsOfJoin.asOfNext(left, right, "k", "ts", "lid", Seq("rid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      100L -> Some(202L), // ts 10 -> next right ts 15, equal-ts dup resolved to max id
+      101L -> None, // ts 20 is past every right row
+      102L -> Some(200L), // ts 5 -> right ts 8
+      104L -> Some(200L), // ts 8 == right ts 8 (inclusive)
+      103L -> None // no right rows for key 2
+    ))
+  }
+
+  test("asOfNext equals the correlated-subquery reference on a generated fixture") {
+    val l = (0L until 200L).map(i => (i % 7, (i * 13) % 101, i)).toDF("k", "ts", "lid")
+    val r = (0L until 150L).map(i => (i % 5, (i * 17) % 97, 1000L + i)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.asOfNext(l, r, "k", "ts", "lid", Seq("rid"))
+      .collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3)))
+      .toMap
+    val rRows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val expected = l.collect().map { x =>
+      val (k, ts, lid) = (x.getLong(0), x.getLong(1), x.getLong(2))
+      val cands = rRows.filter(rr => rr._1 == k && rr._2 >= ts)
+      val best =
+        if (cands.isEmpty) -1L
+        else { val mts = cands.map(_._2).min; cands.filter(_._2 == mts).map(_._3).max }
+      lid -> best
+    }.toMap
+    assert(out === expected)
+  }
+
   test("asOf equals the correlated-subquery reference on a generated fixture") {
     val l = (0L until 200L).map(i => (i % 7, (i * 13) % 101, i)).toDF("k", "ts", "lid")
     val r = (0L until 150L).map(i => (i % 5, (i * 17) % 97, 1000L + i)).toDF("k", "ts", "rid")
