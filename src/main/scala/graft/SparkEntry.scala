@@ -1734,6 +1734,17 @@ object SparkEntry {
           col("asof_view_id"), col("asof_value"))
     }),
 
+    // --- scale: IVFADC against a TRAINED coarse quantizer — the q93
+    // serving pattern applied to the PQ path (quantizer trained once
+    // upstream, 2 Lloyd iterations; sub-codebooks still corpus-trained) --
+    "q120_ivfadc_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      PQ.ivfAdcTopKWithCentroids(
+        emb, emb.filter(col("vec_id") % 101 === 0),
+        KMeans.trainedCentroids(emb, "vec_id", "embedding", k = 8, iters = 2),
+        "vec_id", "embedding", nprobe = 2, m = 2, k = 4, topK = 5)
+    }),
+
     // --- scale: the FULL pretraining curation pipeline as one call —
     // chunk → cross-doc near-dup priority dedup → decontaminate →
     // surprisal gate → ppm temperature mix → leakage-safe split →
@@ -4026,6 +4037,102 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r0
         |  ON l.user_id = r0.user_id AND l.ts <= r0.ts""".stripMargin,
 
+    // q93's trained-centroid chain (2 Lloyd iterations, dequantized
+    // means) re-quantized to the integer grid, then q105's list/probe
+    // assignment + sub-codebook/ADC chain against those lists
+    "q120_ivfadc_trained" ->
+      """WITH quant AS (
+        |  SELECT vec_id AS id, i - 1 AS dim,
+        |    CAST((i - 1) // (len(embedding) // 2) AS BIGINT) AS sub,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000) + 32768 AS BIGINT) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |tc0 AS (SELECT id AS cluster, dim, v AS cv FROM quant WHERE id < 8),
+        |td1 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN tc0 c USING (dim) GROUP BY 1, 2),
+        |ta1 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM td1)
+        |  WHERE rk = 1),
+        |tc1 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN ta1 a USING (id) GROUP BY 1, 2),
+        |td2 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN tc1 c USING (dim) GROUP BY 1, 2),
+        |ta2 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM td2)
+        |  WHERE rk = 1),
+        |tc2 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN ta2 a USING (id) GROUP BY 1, 2),
+        |cvq AS (
+        |  SELECT cluster, dim,
+        |    CAST(floor(((cv - 32768) / 1000.0) * 1000) + 32768 AS BIGINT) AS cv
+        |  FROM tc2),
+        |cd AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cvq c USING (dim) GROUP BY 1, 2),
+        |lists AS (
+        |  SELECT id, cluster AS list FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM cd)
+        |  WHERE rk = 1),
+        |plists AS (
+        |  SELECT qid, list FROM (
+        |    SELECT id AS qid, cluster AS list, row_number() OVER (
+        |      PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM cd WHERE id % 101 = 0)
+        |  WHERE rk <= 2),
+        |cent0 AS (SELECT sub, id AS cluster, dim, v AS cv FROM quant WHERE id < 4),
+        |d1 AS (
+        |  SELECT q.id, q.sub, c.cluster,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent0 c ON q.sub = c.sub AND q.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |a1 AS (
+        |  SELECT id, sub, cluster FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY dist2, cluster) AS rk
+        |    FROM d1)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT a.sub, a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a1 a ON q.id = a.id AND q.sub = a.sub
+        |  GROUP BY 1, 2, 3),
+        |d2 AS (
+        |  SELECT q.id, q.sub, c.cluster,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent1 c ON q.sub = c.sub AND q.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT id, sub, cluster AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY dist2, cluster) AS rk
+        |    FROM d2)
+        |  WHERE rk = 1),
+        |lut AS (
+        |  SELECT q.id AS qid, q.sub, c.cluster AS code,
+        |    CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d2
+        |  FROM quant q JOIN cent1 c ON q.sub = c.sub AND q.dim = c.dim
+        |  WHERE q.id % 101 = 0
+        |  GROUP BY 1, 2, 3),
+        |cand AS (SELECT p.qid, l.id FROM lists l JOIN plists p USING (list)),
+        |adc AS (
+        |  SELECT c.qid, c.id, CAST(sum(l.d2) AS BIGINT) AS adc2
+        |  FROM cand c
+        |  JOIN codes co ON co.id = c.id
+        |  JOIN lut l ON l.qid = c.qid AND l.sub = co.sub AND l.code = co.code
+        |  GROUP BY 1, 2)
+        |SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, id AS neighbor_id, adc2
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc2, id) AS rk
+        |  FROM adc WHERE id <> qid)
+        |WHERE rk <= 5""".stripMargin,
+
     // the composed stage CTEs (see pretrainOracleBody): packed train
     // sequences with their doc lineage
     "q115_pretrain_curate" ->
@@ -4341,9 +4448,10 @@ object SparkEntry {
        |surp AS MATERIALIZED (
        |  SELECT bi.chunk_id, CAST(sum(m.surp) // count(*) AS BIGINT) AS avg_surp
        |  FROM bi JOIN m USING (w1, w2) GROUP BY 1),
+       |scut AS (SELECT quantile_cont(avg_surp, 0.9) AS surp_cut FROM surp),
        |gated AS MATERIALIZED (
-       |  SELECT c.* FROM clean c JOIN surp s USING (chunk_id)
-       |  WHERE s.avg_surp <= 32000),
+       |  SELECT c.* FROM clean c JOIN surp s USING (chunk_id) CROSS JOIN scut
+       |  WHERE s.avg_surp <= scut.surp_cut),
        |nmix AS (
        |  SELECT lang, count(*) AS n_docs,
        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS s

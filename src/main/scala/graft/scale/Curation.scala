@@ -81,8 +81,14 @@ object Curation {
     *   3. decontaminate — [[Dedup.decontaminate]] against the holdout's
     *      `contamGramN`-gram set, anti-join;
     *   4. quality gate — [[TextStats.bigramSurprisal]] trained on the
-    *      surviving chunks themselves; keep `avg_surp <= maxAvgSurp`
-    *      (chunks too short to score drop — unscoreable is ungateable);
+    *      surviving chunks themselves; keep chunks at or below the
+    *      corpus `surpKeepQuantile` of avg_surp (a QUANTILE, not an
+    *      absolute ceiling: surprisal magnitudes are corpus-relative —
+    *      the 100× century smoke caught the absolute-threshold version
+    *      gating out an ENTIRE staged corpus whose tag tokens shifted
+    *      the whole distribution; an optional `maxAvgSurp` ceiling
+    *      composes on top). Chunks too short to score drop —
+    *      unscoreable is ungateable;
     *   5. temperature mix — [[TextStats.temperatureMixAtResolution]]
     *      (√n domain weights at ppm resolution — the century-proof rate
     *      grid) replicates each chunk into epoch copies toward
@@ -129,7 +135,8 @@ object Curation {
       bands: Int = 8,
       dedupThreshold: Double = 0.6,
       contamGramN: Int = 4,
-      maxAvgSurp: Long = 32000L,
+      surpKeepQuantile: Double = 0.9,
+      maxAvgSurp: Long = Long.MaxValue,
       budgetSeqs: Long = 400L,
       mixResolution: Long = 1000000L,
       testPermille: Int = 100,
@@ -169,11 +176,20 @@ object Curation {
         "chunk_id", "chunk_text", contamGramN)
         .select("chunk_id"),
       Seq("chunk_id"), "left_anti")
-    // 4. surprisal quality gate (model trained on the survivors)
+    // 4. surprisal quality gate (model trained on the survivors): the
+    // cutoff is the corpus quantile — one exact-percentile 1-row agg
+    // broadcast back (the sanctioned scalar crossJoin), so the gate
+    // self-calibrates to any corpus's surprisal scale
+    require(surpKeepQuantile > 0 && surpKeepQuantile <= 1,
+      s"surpKeepQuantile must be in (0, 1], got $surpKeepQuantile")
+    val scored = TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
+    val cutoff = scored.agg(
+      expr(s"percentile(avg_surp, ${surpKeepQuantile}D)").as("surp_cut"))
     val gated = CacheScope.persisted(
       clean.join(
-        TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
-          .filter(col("avg_surp") <= maxAvgSurp)
+        scored.crossJoin(broadcast(cutoff))
+          .filter(col("avg_surp") <= col("surp_cut") &&
+            col("avg_surp") <= maxAvgSurp)
           .select("chunk_id"),
         Seq("chunk_id"), "left_semi"))
     // 5. epoch mixture (ppm resolution)

@@ -243,6 +243,72 @@ object PQ {
     val ca1 = KMeans.assign(qv, cc0, coarseK)
     val cc1 = KMeans.centArrays(
       KMeans.update(KMeans.explodeQv(qv), ca1))
+    ivfAdcCore(corpus, queries, idCol, vecCol, qv, cc1, coarseK, nprobe,
+      m, k, subDim, topK, excludeSelf)
+  }
+
+  /** IVFADC against an EXTERNAL coarse quantizer — the serving half of
+    * a trained index (the [[Similarity.ivfTopKWithCentroids]] precedent
+    * applied to the PQ path): `centroidFrame` is any (centroid_id
+    * numeric, centroid_vec array<double>) frame, e.g.
+    * [[KMeans.trainedCentroids]]'s output, replacing [[ivfAdcTopK]]'s
+    * internal one-iteration stand-in — same plan, better list balance,
+    * and the quantizer trains ONCE upstream instead of per query.
+    * Sub-codebooks still train on the corpus (they ARE the compression
+    * layer). Centroids quantize to the integer grid on the way in, so
+    * list assignment uses the same exact [[graft.functions.SqDistLong]]
+    * arithmetic as training. Construction eagerness as [[ivfAdcTopK]]
+    * plus one dim-sized centroid count probe (the argmin packing needs
+    * the centroid-id bound).
+    */
+  def ivfAdcTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroidFrame: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int = 2,
+      m: Int = 2,
+      k: Int = 4,
+      topK: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"bad IVF param nprobe=$nprobe")
+    require(m >= 1 && k >= 1 && topK >= 1, s"bad PQ params m=$m k=$k topK=$topK")
+    val dims = corpus.selectExpr(s"size($vecCol)").head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    // centroid-id bound for the packed argmin: dim-sized 1-row agg probe
+    val maxId = centroidFrame.agg(max(col("centroid_id").cast("long"))).head()
+    require(!maxId.isNullAt(0), "centroidFrame is empty")
+    val coarseK = maxId.getLong(0).toInt + 1
+    require(coarseK >= 1 && dims.toLong * coarseK < (1L << 31),
+      s"dims * coarseK = ${dims.toLong * coarseK} overflows the packed argmin encoding")
+    val cc1 = centroidFrame.select(
+      col("centroid_id").cast("long").as("cluster"),
+      transform(col("centroid_vec"),
+        x => (floor(x.cast("double") * 1000) + 32768).cast("long")).as("cva"))
+    val qv = graft.ops.CacheScope.persisted(
+      KMeans.quantizeVec(corpus, idCol, vecCol))
+    ivfAdcCore(corpus, queries, idCol, vecCol, qv, cc1, coarseK, nprobe,
+      m, k, dims / m, topK, excludeSelf)
+  }
+
+  /** Shared IVFADC tail: list assignment under `cc1`, probe selection,
+    * candidate restriction, PQ encode + ADC scoring, ranking.
+    */
+  private def ivfAdcCore(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qv: DataFrame,
+      cc1: DataFrame,
+      coarseK: Int,
+      nprobe: Int,
+      m: Int,
+      k: Int,
+      subDim: Int,
+      topK: Int,
+      excludeSelf: Boolean): DataFrame = {
     val docLists = KMeans.assign(qv, cc1, coarseK)
       .select(col("id"), col("cluster").as("list"))
 

@@ -122,6 +122,33 @@ class PQSurprisalSpec extends SparkSpec {
     assert(ivf === full)
   }
 
+  test("ivfAdcTopKWithCentroids probing ALL lists equals exhaustive adcTopK") {
+    // with every list probed the coarse structure is irrelevant — the
+    // trained quantizer path must reduce to the exhaustive ADC scores
+    // whatever centroids it was given
+    val queries = pqDf.filter(col("vec_id") % 4 === 3)
+    val full = PQ.adcTopK(pqDf, queries, "vec_id", "embedding", m = 2, k = 4, topK = 4)
+      .collect().map(_.toSeq).toSet
+    graft.ops.CacheScope.releaseAll()
+    val trained = PQ.ivfAdcTopKWithCentroids(
+      pqDf, queries,
+      KMeans.trainedCentroids(pqDf, "vec_id", "embedding", k = 4, iters = 1),
+      "vec_id", "embedding", nprobe = 4, m = 2, k = 4, topK = 4)
+      .collect().map(_.toSeq).toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(trained === full)
+    // empty centroid frame fails loud
+    val e = intercept[IllegalArgumentException] {
+      PQ.ivfAdcTopKWithCentroids(
+        pqDf, queries,
+        KMeans.trainedCentroids(pqDf, "vec_id", "embedding", k = 4, iters = 1)
+          .filter(col("centroid_id") < 0),
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("empty"))
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("sparse id spaces fail LOUD at trainer construction, never return empty") {
     val sparse = pqVecs.map { case (i, v) => (i + 1000L, v) }.toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException] {
