@@ -322,6 +322,43 @@ object StreamingOps {
       .select(col(idCol), col("hit.query_id").as("query_id"), col("hit.score").as("score"))
   }
 
+  /** Streaming AS-OF enrichment — each arriving left event picks up
+    * the most recent right row at or before its timestamp from a
+    * FROZEN right frame (the stream-static form of
+    * [[graft.ops.AsOfJoin.asOfAll]]: prices/dimensions snapshot at
+    * stream start, events enrich continuously). STATELESS per row: the
+    * right side packs to one sorted (ts, payload…) array per key
+    * (dim-sized by contract — it rides a stream-static broadcast
+    * join), and the match is "last array element with ts <= event ts",
+    * which under the (ts, payload) lexicographic sort is exactly the
+    * batch sweep's equal-ts max-payload winner. Unmatched events keep
+    * null payloads (left-join semantics). StreamingOpsSpec pins
+    * stream == batch on a replayed events slice.
+    */
+  def asOfStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      leftIdCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val packed = right
+      .select(col(keyCol),
+        struct(col(tsCol).as("ts") +: payloadCols.map(col): _*).as("e"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("e"))).as("arr"))
+    left
+      .join(packed, Seq(keyCol), "left")
+      .withColumn("f",
+        filter(col("arr"), e => e.getField("ts") <= col(tsCol)))
+      .withColumn("m",
+        when(size(col("f")) > 0, element_at(col("f"), size(col("f")))))
+      .select(
+        col(leftIdCol) +: col(keyCol) +: col(tsCol) +:
+          payloadCols.map(c => col("m").getField(c).as(s"asof_$c")): _*)
+  }
+
   /** Streaming pretraining chunking — split an arriving document
     * stream into fixed token windows ([[graft.scale.TextStats.chunkByTokens]]'s
     * exact semantics and columns). STATELESS like

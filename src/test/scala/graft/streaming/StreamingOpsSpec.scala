@@ -248,6 +248,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfStream == batch asOfAll under a frozen right frame") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(col("ts").cast("timestamp")) * 1000L)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"), col("value"))
+    val batch = graft.ops.AsOfJoin.asOfAll(
+      clicks, views, "user_id", "ts", "click_id", Seq("view_id", "value"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.asOfStream(
+      input.toDF().toDF("user_id", "ts", "click_id"),
+      views, "user_id", "ts", "click_id", Seq("view_id", "value"))
+      .writeStream.format("memory").queryName("asof_eq").outputMode(OutputMode.Append()).start()
+    try {
+      val rows = clicks.as[(Long, Long, Long)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("asof_eq")
+        .select("click_id", "user_id", "ts", "asof_view_id", "asof_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(2)}; batch-only: ${(batch -- streamed).take(2)}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("chunkStream == batch chunkByTokens on a replayed corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
