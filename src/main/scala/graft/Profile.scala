@@ -716,9 +716,15 @@ object Profile {
           "chunk_id", "chunk_text", 4).select("chunk_id"),
         Seq("chunk_id"), "left_anti").persist()
       time("decontam")(clean.count())
+      // same corpus-quantile gate as the shipped pretrainCurate (the
+      // absolute-ceiling version predated the 100× quantile fix and no
+      // longer mirrored the pipeline it times)
+      val scored = TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
+      val cutoff = scored.agg(
+        expr("percentile(avg_surp, 0.9D)").as("surp_cut"))
       val gated = clean.join(
-        TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
-          .filter(col("avg_surp") <= 32000L).select("chunk_id"),
+        scored.crossJoin(broadcast(cutoff))
+          .filter(col("avg_surp") <= col("surp_cut")).select("chunk_id"),
         Seq("chunk_id"), "left_semi").persist()
       time("surprisal_gate")(gated.count())
       val mixed = TextStats.temperatureMixAtResolution(gated, "chunk_id", "lang", 400L, 1000000L)

@@ -1761,7 +1761,12 @@ object SparkEntry {
 
   /** Shared q115/q118 pipeline invocation — the q87 train/holdout split
     * (doc_id % 11), q107's source-suffix priority, language as the
-    * mixture domain, defaults everywhere else.
+    * mixture domain, defaults everywhere else EXCEPT the surprisal
+    * quantile: accuracy 0 selects the exact interpolated percentile so
+    * the gate matches the DuckDB oracle's quantile_cont bit-for-bit
+    * (production keeps the default bounded-state approx_percentile —
+    * the [[graft.scale.TextStats.corpusStats]] trade; equivalence
+    * tolerance pinned in PretrainCurateSpec).
     */
   private def pretrainRun(s: SparkSession, dir: String): graft.scale.Curation.PretrainResult = {
     val docs = t(s, dir, "documents")
@@ -1771,7 +1776,8 @@ object SparkEntry {
           expr("substring(source, 4)").cast("long").as("priority"), col("lang"))
         .repartition(s.sparkContext.defaultParallelism),
       docs.filter(col("doc_id") % 11 === 0),
-      "doc_id", "text", "priority", "lang")
+      "doc_id", "text", "priority", "lang",
+      approxQuantileAccuracy = 0)
   }
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived

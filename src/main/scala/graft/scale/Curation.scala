@@ -88,7 +88,20 @@ object Curation {
     *      gating out an ENTIRE staged corpus whose tag tokens shifted
     *      the whole distribution; an optional `maxAvgSurp` ceiling
     *      composes on top). Chunks too short to score drop —
-    *      unscoreable is ungateable;
+    *      unscoreable is ungateable. The quantile itself follows the
+    *      [[TextStats.corpusStats]] exact-vs-approx trade: the DEFAULT
+    *      is `approx_percentile` (Greenwald–Khanna sketch — aggregation
+    *      state bounded by `approxQuantileAccuracy`, NOT by the number
+    *      of distinct surprisal values, so the 1-row final merge task
+    *      holds a fixed-size sketch at any corpus size); pass
+    *      `approxQuantileAccuracy = 0` for the oracle-exact interpolated
+    *      `percentile`, whose value→count buffer grows with distinct
+    *      avg_surp values (worst case one per chunk) and lands in a
+    *      single task — fine at test SF, not the 100 TB plan. The two
+    *      cutoffs can disagree only within one sketch-error rank band,
+    *      so the gates differ only on chunks whose avg_surp lies
+    *      BETWEEN the two cutoffs (`PretrainCurateSpec` pins exactly
+    *      this tolerance contract);
     *   5. temperature mix — [[TextStats.temperatureMixAtResolution]]
     *      (√n domain weights at ppm resolution — the century-proof rate
     *      grid) replicates each chunk into epoch copies toward
@@ -136,6 +149,7 @@ object Curation {
       dedupThreshold: Double = 0.6,
       contamGramN: Int = 4,
       surpKeepQuantile: Double = 0.9,
+      approxQuantileAccuracy: Int = 10000,
       maxAvgSurp: Long = Long.MaxValue,
       budgetSeqs: Long = 400L,
       mixResolution: Long = 1000000L,
@@ -143,17 +157,26 @@ object Curation {
       valPermille: Int = 100,
       shardTokenBudget: Long = 2000L): PretrainResult = {
     require(chunkIdSpan >= 2, s"chunkIdSpan must be >= 2, got $chunkIdSpan")
-    // 1. chunk; the span guard is IN-PLAN (assert_true folds to null and
-    // the coalesce keeps the arithmetic long-typed) so a doc with more
-    // than chunkIdSpan windows fails loud at first action, never aliases
+    // 1. chunk; the guards are IN-PLAN (assert_true folds to null and
+    // the coalesce keeps the arithmetic long-typed) so a doc that would
+    // alias a packed chunk_id fails loud at first action: chunk_idx must
+    // fit the span, and doc_id must be nonnegative and small enough that
+    // doc_id * chunkIdSpan cannot overflow a Long (a negative or
+    // overflowed id would silently corrupt the cross-doc pair filter,
+    // the dedup, and the split)
+    val maxDocId = Long.MaxValue / chunkIdSpan
     val chunks = CacheScope.persisted(
       TextStats.chunkByTokens(
         docs, idCol, textCol, window, stride, carryCols = Seq(priorityCol, groupCol))
         .withColumn("chunk_id",
           col(idCol).cast("long") * chunkIdSpan + col("chunk_idx") +
             coalesce(
-              assert_true(col("chunk_idx") < chunkIdSpan,
-                lit(s"chunk_idx overflowed chunkIdSpan=$chunkIdSpan — raise the span"))
+              assert_true(
+                col("chunk_idx") < chunkIdSpan &&
+                  col(idCol).cast("long").between(0L, maxDocId - 1),
+                lit(s"chunk_id packing out of range: need 0 <= $idCol < " +
+                  s"$maxDocId and chunk_idx < chunkIdSpan=$chunkIdSpan — " +
+                  "renumber ids or raise the span"))
                 .cast("long"),
               lit(0L))))
     // 2. near-dup pairs at the duplication threshold, cross-doc only
@@ -177,14 +200,20 @@ object Curation {
         .select("chunk_id"),
       Seq("chunk_id"), "left_anti")
     // 4. surprisal quality gate (model trained on the survivors): the
-    // cutoff is the corpus quantile — one exact-percentile 1-row agg
-    // broadcast back (the sanctioned scalar crossJoin), so the gate
-    // self-calibrates to any corpus's surprisal scale
+    // cutoff is the corpus quantile — one 1-row agg broadcast back (the
+    // sanctioned scalar crossJoin), so the gate self-calibrates to any
+    // corpus's surprisal scale. Default approx (bounded sketch state);
+    // accuracy <= 0 selects the exact interpolated percentile the
+    // DuckDB quantile_cont oracle mirrors — see the scaladoc trade.
     require(surpKeepQuantile > 0 && surpKeepQuantile <= 1,
       s"surpKeepQuantile must be in (0, 1], got $surpKeepQuantile")
     val scored = TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
-    val cutoff = scored.agg(
-      expr(s"percentile(avg_surp, ${surpKeepQuantile}D)").as("surp_cut"))
+    val cutExpr =
+      if (approxQuantileAccuracy > 0)
+        expr(s"approx_percentile(avg_surp, ${surpKeepQuantile}D, " +
+          s"$approxQuantileAccuracy)").cast("double")
+      else expr(s"percentile(avg_surp, ${surpKeepQuantile}D)")
+    val cutoff = scored.agg(cutExpr.as("surp_cut"))
     val gated = CacheScope.persisted(
       clean.join(
         scored.crossJoin(broadcast(cutoff))

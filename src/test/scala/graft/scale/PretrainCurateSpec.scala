@@ -88,6 +88,57 @@ class PretrainCurateSpec extends SparkSpec {
     assert(c("chunks_clean") < c("chunks_dedup"))
   }
 
+  // exact-vs-approx quantile gate: docs of "g c_i" pairs with varying
+  // repeat counts — c1(g) is corpus-global while cb(g, c_i) is the
+  // per-doc repeat count, so every doc's single chunk lands at a
+  // DIFFERENT avg_surp (distinct quantile ranks); tokens c_i are
+  // doc-unique so there are no cross-doc near-dups and no holdout
+  // contamination. One chunk per doc (window 64 > max doc length).
+  private def variedSurpCorpus = (1 to 10).map { i =>
+    val m = i + 2
+    (i.toLong, (1 to m).map(_ => s"g c$i").mkString(" "), 1L, "en")
+  }.toDF("doc_id", "text", "priority", "lang")
+
+  private def runVaried(acc: Int) =
+    Curation.pretrainCurate(
+      variedSurpCorpus, holdout, "doc_id", "text", "priority", "lang",
+      window = 64, stride = 64, dedupThreshold = 0.6,
+      approxQuantileAccuracy = acc,
+      budgetSeqs = 10L, testPermille = 0, valPermille = 0)
+
+  test("approx quantile gate: bounded-sketch path deterministic, differs from exact only between the two cutoffs") {
+    val (se, ce) = collectAll(runVaried(0)) // oracle-exact percentile
+    val (sa1, ca1) = collectAll(runVaried(10000)) // production approx
+    val (sa2, ca2) = collectAll(runVaried(10000))
+    assert(sa1 === sa2, "approx gate must be rerun-deterministic")
+    assert(ca1 === ca2)
+    assert(ce("chunks_gated") >= 1L && ca1("chunks_gated") >= 1L)
+    // independent scored frame (each doc IS its one chunk, so the
+    // pipeline's bigram model sees exactly these texts)
+    val scored = TextStats.bigramSurprisal(
+      variedSurpCorpus.select(col("doc_id").as("chunk_id"), col("text").as("chunk_text")),
+      "chunk_id", "chunk_text")
+      .select(col("avg_surp").cast("double")).as[Double].collect().sorted
+    assert(scored.distinct.length === scored.length, "fixture must have distinct quantile ranks")
+    val cutE = { // interpolated exact percentile at 0.9
+      val rank = 0.9 * (scored.length - 1)
+      val lo = scored(rank.toInt)
+      val hi = scored(math.min(rank.toInt + 1, scored.length - 1))
+      lo + (rank - rank.toInt) * (hi - lo)
+    }
+    assert(ce("chunks_gated") === scored.count(_ <= cutE).toLong,
+      "exact gate must match the interpolated percentile law")
+    // tolerance contract: both gates keep a prefix of the sorted
+    // avg_surp values (avg_surp <= cutoff with all-distinct values), so
+    // they can disagree only on chunks between the two cutoffs; with
+    // accuracy 10000 on a 10-value corpus the GK sketch is at most one
+    // rank off the interpolated exact cut
+    assert(ca1("chunks_gated") <= scored.length.toLong)
+    assert(math.abs(ce("chunks_gated") - ca1("chunks_gated")) <= 1L,
+      s"approx gate drifted more than one rank from exact: " +
+        s"exact=${ce("chunks_gated")} approx=${ca1("chunks_gated")}")
+  }
+
   test("chunkIdSpan overflow fails loud at first action") {
     val e = intercept[Exception] {
       Curation.pretrainCurate(
