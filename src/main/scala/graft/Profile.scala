@@ -738,6 +738,46 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("counters")) {
+      // q118 counter-overhead breakdown: construction (eager through
+      // ShardPack's prefix-sum pass), the q115 sequences action, then
+      // each stage counter cold (the literal-stage filter constant-
+      // folds away every other union branch) and the whole counters
+      // frame in one action — shows what the lineage-cut stage caches
+      // buy (r13: counters_all 15.4 s -> 0.7 s at sf0.1)
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      def timed[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[counters] $tag t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
+      val result = timed("construct") {
+        graft.scale.Curation.pretrainCurate(
+          docs0.filter(col("doc_id") % 11 =!= 0)
+            .select(col("doc_id"), col("text"),
+              expr("substring(source, 4)").cast("long").as("priority"), col("lang"))
+            .repartition(spark.sparkContext.defaultParallelism),
+          docs0.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", "priority", "lang",
+          approxQuantileAccuracy = 0)
+      }
+      timed("sequences")(result.sequences.count())
+      import org.apache.spark.sql.Row
+      Seq("docs_in", "chunks", "near_dup_pairs", "chunks_dedup", "chunks_clean",
+        "chunks_gated", "sequences_mixed", "train_sequences", "packed_sequences",
+        "shards").foreach { st =>
+        timed(s"cold_$st")(result.counters.filter(col("stage") === st).collect())
+      }
+      val rows = timed("counters_all")(result.counters.collect().toSeq)
+      rows.foreach { case Row(stage: String, n: Long) =>
+        println(s"[counters] stage=$stage n=$n")
+      }
+      graft.ops.CacheScope.releaseAll()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("plancounts")) {
       // static-plan Exchange / nested-loop census per query (AQE off so
       // the shape is deterministic) — feeds PlanGuardSpec's budgets

@@ -34,6 +34,33 @@ import graft.ops.CacheScope
   */
 object Curation {
 
+  /** Persist `df` with its logical lineage CUT at an RDD boundary.
+    *
+    * The layered pipeline persists stage frames whose plans each embed
+    * the previous stage's `InMemoryRelation` — which carries ITS full
+    * child plan, recursively. Per-execution plan bookkeeping (the
+    * listener's `SparkPlanInfo`, plan descriptions, canonicalization)
+    * walks those nested trees once per PATH, so seven persist layers
+    * make every downstream action pay seconds of DRIVER time at any
+    * data size (measured: 3.6 s to count a 386-row cache; capping
+    * `spark.sql.maxPlanStringLength` only halved it — the walk itself
+    * remains). Re-rooting the persisted frame on its own materialized
+    * RDD (`LogicalRDD`) bounds every plan at one cache layer: the
+    * upstream lineage lives inside the RDD, invisible to the planner.
+    *
+    * Costs, deliberately accepted for SLIM frames only: one
+    * InternalRow→Row conversion per row at cache build (bare longs
+    * here), construction becomes eager at the `.rdd` call (this
+    * pipeline is construction-eager anyway — ShardPack's prefix-sum
+    * pass), and Catalyst cannot push filters below the cut (consumers
+    * semi-join the whole frame, so nothing is lost). Recompute-on-
+    * eviction still works: the RDD lineage reaches back through the
+    * upstream caches.
+    */
+  private def persistedCut(df: DataFrame): DataFrame =
+    CacheScope.persisted(
+      df.sparkSession.createDataFrame(df.rdd, df.schema))
+
   def curate(
       docs: DataFrame,
       holdout: DataFrame,
@@ -188,17 +215,38 @@ object Curation {
           expr(s"id_a div ${chunkIdSpan}L") =!= expr(s"id_b div ${chunkIdSpan}L")))
     val reps = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "chunk_id")
-    val ded = Dedup.dedupByClusterPriorityWithReps(
-      chunks, reps, "chunk_id", priorityCol)
+    // STAGE-ID CACHES: each filtering stage narrows to a persisted
+    // chunk_id-only frame and downstream re-widens by semi-join against
+    // the chunks cache. The slim caches sit IN-LINEAGE (under gated's
+    // cache), so they fill during the pipeline's one construction
+    // materialization for the cost of caching bare longs — and the
+    // counters frame then reads them instead of re-running CC, the
+    // priority aggs, and the decontamination gram join per counter
+    // (the r12 shape re-traversed those subtrees up to 10×; persisting
+    // the full text-bearing stage frames instead was MEASURED slower —
+    // cache-materializing chunk text costs more than recomputing slim
+    // joins. `Dataset.observe` was prototyped for this and rejected:
+    // ShardPack's construction-time RDD collect fires the observation
+    // listener with zeroed metrics — first-action-wins poisons every
+    // downstream read — and once the caches are warm the observed nodes
+    // under them never re-execute, so a later counting action reads
+    // nothing.)
+    val dedIds = persistedCut(
+      Dedup.dedupByClusterPriorityWithReps(chunks, reps, "chunk_id", priorityCol)
+        .select("chunk_id"))
+    val ded = chunks.join(dedIds, Seq("chunk_id"), "left_semi")
     // 3. decontaminate (holdout renamed to the chunk shape — only its
     // gram set matters)
-    val clean = ded.join(
-      Dedup.decontaminate(
-        ded,
-        holdout.select(col(idCol).as("chunk_id"), col(textCol).as("chunk_text")),
-        "chunk_id", "chunk_text", contamGramN)
-        .select("chunk_id"),
-      Seq("chunk_id"), "left_anti")
+    val cleanIds = persistedCut(
+      ded.join(
+        Dedup.decontaminate(
+          ded,
+          holdout.select(col(idCol).as("chunk_id"), col(textCol).as("chunk_text")),
+          "chunk_id", "chunk_text", contamGramN)
+          .select("chunk_id"),
+        Seq("chunk_id"), "left_anti")
+        .select("chunk_id"))
+    val clean = chunks.join(cleanIds, Seq("chunk_id"), "left_semi")
     // 4. surprisal quality gate (model trained on the survivors): the
     // cutoff is the corpus quantile — one 1-row agg broadcast back (the
     // sanctioned scalar crossJoin), so the gate self-calibrates to any
@@ -214,22 +262,33 @@ object Curation {
           s"$approxQuantileAccuracy)").cast("double")
       else expr(s"percentile(avg_surp, ${surpKeepQuantile}D)")
     val cutoff = scored.agg(cutExpr.as("surp_cut"))
+    // the gated cache drops chunk_text and priority: nothing downstream
+    // reads them (the mix wants ids+group, the pack wants token counts,
+    // the output joins want lineage columns), and text dominates the
+    // cache footprint at corpus scale
     val gated = CacheScope.persisted(
       clean.join(
         scored.crossJoin(broadcast(cutoff))
           .filter(col("avg_surp") <= col("surp_cut") &&
             col("avg_surp") <= maxAvgSurp)
           .select("chunk_id"),
-        Seq("chunk_id"), "left_semi"))
-    // 5. epoch mixture (ppm resolution)
-    val mixed = TextStats.temperatureMixAtResolution(
-      gated, "chunk_id", groupCol, budgetSeqs, mixResolution)
+        Seq("chunk_id"), "left_semi")
+        .select(col("chunk_id"), col(idCol), col("chunk_idx"), col(groupCol),
+          col("n_tokens")))
+    // 5. epoch mixture (ppm resolution) — slim (id, group, rate, copy)
+    // rows, persisted in-lineage like the stage-id caches: the mix and
+    // split tails are all small stages whose recompute cost is pure
+    // stage-scheduling overhead, which the counter re-reads would pay
+    // twice more per counter (measured: 3.8 s mixed + 5.8 s trainSeq
+    // cold at sf0.1 — the bulk of the old q118-minus-q115 gap)
+    val mixed = persistedCut(TextStats.temperatureMixAtResolution(
+      gated, "chunk_id", groupCol, budgetSeqs, mixResolution))
     // 6. leakage-safe split on the SAME clustering as the dedup
     val split = Sampling.leakageSafeSplitWithReps(
       gated.select("chunk_id"), reps, "chunk_id", testPermille, valPermille)
-    val trainSeq = mixed.join(
+    val trainSeq = persistedCut(mixed.join(
       split.filter(col("split") === "train").select("chunk_id"),
-      Seq("chunk_id"), "left_semi")
+      Seq("chunk_id"), "left_semi"))
     // 7. shard-pack the train copies
     val packed = ShardPack.packByTokenBudget(
       trainSeq.select("chunk_id")
@@ -240,6 +299,10 @@ object Curation {
       Seq("chunk_id"))
       .select(col("chunk_id"), col(idCol), col("chunk_idx"), col(groupCol),
         col("n_tokens"), col("shard"))
+    // K7 counters: every stage count reads its slim persisted frame
+    // (dedIds/cleanIds/gated) or a cache-rooted tail — one pipeline
+    // materialization fills them all, and the counter aggregations are
+    // cache scans instead of stage re-runs
     def cnt(stage: String, df: DataFrame) =
       df.agg(count(lit(1)).cast("long").as("n"))
         .select(lit(stage).as("stage"), col("n"))
@@ -247,8 +310,8 @@ object Curation {
       cnt("docs_in", docs),
       cnt("chunks", chunks),
       cnt("near_dup_pairs", pairs),
-      cnt("chunks_dedup", ded),
-      cnt("chunks_clean", clean),
+      cnt("chunks_dedup", dedIds),
+      cnt("chunks_clean", cleanIds),
       cnt("chunks_gated", gated),
       cnt("sequences_mixed", mixed),
       cnt("train_sequences", trainSeq),
