@@ -133,9 +133,10 @@ object KMeans {
       .select(col("id").as("cluster"), col("qv").as("cva"))
     // fail LOUD on sparse/offset id spaces: with no ids in [0, k) the
     // assignment frame would be silently EMPTY (the autoStrideAnchor
-    // lesson). Construction is already eager (the dims head() above),
-    // so this k-bounded count adds one trivial job.
-    require(cent0.count() > 0,
+    // lesson). Probed on the RAW corpus with limit-1 short-circuit, the
+    // PQ-family pattern — a count() over the quantized frame would
+    // materialize the whole persisted qv cache at construction time.
+    require(!embeds.filter(col(idCol) < k).limit(1).isEmpty,
       s"first-$k init found no ids < $k in '$idCol' — the trainer's id " +
         "contract is dense 0-based (renumber upstream, e.g. zipWithIndex)")
     val finalAssign = (1 until iters).foldLeft(assign(qv, cent0, k)) { (asg, _) =>

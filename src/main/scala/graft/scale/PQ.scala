@@ -276,12 +276,32 @@ object PQ {
     require(m >= 1 && k >= 1 && topK >= 1, s"bad PQ params m=$m k=$k topK=$topK")
     val dims = corpus.selectExpr(s"size($vecCol)").head().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
-    // centroid-id bound for the packed argmin: dim-sized 1-row agg probe
-    val maxId = centroidFrame.agg(max(col("centroid_id").cast("long"))).head()
-    require(!maxId.isNullAt(0), "centroidFrame is empty")
-    val coarseK = maxId.getLong(0).toInt + 1
+    // centroid-id bound for the packed argmin: ONE k-sized 1-row agg
+    // probe that also validates the id contract — negative ids would
+    // corrupt the packed argmin encoding and duplicate ids would
+    // double-assign lists, both silently. GAPS are tolerated (a trained
+    // quantizer legitimately loses empty Lloyd clusters); they only
+    // waste encoding range, so coarseK = max+1 still bounds it — but a
+    // grossly OFFSET id space (min far above 0) inflates coarseK toward
+    // the dims*coarseK overflow guard, hence the fail-loud message
+    // names renumbering.
+    val probe = centroidFrame.agg(
+      max(col("centroid_id").cast("long")),
+      min(col("centroid_id").cast("long")),
+      count(lit(1)),
+      countDistinct(col("centroid_id"))).head()
+    require(!probe.isNullAt(0), "centroidFrame is empty")
+    val coarseK = probe.getLong(0).toInt + 1
+    require(probe.getLong(1) >= 0L,
+      s"centroid ids must be nonnegative: min=${probe.getLong(1)} — " +
+        "renumber the centroid frame (KMeans.trainedCentroids emits 0-based ids)")
+    require(probe.getLong(2) == probe.getLong(3),
+      s"duplicate centroid ids: ${probe.getLong(2)} rows over " +
+        s"${probe.getLong(3)} distinct ids")
     require(coarseK >= 1 && dims.toLong * coarseK < (1L << 31),
-      s"dims * coarseK = ${dims.toLong * coarseK} overflows the packed argmin encoding")
+      s"dims * coarseK = ${dims.toLong * coarseK} overflows the packed " +
+        "argmin encoding — if the centroid id space is offset (min " +
+        s"${probe.getLong(1)}), renumber it dense 0-based")
     val cc1 = centroidFrame.select(
       col("centroid_id").cast("long").as("cluster"),
       transform(col("centroid_vec"),

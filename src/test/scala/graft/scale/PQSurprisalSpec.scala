@@ -235,6 +235,85 @@ class PQSurprisalSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("KMeans construction runs ONLY the documented bounded probes (no qv cache materialization)") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def settle(atLeast: Int): Int = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (counter.get() < atLeast && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      counter.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.range(1).collect() // sentinel: listener live
+      val base = settle(1)
+      // dims head() + limit-1 init probe + sentinel; the regression this
+      // guards is the old cent0.count() guard, which materialized the
+      // whole persisted quantized-vector cache at construction
+      val asg = KMeans.lloydAssign(pqDf, "vec_id", "embedding", k = 4, iters = 2)
+      spark.range(1).collect()
+      val afterAssign = settle(base + 1)
+      assert(afterAssign - base - 1 <= 2,
+        s"lloydAssign construction ran ${afterAssign - base - 1} jobs; documented contract is <=2")
+      val cents = KMeans.trainedCentroids(pqDf, "vec_id", "embedding", k = 4, iters = 2)
+      spark.range(1).collect()
+      val afterTrain = settle(afterAssign + 1)
+      assert(afterTrain - afterAssign - 1 <= 2,
+        s"trainedCentroids construction ran ${afterTrain - afterAssign - 1} jobs; documented contract is <=2")
+      assert(asg.count() === 8L && cents.count() === 4L)
+      graft.ops.CacheScope.releaseAll()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("serve-path equality: external centroids from the one-iteration trained quantizer reproduce ivfAdcTopK bit-for-bit") {
+    // ivfAdcTopK's internal coarse quantizer IS one Lloyd iteration from
+    // the first-k init — exactly KMeans.trainedCentroids(k, iters = 1).
+    // Feeding those centroids through the external serve API must hit
+    // the shared ivfAdcCore tail with the identical integer grid (the
+    // dequantize/requantize round trip is exact on integer-mean cells),
+    // so the two result frames are bit-identical.
+    val queries = pqDf.filter(col("vec_id") < 2)
+    val internal = PQ.ivfAdcTopK(pqDf, queries, "vec_id", "embedding",
+      coarseK = 4, nprobe = 2, m = 2, k = 4, topK = 3)
+      .collect().map(_.toSeq).toSet
+    graft.ops.CacheScope.releaseAll()
+    val served = PQ.ivfAdcTopKWithCentroids(pqDf, queries,
+      KMeans.trainedCentroids(pqDf, "vec_id", "embedding", k = 4, iters = 1),
+      "vec_id", "embedding", nprobe = 2, m = 2, k = 4, topK = 3)
+      .collect().map(_.toSeq).toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(internal === served)
+    assert(internal.nonEmpty)
+  }
+
+  test("ivfAdcTopKWithCentroids fails loud on negative or duplicate centroid ids; tolerates gaps") {
+    val queries = pqDf.filter(col("vec_id") < 2)
+    def cents(ids: Seq[Long]) =
+      ids.map(i => (i, Array(0.0, 0.0, 1.0, 1.0))).toDF("centroid_id", "centroid_vec")
+    val neg = intercept[IllegalArgumentException] {
+      PQ.ivfAdcTopKWithCentroids(pqDf, queries, cents(Seq(-1L, 0L)),
+        "vec_id", "embedding", nprobe = 1, m = 2, k = 4, topK = 3)
+    }
+    assert(neg.getMessage.contains("nonnegative"))
+    val dup = intercept[IllegalArgumentException] {
+      PQ.ivfAdcTopKWithCentroids(pqDf, queries, cents(Seq(0L, 0L, 1L)),
+        "vec_id", "embedding", nprobe = 1, m = 2, k = 4, topK = 3)
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // gapped (trained quantizer lost a cluster): constructs and serves
+    val gapped = PQ.ivfAdcTopKWithCentroids(pqDf, queries,
+      Seq((0L, Array(0.0, 0.0, 1.0, 1.0)), (2L, Array(1.0, 0.0, 0.0, 1.0)))
+        .toDF("centroid_id", "centroid_vec"),
+      "vec_id", "embedding", nprobe = 1, m = 2, k = 4, topK = 3)
+    assert(gapped.count() > 0)
+    graft.ops.CacheScope.releaseAll()
+  }
+
   // --- Dedup.corpusOverlapEstimate -----------------------------------------
 
   test("corpusOverlapEstimate: hand-computed bottom-k overlap, identical and disjoint bounds") {
