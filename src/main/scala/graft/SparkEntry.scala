@@ -1745,6 +1745,28 @@ object SparkEntry {
         "vec_id", "embedding", nprobe = 2, m = 2, k = 4, topK = 5)
     }),
 
+    // --- J-family: bounded-staleness as-of — latest view per click but
+    // no older than 5 minutes (the "prevailing price, max age" contract);
+    // distinct right ts name + matched-ts emission, tolerance applied as
+    // a post-sweep filter on the carried ts (the sweep stays joinless) --
+    "q122_asof_tolerance" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      AsOfJoin.asOfAll(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"), col("value")),
+        "user_id", "ts", "click_id", Seq("view_id", "value"),
+        rightTsCol = Some("view_ts"),
+        tolerance = Some(lit(300L * 1000000000L)), // 5 min in nanos
+        emitMatchedTs = true)
+        .select(col("click_id"), col("user_id"),
+          expr("ts div 1000000").as("ts_ms"),
+          col("asof_view_id"), col("asof_value"),
+          expr("asof_view_ts div 1000000").as("asof_view_ts_ms"))
+    }),
+
     // --- scale: the FULL pretraining curation pipeline as one call —
     // chunk → cross-doc near-dup priority dedup → decontaminate →
     // surprisal gate → ppm temperature mix → leakage-safe split →
@@ -4138,6 +4160,30 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc2, id) AS rk
         |  FROM adc WHERE id <> qid)
         |WHERE rk <= 5""".stripMargin,
+
+    // native ASOF carries the matched right ts; the staleness band is a
+    // post-join CASE that turns too-old matches into non-matches (rows
+    // kept, payload nulled) — the same semantics as the Spark gate
+    "q122_asof_tolerance" ->
+      """WITH l AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |r0 AS (
+        |  SELECT user_id, ts, event_id AS view_id, value
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT l.click_id, l.user_id, l.ts, r0.ts AS rts,
+        |    r0.view_id, r0.value
+        |  FROM l ASOF LEFT JOIN r0
+        |    ON l.user_id = r0.user_id AND l.ts >= r0.ts)
+        |SELECT click_id, user_id, epoch_ms(ts) AS ts_ms,
+        |  CASE WHEN ts - rts <= INTERVAL 5 MINUTE THEN view_id END AS asof_view_id,
+        |  CASE WHEN ts - rts <= INTERVAL 5 MINUTE THEN value END AS asof_value,
+        |  CASE WHEN ts - rts <= INTERVAL 5 MINUTE THEN epoch_ms(rts) END AS asof_view_ts_ms
+        |FROM j""".stripMargin,
 
     // the composed stage CTEs (see pretrainOracleBody): packed train
     // sequences with their doc lineage

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   * timestamp, so the match is inclusive (`rightTs <= leftTs`), matching
   * `ASOF LEFT JOIN ... ON l.ts >= r.ts`. Unmatched left rows keep null
   * payload columns (left-join semantics).
+  *
+  * PAYLOAD TYPE CONTRACT: because the packed payload struct is the
+  * window's tertiary SORT key, every payload column must be an
+  * ORDERABLE type (atomics, arrays/structs of orderables). A MapType
+  * payload would fail at analysis time with an opaque sort error, so
+  * [[asOfAll]] validates up front and fail-louds with the offending
+  * column. Carry a map by packing it to a sorted array upstream, or
+  * carry an id and join the map back after the sweep.
   */
 object AsOfJoin {
 
@@ -73,6 +81,27 @@ object AsOfJoin {
     * right row (struct-packed through the sweep, so they can never mix
     * across rows). Equal-ts winner = lexicographic max of
     * (payloadCols in the given order).
+    *
+    * Ergonomics (all defaults preserve the original contract):
+    *
+    *  - `rightTsCol` — the right side's timestamp column name when it
+    *    differs from the left's (`trades.ts` vs `quotes.quote_time`);
+    *    the output keeps the LEFT name. Default: same name both sides.
+    *  - `tolerance` — optional max staleness: a backward match older
+    *    than `tolerance` (or a forward match further ahead than it)
+    *    does NOT count — its left row stays, payload nulled, exactly
+    *    like no match ("the prevailing price, but no older than 5
+    *    min"). Expressed as `rightTs >= leftTs - tolerance` (forward:
+    *    `rightTs <= leftTs + tolerance`), so it works for numeric
+    *    timestamps with a numeric literal AND for native timestamps
+    *    with an interval literal. Implemented as a post-sweep filter on
+    *    the matched right ts carried through the payload struct — the
+    *    sweep itself stays joinless and aggregate-free (the carried ts
+    *    equals the primary sort key for every tie group member, so
+    *    equal-ts winner semantics are unchanged).
+    *  - `emitMatchedTs` — also emit the winning right row's timestamp
+    *    as `asof_<rightTsCol>` (the column a staleness AUDIT wants);
+    *    off by default to keep existing output schemas stable.
     */
   def asOfAll(
       left: DataFrame,
@@ -81,14 +110,33 @@ object AsOfJoin {
       tsCol: String,
       leftIdCol: String,
       payloadCols: Seq[String],
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      rightTsCol: Option[String] = None,
+      tolerance: Option[Column] = None,
+      emitMatchedTs: Boolean = false): DataFrame = {
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
-    val packed = struct(payloadCols.map(col): _*)
+    val rtName = rightTsCol.getOrElse(tsCol)
+    require(!payloadCols.contains(rtName),
+      s"right timestamp column '$rtName' is carried implicitly — drop it from payloadCols")
+    // fail loud on non-orderable payload types: the packed struct is
+    // the window's tertiary SORT key (see the scaladoc type contract)
+    payloadCols.foreach { c =>
+      val dt = right.schema(c).dataType
+      require(
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"payload column '$c' has non-orderable type ${dt.simpleString}: " +
+          "the payload struct is the sweep's tie-break sort key — carry an " +
+          "orderable surrogate and join the value back after the sweep")
+    }
+    // the matched right ts rides FIRST in the struct; within an equal-ts
+    // tie group it is constant, so the tie still breaks on the payload
+    val packed = struct(
+      (col(rtName).as("__asof_rt") +: payloadCols.map(col)): _*)
     // plan-time schema access only — no jobs at construction
     val rvType = right.select(packed).schema.head.dataType
     val lidType = left.schema(leftIdCol).dataType
     val r = right.select(
-      col(keyCol), col(tsCol),
+      col(keyCol), col(rtName).as(tsCol),
       lit(null).cast(lidType).as(leftIdCol),
       packed.as("rv"), lit(0).as("side"))
     val l = left.select(
@@ -110,8 +158,21 @@ object AsOfJoin {
     val swept = l.unionByName(r)
       .withColumn("asof_rv", last(col("rv"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
+    // staleness gate: a match outside the tolerance band becomes a
+    // non-match (payload nulls), never a dropped row
+    val matched = tolerance match {
+      case Some(tol) =>
+        val rt = col("asof_rv").getField("__asof_rt")
+        val inBand =
+          if (forward) rt <= col(tsCol) + tol else rt >= col(tsCol) - tol
+        when(col("asof_rv").isNotNull && inBand, col("asof_rv"))
+      case None => col("asof_rv")
+    }
+    val payloadOut =
+      payloadCols.map(c => matched.getField(c).as(s"asof_$c")) ++
+        (if (emitMatchedTs) Seq(matched.getField("__asof_rt").as(s"asof_$rtName"))
+         else Seq.empty)
     swept.select(
-      col(leftIdCol) +: col(keyCol) +: col(tsCol) +:
-        payloadCols.map(c => col("asof_rv").getField(c).as(s"asof_$c")): _*)
+      col(leftIdCol) +: col(keyCol) +: col(tsCol) +: payloadOut: _*)
   }
 }

@@ -121,6 +121,61 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("asOfAll with a distinct right timestamp column name keeps the left name in the output") {
+    val quotes = Seq(
+      (1L, 8L, 200L), (1L, 15L, 201L)
+    ).toDF("k", "quote_time", "rid")
+    val out = AsOfJoin.asOfAll(left, quotes, "k", "ts", "lid", Seq("rid"),
+      rightTsCol = Some("quote_time"))
+    assert(out.columns.toSeq === Seq("lid", "k", "ts", "asof_rid"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(m === Map(100L -> Some(200L), 101L -> Some(201L), 102L -> None,
+      104L -> Some(200L), 103L -> None))
+  }
+
+  test("tolerance nulls stale backward matches but keeps the left row") {
+    // lid 101 at ts 20 matches right ts 15 (age 5); lid 100 at ts 10
+    // matches right ts 8 (age 2). tolerance 3 keeps only age <= 3.
+    val out = AsOfJoin.asOfAll(left, right, "k", "ts", "lid", Seq("rid"),
+      tolerance = Some(org.apache.spark.sql.functions.lit(3L)),
+      emitMatchedTs = true)
+    assert(out.columns.toSeq === Seq("lid", "k", "ts", "asof_rid", "asof_ts"))
+    val m = out.collect().map(r => r.getLong(0) -> (
+      (if (r.isNullAt(3)) None else Some(r.getLong(3))),
+      (if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(m === Map(
+      100L -> ((Some(200L), Some(8L))), // age 2 <= 3
+      101L -> ((None, None)), // age 5 > 3: stale -> non-match, row kept
+      102L -> ((None, None)),
+      104L -> ((Some(200L), Some(8L))), // age 0
+      103L -> ((None, None))))
+  }
+
+  test("tolerance bounds the forward direction symmetrically") {
+    val out = AsOfJoin.asOfAll(left, right, "k", "ts", "lid", Seq("rid"),
+      forward = true,
+      tolerance = Some(org.apache.spark.sql.functions.lit(3L)))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // ts 5 -> next right ts 8 (ahead 3, kept); ts 10 -> 15 (ahead 5, stale);
+    // ts 20 -> nothing ahead; ts 8 -> 8 (ahead 0)
+    assert(m === Map(102L -> Some(200L), 100L -> None, 101L -> None,
+      104L -> Some(200L), 103L -> None))
+  }
+
+  test("non-orderable payload types fail loud at construction") {
+    val mapRight = Seq((1L, 8L, Map("a" -> 1L))).toDF("k", "ts", "props")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfAll(left, mapRight, "k", "ts", "lid", Seq("props"))
+    }
+    assert(e.getMessage.contains("non-orderable"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfAll(left, right, "k", "ts", "lid", Seq("ts", "rid"))
+    }
+    assert(e2.getMessage.contains("carried implicitly"))
+  }
+
   test("asOf equals the correlated-subquery reference on a generated fixture") {
     val l = (0L until 200L).map(i => (i % 7, (i * 13) % 101, i)).toDF("k", "ts", "lid")
     val r = (0L until 150L).map(i => (i % 5, (i * 17) % 97, 1000L + i)).toDF("k", "ts", "rid")
