@@ -1778,7 +1778,18 @@ object SparkEntry {
     // --- scale: q115's K7-style run counters — every stage's row count
     // from the SAME composed pipeline, oracle-gated stage by stage ------
     "q118_pretrain_counters" -> ((s, dir) =>
-      pretrainRun(s, dir).counters)
+      pretrainRun(s, dir).counters),
+
+    // --- scale: INCREMENTAL curation — a new batch curated against an
+    // existing store (chunk → batch dedup → incumbent filter vs the
+    // store's signature index → decontaminate → batch-local quantile
+    // gate → mixture REBALANCE over combined populations → stable split
+    // → pack); q123 gates the same run's counters --------------------------
+    "q121_incr_curate" -> ((s, dir) =>
+      incrRun(s, dir).sequences),
+
+    "q123_incr_counters" -> ((s, dir) =>
+      incrRun(s, dir).counters)
   )
 
   /** Shared q115/q118 pipeline invocation — the q87 train/holdout split
@@ -1798,6 +1809,31 @@ object SparkEntry {
           expr("substring(source, 4)").cast("long").as("priority"), col("lang"))
         .repartition(s.sparkContext.defaultParallelism),
       docs.filter(col("doc_id") % 11 === 0),
+      "doc_id", "text", "priority", "lang",
+      approxQuantileAccuracy = 0)
+  }
+
+  /** Shared q121/q123 invocation — the store is the base split's
+    * (doc_id % 3 != 0) chunk frame with the q113 window arithmetic; the
+    * batch is the doc_id % 3 == 0 remainder with q107's source-suffix
+    * priority; exact quantile for the oracle (see [[pretrainRun]]).
+    * The store index builds in-job (the convenience form); production
+    * passes the persisted signature frame via `storeSigs`.
+    */
+  private def incrRun(s: SparkSession, dir: String): graft.scale.Curation.IncrementResult = {
+    val docs = t(s, dir, "documents")
+    val storeChunks = graft.scale.TextStats.chunkByTokens(
+      docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0),
+      "doc_id", "text", 32, 16, carryCols = Seq("lang"))
+      .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
+      .select(col("chunk_id"), col("chunk_text"), col("lang"))
+    graft.scale.Curation.pretrainCurateIncrement(
+      docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"),
+          expr("substring(source, 4)").cast("long").as("priority"), col("lang"))
+        .repartition(s.sparkContext.defaultParallelism),
+      docs.filter(col("doc_id") % 11 === 0),
+      storeChunks,
       "doc_id", "text", "priority", "lang",
       approxQuantileAccuracy = 0)
   }
@@ -4207,6 +4243,29 @@ object SparkEntry {
          |UNION ALL SELECT 'packed_sequences', CAST(count(*) AS BIGINT) FROM packed
          |UNION ALL SELECT 'shards', CAST(count(DISTINCT shard) AS BIGINT) FROM packed""".stripMargin,
 
+    // the incremental composed CTEs (see incrOracleBody): the new
+    // batch's packed train sequences with their doc lineage
+    "q121_incr_curate" ->
+      s"""$incrOracleBody
+         |SELECT p.chunk_id, g.doc_id, g.chunk_idx, g.lang, p.n_tokens, p.shard
+         |FROM packed p JOIN gated g USING (chunk_id)""".stripMargin,
+
+    // the same incremental CTEs counted stage by stage (K7 shape, with
+    // the incumbent-filter stage the base pipeline doesn't have)
+    "q123_incr_counters" ->
+      s"""$incrOracleBody
+         |SELECT 'docs_in' AS stage, CAST(count(*) AS BIGINT) AS n FROM batch
+         |UNION ALL SELECT 'chunks', CAST(count(*) AS BIGINT) FROM chunks
+         |UNION ALL SELECT 'near_dup_pairs', CAST(count(*) AS BIGINT) FROM px
+         |UNION ALL SELECT 'chunks_dedup', CAST(count(*) AS BIGINT) FROM ded
+         |UNION ALL SELECT 'chunks_vs_store', CAST(count(*) AS BIGINT) FROM inc
+         |UNION ALL SELECT 'chunks_clean', CAST(count(*) AS BIGINT) FROM clean
+         |UNION ALL SELECT 'chunks_gated', CAST(count(*) AS BIGINT) FROM gated
+         |UNION ALL SELECT 'sequences_mixed', CAST(count(*) AS BIGINT) FROM mixed
+         |UNION ALL SELECT 'train_sequences', CAST(count(*) AS BIGINT) FROM trainseq
+         |UNION ALL SELECT 'packed_sequences', CAST(count(*) AS BIGINT) FROM packed
+         |UNION ALL SELECT 'shards', CAST(count(DISTINCT shard) AS BIGINT) FROM packed""".stripMargin,
+
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme
     "q94_temperature_mix" ->
@@ -4543,6 +4602,193 @@ object SparkEntry {
        |    CAST((CAST(sum(n_tokens) OVER (ORDER BY k, chunk_id
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
        |  FROM packin)""".stripMargin
+
+  /** q121/q123 oracle core: the INCREMENTAL pipeline as composed CTEs —
+    * the base split's chunk frame as the store, q113's chunker over the
+    * batch, [[lshPairsSqlFrom]] for batch-internal pairs, the recursive
+    * CC + priority dedup, the q56 band-bucket incumbent filter against
+    * the store (chunk-level), q87's decontamination, batch-local
+    * quantile surprisal gate, the REBALANCED mixture (√(store+batch)
+    * scores over batch rates), q100's split bucket, q83's pack window.
+    * Multi-referenced stages carry MATERIALIZED hints (the r12 CTE
+    * inlining lesson).
+    */
+  private lazy val incrOracleBody: String = {
+    val numHashes = 16
+    val bands = 8
+    val rpb = numHashes / bands
+    val sigAggs = (0 until numHashes)
+      .map(s => s"min((${Dedup.MinhashMultipliers(s % 16)} * hg) % ${Dedup.MinhashMod}) AS h$s")
+      .mkString(",\n    ")
+    val bandExprs = (0 until bands).map { b =>
+      val slice = (0 until rpb).map(r => s"h${b * rpb + r}::VARCHAR").mkString(" || ',' || ")
+      s"md5('$b:' || $slice)"
+    }.mkString(", ")
+    s"""WITH RECURSIVE
+       |base AS (SELECT * FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 3 <> 0),
+       |batch AS (SELECT * FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 3 = 0),
+       |sw0 AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS t
+       |  FROM base),
+       |snz AS (SELECT doc_id, lang, t, len(t) AS n FROM sw0 WHERE len(t) > 0),
+       |sstarts AS (
+       |  SELECT doc_id, lang, t, CAST(u.s AS BIGINT) AS st
+       |  FROM snz, unnest(generate_series(0,
+       |    greatest(0, CAST(ceil((n - 32) / 16.0) AS INT)) * 16, 16)) AS u(s)),
+       |storechunks AS MATERIALIZED (
+       |  SELECT doc_id * 65536 + st // 16 AS chunk_id, lang,
+       |    array_to_string(t[st+1:st+32], ' ') AS chunk_text
+       |  FROM sstarts),
+       |w0 AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS priority, lang,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0) AS t
+       |  FROM batch),
+       |nz AS (SELECT doc_id, priority, lang, t, len(t) AS n FROM w0 WHERE len(t) > 0),
+       |starts AS (
+       |  SELECT doc_id, priority, lang, t, CAST(u.s AS BIGINT) AS st
+       |  FROM nz, unnest(generate_series(0,
+       |    greatest(0, CAST(ceil((n - 32) / 16.0) AS INT)) * 16, 16)) AS u(s)),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id * 65536 + st // 16 AS chunk_id, doc_id, st // 16 AS chunk_idx,
+       |    priority, lang,
+       |    array_to_string(t[st+1:st+32], ' ') AS chunk_text,
+       |    CAST(len(t[st+1:st+32]) AS BIGINT) AS n_tokens
+       |  FROM starts),
+       |lshsrc AS (SELECT chunk_id AS doc_id, chunk_text AS text FROM chunks),
+       |p0 AS MATERIALIZED (
+       |${lshPairsSqlFrom("lshsrc", 0.6)}
+       |),
+       |px AS (SELECT id_a, id_b FROM p0 WHERE id_a // 65536 <> id_b // 65536),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM px UNION SELECT id_b, id_a FROM px),
+       |r AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+       |reps AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS rep FROM r GROUP BY a),
+       |dpr AS (
+       |  SELECT c.chunk_id, c.priority, coalesce(reps.rep, c.chunk_id) AS rep
+       |  FROM chunks c LEFT JOIN reps ON c.chunk_id = reps.id),
+       |mp AS (SELECT rep, min(priority) AS best_prio FROM dpr GROUP BY rep),
+       |keep AS (
+       |  SELECT min(dpr.chunk_id) AS chunk_id
+       |  FROM dpr JOIN mp ON dpr.rep = mp.rep AND dpr.priority = mp.best_prio
+       |  GROUP BY dpr.rep),
+       |ded AS MATERIALIZED (SELECT c.* FROM chunks c JOIN keep USING (chunk_id)),
+       |ishn AS (
+       |  SELECT chunk_id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len(w) - 3, 0) + 1),
+       |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+       |  FROM (SELECT chunk_id, regexp_split_to_array(trim(chunk_text), '\\s+') AS w FROM ded)),
+       |ishc AS (
+       |  SELECT chunk_id, unnest(list_distinct(list_transform(
+       |    range(0, greatest(len(w) - 3, 0) + 1),
+       |    i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+       |  FROM (SELECT chunk_id, regexp_split_to_array(trim(chunk_text), '\\s+') AS w FROM storechunks)),
+       |ishhn AS (SELECT chunk_id, sh,
+       |  ('0x' || substr(md5('0:' || sh), 1, 12))::BIGINT AS hg FROM ishn),
+       |ishhc AS (SELECT chunk_id, sh,
+       |  ('0x' || substr(md5('0:' || sh), 1, 12))::BIGINT AS hg FROM ishc),
+       |isign AS (SELECT chunk_id, $sigAggs FROM ishhn GROUP BY chunk_id),
+       |isigc AS (SELECT chunk_id, $sigAggs FROM ishhc GROUP BY chunk_id),
+       |ibn AS (SELECT chunk_id, unnest([$bandExprs]) AS band FROM isign),
+       |ibc AS (SELECT chunk_id, unnest([$bandExprs]) AS band FROM isigc),
+       |ibucketok AS (SELECT band FROM ibc GROUP BY band HAVING count(*) <= 1000),
+       |icand AS (
+       |  SELECT DISTINCT n.chunk_id AS new_id, c.chunk_id AS corp_id
+       |  FROM ibn n JOIN ibc c ON n.band = c.band
+       |  JOIN ibucketok ON ibucketok.band = n.band),
+       |icntn AS (SELECT chunk_id, count(*) AS n FROM ishn GROUP BY chunk_id),
+       |icntc AS (SELECT chunk_id, count(*) AS n FROM ishc GROUP BY chunk_id),
+       |iinter AS (
+       |  SELECT icand.new_id, icand.corp_id, count(*) AS ni
+       |  FROM icand
+       |  JOIN ishn a ON a.chunk_id = icand.new_id
+       |  JOIN ishc b ON b.chunk_id = icand.corp_id AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |idup AS (
+       |  SELECT DISTINCT iinter.new_id FROM iinter
+       |  JOIN icntn ON icntn.chunk_id = iinter.new_id
+       |  JOIN icntc ON icntc.chunk_id = iinter.corp_id
+       |  WHERE CAST(ni AS DOUBLE) / CAST(icntn.n + icntc.n - ni AS DOUBLE) >= 0.6),
+       |inc AS MATERIALIZED (
+       |  SELECT d.* FROM ded d WHERE chunk_id NOT IN (SELECT new_id FROM idup)),
+       |tokh AS (SELECT chunk_id, regexp_split_to_array(trim(chunk_text), '\\s+') AS t FROM inc),
+       |grams AS (
+       |  SELECT chunk_id, array_to_string(t[i:i+3], ' ') AS g
+       |  FROM tokh, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+       |btok AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |bench AS (
+       |  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS g
+       |  FROM btok, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+       |contaminated AS (SELECT DISTINCT chunk_id FROM grams JOIN bench USING (g)),
+       |clean AS MATERIALIZED (
+       |  SELECT d.* FROM inc d LEFT JOIN contaminated c USING (chunk_id)
+       |  WHERE c.chunk_id IS NULL),
+       |stoks AS (SELECT chunk_id, regexp_extract_all(lower(chunk_text), '[a-z0-9]+') AS t FROM clean),
+       |bi AS (
+       |  SELECT chunk_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM stoks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+       |m AS (
+       |  SELECT cb.w1, cb.w2, CAST((1000 * c1.c1) // cb.cb AS BIGINT) AS surp
+       |  FROM cb JOIN c1 USING (w1)),
+       |surp AS MATERIALIZED (
+       |  SELECT bi.chunk_id, CAST(sum(m.surp) // count(*) AS BIGINT) AS avg_surp
+       |  FROM bi JOIN m USING (w1, w2) GROUP BY 1),
+       |scut AS (SELECT quantile_cont(avg_surp, 0.9) AS surp_cut FROM surp),
+       |gated AS MATERIALIZED (
+       |  SELECT c.* FROM clean c JOIN surp s USING (chunk_id) CROSS JOIN scut
+       |  WHERE s.avg_surp <= scut.surp_cut),
+       |storeg AS (SELECT lang, count(*) AS n_base FROM storechunks GROUP BY 1),
+       |batchg AS (SELECT lang, count(*) AS n_batch FROM gated GROUP BY 1),
+       |sizes AS (
+       |  SELECT lang, coalesce(n_batch, 0) AS n_batch,
+       |    coalesce(n_batch, 0) + coalesce(n_base, 0) AS n_tot
+       |  FROM storeg FULL JOIN batchg USING (lang)),
+       |smix AS (
+       |  SELECT lang, n_batch, n_tot, CAST(floor(sqrt(n_tot)) AS BIGINT) AS s
+       |  FROM sizes),
+       |tot AS (SELECT CAST(sum(s) AS BIGINT) AS s_tot FROM smix),
+       |rates AS (
+       |  SELECT lang, n_tot AS n_docs, (1000000 * 400 * s) // (s_tot * n_batch) AS rate
+       |  FROM smix CROSS JOIN tot WHERE n_batch > 0),
+       |wmix AS (
+       |  SELECT g.chunk_id, g.lang, r.rate,
+       |    ('0x' || substr(md5(CAST(g.chunk_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS b
+       |  FROM gated g JOIN rates r USING (lang)),
+       |cmix AS (
+       |  SELECT chunk_id, lang,
+       |    (rate // 1000000) + (CASE WHEN b < rate % 1000000 THEN 1 ELSE 0 END) AS copies
+       |  FROM wmix),
+       |mixed AS MATERIALIZED (
+       |  SELECT chunk_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+       |  FROM cmix WHERE copies > 0),
+       |splitb AS (
+       |  SELECT g.chunk_id, coalesce(reps.rep, g.chunk_id) AS rep
+       |  FROM gated g LEFT JOIN reps ON g.chunk_id = reps.id),
+       |splits AS MATERIALIZED (
+       |  SELECT chunk_id,
+       |    CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 1000 < 100 THEN 'test'
+       |         WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 1000 < 200 THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM splitb),
+       |trainseq AS MATERIALIZED (
+       |  SELECT m.chunk_id, m.copy FROM mixed m JOIN splits s USING (chunk_id)
+       |  WHERE s.split = 'train'),
+       |packin AS (
+       |  SELECT t.chunk_id, g.n_tokens, md5('shard:' || t.chunk_id) AS k
+       |  FROM trainseq t JOIN gated g USING (chunk_id)),
+       |packed AS MATERIALIZED (
+       |  SELECT chunk_id, n_tokens,
+       |    CAST((CAST(sum(n_tokens) OVER (ORDER BY k, chunk_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+       |  FROM packin)""".stripMargin
+  }
 
   /** q25 oracle: hyperplane signatures from the same literal dyadic
     * weight vectors the Spark side uses (Similarity.planeWeights), so

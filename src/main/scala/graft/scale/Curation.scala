@@ -84,11 +84,19 @@ object Curation {
     ShardPack.packByTokenBudget(clean, idCol, "n_tokens", shardBudget)
   }
 
-  /** [[pretrainCurate]]'s two result frames: the packed train sequences
-    * (one row per sequence COPY — the mixture replicates) and the
-    * K7-style per-stage run counters.
+  /** [[pretrainCurate]]'s result frames: the packed train sequences
+    * (one row per sequence COPY — the mixture replicates), the K7-style
+    * per-stage run counters, and the STORE frames a later
+    * [[pretrainCurateIncrement]] consumes — the surviving chunks
+    * (chunk_id, chunk_text, group; feed to [[Dedup.minhashSignatures]]
+    * for the persistent index) and their split assignments
+    * (chunk_id, rep, split).
     */
-  final case class PretrainResult(sequences: DataFrame, counters: DataFrame)
+  final case class PretrainResult(
+      sequences: DataFrame,
+      counters: DataFrame,
+      gatedChunks: DataFrame,
+      splits: DataFrame)
 
   /** The FULL pretraining curation pipeline — the round-11 operator
     * family composed as one call, sequence-level (each document splits
@@ -318,6 +326,224 @@ object Curation {
       cnt("packed_sequences", sequences),
       cnt("shards", packed.select("shard").distinct()))
       .reduce(_.unionByName(_))
-    PretrainResult(sequences, counters)
+    // store hand-off: the surviving chunks in the schema
+    // pretrainCurateIncrement's storeChunks parameter takes
+    val gatedChunks = chunks
+      .join(gated.select("chunk_id"), Seq("chunk_id"), "left_semi")
+      .select(col("chunk_id"), col("chunk_text"), col(groupCol))
+    PretrainResult(sequences, counters, gatedChunks, split)
+  }
+
+  /** [[pretrainCurateIncrement]]'s result frames: the packed NEW train
+    * sequences (appendable to the store's shards — see `shardOffset`),
+    * the per-stage counters, the surviving new chunks in the store's
+    * own schema (what the caller appends to the store, and feeds to
+    * [[Dedup.minhashSignatures]] to extend the signature index), and
+    * their split assignments.
+    */
+  final case class IncrementResult(
+      sequences: DataFrame,
+      counters: DataFrame,
+      gatedChunks: DataFrame,
+      splits: DataFrame)
+
+  /** INCREMENTAL [[pretrainCurate]] — curate a NEW document batch
+    * against an EXISTING curated store (the daily-ingest shape: the
+    * store never reprocesses; the batch pays only batch-vs-batch and
+    * batch-vs-index work). The reference's CDC ethos (§2.6 diff-sync:
+    * never rebuild what a delta can extend) applied to the LLM
+    * pipeline:
+    *
+    *   1. chunk the batch ([[TextStats.chunkByTokens]], same packed
+    *      chunk-id scheme — doc ids MUST be globally unique across
+    *      batches and the store, or chunk ids alias: same in-plan
+    *      fail-loud guard);
+    *   2. batch-internal near-dup dedup (cross-doc pairs → one CC pass
+    *      → priority-aware canonical selection), exactly the base
+    *      pipeline's stage 2;
+    *   3. INCUMBENT FILTER — [[Dedup.nearDupAgainstSignatures]] probes
+    *      the store's signature index (band-bucket equi-join, capped
+    *      buckets, exact-Jaccard verify): a new chunk that near-dups
+    *      ANY store chunk is dropped regardless of priority — the
+    *      store copy always wins, so re-ingesting yesterday's corpus
+    *      is a no-op (idempotence, pinned in `PretrainCurateSpec`).
+    *      The index carries hashes only; candidate verification
+    *      re-shingles just the LSH-bounded candidate chunks on both
+    *      sides. At 100 TB the batch never joins the store's text —
+    *      only its slim signature frame;
+    *   4. decontaminate + batch-local surprisal quantile gate (the
+    *      gate self-calibrates on the batch: surprisal magnitudes are
+    *      corpus-relative, and the store's scale may have drifted);
+    *   5. MIXTURE REBALANCE — [[TextStats.temperatureMixRebalance]]:
+    *      √n domain scores over the COMBINED store+batch populations,
+    *      replication rates over the batch alone, so the appended
+    *      copies move the overall mixture toward the target instead of
+    *      re-mixing the batch in isolation;
+    *   6. leakage-safe split over the batch clustering. SPLIT
+    *      STABILITY: a chunk's split is `md5(cluster-rep)` permille —
+    *      a pure function of ids — so re-runs never move a chunk
+    *      across splits, and a batch chunk near-dupping a STORE chunk
+    *      was already dropped in stage 3 (at the same threshold the
+    *      split clustering uses), so eval can never gain a near-copy
+    *      of anything the store trains on;
+    *   7. shard-pack the new train copies at `shardOffset` (pass the
+    *      store's next free shard id so appended files never collide).
+    *
+    * @param storeChunks the store's surviving chunks:
+    *                    (chunk_id, chunk_text, groupCol) — text is
+    *                    required only for candidate verification and
+    *                    only LSH-bounded candidates are ever fetched
+    * @param storeSigs   prebuilt [[Dedup.minhashSignatures]] frame of
+    *                    `storeChunks` (the persisted index the
+    *                    production path maintains); None builds it
+    *                    in-job from the store text (convenience form)
+    */
+  def pretrainCurateIncrement(
+      newDocs: DataFrame,
+      holdout: DataFrame,
+      storeChunks: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: String,
+      groupCol: String,
+      storeSigs: Option[DataFrame] = None,
+      window: Int = 32,
+      stride: Int = 16,
+      chunkIdSpan: Long = 65536L,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      dedupThreshold: Double = 0.6,
+      maxBucket: Int = 1000,
+      contamGramN: Int = 4,
+      surpKeepQuantile: Double = 0.9,
+      approxQuantileAccuracy: Int = 10000,
+      maxAvgSurp: Long = Long.MaxValue,
+      budgetSeqs: Long = 400L,
+      mixResolution: Long = 1000000L,
+      testPermille: Int = 100,
+      valPermille: Int = 100,
+      shardTokenBudget: Long = 2000L,
+      shardOffset: Long = 0L): IncrementResult = {
+    require(chunkIdSpan >= 2, s"chunkIdSpan must be >= 2, got $chunkIdSpan")
+    require(shardOffset >= 0, s"shardOffset must be >= 0, got $shardOffset")
+    val maxDocId = Long.MaxValue / chunkIdSpan
+    // 1. chunk the batch (same guards as the base pipeline)
+    val chunks = CacheScope.persisted(
+      TextStats.chunkByTokens(
+        newDocs, idCol, textCol, window, stride, carryCols = Seq(priorityCol, groupCol))
+        .withColumn("chunk_id",
+          col(idCol).cast("long") * chunkIdSpan + col("chunk_idx") +
+            coalesce(
+              assert_true(
+                col("chunk_idx") < chunkIdSpan &&
+                  col(idCol).cast("long").between(0L, maxDocId - 1),
+                lit(s"chunk_id packing out of range: need 0 <= $idCol < " +
+                  s"$maxDocId and chunk_idx < chunkIdSpan=$chunkIdSpan — " +
+                  "renumber ids or raise the span"))
+                .cast("long"),
+              lit(0L))))
+    // 2. batch-internal near-dup dedup (cross-doc only)
+    val pairs = CacheScope.persisted(
+      Dedup.minhashPairsExact(
+        chunks.select(col("chunk_id"), col("chunk_text")),
+        "chunk_id", "chunk_text", shingleSize, numHashes, bands, dedupThreshold)
+        .filter(
+          expr(s"id_a div ${chunkIdSpan}L") =!= expr(s"id_b div ${chunkIdSpan}L")))
+    val reps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "chunk_id")
+    val dedIds = persistedCut(
+      Dedup.dedupByClusterPriorityWithReps(chunks, reps, "chunk_id", priorityCol)
+        .select("chunk_id"))
+    val ded = chunks.join(dedIds, Seq("chunk_id"), "left_semi")
+    // 3. incumbent filter against the store index: survivors are the
+    // deduped batch chunks with no verified near-dup in the store
+    val storeAsDocs = storeChunks.select(
+      col("chunk_id"), col("chunk_text"))
+    val sigStore = storeSigs.getOrElse(
+      Dedup.minhashSignatures(storeAsDocs, "chunk_id", "chunk_text",
+        shingleSize, numHashes))
+    val dedAsDocs = ded.select(col("chunk_id"), col("chunk_text"))
+    val incIds = persistedCut(
+      Dedup.nearDupAgainstSignatures(
+        dedAsDocs, storeAsDocs,
+        Dedup.minhashSignatures(dedAsDocs, "chunk_id", "chunk_text",
+          shingleSize, numHashes),
+        sigStore,
+        "chunk_id", "chunk_text", shingleSize, numHashes, bands,
+        dedupThreshold, maxBucket)
+        .select("chunk_id"))
+    val inc = chunks.join(incIds, Seq("chunk_id"), "left_semi")
+    // 4. decontaminate + batch-local quantile gate (base stages 3-4)
+    val cleanIds = persistedCut(
+      inc.join(
+        Dedup.decontaminate(
+          inc,
+          holdout.select(col(idCol).as("chunk_id"), col(textCol).as("chunk_text")),
+          "chunk_id", "chunk_text", contamGramN)
+          .select("chunk_id"),
+        Seq("chunk_id"), "left_anti")
+        .select("chunk_id"))
+    val clean = chunks.join(cleanIds, Seq("chunk_id"), "left_semi")
+    require(surpKeepQuantile > 0 && surpKeepQuantile <= 1,
+      s"surpKeepQuantile must be in (0, 1], got $surpKeepQuantile")
+    val scored = TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
+    val cutExpr =
+      if (approxQuantileAccuracy > 0)
+        expr(s"approx_percentile(avg_surp, ${surpKeepQuantile}D, " +
+          s"$approxQuantileAccuracy)").cast("double")
+      else expr(s"percentile(avg_surp, ${surpKeepQuantile}D)")
+    val cutoff = scored.agg(cutExpr.as("surp_cut"))
+    val gated = CacheScope.persisted(
+      clean.join(
+        scored.crossJoin(broadcast(cutoff))
+          .filter(col("avg_surp") <= col("surp_cut") &&
+            col("avg_surp") <= maxAvgSurp)
+          .select("chunk_id"),
+        Seq("chunk_id"), "left_semi")
+        .select(col("chunk_id"), col(idCol), col("chunk_idx"), col(groupCol),
+          col("n_tokens")))
+    // 5. mixture rebalance over combined store+batch domain populations
+    val storeSizes = storeChunks.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_base"))
+    val mixed = persistedCut(TextStats.temperatureMixRebalance(
+      gated, "chunk_id", groupCol, storeSizes, budgetSeqs, mixResolution))
+    // 6. leakage-safe split on the batch clustering
+    val split = Sampling.leakageSafeSplitWithReps(
+      gated.select("chunk_id"), reps, "chunk_id", testPermille, valPermille)
+    val trainSeq = persistedCut(mixed.join(
+      split.filter(col("split") === "train").select("chunk_id"),
+      Seq("chunk_id"), "left_semi"))
+    // 7. shard-pack at the caller's offset
+    val packed = ShardPack.packByTokenBudget(
+      trainSeq.select("chunk_id")
+        .join(gated.select(col("chunk_id"), col("n_tokens")), Seq("chunk_id")),
+      "chunk_id", "n_tokens", shardTokenBudget)
+      .withColumn("shard", col("shard") + shardOffset)
+    val sequences = packed.join(
+      gated.select(col("chunk_id"), col(idCol), col("chunk_idx"), col(groupCol)),
+      Seq("chunk_id"))
+      .select(col("chunk_id"), col(idCol), col("chunk_idx"), col(groupCol),
+        col("n_tokens"), col("shard"))
+    def cnt(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(stage).as("stage"), col("n"))
+    val counters = Seq(
+      cnt("docs_in", newDocs),
+      cnt("chunks", chunks),
+      cnt("near_dup_pairs", pairs),
+      cnt("chunks_dedup", dedIds),
+      cnt("chunks_vs_store", incIds),
+      cnt("chunks_clean", cleanIds),
+      cnt("chunks_gated", gated),
+      cnt("sequences_mixed", mixed),
+      cnt("train_sequences", trainSeq),
+      cnt("packed_sequences", sequences),
+      cnt("shards", packed.select("shard").distinct()))
+      .reduce(_.unionByName(_))
+    val gatedChunks = chunks
+      .join(gated.select("chunk_id"), Seq("chunk_id"), "left_semi")
+      .select(col("chunk_id"), col("chunk_text"), col(groupCol))
+    IncrementResult(sequences, counters, gatedChunks, split)
   }
 }

@@ -479,6 +479,50 @@ object TextStats {
       .select(col(idCol), col(groupCol), col("n_docs"), col("rate"), col("copy"))
   }
 
+  /** Incremental-mixture variant of [[temperatureMixAtResolution]]: the
+    * REBALANCE step of curating a new batch against an existing store.
+    * Domain scores come from the COMBINED population (`baseSizes` =
+    * (groupCol, n_base) — the store's per-domain survivor counts —
+    * outer-joined with the batch's own counts, s_g = floor(sqrt(n_base
+    * + n_batch))), but replication applies only to the BATCH rows:
+    * `rate_g = (resolution · budgetDocs · s_g) div (S · n_batch_g)`,
+    * so the appended epoch copies move the overall mixture toward the
+    * √n target instead of re-mixing the batch in isolation (a tiny
+    * batch of an over-represented store domain gets correspondingly
+    * few copies). Domains present only in the store still contribute
+    * their score to S — they dilute the budget exactly as a full
+    * re-mix over store+batch would — they just emit nothing here.
+    * Same integer-exact arithmetic and md5-draw replication as the
+    * base operator; same scale shape (domain-frame aggs + un-hinted
+    * rate join + scan-side explode).
+    */
+  def temperatureMixRebalance(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      baseSizes: DataFrame,
+      budgetDocs: Long,
+      resolution: Long): DataFrame = {
+    require(budgetDocs >= 1, s"budgetDocs must be >= 1, got $budgetDocs")
+    val batchSized = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_batch"))
+    val sized = batchSized
+      .join(baseSizes.select(col(groupCol), col("n_base")), Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        (coalesce(col("n_batch"), lit(0L)) + coalesce(col("n_base"), lit(0L))).as("n_tot"))
+      .withColumn("s", expr("cast(floor(sqrt(n_tot)) as bigint)"))
+    val tot = sized.agg(sum(col("s")).as("s_tot"))
+    val rates = sized.filter(col("n_batch") > 0)
+      .crossJoin(broadcast(tot))
+      .withColumn("rate",
+        expr(s"(${resolution}L * ${budgetDocs}L * s) div (s_tot * n_batch)"))
+      .select(col(groupCol), col("n_tot").as("n_docs"), col("rate"))
+    epochSampleAtResolution(
+      docs.select(col(idCol), col(groupCol)).join(rates, groupCol),
+      col(idCol).cast("string"), col("rate"), resolution)
+      .select(col(idCol), col(groupCol), col("n_docs"), col("rate"), col("copy"))
+  }
+
   /** Corpus-wide heavy-hitter word n-grams — the "what is my corpus
     * full of" diagnostic (and the contamination-analysis input: the top
     * repeated n-grams are where template chrome and benchmark leakage

@@ -382,9 +382,11 @@ class PlanGuardSpec extends SparkSpec {
     //        global sort
     //   q118: the run-counter report — TEN global counts (one per
     //        pipeline stage, each one partial row per upstream
-    //        partition) plus the mixture's Σ isqrt(n_domain) (q94's
-    //        exemption) plus the quantile gate's exact-percentile
-    //        1-row agg; the report is ten rows by contract
+    //        partition); the report is ten rows by contract. Down from
+    //        12 in r12: the mixture's Σ isqrt and the quantile gate's
+    //        1-row agg now live below the lineage-cut stage caches
+    //   q123: the incremental run's ELEVEN stage counts (q118's ten
+    //        plus the incumbent-filter stage) — same 1-row contract
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
@@ -392,7 +394,8 @@ class PlanGuardSpec extends SparkSpec {
       "q82_vocab_coverage" -> 1, "q86_cms_heavyhitters" -> 1, "q90_retrieval" -> 1,
       "q94_temperature_mix" -> 1, "q98_cms_merge" -> 1, "q102_lsh_recall" -> 3,
       "q106_corpus_overlap" -> 3, "q109_retrieval_conj" -> 1,
-      "q118_pretrain_counters" -> 12)
+      "q118_pretrain_counters" -> 10,
+      "q123_incr_counters" -> 11)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

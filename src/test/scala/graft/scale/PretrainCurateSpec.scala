@@ -139,6 +139,113 @@ class PretrainCurateSpec extends SparkSpec {
         s"exact=${ce("chunks_gated")} approx=${ca1("chunks_gated")}")
   }
 
+  // --- incremental curation (pretrainCurateIncrement) ----------------------
+
+  private def incRun(
+      batch: org.apache.spark.sql.DataFrame,
+      store: org.apache.spark.sql.DataFrame,
+      offset: Long = 0L) =
+    Curation.pretrainCurateIncrement(
+      batch, holdout, store, "doc_id", "text", "priority", "lang",
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100,
+      shardOffset = offset)
+
+  private def emptyStore = corpus.limit(0).select(
+    col("doc_id").as("chunk_id"), col("text").as("chunk_text"), col("lang"))
+
+  test("incremental run: store incumbents win, batch-internal dedup stays priority-based") {
+    val store = run(corpus).gatedChunks
+    val batch = Seq(
+      (10L, tokens(2, 40), 1L, "en"), // exact text of store doc 2 -> incumbent wins
+      (11L, tokens(7, 40), 1L, "en"), // genuinely new
+      (12L, tokens(7, 40), 9L, "de") // batch-internal dup of 11, lower priority
+    ).toDF("doc_id", "text", "priority", "lang")
+    val inc = incRun(batch, store)
+    val keptDocs = inc.gatedChunks.select("chunk_id").as[Long].collect()
+      .map(_ / 65536L).toSet
+    val c = inc.counters.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seqs = inc.sequences.collect().map(_.toSeq).toList.sortBy(_.toString)
+    graft.ops.CacheScope.releaseAll()
+    assert(!keptDocs.contains(10L), "chunk near-dupping the store must lose to the incumbent")
+    assert(keptDocs.contains(11L))
+    assert(!keptDocs.contains(12L), "batch-internal dup must resolve by priority")
+    assert(c("chunks_vs_store") < c("chunks_dedup"), "incumbent filter must have fired")
+    assert(c("chunks_gated") === c("chunks_vs_store")) // nothing contaminated / all score 1000
+    // rerun determinism end-to-end
+    val inc2 = incRun(batch, store)
+    val seqs2 = inc2.sequences.collect().map(_.toSeq).toList.sortBy(_.toString)
+    graft.ops.CacheScope.releaseAll()
+    assert(seqs === seqs2)
+  }
+
+  test("re-ingesting the store's own documents is a no-op (idempotence)") {
+    val base = run(corpus)
+    val store = base.gatedChunks
+    val inc = incRun(corpus, store)
+    val c = inc.counters.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(c("chunks_gated") === 0L,
+      s"every re-ingested chunk must dedup against the store or drop at its own gate: $c")
+    assert(c("packed_sequences") === 0L)
+  }
+
+  test("split stability: a kept chunk's split is independent of the store and of reruns") {
+    val store = run(corpus).gatedChunks
+    val batch = Seq(
+      (11L, tokens(7, 40), 1L, "en"),
+      (13L, tokens(8, 44), 2L, "de")
+    ).toDF("doc_id", "text", "priority", "lang")
+    def splitsOf(store: org.apache.spark.sql.DataFrame) = {
+      val m = incRun(batch, store).splits.collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      graft.ops.CacheScope.releaseAll()
+      m
+    }
+    val withStore = splitsOf(store)
+    val withStore2 = splitsOf(store)
+    val withoutStore = splitsOf(emptyStore)
+    assert(withStore === withStore2, "split must be rerun-stable")
+    // the split hashes the batch clustering's representative — a pure
+    // function of chunk ids — so growing the store between runs can
+    // never move a chunk across splits (leakage over time)
+    withStore.foreach { case (id, s) =>
+      assert(withoutStore.get(id).forall(_ === s),
+        s"chunk $id split changed with store contents: $s vs ${withoutStore.get(id)}")
+    }
+  }
+
+  test("temperatureMixRebalance: combined-population scores, batch-population rates") {
+    val batchChunks = ((1 to 4).map(i => (i.toLong, "en")) ++
+      (101 to 125).map(i => (i.toLong, "de"))).toDF("id", "g")
+    val baseSizes = Seq(("en", 96L)).toDF("g", "n_base")
+    // en: n_tot 100 -> s 10; de: n_tot 25 -> s 5; S = 15; B = 30, res 1000
+    // rate_en = (1000*30*10) div (15*4) = 5000 -> exactly 5 copies each
+    // rate_de = (1000*30*5) div (15*25) = 400 -> 0 or 1 copies by hash draw
+    val out = TextStats.temperatureMixRebalance(
+      batchChunks, "id", "g", baseSizes, budgetDocs = 30L, resolution = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val en = out.filter(_._2 == "en")
+    val de = out.filter(_._2 == "de")
+    assert(en.length === 20, s"4 en chunks x exactly 5 copies, got ${en.length}")
+    assert(en.forall(_._3 === 5000L))
+    assert(de.forall(_._3 === 400L))
+    assert(de.length <= 25 && de.forall(_._4 === 0L))
+    // determinism
+    val out2 = TextStats.temperatureMixRebalance(
+      batchChunks, "id", "g", baseSizes, 30L, 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.sortBy(_.toString).toSeq === out2.sortBy(_.toString).toSeq)
+  }
+
+  test("shardOffset shifts every emitted shard id") {
+    val batch = Seq((11L, tokens(7, 40), 1L, "en")).toDF("doc_id", "text", "priority", "lang")
+    val shards = incRun(batch, emptyStore, offset = 7L)
+      .sequences.select("shard").as[Long].collect()
+    graft.ops.CacheScope.releaseAll()
+    assert(shards.nonEmpty && shards.forall(_ >= 7L))
+  }
+
   test("chunkIdSpan overflow fails loud at first action") {
     val e = intercept[Exception] {
       Curation.pretrainCurate(
