@@ -411,6 +411,32 @@ object Dedup {
       shingleSize, numHashes, bands, threshold, maxBucket)
   }
 
+  /** The corpus signature index reorganized for STREAM-side probing —
+    * (band, members array<struct<id, harr>>): one row per band key,
+    * members carrying their full `numHashes`-long signature array so a
+    * probing row can recompute any member band key locally (the
+    * emit-once dedup in
+    * [[graft.streaming.StreamingOps.nearDupMatchesStream]] needs the
+    * first SHARED band without an aggregation). Carries hashes only —
+    * the same slim-index contract as [[nearDupAgainstSignatures]] —
+    * at `bands`× signature duplication (8 × 16 longs/doc here), and
+    * the same [[graft.functions.BoundedCollectList]] bucket cap.
+    * Build once per index version and persist; the stream-static join
+    * re-reads it every micro-batch.
+    */
+  def signatureBandIndex(
+      sig: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val harr = array((0 until numHashes).map(s => col(s"h$s")): _*)
+    bucketMembers(
+      bandKeysOf(sig, bands, rowsPerBand)
+        .join(sig.select(col("id"), harr.as("harr")), Seq("id")),
+      struct(col("id"), col("harr")), maxBucket, "members")
+  }
+
   /** Core incremental filter over PREBUILT signature frames (see
     * [[minhashSignatures]] for the slim h0..h{n-1}+count schema). The
     * doc frames are needed too: exact-Jaccard verification recomputes

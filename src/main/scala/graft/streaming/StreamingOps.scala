@@ -393,6 +393,105 @@ object StreamingOps {
       width: Int = 256): DataFrame =
     values.agg(graft.functions.CmsSketch(col(valueCol), depth, width).as("sketch"))
 
+  /** Streaming incremental near-dup detection — the continuous form of
+    * [[graft.scale.Dedup.nearDupAgainstSignatures]]: arriving documents
+    * probe the FROZEN corpus signature index and emit every VERIFIED
+    * near-dup match (idCol, corp_id, jaccard). A downstream gate drops
+    * docs that produced any match (the batch operator's anti-join,
+    * which needs a per-doc reduction the consumer owns); re-ingesting
+    * an indexed corpus therefore streams out a match per duplicate —
+    * the real-time twin of [[graft.scale.Curation.pretrainCurateIncrement]]'s
+    * incumbent filter.
+    *
+    * STATELESS: no watermark, no state store, no stream-side
+    * aggregation. Per arriving row, the md5-bijection MinHash
+    * signature and band keys compute as column expressions (mirroring
+    * [[graft.scale.Dedup.minhashSignatures]] bit-for-bit — the spec
+    * pins stream == batch), then TWO stream-static equi-joins: the
+    * exploded band keys probe `index`
+    * ([[graft.scale.Dedup.signatureBandIndex]] — capped buckets whose
+    * members carry their signatures), and verified candidates fetch
+    * the corpus shingle set by id for the exact-Jaccard check. A
+    * (doc, corp) pair colliding in several bands is emitted ONCE
+    * without any distinct(): each joined row recomputes the member's
+    * band keys from its carried signature and keeps the row only in
+    * the FIRST shared band (the RangeJoin emit-once-cell rule applied
+    * to LSH bands).
+    *
+    * Scale: both static sides should be PERSISTED by the caller (the
+    * stream-static join re-evaluates static plans every micro-batch);
+    * `corpusShingles`' shingle computation in particular should be
+    * cached or pre-materialized for steady-state serving. Index
+    * refresh = restart the query with the new snapshot, the
+    * [[classifyStream]] frozen-model contract.
+    *
+    * @param corpusShingles static (corp_id, shb array<string>) — e.g.
+    *   `corpus.select(col(id).as("corp_id"), Dedup.shingles(col(text), n).as("shb"))`
+    * @param index [[graft.scale.Dedup.signatureBandIndex]] of the
+    *   corpus signature frame, same numHashes/bands
+    */
+  def nearDupMatchesStream(
+      docs: DataFrame,
+      corpusShingles: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.2): DataFrame = {
+    import graft.scale.Dedup
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes,
+      s"bands $bands must divide numHashes $numHashes")
+    val groups = (numHashes + 15) / 16
+    // per-row signature: the exact minhashSignatures arithmetic as
+    // column expressions (48-bit md5 prefix per hash group, odd-
+    // multiplier bijections, min over the shingle set)
+    val sh0 = docs.select(
+      col(idCol), Dedup.shingles(col(textCol), shingleSize).as("sha"))
+    val withHg = (0 until groups).foldLeft(sh0) { (df, g) =>
+      df.withColumn(s"hg$g",
+        transform(col("sha"), s =>
+          conv(substring(md5(concat(lit(s"$g:"), s).cast("binary")), 1, 12), 16, 10)
+            .cast("long")))
+    }
+    val withH = (0 until numHashes).foldLeft(withHg) { (df, s) =>
+      df.withColumn(s"h$s",
+        array_min(transform(col(s"hg${s / 16}"),
+          h => (lit(Dedup.MinhashMultipliers(s % 16)) * h) % lit(Dedup.MinhashMod))))
+    }
+    def bandKeysFrom(h: Int => Column): Column = array((0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => h(b * rowsPerBand + r))
+      md5(concat(lit(s"$b:"), concat_ws(",", slice: _*)).cast("binary"))
+    }: _*)
+    val probes = withH
+      .withColumn("bkeys", bandKeysFrom(s => col(s"h$s")))
+      // short docs (no shingles) have null signatures -> no band keys,
+      // matching the batch operator's no-signature-row behavior
+      .filter(col("h0").isNotNull)
+      .select(col(idCol), col("sha"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band_idx", "band")))
+    val cand = probes
+      .join(index, Seq("band"))
+      .select(col(idCol), col("sha"), col("bkeys"), col("band_idx"),
+        explode(col("members")).as("m"))
+      .withColumn("corp_keys",
+        bandKeysFrom(s => element_at(col("m.harr"), s + 1)))
+      // emit-once: keep the pair only in the FIRST band both share
+      .filter(col("band_idx") ===
+        element_at(
+          filter(sequence(lit(0), lit(bands - 1)),
+            b => element_at(col("bkeys"), b + 1) === element_at(col("corp_keys"), b + 1)),
+          1))
+      .select(col(idCol), col("sha"), col("m.id").as("corp_id"))
+    cand
+      .join(corpusShingles, Seq("corp_id"))
+      .withColumn("jaccard", Dedup.jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col("corp_id"), col("jaccard"))
+  }
+
   /** Required output mode per operator (documented contract for sinks). */
   val OutputModes: Map[String, OutputMode] = Map(
     "windowedCounts" -> OutputMode.Append(), // closed windows only
@@ -401,5 +500,6 @@ object StreamingOps {
     "latestPerUser" -> OutputMode.Update(),
     "decontaminateStream" -> OutputMode.Append(), // stateless
     "retrieveStream" -> OutputMode.Append(), // stateless
+    "nearDupMatchesStream" -> OutputMode.Append(), // stateless
     "cmsSketchStream" -> OutputMode.Complete())
 }

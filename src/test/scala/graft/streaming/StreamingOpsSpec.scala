@@ -307,6 +307,53 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupMatchesStream == batch incumbent filter under a frozen signature index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.scale.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val newDocs = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+    val sigCorp = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 16).persist()
+    val index = Dedup.signatureBandIndex(sigCorp).persist()
+    val corpSh = corpus.select(
+      col("doc_id").as("corp_id"), Dedup.shingles(col("text"), 3).as("shb")).persist()
+    // batch truth: the q56 operator's dropped set
+    val survivors = Dedup.nearDupAgainstSignatures(
+      newDocs, corpus,
+      Dedup.minhashSignatures(newDocs, "doc_id", "text", 3, 16), sigCorp,
+      "doc_id", "text", 3, 16, 8, 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = newDocs.select("doc_id").as[Long].collect().toSet -- survivors
+    graft.ops.CacheScope.releaseAll()
+    assert(dropped.nonEmpty, "fixture must contain cross-side near-dups")
+    val rows = newDocs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupMatchesStream(
+      input.toDF().toDF("doc_id", "text"), corpSh, index, "doc_id", "text",
+      threshold = 0.2)
+      .writeStream.format("memory").queryName("neardup_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val out = spark.table("neardup_eq")
+        .as[(Long, Long, Double)].collect()
+      // emit-once: a (doc, corp) pair appears at most once even when it
+      // collides in several bands (identical texts share ALL 8 bands)
+      assert(out.map(r => (r._1, r._2)).distinct.length === out.length,
+        "multi-band collisions must dedup without a distinct()")
+      assert(out.map(_._1).toSet === dropped,
+        "stream match set must equal the batch operator's dropped set")
+      assert(out.forall(_._3 >= 0.2))
+    } finally {
+      q.stop()
+      sigCorp.unpersist(); index.unpersist(); corpSh.unpersist()
+    }
+  }
+
   test("classifyStream == batch scoreWithWeights under frozen trained weights") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
