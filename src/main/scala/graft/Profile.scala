@@ -638,12 +638,23 @@ object Profile {
       // and the IVF probe knob over SPARK_GRAFT_SF_DIR, timing the
       // production operator per setting (best-of-2, caches released)
       // and reading recall from the deterministic sweep frames — the
-      // (knob, recall, seconds) triples BASELINE records
+      // (knob, recall, seconds) triples BASELINE records.
+      // Century knobs (defaults preserve the recorded 10x protocol):
+      //   SPARK_GRAFT_FRONTIER_SAMPLE  recall-truth sample permille
+      //     (the n-gram ground-truth join is the quadratic-prone part;
+      //     timing always runs the FULL corpus)
+      //   SPARK_GRAFT_FRONTIER_PROBE_MOD  vec_id % MOD === 0 probe set
+      //   SPARK_GRAFT_FRONTIER_NPROBES  comma list for the IVF sweep
       import graft.scale.{Dedup, Similarity}
+      val samplePermille = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_SAMPLE", "1000").toInt
+      val probeMod = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_PROBE_MOD", "50").toLong
+      val nprobes = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_NPROBES", "1,2,4,8")
+        .split(",").map(_.trim.toInt).toSeq
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
       val bandsList = Seq(2, 4, 8, 16)
-      val lshRecall = Dedup.recallSweep(docs, "doc_id", "text", bandsList = bandsList)
+      val lshRecall = Dedup.recallSweep(docs, "doc_id", "text", bandsList = bandsList,
+        samplePermille = samplePermille)
         .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
       graft.ops.CacheScope.releaseAll()
       bandsList.foreach { b =>
@@ -658,8 +669,7 @@ object Profile {
         println(f"[frontier] lsh bands=$b pairs=$pairs recall_milli=$rec t=${times.min}%.2fs")
       }
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val probes = emb.filter(col("vec_id") % 50 === 0)
-      val nprobes = Seq(1, 2, 4, 8)
+      val probes = emb.filter(col("vec_id") % probeMod === 0)
       val ivfRecall = Similarity.annRecallSweep(
         emb, probes, "vec_id", "embedding", k = 5, nprobeList = nprobes)
         .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
@@ -734,6 +744,92 @@ object Profile {
       time("split")(split.count())
       time("full_q115")(SparkEntry.queries("q115_pretrain_curate")(spark, sfDir).count())
       graft.ops.CacheScope.releaseAll()
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("pqtrained")) {
+      // the trained-√N SERVING century row: the coarse quantizer trains
+      // ONCE on a deterministic hash sample (renumbered dense — the
+      // trainer's first-k init contract), then serves the FULL corpus
+      // through ivfAdcTopKWithCentroids with a FIXED query set — the
+      // production shape q120's oracle deliberately isn't (fixed k=8,
+      // Q=N/101, train-per-query). Knobs: SPARK_GRAFT_TRAIN_SAMPLE
+      // (permille, default 10), SPARK_GRAFT_PQ_NPROBE (default 32).
+      import graft.scale.{KMeans, PQ, TextStats}
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val samplePermille = sys.env.getOrElse("SPARK_GRAFT_TRAIN_SAMPLE", "10").toInt
+      val nprobe = sys.env.getOrElse("SPARK_GRAFT_PQ_NPROBE", "32").toInt
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val n = emb.count()
+      val kCoarse = math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+      val sample = emb.filter(
+        TextStats.hashBucket(col("vec_id").cast("string"), 1000) < samplePermille)
+      // dense 0-based renumbering for the trainer (zipWithIndex — the
+      // scaladoc'd upstream contract)
+      val vecType = emb.schema("embedding").dataType
+      val renumbered = spark.createDataFrame(
+        sample.select("embedding").rdd.zipWithIndex.map {
+          case (r, i) => Row(i, r.get(0))
+        },
+        StructType(Seq(
+          StructField("vec_id", LongType), StructField("embedding", vecType))))
+      var t0 = System.nanoTime()
+      val cents = KMeans.trainedCentroids(
+        renumbered, "vec_id", "embedding", k = kCoarse, iters = 2).persist()
+      val nc = cents.count()
+      println(f"[pqtrained] n=$n sample=${samplePermille}permille k=$kCoarse " +
+        f"trained_centroids=$nc train_t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val queries = emb.filter(col("vec_id") % 5000 === 0)
+      (1 to 2).foreach { i =>
+        t0 = System.nanoTime()
+        val rows = PQ.ivfAdcTopKWithCentroids(
+          emb, queries, cents, "vec_id", "embedding",
+          nprobe = nprobe, m = 2, k = 4, topK = 5).count()
+        println(f"[pqtrained] serve run$i nprobe=$nprobe rows=$rows " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        graft.ops.CacheScope.releaseAll()
+      }
+      cents.unpersist()
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("incrprod")) {
+      // incremental curation in its PRODUCTION shape: the store's
+      // signature index prebuilt and persisted (vs q121's in-job
+      // convenience build) — the delta is what index maintenance buys
+      import graft.scale.{Curation, Dedup, TextStats}
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val storeChunks = TextStats.chunkByTokens(
+        docs0.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0),
+        "doc_id", "text", 32, 16, carryCols = Seq("lang"))
+        .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
+        .select(col("chunk_id"), col("chunk_text"), col("lang")).persist()
+      val batch = docs0.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"),
+          expr("substring(source, 4)").cast("long").as("priority"), col("lang"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val holdout = docs0.filter(col("doc_id") % 11 === 0)
+      var t0 = System.nanoTime()
+      val sigs = Dedup.minhashSignatures(storeChunks, "chunk_id", "chunk_text", 3, 16)
+        .persist()
+      val nSig = sigs.count()
+      println(f"[incrprod] store_sigs=$nSig index_build_t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      Seq("injob" -> None, "prebuilt" -> Some(sigs)).foreach { case (tag, s) =>
+        (1 to 2).foreach { i =>
+          t0 = System.nanoTime()
+          val rows = Curation.pretrainCurateIncrement(
+            batch, holdout, storeChunks, "doc_id", "text", "priority", "lang",
+            storeSigs = s, approxQuantileAccuracy = 0)
+            .sequences.count()
+          println(f"[incrprod] $tag run$i rows=$rows t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          graft.ops.CacheScope.releaseAll()
+        }
+      }
+      sigs.unpersist(); storeChunks.unpersist()
       spark.stop()
       return
     }
