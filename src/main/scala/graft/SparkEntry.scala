@@ -1789,8 +1789,66 @@ object SparkEntry {
       incrRun(s, dir).sequences),
 
     "q123_incr_counters" -> ((s, dir) =>
-      incrRun(s, dir).counters)
+      incrRun(s, dir).counters),
+
+    // --- scale: BPE tokenizer training (Sennrich 2016, word-count
+    // formulation — one corpus pass, then vocabulary-sized merge
+    // iterations; the merge table is the driver-sized model) ---------------
+    "q124_bpe_train" -> ((s, dir) =>
+      graft.scale.Bpe.train(t(s, dir, "documents"), "text", BpeMergeCount)),
+
+    // --- scale: BPE encoding — corpus piece histogram under the trained
+    // merge chain (memoized over the distinct-word frame; the per-doc
+    // encode path is the same scan-pure replace chain) ---------------------
+    "q125_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Bpe.pieceHistogram(docs, "text",
+        graft.scale.Bpe.trainMerges(docs, "text", BpeMergeCount), topK = 20)
+    })
   )
+
+  /** q124/q125 merge count — enough steps that multi-character pieces
+    * ("er_"-style learned subwords) appear in the piece histogram; the
+    * oracle unrolls one CTE stage per merge.
+    */
+  private val BpeMergeCount = 8
+
+  /** DuckDB CTE chain learning `n` BPE merges: `words`/`w0` build the
+    * double-space symbol strings ([[graft.scale.Bpe]]'s representation,
+    * chosen so one engine-portable `replace` IS the greedy left-to-right
+    * merge), then per merge step i: `p_i` adjacent-pair counts from
+    * `w_{i-1}`, `b_i` the (count desc, pair asc) argmax, `w_i` the
+    * merged symbols. Assumes >= n merges are learnable from the corpus
+    * (true whenever the vocabulary is not fully fused — the Spark side
+    * early-stops, the oracle would NULL-corrupt; the fixture corpora are
+    * nowhere near fusion at n=8).
+    */
+  private def bpeStagesSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |    FROM documents) t
+      |  GROUP BY w),
+      |w0 AS MATERIALIZED (SELECT w, cnt,
+      |  ' ' || rtrim(regexp_replace(w || '_', '(.)', '\1  ', 'g')) || ' ' AS sym
+      |  FROM words)""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT t[i] AS l, t[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM (SELECT cnt, string_split(trim(sym), '  ') AS t FROM w${i - 1}) z,
+        |       unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+        |w$i AS MATERIALIZED (SELECT w, cnt, replace(sym,
+        |   ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+        |   ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS sym
+        |  FROM w${i - 1})""".stripMargin
+    }
+    sb.toString
+  }
 
   /** Shared q115/q118 pipeline invocation — the q87 train/holdout split
     * (doc_id % 11), q107's source-suffix priority, language as the
@@ -4265,6 +4323,25 @@ object SparkEntry {
          |UNION ALL SELECT 'train_sequences', CAST(count(*) AS BIGINT) FROM trainseq
          |UNION ALL SELECT 'packed_sequences', CAST(count(*) AS BIGINT) FROM packed
          |UNION ALL SELECT 'shards', CAST(count(DISTINCT shard) AS BIGINT) FROM packed""".stripMargin,
+
+    // the BPE merge CTE chain (one stage per merge), final projection =
+    // the learned merge table in step order
+    "q124_bpe_train" ->
+      (bpeStagesSql(BpeMergeCount) + "\n" +
+        (1 to BpeMergeCount).map { i =>
+          s"SELECT $i AS step, l AS pair_left, r AS pair_right, c AS cnt FROM b$i"
+        }.mkString("\nUNION ALL ")),
+
+    // same chain, then the piece histogram from the final symbol frame
+    // (weighted by word count), top-20 with piece-asc tie-break
+    "q125_bpe_encode" ->
+      (bpeStagesSql(BpeMergeCount) + s"""
+        |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        |  SELECT cnt, unnest(string_split(trim(sym), '  ')) AS piece
+        |  FROM w$BpeMergeCount) t
+        |GROUP BY piece
+        |ORDER BY n DESC, piece ASC
+        |LIMIT 20""".stripMargin),
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme
