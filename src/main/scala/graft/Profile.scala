@@ -834,6 +834,49 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("bpescale")) {
+      // the BPE scale law, measured: training = ONE corpus-sized pass
+      // (word counts) + numMerges iterations over the DISTINCT-WORD
+      // frame, so train cost should be dominated by the corpus pass and
+      // the merge loop near-flat across corpus scale (the staged 100x
+      // docs replicate text, so vocabulary grows only by the ~100 tiny
+      // copy-tag tokens); encode is a scan-pure projection that should
+      // scale ~linearly with rows. Knobs: SPARK_GRAFT_BPE_MERGES
+      // (default 40).
+      import graft.scale.Bpe
+      val numMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "40").toInt
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+      val nd = docs.count()
+      var t0 = System.nanoTime()
+      val wc = Bpe.wordCounts(docs, "text")
+      val vocab = wc.count()
+      println(f"[bpescale] docs=$nd vocab=$vocab " +
+        f"wordcount_pass_t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+      val merges = Bpe.trainMerges(docs, "text", numMerges)
+      println(f"[bpescale] train merges=${merges.size} " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.ops.CacheScope.releaseAll()
+      (1 to 2).foreach { i =>
+        t0 = System.nanoTime()
+        val pieces = Bpe.encode(docs, "doc_id", "text", merges)
+          .groupBy().count().head().getLong(0)
+        println(f"[bpescale] encode run$i pieces=$pieces " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      (1 to 2).foreach { i =>
+        t0 = System.nanoTime()
+        val hist = Bpe.pieceHistogram(docs, "text", merges, 100).count()
+        println(f"[bpescale] histogram run$i topk=$hist " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        graft.ops.CacheScope.releaseAll()
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("counters")) {
       // q118 counter-overhead breakdown: construction (eager through
       // ShardPack's prefix-sum pass), the q115 sequences action, then

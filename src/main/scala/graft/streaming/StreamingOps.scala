@@ -377,6 +377,24 @@ object StreamingOps {
       stride: Int): DataFrame =
     graft.scale.TextStats.chunkByTokens(docs, idCol, textCol, window, stride)
 
+  /** Streaming BPE encoding — tokenize an arriving document stream
+    * with a FROZEN trained merge table ([[graft.scale.Bpe.encode]]'s
+    * exact semantics and columns). The merge table is the driver-sized
+    * frozen model ([[classifyStream]]'s contract — trained offline by
+    * [[graft.scale.Bpe.trainMerges]], baked into the plan as a chain of
+    * literal `replace`s), so the operator is STATELESS per-row
+    * projection work: no watermark, no state store, no shuffle, append
+    * mode — the batch plan IS the streaming plan, and every micro-batch
+    * encodes at scan speed. StreamingOpsSpec pins stream == batch on a
+    * replayed corpus split across micro-batch boundaries.
+    */
+  def encodeBpeStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[graft.scale.Bpe.Merge]): DataFrame =
+    graft.scale.Bpe.encode(docs, idCol, textCol, merges)
+
   /** Streaming count-min sketch — the [[graft.functions.CmsSketch]]
     * aggregate run as a continuous global aggregation (complete mode):
     * each micro-batch folds into the same fixed d×w counter buffer via

@@ -307,6 +307,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("encodeBpeStream == batch Bpe.encode under a frozen merge table") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.scale.Bpe
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    // the frozen model: trained offline, baked into both plans
+    val merges = Bpe.trainMerges(docsDf, "text", numMerges = 12)
+    assert(merges.nonEmpty)
+    val corpus = docsDf.select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.encodeBpeStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+      .groupBy("doc_id", "piece").count()
+      .writeStream.format("memory").queryName("bpe_eq")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two micro-batches: statelessness means the split point cannot matter
+      val (b1, b2) = corpus.splitAt(corpus.length / 3)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("bpe_eq")
+        .as[(Long, String, Long)].collect().toSet
+      val batch = Bpe.encode(docsDf, "doc_id", "text", merges)
+        .groupBy("doc_id", "piece").count()
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(2)}; batch-only: ${(batch -- streamed).take(2)}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("nearDupMatchesStream == batch incumbent filter under a frozen signature index") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
