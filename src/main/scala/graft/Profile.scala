@@ -877,6 +877,48 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("bpeprod")) {
+      // the production-vocab paths measured against the oracle-shaped
+      // ones at the same SF: (a) trainMergesFast vs trainMerges at the
+      // oracle's merge count (job-per-merge vs one pass + in-memory),
+      // (b) trainMergesFast asked for a production-scale merge count
+      // (early-stops at full fusion — the fixture vocab is tiny; the
+      // number that matters is wall-clock per merge without job
+      // scheduling), (c) encodeByVocab vs the replace-chain encode over
+      // the full corpus. Knobs: SPARK_GRAFT_BPE_MERGES (default 40).
+      import graft.scale.Bpe
+      val numMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "40").toInt
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+      docs.count()
+      var t0 = System.nanoTime()
+      val mSlow = Bpe.trainMerges(docs, "text", numMerges)
+      println(f"[bpeprod] train jobs-per-merge merges=${mSlow.size} " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+      val mFast = Bpe.trainMergesFast(docs, "text", numMerges)
+      println(f"[bpeprod] train fast merges=${mFast.size} " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs equal=${mFast == mSlow}")
+      t0 = System.nanoTime()
+      val mAll = Bpe.trainMergesFast(docs, "text", 32000)
+      println(f"[bpeprod] train fast 32k-request merges=${mAll.size} (full fusion) " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      (1 to 2).foreach { i =>
+        t0 = System.nanoTime()
+        val a = Bpe.encode(docs, "doc_id", "text", mFast)
+          .groupBy().count().head().getLong(0)
+        val tChain = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val b = Bpe.encodeByVocab(docs, "doc_id", "text", mFast)
+          .groupBy().count().head().getLong(0)
+        println(f"[bpeprod] encode run$i chain=$tChain%.2fs " +
+          f"vocabjoin=${(System.nanoTime() - t0) / 1e9}%.2fs pieces=$a equal=${a == b}")
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("counters")) {
       // q118 counter-overhead breakdown: construction (eager through
       // ShardPack's prefix-sum pass), the q115 sequences action, then

@@ -1804,6 +1804,37 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.scale.Bpe.pieceHistogram(docs, "text",
         graft.scale.Bpe.trainMerges(docs, "text", BpeMergeCount), topK = 20)
+    }),
+
+    // --- scale: production-vocab BPE paths against the SAME oracles —
+    // the in-memory incremental trainer (one corpus pass, no
+    // job-per-merge) and the vocabulary-memoized encode (no
+    // merge-count-dependent codegen); q124/q125's exact twins ------------
+    "q126_bpe_train_fast" -> ((s, dir) =>
+      graft.scale.Bpe.trainFast(t(s, dir, "documents"), "text", BpeMergeCount)),
+
+    "q127_bpe_encode_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Bpe.pieceHistogramByVocab(docs, "text",
+        graft.scale.Bpe.trainMergesFast(docs, "text", BpeMergeCount), topK = 20)
+    }),
+
+    // --- scale: per-doc TOKENIZER token counts — training budgets are
+    // denominated in BPE tokens, not whitespace words ---------------------
+    "q128_bpe_token_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Bpe.tokenCounts(docs, "doc_id", "text",
+        graft.scale.Bpe.trainMergesFast(docs, "text", BpeMergeCount))
+    }),
+
+    // --- scale: BPE-exact shard packing — q83's two-phase prefix-sum
+    // pack fed by tokenizer counts instead of whitespace counts -----------
+    "q129_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ShardPack.packByTokenBudget(
+        graft.scale.Bpe.tokenCounts(docs, "doc_id", "text",
+          graft.scale.Bpe.trainMergesFast(docs, "text", BpeMergeCount)),
+        "doc_id", "n_tokens", budget = 2000L)
     })
   )
 
@@ -4342,6 +4373,50 @@ object SparkEntry {
         |GROUP BY piece
         |ORDER BY n DESC, piece ASC
         |LIMIT 20""".stripMargin),
+
+    // the production-vocab twins compute the SAME tables (spec-pinned
+    // bit-equal trainers / encoders), so they share q124/q125's oracles
+    "q126_bpe_train_fast" ->
+      (bpeStagesSql(BpeMergeCount) + "\n" +
+        (1 to BpeMergeCount).map { i =>
+          s"SELECT $i AS step, l AS pair_left, r AS pair_right, c AS cnt FROM b$i"
+        }.mkString("\nUNION ALL ")),
+
+    "q127_bpe_encode_vocab" ->
+      (bpeStagesSql(BpeMergeCount) + s"""
+        |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        |  SELECT cnt, unnest(string_split(trim(sym), '  ')) AS piece
+        |  FROM w$BpeMergeCount) t
+        |GROUP BY piece
+        |ORDER BY n DESC, piece ASC
+        |LIMIT 20""".stripMargin),
+
+    // per-word piece counts from the final symbol frame, joined back to
+    // the per-doc token stream (docs without tokens absent by omission)
+    "q128_bpe_token_counts" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |wpc AS (SELECT w, len(string_split(trim(sym), '  ')) AS np FROM w$BpeMergeCount)
+        |SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |      FROM documents) d
+        |JOIN wpc USING (w)
+        |GROUP BY doc_id""".stripMargin),
+
+    // q83's window-sum pack formulation over the BPE counts
+    "q129_bpe_pack" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |wpc AS (SELECT w, len(string_split(trim(sym), '  ')) AS np FROM w$BpeMergeCount),
+        |tc AS (
+        |  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents) d
+        |  JOIN wpc USING (w)
+        |  GROUP BY doc_id),
+        |t AS (SELECT doc_id, n_tokens, md5('shard:' || doc_id) AS k FROM tc)
+        |SELECT doc_id, n_tokens,
+        |  CAST((CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+        |FROM t""".stripMargin),
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -2,7 +2,6 @@ package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.CacheScope
 
 /** Byte-pair-encoding tokenizer training and encoding (Sennrich,
   * Haddow & Birch, ACL 2016 — "Neural Machine Translation of Rare
@@ -40,22 +39,32 @@ import graft.ops.CacheScope
   * vocabulary, not corpus — ~10⁶ rows at 100 TB) and a 1-row
   * `TakeOrderedAndProject` argmax collected to the driver (the merge
   * table IS a driver-sized model, same contract as the streaming
-  * frozen-model maps). Iteration frames are persisted re-rooted on
-  * their own RDD ([[Curation]]'s `persistedCut`) so `numMerges` cache
-  * layers never nest plans. Encoding is scan-pure: a chain of
+  * frozen-model maps). Iteration frames are re-rooted on their own
+  * locally-checkpointed RDD so `numMerges` iterations nest neither
+  * plans nor RDD lineage (see `persistedCut`). Encoding is scan-pure: a chain of
   * `numMerges` codegen'd `replace`s inside one projection — no
   * shuffle, no state.
   */
 object Bpe {
 
-  /** Re-root a persisted frame on its own materialized RDD — bounds
-    * plan depth at one cache layer across merge iterations (the r13
-    * nested-cache plan-walk finding; see [[Curation]]). Merge loops
-    * run tens of iterations, the depth this guards against.
+  /** Re-root a frame on its own locally-checkpointed RDD — bounds BOTH
+    * driver-side plan depth (the r13 nested-cache plan-walk finding; see
+    * [[Curation]]) and executor-side RDD LINEAGE depth across merge
+    * iterations. The second bound is the one a persist alone does not
+    * give: caching never truncates dependencies (eviction recompute
+    * needs them), so task serialization still recurses the whole
+    * iteration chain — measured as a DAGScheduler StackOverflowError
+    * near 40 stacked iterations. `localCheckpoint` truncates the
+    * lineage at the iteration's first action, keeping every later
+    * iteration's serialized closure constant-depth. The checkpointed
+    * RDDs are vocabulary-sized and unpersist automatically when the
+    * loop drops its reference (ContextCleaner).
     */
-  private def persistedCut(df: DataFrame): DataFrame =
-    CacheScope.persisted(
-      df.sparkSession.createDataFrame(df.rdd, df.schema))
+  private def persistedCut(df: DataFrame): DataFrame = {
+    val cut = df.rdd
+    cut.localCheckpoint()
+    df.sparkSession.createDataFrame(cut, df.schema)
+  }
 
   /** End-of-word marker appended before splitting into symbols —
     * distinguishes word-final subwords ("est_" in "lowest") from
@@ -174,4 +183,243 @@ object Bpe {
       .groupBy("piece").agg(sum("cnt").as("n"))
       .orderBy(col("n").desc, col("piece").asc)
       .limit(topK)
+
+  // ---------------------------------------------------------------------
+  // Production-vocab paths. [[trainMerges]] runs one Spark job per merge
+  // and [[applyMerges]] compiles one `replace` per merge into a single
+  // projection — both exactly right at tens of merges (the SQL-oracle
+  // shapes) and exactly wrong at production vocab sizes, where a 32k-merge
+  // table would mean 32k scheduled jobs and a codegen method far past
+  // Janino's limits. The paths below keep the SAME semantics (spec-pinned
+  // equal, and driver-gated against the same DuckDB oracles) with the
+  // production cost model: ONE corpus-sized Spark pass total, everything
+  // merge-count-dependent running in driver/executor memory over
+  // vocabulary-sized data. The (word, count) vocabulary is the
+  // driver-sized input here — Heaps' law puts natural-language vocabulary
+  // at ~10^6-10^7 entries regardless of corpus size, the same
+  // driver-sized-model contract as the merge table itself and the
+  // streaming frozen-model maps.
+  // ---------------------------------------------------------------------
+
+  /** One greedy left-to-right non-overlapping merge pass over a symbol
+    * array — the array form of `replace(sym, " l  r ", " lr ")` (Java's
+    * `replace` continues scanning in ORIGINAL coordinates after a match,
+    * so a fused token can never re-match within the same pass).
+    * Returns `syms` unchanged (eq) when the pair does not occur.
+    */
+  private def mergePass(syms: Array[String], l: String, r: String): Array[String] = {
+    var i = 0
+    var hit = false
+    while (!hit && i < syms.length - 1) {
+      if (syms(i) == l && syms(i + 1) == r) hit = true else i += 1
+    }
+    if (!hit) return syms
+    val out = Array.newBuilder[String]
+    out.sizeHint(syms.length - 1)
+    var j = 0
+    while (j < i) { out += syms(j); j += 1 }
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+        out += l + r; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Apply a trained merge table to one word in memory — the local
+    * kernel behind [[encodeByVocab]], exactly [[applyMerges]]'s chain
+    * semantics (merges in learn order, each a greedy left-to-right
+    * pass). A per-word symbol set short-circuits merges whose components
+    * cannot occur, so typical cost is O(merges) hash probes plus a few
+    * O(word) passes, independent of corpus size. NOTE deliberately NOT
+    * the min-rank-pair loop most tokenizers run: with homograph symbols
+    * (two merge paths producing the same string) the two disagree, and
+    * this library's contract is the SQL-expressible chain.
+    */
+  def applyMergesLocal(word: String, merges: Seq[Merge]): Array[String] = {
+    var syms: Array[String] = (word + EndOfWord).map(_.toString).toArray
+    var present: java.util.HashSet[String] = null
+    val it = merges.iterator
+    while (it.hasNext && syms.length >= 2) {
+      val m = it.next()
+      if (present == null || (present.contains(m.left) && present.contains(m.right))) {
+        val next = mergePass(syms, m.left, m.right)
+        if (next ne syms) {
+          syms = next
+          present = new java.util.HashSet[String](math.max(8, syms.length * 2))
+          var i = 0
+          while (i < syms.length) { present.add(syms(i)); i += 1 }
+        } else if (present == null) {
+          present = new java.util.HashSet[String](math.max(8, syms.length * 2))
+          var i = 0
+          while (i < syms.length) { present.add(syms(i)); i += 1 }
+        }
+      }
+    }
+    syms
+  }
+
+  /** Train `numMerges` merges with ONE Spark pass (the word-count
+    * aggregation) and an in-memory incremental trainer on the collected
+    * vocabulary — bit-identical to [[trainMerges]] (same all-adjacent
+    * pair counting, same greedy merge pass, same count-desc /
+    * (left,right)-asc tie break; BpeSpec pins equality on fixtures and
+    * randomized corpora) without its job-per-merge scheduling, which is
+    * what caps the distributed loop at oracle-sized tables. Incremental
+    * bookkeeping is the standard trainer's: a pair→count map, a
+    * pair→words index so only affected words recount, and a lazy-deletion
+    * max-heap (stale entries verified against the live map on pop).
+    * Cost: O(corpus) once, then O(affected words · word length + log P)
+    * per merge — 32k merges is seconds, not 32k jobs.
+    */
+  def trainMergesFast(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val vocab = wordCounts(docs, textCol).collect()
+      .map(row => ((row.getString(0) + EndOfWord).map(_.toString).toArray, row.getLong(1)))
+    trainLocal(vocab, numMerges)
+  }
+
+  /** The in-memory incremental trainer over a (symbols, count)
+    * vocabulary — see [[trainMergesFast]]. Package-visible for the
+    * randomized cross-check spec.
+    */
+  private[scale] def trainLocal(
+      vocab: Array[(Array[String], Long)], numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocab.map(_._1)
+    val counts: Array[Long] = vocab.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    // max-heap: highest count first, then LOWEST (left, right)
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val l = y._2.compareTo(x._2)
+            if (l != 0) l else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val next = pairCounts.getOrElse(p, 0L) + delta
+      require(next >= 0, s"pair count underflow for $p")
+      if (next == 0) pairCounts.remove(p)
+      else {
+        pairCounts(p) = next
+        // lazy deletion: every LIVE count needs its own heap entry —
+        // decreases too, else a demoted pair only has stale (higher)
+        // entries, all of which pop-verify as dead
+        heap.enqueue((next, p._1, p._2))
+      }
+    }
+    words.indices.foreach { w =>
+      pairsOf(words(w)).foreach { p =>
+        bump(p, counts(w))
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += w
+      }
+    }
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    while (step <= numMerges && pairCounts.nonEmpty) {
+      // lazy deletion: pop until the top entry matches the live count
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairCounts.get((c._2, c._3)).contains(c._1)) top = c
+      }
+      require(top != null, "heap drained while pairCounts nonEmpty")
+      val best = (top._2, top._3)
+      merges += Merge(step, best._1, best._2, top._1)
+      pairWords.remove(best).foreach(_.foreach { w =>
+        val before = words(w)
+        val after = mergePass(before, best._1, best._2)
+        if (after ne before) {
+          words(w) = after
+          pairsOf(before).foreach { p =>
+            bump(p, -counts(w))
+            if (p != best) pairWords.get(p).foreach { s =>
+              s -= w; if (s.isEmpty) pairWords.remove(p)
+            }
+          }
+          pairsOf(after).foreach { p =>
+            bump(p, counts(w))
+            pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += w
+          }
+        }
+      })
+      step += 1
+    }
+    merges.toSeq
+  }
+
+  /** [[trainMergesFast]] as a frame — [[train]]'s exact schema. */
+  def trainFast(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMergesFast(docs, textCol, numMerges)
+      .toDF("step", "pair_left", "pair_right", "cnt")
+  }
+
+  /** [[encode]] for production-sized merge tables: each DISTINCT word is
+    * encoded once by [[applyMergesLocal]] (a vocabulary-sized UDF pass —
+    * off the corpus hot path by construction), then the token stream
+    * joins back word→pieces. The join is deliberately un-hinted: AQE
+    * broadcasts the vocabulary frame while it fits and falls back to a
+    * slim (word, pieces) shuffle join beyond that — either way the
+    * corpus side is one scan, with no merge-count-dependent codegen.
+    * Output rows match [[encode]] as a multiset per (id, word); the
+    * within-word piece order is preserved by the explode.
+    */
+  def encodeByVocab(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val table = merges
+    val applyUdf = udf((w: String) => applyMergesLocal(w, table))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(col("w"), applyUdf(col("w")).as("pieces"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(vocab, "w")
+      .select(col(idCol), explode(col("pieces")).as("piece"))
+  }
+
+  /** [[pieceHistogram]] through the vocabulary-memoized local kernel —
+    * same output, no merge-count-dependent plan (see [[encodeByVocab]]).
+    */
+  def pieceHistogramByVocab(docs: DataFrame, textCol: String,
+      merges: Seq[Merge], topK: Int): DataFrame = {
+    val table = merges
+    val applyUdf = udf((w: String) => applyMergesLocal(w, table))
+    wordCounts(docs, textCol)
+      .select(col("cnt"), explode(applyUdf(col("w"))).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("piece").asc)
+      .limit(topK)
+  }
+
+  /** Per-document TOKENIZER token counts — the number a training budget
+    * is actually denominated in (whitespace counts under-bill long words
+    * and OOV text). Memoized like [[encodeByVocab]]: each distinct word
+    * is encoded once to its piece COUNT, the corpus-side token stream
+    * joins back (AQE-sized) and sums per document. Documents with no
+    * `[a-z0-9]+` tokens have no token rows and are absent (count 0 by
+    * omission). Output: (idCol, n_tokens) — [[ShardPack.packByTokenBudget]]'s
+    * expected input, making BPE-exact shard packing a two-call
+    * composition.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val table = merges
+    val npUdf = udf((w: String) => applyMergesLocal(w, table).length)
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(col("w"), npUdf(col("w")).as("np"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(vocab, "w")
+      .groupBy(col(idCol)).agg(sum("np").cast("long").as("n_tokens"))
+  }
 }

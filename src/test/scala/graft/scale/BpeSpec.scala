@@ -92,6 +92,117 @@ class BpeSpec extends SparkSpec {
     assert(hist === fromEncode)
   }
 
+  test("trainMergesFast == trainMerges (fixture, corpus, and early-stop parity)") {
+    assert(Bpe.trainMergesFast(fixture, "text", 6) === Bpe.trainMerges(fixture, "text", 6))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(Bpe.trainMergesFast(docs, "text", 12) === Bpe.trainMerges(docs, "text", 12))
+    // early stop: fully fused vocabulary ends both trainers at the same step
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(Bpe.trainMergesFast(tiny, "text", 10) === Bpe.trainMerges(tiny, "text", 10))
+  }
+
+  test("trainLocal matches a naive recount-from-scratch trainer on randomized corpora") {
+    // cross-checks the incremental bookkeeping (pair->count deltas,
+    // pair->words index, lazy-deletion heap) against an oracle that
+    // recounts every pair each step — pure local, no Spark jobs
+    def naive(vocab0: Array[(Array[String], Long)], numMerges: Int): Seq[Bpe.Merge] = {
+      var vocab = vocab0.map { case (s, c) => (s.clone(), c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Bpe.Merge]
+      var step = 1
+      while (step <= numMerges) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (s, c) =>
+          (0 until s.length - 1).foreach(i => counts((s(i), s(i + 1))) =
+            counts.getOrElse((s(i), s(i + 1)), 0L) + c)
+        }
+        if (counts.isEmpty) return out.toSeq
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += Bpe.Merge(step, l, r, c)
+        vocab = vocab.map { case (s, cnt) =>
+          // greedy left-to-right non-overlapping pass
+          val b = Array.newBuilder[String]; var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+            else { b += s(i); i += 1 }
+          }
+          (b.result(), cnt)
+        }
+        step += 1
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 30).foreach { trial =>
+      val alphabet = "ab" + ("cde".take(rnd.nextInt(3)))
+      val vocab = Array.fill(2 + rnd.nextInt(8)) {
+        val w = (0 until 1 + rnd.nextInt(6))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        ((w + Bpe.EndOfWord).map(_.toString).toArray, 1L + rnd.nextInt(5))
+      }
+      val merges = 1 + rnd.nextInt(12)
+      val fast = Bpe.trainLocal(vocab.map { case (s, c) => (s.clone(), c) }, merges)
+      val ref = naive(vocab, merges)
+      assert(fast === ref, s"trial $trial vocab=${vocab.map(_._1.mkString).toSeq}")
+    }
+  }
+
+  test("encodeByVocab / pieceHistogramByVocab == the replace-chain forms") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Bpe.trainMergesFast(docs, "text", 10)
+    val chain = Bpe.encode(docs, "doc_id", "text", m)
+      .groupBy("doc_id", "piece").count().as[(Long, String, Long)].collect().toSet
+    val vocabed = Bpe.encodeByVocab(docs, "doc_id", "text", m)
+      .groupBy("doc_id", "piece").count().as[(Long, String, Long)].collect().toSet
+    assert(vocabed === chain)
+    assert(chain.nonEmpty)
+    val h1 = Bpe.pieceHistogram(docs, "text", m, topK = 1000)
+      .as[(String, Long)].collect().toSeq
+    val h2 = Bpe.pieceHistogramByVocab(docs, "text", m, topK = 1000)
+      .as[(String, Long)].collect().toSeq
+    assert(h1 === h2)
+  }
+
+  test("tokenCounts == per-doc encode piece counts (docs without tokens absent)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Bpe.trainMergesFast(docs, "text", 8)
+    val viaEncode = Bpe.encode(docs, "doc_id", "text", m)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", m)
+      .as[(Long, Long)].collect().toMap
+    assert(counts === viaEncode)
+    assert(counts.nonEmpty)
+  }
+
+  test("applyMergesLocal keeps chain semantics where the min-rank loop diverges") {
+    // homograph table: "abc" is producible by two merge paths; rank 4
+    // consumes "abc" but in CHAIN order it runs before rank 5 creates
+    // one. The min-rank-pair loop would fuse to "abcd_" here — the
+    // library's contract (applyMerges = SQL replace chain) must not.
+    val m = Seq(
+      Bpe.Merge(1, "b", "c", 0), Bpe.Merge(2, "a", "b", 0),
+      Bpe.Merge(3, "ab", "c", 0), Bpe.Merge(4, "abc", "d", 0),
+      Bpe.Merge(5, "a", "bc", 0))
+    // word "aabcd": chain -> a ab c d _ -> ... trace both forms via Spark
+    val docs = Seq((1L, "aabcd")).toDF("doc_id", "text")
+    val viaChain = Bpe.encode(docs, "doc_id", "text", m)
+      .select("piece").as[String].collect().toSeq
+    val local = Bpe.applyMergesLocal("aabcd", m).toSeq
+    assert(local === viaChain)
+  }
+
+  test("deep merge loops neither nest plans nor RDD lineage (80 iterations)") {
+    // regression: before the localCheckpoint cut, ~40 stacked iterations
+    // overflowed the DAGScheduler's stack serializing the nested RDD
+    // dependency chain (persist bounds plan depth, NOT lineage depth)
+    val rnd = new scala.util.Random(7L)
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (0 until 10).map(_ => "abcdefghij"(rnd.nextInt(10))).mkString)
+    }.toSeq.toDF("doc_id", "text")
+    val slow = Bpe.trainMerges(docs, "text", 80)
+    assert(slow.length === 80, s"fixture fused early at ${slow.length}")
+    assert(Bpe.trainMergesFast(docs, "text", 80) === slow)
+  }
+
   test("encode plan is scan-pure: no exchange, stays in whole-stage codegen") {
     val m = Bpe.trainMerges(fixture, "text", 3)
     val plan = Bpe.encode(fixture, "doc_id", "text", m)
