@@ -919,6 +919,31 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("ccdeep")) {
+      // distributed CC on a HIGH-DIAMETER graph: 100k parallel chains of
+      // length 31 (3.1M nodes, 3M edges — above the driver switch), so
+      // min-label propagation needs ~30 rounds. Exercises the per-round
+      // plan/lineage nesting the clique-ish dedup fixtures (diameter
+      // ~2-3) never reach. Knobs: SPARK_GRAFT_CC_CHAINLEN (default 31),
+      // SPARK_GRAFT_CC_CHAINS (default 100000).
+      import graft.scale.Dedup
+      val len = sys.env.getOrElse("SPARK_GRAFT_CC_CHAINLEN", "31").toInt
+      val chains = sys.env.getOrElse("SPARK_GRAFT_CC_CHAINS", "100000").toLong
+      val edges = spark.range(chains * (len - 1)).select(
+        ((col("id") / (len - 1)).cast("long") * len + pmod(col("id"), lit(len - 1))).as("a"),
+        ((col("id") / (len - 1)).cast("long") * len + pmod(col("id"), lit(len - 1)) + 1).as("b"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t0 = System.nanoTime()
+      val comps = Dedup.connectedComponents(edges, "a", "b", maxRounds = len + 5)
+      val ncomp = comps.select("rep").distinct().count()
+      val nnode = comps.count()
+      println(f"[ccdeep] chains=$chains len=$len components=$ncomp nodes=$nnode " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.ops.CacheScope.releaseAll()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("counters")) {
       // q118 counter-overhead breakdown: construction (eager through
       // ShardPack's prefix-sum pass), the q115 sequences action, then

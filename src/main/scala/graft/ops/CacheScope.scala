@@ -49,6 +49,28 @@ object CacheScope {
     ds
   }
 
+  private val rddRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Register a cached RDD (the locally-checkpointed final round of an
+    * iterative loop) for the next [[releaseAll]]. CAVEAT: unlike a
+    * released DataFrame cache, a released locally-checkpointed RDD
+    * cannot recompute (its lineage was truncated) — re-materializing a
+    * plan over it after release fails rather than recomputing. The
+    * contract is the same release point as [[persisted]] (results
+    * already materialized); iterative results are terminal — re-derive
+    * by re-calling the operator.
+    */
+  def registerRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+    rddRegistry.add(rdd)
+    rdd
+  }
+
+  /** Currently-registered cached RDDs (spec observability: which
+    * iterative path ran).
+    */
+  def registeredRddCount: Int = rddRegistry.size()
+
   /** Unpersist (non-blocking) every registered frame; returns how many
     * were released. Safe to call at any point between queries.
     */
@@ -59,6 +81,12 @@ object CacheScope {
       ds.unpersist(blocking = false)
       n += 1
       ds = registry.poll()
+    }
+    var rdd = rddRegistry.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      n += 1
+      rdd = rddRegistry.poll()
     }
     n
   }

@@ -522,15 +522,33 @@ object Dedup {
       edges.unpersist()
       return out
     }
+    // Per-round frames are re-rooted on their own locally-checkpointed
+    // RDD rather than plain-persisted. A persisted round still EMBEDS
+    // the previous round's full plan (and references it twice — join +
+    // union), so driver plan bookkeeping walks 2^rounds paths and task
+    // serialization recurses the whole lineage chain: measured as a
+    // driver OOM at ~30 rounds on a 3M-edge chain graph (Profile
+    // ccdeep) — data that is trivially small. The checkpoint cut makes
+    // every round's plan a LogicalRDD leaf and truncates lineage at the
+    // round's convergence action, so cost per round is flat in the
+    // round number. Superseded round RDDs are unpersisted as soon as
+    // the next round materializes; the final one is registered for the
+    // query driver's CacheScope release.
+    val spark = pairs.sparkSession
+    def cutRound(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd
+      r.localCheckpoint()
+      (spark.createDataFrame(r, df.schema), r)
+    }
     // initialization FUSED with propagation round 1: every node of the
     // symmetric edge list appears as src, so one groupBy yields
     // rep = min(self, direct neighbors) — the state after the first
     // round — for the cost of the node-distinct shuffle alone
-    var labels = edges
+    var (labels, labelsRdd) = cutRound(edges
       .groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("rep"))
-      .persist()
+      .select(col("id"), least(col("id"), col("mn")).as("rep")))
     // Convergence detection: labels are MONOTONE (a node's rep only ever
     // decreases), so for numeric ids the rounds have converged exactly
     // when Σrep stops falling — one cheap aggregation over the persisted
@@ -565,13 +583,12 @@ object Dedup {
       // your neighbors" without a second node-sized join back (the
       // earlier neighborMin⋈labels formulation paid an extra shuffle
       // stage per round — pure latency at dim scale, pure cost at 100 TB)
-      val next = edges
+      val (next, nextRdd) = cutRound(edges
         .join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("rep"))
         .unionByName(labels)
         .groupBy("id")
-        .agg(min(col("rep")).as("rep"))
-        .persist()
+        .agg(min(col("rep")).as("rep")))
       if (numericIds) {
         val s = next.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
         changed = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
@@ -582,13 +599,18 @@ object Dedup {
           .limit(1)
           .count() > 0
       }
-      labels.unpersist()
+      // next is materialized by the convergence action above, so the
+      // superseded round's blocks can go now
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       round += 1
     }
     edges.unpersist()
-    // returned still persisted; released by the query driver's CacheScope
-    graft.ops.CacheScope.register(labels)
+    // returned frame scans the cached final-round RDD; released by the
+    // query driver's CacheScope (terminal — see registerRdd's caveat)
+    graft.ops.CacheScope.registerRdd(labelsRdd)
+    labels
   }
 
   /** Driver union-find with path compression for dim-sized pair lists;

@@ -250,19 +250,21 @@ class PlanGuardSpec extends SparkSpec {
   test("q101 runs the DISTRIBUTED propagation path, q50 the driver union-find") {
     // The two CC paths are a size switch (Dedup.connectedComponents):
     // below the threshold a driver union-find parallelizes its result
-    // back out (Scan ExistingRDD), above it the per-round join+min-agg
-    // loop leaves a PERSISTED labels frame (InMemoryTableScan). q101
-    // passes driverThreshold=100 explicitly so the distributed path is
-    // the one the DuckDB oracle gates — pin each query to its path so a
-    // threshold regression can't silently swap them.
-    val q101 = SparkEntry.queries("q101_cc_distributed")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(q101.contains("InMemoryTableScan") && !q101.contains("ExistingRDD"),
-      "q101 did not take the distributed propagation path:\n" + q101.take(800))
-    val q50 = SparkEntry.queries("q50_dedup_cluster")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(q50.contains("ExistingRDD"),
-      "q50 did not take the driver union-find path:\n" + q50.take(800))
+    // back out, above it the per-round join+min-agg loop runs eagerly
+    // and registers its locally-checkpointed final-round RDD with
+    // CacheScope (the r13 lineage cut). q101 passes driverThreshold=100
+    // explicitly so the distributed path is the one the DuckDB oracle
+    // gates — pin each query to its path so a threshold regression
+    // can't silently swap them: only the distributed loop leaves an RDD
+    // in the registry.
+    graft.ops.CacheScope.releaseAll()
+    SparkEntry.queries("q101_cc_distributed")(spark, sfDir)
+    assert(graft.ops.CacheScope.registeredRddCount >= 1,
+      "q101 did not take the distributed propagation path (no checkpointed rounds)")
+    graft.ops.CacheScope.releaseAll()
+    SparkEntry.queries("q50_dedup_cluster")(spark, sfDir)
+    assert(graft.ops.CacheScope.registeredRddCount === 0,
+      "q50 did not take the driver union-find path (checkpointed rounds present)")
     graft.ops.CacheScope.releaseAll()
   }
 

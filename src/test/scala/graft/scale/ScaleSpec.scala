@@ -153,6 +153,20 @@ class ScaleSpec extends SparkSpec {
     assert(viaDriver(11L) === 10L && viaDriver(22L) === 20L && viaDriver(21L) === 20L)
   }
 
+  test("connectedComponents: high-diameter chains converge with flat per-round plans") {
+    // regression for the r13 ccdeep finding: the plain-persisted round
+    // loop embedded every previous round's plan (referenced twice per
+    // round -> 2^rounds plan-walk paths) and OOM'd the driver near 30
+    // rounds; the localCheckpoint cut must handle a 40-hop chain
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val reps = Dedup.connectedComponents(
+      chain, "id_a", "id_b", maxRounds = 45, driverThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(reps.size === 41)
+    assert(reps.values.forall(_ === 0L)) // one component, min-id rep
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("connectedComponents: fractional ids take the exact changed-rows check, not the truncating sum") {
     // a 4-node chain whose labels differ by < 1.0: every rep truncates
     // to 0 under a decimal(38,0) cast, so the sum-convergence fast path
