@@ -103,36 +103,54 @@ object Closure {
     * more than the shuffle it saves once it passes ~1M pairs).
     */
   private def distributedClosure(e: DataFrame, maxRounds: Int): DataFrame = {
-    var cur = e.persist()
+    val spark = e.sparkSession
+    // rounds re-rooted on their own locally-checkpointed RDD: each
+    // doubling round references cur THREE times (union + both join
+    // sides), so plain persists walk 3^rounds plan paths and stack
+    // lineage — the iterative-loop class the CC chain probe OOM'd on
+    // (see Dedup.connectedComponents / MEMORY_NOTES r13)
+    def cutRound(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd
+      r.localCheckpoint()
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    var (cur, curRdd) = cutRound(e)
     var n = cur.count()
     var round = 0
     var changed = true
     while (changed) {
-      if (round >= maxRounds)
+      if (round >= maxRounds) {
+        curRdd.unpersist(blocking = false) // no cache leak on the failure path
         throw new IllegalStateException(
           s"closure did not converge after $maxRounds rounds (cycle in DAG?)")
+      }
       val hop = cur.select(col("term").as("h_term"), col("ancestor").as("h_anc"))
-      val next = cur
+      val (next, nextRdd) = cutRound(cur
         .unionByName(
           cur.join(hop, cur("ancestor") === col("h_term"))
             .select(cur("term"), col("h_anc").as("ancestor")))
-        .distinct()
-        .persist()
+        .distinct())
       val m = next.count()
       changed = m != n
-      cur.unpersist()
+      curRdd.unpersist(blocking = false)
       cur = next
+      curRdd = nextRdd
       n = m
       round += 1
     }
     // a cycle closes onto itself: doubling CONVERGES (the closure is
     // finite) but leaves reflexive pairs — surface it like the driver
     // path's back-edge detection rather than returning them silently
-    if (cur.filter(col("term") === col("ancestor")).limit(1).count() > 0)
+    if (cur.filter(col("term") === col("ancestor")).limit(1).count() > 0) {
+      curRdd.unpersist(blocking = false) // no cache leak on the failure path
       throw new IllegalStateException("closure found a cycle in the DAG (reflexive pair)")
-    // returned still persisted (callers fan out over it); registered so
-    // the query driver releases it between batches
-    CacheScope.register(cur)
+    }
+    // returned frame scans the cached final-round RDD (callers fan out
+    // over it); released by the query driver's CacheScope (terminal —
+    // see registerRdd's caveat)
+    CacheScope.registerRdd(curRdd)
+    cur
   }
 
   /** (acc_a, acc_b) pairs that sit on the SAME branch — one is an

@@ -36,30 +36,46 @@ object Fixpoint {
     val edges = subs.select(col(oldCol).as("old_id"), col(newCol).as("resolved_id")).distinct()
     val n0 = edges.count()
     if (n0 <= driverThreshold) return driverResolve(edges)
-    var cur = edges.persist()
+    val spark = subs.sparkSession
+    // rounds are re-rooted on their own locally-checkpointed RDD: a
+    // plain-persisted round embeds the previous round's plan and
+    // references it twice (cur + jump), the 2^rounds plan-walk /
+    // lineage-stacking class the CC chain-graph probe OOM'd on (see
+    // Dedup.connectedComponents / MEMORY_NOTES r13)
+    def cutRound(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd
+      r.localCheckpoint()
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    var (cur, curRdd) = cutRound(edges)
     var round = 0
     var changed = true
     while (changed) {
-      if (round >= maxRounds)
+      if (round >= maxRounds) {
+        curRdd.unpersist(blocking = false) // no cache leak on the failure path
         throw new IllegalStateException(
           s"fixpoint did not converge after $maxRounds rounds (cycle in substitutions?)")
+      }
       // pointer jumping: follow resolved_id through the current table
       val jump = cur.select(col("old_id").as("j_old"), col("resolved_id").as("j_new"))
       val joined = cur
         .join(broadcast(jump), cur("resolved_id") === col("j_old"), "left")
         .persist()
       changed = joined.filter(col("j_new").isNotNull).limit(1).count() > 0
-      val next = joined
-        .select(col("old_id"), coalesce(col("j_new"), col("resolved_id")).as("resolved_id"))
-        .persist()
-      next.count() // materialize before unpersisting parents
-      cur.unpersist()
+      val (next, nextRdd) = cutRound(joined
+        .select(col("old_id"), coalesce(col("j_new"), col("resolved_id")).as("resolved_id")))
+      next.count() // materialize the cut before unpersisting parents
+      curRdd.unpersist(blocking = false)
       joined.unpersist()
       cur = next
+      curRdd = nextRdd
       round += 1
     }
-    // returned still persisted; released by the query driver's CacheScope
-    CacheScope.register(cur)
+    // returned frame scans the cached final-round RDD; released by the
+    // query driver's CacheScope (terminal — see registerRdd's caveat)
+    CacheScope.registerRdd(curRdd)
+    cur
   }
 
   /** Dim-sized path: collect the substitution map, follow every chain

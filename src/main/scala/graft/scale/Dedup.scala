@@ -575,9 +575,13 @@ object Dedup {
     var round = 0
     var changed = true
     while (changed) {
-      if (round >= maxRounds)
+      if (round >= maxRounds) {
+        // don't leak the live round / edge caches on the failure path
+        labelsRdd.unpersist(blocking = false)
+        edges.unpersist(blocking = false)
         throw new IllegalStateException(
           s"components did not converge after $maxRounds rounds (pathological chain?)")
+      }
       // one round = ONE join (edge relabel) + ONE min-agg over the
       // union with the current labels: "take the min of yourself and
       // your neighbors" without a second node-sized join back (the

@@ -26,10 +26,13 @@ class CacheScopeSpec extends SparkSpec {
 
     assert(cachedRddCount > base, "operators should have registered persisted frames")
     assert(CacheScope.releaseAll() >= 2)
-    // unpersist is async (blocking=false): poll briefly for drain
+    // unpersist is async (blocking=false): poll briefly for drain. <=
+    // rather than ===: the ContextCleaner may concurrently GC-unpersist
+    // leftovers counted in `base` (e.g. a prior suite's failure-path
+    // RDDs), legitimately dropping the count BELOW the snapshot
     val deadline = System.nanoTime() + 10e9.toLong
     while (cachedRddCount > base && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(cachedRddCount === base, "released frames must leave the block manager")
+    assert(cachedRddCount <= base, "released frames must leave the block manager")
     assert(CacheScope.releaseAll() === 0, "registry must drain on release")
   }
 
