@@ -919,6 +919,42 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("bpevocab")) {
+      // the production-VOCABULARY question the tiny fixture alphabet
+      // (31 distinct words) leaves open: does the in-memory trainer
+      // hold at Heaps'-law vocab sizes? Synthetic deterministic
+      // vocabulary: word i = md5(i) hex prefix of length 4-12 (hex is a
+      // [a-z0-9] subset), Zipf-ish counts 1e9/(i+1); collisions merged
+      // by a sum agg (still ~the requested vocab size). Trains
+      // trainMergesFromCounts at a production merge count, then times
+      // the per-distinct-word encode kernel pass over the same
+      // vocabulary. Knobs: SPARK_GRAFT_BPE_VOCAB (default 1000000),
+      // SPARK_GRAFT_BPE_MERGES (default 2000).
+      import graft.scale.Bpe
+      val vocabN = sys.env.getOrElse("SPARK_GRAFT_BPE_VOCAB", "1000000").toLong
+      val numMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "2000").toInt
+      val counts = spark.range(vocabN).select(
+        substring(md5(col("id").cast("string")), lit(1),
+          (pmod(col("id"), lit(9)) + 4).cast("int")).as("w"),
+        (lit(1000000000L) / (col("id") + 1) + 1).cast("long").as("cnt"))
+        .groupBy("w").agg(sum("cnt").as("cnt"))
+        .persist()
+      val nw = counts.count()
+      var t0 = System.nanoTime()
+      val merges = Bpe.trainMergesFromCounts(counts, "w", "cnt", numMerges)
+      println(f"[bpevocab] vocab=$nw merges=${merges.size} " +
+        f"train_t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      (1 to 2).foreach { i =>
+        t0 = System.nanoTime()
+        val hist = Bpe.pieceHistogramFromCounts(counts, "w", "cnt", merges, 100).count()
+        println(f"[bpevocab] encode-kernel pass run$i topk=$hist " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      counts.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ccdeep")) {
       // distributed CC on a HIGH-DIAMETER graph: 100k parallel chains of
       // length 31 (3.1M nodes, 3M edges — above the driver switch), so

@@ -272,9 +272,19 @@ object Bpe {
     * Cost: O(corpus) once, then O(affected words · word length + log P)
     * per merge — 32k merges is seconds, not 32k jobs.
     */
-  def trainMergesFast(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  def trainMergesFast(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] =
+    trainMergesFromCounts(wordCounts(docs, textCol), "w", "cnt", numMerges)
+
+  /** [[trainMergesFast]] from a PRE-AGGREGATED (word, count) frame —
+    * the form a pipeline that already materialized its vocabulary
+    * (corpus stats, coverage reports) trains from without re-scanning
+    * the corpus.
+    */
+  def trainMergesFromCounts(counts: DataFrame, wordCol: String,
+      countCol: String, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val vocab = wordCounts(docs, textCol).collect()
+    val vocab = counts
+      .select(col(wordCol).cast("string"), col(countCol).cast("long")).collect()
       .map(row => ((row.getString(0) + EndOfWord).map(_.toString).toArray, row.getLong(1)))
     trainLocal(vocab, numMerges)
   }
@@ -391,11 +401,19 @@ object Bpe {
     * same output, no merge-count-dependent plan (see [[encodeByVocab]]).
     */
   def pieceHistogramByVocab(docs: DataFrame, textCol: String,
-      merges: Seq[Merge], topK: Int): DataFrame = {
+      merges: Seq[Merge], topK: Int): DataFrame =
+    pieceHistogramFromCounts(wordCounts(docs, textCol), "w", "cnt", merges, topK)
+
+  /** [[pieceHistogramByVocab]] from a pre-aggregated (word, count)
+    * frame — see [[trainMergesFromCounts]].
+    */
+  def pieceHistogramFromCounts(counts: DataFrame, wordCol: String,
+      countCol: String, merges: Seq[Merge], topK: Int): DataFrame = {
     val table = merges
     val applyUdf = udf((w: String) => applyMergesLocal(w, table))
-    wordCounts(docs, textCol)
-      .select(col("cnt"), explode(applyUdf(col("w"))).as("piece"))
+    counts
+      .select(col(countCol).cast("long").as("cnt"),
+        explode(applyUdf(col(wordCol).cast("string"))).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("n"))
       .orderBy(col("n").desc, col("piece").asc)
       .limit(topK)

@@ -162,6 +162,19 @@ class BpeSpec extends SparkSpec {
     assert(h1 === h2)
   }
 
+  test("FromCounts forms == the docs forms on the pre-aggregated vocabulary") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = Bpe.wordCounts(docs, "text")
+    val m = Bpe.trainMergesFast(docs, "text", 9)
+    assert(Bpe.trainMergesFromCounts(counts, "w", "cnt", 9) === m)
+    val h1 = Bpe.pieceHistogramByVocab(docs, "text", m, topK = 500)
+      .as[(String, Long)].collect().toSeq
+    val h2 = Bpe.pieceHistogramFromCounts(counts, "w", "cnt", m, topK = 500)
+      .as[(String, Long)].collect().toSeq
+    assert(h1 === h2)
+    assert(h1.nonEmpty)
+  }
+
   test("tokenCounts == per-doc encode piece counts (docs without tokens absent)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = Bpe.trainMergesFast(docs, "text", 8)
