@@ -1835,6 +1835,17 @@ object SparkEntry {
         graft.scale.Bpe.tokenCounts(docs, "doc_id", "text",
           graft.scale.Bpe.trainMergesFast(docs, "text", BpeMergeCount)),
         "doc_id", "n_tokens", budget = 2000L)
+    }),
+
+    // --- scale: tokenizer fertility by domain — the multilingual-
+    // fairness eval (over-segmented domains pay more tokens per word);
+    // the merge table rides the model-artifact round-trip
+    // (train frame -> mergesFromFrame) to gate persistence too ----------
+    "q130_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Bpe.fertilityByDomain(docs, "lang", "text",
+        graft.scale.Bpe.mergesFromFrame(
+          graft.scale.Bpe.trainFast(docs, "text", BpeMergeCount)))
     })
   )
 
@@ -4417,6 +4428,19 @@ object SparkEntry {
         |  CAST((CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
         |FROM t""".stripMargin),
+
+    // per-domain word/piece totals from the same per-word piece counts;
+    // integer-div per-mille like the mixture rates
+    "q130_bpe_fertility" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |wpc AS (SELECT w, len(string_split(trim(sym), '  ')) AS np FROM w$BpeMergeCount)
+        |SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(np) AS BIGINT) AS n_pieces,
+        |  (CAST(sum(np) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS fertility_permille
+        |FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |      FROM documents) d
+        |JOIN wpc USING (w)
+        |GROUP BY lang""".stripMargin),
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -375,6 +375,27 @@ object Bpe {
       .toDF("step", "pair_left", "pair_right", "cnt")
   }
 
+  /** Rehydrate a merge table from a [[train]]-schema frame — the model
+    * ARTIFACT round-trip (train once, write the frame to parquet, load
+    * it in every serving/encoding job). Sorted by step on the driver so
+    * a parquet round-trip's row-order loss cannot scramble learn order;
+    * steps must be the exact 1..n sequence (a filtered or truncated
+    * table would silently change every later merge's semantics —
+    * fail-loud instead).
+    */
+  def mergesFromFrame(df: DataFrame): Seq[Merge] = {
+    val out = df.select(
+        col("step").cast("int"), col("pair_left").cast("string"),
+        col("pair_right").cast("string"), col("cnt").cast("long"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.step).toSeq
+    require(out.zipWithIndex.forall { case (m, i) => m.step == i + 1 },
+      s"merge table steps must be exactly 1..${out.size} " +
+        s"(got ${out.take(5).map(_.step).mkString(",")}...)")
+    out
+  }
+
   /** [[encode]] for production-sized merge tables: each DISTINCT word is
     * encoded once by [[applyMergesLocal]] (a vocabulary-sized UDF pass —
     * off the corpus hot path by construction), then the token stream
@@ -439,5 +460,28 @@ object Bpe {
     docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .join(vocab, "w")
       .groupBy(col(idCol)).agg(sum("np").cast("long").as("n_tokens"))
+  }
+
+  /** Tokenizer FERTILITY (pieces per word) by domain, integer
+    * per-mille — the multilingual-fairness number a tokenizer eval
+    * leads with: a vocabulary trained on one domain over-segments the
+    * others, inflating their effective training cost per word. Same
+    * memoized shape as [[tokenCounts]] (distinct words encode once,
+    * corpus-side token stream joins back), aggregated per domain; the
+    * ratio is integer `div` so it is bit-stable across engines.
+    * Output: (domain, n_words, n_pieces, fertility_permille).
+    */
+  def fertilityByDomain(docs: DataFrame, domainCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val table = merges
+    val npUdf = udf((w: String) => applyMergesLocal(w, table).length)
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(col("w"), npUdf(col("w")).as("np"))
+    docs.select(col(domainCol).as("domain"), explode(tokens(col(textCol))).as("w"))
+      .join(vocab, "w")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_words"), sum("np").cast("long").as("n_pieces"))
+      .withColumn("fertility_permille", expr("n_pieces * 1000 div n_words"))
   }
 }

@@ -186,6 +186,35 @@ class BpeSpec extends SparkSpec {
     assert(counts.nonEmpty)
   }
 
+  test("merge-table artifact round-trips through a frame (parquet-shaped)") {
+    val m = Bpe.trainMergesFast(fixture, "text", 6)
+    // shuffle row order like a parquet round-trip may; rehydration must
+    // restore learn order
+    val frame = Bpe.train(fixture, "text", 6).orderBy(col("pair_left"))
+    assert(Bpe.mergesFromFrame(frame) === m)
+    // a truncated/filtered table must fail loud, not silently re-rank
+    val bad = frame.filter(col("step") =!= 3)
+    val e = intercept[IllegalArgumentException](Bpe.mergesFromFrame(bad))
+    assert(e.getMessage.contains("steps must be exactly"))
+  }
+
+  test("fertilityByDomain reconciles with tokenCounts and whitespace words") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Bpe.trainMergesFast(docs, "text", 8)
+    val fert = Bpe.fertilityByDomain(docs, "lang", "text", m)
+      .as[(String, Long, Long, Long)].collect()
+    assert(fert.nonEmpty)
+    fert.foreach { case (_, nw, np, f) =>
+      assert(np >= nw)                       // a word is >= 1 piece
+      assert(f === np * 1000 / nw)           // integer per-mille law
+      assert(f >= 1000L)
+    }
+    // totals reconcile with the per-doc counts
+    val totalPieces = Bpe.tokenCounts(docs, "doc_id", "text", m)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(fert.map(_._3).sum === totalPieces)
+  }
+
   test("applyMergesLocal keeps chain semantics where the min-rank loop diverges") {
     // homograph table: "abc" is producible by two merge paths; rank 4
     // consumes "abc" but in CHAIN order it runs before rank 5 creates
