@@ -1846,7 +1846,16 @@ object SparkEntry {
       graft.scale.Bpe.fertilityByDomain(docs, "lang", "text",
         graft.scale.Bpe.mergesFromFrame(
           graft.scale.Bpe.trainFast(docs, "text", BpeMergeCount)))
-    })
+    }),
+
+    // --- scale: the pretraining pipeline packing by TOKENIZER tokens —
+    // q115's composition with the pack budget denominated in trained-BPE
+    // counts (the unit training budgets are billed in); only the
+    // pack-stage counts change ------------------------------------------
+    "q131_bpe_pretrain_pack" -> ((s, dir) =>
+      pretrainRun(s, dir, tokenizerMerges =
+        graft.scale.Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount))
+        .sequences)
   )
 
   /** q124/q125 merge count — enough steps that multi-character pieces
@@ -1865,29 +1874,29 @@ object SparkEntry {
     * early-stops, the oracle would NULL-corrupt; the fixture corpora are
     * nowhere near fusion at n=8).
     */
-  private def bpeStagesSql(n: Int): String = {
+  private def bpeStagesSql(n: Int, pf: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= """WITH words AS MATERIALIZED (
+    sb ++= s"""WITH ${pf}words AS MATERIALIZED (
       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
       |    FROM documents) t
       |  GROUP BY w),
-      |w0 AS MATERIALIZED (SELECT w, cnt,
-      |  ' ' || rtrim(regexp_replace(w || '_', '(.)', '\1  ', 'g')) || ' ' AS sym
-      |  FROM words)""".stripMargin
+      |${pf}w0 AS MATERIALIZED (SELECT w, cnt,
+      |  ' ' || rtrim(regexp_replace(w || '_', '(.)', '\\1  ', 'g')) || ' ' AS sym
+      |  FROM ${pf}words)""".stripMargin
     for (i <- 1 to n) {
       sb ++= s""",
-        |p$i AS MATERIALIZED (
+        |${pf}p$i AS MATERIALIZED (
         |  SELECT t[i] AS l, t[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
-        |  FROM (SELECT cnt, string_split(trim(sym), '  ') AS t FROM w${i - 1}) z,
+        |  FROM (SELECT cnt, string_split(trim(sym), '  ') AS t FROM ${pf}w${i - 1}) z,
         |       unnest(generate_series(1, len(t) - 1)) AS u(i)
         |  WHERE len(t) >= 2
         |  GROUP BY 1, 2),
-        |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-        |w$i AS MATERIALIZED (SELECT w, cnt, replace(sym,
-        |   ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
-        |   ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS sym
-        |  FROM w${i - 1})""".stripMargin
+        |${pf}b$i AS MATERIALIZED (SELECT l, r, c FROM ${pf}p$i ORDER BY c DESC, l, r LIMIT 1),
+        |${pf}w$i AS MATERIALIZED (SELECT w, cnt, replace(sym,
+        |   ' ' || (SELECT l FROM ${pf}b$i) || '  ' || (SELECT r FROM ${pf}b$i) || ' ',
+        |   ' ' || (SELECT l FROM ${pf}b$i) || (SELECT r FROM ${pf}b$i) || ' ') AS sym
+        |  FROM ${pf}w${i - 1})""".stripMargin
     }
     sb.toString
   }
@@ -1901,7 +1910,8 @@ object SparkEntry {
     * the [[graft.scale.TextStats.corpusStats]] trade; equivalence
     * tolerance pinned in PretrainCurateSpec).
     */
-  private def pretrainRun(s: SparkSession, dir: String): graft.scale.Curation.PretrainResult = {
+  private def pretrainRun(s: SparkSession, dir: String,
+      tokenizerMerges: Seq[graft.scale.Bpe.Merge] = Nil): graft.scale.Curation.PretrainResult = {
     val docs = t(s, dir, "documents")
     graft.scale.Curation.pretrainCurate(
       docs.filter(col("doc_id") % 11 =!= 0)
@@ -1910,7 +1920,8 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism),
       docs.filter(col("doc_id") % 11 === 0),
       "doc_id", "text", "priority", "lang",
-      approxQuantileAccuracy = 0)
+      approxQuantileAccuracy = 0,
+      tokenizerMerges = tokenizerMerges)
   }
 
   /** Shared q121/q123 invocation — the store is the base split's
@@ -4441,6 +4452,32 @@ object SparkEntry {
         |      FROM documents) d
         |JOIN wpc USING (w)
         |GROUP BY lang""".stripMargin),
+
+    // q115's composed CTEs + the bpe chain (CTE names prefixed 'bp' —
+    // the pretrain body already owns w0) + a BPE-count pack window; the
+    // unreferenced default packin/packed CTEs prune away
+    "q131_bpe_pretrain_pack" ->
+      (pretrainOracleBody + ",\n" +
+        bpeStagesSql(BpeMergeCount, pf = "bp").stripPrefix("WITH ") + s""",
+        |bpwpc AS (SELECT w, len(string_split(trim(sym), '  ')) AS np FROM bpw$BpeMergeCount),
+        |chunkbpe AS (
+        |  SELECT chunk_id, CAST(sum(np) AS BIGINT) AS nb
+        |  FROM (SELECT chunk_id,
+        |          unnest(regexp_extract_all(lower(chunk_text), '[a-z0-9]+')) AS w
+        |        FROM chunks) cw
+        |  JOIN bpwpc USING (w)
+        |  GROUP BY chunk_id),
+        |packinb AS (
+        |  SELECT t.chunk_id, coalesce(b.nb, 0) AS n_tokens,
+        |    md5('shard:' || t.chunk_id) AS k
+        |  FROM trainseq t LEFT JOIN chunkbpe b USING (chunk_id)),
+        |packedb AS MATERIALIZED (
+        |  SELECT chunk_id, n_tokens,
+        |    CAST((CAST(sum(n_tokens) OVER (ORDER BY k, chunk_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+        |  FROM packinb)
+        |SELECT p.chunk_id, g.doc_id, g.chunk_idx, g.lang, p.n_tokens, p.shard
+        |FROM packedb p JOIN gated g USING (chunk_id)""".stripMargin),
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

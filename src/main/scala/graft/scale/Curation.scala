@@ -163,6 +163,10 @@ object Curation {
     *                 training corpus; priority: smaller = preferred
     *                 survivor; group: mixture domain (language/source)
     * @param holdout  benchmark/eval documents (idCol, textCol shape)
+    * @param tokenizerMerges non-empty = denominate the shard-pack
+    *                 budget in trained-BPE token counts ([[Bpe]] model
+    *                 artifact) instead of the chunker's whitespace
+    *                 counts; only the pack-stage counts change
     * @return packed train sequences
     *         (chunk_id, idCol, chunk_idx, groupCol, n_tokens, shard) —
     *         one row per epoch copy — plus per-stage counters
@@ -190,7 +194,8 @@ object Curation {
       mixResolution: Long = 1000000L,
       testPermille: Int = 100,
       valPermille: Int = 100,
-      shardTokenBudget: Long = 2000L): PretrainResult = {
+      shardTokenBudget: Long = 2000L,
+      tokenizerMerges: Seq[Bpe.Merge] = Nil): PretrainResult = {
     require(chunkIdSpan >= 2, s"chunkIdSpan must be >= 2, got $chunkIdSpan")
     // 1. chunk; the guards are IN-PLAN (assert_true folds to null and
     // the coalesce keeps the arithmetic long-typed) so a doc that would
@@ -297,10 +302,25 @@ object Curation {
     val trainSeq = persistedCut(mixed.join(
       split.filter(col("split") === "train").select("chunk_id"),
       Seq("chunk_id"), "left_semi"))
-    // 7. shard-pack the train copies
+    // 7. shard-pack the train copies. Budgets are denominated in the
+    // chunker's whitespace counts by default; a TRAINED tokenizer merge
+    // table ([[Bpe]] — the model artifact a production run already has)
+    // switches packing to exact tokenizer token counts, the unit the
+    // training budget is actually billed in. The swap touches ONLY the
+    // pack-stage counts (chunk boundaries, dedup, gate, mixture and
+    // split are unchanged); chunks with no tokenizer tokens pack at 0.
+    val packCounts =
+      if (tokenizerMerges.isEmpty) gated.select(col("chunk_id"), col("n_tokens"))
+      else gated.select(col("chunk_id"))
+        .join(
+          Bpe.tokenCounts(
+            chunks.join(gated.select("chunk_id"), Seq("chunk_id"), "left_semi")
+              .select(col("chunk_id"), col("chunk_text")),
+            "chunk_id", "chunk_text", tokenizerMerges),
+          Seq("chunk_id"), "left")
+        .select(col("chunk_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val packed = ShardPack.packByTokenBudget(
-      trainSeq.select("chunk_id")
-        .join(gated.select(col("chunk_id"), col("n_tokens")), Seq("chunk_id")),
+      trainSeq.select("chunk_id").join(packCounts, Seq("chunk_id")),
       "chunk_id", "n_tokens", shardTokenBudget)
     val sequences = packed.join(
       gated.select(col("chunk_id"), col(idCol), col("chunk_idx"), col(groupCol)),

@@ -74,6 +74,36 @@ class PretrainCurateSpec extends SparkSpec {
     assert(c("shards") >= 1L)
   }
 
+  test("tokenizerMerges repacks by BPE counts; everything upstream of the pack is unchanged") {
+    val merges = Bpe.trainMergesFast(corpus, "text", 6)
+    val base = Curation.pretrainCurate(
+      corpus, holdout, "doc_id", "text", "priority", "lang",
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100)
+    val bpe = Curation.pretrainCurate(
+      corpus, holdout, "doc_id", "text", "priority", "lang",
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100,
+      tokenizerMerges = merges)
+    // same survivors and splits (the swap touches only pack counts)
+    val keyCols = Seq("chunk_id", "doc_id", "chunk_idx", "lang")
+    assert(
+      bpe.sequences.select(keyCols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      base.sequences.select(keyCols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // n_tokens now reconciles with the tokenizer, not the chunker
+    val perChunk = bpe.sequences.select("chunk_id", "n_tokens").distinct()
+      .as[(Long, Long)].collect().toMap
+    val expected = Bpe.tokenCounts(
+      bpe.gatedChunks.select(col("chunk_id"), col("chunk_text")),
+      "chunk_id", "chunk_text", merges)
+      .as[(Long, Long)].collect().toMap
+    perChunk.foreach { case (id, n) =>
+      assert(n === expected.getOrElse(id, 0L), s"chunk $id")
+    }
+    assert(perChunk.nonEmpty)
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("cross-doc duplicate chunks dedup to the higher-priority doc; within-doc overlap survives") {
     val (seqs, c) = collectAll(run(corpus))
     val docsKept = seqs.map(_(1).asInstanceOf[Long]).toSet
