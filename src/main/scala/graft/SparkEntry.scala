@@ -1855,6 +1855,13 @@ object SparkEntry {
     "q131_bpe_pretrain_pack" -> ((s, dir) =>
       pretrainRun(s, dir, tokenizerMerges =
         graft.scale.Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount))
+        .sequences),
+
+    // --- scale: the INCREMENTAL pipeline packing by tokenizer tokens —
+    // q121's batch-vs-store composition with BPE-count pack budgets ------
+    "q132_bpe_incr_pack" -> ((s, dir) =>
+      incrRun(s, dir, tokenizerMerges =
+        graft.scale.Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount))
         .sequences)
   )
 
@@ -1931,7 +1938,8 @@ object SparkEntry {
     * The store index builds in-job (the convenience form); production
     * passes the persisted signature frame via `storeSigs`.
     */
-  private def incrRun(s: SparkSession, dir: String): graft.scale.Curation.IncrementResult = {
+  private def incrRun(s: SparkSession, dir: String,
+      tokenizerMerges: Seq[graft.scale.Bpe.Merge] = Nil): graft.scale.Curation.IncrementResult = {
     val docs = t(s, dir, "documents")
     val storeChunks = graft.scale.TextStats.chunkByTokens(
       docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0),
@@ -1946,7 +1954,8 @@ object SparkEntry {
       docs.filter(col("doc_id") % 11 === 0),
       storeChunks,
       "doc_id", "text", "priority", "lang",
-      approxQuantileAccuracy = 0)
+      approxQuantileAccuracy = 0,
+      tokenizerMerges = tokenizerMerges)
   }
 
   /** Shared J5/J6/K3 fixture: a full LoadPipeline.run over customer-derived
@@ -4458,6 +4467,31 @@ object SparkEntry {
     // unreferenced default packin/packed CTEs prune away
     "q131_bpe_pretrain_pack" ->
       (pretrainOracleBody + ",\n" +
+        bpeStagesSql(BpeMergeCount, pf = "bp").stripPrefix("WITH ") + s""",
+        |bpwpc AS (SELECT w, len(string_split(trim(sym), '  ')) AS np FROM bpw$BpeMergeCount),
+        |chunkbpe AS (
+        |  SELECT chunk_id, CAST(sum(np) AS BIGINT) AS nb
+        |  FROM (SELECT chunk_id,
+        |          unnest(regexp_extract_all(lower(chunk_text), '[a-z0-9]+')) AS w
+        |        FROM chunks) cw
+        |  JOIN bpwpc USING (w)
+        |  GROUP BY chunk_id),
+        |packinb AS (
+        |  SELECT t.chunk_id, coalesce(b.nb, 0) AS n_tokens,
+        |    md5('shard:' || t.chunk_id) AS k
+        |  FROM trainseq t LEFT JOIN chunkbpe b USING (chunk_id)),
+        |packedb AS MATERIALIZED (
+        |  SELECT chunk_id, n_tokens,
+        |    CAST((CAST(sum(n_tokens) OVER (ORDER BY k, chunk_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+        |  FROM packinb)
+        |SELECT p.chunk_id, g.doc_id, g.chunk_idx, g.lang, p.n_tokens, p.shard
+        |FROM packedb p JOIN gated g USING (chunk_id)""".stripMargin),
+
+    // q121's incremental CTEs + the prefixed bpe chain + the BPE-count
+    // pack window (the incremental body shares the base CTE names)
+    "q132_bpe_incr_pack" ->
+      (incrOracleBody + ",\n" +
         bpeStagesSql(BpeMergeCount, pf = "bp").stripPrefix("WITH ") + s""",
         |bpwpc AS (SELECT w, len(string_split(trim(sym), '  ')) AS np FROM bpw$BpeMergeCount),
         |chunkbpe AS (

@@ -444,7 +444,8 @@ object Curation {
       testPermille: Int = 100,
       valPermille: Int = 100,
       shardTokenBudget: Long = 2000L,
-      shardOffset: Long = 0L): IncrementResult = {
+      shardOffset: Long = 0L,
+      tokenizerMerges: Seq[Bpe.Merge] = Nil): IncrementResult = {
     require(chunkIdSpan >= 2, s"chunkIdSpan must be >= 2, got $chunkIdSpan")
     require(shardOffset >= 0, s"shardOffset must be >= 0, got $shardOffset")
     val maxDocId = Long.MaxValue / chunkIdSpan
@@ -534,10 +535,20 @@ object Curation {
     val trainSeq = persistedCut(mixed.join(
       split.filter(col("split") === "train").select("chunk_id"),
       Seq("chunk_id"), "left_semi"))
-    // 7. shard-pack at the caller's offset
+    // 7. shard-pack at the caller's offset; like the base pipeline,
+    // a trained merge table re-denominates ONLY the pack counts
+    val packCounts =
+      if (tokenizerMerges.isEmpty) gated.select(col("chunk_id"), col("n_tokens"))
+      else gated.select(col("chunk_id"))
+        .join(
+          Bpe.tokenCounts(
+            chunks.join(gated.select("chunk_id"), Seq("chunk_id"), "left_semi")
+              .select(col("chunk_id"), col("chunk_text")),
+            "chunk_id", "chunk_text", tokenizerMerges),
+          Seq("chunk_id"), "left")
+        .select(col("chunk_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val packed = ShardPack.packByTokenBudget(
-      trainSeq.select("chunk_id")
-        .join(gated.select(col("chunk_id"), col("n_tokens")), Seq("chunk_id")),
+      trainSeq.select("chunk_id").join(packCounts, Seq("chunk_id")),
       "chunk_id", "n_tokens", shardTokenBudget)
       .withColumn("shard", col("shard") + shardOffset)
     val sequences = packed.join(

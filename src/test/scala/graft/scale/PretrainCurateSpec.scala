@@ -209,6 +209,36 @@ class PretrainCurateSpec extends SparkSpec {
     assert(seqs === seqs2)
   }
 
+  test("incremental tokenizerMerges repacks by BPE counts with survivors unchanged") {
+    val store = run(corpus).gatedChunks
+    val batch = Seq(
+      (11L, tokens(7, 40), 1L, "en"),
+      (13L, tokens(8, 44), 2L, "de")
+    ).toDF("doc_id", "text", "priority", "lang")
+    val merges = Bpe.trainMergesFast(batch, "text", 6)
+    val base = incRun(batch, store)
+    val bpe = Curation.pretrainCurateIncrement(
+      batch, holdout, store, "doc_id", "text", "priority", "lang",
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100,
+      tokenizerMerges = merges)
+    val keyCols = Seq("chunk_id", "doc_id", "chunk_idx", "lang")
+    assert(
+      bpe.sequences.select(keyCols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      base.sequences.select(keyCols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    val perChunk = bpe.sequences.select("chunk_id", "n_tokens").distinct()
+      .as[(Long, Long)].collect().toMap
+    val expected = Bpe.tokenCounts(
+      bpe.gatedChunks.select(col("chunk_id"), col("chunk_text")),
+      "chunk_id", "chunk_text", merges)
+      .as[(Long, Long)].collect().toMap
+    perChunk.foreach { case (id, n) =>
+      assert(n === expected.getOrElse(id, 0L), s"chunk $id")
+    }
+    assert(perChunk.nonEmpty)
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("re-ingesting the store's own documents is a no-op (idempotence)") {
     val base = run(corpus)
     val store = base.gatedChunks
