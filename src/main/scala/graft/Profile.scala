@@ -955,6 +955,43 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("bpefrontier")) {
+      // the vocab-size knob quantified: fertility (pieces per word,
+      // per-mille) as a function of merge count, evaluated at PREFIXES
+      // of one trained table (a BPE merge list's prefix IS the smaller
+      // table — no retraining per point). Uses the synthetic Zipf
+      // vocabulary (bpevocab's construction). Knobs:
+      // SPARK_GRAFT_BPE_VOCAB (default 1000000), SPARK_GRAFT_BPE_MERGES
+      // (default 2000).
+      import graft.scale.Bpe
+      val vocabN = sys.env.getOrElse("SPARK_GRAFT_BPE_VOCAB", "1000000").toLong
+      val numMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "2000").toInt
+      val counts = spark.range(vocabN).select(
+        substring(md5(col("id").cast("string")), lit(1),
+          (pmod(col("id"), lit(9)) + 4).cast("int")).as("w"),
+        (lit(1000000000L) / (col("id") + 1) + 1).cast("long").as("cnt"))
+        .groupBy("w").agg(sum("cnt").as("cnt"))
+        .persist()
+      val totalWords = counts.agg(sum("cnt")).head().getLong(0)
+      val merges = Bpe.trainMergesFromCounts(counts, "w", "cnt", numMerges)
+      val points = Seq(0, numMerges / 16, numMerges / 8, numMerges / 4,
+        numMerges / 2, numMerges).distinct
+      points.foreach { k =>
+        val table = merges.take(k)
+        val t0 = System.nanoTime()
+        val pieces = {
+          val applyUdf = udf((w: String) => Bpe.applyMergesLocal(w, table).length)
+          counts.select((col("cnt") * applyUdf(col("w"))).as("p"))
+            .agg(sum("p")).head().getLong(0)
+        }
+        println(f"[bpefrontier] merges=$k fertility_permille=${pieces * 1000 / totalWords} " +
+          f"pieces=$pieces t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      counts.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ccdeep")) {
       // distributed CC on a HIGH-DIAMETER graph: 100k parallel chains of
       // length 31 (3.1M nodes, 3M edges — above the driver switch), so
