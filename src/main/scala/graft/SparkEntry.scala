@@ -1862,7 +1862,46 @@ object SparkEntry {
     "q132_bpe_incr_pack" -> ((s, dir) =>
       incrRun(s, dir, tokenizerMerges =
         graft.scale.Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount))
-        .sequences)
+        .sequences),
+
+    // --- scale: DSIR targeted data selection — score non-en docs by
+    // hashed-unigram likelihood ratio vs the en target domain (integer
+    // milli-log2), deterministic top-k (Xie et al. 2023) ----------------
+    "q133_dsir_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Sampling.dsirSelect(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096, k = 200)
+    }),
+
+    // --- scale: DSIR Gumbel-top-k sampling — same scores, selection by
+    // score + seeded integer Gumbel noise (reproducible importance
+    // RESAMPLING rather than argmax) ------------------------------------
+    "q134_dsir_gumbel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Sampling.dsirSelect(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096, k = 200, gumbel = true)
+    }),
+
+    // --- scale: data-constrained token-budget allocation — water-fill a
+    // 30k-token budget across languages at mixture weights en:5 fr:2
+    // else:1, each domain capped at 1.5 epochs of its unique tokens
+    // (Muennighoff et al. 2023); closed-form, windows over the tiny
+    // domain frame -------------------------------------------------------
+    "q135_token_budget" -> ((s, dir) => {
+      val dom = t(s, dir, "documents")
+        .select(col("lang"), size(regexp_extract_all(
+          lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long").as("nt"))
+        .groupBy("lang").agg(sum("nt").as("tokens"))
+        .filter(col("tokens") >= 1)
+        .withColumn("weight",
+          when(col("lang") === "en", 500L)
+            .when(col("lang") === "fr", 200L).otherwise(100L))
+      graft.scale.Sampling.tokenBudgetAllocate(
+        dom, "lang", "tokens", "weight",
+        budgetTokens = 30000L, maxEpochsMilli = 1500L)
+    })
   )
 
   /** q124/q125 merge count — enough steps that multi-character pieces
@@ -1870,6 +1909,57 @@ object SparkEntry {
     * oracle unrolls one CTE stage per merge.
     */
   private val BpeMergeCount = 8
+
+  /** DuckDB twin of [[graft.scale.Sampling.millilog2]]: `1000 *
+    * floor(log2 e)` via binary-string length plus the shifted-mantissa
+    * interpolation — exact integers, so DSIR scores hash-compare.
+    */
+  private def ml2Sql(e: String): String =
+    s"(1000 * (length(bin($e)) - 1) + ((($e) * 1000) >> (length(bin($e)) - 1)) - 1000)"
+
+  /** q133/q134 oracle: the DSIR chain (md5 buckets → smoothed counts →
+    * milli-log2 llr model → per-doc scores + smoothing constant), then
+    * top-k by score (q133) or score + seeded Gumbel noise (q134).
+    */
+  private def dsirSelectSql(gumbel: Boolean): String = {
+    val uPpm =
+      "('0x' || substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 + 1"
+    val selExpr =
+      if (gumbel)
+        s"CAST(score_milli + (${ml2Sql("1000")} - ${ml2Sql("gneg")}) AS BIGINT)"
+      else "score_milli"
+    val gnegCol =
+      if (gumbel) s",\n    greatest(${ml2Sql("1000000")} - ${ml2Sql(uPpm)}, 1) AS gneg"
+      else ""
+    s"""WITH raw AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+       |tgt AS (SELECT text FROM documents WHERE lang = 'en'),
+       |rocc AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+       |  FROM raw, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)),
+       |tocc AS (
+       |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+       |  FROM tgt, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)),
+       |qc AS (SELECT b, count(*) AS q FROM rocc GROUP BY 1),
+       |pc AS (SELECT b, count(*) AS p FROM tocc GROUP BY 1),
+       |cnt AS (
+       |  SELECT qc.b, qc.q + 1 AS q1, coalesce(pc.p, 0) + 1 AS p1
+       |  FROM qc LEFT JOIN pc USING (b)),
+       |model AS (SELECT b, ${ml2Sql("p1")} - ${ml2Sql("q1")} AS llr FROM cnt),
+       |tot AS (SELECT
+       |  (SELECT coalesce(sum(q), 0) FROM qc) + 4096 AS qs,
+       |  (SELECT coalesce(sum(p), 0) FROM pc) + 4096 AS ps),
+       |kk AS (SELECT ${ml2Sql("qs")} - ${ml2Sql("ps")} AS k FROM tot),
+       |sc AS (
+       |  SELECT rocc.doc_id, count(*) AS n_tokens, sum(model.llr) AS s
+       |  FROM rocc JOIN model USING (b) GROUP BY 1),
+       |scored AS (
+       |  SELECT sc.doc_id, CAST(sc.n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(sc.s + sc.n_tokens * kk.k AS BIGINT) AS score_milli$gnegCol
+       |  FROM sc, kk)
+       |SELECT doc_id, n_tokens, score_milli, $selExpr AS sel_milli
+       |FROM scored
+       |ORDER BY sel_milli DESC, doc_id LIMIT 200""".stripMargin
+  }
 
   /** DuckDB CTE chain learning `n` BPE merges: `words`/`w0` build the
     * double-space symbol strings ([[graft.scale.Bpe]]'s representation,
@@ -4512,6 +4602,59 @@ object SparkEntry {
         |  FROM packinb)
         |SELECT p.chunk_id, g.doc_id, g.chunk_idx, g.lang, p.n_tokens, p.shard
         |FROM packedb p JOIN gated g USING (chunk_id)""".stripMargin),
+
+    // the same integer DSIR pipeline: md5 feature buckets, +1-smoothed
+    // per-bucket counts, milli-log2 llr (bin-length + interpolated
+    // mantissa — Sampling.millilog2's exact SQL twin), smoothing-total
+    // constant, deterministic top-k
+    "q133_dsir_topk" -> dsirSelectSql(gumbel = false),
+
+    // q133's scores with the seeded integer Gumbel noise added to the
+    // ranking key (two more millilog2 folds over the md5 ppm uniform)
+    "q134_dsir_gumbel" -> dsirSelectSql(gumbel = true),
+
+    // closed-form water-filling in SQL: cap/weight-ordered window
+    // prefix sums, HUGEINT cross-multiplied saturation predicate,
+    // prefix-forced sat flag, floor-div proportional remainder
+    "q135_token_budget" ->
+      """WITH dom AS (
+        |  SELECT lang,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS tokens,
+        |    CAST(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 200 ELSE 100 END AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1
+        |  HAVING sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) >= 1),
+        |base AS (
+        |  SELECT lang, tokens, weight, tokens * 1500 // 1000 AS cap,
+        |    CAST(tokens * 1500 // 1000 AS DOUBLE) / weight AS ord
+        |  FROM dom),
+        |win AS (
+        |  SELECT lang, tokens, weight, cap, ord,
+        |    coalesce(sum(cap) OVER (ORDER BY ord, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_pre,
+        |    sum(weight) OVER () - coalesce(sum(weight) OVER (ORDER BY ord, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_rem
+        |  FROM base),
+        |satw AS (
+        |  SELECT *, (cap::HUGEINT * w_rem::HUGEINT) <=
+        |    ((30000::HUGEINT - cap_pre::HUGEINT) * weight::HUGEINT) AS sat_raw
+        |  FROM win),
+        |satp AS (
+        |  SELECT *, min(CAST(sat_raw AS INT)) OVER (ORDER BY ord, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS sat
+        |  FROM satw),
+        |tots AS (
+        |  SELECT *, coalesce(sum(CASE WHEN sat THEN cap END) OVER (), 0) AS sat_cap,
+        |    coalesce(sum(CASE WHEN NOT sat THEN weight END) OVER (), 0) AS w_unsat
+        |  FROM satp),
+        |alloc AS (
+        |  SELECT lang, tokens, weight, cap,
+        |    CAST(CASE WHEN sat THEN cap
+        |      ELSE ((30000::HUGEINT - sat_cap::HUGEINT) * weight::HUGEINT) // w_unsat::HUGEINT
+        |      END AS BIGINT) AS alloc
+        |  FROM tots)
+        |SELECT lang, tokens, weight, cap, alloc,
+        |  CAST(alloc * 1000 // tokens AS BIGINT) AS epochs_milli
+        |FROM alloc""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic stratified sampling: exactly `n` docs per group (fewer
@@ -130,5 +130,276 @@ object Sampling {
       .mapPartitions(firstNPerGroup)
       .map { case ((g, _, id), rank) => (g, id, rank) }
       .toDF(groupCol, idCol, "sample_rank")
+  }
+
+  /** Integer milli-log2: `1000 * log2(x)` approximated EXACTLY in
+    * 64-bit integer arithmetic — `1000 * floor(log2 x)` plus a
+    * linearly-interpolated mantissa, `(x * 1000) >> floor(log2 x) -
+    * 1000`. Bit-identical in any engine with binary formatting and
+    * integer shifts (Spark `bin`/`shiftright`, DuckDB `bin`/`>>`), so
+    * log-scored selections can be hash-compared across engines — the
+    * same discipline as [[TextStats.bigramSurprisal]]'s `1000*c1 div
+    * cb` surrogate, extended to a true log scale. Interpolation error
+    * is < 0.09 log2 units per call (max at mantissa ≈ 1/ln2 − 1) and
+    * the map is strictly monotone in x.
+    *
+    * Contract: x ≥ 1 and x ≤ Long.MaxValue/1000 (callers here feed
+    * +1-smoothed counts; a 100 TB corpus' token counts sit comfortably
+    * under 9.2e15).
+    */
+  def millilog2(x: Column): Column = {
+    val l = (length(bin(x)) - 1).cast("int")
+    lit(1000L) * l.cast("long") +
+      call_function("shiftright", x * 1000L, l) - 1000L
+  }
+
+  /** (id, b) one row per token OCCURRENCE, b = hashed feature bucket —
+    * the `[a-z0-9]+` lowercase stream (the corpus-wide tokenizer of
+    * [[TextStats.bigramSurprisal]] / [[Retrieval]]) hashed to
+    * `buckets` via the md5 bucket (oracle form:
+    * `('0x' || substr(md5(tok),1,8))::BIGINT % buckets`).
+    */
+  private def hashedTokenOccurrences(
+      docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs
+      .select(
+        col(idCol).as("id"),
+        explode(regexp_extract_all(
+          lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .select(col("id"), TextStats.hashBucket(col("tok"), buckets).as("b"))
+
+  /** The DSIR model as a SHIPPABLE artifact: one row per feature bucket
+    * over the FULL 0..buckets-1 domain (never-seen buckets get the
+    * smoothed-floor ratio), with the smoothing-total constant K FOLDED
+    * into every entry — so a document's score is a plain
+    * `Σ_tokens llr_k(bucket)`, no separate constant to carry. This is
+    * the frozen-model hand-off for a streaming ingest gate
+    * ([[graft.streaming.StreamingOps.dsirScoreStream]]) or a serve-side
+    * scorer; on the training corpus itself it reproduces [[dsirScores]]
+    * exactly (spec-pinned law).
+    *
+    * @return (b, llr_k) — buckets rows, milli-log2 units
+    */
+  def dsirModelDense(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24), "buckets must fit the md5 bucket space")
+    val spark = raw.sparkSession
+    def counts(df: DataFrame, name: String) =
+      df.select(explode(regexp_extract_all(
+          lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+        .select(TextStats.hashBucket(col("tok"), buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(name))
+    val qc = counts(raw, "q")
+    val pc = counts(target, "p")
+    val k = qc.agg(sum("q").as("qtot")).crossJoin(pc.agg(sum("p").as("ptot")))
+      .select((millilog2(coalesce(col("qtot"), lit(0L)) + buckets.toLong) -
+        millilog2(coalesce(col("ptot"), lit(0L)) + buckets.toLong)).as("k"))
+    spark.range(buckets).select(col("id").as("b"))
+      .join(qc, Seq("b"), "left")
+      .join(pc, Seq("b"), "left")
+      .crossJoin(broadcast(k))
+      .select(col("b"),
+        (millilog2(coalesce(col("p"), lit(0L)) + 1L) -
+          millilog2(coalesce(col("q"), lit(0L)) + 1L) + col("k")).as("llr_k"))
+  }
+
+  /** DSIR-style importance scores for targeted data selection (Xie et
+    * al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): score each RAW document by how much
+    * more likely its hashed-token bag is under the TARGET domain's
+    * unigram feature distribution than under the raw corpus' own —
+    * `score(d) = Σ_tokens log p̂_target(b) − log p̂_raw(b)` with +1
+    * smoothing, in integer milli-log2 units ([[millilog2]]) so the
+    * frame is oracle-exact. High score = looks like the target domain;
+    * selection = top-k or seeded Gumbel sampling ([[dsirSelect]]).
+    *
+    * Scale shape: both corpora collapse to B-sized per-bucket count
+    * frames (hash-agg, map-side partials); the per-bucket milli-llr
+    * model (B ≤ 2²⁴ rows) broadcasts to the scoring join, so the only
+    * corpus-sized shuffle is the final groupBy(id) — and the raw
+    * occurrence stream is persisted once, consumed by its count agg
+    * and the scoring join. The smoothing-total constant K rides a
+    * broadcast 1-row cross join (the sanctioned stats pattern). Docs
+    * with zero tokens emit no row (no bag, no score — same contract as
+    * bigramSurprisal).
+    *
+    * @return (idCol, n_tokens, score_milli)
+    */
+  def dsirScores(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24), "buckets must fit the md5 bucket space")
+    val rocc = graft.ops.CacheScope.persisted(
+      hashedTokenOccurrences(raw, idCol, textCol, buckets))
+    val qc = rocc.groupBy("b").agg(count(lit(1)).as("q"))
+    val pc = hashedTokenOccurrences(target, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("p"))
+    // per-bucket milli-log2 likelihood ratio of the +1-smoothed counts;
+    // buckets absent from the raw side never get probed (q >= 1 for
+    // every scored occurrence by construction), absent target buckets
+    // coalesce to p = 0
+    val model = qc.join(pc, Seq("b"), "left")
+      .select(col("b"),
+        (millilog2(coalesce(col("p"), lit(0L)) + 1L) -
+          millilog2(col("q") + 1L)).as("llr"))
+    // smoothing-denominator constant: each token also contributes
+    // log2(Qtot + B) - log2(Ptot + B); totals fold from the
+    // bucket-sized count frames, not a second corpus pass
+    val k = qc.agg(sum("q").as("qtot")).crossJoin(pc.agg(sum("p").as("ptot")))
+      .select((millilog2(coalesce(col("qtot"), lit(0L)) + buckets.toLong) -
+        millilog2(coalesce(col("ptot"), lit(0L)) + buckets.toLong)).as("k"))
+    rocc
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum("llr").as("s"))
+      .crossJoin(broadcast(k))
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("s") + col("n_tokens") * col("k")).as("score_milli"))
+  }
+
+  /** Seeded integer Gumbel noise in milli-log2 units: `u =
+    * (md5-bucket(id) + 1)/10⁶` uniform, noise = `−log2(−log2 u)`
+    * via two [[millilog2]] folds. Adding it to a milli-log2 weight and
+    * taking the top-k IS Gumbel-top-k sampling (the exponential-races
+    * argmax `w_i/E_i` is base-invariant), discretized to the same
+    * integer grid as the scores and reproducible across engines and
+    * runs. The inner value clamps at 1 milli (u = 10⁶ exactly would
+    * take log2 of 0).
+    */
+  def gumbelMilli(id: Column): Column = {
+    val uPpm = TextStats.hashBucket(
+      concat(lit("gumbel:"), id.cast("string")), 1000000) + 1L
+    val negLog2U = greatest(
+      millilog2(lit(1000000L)) - millilog2(uPpm), lit(1L))
+    millilog2(lit(1000L)) - millilog2(negLog2U)
+  }
+
+  /** Select `k` raw documents toward the target domain: deterministic
+    * top-k by DSIR score (`gumbel = false`, the paper's "top-k
+    * heuristic" baseline) or seeded Gumbel-top-k importance sampling
+    * (`gumbel = true`, the paper's sampler made reproducible via
+    * [[gumbelMilli]]). Ties break on ascending id. Returns the
+    * selected (idCol, n_tokens, score_milli, sel_milli) where
+    * sel_milli is the ranking key (score + noise when sampling).
+    *
+    * Scale shape: `orderBy.limit(k)` plans as TakeOrdered — each
+    * partition keeps its local top-k, the driver merges k·P heads; k
+    * is a training-budget-sized constant (≪ corpus), the selection
+    * never global-sorts the corpus.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096,
+      k: Int = 1000,
+      gumbel: Boolean = false): DataFrame = {
+    require(k >= 1, s"selection size must be >= 1, got $k")
+    val key =
+      if (gumbel) col("score_milli") + gumbelMilli(col(idCol))
+      else col("score_milli")
+    dsirScores(raw, target, idCol, textCol, buckets)
+      .withColumn("sel_milli", key)
+      .orderBy(col("sel_milli").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Data-constrained token-budget allocation (Muennighoff et al.,
+    * "Scaling Data-Constrained Language Models", NeurIPS 2023): split
+    * a training-token budget across domains proportionally to mixture
+    * `weight`s, but cap every domain at `tokens * maxEpochsMilli/1000`
+    * (repeating data beyond a few epochs stops helping), and
+    * re-distribute what the capped domains can't absorb among the
+    * uncapped ones — exact water-filling, solved in CLOSED FORM:
+    * sorted by cap/weight ascending, the saturated set is a prefix,
+    * found with window prefix sums; no iteration, no collect. All
+    * arithmetic is integer (the saturation predicate cross-multiplies
+    * in decimal(38,0) so 100 TB token counts cannot overflow); the
+    * uncapped shares use floor division, so Σ alloc may undershoot the
+    * budget by < #domains tokens (documented remainder policy).
+    *
+    * Input `domains` is the per-domain frame (domainCol, tokensCol =
+    * unique tokens available, weightCol = integer mixture share, e.g.
+    * milli). Contract: tokens ≥ 1 and weight ≥ 1 on every row
+    * (enforced fail-loud in-plan), budget · max(weight) and cap ·
+    * Σweight within decimal(38,0) — always true for integer-milli
+    * weights.
+    *
+    * Scale shape: the input is the post-aggregation domain frame
+    * (domain-count-sized, tiny); the windows run unpartitioned over it
+    * by design — a deliberate 1-row-contract single-partition stage,
+    * like the global stats frames. The corpus-sized work (token
+    * counting per domain) happens upstream in the caller's groupBy.
+    *
+    * @return (domainCol, tokens, weight, cap, alloc, epochs_milli),
+    *         epochs_milli = alloc·1000 div tokens (how many times the
+    *         domain's data is repeated, in milli-epochs)
+    */
+  def tokenBudgetAllocate(
+      domains: DataFrame,
+      domainCol: String,
+      tokensCol: String,
+      weightCol: String,
+      budgetTokens: Long,
+      maxEpochsMilli: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(maxEpochsMilli >= 1, s"maxEpochsMilli must be >= 1, got $maxEpochsMilli")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val ordered = Window.orderBy(col("ord"), col(domainCol))
+    val prefix = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val prefixIncl = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    val whole = ordered.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    domains
+      .select(
+        col(domainCol),
+        (col(tokensCol).cast("long") + coalesce(
+          assert_true(
+            col(tokensCol) >= 1 && col(weightCol) >= 1,
+            concat(lit("tokenBudgetAllocate: tokens and weight must be >= 1, got ("),
+              col(tokensCol), lit(", "), col(weightCol), lit(") for domain "),
+              col(domainCol))).cast("long"),
+          lit(0L))).as("tokens"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("cap", expr(s"tokens * $maxEpochsMilli div 1000"))
+      // sort key: true ratio in double (IEEE division is correctly
+      // rounded — engine-portable), ties broken by domain name; the
+      // PREDICATE below never uses the double
+      .withColumn("ord", col("cap").cast("double") / col("weight"))
+      .withColumn("cap_pre", coalesce(sum("cap").over(prefix), lit(0L)))
+      .withColumn("w_rem",
+        sum("weight").over(whole) - coalesce(sum("weight").over(prefix), lit(0L)))
+      // saturated ⇔ fair share of the remaining budget covers the cap:
+      // cap · w_rem ≤ (budget − cap_pre) · weight, exact integers
+      .withColumn("sat_raw",
+        (col("cap").cast(dec) * col("w_rem").cast(dec)) <=
+          ((lit(budgetTokens).cast(dec) - col("cap_pre").cast(dec)) *
+            col("weight").cast(dec)))
+      // water-filling theory makes sat_raw a prefix in cap/weight
+      // order; the running min enforces it outright so integer/tie
+      // edge cases stay deterministic
+      .withColumn("sat",
+        min(col("sat_raw").cast("int")).over(prefixIncl) === 1)
+      .withColumn("sat_cap",
+        coalesce(sum(when(col("sat"), col("cap"))).over(whole), lit(0L)))
+      .withColumn("w_unsat",
+        coalesce(sum(when(!col("sat"), col("weight"))).over(whole), lit(0L)))
+      .withColumn("alloc",
+        when(col("sat"), col("cap")).otherwise(
+          floor((lit(budgetTokens).cast(dec) - col("sat_cap").cast(dec)) *
+            col("weight").cast(dec) / col("w_unsat").cast(dec))
+            .cast("long")))
+      .withColumn("epochs_milli", expr("alloc * 1000 div tokens"))
+      .select(col(domainCol), col("tokens"), col("weight"), col("cap"),
+        col("alloc"), col("epochs_milli"))
   }
 }

@@ -510,6 +510,49 @@ object StreamingOps {
       .select(col(idCol), col("corp_id"), col("jaccard"))
   }
 
+  /** Streaming DSIR scoring — the ingest-gate form of
+    * [[graft.scale.Sampling.dsirScores]]: a frozen
+    * [[graft.scale.Sampling.dsirModelDense]] snapshot (one milli-log2
+    * llr per feature bucket, smoothing constant folded in, DENSE over
+    * the bucket domain so even never-trained buckets score at the
+    * smoothed floor) collects to a driver map (`buckets` entries by
+    * contract — 4096-ary default, ≤ 2²⁴ hard cap) and each arriving
+    * document scores as a per-row fold of its own hashed tokens.
+    * STATELESS: no watermark, no state store, no shuffle; token-less
+    * docs emit NO row and scores are bit-identical to the batch
+    * operator's on the training corpus (StreamingOpsSpec pins both).
+    * Output (idCol, n_tokens, score_milli) — [[Sampling.dsirScores]]'s
+    * exact schema, so a threshold gate downstream is the same filter in
+    * both worlds.
+    */
+  def dsirScoreStream(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val m: Map[Long, Long] = model
+      .select(col("b").cast("long"), col("llr_k").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(m.size == buckets,
+      s"dense DSIR model must cover all $buckets buckets, got ${m.size}")
+    val mMap = typedlit(m)
+    docs
+      .select(
+        col(idCol),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(
+          col("toks"),
+          lit(0L),
+          (acc, t) => acc + element_at(mMap,
+            graft.scale.TextStats.hashBucket(t, buckets)))
+          .as("score_milli"))
+  }
+
   /** Required output mode per operator (documented contract for sinks). */
   val OutputModes: Map[String, OutputMode] = Map(
     "windowedCounts" -> OutputMode.Append(), // closed windows only
@@ -519,5 +562,6 @@ object StreamingOps {
     "decontaminateStream" -> OutputMode.Append(), // stateless
     "retrieveStream" -> OutputMode.Append(), // stateless
     "nearDupMatchesStream" -> OutputMode.Append(), // stateless
+    "dsirScoreStream" -> OutputMode.Append(), // stateless
     "cmsSketchStream" -> OutputMode.Complete())
 }

@@ -389,6 +389,14 @@ class PlanGuardSpec extends SparkSpec {
     //        1-row agg now live below the lineage-cut stage caches
     //   q123: the incremental run's ELEVEN stage counts (q118's ten
     //        plus the incumbent-filter stage) — same 1-row contract
+    //   q133/q134: DSIR's two smoothing-total aggs (Σq over the
+    //        bucket-sized count frames) — 1-row stats frames feeding
+    //        the broadcast constant; the selection itself is
+    //        TakeOrdered, never a global sort
+    //   q135: the water-fill windows run unpartitioned over the
+    //        POST-AGGREGATION domain frame (domain-count-sized by
+    //        contract; the corpus-sized token count upstream is a
+    //        hash agg)
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
@@ -397,7 +405,9 @@ class PlanGuardSpec extends SparkSpec {
       "q94_temperature_mix" -> 1, "q98_cms_merge" -> 1, "q102_lsh_recall" -> 3,
       "q106_corpus_overlap" -> 3, "q109_retrieval_conj" -> 1,
       "q118_pretrain_counters" -> 10,
-      "q123_incr_counters" -> 11)
+      "q123_incr_counters" -> 11,
+      "q133_dsir_topk" -> 2, "q134_dsir_gumbel" -> 2,
+      "q135_token_budget" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -462,6 +462,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScoreStream == batch dsirScores under the frozen dense model") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val raw = docs.filter(col("lang") =!= "en")
+    val target = docs.filter(col("lang") === "en")
+    val model = graft.scale.Sampling.dsirModelDense(raw, target, "text", buckets = 256)
+    val batch = graft.scale.Sampling
+      .dsirScores(raw, target, "doc_id", "text", buckets = 256)
+      .as[(Long, Long, Long)].collect().toSet
+    graft.ops.CacheScope.releaseAll()
+    // planted parity cases: token-less docs (batch emits no row) and a
+    // doc of NEVER-TRAINED tokens — the dense model still scores it at
+    // the smoothed floor, which the batch operator cannot see (its
+    // model only spans raw-corpus buckets); assert its presence
+    // separately rather than against batch
+    val planted = Seq((9000001L, ""), (9000002L, " \t "))
+    val rows = raw.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect() ++ planted
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.dsirScoreStream(
+      input.toDF().toDF("doc_id", "text"), model, "doc_id", "text", buckets = 256)
+      .writeStream.format("memory").queryName("dsir_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("dsir_eq")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("retrieveStream == batch searchTopK scores under the frozen index stats") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
