@@ -992,6 +992,34 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("dsirbuckets")) {
+      // the DSIR feature-resolution knob: selection stability and cost
+      // vs bucket count. More buckets = finer features (fewer hash
+      // collisions mixing target and raw vocabulary) = a selection
+      // closer to the collision-free one, at a linearly larger model.
+      // Reports top-k overlap vs the finest sweep member and wall time,
+      // at SPARK_GRAFT_SF_DIR.
+      import graft.scale.Sampling
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val raw = docs.filter(col("lang") =!= "en")
+      val target = docs.filter(col("lang") === "en")
+      val k = 200
+      val sweeps = Seq(256, 1024, 4096, 16384, 65536)
+      val sel = sweeps.map { b =>
+        val t0 = System.nanoTime()
+        val ids = Sampling.dsirSelect(raw, target, "doc_id", "text",
+          buckets = b, k = k).select("doc_id").collect().map(_.getLong(0)).toSet
+        graft.ops.CacheScope.releaseAll()
+        (b, ids, (System.nanoTime() - t0) / 1e9)
+      }
+      val ref = sel.last._2
+      sel.foreach { case (b, ids, t) =>
+        println(f"[dsirbuckets] buckets=$b overlap_ref_permille=${ids.intersect(ref).size * 1000 / k} t=$t%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("ccdeep")) {
       // distributed CC on a HIGH-DIAMETER graph: 100k parallel chains of
       // length 31 (3.1M nodes, 3M edges — above the driver switch), so
