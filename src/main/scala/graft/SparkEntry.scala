@@ -1901,6 +1901,43 @@ object SparkEntry {
       graft.scale.Sampling.tokenBudgetAllocate(
         dom, "lang", "tokens", "weight",
         budgetTokens = 30000L, maxEpochsMilli = 1500L)
+    }),
+
+    // --- scale: domain-drift monitor — top-20 feature buckets by |KL
+    // contribution| between the en and non-en corpora (the "what
+    // changed" dashboard frame) -----------------------------------------
+    "q136_domain_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Sampling.domainDriftContributors(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text", buckets = 4096)
+        .orderBy(abs(col("contrib_micro")).desc, col("b").asc).limit(20)
+    }),
+
+    // --- scale: DoReMi-lite loss-aware mixture — per-lang corpus bigram
+    // surprisal (milli-log2) → excess over the best lang → pow2Milli
+    // exponential weights (tau 250) → water-filled token budget ---------
+    "q137_loss_aware_alloc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val surp = graft.scale.TextStats.bigramSurprisal(docs, "doc_id", "text")
+      val loss = docs.join(surp, "doc_id").groupBy("lang")
+        .agg(expr("sum(total_surp) div sum(n_bigrams)").as("surp"))
+        .select(col("lang"),
+          graft.scale.Sampling.millilog2(col("surp")).as("loss_milli"))
+      val wts = graft.scale.Sampling.lossAwareWeights(
+        loss, "lang", "loss_milli", tauMilli = 250L)
+      val dom = docs
+        .select(col("lang"), size(regexp_extract_all(
+          lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long").as("nt"))
+        .groupBy("lang").agg(sum("nt").as("tokens"))
+        .filter(col("tokens") >= 1)
+      graft.scale.Sampling.tokenBudgetAllocate(
+          dom.join(wts.select("lang", "weight"), Seq("lang")),
+          "lang", "tokens", "weight",
+          budgetTokens = 30000L, maxEpochsMilli = 1500L)
+        .join(wts.select("lang", "loss_milli", "excess_milli"), Seq("lang"))
+        .select("lang", "loss_milli", "excess_milli", "tokens", "weight",
+          "cap", "alloc", "epochs_milli")
     })
   )
 

@@ -264,6 +264,106 @@ object Sampling {
         (col("s") + col("n_tokens") * col("k")).as("score_milli"))
   }
 
+  /** Per-feature domain-drift contributors — the "what changed between
+    * these two corpora" monitor (the KL(P‖Q) decomposition a drift
+    * dashboard plots): for every hashed-token bucket, the smoothed
+    * probabilities' milli-log2 ratio and its KL contribution
+    * `p'_b · log2(p'_b/q'_b)` in integer MICRO-log2 units,
+    * `sign(llr) · ((p_b+1) · |llr_milli| · 1000) div (P+B)` —
+    * decimal(38,0) cross-multiplied, magnitude-trunc division so Spark
+    * and an oracle engine agree on negative contributions (trunc ==
+    * floor on the nonneg magnitude). Σ contrib_micro ≈ 1000·KL
+    * in milli-log2 (smoothing-floored, so finite even on disjoint
+    * vocabularies); the per-bucket rows name the features driving it.
+    *
+    * Scale shape: both corpora fold to B-sized count frames; everything
+    * downstream is bucket-sized arithmetic — corpus size only enters
+    * through the two token-stream aggs.
+    *
+    * @return (b, p_cnt, q_cnt, llr_milli, contrib_micro) — buckets
+    *         present in NEITHER corpus are omitted (zero contribution)
+    */
+  def domainDriftContributors(
+      target: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24), "buckets must fit the md5 bucket space")
+    def counts(df: DataFrame, name: String) =
+      df.select(explode(regexp_extract_all(
+          lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+        .select(TextStats.hashBucket(col("tok"), buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(name))
+    val pc = counts(target, "p_cnt")
+    val qc = counts(reference, "q_cnt")
+    val joined = pc.join(qc, Seq("b"), "full")
+      .select(col("b"),
+        coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
+        coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
+    val tots = joined.agg(
+      (sum("p_cnt") + buckets.toLong).as("ps"),
+      (sum("q_cnt") + buckets.toLong).as("qs"))
+    val dec = "decimal(38,0)"
+    joined
+      .crossJoin(broadcast(tots))
+      .withColumn("llr_milli",
+        (millilog2(col("p_cnt") + 1L) - millilog2(col("ps"))) -
+          (millilog2(col("q_cnt") + 1L) - millilog2(col("qs"))))
+      .withColumn("contrib_micro",
+        (signum(col("llr_milli")).cast("long") *
+          floor((col("p_cnt").cast(dec) + 1) * abs(col("llr_milli")).cast(dec) *
+            1000 / col("ps").cast(dec)).cast("long")))
+      .select("b", "p_cnt", "q_cnt", "llr_milli", "contrib_micro")
+  }
+
+  /** Integer milli-pow2 — the EXACT inverse construction of
+    * [[millilog2]]: `1000 · 2^(m/1000)` with the same linear mantissa,
+    * `2^⌊m/1000⌋ · (1000 + m mod 1000)` (floor-div and nonneg pmod, so
+    * negative exponents shift right). Round-trip law (spec-pinned):
+    * `|pow2Milli(millilog2(x)) − 1000·x| ≤ x` — within 0.1%. Engine-
+    * portable for the same reason millilog2 is (shifts + integer
+    * div/mod only).
+    *
+    * Contract: m ≤ 62 000 (the result must fit int64); results for
+    * deeply negative m truncate toward 0 (min useful ≈ −10 000).
+    */
+  def pow2Milli(m: Column): Column = {
+    val f = pmod(m, lit(1000L))
+    val i = ((m - f) / 1000L).cast("int")
+    when(i >= 0, call_function("shiftleft", lit(1L), i) * (lit(1000L) + f))
+      .otherwise(call_function("shiftright", lit(1000L) + f, -i))
+  }
+
+  /** DoReMi-style loss-aware mixture weights (Xie et al., "DoReMi",
+    * NeurIPS 2023, simplified to its reweighting rule): domains with
+    * EXCESS loss over the best domain get exponentially more mixture
+    * weight, `w_i ∝ 2^(excess_i / τ)` — here loss arrives in milli-log2
+    * units (e.g. [[millilog2]] of a per-domain surprisal), excess is
+    * `loss_i − min_j loss_j`, and the weight is the integer
+    * [[pow2Milli]]`(excess · 1000 div tauMilli)`. The best domain
+    * always weighs exactly 1000; a domain τ milli-log2 worse weighs
+    * 2000. Output feeds [[tokenBudgetAllocate]] directly.
+    *
+    * Scale shape: input is the per-domain loss frame (tiny); the min
+    * folds through a broadcast 1-row cross join.
+    *
+    * @return (domainCol, loss_milli, excess_milli, weight)
+    */
+  def lossAwareWeights(
+      domainLoss: DataFrame,
+      domainCol: String,
+      lossCol: String,
+      tauMilli: Long = 1000L): DataFrame = {
+    require(tauMilli >= 1, s"tauMilli must be >= 1, got $tauMilli")
+    val best = domainLoss.agg(min(col(lossCol).cast("long")).as("best"))
+    domainLoss
+      .select(col(domainCol), col(lossCol).cast("long").as("loss_milli"))
+      .crossJoin(broadcast(best))
+      .withColumn("excess_milli", col("loss_milli") - col("best"))
+      .withColumn("weight", pow2Milli(expr(s"excess_milli * 1000 div $tauMilli")))
+      .select(col(domainCol), col("loss_milli"), col("excess_milli"), col("weight"))
+  }
+
   /** Seeded integer Gumbel noise in milli-log2 units: `u =
     * (md5-bucket(id) + 1)/10⁶` uniform, noise = `−log2(−log2 u)`
     * via two [[millilog2]] folds. Adding it to a milli-log2 weight and
