@@ -1998,6 +1998,45 @@ object SparkEntry {
        |ORDER BY sel_milli DESC, doc_id LIMIT 200""".stripMargin
   }
 
+  /** q135/q137/q138 oracle tail: the closed-form water-filling chain
+    * over a preceding `dom(lang, tokens, weight)` CTE — cap/weight-
+    * ordered window prefix sums, HUGEINT cross-multiplied saturation
+    * predicate, prefix-forced sat flag, floor-div proportional
+    * remainder ([[graft.scale.Sampling.tokenBudgetAllocate]]'s exact
+    * SQL twin). Emits CTEs `base..alloc`; callers append their final
+    * SELECT over `alloc(lang, tokens, weight, cap, alloc)`.
+    */
+  private def waterFillSql(budget: Long, maxEpochsMilli: Long, pf: String = ""): String =
+    s"""${pf}base AS (
+       |  SELECT lang, tokens, weight, tokens * $maxEpochsMilli // 1000 AS cap,
+       |    CAST(tokens * $maxEpochsMilli // 1000 AS DOUBLE) / weight AS ord
+       |  FROM ${pf}dom),
+       |${pf}win AS (
+       |  SELECT lang, tokens, weight, cap, ord,
+       |    coalesce(sum(cap) OVER (ORDER BY ord, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_pre,
+       |    sum(weight) OVER () - coalesce(sum(weight) OVER (ORDER BY ord, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_rem
+       |  FROM ${pf}base),
+       |${pf}satw AS (
+       |  SELECT *, (cap::HUGEINT * w_rem::HUGEINT) <=
+       |    (($budget::HUGEINT - cap_pre::HUGEINT) * weight::HUGEINT) AS sat_raw
+       |  FROM ${pf}win),
+       |${pf}satp AS (
+       |  SELECT *, min(CAST(sat_raw AS INT)) OVER (ORDER BY ord, lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS sat
+       |  FROM ${pf}satw),
+       |${pf}tots AS (
+       |  SELECT *, coalesce(sum(CASE WHEN sat THEN cap END) OVER (), 0) AS sat_cap,
+       |    coalesce(sum(CASE WHEN NOT sat THEN weight END) OVER (), 0) AS w_unsat
+       |  FROM ${pf}satp),
+       |${pf}alloc AS (
+       |  SELECT lang, tokens, weight, cap,
+       |    CAST(CASE WHEN sat THEN cap
+       |      ELSE (($budget::HUGEINT - sat_cap::HUGEINT) * weight::HUGEINT) // w_unsat::HUGEINT
+       |      END AS BIGINT) AS alloc
+       |  FROM ${pf}tots)""".stripMargin
+
   /** DuckDB CTE chain learning `n` BPE merges: `words`/`w0` build the
     * double-space symbol strings ([[graft.scale.Bpe]]'s representation,
     * chosen so one engine-portable `replace` IS the greedy left-to-right
@@ -4654,44 +4693,98 @@ object SparkEntry {
     // prefix sums, HUGEINT cross-multiplied saturation predicate,
     // prefix-forced sat flag, floor-div proportional remainder
     "q135_token_budget" ->
-      """WITH dom AS (
+      s"""WITH dom AS (
         |  SELECT lang,
         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS tokens,
         |    CAST(CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 200 ELSE 100 END AS BIGINT) AS weight
         |  FROM documents GROUP BY 1
         |  HAVING sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) >= 1),
-        |base AS (
-        |  SELECT lang, tokens, weight, tokens * 1500 // 1000 AS cap,
-        |    CAST(tokens * 1500 // 1000 AS DOUBLE) / weight AS ord
-        |  FROM dom),
-        |win AS (
-        |  SELECT lang, tokens, weight, cap, ord,
-        |    coalesce(sum(cap) OVER (ORDER BY ord, lang
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cap_pre,
-        |    sum(weight) OVER () - coalesce(sum(weight) OVER (ORDER BY ord, lang
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_rem
-        |  FROM base),
-        |satw AS (
-        |  SELECT *, (cap::HUGEINT * w_rem::HUGEINT) <=
-        |    ((30000::HUGEINT - cap_pre::HUGEINT) * weight::HUGEINT) AS sat_raw
-        |  FROM win),
-        |satp AS (
-        |  SELECT *, min(CAST(sat_raw AS INT)) OVER (ORDER BY ord, lang
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS sat
-        |  FROM satw),
-        |tots AS (
-        |  SELECT *, coalesce(sum(CASE WHEN sat THEN cap END) OVER (), 0) AS sat_cap,
-        |    coalesce(sum(CASE WHEN NOT sat THEN weight END) OVER (), 0) AS w_unsat
-        |  FROM satp),
-        |alloc AS (
-        |  SELECT lang, tokens, weight, cap,
-        |    CAST(CASE WHEN sat THEN cap
-        |      ELSE ((30000::HUGEINT - sat_cap::HUGEINT) * weight::HUGEINT) // w_unsat::HUGEINT
-        |      END AS BIGINT) AS alloc
-        |  FROM tots)
+        |${waterFillSql(30000L, 1500L)}
         |SELECT lang, tokens, weight, cap, alloc,
         |  CAST(alloc * 1000 // tokens AS BIGINT) AS epochs_milli
         |FROM alloc""".stripMargin,
+
+    // the same integer drift decomposition: md5 feature buckets for BOTH
+    // corpora, full-joined smoothed counts, milli-log2 llr (the ml2Sql
+    // twin), HUGEINT cross-multiplied signed KL contribution in
+    // micro-log2, |contrib| top-20
+    "q136_domain_drift" ->
+      s"""WITH pocc AS (
+        |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+        |  WHERE lang = 'en'),
+        |qocc AS (
+        |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+        |  WHERE lang <> 'en'),
+        |pcc AS (SELECT b, count(*) AS p FROM pocc GROUP BY 1),
+        |qcc AS (SELECT b, count(*) AS q FROM qocc GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(pcc.b, qcc.b) AS b,
+        |    CAST(coalesce(pcc.p, 0) AS BIGINT) AS p_cnt,
+        |    CAST(coalesce(qcc.q, 0) AS BIGINT) AS q_cnt
+        |  FROM pcc FULL JOIN qcc ON pcc.b = qcc.b),
+        |tot AS (
+        |  SELECT CAST((SELECT coalesce(sum(p_cnt), 0) FROM j) + 4096 AS BIGINT) AS ps,
+        |         CAST((SELECT coalesce(sum(q_cnt), 0) FROM j) + 4096 AS BIGINT) AS qs),
+        |llr AS (
+        |  SELECT b, p_cnt, q_cnt, ps,
+        |    CAST((${ml2Sql("p_cnt + 1")} - ${ml2Sql("ps")}) -
+        |         (${ml2Sql("q_cnt + 1")} - ${ml2Sql("qs")}) AS BIGINT) AS llr_milli
+        |  FROM j, tot),
+        |contrib AS (
+        |  SELECT b, p_cnt, q_cnt, llr_milli,
+        |    CAST((CASE WHEN llr_milli > 0 THEN 1 WHEN llr_milli < 0 THEN -1 ELSE 0 END) *
+        |      (((p_cnt::HUGEINT + 1) * abs(llr_milli)::HUGEINT * 1000) // ps::HUGEINT)
+        |      AS BIGINT) AS contrib_micro
+        |  FROM llr)
+        |SELECT b, p_cnt, q_cnt, llr_milli, contrib_micro
+        |FROM contrib
+        |ORDER BY abs(contrib_micro) DESC, b LIMIT 20""".stripMargin,
+
+    // q103's bigram surprisal folded to per-lang milli-log2 loss, the
+    // DoReMi exponential reweighting (excess over the best lang via the
+    // exact shift-mantissa pow2Milli twin, tau 250), then the q135
+    // water-fill chain over the reweighted domains
+    "q137_loss_aware_alloc" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+        |m AS (
+        |  SELECT cb.w1, cb.w2, CAST((1000 * c1.c1) // cb.cb AS BIGINT) AS surp
+        |  FROM cb JOIN c1 USING (w1)),
+        |perdoc AS (
+        |  SELECT bi.doc_id, CAST(sum(m.surp) AS BIGINT) AS total_surp,
+        |    count(*) AS n_bigrams
+        |  FROM bi JOIN m USING (w1, w2) GROUP BY 1),
+        |lsur AS (
+        |  SELECT d.lang, CAST(sum(p.total_surp) // sum(p.n_bigrams) AS BIGINT) AS surp
+        |  FROM documents d JOIN perdoc p USING (doc_id) GROUP BY 1),
+        |loss AS (SELECT lang, CAST(${ml2Sql("surp")} AS BIGINT) AS loss_milli FROM lsur),
+        |best AS (SELECT min(loss_milli) AS best FROM loss),
+        |wts AS (
+        |  SELECT lang, loss_milli, loss_milli - best AS excess_milli,
+        |    CAST((1::BIGINT << CAST(((loss_milli - best) * 1000 // 250) // 1000 AS INT)) *
+        |      (1000 + ((loss_milli - best) * 1000 // 250) % 1000) AS BIGINT) AS weight
+        |  FROM loss, best),
+        |domt AS (
+        |  SELECT lang,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1
+        |  HAVING sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) >= 1),
+        |dom AS (
+        |  SELECT d.lang, d.tokens, w.weight FROM domt d JOIN wts w USING (lang)),
+        |${waterFillSql(30000L, 1500L)}
+        |SELECT a.lang, w.loss_milli, CAST(w.excess_milli AS BIGINT) AS excess_milli,
+        |  a.tokens, a.weight, a.cap, a.alloc,
+        |  CAST(a.alloc * 1000 // a.tokens AS BIGINT) AS epochs_milli
+        |FROM alloc a JOIN wts w USING (lang)""".stripMargin,
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

@@ -319,19 +319,28 @@ object Sampling {
   /** Integer milli-pow2 — the EXACT inverse construction of
     * [[millilog2]]: `1000 · 2^(m/1000)` with the same linear mantissa,
     * `2^⌊m/1000⌋ · (1000 + m mod 1000)` (floor-div and nonneg pmod, so
-    * negative exponents shift right). Round-trip law (spec-pinned):
-    * `|pow2Milli(millilog2(x)) − 1000·x| ≤ x` — within 0.1%. Engine-
-    * portable for the same reason millilog2 is (shifts + integer
-    * div/mod only).
+    * negative exponents shift right). Round-trip law (spec-pinned in
+    * `DsirAllocSpec`): `|pow2Milli(millilog2(x)) − 1000·x| ≤ x` —
+    * within 0.1%. Engine-portable for the same reason millilog2 is
+    * (shifts + integer div/mod only).
     *
-    * Contract: m ≤ 62 000 (the result must fit int64); results for
-    * deeply negative m truncate toward 0 (min useful ≈ −10 000).
+    * Contract: m ≤ 53 023, enforced fail-loud in-plan — 2^53·1023 is
+    * the last mantissa step that fits int64; m = 53 024 would need
+    * 2^53·1024 = 2^63, which silently wraps negative (NOT the naive
+    * "result < 2^63 ⇒ fine" bound of 62 000: the mantissa multiplies
+    * the shifted power BEFORE the comparison). Results for deeply
+    * negative m truncate toward 0 (min useful ≈ −10 000).
     */
   def pow2Milli(m: Column): Column = {
     val f = pmod(m, lit(1000L))
     val i = ((m - f) / 1000L).cast("int")
+    val guard = coalesce(
+      assert_true(m <= 53023L,
+        concat(lit("pow2Milli: m exceeds the int64 domain (max 53023), got "),
+          m.cast("string"))).cast("long"),
+      lit(0L))
     when(i >= 0, call_function("shiftleft", lit(1L), i) * (lit(1000L) + f))
-      .otherwise(call_function("shiftright", lit(1000L) + f, -i))
+      .otherwise(call_function("shiftright", lit(1000L) + f, -i)) + guard
   }
 
   /** DoReMi-style loss-aware mixture weights (Xie et al., "DoReMi",

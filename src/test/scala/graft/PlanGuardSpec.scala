@@ -397,6 +397,13 @@ class PlanGuardSpec extends SparkSpec {
     //        POST-AGGREGATION domain frame (domain-count-sized by
     //        contract; the corpus-sized token count upstream is a
     //        hash agg)
+    //   q136: the drift totals frame — ONE global agg (ps, qs) over the
+    //        bucket-sized full-joined count frame, broadcast back as
+    //        the smoothing constants; corpus size only enters the two
+    //        upstream keyed token aggs
+    //   q137: the per-domain min-loss 1-row agg (the DoReMi "best
+    //        domain" baseline) + q135's water-fill window over the
+    //        domain frame — both domain-count-sized by contract
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
@@ -407,7 +414,8 @@ class PlanGuardSpec extends SparkSpec {
       "q118_pretrain_counters" -> 10,
       "q123_incr_counters" -> 11,
       "q133_dsir_topk" -> 2, "q134_dsir_gumbel" -> 2,
-      "q135_token_budget" -> 1)
+      "q135_token_budget" -> 1,
+      "q136_domain_drift" -> 1, "q137_loss_aware_alloc" -> 2)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

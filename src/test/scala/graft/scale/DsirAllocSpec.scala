@@ -187,4 +187,130 @@ class DsirAllocSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  private def pow2Ref(m: Long): BigInt = {
+    val f = ((m % 1000) + 1000) % 1000
+    val i = (m - f) / 1000
+    if (i >= 0) BigInt(1000 + f) << i.toInt else BigInt(1000 + f) >> (-i).toInt
+  }
+
+  test("pow2Milli inverts millilog2 within 0.1% over the int64 domain") {
+    val rnd = new scala.util.Random(7)
+    val xs = (Seq(1L, 2L, 3L, 999L, 1000L, 1023L, 1024L, 1025L) ++
+      (0 to 52).map(i => 1L << i) ++
+      (1 to 52).map(i => (1L << i) - 1) ++
+      (1 to 300).map(_ => 1L + (rnd.nextLong() & ((1L << 53) - 1)))).distinct
+    val got = xs.toDF("x")
+      .select(col("x"), Sampling.pow2Milli(Sampling.millilog2(col("x"))).as("r"))
+      .collect()
+    got.foreach { r =>
+      val x = r.getLong(0); val v = BigInt(r.getLong(1))
+      assert((v - BigInt(x) * 1000).abs <= BigInt(x),
+        s"round-trip violated at x=$x: pow2Milli(millilog2(x))=$v")
+    }
+    // matches the bit-arithmetic reference exactly, incl. negative m
+    val ms = Seq(-11000L, -2000L, -999L, -1L, 0L, 1L, 999L, 1000L, 1500L,
+      10000L, 52999L, 53023L)
+    val gm = ms.toDF("m").select(col("m"), Sampling.pow2Milli(col("m")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ms.foreach(m => assert(BigInt(gm(m)) === pow2Ref(m), s"pow2Milli($m)"))
+    assert(gm(0L) === 1000L && gm(1000L) === 2000L, "2^0 and 2^1 anchors")
+    assert(gm(-11000L) === 0L, "deep-negative truncates to 0")
+    assert(gm(53023L) === (1023L << 53), "last in-domain mantissa step")
+  }
+
+  test("pow2Milli fails loud past the int64 domain edge (m > 53023)") {
+    // m = 53024 needs 2^53*1024 = 2^63: the old silent-wrap bug class
+    val e = intercept[Throwable] {
+      Seq(53024L).toDF("m").select(Sampling.pow2Milli(col("m"))).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("pow2Milli"), s"unexpected failure: $chain")
+  }
+
+  // scala reference of the drift decomposition's exact integer math
+  private def md5Bucket(w: String, b: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md.substring(0, 8), 16) % b
+  }
+
+  private def driftRef(tgt: Seq[String], ref: Seq[String], b: Int)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    def cnt(ds: Seq[String]) = ds
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(md5Bucket(_, b)).map { case (k, v) => k -> v.size.toLong }
+    val p = cnt(tgt); val q = cnt(ref)
+    val ps = p.values.sum + b; val qs = q.values.sum + b
+    (p.keySet ++ q.keySet).iterator.map { k =>
+      val pc = p.getOrElse(k, 0L); val qc = q.getOrElse(k, 0L)
+      val llr = (ml2Ref(pc + 1) - ml2Ref(ps)) - (ml2Ref(qc + 1) - ml2Ref(qs))
+      val contrib = llr.sign *
+        (BigInt(pc + 1) * BigInt(llr.abs) * 1000 / BigInt(ps)).toLong
+      k -> (pc, qc, llr, contrib)
+    }.toMap
+  }
+
+  test("domainDriftContributors matches the integer reference; sign and KL laws") {
+    val tgt = Seq("aa aa aa cc", "aa cc dd", "aa aa")
+    val ref = Seq("bb bb cc", "bb cc cc dd", "bb")
+    val B = 64
+    val got = Sampling.domainDriftContributors(
+        tgt.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        ref.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "text", buckets = B)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val want = driftRef(tgt, ref, B)
+    assert(got === want, "exact integer-reference replication")
+    // buckets in neither corpus are omitted (64 - distinct words present)
+    assert(got.size === want.size && got.size < B)
+    // sign law: target-heavy feature drifts positive, reference-heavy negative
+    assert(got(md5Bucket("aa", B))._3 > 0, "aa (target-only) llr > 0")
+    assert(got(md5Bucket("bb", B))._3 < 0, "bb (reference-only) llr < 0")
+    // Σ contrib_micro ≈ 10^6 · KL(P'‖Q') in log2 over the present buckets
+    val ps = want.values.map(_._1).sum + B.toLong
+    val qs = want.values.map(_._2).sum + B.toLong
+    val kl2 = want.values.map { case (pc, qc, _, _) =>
+      val p = (pc + 1).toDouble / ps; val q = (qc + 1).toDouble / qs
+      p * math.log(p / q) / math.log(2)
+    }.sum
+    val sum = got.values.map(_._4).sum.toDouble
+    // millilog2's linear mantissa underestimates log2 by up to 86.1
+    // milli per term (max interp error of log2(1+t) ~ t), so the
+    // integer sum sits within a few percent of true KL on a corpus
+    // whose llr values are O(100 milli) — 5% is the honest envelope
+    // for this fixture (observed 3.3%), not a precision claim
+    assert(math.abs(sum - 1e6 * kl2) <= math.abs(1e6 * kl2) * 0.05 + 2.0 * got.size,
+      s"sum_contrib=$sum vs 1e6*KL=${1e6 * kl2}")
+  }
+
+  test("lossAwareWeights: best domain weighs 1000; tau-excess doubles exactly") {
+    val loss = Seq(("a", 1000L), ("b", 2000L), ("c", 3000L))
+      .toDF("dom", "loss")
+    def wts(tau: Long) = Sampling.lossAwareWeights(loss, "dom", "loss", tau)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val w1 = wts(1000L)
+    assert(w1("a") === ((1000L, 0L, 1000L)), "best domain: excess 0, weight 1000")
+    assert(w1("b") === ((2000L, 1000L, 2000L)), "one tau worse: weight 2000")
+    assert(w1("c") === ((3000L, 2000L, 4000L)), "two tau worse: weight 4000")
+    val w2 = wts(500L)
+    assert(w2("b")._3 === 4000L && w2("c")._3 === 16000L, "halving tau squares the ratio")
+    // tau-doubling law: for ANY excess e, weight(e + tau) == 2 * weight(e)
+    // ((e+tau)*1000 div tau == e*1000 div tau + 1000 exactly, and
+    // pow2Milli(m + 1000) == 2*pow2Milli(m) for m >= 0)
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      // keep m = (e+tau)*1000/tau inside pow2Milli's int64 domain
+      val tau = 1000L + rnd.nextInt(5000)
+      val e = rnd.nextInt((tau * 40 / 1000).toInt + 1).toLong
+      val f = Seq(("base", 0L), ("lo", e), ("hi", e + tau)).toDF("dom", "loss")
+      val w = Sampling.lossAwareWeights(f, "dom", "loss", tau)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(w("hi") === 2L * w("lo"), s"tau=$tau e=$e")
+    }
+  }
 }
