@@ -2007,10 +2007,16 @@ object SparkEntry {
     * SELECT over `alloc(lang, tokens, weight, cap, alloc)`.
     */
   private def waterFillSql(budget: Long, maxEpochsMilli: Long, pf: String = ""): String =
-    s"""${pf}base AS (
-       |  SELECT lang, tokens, weight, tokens * $maxEpochsMilli // 1000 AS cap,
-       |    CAST(tokens * $maxEpochsMilli // 1000 AS DOUBLE) / weight AS ord
+    s"""${pf}base0 AS (
+       |  SELECT lang, tokens, weight, tokens * $maxEpochsMilli // 1000 AS cap
        |  FROM ${pf}dom),
+       |${pf}base AS (
+       |  SELECT b.lang, b.tokens, b.weight, b.cap,
+       |    (SELECT count(*) FROM ${pf}base0 b2
+       |     WHERE b2.cap::HUGEINT * b.weight::HUGEINT < b.cap::HUGEINT * b2.weight::HUGEINT
+       |        OR (b2.cap::HUGEINT * b.weight::HUGEINT = b.cap::HUGEINT * b2.weight::HUGEINT
+       |            AND b2.lang < b.lang)) AS ord
+       |  FROM ${pf}base0 b),
        |${pf}win AS (
        |  SELECT lang, tokens, weight, cap, ord,
        |    coalesce(sum(cap) OVER (ORDER BY ord, lang

@@ -60,10 +60,11 @@ object Bpe {
     * RDDs are vocabulary-sized and unpersist automatically when the
     * loop drops its reference (ContextCleaner).
     */
-  private def persistedCut(df: DataFrame): DataFrame = {
+  private def persistedCut(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val cut = df.rdd
     cut.localCheckpoint()
-    df.sparkSession.createDataFrame(cut, df.schema)
+    (df.sparkSession.createDataFrame(cut, df.schema), cut)
   }
 
   /** End-of-word marker appended before splitting into symbols —
@@ -121,8 +122,15 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var cur = persistedCut(
+    var (cur, curRdd) = persistedCut(
       wordCounts(docs, textCol).withColumn("sym", symInit(col("w"))))
+    // eagerly unpersist each superseded round's checkpointed RDD once
+    // the NEXT round's argmax collect has materialized its successor
+    // (the Dedup/Fixpoint/Closure loop discipline) — otherwise up to
+    // numMerges vocabulary-sized cached RDDs linger until GC and
+    // releaseAll can't reclaim them; the final round's RDD registers
+    // with CacheScope like connectedComponents' result
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var step = 1
     while (step <= numMerges) {
       val t = split(trim(col("sym")), "  ")
@@ -138,13 +146,27 @@ object Bpe {
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1)
         .collect()
-      if (best.isEmpty) return merges.toSeq // vocabulary fully fused
+      // the collect materialized cur's checkpoint, so the round BEFORE
+      // it can no longer be probed — release it now
+      if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
+      if (best.isEmpty) {
+        graft.ops.CacheScope.registerRdd(curRdd)
+        return merges.toSeq // vocabulary fully fused
+      }
       val m = Merge(step, best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += m
-      cur = persistedCut(cur.withColumn("sym",
-        replace(col("sym"), lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))))
+      if (step < numMerges) {
+        // the last round needs no successor — its argmax was the model's
+        // final row; building one would only re-root a frame nobody reads
+        prevRdd = curRdd
+        val next = persistedCut(cur.withColumn("sym",
+          replace(col("sym"), lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))))
+        cur = next._1
+        curRdd = next._2
+      }
       step += 1
     }
+    graft.ops.CacheScope.registerRdd(curRdd)
     merges.toSeq
   }
 

@@ -219,10 +219,12 @@ object Sampling {
     *
     * Scale shape: both corpora collapse to B-sized per-bucket count
     * frames (hash-agg, map-side partials); the per-bucket milli-llr
-    * model (B ≤ 2²⁴ rows) broadcasts to the scoring join, so the only
-    * corpus-sized shuffle is the final groupBy(id) — and the raw
-    * occurrence stream is persisted once, consumed by its count agg
-    * and the scoring join. The smoothing-total constant K rides a
+    * model (B ≤ 2²⁴ rows) broadcasts to the scoring join. The raw
+    * occurrence stream folds to (id, b, cnt) BEFORE the shared
+    * persist — the cache and every downstream shuffle carry one row
+    * per (doc, bucket), bounded by min(doc_tokens, B) per doc, not one
+    * per token. The target frame needs no id column (only its text
+    * feeds the bucket counts). The smoothing-total constant K rides a
     * broadcast 1-row cross join (the sanctioned stats pattern). Docs
     * with zero tokens emit no row (no bag, no score — same contract as
     * bigramSurprisal).
@@ -236,10 +238,20 @@ object Sampling {
       textCol: String,
       buckets: Int = 4096): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 24), "buckets must fit the md5 bucket space")
+    // pre-aggregate the occurrence stream to (id, b, cnt) BEFORE
+    // persisting: the cache shrinks from one row per token to one row
+    // per (doc, bucket), and both consumers (the bucket-count agg and
+    // the scoring join's final groupBy(id)) shuffle the folded frame
     val rocc = graft.ops.CacheScope.persisted(
-      hashedTokenOccurrences(raw, idCol, textCol, buckets))
-    val qc = rocc.groupBy("b").agg(count(lit(1)).as("q"))
-    val pc = hashedTokenOccurrences(target, idCol, textCol, buckets)
+      hashedTokenOccurrences(raw, idCol, textCol, buckets)
+        .groupBy("id", "b").agg(count(lit(1)).as("cnt")))
+    val qc = rocc.groupBy("b").agg(sum("cnt").as("q"))
+    // target-side counts are id-free by construction — the target
+    // corpus never needs an id column (its ids are never used)
+    val pc = target
+      .select(explode(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .select(TextStats.hashBucket(col("tok"), buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("p"))
     // per-bucket milli-log2 likelihood ratio of the +1-smoothed counts;
     // buckets absent from the raw side never get probed (q >= 1 for
@@ -258,7 +270,7 @@ object Sampling {
     rocc
       .join(broadcast(model), Seq("b"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), sum("llr").as("s"))
+      .agg(sum("cnt").as("n_tokens"), sum(col("llr") * col("cnt")).as("s"))
       .crossJoin(broadcast(k))
       .select(col("id").as(idCol), col("n_tokens"),
         (col("s") + col("n_tokens") * col("k")).as("score_milli"))
@@ -480,10 +492,23 @@ object Sampling {
           lit(0L))).as("tokens"),
         col(weightCol).cast("long").as("weight"))
       .withColumn("cap", expr(s"tokens * $maxEpochsMilli div 1000"))
-      // sort key: true ratio in double (IEEE division is correctly
-      // rounded — engine-portable), ties broken by domain name; the
-      // PREDICATE below never uses the double
-      .withColumn("ord", col("cap").cast("double") / col("weight"))
+      // sort key: the EXACT cap/weight rank — cross-multiplied
+      // decimal(38,0) comparison against every other domain (ties
+      // broken by domain name), so two ratios that collide or cross
+      // under IEEE double rounding (real at 100 TB token counts, where
+      // cap exceeds 2^53) can never sort out of true ratio order; a
+      // broadcast nested-loop over the domain-count-sized frame, by
+      // the same tiny-frame contract as the windows below
+      .transform { base =>
+        val peers = broadcast(base.select(
+          col(domainCol).as("__d2"), col("cap").as("__cap2"),
+          col("weight").as("__w2")))
+        val lhs = col("__cap2").cast(dec) * col("weight").cast(dec)
+        val rhs = col("cap").cast(dec) * col("__w2").cast(dec)
+        base.join(peers, lhs < rhs || (lhs === rhs && col("__d2") < col(domainCol)), "left")
+          .groupBy(col(domainCol), col("tokens"), col("weight"), col("cap"))
+          .agg(count(col("__d2")).as("ord"))
+      }
       .withColumn("cap_pre", coalesce(sum("cap").over(prefix), lit(0L)))
       .withColumn("w_rem",
         sum("weight").over(whole) - coalesce(sum("weight").over(prefix), lit(0L)))
