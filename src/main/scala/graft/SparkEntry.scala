@@ -1938,6 +1938,21 @@ object SparkEntry {
         .join(wts.select("lang", "loss_milli", "excess_milli"), Seq("lang"))
         .select("lang", "loss_milli", "excess_milli", "tokens", "weight",
           "cap", "alloc", "epochs_milli")
+    }),
+
+    // --- scale: DoReMi's actual loop — q137's per-lang loss, then 4
+    // rounds of the Group-DRO multiplicative update with per-round ppm
+    // renormalization; outputs the final AND the paper's step-averaged
+    // mixture ------------------------------------------------------------
+    "q138_doremi_rounds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val surp = graft.scale.TextStats.bigramSurprisal(docs, "doc_id", "text")
+      val loss = docs.join(surp, "doc_id").groupBy("lang")
+        .agg(expr("sum(total_surp) div sum(n_bigrams)").as("surp"))
+        .select(col("lang"),
+          graft.scale.Sampling.millilog2(col("surp")).as("loss_milli"))
+      graft.scale.Sampling.doremiWeights(
+        loss, "lang", "loss_milli", tauMilli = 250L, rounds = 4)
     })
   )
 
@@ -1997,6 +2012,31 @@ object SparkEntry {
        |FROM scored
        |ORDER BY sel_milli DESC, doc_id LIMIT 200""".stripMargin
   }
+
+  /** q137/q138 shared oracle head: q103's bigram model folded to the
+    * per-lang milli-log2 loss frame `loss(lang, loss_milli)`.
+    */
+  private def langLossSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+       |m AS (
+       |  SELECT cb.w1, cb.w2, CAST((1000 * c1.c1) // cb.cb AS BIGINT) AS surp
+       |  FROM cb JOIN c1 USING (w1)),
+       |perdoc AS (
+       |  SELECT bi.doc_id, CAST(sum(m.surp) AS BIGINT) AS total_surp,
+       |    count(*) AS n_bigrams
+       |  FROM bi JOIN m USING (w1, w2) GROUP BY 1),
+       |lsur AS (
+       |  SELECT d.lang, CAST(sum(p.total_surp) // sum(p.n_bigrams) AS BIGINT) AS surp
+       |  FROM documents d JOIN perdoc p USING (doc_id) GROUP BY 1),
+       |loss AS (SELECT lang, CAST(${ml2Sql("surp")} AS BIGINT) AS loss_milli FROM lsur)""".stripMargin
 
   /** q135/q137/q138 oracle tail: the closed-form water-filling chain
     * over a preceding `dom(lang, tokens, weight)` CTE — cap/weight-
@@ -4753,26 +4793,7 @@ object SparkEntry {
     // exact shift-mantissa pow2Milli twin, tau 250), then the q135
     // water-fill chain over the reweighted domains
     "q137_loss_aware_alloc" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |bi AS (
-        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 2),
-        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
-        |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
-        |m AS (
-        |  SELECT cb.w1, cb.w2, CAST((1000 * c1.c1) // cb.cb AS BIGINT) AS surp
-        |  FROM cb JOIN c1 USING (w1)),
-        |perdoc AS (
-        |  SELECT bi.doc_id, CAST(sum(m.surp) AS BIGINT) AS total_surp,
-        |    count(*) AS n_bigrams
-        |  FROM bi JOIN m USING (w1, w2) GROUP BY 1),
-        |lsur AS (
-        |  SELECT d.lang, CAST(sum(p.total_surp) // sum(p.n_bigrams) AS BIGINT) AS surp
-        |  FROM documents d JOIN perdoc p USING (doc_id) GROUP BY 1),
-        |loss AS (SELECT lang, CAST(${ml2Sql("surp")} AS BIGINT) AS loss_milli FROM lsur),
+      s"""WITH $langLossSql,
         |best AS (SELECT min(loss_milli) AS best FROM loss),
         |wts AS (
         |  SELECT lang, loss_milli, loss_milli - best AS excess_milli,
@@ -4791,6 +4812,38 @@ object SparkEntry {
         |  a.tokens, a.weight, a.cap, a.alloc,
         |  CAST(a.alloc * 1000 // a.tokens AS BIGINT) AS epochs_milli
         |FROM alloc a JOIN wts w USING (lang)""".stripMargin,
+
+    // the iterative twin: the same loss frame, then 4 unrolled rounds of
+    // w * 2^(excess/tau) with HUGEINT ppm renormalization per round,
+    // final + step-averaged outputs
+    "q138_doremi_rounds" -> {
+      val rounds = 4
+      val sb = new StringBuilder
+      sb ++= s"""WITH $langLossSql,
+        |dbest AS (SELECT min(loss_milli) AS best FROM loss),
+        |dw0 AS (
+        |  SELECT lang, loss_milli, loss_milli - best AS excess_milli,
+        |    CAST((1::BIGINT << CAST(((loss_milli - best) * 1000 // 250) // 1000 AS INT)) *
+        |      (1000 + ((loss_milli - best) * 1000 // 250) % 1000) AS BIGINT) AS mult,
+        |    CAST(1000000 AS BIGINT) AS w, CAST(0 AS BIGINT) AS w_sum
+        |  FROM loss, dbest)""".stripMargin
+      for (t <- 1 to rounds) {
+        sb ++= s""",
+          |draw$t AS (
+          |  SELECT *, w::HUGEINT * mult::HUGEINT // 1000 AS raw FROM dw${t - 1}),
+          |dtot$t AS (SELECT sum(raw) AS tot FROM draw$t),
+          |dw$t AS (
+          |  SELECT lang, loss_milli, excess_milli, mult,
+          |    CAST(raw * 1000000 // tot AS BIGINT) AS w,
+          |    w_sum + CAST(raw * 1000000 // tot AS BIGINT) AS w_sum
+          |  FROM draw$t, dtot$t)""".stripMargin
+      }
+      sb ++= s"""
+        |SELECT lang, loss_milli, CAST(excess_milli AS BIGINT) AS excess_milli,
+        |  w AS w_final_ppm, CAST(w_sum // $rounds AS BIGINT) AS w_avg_ppm
+        |FROM dw$rounds""".stripMargin
+      sb.toString
+    },
 
     // the same integer pipeline: isqrt domain scores, div-exact
     // per-mille rates, q58's md5-bucket replication scheme

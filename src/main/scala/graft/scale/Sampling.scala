@@ -385,6 +385,68 @@ object Sampling {
       .select(col(domainCol), col("loss_milli"), col("excess_milli"), col("weight"))
   }
 
+  /** DoReMi's actual loop (Xie et al., NeurIPS 2023, Algorithm 1's
+    * Group-DRO weight dynamics): R rounds of the multiplicative update
+    * `w_t,i ∝ w_{t-1,i} · 2^(excess_i / τ)` with per-round
+    * renormalization to Σ = 10⁶ ppm, and the paper's published output —
+    * the STEP-AVERAGED mixture `w̄_i = (Σ_t w_t,i) / R` — alongside the
+    * final-round weights. [[lossAwareWeights]] is the one-shot
+    * reweighting rule; this is what a data-mixture team actually runs:
+    * the average damps the exponential concentration (with static
+    * reference losses the final round piles onto the worst-excess
+    * domain geometrically; the average keeps every round's mixture in
+    * the blend, the paper's variance-reduction device).
+    *
+    * All integer: the update cross-multiplies in decimal(38,0)
+    * (w ≤ 10⁶ times a pow2Milli multiplier — never near the 38-digit
+    * rail), normalization floor-divides (Σ w_t may undershoot 10⁶ by
+    * < #domains ppm per round). Laws (spec-pinned): equal losses stay
+    * uniform every round; `rounds = 1` reproduces the one-shot rule
+    * normalized (`w_i = 10⁶·pow2(m_i) div Σ pow2(m_j)`); the
+    * max-excess domain's weight is non-decreasing round over round.
+    *
+    * Scale shape: the input is the per-domain loss frame (tiny); each
+    * round adds one 1-row normalization agg riding a broadcast cross
+    * join — R single-partition stages over domain-count-sized frames
+    * by contract. `rounds ≤ 16` keeps the unrolled plan shallow (a
+    * longer horizon would want the persistedCut round discipline).
+    *
+    * @return (domainCol, loss_milli, excess_milli, w_final_ppm, w_avg_ppm)
+    */
+  def doremiWeights(
+      domainLoss: DataFrame,
+      domainCol: String,
+      lossCol: String,
+      tauMilli: Long = 1000L,
+      rounds: Int = 4): DataFrame = {
+    require(tauMilli >= 1, s"tauMilli must be >= 1, got $tauMilli")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16] (unrolled plan), got $rounds")
+    val dec = "decimal(38,0)"
+    val best = domainLoss.agg(min(col(lossCol).cast("long")).as("best"))
+    var cur = domainLoss
+      .select(col(domainCol), col(lossCol).cast("long").as("loss_milli"))
+      .crossJoin(broadcast(best))
+      .withColumn("excess_milli", col("loss_milli") - col("best"))
+      .withColumn("mult", pow2Milli(expr(s"excess_milli * 1000 div $tauMilli")))
+      .drop("best")
+      .withColumn("w", lit(1000000L))
+      .withColumn("w_sum", lit(0L))
+    (1 to rounds).foreach { _ =>
+      val raw = cur.withColumn("raw",
+        floor(col("w").cast(dec) * col("mult").cast(dec) / 1000).cast("long"))
+      val tot = raw.agg(sum("raw").as("tot"))
+      cur = raw
+        .crossJoin(broadcast(tot))
+        .withColumn("w",
+          floor(col("raw").cast(dec) * 1000000 / col("tot").cast(dec)).cast("long"))
+        .withColumn("w_sum", col("w_sum") + col("w"))
+        .drop("raw", "tot")
+    }
+    cur.select(col(domainCol), col("loss_milli"), col("excess_milli"),
+      col("w").as("w_final_ppm"), expr(s"w_sum div $rounds").as("w_avg_ppm"))
+  }
+
   /** Seeded integer Gumbel noise in milli-log2 units: `u =
     * (md5-bucket(id) + 1)/10⁶` uniform, noise = `−log2(−log2 u)`
     * via two [[millilog2]] folds. Adding it to a milli-log2 weight and

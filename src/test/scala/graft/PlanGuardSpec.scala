@@ -404,6 +404,9 @@ class PlanGuardSpec extends SparkSpec {
     //   q137: the per-domain min-loss 1-row agg (the DoReMi "best
     //        domain" baseline) + q135's water-fill window over the
     //        domain frame — both domain-count-sized by contract
+    //   q138: the min-loss agg + FOUR per-round ppm-normalization
+    //        1-row aggs (rounds = 4 by the query's contract) — every
+    //        one over the domain-count-sized weight frame
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
@@ -415,7 +418,8 @@ class PlanGuardSpec extends SparkSpec {
       "q123_incr_counters" -> 11,
       "q133_dsir_topk" -> 2, "q134_dsir_gumbel" -> 2,
       "q135_token_budget" -> 1,
-      "q136_domain_drift" -> 1, "q137_loss_aware_alloc" -> 2)
+      "q136_domain_drift" -> 1, "q137_loss_aware_alloc" -> 2,
+      "q138_doremi_rounds" -> 5)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -313,4 +313,68 @@ class DsirAllocSpec extends SparkSpec {
       assert(w("hi") === 2L * w("lo"), s"tau=$tau e=$e")
     }
   }
+
+  // BigInt reference of the DoReMi round dynamics (floor division
+  // everywhere, mirroring the in-plan decimal(38,0) arithmetic)
+  private def doremiRef(
+      losses: Seq[(String, Long)], tau: Long, rounds: Int)
+      : Map[String, (Long, Long)] = {
+    val best = losses.map(_._2).min
+    val mult = losses.map { case (d, l) =>
+      d -> pow2Ref((l - best) * 1000 / tau)
+    }.toMap
+    var w = losses.map { case (d, _) => d -> BigInt(1000000) }.toMap
+    var wSum = losses.map { case (d, _) => d -> BigInt(0) }.toMap
+    (1 to rounds).foreach { _ =>
+      val raw = w.map { case (d, x) => d -> (x * mult(d) / 1000) }
+      val tot = raw.values.sum
+      w = raw.map { case (d, x) => d -> (x * 1000000 / tot) }
+      wSum = wSum.map { case (d, s) => d -> (s + w(d)) }
+    }
+    losses.map { case (d, _) =>
+      d -> (w(d).toLong, (wSum(d) / rounds).toLong)
+    }.toMap
+  }
+
+  private def runDoremi(losses: Seq[(String, Long)], tau: Long, rounds: Int) =
+    Sampling.doremiWeights(losses.toDF("dom", "loss"), "dom", "loss", tau, rounds)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+
+  test("doremiWeights matches the BigInt round-dynamics reference") {
+    val rnd = new scala.util.Random(5)
+    (1 to 15).foreach { trial =>
+      val n = 2 + rnd.nextInt(6)
+      val tau = 200L + rnd.nextInt(2000)
+      // excesses bounded so the per-round multiplier stays moderate
+      val losses = (1 to n).map(i => (s"d$i", 1000L + rnd.nextInt(3 * tau.toInt)))
+      val rounds = 1 + rnd.nextInt(6)
+      assert(runDoremi(losses, tau, rounds) === doremiRef(losses, tau, rounds),
+        s"trial $trial: losses=$losses tau=$tau rounds=$rounds")
+    }
+  }
+
+  test("doremiWeights laws: uniform stays uniform; rounds=1 is the one-shot rule; concentration is monotone") {
+    // equal losses: every domain holds 10^6/n ppm every round
+    val eq = runDoremi(Seq(("a", 500L), ("b", 500L), ("c", 500L)), 1000L, 5)
+    assert(eq.values.toSet === Set((333333L, 333333L)), s"uniform: $eq")
+    // rounds = 1 reproduces lossAwareWeights normalized to ppm
+    val losses = Seq(("a", 1000L), ("b", 1400L), ("c", 2100L))
+    val one = runDoremi(losses, 700L, 1)
+    val oneShot = Sampling.lossAwareWeights(
+        losses.toDF("dom", "loss"), "dom", "loss", 700L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val tot = oneShot.values.sum
+    losses.foreach { case (d, _) =>
+      assert(one(d)._1 === BigInt(oneShot(d)) * 1000000 / tot,
+        s"one-round vs one-shot at $d")
+      assert(one(d)._1 === one(d)._2, "single round: final == average")
+    }
+    // the max-excess domain's weight is non-decreasing across horizons,
+    // and the average lags the final (concentration damping)
+    val byRounds = (1 to 6).map(r => runDoremi(losses, 700L, r)("c"))
+    assert(byRounds.map(_._1).sliding(2).forall(p => p(0) <= p(1)),
+      s"final-weight monotone: ${byRounds.map(_._1)}")
+    assert(byRounds.last._2 < byRounds.last._1,
+      "step average damps the final concentration")
+  }
 }
