@@ -1953,6 +1953,24 @@ object SparkEntry {
           graft.scale.Sampling.millilog2(col("surp")).as("loss_milli"))
       graft.scale.Sampling.doremiWeights(
         loss, "lang", "loss_milli", tauMilli = 250L, rounds = 4)
+    }),
+
+    // --- scale: snapshot-drift monitor — publish two corpus snapshots
+    // into a SnapshotStore (retain 2), then measure drift between the
+    // LIVE version and the previous one via readAt time travel: the
+    // form a curation team actually watches (drift vs the store's own
+    // history, no side channel). Memberships are deterministic doc_id
+    // strata so the oracle mirrors them as predicates ---------------------
+    "q139_snapshot_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_drift_store").toString
+      graft.ops.SnapshotStore.publish(store,
+        Seq("corpus" -> docs.filter(col("doc_id") % 4 =!= 1)), retain = 2)
+      graft.ops.SnapshotStore.publish(store,
+        Seq("corpus" -> docs.filter(col("doc_id") % 4 =!= 3)), retain = 2)
+      graft.scale.Sampling.snapshotDrift(s, store, "corpus", "text",
+        buckets = 4096, topK = 20)
     })
   )
 
@@ -2012,6 +2030,46 @@ object SparkEntry {
        |FROM scored
        |ORDER BY sel_milli DESC, doc_id LIMIT 200""".stripMargin
   }
+
+  /** q136/q139 oracle: [[graft.scale.Sampling.domainDriftContributors]]'
+    * integer chain — md5 feature buckets for the target (`pPred`) and
+    * reference (`qPred`) corpora, full-joined smoothed counts,
+    * milli-log2 llr, HUGEINT cross-multiplied signed KL contribution
+    * in micro-log2, |contrib| top-20.
+    */
+  private def driftSql(pPred: String, qPred: String): String =
+    s"""WITH pocc AS (
+       |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+       |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+       |  WHERE $pPred),
+       |qocc AS (
+       |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+       |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+       |  WHERE $qPred),
+       |pcc AS (SELECT b, count(*) AS p FROM pocc GROUP BY 1),
+       |qcc AS (SELECT b, count(*) AS q FROM qocc GROUP BY 1),
+       |j AS (
+       |  SELECT coalesce(pcc.b, qcc.b) AS b,
+       |    CAST(coalesce(pcc.p, 0) AS BIGINT) AS p_cnt,
+       |    CAST(coalesce(qcc.q, 0) AS BIGINT) AS q_cnt
+       |  FROM pcc FULL JOIN qcc ON pcc.b = qcc.b),
+       |tot AS (
+       |  SELECT CAST((SELECT coalesce(sum(p_cnt), 0) FROM j) + 4096 AS BIGINT) AS ps,
+       |         CAST((SELECT coalesce(sum(q_cnt), 0) FROM j) + 4096 AS BIGINT) AS qs),
+       |llr AS (
+       |  SELECT b, p_cnt, q_cnt, ps,
+       |    CAST((${ml2Sql("p_cnt + 1")} - ${ml2Sql("ps")}) -
+       |         (${ml2Sql("q_cnt + 1")} - ${ml2Sql("qs")}) AS BIGINT) AS llr_milli
+       |  FROM j, tot),
+       |contrib AS (
+       |  SELECT b, p_cnt, q_cnt, llr_milli,
+       |    CAST((CASE WHEN llr_milli > 0 THEN 1 WHEN llr_milli < 0 THEN -1 ELSE 0 END) *
+       |      (((p_cnt::HUGEINT + 1) * abs(llr_milli)::HUGEINT * 1000) // ps::HUGEINT)
+       |      AS BIGINT) AS contrib_micro
+       |  FROM llr)
+       |SELECT b, p_cnt, q_cnt, llr_milli, contrib_micro
+       |FROM contrib
+       |ORDER BY abs(contrib_micro) DESC, b LIMIT 20""".stripMargin
 
   /** q137/q138 shared oracle head: q103's bigram model folded to the
     * per-lang milli-log2 loss frame `loss(lang, loss_milli)`.
@@ -4754,39 +4812,13 @@ object SparkEntry {
     // corpora, full-joined smoothed counts, milli-log2 llr (the ml2Sql
     // twin), HUGEINT cross-multiplied signed KL contribution in
     // micro-log2, |contrib| top-20
-    "q136_domain_drift" ->
-      s"""WITH pocc AS (
-        |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
-        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
-        |  WHERE lang = 'en'),
-        |qocc AS (
-        |  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
-        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
-        |  WHERE lang <> 'en'),
-        |pcc AS (SELECT b, count(*) AS p FROM pocc GROUP BY 1),
-        |qcc AS (SELECT b, count(*) AS q FROM qocc GROUP BY 1),
-        |j AS (
-        |  SELECT coalesce(pcc.b, qcc.b) AS b,
-        |    CAST(coalesce(pcc.p, 0) AS BIGINT) AS p_cnt,
-        |    CAST(coalesce(qcc.q, 0) AS BIGINT) AS q_cnt
-        |  FROM pcc FULL JOIN qcc ON pcc.b = qcc.b),
-        |tot AS (
-        |  SELECT CAST((SELECT coalesce(sum(p_cnt), 0) FROM j) + 4096 AS BIGINT) AS ps,
-        |         CAST((SELECT coalesce(sum(q_cnt), 0) FROM j) + 4096 AS BIGINT) AS qs),
-        |llr AS (
-        |  SELECT b, p_cnt, q_cnt, ps,
-        |    CAST((${ml2Sql("p_cnt + 1")} - ${ml2Sql("ps")}) -
-        |         (${ml2Sql("q_cnt + 1")} - ${ml2Sql("qs")}) AS BIGINT) AS llr_milli
-        |  FROM j, tot),
-        |contrib AS (
-        |  SELECT b, p_cnt, q_cnt, llr_milli,
-        |    CAST((CASE WHEN llr_milli > 0 THEN 1 WHEN llr_milli < 0 THEN -1 ELSE 0 END) *
-        |      (((p_cnt::HUGEINT + 1) * abs(llr_milli)::HUGEINT * 1000) // ps::HUGEINT)
-        |      AS BIGINT) AS contrib_micro
-        |  FROM llr)
-        |SELECT b, p_cnt, q_cnt, llr_milli, contrib_micro
-        |FROM contrib
-        |ORDER BY abs(contrib_micro) DESC, b LIMIT 20""".stripMargin,
+    "q136_domain_drift" -> driftSql("lang = 'en'", "lang <> 'en'"),
+
+    // the same drift chain with the two corpora being the store's
+    // current and previous SNAPSHOT memberships (the Spark side reads
+    // them back through SnapshotStore.readAt time travel; membership
+    // is deterministic, so the oracle mirrors it as predicates)
+    "q139_snapshot_drift" -> driftSql("doc_id % 4 <> 3", "doc_id % 4 <> 1"),
 
     // q103's bigram surprisal folded to per-lang milli-log2 loss, the
     // DoReMi exponential reweighting (excess over the best lang via the

@@ -328,6 +328,39 @@ object Sampling {
       .select("b", "p_cnt", "q_cnt", "llr_milli", "contrib_micro")
   }
 
+  /** The PRODUCTION drift monitor: [[domainDriftContributors]] between
+    * the store's live snapshot and the previous retained version of
+    * `entity` — "what changed in the corpus since the last ingest",
+    * measured against the store's own history via
+    * [[graft.ops.SnapshotStore.readAt]] time travel (so the monitor
+    * needs no side channel carrying yesterday's corpus: `retain >= 2`
+    * on the publish IS the monitor's data contract). Top `topK`
+    * feature buckets by |KL contribution| (ties on bucket id),
+    * planned as TakeOrdered — never a global sort.
+    *
+    * Fails loud when fewer than two versions are retained: a monitor
+    * silently comparing a snapshot to itself would report zero drift
+    * forever, the worst possible failure mode for an alerting frame.
+    */
+  def snapshotDrift(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      entity: String,
+      textCol: String,
+      buckets: Int = 4096,
+      topK: Int = 20): DataFrame = {
+    import graft.ops.SnapshotStore
+    val vs = SnapshotStore.retainedVersions(storeDir)
+    require(vs.size >= 2,
+      s"snapshotDrift: need >= 2 retained versions of '$entity' in $storeDir " +
+        s"(publish with retain >= 2), found ${vs.size}")
+    val prev = SnapshotStore.readAt(spark, storeDir, entity, vs(vs.size - 2))
+    val curr = SnapshotStore.readAt(spark, storeDir, entity, vs.last)
+    domainDriftContributors(curr, prev, textCol, buckets)
+      .orderBy(abs(col("contrib_micro")).desc, col("b").asc)
+      .limit(topK)
+  }
+
   /** Integer milli-pow2 — the EXACT inverse construction of
     * [[millilog2]]: `1000 · 2^(m/1000)` with the same linear mantissa,
     * `2^⌊m/1000⌋ · (1000 + m mod 1000)` (floor-div and nonneg pmod, so

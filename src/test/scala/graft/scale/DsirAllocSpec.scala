@@ -287,6 +287,34 @@ class DsirAllocSpec extends SparkSpec {
       s"sum_contrib=$sum vs 1e6*KL=${1e6 * kl2}")
   }
 
+  test("snapshotDrift reads the store's live-vs-previous pair and fails loud on a single version") {
+    import graft.ops.SnapshotStore
+    val store = java.nio.file.Files.createTempDirectory("drift_spec").toString
+    val v1 = Seq((1L, "aa aa cc"), (2L, "aa dd")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "aa aa cc"), (3L, "bb bb ee")).toDF("doc_id", "text")
+    SnapshotStore.publish(store, Seq("corpus" -> v1), retain = 3)
+    // one retained version: the monitor must refuse, not report zero drift
+    val e = intercept[IllegalArgumentException] {
+      Sampling.snapshotDrift(spark, store, "corpus", "text", buckets = 32)
+    }
+    assert(e.getMessage.contains("retained versions"))
+    SnapshotStore.publish(store, Seq("corpus" -> v2), retain = 3)
+    val got = Sampling.snapshotDrift(spark, store, "corpus", "text", buckets = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+    // identical to running the decomposition directly on the two frames
+    val direct = Sampling.domainDriftContributors(v2, v1, "text", buckets = 32)
+      .orderBy(abs(col("contrib_micro")).desc, col("b").asc).limit(20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq === direct.toSeq, "store round-trip == direct frames")
+    // a THIRD publish moves the pair forward: drift(v3 vs v2), not v2 vs v1
+    SnapshotStore.publish(store, Seq("corpus" -> v1), retain = 3)
+    val third = Sampling.snapshotDrift(spark, store, "corpus", "text", buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val directThird = Sampling.domainDriftContributors(v1, v2, "text", buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(third === directThird, "pair advances with the store history")
+  }
+
   test("lossAwareWeights: best domain weighs 1000; tau-excess doubles exactly") {
     val loss = Seq(("a", 1000L), ("b", 2000L), ("c", 3000L))
       .toDF("dom", "loss")
