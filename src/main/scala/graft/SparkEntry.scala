@@ -1971,6 +1971,19 @@ object SparkEntry {
         Seq("corpus" -> docs.filter(col("doc_id") % 4 =!= 3)), retain = 2)
       graft.scale.Sampling.snapshotDrift(s, store, "corpus", "text",
         buckets = 4096, topK = 20)
+    }),
+
+    // --- scale: BPE merge-table drift — retrain on a different corpus
+    // slice and step-align the two tables: the tokenizer-governance
+    // report reviewed before re-tokenizing a store (common trusted
+    // prefix = min(step) - 1) -------------------------------------------
+    "q140_bpe_table_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = graft.scale.Bpe.trainMergesFast(
+        docs.filter(col("lang") === "en"), "text", BpeMergeCount)
+      val b = graft.scale.Bpe.trainMergesFast(
+        docs.filter(col("lang") =!= "en"), "text", BpeMergeCount)
+      graft.scale.Bpe.mergeTableDiff(s, a, b)
     })
   )
 
@@ -2151,12 +2164,13 @@ object SparkEntry {
     * early-stops, the oracle would NULL-corrupt; the fixture corpora are
     * nowhere near fusion at n=8).
     */
-  private def bpeStagesSql(n: Int, pf: String = ""): String = {
+  private def bpeStagesSql(n: Int, pf: String = "", where: String = ""): String = {
+    val pred = if (where.isEmpty) "" else s" WHERE $where"
     val sb = new StringBuilder
     sb ++= s"""WITH ${pf}words AS MATERIALIZED (
       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-      |    FROM documents) t
+      |    FROM documents$pred) t
       |  GROUP BY w),
       |${pf}w0 AS MATERIALIZED (SELECT w, cnt,
       |  ' ' || rtrim(regexp_replace(w || '_', '(.)', '\\1  ', 'g')) || ' ' AS sym
@@ -4819,6 +4833,29 @@ object SparkEntry {
     // them back through SnapshotStore.readAt time travel; membership
     // is deterministic, so the oracle mirrors it as predicates)
     "q139_snapshot_drift" -> driftSql("doc_id % 4 <> 3", "doc_id % 4 <> 1"),
+
+    // two prefixed BPE chains (en / non-en slices), step-aligned full
+    // join, textual-difference rows only — the same diff predicate the
+    // Spark side's mergeTableDiff emits
+    "q140_bpe_table_drift" -> {
+      val n = BpeMergeCount
+      val steps = (pf: String) => (1 to n).map { i =>
+        s"SELECT $i AS step, l, r FROM $pf" + s"b$i"
+      }.mkString("\nUNION ALL ")
+      bpeStagesSql(n, pf = "da", where = "lang = 'en'") + ",\n" +
+        bpeStagesSql(n, pf = "db", where = "lang <> 'en'").stripPrefix("WITH ") + s""",
+        |asteps AS (${steps("da")}),
+        |bsteps AS (${steps("db")}),
+        |j AS (
+        |  SELECT coalesce(a.step, b.step) AS step,
+        |    a.l AS a_left, a.r AS a_right, b.l AS b_left, b.r AS b_right
+        |  FROM asteps a FULL JOIN bsteps b ON a.step = b.step)
+        |SELECT step, a_left, a_right, b_left, b_right,
+        |  CASE WHEN a_left IS NULL THEN 'only_b'
+        |       WHEN b_left IS NULL THEN 'only_a' ELSE 'changed' END AS kind
+        |FROM j
+        |WHERE a_left IS DISTINCT FROM b_left OR a_right IS DISTINCT FROM b_right""".stripMargin
+    },
 
     // q103's bigram surprisal folded to per-lang milli-log2 loss, the
     // DoReMi exponential reweighting (excess over the best lang via the

@@ -418,6 +418,124 @@ object Bpe {
     out
   }
 
+  /** Tokenizer-governance diff of two merge tables — the step-aligned
+    * comparison a pretraining shop reviews before re-tokenizing a
+    * store after retraining on a new snapshot. One row per step where
+    * the tables disagree textually (or one table has ended):
+    * (step, a_left, a_right, b_left, b_right, kind) with kind ∈
+    * changed / only_a / only_b; identical tables → empty frame.
+    * Because merges are a CHAIN, everything at or after the FIRST
+    * divergent step — `min(step)` of this frame — is semantically a
+    * different tokenizer even where later pairs happen to coincide;
+    * the common trusted prefix is `min(step) − 1`. Driver-sized by the
+    * merge-table contract (the table IS the model).
+    */
+  def mergeTableDiff(spark: org.apache.spark.sql.SparkSession,
+      a: Seq[Merge], b: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    def ordered(t: Seq[Merge], name: String): IndexedSeq[Merge] = {
+      val s = t.sortBy(_.step).toIndexedSeq
+      require(s.zipWithIndex.forall { case (m, i) => m.step == i + 1 },
+        s"merge table '$name' steps must be exactly 1..${s.size}")
+      s
+    }
+    val as = ordered(a, "a"); val bs = ordered(b, "b")
+    (1 to math.max(as.size, bs.size)).flatMap { i =>
+      (as.lift(i - 1), bs.lift(i - 1)) match {
+        case (Some(x), Some(y)) if x.left == y.left && x.right == y.right => None
+        case (xo, yo) =>
+          val kind = (xo, yo) match {
+            case (Some(_), Some(_)) => "changed"
+            case (Some(_), None)    => "only_a"
+            case _                  => "only_b"
+          }
+          Some((i, xo.map(_.left).orNull, xo.map(_.right).orNull,
+            yo.map(_.left).orNull, yo.map(_.right).orNull, kind))
+      }
+    }.toDF("step", "a_left", "a_right", "b_left", "b_right", "kind")
+  }
+
+  // ---------------------------------------------------------------------
+  // Tokenize-once artifact: the word→pieces dimension as a STORE TABLE
+  // keyed by merge-table hash. encodeByVocab re-derives the distinct-word
+  // piece dim on every call — one vocabulary-sized UDF pass per corpus
+  // encode. A pretraining shop re-encodes the same store many times per
+  // tokenizer (ablations, packing sweeps, re-shards); the production
+  // shape is train-once / dim-once / join-everywhere: later encodes pay
+  // only the token-stream join, and the hash key makes serving a dim
+  // built by a DIFFERENT merge table a fail-loud error instead of a
+  // silent mis-tokenization.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic identity of a merge table — md5 over the
+    * step-ordered (left, right) sequence (counts excluded: they are
+    * training telemetry, not semantics — two tables that merge
+    * identically encode identically). The piece-dim store key.
+    */
+  def mergeTableHash(merges: Seq[Merge]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    merges.sortBy(_.step).foreach { m =>
+      md.update(s"${m.step} ${m.left} ${m.right}".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def pieceDimEntity(merges: Seq[Merge]): String =
+    s"bpe_pieces_${mergeTableHash(merges)}"
+
+  /** The word→pieces dimension for `docs`' distinct vocabulary under
+    * `merges` — encodeByVocab's internal frame as a first-class
+    * artifact: (w, pieces). Vocabulary-sized by Heaps' law regardless
+    * of corpus size; the one UDF pass lives here, off every later
+    * encode's hot path.
+    */
+  def pieceDim(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val table = merges
+    val applyUdf = udf((w: String) => applyMergesLocal(w, table))
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(col("w"), applyUdf(col("w")).as("pieces"))
+  }
+
+  /** Publish the piece dim into a [[graft.ops.SnapshotStore]] under the
+    * merge-table-hash entity key. Returns the published version.
+    */
+  def writePieceDim(storeDir: String, docs: DataFrame, textCol: String,
+      merges: Seq[Merge], retain: Int = 1): Int =
+    graft.ops.SnapshotStore.publish(storeDir,
+      Seq(pieceDimEntity(merges) -> pieceDim(docs, textCol, merges)), retain)
+
+  /** Resolve the piece dim for EXACTLY this merge table — fails loud
+    * when the store has no dim under the table's hash (serving a dim
+    * built by different merges would silently re-tokenize the corpus).
+    */
+  def readPieceDim(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, merges: Seq[Merge]): DataFrame = {
+    val entity = pieceDimEntity(merges)
+    require(graft.ops.SnapshotStore.exists(storeDir, entity),
+      s"no piece dim published for merge-table hash ${mergeTableHash(merges)} " +
+        s"in $storeDir — run writePieceDim with this table first")
+    graft.ops.SnapshotStore.read(spark, storeDir, entity)
+  }
+
+  /** [[encodeByVocab]] against a PREBUILT piece dim: the corpus pays
+    * only the token-stream join. Words the dim has never seen (corpus
+    * grew since the dim was built) fall back to the local kernel
+    * in-row — coalesce short-circuits, so the UDF runs only on the
+    * novel-word slice, and output stays bit-identical to
+    * [[encodeByVocab]] (spec-pinned). Periodically fold novelties back
+    * with [[writePieceDim]] to keep the fallback slice near-empty.
+    */
+  def encodeWithPieceDim(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], dim: DataFrame): DataFrame = {
+    val table = merges
+    val applyUdf = udf((w: String) => applyMergesLocal(w, table))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(dim.select(col("w"), col("pieces")), Seq("w"), "left")
+      .select(col(idCol),
+        explode(coalesce(col("pieces"), applyUdf(col("w")))).as("piece"))
+  }
+
   /** [[encode]] for production-sized merge tables: each DISTINCT word is
     * encoded once by [[applyMergesLocal]] (a vocabulary-sized UDF pass —
     * off the corpus hot path by construction), then the token stream

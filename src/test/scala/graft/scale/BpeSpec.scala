@@ -245,6 +245,59 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMergesFast(docs, "text", 80) === slow)
   }
 
+  test("piece-dim artifact: store round-trip, novel-word fallback, wrong-table refusal") {
+    val m = Bpe.trainMergesFast(fixture, "text", 4)
+    val store = java.nio.file.Files.createTempDirectory("bpe_dim_spec").toString
+    Bpe.writePieceDim(store, fixture, "text", m)
+    val dim = Bpe.readPieceDim(spark, store, m)
+    def pieces(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // second encode through the prebuilt dim == the self-deriving form
+    assert(pieces(Bpe.encodeWithPieceDim(fixture, "doc_id", "text", m, dim)) ===
+      pieces(Bpe.encodeByVocab(fixture, "doc_id", "text", m)))
+    // a grown corpus: "lowest"/"newer" never reached the dim — the
+    // in-row fallback must keep output identical to encodeByVocab
+    val grown = fixture.union(
+      Seq((5L, "lowest lowest newer")).toDF("doc_id", "text"))
+    assert(pieces(Bpe.encodeWithPieceDim(grown, "doc_id", "text", m, dim)) ===
+      pieces(Bpe.encodeByVocab(grown, "doc_id", "text", m)))
+    // a DIFFERENT merge table's hash must refuse to resolve this dim
+    val other = Bpe.trainMergesFast(fixture, "text", 2)
+    assert(Bpe.mergeTableHash(other) !== Bpe.mergeTableHash(m))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.readPieceDim(spark, store, other)
+    }
+    assert(e.getMessage.contains("no piece dim"))
+    // publishing the second table's dim makes BOTH resolvable
+    Bpe.writePieceDim(store, fixture, "text", other)
+    assert(Bpe.readPieceDim(spark, store, other).count() > 0)
+    assert(Bpe.readPieceDim(spark, store, m).count() > 0)
+  }
+
+  test("mergeTableDiff: empty on equal tables; prefix law; tail kinds") {
+    val m = Bpe.trainMergesFast(fixture, "text", 6)
+    assert(Bpe.mergeTableDiff(spark, m, m).count() === 0L)
+    // mutate step 4: rows must start exactly at the divergence
+    val mutated = m.updated(3, m(3).copy(left = "zz"))
+    val d = Bpe.mergeTableDiff(spark, m, mutated)
+      .collect().map(r => (r.getInt(0), r.getString(5)))
+    assert(d.map(_._1).min === 4, "common trusted prefix = 3")
+    assert(d.forall(_._2 === "changed"))
+    // a truncated retrain: steps past the shorter table are only_a
+    val short = m.take(4)
+    val d2 = Bpe.mergeTableDiff(spark, m, short)
+      .collect().map(r => (r.getInt(0), r.getString(5))).toSeq
+    assert(d2 === Seq((5, "only_a"), (6, "only_a")))
+    val d3 = Bpe.mergeTableDiff(spark, short, m)
+      .collect().map(r => (r.getInt(0), r.getString(5))).toSeq
+    assert(d3 === Seq((5, "only_b"), (6, "only_b")))
+    // non-contiguous steps refuse (the mergesFromFrame law)
+    intercept[IllegalArgumentException] {
+      Bpe.mergeTableDiff(spark, m.drop(1), m)
+    }
+  }
+
   test("encode plan is scan-pure: no exchange, stays in whole-stage codegen") {
     val m = Bpe.trainMerges(fixture, "text", 3)
     val plan = Bpe.encode(fixture, "doc_id", "text", m)
