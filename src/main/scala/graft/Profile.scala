@@ -834,6 +834,119 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("incrstream")) {
+      // the incremental STREAMING twin at scale: nearDupMatchesStream
+      // against the store's frozen signature index (q121's incumbent
+      // filter as a micro-batch stream), stream==batch pinned on the
+      // same strata. Serving index (band index + corpus shingles)
+      // builds once; each micro-batch pays batch-chunk-sized work.
+      import graft.scale.{Dedup, TextStats}
+      import org.apache.spark.sql.streaming.OutputMode
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      def chunksOf(pred: org.apache.spark.sql.Column) = TextStats.chunkByTokens(
+        docs0.filter(pred), "doc_id", "text", 32, 16)
+        .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
+        .select(col("chunk_id"), col("chunk_text"))
+      val storeChunks = chunksOf(
+        col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0).persist()
+      val batchChunks = chunksOf(
+        col("doc_id") % 11 =!= 0 && col("doc_id") % 3 === 0).persist()
+      println(s"[incrstream] store_chunks=${storeChunks.count()} " +
+        s"batch_chunks=${batchChunks.count()}")
+      var t0 = System.nanoTime()
+      val sigs = Dedup.minhashSignatures(
+        storeChunks, "chunk_id", "chunk_text", 3, 16).persist()
+      sigs.count()
+      // pre-partition the STATIC serving frames on their join keys
+      // before persisting: a micro-batch plan re-executes the static
+      // side of a stream-static join every trigger, and an unaligned
+      // cache re-shuffles the store-sized index each time (measured:
+      // ~90 s/trigger fixed cost at the century); with the cached
+      // partitioning matching the join's requirement the per-trigger
+      // exchange elides and only the batch-sized probe side shuffles
+      val index = Dedup.signatureBandIndex(sigs)
+        .repartition(col("band")).sortWithinPartitions("band").persist()
+      index.count()
+      val corpSh = storeChunks.select(col("chunk_id").as("corp_id"),
+        Dedup.shingles(col("chunk_text"), 3).as("shb"))
+        .repartition(col("corp_id")).sortWithinPartitions("corp_id").persist()
+      corpSh.count()
+      println(f"[incrstream] serving_index_build_t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // batch truth: the q56/q121 incumbent filter's dropped set
+      t0 = System.nanoTime()
+      val survivors = Dedup.nearDupAgainstSignatures(
+        batchChunks, storeChunks,
+        Dedup.minhashSignatures(batchChunks, "chunk_id", "chunk_text", 3, 16), sigs,
+        "chunk_id", "chunk_text", 3, 16, 8, 0.2)
+        .select("chunk_id").collect().map(_.getLong(0)).toSet
+      val allBatch = batchChunks.select("chunk_id").collect().map(_.getLong(0)).toSet
+      val dropped = allBatch -- survivors
+      println(f"[incrstream] batch dropped=${dropped.size} " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.ops.CacheScope.releaseAll()
+      // streaming twin: the batch staged as 4 parquet files, one per
+      // micro-batch trigger
+      val stage = java.nio.file.Files.createTempDirectory("incr_stream").toString
+      batchChunks.repartition(4).write.mode("overwrite").parquet(stage)
+      val fpt = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "1")
+      val stream = spark.readStream
+        .schema(batchChunks.schema)
+        .option("maxFilesPerTrigger", fpt)
+        .parquet(stage)
+      val q = graft.streaming.StreamingOps.nearDupMatchesStream(
+        stream, corpSh, index, "chunk_id", "chunk_text", threshold = 0.2)
+        .writeStream.format("memory").queryName("incrstream_cent")
+        .outputMode(OutputMode.Append()).start()
+      t0 = System.nanoTime()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain(extended = false)
+      val prog = q.recentProgress.toSeq
+        .map(p => f"${p.numInputRows}r/${p.durationMs.get("triggerExecution") / 1000.0}%.2fs")
+      q.stop()
+      val streamed = spark.table("incrstream_cent")
+        .select("chunk_id").distinct().collect().map(_.getLong(0)).toSet
+      println(f"[incrstream] stream wall=$wall%.2fs batches=${prog.mkString(" ")}")
+      println(s"[incrstream] stream==batch: ${if (streamed == dropped) "MATCH"
+        else s"MISMATCH stream_only=${(streamed -- dropped).size} batch_only=${(dropped -- streamed).size}"}")
+      Seq(sigs, index, corpSh, storeChunks, batchChunks).foreach(_.unpersist())
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("bpedim")) {
+      // tokenize-once artifact: what the prebuilt word->pieces dim buys
+      // on repeat corpus encodes — encodeByVocab re-derives the dim per
+      // call (a corpus-token-sized distinct() exchange + the vocab UDF
+      // pass); encodeWithPieceDim pays only the token-stream join
+      import graft.scale.Bpe
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val nm = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "500").toInt
+      var t0 = System.nanoTime()
+      val merges = Bpe.trainMergesFast(docs0, "text", nm)
+      println(f"[bpedim] merges=${merges.size} train_t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      (1 to 2).foreach { i =>
+        t0 = System.nanoTime()
+        val n = Bpe.encodeByVocab(docs0, "doc_id", "text", merges).count()
+        println(f"[bpedim] byVocab run$i pieces=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      val store = java.nio.file.Files.createTempDirectory("bpe_dim").toString
+      t0 = System.nanoTime()
+      Bpe.writePieceDim(store, docs0, "text", merges)
+      println(f"[bpedim] dim_build_publish_t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val dim = Bpe.readPieceDim(spark, store, merges).persist()
+      println(s"[bpedim] dim_words=${dim.count()}")
+      (1 to 2).foreach { i =>
+        t0 = System.nanoTime()
+        val n = Bpe.encodeWithPieceDim(docs0, "doc_id", "text", merges, dim).count()
+        println(f"[bpedim] withDim run$i pieces=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      dim.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bpescale")) {
       // the BPE scale law, measured: training = ONE corpus-sized pass
       // (word counts) + numMerges iterations over the DISTINCT-WORD

@@ -367,6 +367,43 @@ object Curation {
       gatedChunks: DataFrame,
       splits: DataFrame)
 
+  /** The STORE-UPDATE contract — how an increment's results fold back
+    * into the curated store BETWEEN increments (the seam between two
+    * [[pretrainCurateIncrement]] calls):
+    *
+    *   1. chunks: append `gatedChunks` (already in the store schema);
+    *   2. signature index: EXTEND with [[Dedup.minhashSignatures]] of
+    *      exactly those chunks — with the SAME shingle/hash parameters
+    *      as the index being extended (a mismatch would silently blind
+    *      the next increment's incumbent filter, so the parameters are
+    *      taken here, not trusted to the caller's memory);
+    *   3. splits: append the increment's assignments (disjoint from
+    *      the store's by construction — an incumbent-filtered batch
+    *      never re-assigns an existing chunk);
+    *   4. shard offset (caller-owned driver scalar): advance by the
+    *      increment's `max(shard) + 1` so appended files never
+    *      collide.
+    *
+    * Returns the next call's (storeChunks, storeSigs, storeSplits).
+    * Production persists all three (the signature frame IS the index
+    * artifact); the two-hop lifecycle is pinned in
+    * `PretrainCurateSpec`.
+    */
+  def foldIncrement(
+      storeChunks: DataFrame,
+      storeSigs: DataFrame,
+      storeSplits: DataFrame,
+      inc: IncrementResult,
+      shingleSize: Int = 3,
+      numHashes: Int = 16): (DataFrame, DataFrame, DataFrame) = {
+    val newSigs = Dedup.minhashSignatures(
+      inc.gatedChunks.select(col("chunk_id"), col("chunk_text")),
+      "chunk_id", "chunk_text", shingleSize, numHashes)
+    (storeChunks.unionByName(inc.gatedChunks),
+      storeSigs.unionByName(newSigs),
+      storeSplits.unionByName(inc.splits))
+  }
+
   /** INCREMENTAL [[pretrainCurate]] — curate a NEW document batch
     * against an EXISTING curated store (the daily-ingest shape: the
     * store never reprocesses; the batch pays only batch-vs-batch and

@@ -412,17 +412,19 @@ object Dedup {
   }
 
   /** The corpus signature index reorganized for STREAM-side probing —
-    * (band, members array<struct<id, harr>>): one row per band key,
-    * members carrying their full `numHashes`-long signature array so a
-    * probing row can recompute any member band key locally (the
-    * emit-once dedup in
+    * (band, members array<struct<id, bkeys>>): one row per band key,
+    * members carrying their PRECOMPUTED `bands`-long band-key array so
+    * a probing row can read any member band key with an array lookup
+    * (the emit-once dedup in
     * [[graft.streaming.StreamingOps.nearDupMatchesStream]] needs the
-    * first SHARED band without an aggregation). Carries hashes only —
-    * the same slim-index contract as [[nearDupAgainstSignatures]] —
-    * at `bands`× signature duplication (8 × 16 longs/doc here), and
-    * the same [[graft.functions.BoundedCollectList]] bucket cap.
-    * Build once per index version and persist; the stream-static join
-    * re-reads it every micro-batch.
+    * first SHARED band without an aggregation). bkeys are paid once
+    * per member at BUILD time — the r14 century measurement caught the
+    * previous harr schema recomputing 8 md5s per CANDIDATE per
+    * micro-batch, a per-trigger tax proportional to candidate count.
+    * Same [[graft.functions.BoundedCollectList]] bucket cap. Build
+    * once per index version and persist — pre-partitioned and sorted
+    * on `band` (see the stream op's serving recipe); the stream-static
+    * join re-reads it every micro-batch.
     */
   def signatureBandIndex(
       sig: DataFrame,
@@ -430,11 +432,14 @@ object Dedup {
       bands: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val harr = array((0 until numHashes).map(s => col(s"h$s")): _*)
+    val keys = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat(lit(s"$b:"), concat_ws(",", slice: _*)).cast("binary"))
+    }
     bucketMembers(
       bandKeysOf(sig, bands, rowsPerBand)
-        .join(sig.select(col("id"), harr.as("harr")), Seq("id")),
-      struct(col("id"), col("harr")), maxBucket, "members")
+        .join(sig.select(col("id"), array(keys: _*).as("bkeys")), Seq("id")),
+      struct(col("id"), col("bkeys")), maxBucket, "members")
   }
 
   /** Core incremental filter over PREBUILT signature frames (see

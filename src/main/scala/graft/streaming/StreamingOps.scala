@@ -431,17 +431,25 @@ object StreamingOps {
     * members carry their signatures), and verified candidates fetch
     * the corpus shingle set by id for the exact-Jaccard check. A
     * (doc, corp) pair colliding in several bands is emitted ONCE
-    * without any distinct(): each joined row recomputes the member's
-    * band keys from its carried signature and keeps the row only in
+    * without any distinct(): each joined row reads the member's
+    * PRECOMPUTED band keys from the index and keeps the row only in
     * the FIRST shared band (the RangeJoin emit-once-cell rule applied
     * to LSH bands).
     *
-    * Scale: both static sides should be PERSISTED by the caller (the
-    * stream-static join re-evaluates static plans every micro-batch);
-    * `corpusShingles`' shingle computation in particular should be
-    * cached or pre-materialized for steady-state serving. Index
-    * refresh = restart the query with the new snapshot, the
-    * [[classifyStream]] frozen-model contract.
+    * Scale — the SERVING RECIPE (century-measured, `Profile
+    * incrstream`): both static sides must be PERSISTED by the caller
+    * pre-partitioned AND sorted on their join keys —
+    * `index.repartition(col("band")).sortWithinPartitions("band")` and
+    * `corpusShingles.repartition(col("corp_id"))
+    * .sortWithinPartitions("corp_id")` — because a stream-static join
+    * re-executes the static plan EVERY micro-batch: with an unaligned
+    * cache each trigger re-shuffles (and re-sorts) the store-sized
+    * index, a fixed per-trigger tax that dwarfs the batch-sized probe
+    * work; with the cache's partitioning and ordering matching the
+    * join requirement, both the exchange and the sort elide and a
+    * trigger pays only probe-sized work. Index refresh = restart the
+    * query with the new snapshot, the [[classifyStream]] frozen-model
+    * contract.
     *
     * @param corpusShingles static (corp_id, shb array<string>) — e.g.
     *   `corpus.select(col(id).as("corp_id"), Dedup.shingles(col(text), n).as("shb"))`
@@ -466,8 +474,14 @@ object StreamingOps {
     // per-row signature: the exact minhashSignatures arithmetic as
     // column expressions (48-bit md5 prefix per hash group, odd-
     // multiplier bijections, min over the shingle set)
+    // drop shingle-less docs on the CHEAP predicate before any minhash
+    // arithmetic exists in the plan: a later h0-isNotNull filter gets
+    // pushed to the scan with its full expression tree re-expanded —
+    // measured at the century as ~17 word_shingles evaluations PER ROW
+    // in the scan filter (the r14 incrstream finding)
     val sh0 = docs.select(
       col(idCol), Dedup.shingles(col(textCol), shingleSize).as("sha"))
+      .filter(size(col("sha")) > 0)
     val withHg = (0 until groups).foldLeft(sh0) { (df, g) =>
       df.withColumn(s"hg$g",
         transform(col("sha"), s =>
@@ -485,17 +499,22 @@ object StreamingOps {
     }: _*)
     val probes = withH
       .withColumn("bkeys", bandKeysFrom(s => col(s"h$s")))
-      // short docs (no shingles) have null signatures -> no band keys,
-      // matching the batch operator's no-signature-row behavior
-      .filter(col("h0").isNotNull)
+      // explode a FOLDABLE band-index sequence, not the bkeys array:
+      // exploding bkeys makes the optimizer infer a size(bkeys) > 0
+      // scan filter whose pushed-down form re-expands the whole 8-md5
+      // expression tree per row; sequence(0, bands-1) folds, so no
+      // filter is inferred and bkeys is evaluated once in the project
       .select(col(idCol), col("sha"), col("bkeys"),
-        posexplode(col("bkeys")).as(Seq("band_idx", "band")))
+        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"))
+      .withColumn("band", element_at(col("bkeys"), col("band_idx") + 1))
     val cand = probes
       .join(index, Seq("band"))
       .select(col(idCol), col("sha"), col("bkeys"), col("band_idx"),
         explode(col("members")).as("m"))
-      .withColumn("corp_keys",
-        bandKeysFrom(s => element_at(col("m.harr"), s + 1)))
+      // member band keys are PRECOMPUTED in the index (one md5 pass per
+      // member at build) — per-candidate work is an array lookup, not
+      // 8 md5s per candidate per micro-batch
+      .withColumn("corp_keys", col("m.bkeys"))
       // emit-once: keep the pair only in the FIRST band both share
       .filter(col("band_idx") ===
         element_at(

@@ -275,6 +275,82 @@ class PretrainCurateSpec extends SparkSpec {
     }
   }
 
+  test("two-increment lifecycle: fold-in blocks re-dedup and keeps splits stable across BOTH hops") {
+    val base = run(corpus)
+    val store0 = base.gatedChunks
+    val splits0 = base.splits
+    val sigs0 = Dedup.minhashSignatures(
+      store0.select(col("chunk_id"), col("chunk_text")), "chunk_id", "chunk_text", 3, 16)
+    val offA = base.sequences.agg(max("shard")).as[Long].head() + 1L
+    val batchA = Seq(
+      (11L, tokens(7, 40), 1L, "en"),
+      (13L, tokens(8, 44), 2L, "de")
+    ).toDF("doc_id", "text", "priority", "lang")
+    val incA = Curation.pretrainCurateIncrement(
+      batchA, holdout, store0, "doc_id", "text", "priority", "lang",
+      storeSigs = Some(sigs0),
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100,
+      shardOffset = offA)
+    val splitsA = incA.splits.select("chunk_id", "split").as[(Long, String)].collect().toMap
+    assert(splitsA.nonEmpty, "hop A must keep chunks")
+    // FOLD-IN: the seam under test
+    val (store1, sigs1, splits1) = Curation.foldIncrement(store0, sigs0, splits0, incA)
+    val offB = incA.sequences.agg(max("shard")).as[Long].head() + 1L
+    graft.ops.CacheScope.releaseAll()
+    // hop B part 1 — re-ingesting BOTH the base corpus AND batch A is a
+    // no-op only BECAUSE the fold extended the index: without it, batch
+    // A's docs would sail through the incumbent filter again
+    val reingest = Curation.pretrainCurateIncrement(
+      corpus.unionByName(batchA), holdout, store1, "doc_id", "text", "priority", "lang",
+      storeSigs = Some(sigs1),
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100,
+      shardOffset = offB)
+    val cr = reingest.counters.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.CacheScope.releaseAll()
+    assert(cr("chunks_gated") === 0L,
+      s"re-ingest across the fold must be a no-op: $cr")
+    // hop B part 2 — new content: 21 near-dups hop A's doc 11 (blocked
+    // ONLY via the folded index), 22 is genuinely new
+    val batchB = Seq(
+      (21L, tokens(7, 40), 1L, "en"),
+      (22L, tokens(9, 40), 1L, "en")
+    ).toDF("doc_id", "text", "priority", "lang")
+    val incB = Curation.pretrainCurateIncrement(
+      batchB, holdout, store1, "doc_id", "text", "priority", "lang",
+      storeSigs = Some(sigs1),
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100,
+      shardOffset = offB)
+    val keptB = incB.gatedChunks.select("chunk_id").as[Long].collect().map(_ / 65536L).toSet
+    val splitsB = incB.splits.select("chunk_id", "split").as[(Long, String)].collect().toMap
+    val shardsB = incB.sequences.select("shard").as[Long].collect().toSet
+    graft.ops.CacheScope.releaseAll()
+    assert(!keptB.contains(21L), "hop-A incumbent must win through the folded index")
+    assert(keptB === Set(22L))
+    // split stability ACROSS hops: the folded assignments are disjoint
+    // from hop B's, and no chunk carries two different splits
+    val all = splits1.select("chunk_id", "split").as[(Long, String)].collect().toSeq ++ splitsB.toSeq
+    assert(all.map(_._1).distinct.size === all.size,
+      "a chunk must never be re-assigned across hops")
+    // shard-offset contract: hop B's shards start past everything prior
+    assert(shardsB.forall(_ >= offB), s"shards $shardsB must start at offset $offB")
+    val priorShards = base.sequences.select("shard").as[Long].collect().toSet ++
+      incA.sequences.select("shard").as[Long].collect().toSet
+    assert(shardsB.intersect(priorShards).isEmpty)
+    // prebuilt-index path == in-job path across the fold
+    val incB2 = Curation.pretrainCurateIncrement(
+      batchB, holdout, store1, "doc_id", "text", "priority", "lang",
+      window = 8, stride = 4, dedupThreshold = 0.6,
+      budgetSeqs = 10L, testPermille = 100, valPermille = 100,
+      shardOffset = offB)
+    val s1 = incB.sequences.collect().map(_.toSeq).toList.sortBy(_.toString)
+    val s2 = incB2.sequences.collect().map(_.toSeq).toList.sortBy(_.toString)
+    graft.ops.CacheScope.releaseAll()
+    assert(s1 === s2, "prebuilt vs in-job index must agree across the fold")
+  }
+
   test("temperatureMixRebalance: combined-population scores, batch-population rates") {
     val batchChunks = ((1 to 4).map(i => (i.toLong, "en")) ++
       (101 to 125).map(i => (i.toLong, "de"))).toDF("id", "g")
