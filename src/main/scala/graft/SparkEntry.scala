@@ -1984,6 +1984,17 @@ object SparkEntry {
       val b = graft.scale.Bpe.trainMergesFast(
         docs.filter(col("lang") =!= "en"), "text", BpeMergeCount)
       graft.scale.Bpe.mergeTableDiff(s, a, b)
+    }),
+
+    // --- scale: embedding-space drift — the drift decomposition over
+    // coarse-quantizer cells frozen from the reference era (the
+    // semantic complement of q136's token-space monitor) ------------------
+    "q141_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.scale.Similarity.embeddingCellDrift(
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", centroidStride = 64)
     })
   )
 
@@ -2061,14 +2072,22 @@ object SparkEntry {
        |  WHERE $qPred),
        |pcc AS (SELECT b, count(*) AS p FROM pocc GROUP BY 1),
        |qcc AS (SELECT b, count(*) AS q FROM qocc GROUP BY 1),
-       |j AS (
+       |${driftTailSql("4096", "ORDER BY abs(contrib_micro) DESC, b LIMIT 20")}""".stripMargin
+
+  /** The drift decomposition's shared SQL tail over `pcc(b, p)` /
+    * `qcc(b, q)` CTEs — [[graft.scale.Sampling.driftFromBucketCounts]]'
+    * twin; `smooth` is the feature-space size expression (a literal
+    * for the fixed hash space, a scalar subquery for quantizer cells).
+    */
+  private def driftTailSql(smooth: String, finalClause: String): String =
+    s"""j AS (
        |  SELECT coalesce(pcc.b, qcc.b) AS b,
        |    CAST(coalesce(pcc.p, 0) AS BIGINT) AS p_cnt,
        |    CAST(coalesce(qcc.q, 0) AS BIGINT) AS q_cnt
        |  FROM pcc FULL JOIN qcc ON pcc.b = qcc.b),
        |tot AS (
-       |  SELECT CAST((SELECT coalesce(sum(p_cnt), 0) FROM j) + 4096 AS BIGINT) AS ps,
-       |         CAST((SELECT coalesce(sum(q_cnt), 0) FROM j) + 4096 AS BIGINT) AS qs),
+       |  SELECT CAST((SELECT coalesce(sum(p_cnt), 0) FROM j) + ($smooth) AS BIGINT) AS ps,
+       |         CAST((SELECT coalesce(sum(q_cnt), 0) FROM j) + ($smooth) AS BIGINT) AS qs),
        |llr AS (
        |  SELECT b, p_cnt, q_cnt, ps,
        |    CAST((${ml2Sql("p_cnt + 1")} - ${ml2Sql("ps")}) -
@@ -2082,7 +2101,7 @@ object SparkEntry {
        |  FROM llr)
        |SELECT b, p_cnt, q_cnt, llr_milli, contrib_micro
        |FROM contrib
-       |ORDER BY abs(contrib_micro) DESC, b LIMIT 20""".stripMargin
+       |$finalClause""".stripMargin
 
   /** q137/q138 shared oracle head: q103's bigram model folded to the
     * per-lang milli-log2 loss frame `loss(lang, loss_milli)`.
@@ -4833,6 +4852,30 @@ object SparkEntry {
     // them back through SnapshotStore.readAt time travel; membership
     // is deterministic, so the oracle mirrors it as predicates)
     "q139_snapshot_drift" -> driftSql("doc_id % 4 <> 3", "doc_id % 4 <> 1"),
+
+    // the q44 assignment rule per era (argmax dot over reference-frozen
+    // stride centroids, ties to lowest cid), per-cell counts, then the
+    // shared drift tail with the centroid count as the smoothing space
+    "q141_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM e
+        |  WHERE vec_id % 64 = 0 AND vec_id % 3 <> 0),
+        |passign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, cent.cv) DESC, cent.cid) AS rn
+        |    FROM e CROSS JOIN cent WHERE e.vec_id % 3 = 0) WHERE rn = 1),
+        |qassign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, cent.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, cent.cv) DESC, cent.cid) AS rn
+        |    FROM e CROSS JOIN cent WHERE e.vec_id % 3 <> 0) WHERE rn = 1),
+        |pcc AS (SELECT cid AS b, count(*) AS p FROM passign GROUP BY 1),
+        |qcc AS (SELECT cid AS b, count(*) AS q FROM qassign GROUP BY 1),
+        |${driftTailSql("SELECT count(*) FROM cent", "")}""".stripMargin,
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

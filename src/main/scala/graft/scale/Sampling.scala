@@ -308,13 +308,33 @@ object Sampling {
         .groupBy("b").agg(count(lit(1)).as(name))
     val pc = counts(target, "p_cnt")
     val qc = counts(reference, "q_cnt")
+    driftFromBucketCounts(pc, qc,
+      target.sparkSession.range(1).select(lit(buckets.toLong).as("bc")))
+  }
+
+  /** The drift decomposition's SHARED TAIL over arbitrary bucket-count
+    * frames — the feature space is whatever the caller counted: hashed
+    * tokens ([[domainDriftContributors]]), coarse-quantizer cells
+    * ([[Similarity.embeddingCellDrift]]), classifier score bands, …
+    *
+    * @param pc     (b, p_cnt) — target-era counts per bucket
+    * @param qc     (b, q_cnt) — reference-era counts per bucket
+    * @param smooth ONE-ROW frame (bc) — the smoothing bucket count
+    *               added to both totals (the feature-space size; a
+    *               literal frame for a fixed hash space, a count agg
+    *               for a data-derived space like quantizer cells)
+    */
+  def driftFromBucketCounts(
+      pc: DataFrame, qc: DataFrame, smooth: DataFrame): DataFrame = {
     val joined = pc.join(qc, Seq("b"), "full")
       .select(col("b"),
         coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
         coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
     val tots = joined.agg(
-      (sum("p_cnt") + buckets.toLong).as("ps"),
-      (sum("q_cnt") + buckets.toLong).as("qs"))
+        sum("p_cnt").as("sp"), sum("q_cnt").as("sq"))
+      .crossJoin(broadcast(smooth))
+      .select((coalesce(col("sp"), lit(0L)) + col("bc")).as("ps"),
+        (coalesce(col("sq"), lit(0L)) + col("bc")).as("qs"))
     val dec = "decimal(38,0)"
     joined
       .crossJoin(broadcast(tots))

@@ -435,6 +435,52 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cos")
   }
 
+  /** EMBEDDING-SPACE drift monitor — [[Sampling.driftFromBucketCounts]]
+    * with coarse-quantizer CELLS as the feature space: where in vector
+    * space did the corpus move between two eras (new topical mass,
+    * vanished clusters), the semantic complement of the token-space
+    * [[Sampling.domainDriftContributors]]. The cell system is FROZEN
+    * from the REFERENCE era (stride-picked centroids, the [[ivfTopK]]
+    * rule) so both eras are counted in the same coordinates — a
+    * monitor whose bucketing drifts with the data it monitors would
+    * hide exactly the drift it exists to report. Assignment is the IVF
+    * list rule bit-for-bit: argmax inner product, ties to the lowest
+    * centroid id, slim (id, cell, dot) rows through a fixed-width
+    * ArgMaxTieMin hash-agg.
+    *
+    * Scale shape: centroids broadcast (dim-sized); each era pays one
+    * N·nlist scoring pass folding straight into per-cell counts;
+    * everything downstream is cell-count-sized. The smoothing count is
+    * the centroid frame's own 1-row count agg (the cell-space size is
+    * data-derived, unlike the fixed hash space).
+    *
+    * @return (b = centroid_id, p_cnt, q_cnt, llr_milli, contrib_micro)
+    */
+  def embeddingCellDrift(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidStride: Long): DataFrame = {
+    require(centroidStride > 0, s"centroidStride must be > 0, got $centroidStride")
+    val centroids = broadcast(
+      reference
+        .filter(pmod(col(idCol), lit(centroidStride)) === 0)
+        .select(col(idCol).as("centroid_id"),
+          col(vecCol).cast("array<double>").as("centroid_vec")))
+    def cellCounts(df: DataFrame, name: String) = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(centroids)
+      .select(col("id"), col("centroid_id"), dot(col("v"), col("centroid_vec")).as("cdist"))
+      .groupBy("id")
+      .agg(ArgMaxTieMin(col("centroid_id"), col("cdist")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as(name))
+    Sampling.driftFromBucketCounts(
+      cellCounts(target, "p_cnt"),
+      cellCounts(reference, "q_cnt"),
+      centroids.agg(count(lit(1)).as("bc")))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by cluster-then-prune. Every vector is assigned to
     * its nearest coarse centroid (the same stride-picked broadcast

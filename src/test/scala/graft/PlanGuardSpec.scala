@@ -409,6 +409,9 @@ class PlanGuardSpec extends SparkSpec {
     //        one over the domain-count-sized weight frame
     //   q139: q136's drift totals frame over the two snapshot reads —
     //        the same single 1-row (ps, qs) agg class
+    //   q141: the drift totals frame + the centroid-count 1-row agg
+    //        (the cell-space size is data-derived, unlike q136's
+    //        literal hash space) — both over bucket/dim-sized frames
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
@@ -421,7 +424,8 @@ class PlanGuardSpec extends SparkSpec {
       "q133_dsir_topk" -> 2, "q134_dsir_gumbel" -> 2,
       "q135_token_budget" -> 1,
       "q136_domain_drift" -> 1, "q137_loss_aware_alloc" -> 2,
-      "q138_doremi_rounds" -> 5, "q139_snapshot_drift" -> 1)
+      "q138_doremi_rounds" -> 5, "q139_snapshot_drift" -> 1,
+      "q141_embedding_drift" -> 2)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

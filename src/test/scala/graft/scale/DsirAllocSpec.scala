@@ -315,6 +315,40 @@ class DsirAllocSpec extends SparkSpec {
     assert(third === directThird, "pair advances with the store history")
   }
 
+  test("embeddingCellDrift: reference-frozen cells, zero drift on identical eras, moved mass surfaces") {
+    // 2-D unit-ish vectors in two clusters; centroid stride 2 over the
+    // reference picks ids 0 and 2 -> cells are the two cluster axes
+    def vecs(rows: (Long, Array[Double])*) =
+      rows.toSeq.toDF("vec_id", "embedding")
+    val ref = vecs(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.9, 0.1),
+      2L -> Array(0.0, 1.0), 3L -> Array(0.1, 0.9),
+      4L -> Array(0.95, 0.05), 5L -> Array(0.05, 0.95))
+    // identical eras: p_cnt == q_cnt per cell and ps == qs -> llr == 0
+    val same = Similarity.embeddingCellDrift(ref, ref, "vec_id", "embedding", 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // centroid 4 wins no vector (0 beats it on every x-cluster dot), so
+    // its cell is omitted — the present-in-neither omission contract
+    assert(same.keySet === Set(0L, 2L), "cells are the stride-picked reference ids")
+    same.foreach { case (b, (p, q, llr, c)) =>
+      assert(p === q && llr === 0L && c === 0L, s"cell $b must show zero drift")
+    }
+    // target era: all mass moved to the y-axis cluster -> cell 2 (and
+    // its stride-mate) drift positive, x-axis cells negative
+    val tgt = vecs(
+      10L -> Array(0.0, 1.0), 11L -> Array(0.1, 0.9),
+      12L -> Array(0.05, 0.95), 13L -> Array(0.2, 0.8))
+    val moved = Similarity.embeddingCellDrift(tgt, ref, "vec_id", "embedding", 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(moved(2L)._1 === 4L && moved(2L)._2 > 0L,
+      s"the gaining cell must drift positive: $moved")
+    assert(moved(0L)._1 === 0L && moved(0L)._2 < 0L,
+      s"the emptied cell must drift negative: $moved")
+    // the cell SYSTEM never drifts with the target: cells are reference ids
+    assert(moved.keySet.subsetOf(Set(0L, 2L, 4L)))
+  }
+
   test("lossAwareWeights: best domain weighs 1000; tau-excess doubles exactly") {
     val loss = Seq(("a", 1000L), ("b", 2000L), ("c", 3000L))
       .toDF("dom", "loss")
