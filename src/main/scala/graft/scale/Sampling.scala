@@ -429,9 +429,13 @@ object Sampling {
       lossCol: String,
       tauMilli: Long = 1000L): DataFrame = {
     require(tauMilli >= 1, s"tauMilli must be >= 1, got $tauMilli")
-    val best = domainLoss.agg(min(col(lossCol).cast("long")).as("best"))
-    domainLoss
-      .select(col(domainCol), col(lossCol).cast("long").as("loss_milli"))
+    // stage-cache the domain-sized loss frame: it feeds BOTH the min
+    // agg and the main branch, and its upstream is typically a
+    // corpus-sized loss computation that must not run twice
+    val lossF = graft.ops.CacheScope.persisted(
+      domainLoss.select(col(domainCol), col(lossCol).cast("long").as("loss_milli")))
+    val best = lossF.agg(min(col("loss_milli")).as("best"))
+    lossF
       .crossJoin(broadcast(best))
       .withColumn("excess_milli", col("loss_milli") - col("best"))
       .withColumn("weight", pow2Milli(expr(s"excess_milli * 1000 div $tauMilli")))
@@ -476,9 +480,14 @@ object Sampling {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1, 16] (unrolled plan), got $rounds")
     val dec = "decimal(38,0)"
-    val best = domainLoss.agg(min(col(lossCol).cast("long")).as("best"))
-    var cur = domainLoss
-      .select(col(domainCol), col(lossCol).cast("long").as("loss_milli"))
+    // stage-cache the domain frame: WITHOUT it every round's 1-row
+    // normalization agg re-executes the corpus-sized loss upstream —
+    // measured at sf0.1 as q138 costing 3x q137 over the same loss
+    // chain (7.3 s vs 2.4 s) before the cache
+    val lossF = graft.ops.CacheScope.persisted(
+      domainLoss.select(col(domainCol), col(lossCol).cast("long").as("loss_milli")))
+    val best = lossF.agg(min(col("loss_milli")).as("best"))
+    var cur = lossF
       .crossJoin(broadcast(best))
       .withColumn("excess_milli", col("loss_milli") - col("best"))
       .withColumn("mult", pow2Milli(expr(s"excess_milli * 1000 div $tauMilli")))
@@ -607,6 +616,10 @@ object Sampling {
           lit(0L))).as("tokens"),
         col(weightCol).cast("long").as("weight"))
       .withColumn("cap", expr(s"tokens * $maxEpochsMilli div 1000"))
+      // stage-cache the domain frame: it feeds the rank self-join's
+      // BOTH sides and the window chain, and its upstream is typically
+      // a corpus-sized token count that must not run three times
+      .transform(df => graft.ops.CacheScope.persisted(df))
       // sort key: the EXACT cap/weight rank — cross-multiplied
       // decimal(38,0) comparison against every other domain (ties
       // broken by domain name), so two ratios that collide or cross

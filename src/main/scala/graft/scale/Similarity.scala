@@ -463,11 +463,35 @@ object Similarity {
       vecCol: String,
       centroidStride: Long): DataFrame = {
     require(centroidStride > 0, s"centroidStride must be > 0, got $centroidStride")
-    val centroids = broadcast(
+    // NOTE the stride rule makes nlist ∝ reference size — the exact,
+    // oracle-convenient form. At 100 TB the scoring pass is then
+    // N·nlist ≈ N²/stride: production passes a TRAINED/FIXED centroid
+    // frame (KMeans, or yesterday's quantizer) through
+    // [[embeddingCellDriftWithCentroids]] — a drift monitor wants a
+    // frozen cell system across eras anyway, and a fixed nlist keeps
+    // the pass linear (the q120 trained-IVF serving discipline).
+    embeddingCellDriftWithCentroids(target, reference,
       reference
         .filter(pmod(col(idCol), lit(centroidStride)) === 0)
         .select(col(idCol).as("centroid_id"),
-          col(vecCol).cast("array<double>").as("centroid_vec")))
+          col(vecCol).cast("array<double>").as("centroid_vec")),
+      idCol, vecCol)
+  }
+
+  /** [[embeddingCellDrift]] over an EXPLICIT frozen cell system —
+    * `centroidFrame` = (centroid_id, centroid_vec), e.g. trained
+    * coarse centroids or the previous era's quantizer. The production
+    * form: nlist is a model constant, so the per-era scoring pass
+    * stays linear in corpus size.
+    */
+  def embeddingCellDriftWithCentroids(
+      target: DataFrame,
+      reference: DataFrame,
+      centroidFrame: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val centroids = broadcast(
+      centroidFrame.select(col("centroid_id"), col("centroid_vec")))
     def cellCounts(df: DataFrame, name: String) = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .crossJoin(centroids)

@@ -347,6 +347,15 @@ class DsirAllocSpec extends SparkSpec {
       s"the emptied cell must drift negative: $moved")
     // the cell SYSTEM never drifts with the target: cells are reference ids
     assert(moved.keySet.subsetOf(Set(0L, 2L, 4L)))
+    // the explicit-centroid production form reproduces the stride form
+    // bit-for-bit when handed the same frame
+    val cents = ref.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid_vec"))
+    val explicit = Similarity
+      .embeddingCellDriftWithCentroids(tgt, ref, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(explicit === moved, "withCentroids == stride form on the same cells")
   }
 
   test("lossAwareWeights: best domain weighs 1000; tau-excess doubles exactly") {
