@@ -1995,6 +1995,18 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 === 0),
         emb.filter(col("vec_id") % 3 =!= 0),
         "vec_id", "embedding", centroidStride = 64)
+    }),
+
+    // --- scale: deterministic epoch order + resume cursor — q83's pack,
+    // epoch-1 within-shard md5 permutation, then the strict-after
+    // (shard 1, pos 4) resume slice a restarted loader feeds next --------
+    "q142_epoch_resume" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      val packed = ShardPack.packByTokenBudget(docs, "doc_id", "n_tok", budget = 2000L)
+      ShardPack.resumeAfter(
+        ShardPack.epochOrder(packed, "doc_id", epoch = 1L),
+        shardCursor = 1L, posCursor = 4L)
     })
   )
 
@@ -3654,6 +3666,29 @@ object SparkEntry {
         |  CAST((CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
         |FROM t""".stripMargin,
+
+    // q83's pack, then the epoch permutation as a per-shard window over
+    // the epoch-salted md5 order, 0-based pos, strict-after cursor
+    "q142_epoch_resume" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    md5('shard:' || doc_id) AS k
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST((CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+        |  FROM t),
+        |ordered AS (
+        |  SELECT doc_id, n_tokens, shard, CAST(1 AS BIGINT) AS epoch,
+        |    CAST(row_number() OVER (PARTITION BY shard
+        |      ORDER BY md5('epoch:1:' || doc_id), doc_id) - 1 AS BIGINT) AS pos
+        |  FROM packed)
+        |SELECT doc_id, n_tokens, shard, epoch, pos
+        |FROM ordered
+        |WHERE shard > 1 OR (shard = 1 AND pos > 4)""".stripMargin,
 
     // q84 shares q68's oracle verbatim: decontaminateBloom is the same
     // operator in a different memory regime (no false negatives + exact

@@ -90,4 +90,39 @@ object ShardPack {
         StructField("n_tokens", LongType, nullable = false),
         StructField("shard", LongType, nullable = false))))
   }
+
+  /** Deterministic per-epoch data order — the reproducible data-loader
+    * contract a training job needs to RESUME and to reproduce a run
+    * bit-for-bit: within each shard, sequences are consumed in
+    * `md5("epoch:<e>:<id>")` order (ties by id), so every epoch is a
+    * fresh pseudo-random permutation of the same set, and the order is
+    * a pure function of (epoch, ids) — identical across reruns,
+    * engines, and cluster sizes. The shuffle stays WITHIN shards (the
+    * unit a data loader reads in parallel): a keyed window, never a
+    * global sort — shard sizes are budget-bounded by
+    * [[packByTokenBudget]], so no window partition outgrows a task.
+    *
+    * @return packed columns + (epoch, pos); pos is 0-based within the
+    *         shard
+    */
+  def epochOrder(packed: DataFrame, idCol: String, epoch: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val ek = md5(concat(lit(s"epoch:$epoch:"), col(idCol).cast("string")))
+    packed
+      .withColumn("epoch", lit(epoch))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy("shard").orderBy(ek, col(idCol))) - 1).cast("long"))
+  }
+
+  /** The resume slice: everything STRICTLY AFTER the `(shard, pos)`
+    * cursor in [[epochOrder]]'s lexicographic (shard, pos) order —
+    * what a restarted loader feeds next. Consumed ∪ resume == the
+    * epoch, disjoint (spec-pinned); a scan-pure filter, pushed to the
+    * shard/pos columns.
+    */
+  def resumeAfter(ordered: DataFrame, shardCursor: Long, posCursor: Long): DataFrame =
+    ordered.filter(col("shard") > shardCursor ||
+      (col("shard") === shardCursor && col("pos") > posCursor))
 }

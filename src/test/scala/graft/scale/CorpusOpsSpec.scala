@@ -146,6 +146,36 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("epochOrder: per-epoch permutations, rerun/partition determinism; resumeAfter partitions the epoch") {
+    val packed = ShardPack.packByTokenBudget(
+      shardDocs(300), "doc_id", "n_tok", budget = 250L)
+    def orderOf(e: Long, parts: Int) = ShardPack
+      .epochOrder(packed.repartition(parts), "doc_id", e)
+      .select("shard", "pos", "doc_id").as[(Long, Long, Long)].collect().sorted.toSeq
+    val e1 = orderOf(1L, 3)
+    // pure function of (epoch, ids): reruns and partitionings agree
+    assert(e1 === orderOf(1L, 11))
+    // within each shard, pos is exactly 0..n-1 (a permutation)
+    e1.groupBy(_._1).foreach { case (s, rowsOf) =>
+      assert(rowsOf.map(_._2).sorted === (0L until rowsOf.size.toLong), s"shard $s")
+    }
+    // a different epoch permutes the SAME membership differently
+    val e2 = orderOf(2L, 3)
+    assert(e1.map(r => (r._1, r._3)).toSet === e2.map(r => (r._1, r._3)).toSet,
+      "epochs cover the same (shard, doc) set")
+    assert(e1 !== e2, "epoch salt must reshuffle")
+    // resume: consumed ∪ rest == epoch, disjoint, and rest is exactly
+    // the strict-after region
+    val ordered = ShardPack.epochOrder(packed, "doc_id", 1L)
+    val rest = ShardPack.resumeAfter(ordered, 0L, 2L)
+      .select("shard", "pos").as[(Long, Long)].collect().toSet
+    val all = ordered.select("shard", "pos").as[(Long, Long)].collect().toSet
+    val consumed = all -- rest
+    assert(consumed === all.filter { case (s, p) => s === 0L && p <= 2L })
+    assert(consumed.size === 3, "shard 0 holds at least the consumed prefix")
+    assert(rest.forall { case (s, p) => s > 0L || p > 2L })
+  }
+
   // --- decontaminateBloom ---------------------------------------------------
 
   test("decontaminateBloom equals exact decontaminate even when FPs are forced") {
