@@ -947,6 +947,42 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("embdrift")) {
+      // q141's production form: embeddingCellDriftWithCentroids at a
+      // FIXED nlist (stride derived from the reference count, so the
+      // cell count stays a model constant as the corpus grows) vs the
+      // oracle stride-64 shape whose nlist ∝ N
+      import graft.scale.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val tgt = emb.filter(col("vec_id") % 3 === 0)
+      val ref = emb.filter(col("vec_id") % 3 =!= 0).persist()
+      val refN = ref.count()
+      println(s"[embdrift] ref_vectors=$refN")
+      Seq(64, 256, 1024).foreach { nlist =>
+        // fixed-COUNT cell system: first nlist reference ids (TakeOrdered)
+        val cents = ref
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").cast("array<double>").as("centroid_vec"))
+          .orderBy("centroid_id").limit(nlist)
+        val nc = cents.count()
+        val t0 = System.nanoTime()
+        val rows = Similarity.embeddingCellDriftWithCentroids(
+          tgt, ref, cents, "vec_id", "embedding").count()
+        println(f"[embdrift] nlist=$nc cells_out=$rows " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        graft.ops.CacheScope.releaseAll()
+      }
+      val t0 = System.nanoTime()
+      val rows = Similarity.embeddingCellDrift(
+        tgt, ref, "vec_id", "embedding", centroidStride = 64).count()
+      println(f"[embdrift] stride64(oracle, nlist prop N) cells_out=$rows " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.ops.CacheScope.releaseAll()
+      ref.unpersist()
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bpescale")) {
       // the BPE scale law, measured: training = ONE corpus-sized pass
       // (word counts) + numMerges iterations over the DISTINCT-WORD

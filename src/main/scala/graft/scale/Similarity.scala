@@ -499,6 +499,16 @@ object Similarity {
       .groupBy("id")
       .agg(ArgMaxTieMin(col("centroid_id"), col("cdist")).as("b"))
       .groupBy("b").agg(count(lit(1)).as(name))
+    // fail loud on an EMPTY cell system: a zero-cell monitor emits no
+    // rows and reads as "no drift" forever — the snapshotDrift
+    // single-version failure class (found by the century harness when
+    // a stride derivation produced zero centroids). The check is an
+    // EAGER limit-1 probe (the KMeans init-guard pattern): an in-plan
+    // assert would sit on a branch AQE's empty-relation propagation
+    // prunes away — verified, it never fires
+    require(!centroidFrame.isEmpty,
+      "embeddingCellDrift: empty centroid frame — a zero-cell monitor " +
+        "would report zero drift forever")
     Sampling.driftFromBucketCounts(
       cellCounts(target, "p_cnt"),
       cellCounts(reference, "q_cnt"),

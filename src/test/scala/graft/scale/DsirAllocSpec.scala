@@ -356,6 +356,14 @@ class DsirAllocSpec extends SparkSpec {
       .embeddingCellDriftWithCentroids(tgt, ref, cents, "vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
     assert(explicit === moved, "withCentroids == stride form on the same cells")
+    // an EMPTY cell system must refuse AT CALL TIME, not report zero
+    // drift forever (an in-plan assert gets pruned by AQE's
+    // empty-relation propagation — hence the eager probe)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.embeddingCellDriftWithCentroids(
+        tgt, ref, cents.limit(0), "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("empty centroid frame"))
   }
 
   test("lossAwareWeights: best domain weighs 1000; tau-excess doubles exactly") {
