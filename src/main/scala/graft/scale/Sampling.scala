@@ -301,15 +301,28 @@ object Sampling {
       textCol: String,
       buckets: Int = 4096): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 24), "buckets must fit the md5 bucket space")
-    def counts(df: DataFrame, name: String) =
-      df.select(explode(regexp_extract_all(
-          lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
-        .select(TextStats.hashBucket(col("tok"), buckets).as("b"))
-        .groupBy("b").agg(count(lit(1)).as(name))
-    val pc = counts(target, "p_cnt")
-    val qc = counts(reference, "q_cnt")
-    driftFromBucketCounts(pc, qc,
+    driftFromBucketCounts(
+      tokenBucketCounts(target, textCol, buckets, "p_cnt"),
+      tokenBucketCounts(reference, textCol, buckets, "q_cnt"),
       target.sparkSession.range(1).select(lit(buckets.toLong).as("bc")))
+  }
+
+  /** (b, `name`) per-feature-bucket token counts — the count frame
+    * BOTH drift halves build: the batch monitor's two eras here, and
+    * the live era via
+    * [[graft.streaming.StreamingOps.driftBucketCountsStream]] (the
+    * same expression over a streaming frame). One keyed agg over at
+    * most `buckets` groups.
+    */
+  def tokenBucketCounts(
+      docs: DataFrame, textCol: String, buckets: Int,
+      name: String = "cnt"): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24), "buckets must fit the md5 bucket space")
+    docs
+      .select(explode(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .select(TextStats.hashBucket(col("tok"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as(name))
   }
 
   /** The drift decomposition's SHARED TAIL over arbitrary bucket-count

@@ -411,6 +411,28 @@ object StreamingOps {
       width: Int = 256): DataFrame =
     values.agg(graft.functions.CmsSketch(col(valueCol), depth, width).as("sketch"))
 
+  /** The LIVE half of the drift monitor: running per-feature-bucket
+    * token counts over the arriving target-era stream — the exact
+    * count frame [[graft.scale.Sampling.domainDriftContributors]]
+    * builds for a batch corpus, kept current in complete mode (one
+    * keyed aggregation over at most `buckets` groups: state is
+    * bucket-sized regardless of stream length, the cmsSketchStream
+    * discipline). The drift TAIL runs batch-side on the polled sink —
+    * `Sampling.driftFromBucketCounts(sink, refCounts, smooth)` against
+    * the FROZEN reference-era counts — because the tail needs a second
+    * global aggregation over the streaming agg's output, which
+    * Structured Streaming does not allow in one query; the spec pins
+    * the composition equal to the batch monitor after every
+    * micro-batch.
+    *
+    * @return streaming (b, p_cnt), complete-mode
+    */
+  def driftBucketCountsStream(
+      docs: DataFrame,
+      textCol: String,
+      buckets: Int = 4096): DataFrame =
+    graft.scale.Sampling.tokenBucketCounts(docs, textCol, buckets, "p_cnt")
+
   /** Streaming incremental near-dup detection — the continuous form of
     * [[graft.scale.Dedup.nearDupAgainstSignatures]]: arriving documents
     * probe the FROZEN corpus signature index and emit every VERIFIED

@@ -385,6 +385,46 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("driftBucketCountsStream + batch tail == the batch drift monitor at every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.scale.Sampling
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("lang") =!= "en").select("doc_id", "text")
+    val tgt = docs.filter(col("lang") === "en").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // the FROZEN reference-era half, persisted once (the index contract)
+    val refCounts = Sampling.tokenBucketCounts(ref, "text", 256, "q_cnt").persist()
+    val input = MemoryStream[(Long, String)]
+    val q = driftBucketCountsStream(
+      input.toDF().toDF("doc_id", "text"), "text", buckets = 256)
+      .writeStream.format("memory").queryName("drift_counts")
+      .outputMode(OutputMode.Complete()).start()
+    def driftRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    try {
+      val (b1, b2) = tgt.splitAt(tgt.length / 2)
+      def check(prefix: Seq[(Long, String)]): Unit = {
+        // the live half: the polled complete-mode sink; the tail runs
+        // batch-side against the frozen reference counts
+        val composed = driftRows(Sampling.driftFromBucketCounts(
+          spark.table("drift_counts"), refCounts,
+          spark.range(1).select(lit(256L).as("bc"))))
+        val batch = driftRows(Sampling.domainDriftContributors(
+          prefix.toDF("doc_id", "text"), ref, "text", buckets = 256))
+        assert(composed === batch,
+          s"prefix of ${prefix.size} docs: composed stream tail must equal batch monitor")
+        assert(composed.nonEmpty)
+      }
+      input.addData(b1: _*); q.processAllAvailable(); check(b1)
+      input.addData(b2: _*); q.processAllAvailable(); check(b1 ++ b2)
+    } finally {
+      q.stop(); refCounts.unpersist()
+    }
+  }
+
   test("classifyStream == batch scoreWithWeights under frozen trained weights") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
