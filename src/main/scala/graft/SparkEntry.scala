@@ -2007,6 +2007,15 @@ object SparkEntry {
       ShardPack.resumeAfter(
         ShardPack.epochOrder(packed, "doc_id", epoch = 1L),
         shardCursor = 1L, posCursor = 4L)
+    }),
+
+    // --- scale: sample packing — the fixed-length training-sequence
+    // layout with attention-boundary metadata: docs split across
+    // 512-token bins, every non-terminal bin exactly full ----------------
+    "q143_sample_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.packSequences(docs, "doc_id", "n_tok", seqLen = 512L)
     })
   )
 
@@ -3689,6 +3698,31 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, shard, epoch, pos
         |FROM ordered
         |WHERE shard > 1 OR (shard = 1 AND pos > 4)""".stripMargin,
+
+    // the same global offset window, then one row per spanned 512-token
+    // bin with the piece-boundary arithmetic
+    "q143_sample_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    md5('shard:' || doc_id) AS k
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM t),
+        |pieces AS (
+        |  SELECT doc_id, n_tokens, start,
+        |    CAST(unnest(generate_series(start // 512, (start + n_tokens - 1) // 512)) AS BIGINT) AS bin,
+        |    start // 512 AS first_bin
+        |  FROM off WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, bin,
+        |  CAST(greatest(start - bin * 512, 0) AS BIGINT) AS local_start,
+        |  CAST(least((bin + 1) * 512, start + n_tokens) - greatest(bin * 512, start) AS BIGINT) AS piece_len,
+        |  bin > first_bin AS is_continuation
+        |FROM pieces""".stripMargin,
 
     // q84 shares q68's oracle verbatim: decontaminateBloom is the same
     // operator in a different memory regime (no false negatives + exact

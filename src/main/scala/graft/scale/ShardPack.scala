@@ -49,6 +49,23 @@ object ShardPack {
       budget: Long,
       numPartitions: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    packWithOffsets(docs, idCol, tokensCol, numPartitions)
+      .select(col(idCol), col("n_tokens"),
+        (col("start") / budget).cast("long").as("shard"))
+  }
+
+  /** The two-phase global prefix sum itself: every doc's START OFFSET
+    * in the deterministic md5 token stream — the primitive under
+    * [[packByTokenBudget]] (shard = start div budget) and
+    * [[packSequences]] (bin arithmetic over [start, start+n)).
+    *
+    * @return (idCol, n_tokens, start)
+    */
+  def packWithOffsets(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      numPartitions: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     val keyed = docs.select(
       md5(concat(lit("shard:"), col(idCol).cast("string"))).as("k"),
@@ -73,14 +90,14 @@ object ShardPack {
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(p) = tokens before partition p
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
-    // pass 2: running sum + partition offset → shard id
+    // pass 2: running sum + partition offset → global start offset
     val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bcOffsets.value(pid)
       it.map { r =>
         val n = r.getLong(2)
         val start = run
         run += n
-        Row(r.getLong(1), n, start / budget)
+        Row(r.getLong(1), n, start)
       }
     }
     spark.createDataFrame(
@@ -88,7 +105,51 @@ object ShardPack {
       StructType(Seq(
         StructField(idCol, LongType, nullable = false),
         StructField("n_tokens", LongType, nullable = false),
-        StructField("shard", LongType, nullable = false))))
+        StructField("start", LongType, nullable = false))))
+  }
+
+  /** SAMPLE PACKING — lay the deterministic token stream into
+    * fixed-length training sequences (`seqLen` tokens per bin) with
+    * the boundary metadata an attention mask needs: one row per
+    * (doc, bin) PIECE, `local_start`/`piece_len` locating the piece
+    * inside its bin, `is_continuation` marking pieces that carry a doc
+    * across a bin boundary. Every bin except the last is exactly full
+    * (Σ piece_len == seqLen — no padding waste: the whole point of
+    * packing), docs split rather than pad, and the layout is a pure
+    * function of ids — the same reproducibility contract as
+    * [[epochOrder]].
+    *
+    * Scale shape: [[packWithOffsets]]' two-phase prefix sum plus a
+    * scan-pure bin explode (a doc spans `(start+n-1)/seqLen −
+    * start/seqLen + 1` bins — cheap `sequence()` over a small range);
+    * no additional shuffle.
+    *
+    * @return (idCol, n_tokens, bin, local_start, piece_len,
+    *         is_continuation); zero-token docs emit no piece
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqLen: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    packWithOffsets(docs, idCol, tokensCol, numPartitions)
+      .filter(col("n_tokens") > 0)
+      .withColumn("first_bin", (col("start") / seqLen).cast("long"))
+      .withColumn("last_bin",
+        ((col("start") + col("n_tokens") - 1) / seqLen).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("start"),
+        explode(sequence(col("first_bin"), col("last_bin"))).as("bin"),
+        col("first_bin"))
+      .withColumn("local_start",
+        greatest(col("start") - col("bin") * seqLen, lit(0L)))
+      .withColumn("piece_len",
+        least((col("bin") + 1) * seqLen, col("start") + col("n_tokens")) -
+          greatest(col("bin") * seqLen, col("start")))
+      .withColumn("is_continuation", col("bin") > col("first_bin"))
+      .select(col(idCol), col("n_tokens"), col("bin"), col("local_start"),
+        col("piece_len"), col("is_continuation"))
   }
 
   /** Deterministic per-epoch data order — the reproducible data-loader

@@ -176,6 +176,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rest.forall { case (s, p) => s > 0L || p > 2L })
   }
 
+  test("packSequences: full bins, boundary pieces reconstruct docs, shard equivalence") {
+    val docs = shardDocs(400)
+    val out = ShardPack.packSequences(docs, "doc_id", "n_tok", seqLen = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val totalTokens = docs.agg(sum("n_tok")).as[Long].head()
+    // token conservation + every non-terminal bin EXACTLY full
+    assert(out.map(_._5).sum === totalTokens)
+    val byBin = out.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (b, tok) =>
+      if (b != lastBin) assert(tok === 100L, s"bin $b not full: $tok")
+      else assert(tok <= 100L)
+    }
+    // per-doc reconstruction: pieces in bin order sum to n_tokens; the
+    // first piece is not a continuation, later ones are and start at 0
+    out.groupBy(_._1).foreach { case (id, ps) =>
+      val ordered = ps.sortBy(_._3)
+      assert(ordered.map(_._5).sum === ordered.head._2, s"doc $id")
+      assert(!ordered.head._6 && ordered.tail.forall(_._6), s"doc $id continuation flags")
+      ordered.tail.foreach(p => assert(p._4 === 0L, s"doc $id continuation must start at 0"))
+      assert(ordered.map(_._3) === (ordered.head._3 to ordered.last._3), s"doc $id bins contiguous")
+    }
+    // partition invariance (pure function of ids)
+    val out2 = ShardPack.packSequences(docs.repartition(7), "doc_id", "n_tok", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(out2 === out.map(r => (r._1, r._3, r._4, r._5)).sorted.toSeq)
+    // a doc's first bin is exactly its packByTokenBudget shard at equal budget
+    val shards = ShardPack.packByTokenBudget(docs, "doc_id", "n_tok", budget = 100L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (id, ps) =>
+      assert(ps.map(_._3).min === shards(id), s"doc $id first bin vs shard")
+    }
+  }
+
   // --- decontaminateBloom ---------------------------------------------------
 
   test("decontaminateBloom equals exact decontaminate even when FPs are forced") {
