@@ -2016,7 +2016,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
       ShardPack.packSequences(docs, "doc_id", "n_tok", seqLen = 512L)
-    })
+    }),
+
+    // --- scale: dialogue QC — q49's sessions as SFT dialogues with the
+    // chat-template alternation invariant checked per dialogue (roles =
+    // event types; consecutive same-role turns are violations) ------------
+    "q144_dialogue_qc" -> ((s, dir) =>
+      graft.scale.Dialogue.dialogueStats(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        gapNanos = 1800000000000L))
   )
 
   /** q124/q125 merge count — enough steps that multi-character pieces
@@ -3723,6 +3731,34 @@ object SparkEntry {
         |  CAST(least((bin + 1) * 512, start + n_tokens) - greatest(bin * 512, start) AS BIGINT) AS piece_len,
         |  bin > first_bin AS is_continuation
         |FROM pieces""".stripMargin,
+
+    // q49's session CTEs + a per-session role lag: violations count
+    // same-role adjacencies, validity is their zero-ness
+    "q144_dialogue_qc" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+        |  FROM b),
+        |g AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM f),
+        |r AS (
+        |  SELECT user_id, session_seq, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY tsn, event_id) AS prev_role
+        |  FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_turns,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_roles,
+        |  CAST(sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alternation_violations,
+        |  sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) = 0 AS valid_dialogue
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // q84 shares q68's oracle verbatim: decontaminateBloom is the same
     // operator in a different memory regime (no false negatives + exact

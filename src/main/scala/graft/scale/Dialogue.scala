@@ -1,0 +1,81 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT / dialogue data assembly from an interaction log — the
+  * post-training counterpart of the pretraining curation family. A
+  * fine-tuning pipeline receives raw interaction events and must (1)
+  * cut them into dialogues (gap-based sessionization — inactivity ends
+  * a conversation), and (2) enforce the CHAT-TEMPLATE INVARIANT every
+  * SFT formatter assumes before rendering: within a dialogue,
+  * consecutive turns alternate roles (a run of same-role turns breaks
+  * user/assistant pairing and silently corrupts loss masking).
+  * Violations are REPORTED per dialogue, not silently dropped or
+  * auto-merged — the curation team decides the repair policy (merge
+  * consecutive same-role turns, drop the dialogue, …); an engine that
+  * guessed would hide exactly the data bug this frame exists to
+  * surface.
+  *
+  * Scale shape: everything is keyed windows partitioned by the session
+  * key (then key+session) — per-user event history is the partition
+  * unit, never the corpus; the stats fold is one hash agg. The
+  * streaming twin of the sessionizer is
+  * [[graft.streaming.StreamingOps.sessionize]] (flatMapGroupsWithState
+  * with watermark closing); this batch form matches q49's semantics.
+  */
+object Dialogue {
+
+  /** Gap-based sessionization as a library op (the q49 semantics):
+    * events more than `gapNanos` apart start a new session per key.
+    * Appends `session_seq` (1-based per key, in (ts, id) order —
+    * `idCol` breaks timestamp ties deterministically). `tsCol` is the
+    * long-nanos timestamp convention of the `t()` read boundary.
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      gapNanos: Long): DataFrame = {
+    require(gapNanos > 0, s"gapNanos must be positive, got $gapNanos")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          col(tsCol) - col("__prev_ts") > lit(gapNanos), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(w))
+      .drop("__prev_ts", "__new_session")
+  }
+
+  /** Per-dialogue QC frame: turn count, distinct roles, alternation
+    * violations (consecutive turns with the SAME role — each such
+    * adjacency counts once), and the validity verdict. One row per
+    * (key, session).
+    *
+    * @return (keyCol, session_seq, n_turns, n_roles,
+    *         n_alternation_violations, valid_dialogue)
+    */
+  def dialogueStats(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      gapNanos: Long): DataFrame = {
+    val sess = sessionize(events, keyCol, tsCol, idCol, gapNanos)
+    val w = Window.partitionBy(col(keyCol), col("session_seq"))
+      .orderBy(col(tsCol), col(idCol))
+    sess
+      .withColumn("__prev_role", lag(col(roleCol), 1).over(w))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        countDistinct(col(roleCol)).as("n_roles"),
+        sum(when(col("__prev_role") === col(roleCol), 1L).otherwise(0L))
+          .as("n_alternation_violations"))
+      .withColumn("valid_dialogue", col("n_alternation_violations") === 0L)
+  }
+}

@@ -212,6 +212,37 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("Dialogue: gap sessionization and the alternation QC verdict") {
+    // user 1: u,a,a,u within the gap (ONE violation at the a,a
+    // adjacency), then a lone turn after the gap; user 2 alternates
+    // perfectly; user 3 is a single-role monologue (2 violations)
+    val ev = Seq(
+      (1L, 0L, 1L, "user"), (2L, 5L, 1L, "assistant"),
+      (3L, 8L, 1L, "assistant"), (4L, 9L, 1L, "user"),
+      (5L, 100L, 1L, "user"),
+      (6L, 0L, 2L, "user"), (7L, 1L, 2L, "assistant"),
+      (8L, 2L, 2L, "user"), (9L, 3L, 2L, "assistant"),
+      (10L, 0L, 3L, "user"), (11L, 1L, 3L, "user"), (12L, 2L, 3L, "user")
+    ).toDF("event_id", "ts", "user_id", "role")
+    val out = Dialogue.dialogueStats(
+        ev, "user_id", "ts", "event_id", "role", gapNanos = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(out((1L, 1L)) === ((4L, 2L, 1L, false)), "a,a adjacency is one violation")
+    assert(out((1L, 2L)) === ((1L, 1L, 0L, true)), "a lone turn is trivially valid")
+    assert(out((2L, 1L)) === ((4L, 2L, 0L, true)), "perfect alternation")
+    assert(out((3L, 1L)) === ((3L, 1L, 2L, false)), "monologue: one violation per adjacency")
+    assert(out.size === 4)
+    // session cut law: gap STRICTLY greater than gapNanos starts a new
+    // session (ts 9 -> 100 with gap 10 cuts; ts 0 -> 5 -> 8 -> 9 does not)
+    val sess = Dialogue.sessionize(ev, "user_id", "ts", "event_id", 10L)
+      .filter(col("user_id") === 1L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(sess(4L) === 1L && sess(5L) === 2L)
+  }
+
   // --- decontaminateBloom ---------------------------------------------------
 
   test("decontaminateBloom equals exact decontaminate even when FPs are forced") {
