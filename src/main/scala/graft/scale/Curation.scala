@@ -365,7 +365,9 @@ object Curation {
       sequences: DataFrame,
       counters: DataFrame,
       gatedChunks: DataFrame,
-      splits: DataFrame)
+      splits: DataFrame,
+      shingleSize: Int,
+      numHashes: Int)
 
   /** The STORE-UPDATE contract — how an increment's results fold back
     * into the curated store BETWEEN increments (the seam between two
@@ -376,7 +378,8 @@ object Curation {
     *      exactly those chunks — with the SAME shingle/hash parameters
     *      as the index being extended (a mismatch would silently blind
     *      the next increment's incumbent filter, so the parameters are
-    *      taken here, not trusted to the caller's memory);
+    *      read off the [[IncrementResult]] the increment itself
+    *      recorded, not re-accepted from the caller's memory);
     *   3. splits: append the increment's assignments (disjoint from
     *      the store's by construction — an incumbent-filtered batch
     *      never re-assigns an existing chunk);
@@ -393,12 +396,10 @@ object Curation {
       storeChunks: DataFrame,
       storeSigs: DataFrame,
       storeSplits: DataFrame,
-      inc: IncrementResult,
-      shingleSize: Int = 3,
-      numHashes: Int = 16): (DataFrame, DataFrame, DataFrame) = {
+      inc: IncrementResult): (DataFrame, DataFrame, DataFrame) = {
     val newSigs = Dedup.minhashSignatures(
       inc.gatedChunks.select(col("chunk_id"), col("chunk_text")),
-      "chunk_id", "chunk_text", shingleSize, numHashes)
+      "chunk_id", "chunk_text", inc.shingleSize, inc.numHashes)
     (storeChunks.unionByName(inc.gatedChunks),
       storeSigs.unionByName(newSigs),
       storeSplits.unionByName(inc.splits))
@@ -612,6 +613,6 @@ object Curation {
     val gatedChunks = chunks
       .join(gated.select("chunk_id"), Seq("chunk_id"), "left_semi")
       .select(col("chunk_id"), col("chunk_text"), col(groupCol))
-    IncrementResult(sequences, counters, gatedChunks, split)
+    IncrementResult(sequences, counters, gatedChunks, split, shingleSize, numHashes)
   }
 }

@@ -371,9 +371,13 @@ object Sampling {
     * feature buckets by |KL contribution| (ties on bucket id),
     * planned as TakeOrdered — never a global sort.
     *
-    * Fails loud when fewer than two versions are retained: a monitor
-    * silently comparing a snapshot to itself would report zero drift
-    * forever, the worst possible failure mode for an alerting frame.
+    * Fails loud when fewer than two DISTINCT entity states are
+    * retained: a monitor silently comparing a snapshot to itself would
+    * report zero drift forever, the worst possible failure mode for an
+    * alerting frame. "Distinct" is judged on the ENTITY's manifest
+    * pointers, not the store version counter — publishes of other
+    * entities sharing the store neither advance nor expire this
+    * entity's comparison pair.
     */
   def snapshotDrift(
       spark: org.apache.spark.sql.SparkSession,
@@ -383,12 +387,31 @@ object Sampling {
       buckets: Int = 4096,
       topK: Int = 20): DataFrame = {
     import graft.ops.SnapshotStore
-    val vs = SnapshotStore.retainedVersions(storeDir)
-    require(vs.size >= 2,
-      s"snapshotDrift: need >= 2 retained versions of '$entity' in $storeDir " +
-        s"(publish with retain >= 2), found ${vs.size}")
-    val prev = SnapshotStore.readAt(spark, storeDir, entity, vs(vs.size - 2))
-    val curr = SnapshotStore.readAt(spark, storeDir, entity, vs.last)
+    // Version selection is ENTITY-scoped, not store-scoped: a shared
+    // store interleaves publishes of other entities between two
+    // publishes of `entity`, and store-level "last two versions" would
+    // then compare the entity to ITSELF (zero drift forever — the
+    // silent failure mode this monitor exists to refuse). The entity's
+    // history is the sequence of retained versions where its manifest
+    // pointer set (flat key or bucket keys) actually changed.
+    def pointers(v: Int): Map[String, String] =
+      SnapshotStore.readManifestAt(storeDir, v).filter { case (k, _) =>
+        k == entity || k.startsWith(entity + "/")
+      }
+    val states = SnapshotStore.retainedVersions(storeDir)
+      .map(v => v -> pointers(v))
+      .filter(_._2.nonEmpty)
+      .foldLeft(Vector.empty[(Int, Map[String, String])]) {
+        case (acc, (v, e)) if acc.nonEmpty && acc.last._2 == e => acc
+        case (acc, s)                                          => acc :+ s
+      }
+    require(states.size >= 2,
+      s"snapshotDrift: need >= 2 distinct retained versions of '$entity' in " +
+        s"$storeDir (publish the entity with retain >= 2; found " +
+        s"${states.size} — older states may have expired from the " +
+        "retention window)")
+    val prev = SnapshotStore.readAt(spark, storeDir, entity, states(states.size - 2)._1)
+    val curr = SnapshotStore.readAt(spark, storeDir, entity, states.last._1)
     domainDriftContributors(curr, prev, textCol, buckets)
       .orderBy(abs(col("contrib_micro")).desc, col("b").asc)
       .limit(topK)
@@ -508,13 +531,22 @@ object Sampling {
       .withColumn("w", lit(1000000L))
       .withColumn("w_sum", lit(0L))
     (1 to rounds).foreach { _ =>
+      // raw stays decimal(38,0) end-to-end: w ≤ 10⁶ times a pow2Milli
+      // multiplier can reach ~9e21, past int64 — a long here would
+      // silently wrap at the tau/excess domain edge. Dividing the exact
+      // decimal product by 1000 has ≤3 fraction digits, so the scale-6
+      // decimal quotient is EXACT and floor is the true floor.
       val raw = cur.withColumn("raw",
-        floor(col("w").cast(dec) * col("mult").cast(dec) / 1000).cast("long"))
-      val tot = raw.agg(sum("raw").as("tot"))
+        floor(col("w").cast(dec) * col("mult").cast(dec) / 1000).cast(dec))
+      val tot = raw.agg(sum("raw").cast(dec).as("tot"))
+      // normalization via integral `div` on the decimal product —
+      // Spark's IntegralDivide on decimals is divideToIntegralValue
+      // (exact), matching the oracle's HUGEINT `//`: a rounded scale-6
+      // quotient within 5e-7 below an integer would floor UP here.
       cur = raw
         .crossJoin(broadcast(tot))
         .withColumn("w",
-          floor(col("raw").cast(dec) * 1000000 / col("tot").cast(dec)).cast("long"))
+          expr("cast(raw * 1000000 as decimal(38,0)) div tot"))
         .withColumn("w_sum", col("w_sum") + col("w"))
         .drop("raw", "tot")
     }

@@ -49,9 +49,13 @@ object ShardPack {
       budget: Long,
       numPartitions: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, which
+    // loses exactness once offsets approach 2^53 — the same IEEE cliff
+    // tokenBudgetAllocate's rank avoids. Offsets are nonnegative, so
+    // `div` == floor division == the oracle's `//`.
     packWithOffsets(docs, idCol, tokensCol, numPartitions)
       .select(col(idCol), col("n_tokens"),
-        (col("start") / budget).cast("long").as("shard"))
+        expr(s"start div ${budget}L").as("shard"))
   }
 
   /** The two-phase global prefix sum itself: every doc's START OFFSET
@@ -136,9 +140,10 @@ object ShardPack {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     packWithOffsets(docs, idCol, tokensCol, numPartitions)
       .filter(col("n_tokens") > 0)
-      .withColumn("first_bin", (col("start") / seqLen).cast("long"))
+      // integer `div` (not double `/`): exact past 2^53 token offsets
+      .withColumn("first_bin", expr(s"start div ${seqLen}L"))
       .withColumn("last_bin",
-        ((col("start") + col("n_tokens") - 1) / seqLen).cast("long"))
+        expr(s"(start + n_tokens - 1) div ${seqLen}L"))
       .select(col(idCol), col("n_tokens"), col("start"),
         explode(sequence(col("first_bin"), col("last_bin"))).as("bin"),
         col("first_bin"))

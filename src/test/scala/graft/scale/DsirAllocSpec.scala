@@ -313,6 +313,15 @@ class DsirAllocSpec extends SparkSpec {
     val directThird = Sampling.domainDriftContributors(v1, v2, "text", buckets = 32)
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert(third === directThird, "pair advances with the store history")
+    // ENTITY-scoped history: publishes of OTHER entities sharing the
+    // store must not advance this entity's pair — store-level "last two
+    // versions" would compare corpus to itself and report zero drift
+    val other = Seq((9L, "zz zz")).toDF("doc_id", "text")
+    SnapshotStore.publish(store, Seq("other" -> other), retain = 3)
+    val afterOther = Sampling.snapshotDrift(spark, store, "corpus", "text", buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(afterOther === directThird,
+      "interleaved other-entity publish leaves the corpus pair unchanged")
   }
 
   test("embeddingCellDrift: reference-frozen cells, zero drift on identical eras, moved mass surfaces") {
@@ -430,6 +439,19 @@ class DsirAllocSpec extends SparkSpec {
       assert(runDoremi(losses, tau, rounds) === doremiRef(losses, tau, rounds),
         s"trial $trial: losses=$losses tau=$tau rounds=$rounds")
     }
+  }
+
+  test("doremiWeights survives the pow2Milli domain edge (raw ~9e21 stays exact, never wraps)") {
+    // tau=1 with excess near the pow2Milli ceiling: the round-1 raw is
+    // 10^6 * pow2Milli(53000) / 1000 ~ 9.3e21 — past int64. The fix
+    // keeps raw in decimal(38,0); the BigInt reference is exact.
+    val losses = Seq(("best", 0L), ("edge", 53L))
+    val got = runDoremi(losses, 1L, 2)
+    assert(got === doremiRef(losses, 1L, 2), s"domain edge: $got")
+    assert(got.values.forall { case (f, a) => f >= 0 && a >= 0 },
+      s"no silent wrap to negative: $got")
+    // the edge domain takes essentially the whole mixture
+    assert(got("edge")._1 > 999999L - losses.size, s"edge dominates: $got")
   }
 
   test("doremiWeights laws: uniform stays uniform; rounds=1 is the one-shot rule; concentration is monotone") {
