@@ -2024,7 +2024,25 @@ object SparkEntry {
     "q144_dialogue_qc" -> ((s, dir) =>
       graft.scale.Dialogue.dialogueStats(
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
-        gapNanos = 1800000000000L))
+        gapNanos = 1800000000000L)),
+
+    // --- scale: TRAINED-centroid embedding drift — q141's monitor on
+    // the PRODUCTION cell system: q91/q93's k-means quantizer (trained
+    // on the reference era, then frozen) replaces the stride stand-in,
+    // so the per-era scoring pass is N·k with k a model constant —
+    // linear in corpus size where q141's stride rule is N²/stride ------
+    "q145_embedding_drift_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val target = emb.filter(col("vec_id") % 3 === 0)
+      val reference = emb.filter(col("vec_id") % 3 =!= 0)
+      // the trained centroid frame is k rows — persist it so the Lloyd
+      // training DAG runs ONCE (the monitor's empty-cell guard, the
+      // broadcast, and the smoothing count agg all read it)
+      val cents = graft.ops.CacheScope.persisted(
+        KMeans.trainedCentroids(reference, "vec_id", "embedding", k = 8, iters = 2))
+      graft.scale.Similarity.embeddingCellDriftWithCentroids(
+        target, reference, cents, "vec_id", "embedding")
+    })
   )
 
   /** q124/q125 merge count — enough steps that multi-character pieces
@@ -4981,6 +4999,59 @@ object SparkEntry {
         |pcc AS (SELECT cid AS b, count(*) AS p FROM passign GROUP BY 1),
         |qcc AS (SELECT cid AS b, count(*) AS q FROM qassign GROUP BY 1),
         |${driftTailSql("SELECT count(*) FROM cent", "")}""".stripMargin,
+
+    // q93's training CTEs restricted to the REFERENCE era (the frozen
+    // cell system is trained, k a model constant), dequantized, then
+    // q141's per-era argmax-dot assignment and the shared drift tail
+    // with the trained cell count as the smoothing space
+    "q145_embedding_drift_trained" ->
+      s"""WITH quant AS (
+        |  SELECT vec_id AS id, i - 1 AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000) + 32768 AS BIGINT) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |  WHERE vec_id % 3 <> 0),
+        |cent0 AS (SELECT id AS cluster, dim, v AS cv FROM quant WHERE id < 8),
+        |d1 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent0 c USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM d1)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a1 a USING (id) GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT q.id, c.cluster, CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        |  FROM quant q JOIN cent1 c USING (dim) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rk
+        |    FROM d2)
+        |  WHERE rk = 1),
+        |cent2 AS (
+        |  SELECT a.cluster, q.dim, CAST(sum(q.v) AS BIGINT) // count(*) AS cv
+        |  FROM quant q JOIN a2 a USING (id) GROUP BY 1, 2),
+        |cvec AS (
+        |  SELECT cluster AS cid, list((cv - 32768) / 1000.0 ORDER BY dim) AS cv
+        |  FROM cent2 GROUP BY cluster),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |passign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, cvec.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, cvec.cv) DESC, cvec.cid) AS rn
+        |    FROM e CROSS JOIN cvec WHERE e.vec_id % 3 = 0) WHERE rn = 1),
+        |qassign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, cvec.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, cvec.cv) DESC, cvec.cid) AS rn
+        |    FROM e CROSS JOIN cvec WHERE e.vec_id % 3 <> 0) WHERE rn = 1),
+        |pcc AS (SELECT cid AS b, count(*) AS p FROM passign GROUP BY 1),
+        |qcc AS (SELECT cid AS b, count(*) AS q FROM qassign GROUP BY 1),
+        |${driftTailSql("SELECT count(*) FROM cvec", "")}""".stripMargin,
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

@@ -412,6 +412,8 @@ class PlanGuardSpec extends SparkSpec {
     //   q141: the drift totals frame + the centroid-count 1-row agg
     //        (the cell-space size is data-derived, unlike q136's
     //        literal hash space) — both over bucket/dim-sized frames
+    //   q145: q141's two drift-tail aggs over the TRAINED cell system
+    //        (the k-means training itself is keyed aggs only)
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
@@ -425,7 +427,7 @@ class PlanGuardSpec extends SparkSpec {
       "q135_token_budget" -> 1,
       "q136_domain_drift" -> 1, "q137_loss_aware_alloc" -> 2,
       "q138_doremi_rounds" -> 5, "q139_snapshot_drift" -> 1,
-      "q141_embedding_drift" -> 2)
+      "q141_embedding_drift" -> 2, "q145_embedding_drift_trained" -> 2)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -375,6 +375,45 @@ class DsirAllocSpec extends SparkSpec {
     assert(err.getMessage.contains("empty centroid frame"))
   }
 
+  test("embedding drift over TRAINED centroids: zero on identical eras, moved mass surfaces, nlist is a model constant") {
+    // the q145 composition: KMeans.trainedCentroids on the reference
+    // era, frozen, serving embeddingCellDriftWithCentroids
+    def vecs(rows: (Long, Array[Double])*) =
+      rows.toSeq.toDF("vec_id", "embedding")
+    val ref = vecs(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0),
+      2L -> Array(0.9, 0.1), 3L -> Array(0.1, 0.9),
+      4L -> Array(0.95, 0.05), 5L -> Array(0.05, 0.95))
+    val cents = KMeans.trainedCentroids(ref, "vec_id", "embedding", k = 2, iters = 2)
+    // identical eras through the trained cells: llr == 0 everywhere
+    val same = Similarity
+      .embeddingCellDriftWithCentroids(ref, ref, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(same.keySet === Set(0L, 1L), s"cells are the trained cluster ids: $same")
+    same.foreach { case (b, (p, q, llr)) =>
+      assert(p === q && llr === 0L, s"cell $b must show zero drift")
+    }
+    // all target mass on the y-axis cluster: its cell gains, the other empties
+    val tgt = vecs(
+      10L -> Array(0.0, 1.0), 11L -> Array(0.1, 0.9), 12L -> Array(0.05, 0.95))
+    val moved = Similarity
+      .embeddingCellDriftWithCentroids(tgt, ref, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    val yCell = moved.maxBy(_._2._1)._1
+    assert(moved(yCell)._1 === 3L && moved(yCell)._2 > 0L,
+      s"the gaining trained cell drifts positive: $moved")
+    assert(moved((1L - yCell))._1 === 0L && moved(1L - yCell)._2 < 0L,
+      s"the emptied trained cell drifts negative: $moved")
+    // the linear-scaling property in miniature: DOUBLING the reference
+    // leaves the cell count at k (q141's stride rule would double it —
+    // that proportionality is exactly what makes its scoring pass
+    // N²/stride at scale)
+    val ref2 = ref.unionByName(
+      ref.select((col("vec_id") + 6L).as("vec_id"), col("embedding")))
+    val cents2 = KMeans.trainedCentroids(ref2, "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents2.count() === 2L, "trained nlist == k regardless of corpus size")
+  }
+
   test("lossAwareWeights: best domain weighs 1000; tau-excess doubles exactly") {
     val loss = Seq(("a", 1000L), ("b", 2000L), ("c", 3000L))
       .toDF("dom", "loss")
