@@ -2042,6 +2042,23 @@ object SparkEntry {
         KMeans.trainedCentroids(reference, "vec_id", "embedding", k = 8, iters = 2))
       graft.scale.Similarity.embeddingCellDriftWithCentroids(
         target, reference, cents, "vec_id", "embedding")
+    }),
+
+    // --- scale: MATERIALIZED packed sequences — the artifact a trainer
+    // mmaps: the q128 family's BPE token streams (position-indexed)
+    // laid into q143's 512-token bins, one row per training sequence
+    // with the actual token ids in order (ids = the deterministic
+    // lexicographic piece vocabulary; rendered space-joined for the
+    // oracle hash) --------------------------------------------------------
+    "q146_packed_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMergesFast(docs, "text", BpeMergeCount)
+      val stream = Bpe.encodeIndexed(docs, "doc_id", "text", merges)
+        .join(Bpe.pieceVocab(docs, "text", merges), "piece")
+        .select(col("doc_id"), col("tok_idx"), col("token_id"))
+      ShardPack.materializeSequences(stream, "doc_id", seqLen = 512L)
+        .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+          array_join(col("token_ids"), " ").as("token_ids"))
     })
   )
 
@@ -5052,6 +5069,51 @@ object SparkEntry {
         |pcc AS (SELECT cid AS b, count(*) AS p FROM passign GROUP BY 1),
         |qcc AS (SELECT cid AS b, count(*) AS q FROM qassign GROUP BY 1),
         |${driftTailSql("SELECT count(*) FROM cvec", "")}""".stripMargin,
+
+    // the 8-merge BPE stages give each word's ordered piece array;
+    // per-doc word order × within-word piece order materializes the
+    // indexed token stream, the q143 md5 offset window places it
+    // globally, and each 512-token bin folds its ids in position order
+    "q146_packed_token_ids" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |wp AS (SELECT w, string_split(trim(sym), '  ') AS pieces FROM w$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp)),
+        |dw AS (
+        |  SELECT doc_id, i AS wi, t[i] AS w
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |        FROM documents) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws AS (
+        |  SELECT dw.doc_id, dw.wi, wp.pieces,
+        |    CAST(coalesce(sum(len(wp.pieces)) OVER (PARTITION BY dw.doc_id
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp ON dw.w = wp.w),
+        |stream AS (
+        |  SELECT doc_id, word_start + pi - 1 AS tok_idx, pieces[pi] AS piece
+        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |cnts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5('shard:' || doc_id) AS k
+        |  FROM stream GROUP BY 1),
+        |off AS (
+        |  SELECT doc_id,
+        |    CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM cnts),
+        |pos AS (
+        |  SELECT s.doc_id, s.tok_idx, v.token_id, o.start + s.tok_idx AS p
+        |  FROM stream s
+        |  JOIN off o ON s.doc_id = o.doc_id
+        |  JOIN vocab v ON s.piece = v.piece)
+        |SELECT CAST(p // 512 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+        |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids
+        |FROM pos GROUP BY 1""".stripMargin),
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

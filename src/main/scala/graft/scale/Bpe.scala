@@ -624,4 +624,58 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum("np").cast("long").as("n_pieces"))
       .withColumn("fertility_permille", expr("n_pieces * 1000 div n_words"))
   }
+
+  /** [[encodeByVocab]] with MATERIALIZED positions — (idCol, tok_idx,
+    * piece), tok_idx the token's 0-based offset within its document
+    * (word order × within-word piece order): the coordinate
+    * [[ShardPack.materializeSequences]] needs to lay real token
+    * streams into fixed-length training sequences. Same memoized shape
+    * as [[encodeByVocab]] (each DISTINCT word encodes once, the corpus
+    * stream joins back, AQE sizes the join); the within-doc offset is
+    * a running sum of piece counts over the doc's word order — a
+    * window partitioned by DOCUMENT, so the sequential unit is one
+    * doc's words, never the corpus.
+    */
+  def encodeIndexed(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val table = merges
+    val applyUdf = udf((w: String) => applyMergesLocal(w, table))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(col("w"), applyUdf(col("w")).as("pieces"))
+    val words = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
+    val prior = Window.partitionBy(col(idCol)).orderBy(col("wi"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    words.join(vocab, "w")
+      .withColumn("word_start",
+        coalesce(sum(size(col("pieces")).cast("long")).over(prior), lit(0L)))
+      .select(col(idCol), col("word_start"),
+        posexplode(col("pieces")).as(Seq("pi", "piece")))
+      .select(col(idCol), (col("word_start") + col("pi")).as("tok_idx"),
+        col("piece"))
+  }
+
+  /** The corpus's piece-id map — (piece, token_id), token_id the dense
+    * 0-based LEXICOGRAPHIC rank of the piece: the deterministic,
+    * engine-portable vocabulary numbering for the materialized
+    * training artifact (a real tokenizer release ships ids with the
+    * merge table; rank-by-piece is the reproducible stand-in that
+    * needs no side file). The global window runs over the
+    * vocabulary-sized distinct-piece frame — bounded by construction,
+    * the same size class as the merge-table argmax.
+    */
+  def pieceVocab(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val table = merges
+    val applyUdf = udf((w: String) => applyMergesLocal(w, table))
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(explode(applyUdf(col("w"))).as("piece"))
+      .distinct()
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("piece"))) - 1).cast("long"))
+  }
 }

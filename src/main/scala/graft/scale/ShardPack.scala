@@ -157,6 +157,62 @@ object ShardPack {
         col("piece_len"), col("is_continuation"))
   }
 
+  /** MATERIALIZED sample packing — the trainer hand-off artifact: lay a
+    * REAL token stream into [[packSequences]]' fixed-length bins and
+    * emit one row per training SEQUENCE with the actual token ids in
+    * position order (what a trainer mmaps), plus the boundary metadata:
+    * tokens filled, distinct docs touching the bin, docs STARTING in
+    * the bin. `tokenStream` is (idCol, tok_idx, token_id) with tok_idx
+    * densely 0-based per document — e.g.
+    * [[graft.scale.Bpe.encodeIndexed]] joined through
+    * [[graft.scale.Bpe.pieceVocab]]. The layout is bit-for-bit the
+    * [[packSequences]] contract: global doc order by md5(id), docs
+    * split across bins, every bin except the last exactly `seqLen`
+    * full (token conservation — Σ size(token_ids) == stream size —
+    * spec-pinned).
+    *
+    * Scale shape: per-doc counts (one hash agg) feed
+    * [[packWithOffsets]]' two-phase prefix sum; the stream joins its
+    * doc's start offset (slim long columns per token) and folds into
+    * per-bin arrays in ONE hash agg whose per-group state is bounded
+    * by seqLen entries. Bins are the output's partition unit exactly
+    * as shards are [[packByTokenBudget]]'s — nothing corpus-sized ever
+    * sits in one task.
+    *
+    * @return (bin, n_tokens, n_docs, n_doc_starts, token_ids)
+    */
+  def materializeSequences(
+      tokenStream: DataFrame,
+      idCol: String,
+      seqLen: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // persisted: the stream feeds BOTH the per-doc count pass and the
+    // layout join, and its upstream is typically the full tokenizer
+    // encode (vocab join + per-doc window) that must not run twice.
+    // The cached rows are three slim columns (id, tok_idx, token_id) —
+    // disk-spillable, the q56 slim-cache size class
+    val stream = CacheScope.persisted(
+      tokenStream.select(col(idCol), col("tok_idx"), col("token_id")),
+      StorageLevel.MEMORY_AND_DISK)
+    val counts = stream.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+    val offsets = packWithOffsets(counts, idCol, "n_tokens", numPartitions)
+      .select(col(idCol), col("start"))
+    stream
+      .join(offsets, Seq(idCol))
+      .withColumn("pos", col("start") + col("tok_idx"))
+      .withColumn("bin", expr(s"pos div ${seqLen}L"))
+      .withColumn("local", col("pos") - col("bin") * seqLen)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(when(col("tok_idx") === 0L, 1L).otherwise(0L)).as("n_doc_starts"),
+        expr("transform(array_sort(collect_list(struct(local, token_id))), " +
+          "s -> s.token_id)").as("token_ids"))
+  }
+
   /** Deterministic per-epoch data order — the reproducible data-loader
     * contract a training job needs to RESUME and to reproduce a run
     * bit-for-bit: within each shard, sequences are consumed in

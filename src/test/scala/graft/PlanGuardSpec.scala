@@ -414,6 +414,9 @@ class PlanGuardSpec extends SparkSpec {
     //        literal hash space) — both over bucket/dim-sized frames
     //   q145: q141's two drift-tail aggs over the TRAINED cell system
     //        (the k-means training itself is keyed aggs only)
+    //   q146: the piece-vocabulary rank window — vocabulary-sized by
+    //        construction (the merge-argmax size class); the stream
+    //        layout itself is keyed aggs + the two-phase prefix sum
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
@@ -427,7 +430,8 @@ class PlanGuardSpec extends SparkSpec {
       "q135_token_budget" -> 1,
       "q136_domain_drift" -> 1, "q137_loss_aware_alloc" -> 2,
       "q138_doremi_rounds" -> 5, "q139_snapshot_drift" -> 1,
-      "q141_embedding_drift" -> 2, "q145_embedding_drift_trained" -> 2)
+      "q141_embedding_drift" -> 2, "q145_embedding_drift_trained" -> 2,
+      "q146_packed_token_ids" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -212,6 +212,90 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("materializeSequences: conservation, exactly-full bins, global order == md5 doc order") {
+    import spark.implicits._
+    // synthetic indexed stream: token_id encodes (doc, position) so the
+    // laid-out arrays prove membership AND order
+    val docs = shardDocs(60)
+    val stream = docs.select(col("doc_id"),
+      explode(expr("sequence(0L, n_tok - 1)")).as("tok_idx"))
+      .withColumn("token_id", col("doc_id") * 1000L + col("tok_idx"))
+    val seqLen = 37L
+    val out = ShardPack.materializeSequences(stream, "doc_id", seqLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4)))
+      .sortBy(_._1)
+    val total = docs.agg(sum("n_tok")).as[Long].head()
+    // conservation + array/count agreement + exactly-full non-terminal bins
+    assert(out.map(_._2).sum === total, "token conservation")
+    out.foreach { case (b, n, _, _, ids) =>
+      assert(ids.size.toLong === n, s"bin $b count vs array size")
+    }
+    assert(out.map(_._1).toSeq === (0L until out.length.toLong), "bins dense 0-based")
+    out.dropRight(1).foreach { case (b, n, _, _, _) =>
+      assert(n === seqLen, s"non-terminal bin $b not full")
+    }
+    // the concatenation in bin order IS the stream in md5("shard:"||id)
+    // doc order — the packWithOffsets layout, token order preserved
+    val docOrder = docs.select(col("doc_id"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("k"))
+      .orderBy("k", "doc_id").as[(Long, String)].collect().map(_._1)
+    val nTok = docs.as[(Long, Long)].collect().toMap
+    val expected = docOrder.flatMap(d => (0L until nTok(d)).map(d * 1000L + _))
+    assert(out.flatMap(_._5).toSeq === expected.toSeq, "global token order")
+    // per-bin doc metadata vs the expected layout
+    val expByBin = expected.zipWithIndex.groupBy(_._2 / seqLen.toInt)
+    out.foreach { case (b, _, nDocs, nStarts, _) =>
+      val docsIn = expByBin(b.toInt).map(_._1 / 1000L).distinct
+      val starts = expByBin(b.toInt).count(_._1 % 1000L === 0L)
+      assert(nDocs === docsIn.size.toLong, s"bin $b n_docs")
+      assert(nStarts === starts.toLong, s"bin $b n_doc_starts")
+    }
+    // the layout agrees with packSequences' boundary metadata bin-for-bin
+    val pieces = ShardPack.packSequences(docs, "doc_id", "n_tok", seqLen)
+      .groupBy("bin").agg(sum("piece_len").as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r._1 -> r._2).toMap === pieces, "bins == packSequences bins")
+  }
+
+  test("encodeIndexed/pieceVocab: positions tile each doc; ids are the lexicographic vocab; BPE-composition conserves tokenCounts") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "low lower lowest new newer"),
+      (1L, "low low new widest wide"),
+      (2L, "newer lower wide wide low"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesFast(docs, "text", 4)
+    val stream = Bpe.encodeIndexed(docs, "doc_id", "text", merges)
+    val got = stream.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // per doc: tok_idx densely tiles 0..n-1 and the piece sequence is
+    // word-by-word applyMergesLocal concatenation
+    val texts = docs.as[(Long, String)].collect().toMap
+    got.groupBy(_._1).foreach { case (d, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (0L until rows.length.toLong), s"doc $d dense")
+      val want = "[a-z0-9]+".r.findAllIn(texts(d).toLowerCase).toSeq
+        .flatMap(w => Bpe.applyMergesLocal(w, merges))
+      assert(ordered.map(_._3).toSeq === want, s"doc $d piece order")
+    }
+    assert(!got.exists(_._1 === 3L), "empty doc emits no tokens")
+    // pieceVocab: dense 0-based lexicographic ids over the corpus pieces
+    val vocab = Bpe.pieceVocab(docs, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val sortedPieces = got.map(_._3).distinct.sorted
+    assert(vocab.sortBy(_._2).map(_._1).toSeq === sortedPieces.toSeq, "lexicographic")
+    assert(vocab.map(_._2).sorted.toSeq === (0L until vocab.length.toLong), "dense ids")
+    // the q146 composition conserves the tokenizer's own denomination
+    val ids = stream.join(Bpe.pieceVocab(docs, "text", merges), "piece")
+      .select("doc_id", "tok_idx", "token_id")
+    val bins = ShardPack.materializeSequences(ids, "doc_id", seqLen = 7L)
+    val binTotal = bins.agg(sum("n_tokens")).as[Long].head()
+    val tcTotal = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(binTotal === tcTotal, "sum over bins == sum of tokenCounts")
+  }
+
   test("Dialogue: gap sessionization and the alternation QC verdict") {
     // user 1: u,a,a,u within the gap (ONE violation at the a,a
     // adjacency), then a lone turn after the gap; user 2 alternates
