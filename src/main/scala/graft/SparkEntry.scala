@@ -2059,6 +2059,36 @@ object SparkEntry {
       ShardPack.materializeSequences(stream, "doc_id", seqLen = 512L)
         .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
           array_join(col("token_ids"), " ").as("token_ids"))
+    }),
+
+    // --- scale: SFT loss-mask spans — per-turn token coordinates inside
+    // packed dialogue sequences: q144's sessions as dialogues, turn
+    // token counts from the DOC-trained tokenizer (one tokenizer,
+    // trained on the pretraining corpus, applied to the SFT data — the
+    // production shape), laid into 16-token sequences by the q143
+    // contract with dialogues as docs ------------------------------------
+    "q147_loss_mask_spans" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val ev = t(s, dir, "events")
+        .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+      val counts = Bpe.tokenCounts(
+        ev.select("event_id", "content"), "event_id", "content", merges)
+      val turns = graft.scale.Dialogue.sessionize(
+          ev, "user_id", "ts", "event_id", gapNanos = 1800000000000L)
+        .withColumn("dlg_id",
+          col("user_id") * 100000L + col("session_seq") +
+            coalesce(
+              assert_true(col("session_seq") < 100000L &&
+                col("user_id").between(0L, Long.MaxValue / 100000L - 1),
+                lit("dlg_id packing out of range: need 0 <= user_id < 2^63/1e5 " +
+                  "and session_seq < 100000")).cast("long"),
+              lit(0L)))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("dlg_id"), col("ts"), col("event_id"),
+          col("event_type").as("role"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      graft.scale.Dialogue.lossMaskSpans(
+        turns, "dlg_id", "ts", "event_id", "role", "n_tokens", seqLen = 16L)
     })
   )
 
@@ -2271,6 +2301,28 @@ object SparkEntry {
         |   ' ' || (SELECT l FROM ${pf}b$i) || '  ' || (SELECT r FROM ${pf}b$i) || ' ',
         |   ' ' || (SELECT l FROM ${pf}b$i) || (SELECT r FROM ${pf}b$i) || ' ') AS sym
         |  FROM ${pf}w${i - 1})""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** DuckDB CTE chain APPLYING `n` learned merges (the unprefixed
+    * [[bpeStagesSql]] `b1..bn` argmaxes) to a FOREIGN word set
+    * (`wordsSql`, one column `w`): `${pf}0` sym-inits, `${pf}i` replays
+    * merge i, so `${pf}n`'s double-space symbols equal
+    * `applyMergesLocal(w, merges)` for words the training corpus never
+    * saw — the one-tokenizer-many-corpora production shape (q147).
+    */
+  private def bpeApplySql(n: Int, wordsSql: String, pf: String = "ew"): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${pf}0 AS (
+      |  SELECT w, ' ' || rtrim(regexp_replace(w || '_', '(.)', '\\1  ', 'g')) || ' ' AS sym
+      |  FROM ($wordsSql) src)""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s""",
+        |${pf}$i AS (SELECT w, replace(sym,
+        |   ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+        |   ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS sym
+        |  FROM ${pf}${i - 1})""".stripMargin
     }
     sb.toString
   }
@@ -5114,6 +5166,69 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
         |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids
         |FROM pos GROUP BY 1""".stripMargin),
+
+    // the doc-trained merge chain APPLIED to the event-content words
+    // (bpeApplySql), per-event token counts, q144's session CTEs, the
+    // q143 md5 offset window with dialogues as docs, then the per-turn
+    // span/bin arithmetic
+    "q147_loss_mask_spans" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |${bpeApplySql(BpeMergeCount,
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(event_type || ' ' || props), " +
+          "'[a-z0-9]+')) AS w FROM events")},
+        |ewc AS (
+        |  SELECT w, CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS np
+        |  FROM ew$BpeMergeCount),
+        |ecnt AS (
+        |  SELECT event_id, CAST(sum(np) AS BIGINT) AS n
+        |  FROM (SELECT event_id,
+        |          unnest(regexp_extract_all(lower(event_type || ' ' || props),
+        |            '[a-z0-9]+')) AS w
+        |        FROM events) t
+        |  JOIN ewc USING (w) GROUP BY 1),
+        |sb AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |sf AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+        |  FROM sb),
+        |sg AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM sf),
+        |turns AS (
+        |  SELECT g.user_id * 100000 + g.session_seq AS dlg_id,
+        |    g.tsn, g.event_id, g.event_type AS role, coalesce(e.n, 0) AS n,
+        |    CAST(row_number() OVER (PARTITION BY g.user_id, g.session_seq
+        |      ORDER BY g.tsn, g.event_id) - 1 AS BIGINT) AS turn,
+        |    CAST(coalesce(sum(coalesce(e.n, 0)) OVER (
+        |      PARTITION BY g.user_id, g.session_seq ORDER BY g.tsn, g.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS turn_start
+        |  FROM sg g LEFT JOIN ecnt e USING (event_id)),
+        |dc AS (
+        |  SELECT dlg_id, CAST(sum(n) AS BIGINT) AS n_tokens, md5('shard:' || dlg_id) AS k
+        |  FROM turns GROUP BY 1),
+        |off AS (
+        |  SELECT dlg_id, CAST(sum(n_tokens) OVER (ORDER BY k, dlg_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM dc),
+        |sp AS (
+        |  SELECT t.dlg_id, t.turn, t.role,
+        |    o.start + t.turn_start AS gs, o.start + t.turn_start + t.n AS ge
+        |  FROM turns t JOIN off o USING (dlg_id) WHERE t.n > 0),
+        |ex AS (
+        |  SELECT dlg_id, turn, role, gs, ge, gs // 16 AS first_bin,
+        |    CAST(unnest(generate_series(gs // 16, (ge - 1) // 16)) AS BIGINT) AS sequence
+        |  FROM sp)
+        |SELECT dlg_id, turn, role, sequence,
+        |  CAST(greatest(gs - sequence * 16, 0) AS BIGINT) AS local_start,
+        |  CAST(least((sequence + 1) * 16, ge) - greatest(sequence * 16, gs) AS BIGINT)
+        |    AS span_len,
+        |  sequence > first_bin AS is_continuation
+        |FROM ex""".stripMargin),
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

@@ -78,4 +78,72 @@ object Dialogue {
           .as("n_alternation_violations"))
       .withColumn("valid_dialogue", col("n_alternation_violations") === 0L)
   }
+
+  /** SFT LOSS-MASK SPANS — per-turn token coordinates inside packed
+    * training sequences: which (sequence, local_start, span_len) range
+    * belongs to which turn/role, the metadata an SFT formatter consumes
+    * to mask loss to the turns it trains on. Dialogues are the packing
+    * unit — the [[graft.scale.ShardPack.packSequences]] contract with
+    * dialogues as docs (global md5(dlg) order, dialogues split across
+    * fixed-length sequences, every non-terminal sequence exactly full)
+    * — and turns tile their dialogue in (ts, id) order, so the emitted
+    * spans tile every sequence exactly (reconstruction law,
+    * spec-pinned).
+    *
+    * `turns` is one row per turn: a NUMERIC dialogue id (the
+    * packWithOffsets contract — e.g. key·span + session_seq, packed
+    * fail-loud by the caller), the turn-order columns, the role, and
+    * the turn's token count (e.g. [[graft.scale.Bpe.tokenCounts]] of
+    * the turn text). Zero-token turns emit no span but KEEP their turn
+    * index (count-0-by-omission, the packSequences rule).
+    *
+    * Scale shape: one per-dialogue window (dialogues are the partition
+    * unit — a dialogue's turn list, never the corpus), the two-phase
+    * prefix sum over the dialogue-count frame, then a scan-pure bin
+    * explode. No shuffle beyond the pack's own.
+    *
+    * @return (dlgCol, turn, roleCol, sequence, local_start, span_len,
+    *         is_continuation)
+    */
+  def lossMaskSpans(
+      turns: DataFrame,
+      dlgCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      tokensCol: String,
+      seqLen: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col(dlgCol)).orderBy(col(tsCol), col(idCol))
+    val turnFrame = turns
+      .withColumn("__n", coalesce(col(tokensCol).cast("long"), lit(0L)))
+      .withColumn("turn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("turn_start",
+        coalesce(sum(col("__n"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val dlgCounts = turns.groupBy(col(dlgCol))
+      .agg(sum(coalesce(col(tokensCol).cast("long"), lit(0L))).as("n_tokens"))
+    val offsets = ShardPack
+      .packWithOffsets(dlgCounts, dlgCol, "n_tokens", numPartitions)
+      .select(col(dlgCol), col("start"))
+    turnFrame
+      .join(offsets, Seq(dlgCol))
+      .filter(col("__n") > 0)
+      .withColumn("gstart", col("start") + col("turn_start"))
+      .withColumn("gend", col("gstart") + col("__n"))
+      .withColumn("first_bin", expr(s"gstart div ${seqLen}L"))
+      .withColumn("last_bin", expr(s"(gend - 1) div ${seqLen}L"))
+      .select(col(dlgCol), col("turn"), col(roleCol),
+        explode(sequence(col("first_bin"), col("last_bin"))).as("sequence"),
+        col("first_bin"), col("gstart"), col("gend"))
+      .withColumn("local_start",
+        greatest(col("gstart") - col("sequence") * seqLen, lit(0L)))
+      .withColumn("span_len",
+        least((col("sequence") + 1) * seqLen, col("gend")) -
+          greatest(col("sequence") * seqLen, col("gstart")))
+      .withColumn("is_continuation", col("sequence") > col("first_bin"))
+      .select(col(dlgCol), col("turn"), col(roleCol), col("sequence"),
+        col("local_start"), col("span_len"), col("is_continuation"))
+  }
 }

@@ -296,6 +296,81 @@ class CorpusOpsSpec extends SparkSpec {
     assert(binTotal === tcTotal, "sum over bins == sum of tokenCounts")
   }
 
+  test("lossMaskSpans: spans tile every sequence exactly; turns reconstruct; zero-token turns keep their index") {
+    import spark.implicits._
+    // dlg 10: three turns (5, 7, 4 tokens); dlg 20: one 20-token turn
+    // (straddles bins at seqLen 8); dlg 30: zero-token middle turn
+    val turns = Seq(
+      (10L, 0L, 100L, "user", 5L), (10L, 1L, 101L, "assistant", 7L),
+      (10L, 2L, 102L, "user", 4L),
+      (20L, 0L, 200L, "assistant", 20L),
+      (30L, 0L, 300L, "user", 3L), (30L, 1L, 301L, "assistant", 0L),
+      (30L, 2L, 302L, "user", 2L)
+    ).toDF("dlg_id", "ts", "event_id", "role", "n_tokens")
+    val seqLen = 8L
+    val out = Dialogue.lossMaskSpans(
+        turns, "dlg_id", "ts", "event_id", "role", "n_tokens", seqLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    val total = 5L + 7 + 4 + 20 + 3 + 2
+    assert(out.map(_._6).sum === total, "token conservation")
+    // TILING: every sequence is exactly covered — contiguous from 0,
+    // full except the global last
+    val lastSeq = out.map(_._4).max
+    out.groupBy(_._4).foreach { case (sq, spans) =>
+      val sorted = spans.sortBy(_._5)
+      assert(sorted.head._5 === 0L, s"seq $sq starts at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 + a._6 === b._5, s"seq $sq gap between spans")
+        case _ =>
+      }
+      val covered = sorted.map(_._6).sum
+      if (sq != lastSeq) assert(covered === seqLen, s"seq $sq not full")
+      else assert(covered <= seqLen)
+    }
+    // PER-TURN reconstruction: spans of a turn concatenate to its token
+    // count; first span is not a continuation, later ones are and start
+    // local 0; global positions are one contiguous range
+    val nTok = Map((10L, 0L) -> 5L, (10L, 1L) -> 7L, (10L, 2L) -> 4L,
+      (20L, 0L) -> 20L, (30L, 0L) -> 3L, (30L, 2L) -> 2L)
+    out.groupBy(t => (t._1, t._2)).foreach { case (k, spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.map(_._6).sum === nTok(k), s"turn $k length")
+      assert(!sorted.head._7 && sorted.tail.forall(_._7), s"turn $k continuation flags")
+      sorted.tail.foreach(sp => assert(sp._5 === 0L, s"turn $k continuation local 0"))
+      val gpos = sorted.map(sp => sp._4 * seqLen + sp._5)
+      sorted.zip(gpos).sliding(2).foreach {
+        case Array((a, ga), (_, gb)) => assert(ga + a._6 === gb, s"turn $k contiguous")
+        case _ =>
+      }
+    }
+    // zero-token turn: no span, but the NEXT turn keeps index 2
+    assert(!out.exists(t => t._1 === 30L && t._2 === 1L), "empty turn emits no span")
+    assert(out.exists(t => t._1 === 30L && t._2 === 2L), "later turn keeps its index")
+    // turns tile their dialogue in order: within a dialogue the global
+    // start of turn t+1 is the global end of turn t
+    out.groupBy(_._1).foreach { case (d, spans) =>
+      val byTurn = spans.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, sp) =>
+        val s = sp.sortBy(_._4)
+        (s.head._4 * seqLen + s.head._5,
+          s.last._4 * seqLen + s.last._5 + s.last._6)
+      }
+      byTurn.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 === s2, s"dlg $d turn adjacency")
+        case _ =>
+      }
+    }
+    // layout agreement with packSequences (dialogues as docs)
+    val dlgDocs = turns.groupBy("dlg_id").agg(sum("n_tokens").as("n_tok"))
+    val pieces = ShardPack.packSequences(dlgDocs, "dlg_id", "n_tok", seqLen)
+      .groupBy("bin").agg(sum("piece_len").as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spansBySeq = out.groupBy(_._4).view.mapValues(_.map(_._6).sum).toMap
+    assert(spansBySeq === pieces, "sequence fill == packSequences bins")
+  }
+
   test("Dialogue: gap sessionization and the alternation QC verdict") {
     // user 1: u,a,a,u within the gap (ONE violation at the a,a
     // adjacency), then a lone turn after the gap; user 2 alternates
