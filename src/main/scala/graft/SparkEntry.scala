@@ -2089,7 +2089,19 @@ object SparkEntry {
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       graft.scale.Dialogue.lossMaskSpans(
         turns, "dlg_id", "ts", "event_id", "role", "n_tokens", seqLen = 16L)
-    })
+    }),
+
+    // --- scale: dialogue repair (policy 1: MERGE) — q144's violations
+    // repaired by collapsing each consecutive same-role run to one turn
+    // carrying the anchor event and the run's (ts, id)-ordered joined
+    // content; the drop policy (dropInvalidDialogues) is its spec-gated
+    // complement ---------------------------------------------------------
+    "q148_dialogue_repair" -> ((s, dir) =>
+      graft.scale.Dialogue.mergeConsecutiveSameRole(
+        t(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type", "props"),
+        "user_id", "ts", "event_id", "event_type", "props",
+        gapNanos = 1800000000000L))
   )
 
   /** q124/q125 merge count — enough steps that multi-character pieces
@@ -5229,6 +5241,43 @@ object SparkEntry {
         |    AS span_len,
         |  sequence > first_bin AS is_continuation
         |FROM ex""".stripMargin),
+
+    // q144's session CTEs (props carried), gaps-and-islands run
+    // numbering on the role lag, one group per run: anchor ts/id,
+    // member count, (ts, id)-ordered content join
+    "q148_dialogue_repair" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type, props, epoch_ns(ts) AS tsn,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, props, tsn,
+        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+        |  FROM b),
+        |g AS (
+        |  SELECT user_id, event_id, event_type, props, tsn,
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM f),
+        |r AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id, session_seq
+        |    ORDER BY tsn, event_id) AS prev_role
+        |  FROM g),
+        |r2 AS (
+        |  SELECT *, CASE WHEN prev_role IS NULL OR prev_role <> event_type
+        |    THEN 1 ELSE 0 END AS new_run
+        |  FROM r),
+        |r3 AS (
+        |  SELECT *, CAST(sum(new_run) OVER (PARTITION BY user_id, session_seq
+        |    ORDER BY tsn, event_id) AS BIGINT) AS turn_seq
+        |  FROM r2)
+        |SELECT user_id, session_seq, turn_seq,
+        |  min(event_type) AS event_type,
+        |  CAST(min(tsn) AS BIGINT) AS ts,
+        |  min(CASE WHEN new_run = 1 THEN event_id END) AS event_id,
+        |  CAST(count(*) AS BIGINT) AS n_merged,
+        |  string_agg(props, ' ' ORDER BY tsn, event_id) AS props
+        |FROM r3 GROUP BY 1, 2, 3""".stripMargin,
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

@@ -79,6 +79,80 @@ object Dialogue {
       .withColumn("valid_dialogue", col("n_alternation_violations") === 0L)
   }
 
+  /** Repair policy 1 of 2 — MERGE CONSECUTIVE SAME-ROLE TURNS: each
+    * run of adjacent same-role turns within a dialogue collapses to ONE
+    * turn carrying the run's anchor (first event's ts/id), the role,
+    * the member count, and the members' content joined in (ts, id)
+    * order. The standard fix for a logging layer that splits one
+    * message into several events; [[dialogueStats]] on the result
+    * reports zero violations by construction (policy law,
+    * spec-pinned). PURE: the input is never mutated, dialogues that
+    * already alternate pass through with n_merged = 1 everywhere
+    * (identity law). The complementary policy is
+    * [[dropInvalidDialogues]]; the QC frame reports, the curation team
+    * picks.
+    *
+    * Scale shape: [[sessionize]]'s keyed windows plus one hash agg per
+    * run; the collect_list is run-sized (a single logging burst), never
+    * dialogue- or corpus-sized in any adversarial way a gap bound
+    * doesn't already cap.
+    *
+    * @return (keyCol, session_seq, turn_seq [1-based run index], roleCol,
+    *         tsCol, idCol [the run anchor's], n_merged, contentCol)
+    */
+  def mergeConsecutiveSameRole(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      contentCol: String,
+      gapNanos: Long): DataFrame = {
+    val sess = sessionize(events, keyCol, tsCol, idCol, gapNanos)
+    val w = Window.partitionBy(col(keyCol), col("session_seq"))
+      .orderBy(col(tsCol), col(idCol))
+    sess
+      .withColumn("__prev_role", lag(col(roleCol), 1).over(w))
+      .withColumn("__new_run",
+        when(col("__prev_role").isNull ||
+          col("__prev_role") =!= col(roleCol), 1L).otherwise(0L))
+      .withColumn("turn_seq", sum(col("__new_run")).over(w))
+      .groupBy(col(keyCol), col("session_seq"), col("turn_seq"))
+      .agg(
+        min(col(roleCol)).as(roleCol), // constant within a run
+        min(col(tsCol)).as(tsCol),
+        // the anchor's id: only the run-opening row carries a non-null
+        min(when(col("__new_run") === 1L, col(idCol))).as(idCol),
+        count(lit(1)).as("n_merged"),
+        array_join(
+          expr(s"transform(array_sort(collect_list(struct($tsCol AS t, " +
+            s"$idCol AS i, $contentCol AS c))), s -> s.c)"),
+          " ").as(contentCol))
+      .select(col(keyCol), col("session_seq"), col("turn_seq"), col(roleCol),
+        col(tsCol), col(idCol), col("n_merged"), col(contentCol))
+  }
+
+  /** Repair policy 2 of 2 — DROP INVALID DIALOGUES: keep only the
+    * events of dialogues [[dialogueStats]] marks valid (zero
+    * alternation violations). The conservative fix when merged content
+    * would be worse than no sample. PURE and idempotent; the survivors
+    * carry their session_seq. One left-semi join against the
+    * dialogue-count-sized QC frame.
+    */
+  def dropInvalidDialogues(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      gapNanos: Long): DataFrame = {
+    val valid = dialogueStats(events, keyCol, tsCol, idCol, roleCol, gapNanos)
+      .filter(col("valid_dialogue"))
+      .select(col(keyCol), col("session_seq"))
+    sessionize(events, keyCol, tsCol, idCol, gapNanos)
+      .join(valid, Seq(keyCol, "session_seq"), "left_semi")
+  }
+
   /** SFT LOSS-MASK SPANS — per-turn token coordinates inside packed
     * training sequences: which (sequence, local_start, span_len) range
     * belongs to which turn/role, the metadata an SFT formatter consumes

@@ -402,6 +402,64 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sess(4L) === 1L && sess(5L) === 2L)
   }
 
+  test("dialogue repair policies: merge yields all-valid dialogues, is identity on valid ones; drop keeps exactly the valid events") {
+    import spark.implicits._
+    // the QC fixture with per-event content c<id>
+    val ev = Seq(
+      (1L, 0L, 1L, "user"), (2L, 5L, 1L, "assistant"),
+      (3L, 8L, 1L, "assistant"), (4L, 9L, 1L, "user"),
+      (5L, 100L, 1L, "user"),
+      (6L, 0L, 2L, "user"), (7L, 1L, 2L, "assistant"),
+      (8L, 2L, 2L, "user"), (9L, 3L, 2L, "assistant"),
+      (10L, 0L, 3L, "user"), (11L, 1L, 3L, "user"), (12L, 2L, 3L, "user")
+    ).toDF("event_id", "ts", "user_id", "role")
+      .withColumn("content", concat(lit("c"), col("event_id")))
+    val merged = Dialogue.mergeConsecutiveSameRole(
+        ev, "user_id", "ts", "event_id", "role", "content", gapNanos = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+      .toMap
+    // user 1 session 1: the a,a run collapses to one turn anchored at
+    // event 2 with joined content; user 3: the whole monologue is one turn
+    assert(merged((1L, 1L, 2L)) === (("assistant", 5L, 2L, 2L, "c2 c3")))
+    assert(merged((3L, 1L, 1L)) === (("user", 0L, 10L, 3L, "c10 c11 c12")))
+    // POLICY LAW: no same-role adjacency survives in any dialogue
+    merged.toSeq.groupBy(k => (k._1._1, k._1._2)).foreach { case (d, turns) =>
+      val roles = turns.sortBy(_._1._3).map(_._2._1)
+      roles.sliding(2).foreach {
+        case Seq(a, b) => assert(a !== b, s"dialogue $d: same-role adjacency survived")
+        case _ =>
+      }
+    }
+    // conservation: Σ n_merged per dialogue == original turn count
+    val origCounts = ev.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    merged.toSeq.groupBy(_._1._1).foreach { case (u, turns) =>
+      assert(turns.map(_._2._4).sum === origCounts(u), s"user $u conservation")
+    }
+    // IDENTITY on already-valid dialogues: user 2 passes through turn
+    // for turn, n_merged 1, content untouched
+    val u2 = merged.filter(_._1._1 === 2L).toSeq.sortBy(_._1._3).map(_._2)
+    assert(u2.map(t => (t._1, t._3, t._4, t._5)) === Seq(
+      ("user", 6L, 1L, "c6"), ("assistant", 7L, 1L, "c7"),
+      ("user", 8L, 1L, "c8"), ("assistant", 9L, 1L, "c9")))
+    // DROP policy: survivors are exactly the events of valid dialogues
+    // (user 1's lone session-2 turn + user 2's perfect alternation)
+    val kept = Dialogue.dropInvalidDialogues(
+        ev, "user_id", "ts", "event_id", "role", gapNanos = 10L)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(5L, 6L, 7L, 8L, 9L))
+    // drop is idempotent
+    val again = Dialogue.dropInvalidDialogues(
+        Dialogue.dropInvalidDialogues(
+          ev, "user_id", "ts", "event_id", "role", 10L)
+          .drop("session_seq"),
+        "user_id", "ts", "event_id", "role", 10L)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(again === kept)
+  }
+
   // --- decontaminateBloom ---------------------------------------------------
 
   test("decontaminateBloom equals exact decontaminate even when FPs are forced") {
