@@ -2101,7 +2101,20 @@ object SparkEntry {
         t(s, dir, "events")
           .select("user_id", "ts", "event_id", "event_type", "props"),
         "user_id", "ts", "event_id", "event_type", "props",
-        gapNanos = 1800000000000L))
+        gapNanos = 1800000000000L)),
+
+    // --- scale: epoch-schedule manifest — q142's pack composed across a
+    // 3-epoch run (one (epoch, shard, pos) row per epoch × doc, each
+    // epoch a fresh deterministic permutation), then the cross-epoch
+    // resume slice strictly after cursor (epoch 1, shard 2, pos 3) ------
+    "q149_epoch_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      val packed = ShardPack.packByTokenBudget(docs, "doc_id", "n_tok", budget = 2000L)
+      ShardPack.resumeAfterEpoch(
+        ShardPack.epochManifest(packed, "doc_id", epochs = 3),
+        epochCursor = 1L, shardCursor = 2L, posCursor = 3L)
+    })
   )
 
   /** q124/q125 merge count — enough steps that multi-character pieces
@@ -5278,6 +5291,31 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_merged,
         |  string_agg(props, ' ' ORDER BY tsn, event_id) AS props
         |FROM r3 GROUP BY 1, 2, 3""".stripMargin,
+
+    // q142's pack CTEs, per-epoch md5 permutations unrolled over
+    // generate_series(0, 2), then the lexicographic (epoch, shard, pos)
+    // strict-after cursor
+    "q149_epoch_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    md5('shard:' || doc_id) AS k
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST((CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard
+        |  FROM t),
+        |manifest AS (
+        |  SELECT doc_id, n_tokens, shard, CAST(e AS BIGINT) AS epoch,
+        |    CAST(row_number() OVER (PARTITION BY e, shard
+        |      ORDER BY md5('epoch:' || e || ':' || doc_id), doc_id) - 1 AS BIGINT) AS pos
+        |  FROM packed, unnest(generate_series(0, 2)) AS u(e))
+        |SELECT doc_id, n_tokens, shard, epoch, pos
+        |FROM manifest
+        |WHERE epoch > 1 OR (epoch = 1 AND
+        |  (shard > 2 OR (shard = 2 AND pos > 3)))""".stripMargin,
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

@@ -247,4 +247,41 @@ object ShardPack {
   def resumeAfter(ordered: DataFrame, shardCursor: Long, posCursor: Long): DataFrame =
     ordered.filter(col("shard") > shardCursor ||
       (col("shard") === shardCursor && col("pos") > posCursor))
+
+  /** The EPOCH-SCHEDULE MANIFEST — [[epochOrder]] composed across a
+    * whole training run: one (epoch, shard, pos) row per (epoch, doc),
+    * each epoch a fresh deterministic permutation of the same shard
+    * contents (epoch 0's order ≠ epoch 1's, both pure functions of
+    * ids). This is the complete data-loader contract a run ships with:
+    * the schedule is decided BEFORE training, reproducible on any
+    * engine, and a resume cursor addresses any point of the whole run.
+    *
+    * Scale shape: `epochs` unioned keyed windows over the packed frame
+    * — the scan replicates per epoch exactly as a loader would read it;
+    * nothing is epoch-count-sized in one task. `epochs ≤ 64` keeps the
+    * unrolled union plan shallow (a longer horizon materializes the
+    * manifest per epoch anyway).
+    */
+  def epochManifest(packed: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 64,
+      s"epochs must be in [1, 64] (unrolled union plan), got $epochs")
+    (0L until epochs.toLong).map(epochOrder(packed, idCol, _))
+      .reduce(_.unionByName(_))
+  }
+
+  /** [[resumeAfter]] across epoch boundaries: everything STRICTLY
+    * AFTER the (epoch, shard, pos) cursor in the manifest's
+    * lexicographic order — a cursor at an epoch's last sequence rolls
+    * to the next epoch's first (consumed ∪ rest == the whole run,
+    * disjoint; spec-pinned). Scan-pure, pushed to the three columns.
+    */
+  def resumeAfterEpoch(
+      manifest: DataFrame,
+      epochCursor: Long,
+      shardCursor: Long,
+      posCursor: Long): DataFrame =
+    manifest.filter(col("epoch") > epochCursor ||
+      (col("epoch") === epochCursor &&
+        (col("shard") > shardCursor ||
+          (col("shard") === shardCursor && col("pos") > posCursor))))
 }

@@ -176,6 +176,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rest.forall { case (s, p) => s > 0L || p > 2L })
   }
 
+  test("epochManifest: epochs × docs schedule; cross-epoch resume partitions the run and rolls over epoch ends") {
+    val packed = ShardPack.packByTokenBudget(
+      shardDocs(200), "doc_id", "n_tok", budget = 250L)
+    val nDocs = 200L
+    val manifest = ShardPack.epochManifest(packed, "doc_id", epochs = 3)
+    val all = manifest.select("epoch", "shard", "pos", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(all.size.toLong === 3L * nDocs, "one row per epoch × doc")
+    // every epoch covers the same (shard, doc) membership, each its own
+    // permutation; each epoch row-for-row equals its epochOrder
+    val byEpoch = all.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L, 2L))
+    val memberships = byEpoch.view.mapValues(_.map(r => (r._2, r._4)).toSet).toMap
+    assert(memberships(0L) === memberships(1L) && memberships(1L) === memberships(2L))
+    val direct1 = ShardPack.epochOrder(packed, "doc_id", 1L)
+      .select("epoch", "shard", "pos", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(byEpoch(1L).toSet === direct1, "manifest epoch 1 == epochOrder(1)")
+    assert(byEpoch(0L).map(r => (r._2, r._3, r._4)).sorted !==
+      byEpoch(1L).map(r => (r._2, r._3, r._4)).sorted, "epochs reshuffle")
+    // consumed ∪ rest == the WHOLE RUN, disjoint, at a mid-run cursor
+    val cursor = (1L, 1L, 2L)
+    val rest = ShardPack.resumeAfterEpoch(manifest, cursor._1, cursor._2, cursor._3)
+      .select("epoch", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    val keys = all.map(r => (r._1, r._2, r._3)).toSet
+    val consumed = keys -- rest
+    assert(consumed.forall(k =>
+      Ordering[(Long, Long, Long)].lteq(k, cursor)), "consumed is the prefix")
+    assert(rest.forall(k => Ordering[(Long, Long, Long)].gt(k, cursor)))
+    assert((consumed ++ rest) === keys, "consumed ∪ rest covers the run")
+    // EPOCH-END ROLLOVER: a cursor at epoch 0's very last (shard, pos)
+    // resumes at exactly epochs 1..2, complete
+    val lastOf0 = byEpoch(0L).map(r => (r._2, r._3)).max
+    val rolled = ShardPack.resumeAfterEpoch(manifest, 0L, lastOf0._1, lastOf0._2)
+      .select("epoch", "shard", "pos", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rolled === (byEpoch(1L) ++ byEpoch(2L)).toSet,
+      "epoch-end cursor rolls to the next epoch")
+  }
+
   test("packSequences: full bins, boundary pieces reconstruct docs, shard equivalence") {
     val docs = shardDocs(400)
     val out = ShardPack.packSequences(docs, "doc_id", "n_tok", seqLen = 100L)
