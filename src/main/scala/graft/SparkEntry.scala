@@ -2114,6 +2114,19 @@ object SparkEntry {
       ShardPack.resumeAfterEpoch(
         ShardPack.epochManifest(packed, "doc_id", epochs = 3),
         epochCursor = 1L, shardCursor = 2L, posCursor = 3L)
+    }),
+
+    // --- scale: doc-preserving best-fit packing — q143's complement for
+    // post-training (no cross-doc attention): whole docs first-fit-
+    // decreasing into 96-token bins within md5-ordered 2000-token
+    // shards; docs over 96 tokens are REPORTED oversize (shard/bin −1),
+    // never split or dropped. The oracle replays the per-shard FFD as a
+    // recursive CTE carrying the bin-load list -----------------------------
+    "q150_bestfit_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.packBestFit(docs, "doc_id", "n_tok",
+        seqLen = 96L, shardBudget = 2000L)
     })
   )
 
@@ -5316,6 +5329,54 @@ object SparkEntry {
         |FROM manifest
         |WHERE epoch > 1 OR (epoch = 1 AND
         |  (shard > 2 OR (shard = 2 AND pos > 3)))""".stripMargin,
+
+    // per-shard first-fit-decreasing replayed as a RECURSIVE CTE: the
+    // state is each shard's bin-load list; step rk places item rk into
+    // the first bin with room (list_position over the fits mask) or
+    // appends a new bin — exactly the Spark UDF's loop, shard by shard
+    "q150_bestfit_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |base AS (SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n FROM t),
+        |fit AS (SELECT id, n, md5('shard:' || id) AS k
+        |        FROM base WHERE n > 0 AND n <= 96),
+        |sh AS (
+        |  SELECT id, n,
+        |    CAST((CAST(sum(n) OVER (ORDER BY k, id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n) // 2000 AS BIGINT) AS shard
+        |  FROM fit),
+        |ranked AS (
+        |  SELECT shard, n, id,
+        |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, id) AS rk
+        |  FROM sh),
+        |ffd AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS loads,
+        |    CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS bin,
+        |    CAST(NULL AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT shard FROM ranked) s
+        |  UNION ALL
+        |  SELECT r.shard, r.rk,
+        |    CASE WHEN nullif(pos.p, 0) IS NULL THEN list_append(f.loads, r.n)
+        |         ELSE list_transform(f.loads,
+        |           (x, i) -> CASE WHEN i = pos.p THEN x + r.n ELSE x END)
+        |    END AS loads,
+        |    r.id,
+        |    CAST(coalesce(nullif(pos.p, 0), len(f.loads) + 1) - 1 AS BIGINT) AS bin,
+        |    r.n
+        |  FROM ffd f
+        |  JOIN ranked r ON r.shard = f.shard AND r.rk = f.rk + 1
+        |  CROSS JOIN LATERAL (
+        |    SELECT list_position(list_transform(f.loads, x -> x + r.n <= 96),
+        |      true) AS p) pos)
+        |SELECT id AS doc_id, n AS n_tokens, shard, bin, false AS oversize
+        |FROM ffd WHERE id IS NOT NULL
+        |UNION ALL
+        |SELECT id AS doc_id, n AS n_tokens, CAST(-1 AS BIGINT) AS shard,
+        |  CAST(-1 AS BIGINT) AS bin, true AS oversize
+        |FROM base WHERE n > 96""".stripMargin,
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

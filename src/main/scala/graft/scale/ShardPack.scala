@@ -248,6 +248,98 @@ object ShardPack {
     ordered.filter(col("shard") > shardCursor ||
       (col("shard") === shardCursor && col("pos") > posCursor))
 
+  /** DOC-PRESERVING packing — [[packSequences]]' complement, the
+    * post-training layout: docs are NEVER split (no cross-doc
+    * attention), each bin holds whole docs up to `seqLen`, the
+    * shortfall is padding waste (reported by [[packBestFitStats]]).
+    * The algorithm is deterministic first-fit-decreasing WITHIN
+    * md5-ordered shards: docs land in shards by [[packByTokenBudget]]
+    * (budget `shardBudget`), then each shard packs its own docs
+    * sorted (n_tokens desc, id asc) into the first bin with room —
+    * the classic FFD ≤ 11/9·OPT + 1 bound per shard, reproducible
+    * because both the shard membership and the in-shard order are pure
+    * functions of ids.
+    *
+    * Docs LONGER than seqLen cannot be placed by a packer forbidden to
+    * split: they are REPORTED (oversize = true, shard/bin = −1), never
+    * silently dropped or truncated — the truncate-vs-split decision
+    * belongs to the curation policy, not the layout engine. Zero-token
+    * docs emit no row (the packSequences omission rule).
+    *
+    * Scale shape: the sequential unit is ONE SHARD's doc list
+    * (shardBudget-bounded by construction — the collect_list and the
+    * FFD loop are both capped by it), grouped-by-shard in one hash
+    * agg; shards pack in parallel across the cluster. This is the
+    * bounded-sequential-unit contract that makes a greedy algorithm
+    * distributable: globally-greedy FFD would be a single task.
+    *
+    * @return (idCol, n_tokens, shard, bin, oversize) — bin is 0-based
+    *         within its shard; (shard, bin) identifies a sequence
+    */
+  def packBestFit(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqLen: Long,
+      shardBudget: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(shardBudget >= seqLen,
+      s"shardBudget ($shardBudget) must be >= seqLen ($seqLen)")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
+    val oversize = base.filter(col("n_tokens") > seqLen)
+      .select(col("id"), col("n_tokens"), lit(-1L).as("shard"),
+        lit(-1L).as("bin"), lit(true).as("oversize"))
+    val fit = base.filter(col("n_tokens") > 0 && col("n_tokens") <= seqLen)
+    val cap = seqLen
+    val ffd = udf((items: Seq[Row]) => {
+      val sorted = items.map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (n, id) => (-n, id) }
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sorted.map { case (n, id) =>
+        val i = loads.indexWhere(_ + n <= cap)
+        val bin =
+          if (i >= 0) { loads(i) += n; i }
+          else { loads += n; loads.size - 1 }
+        (id, n, bin.toLong)
+      }
+    })
+    packByTokenBudget(fit, "id", "n_tokens", shardBudget, numPartitions)
+      .groupBy(col("shard"))
+      .agg(ffd(collect_list(struct(col("n_tokens"), col("id")))).as("placed"))
+      .select(col("shard"), explode(col("placed")).as("p"))
+      .select(col("p._1").as("id"), col("p._2").as("n_tokens"), col("shard"),
+        col("p._3").as("bin"), lit(false).as("oversize"))
+      .unionByName(oversize)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The padding-waste report over a [[packBestFit]] layout: bins,
+    * capacity, filled tokens, waste (the tokens [[packSequences]]'
+    * split layout would NOT pad), waste per-mille, and the oversize
+    * count. One row; integer `div`.
+    */
+  def packBestFitStats(layout: DataFrame, seqLen: Long): DataFrame = {
+    val bins = layout.filter(!col("oversize"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("nd"), sum("n_tokens").as("fill"))
+    val b = bins.agg(
+      count(lit(1)).as("n_bins"),
+      coalesce(sum("nd"), lit(0L)).as("n_docs_packed"),
+      coalesce(sum("fill"), lit(0L)).as("filled"))
+    val o = layout.agg(
+      sum(when(col("oversize"), 1L).otherwise(0L)).as("n_oversize"))
+    b.crossJoin(broadcast(o))
+      .withColumn("capacity", col("n_bins") * seqLen)
+      .withColumn("waste", col("capacity") - col("filled"))
+      .withColumn("waste_permille",
+        when(col("capacity") > 0, expr("waste * 1000 div capacity"))
+          .otherwise(lit(0L)))
+      .select(col("n_bins"), col("n_docs_packed"), col("n_oversize"),
+        col("capacity"), col("filled"), col("waste"), col("waste_permille"))
+  }
+
   /** The EPOCH-SCHEDULE MANIFEST — [[epochOrder]] composed across a
     * whole training run: one (epoch, shard, pos) row per (epoch, doc),
     * each epoch a fresh deterministic permutation of the same shard

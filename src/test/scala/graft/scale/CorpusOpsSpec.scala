@@ -336,6 +336,61 @@ class CorpusOpsSpec extends SparkSpec {
     assert(binTotal === tcTotal, "sum over bins == sum of tokenCounts")
   }
 
+  test("packBestFit: docs never split, bins within capacity, exact FFD vs an independent reference, oversize reported") {
+    import spark.implicits._
+    val docs = shardDocs(300) // n_tok in 3..115: both packable and oversize at 60
+    val seqLen = 60L
+    val out = ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, shardBudget = 400L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val nTok = docs.as[(Long, Long)].collect().toMap
+    // one row per doc, never split; oversize exactly the docs over seqLen
+    assert(out.map(_._1).sorted.toSeq === nTok.keys.toSeq.sorted, "one row per doc")
+    out.foreach { case (id, n, s, b, ov) =>
+      assert(n === nTok(id))
+      if (nTok(id) > seqLen) assert(ov && s === -1L && b === -1L, s"doc $id oversize")
+      else assert(!ov && s >= 0L && b >= 0L, s"doc $id packed")
+    }
+    // capacity law: every (shard, bin) holds <= seqLen tokens
+    val packed = out.filter(!_._5)
+    packed.groupBy(r => (r._3, r._4)).foreach { case (sb, ds) =>
+      assert(ds.map(_._2).sum <= seqLen, s"bin $sb over capacity")
+    }
+    // EXACT FFD law: an independently-coded reference over the trusted
+    // shard membership reproduces the layout bin-for-bin
+    val shardOf = ShardPack.packByTokenBudget(
+        docs.filter(col("n_tok") <= seqLen), "doc_id", "n_tok", budget = 400L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val want = shardOf.groupBy(_._2).flatMap { case (s, members) =>
+      val sorted = members.keys.toSeq.map(id => (nTok(id), id))
+        .sortBy { case (n, id) => (-n, id) }
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sorted.map { case (n, id) =>
+        val i = loads.indexWhere(_ + n <= seqLen)
+        val bin = if (i >= 0) { loads(i) += n; i.toLong }
+        else { loads += n; loads.size - 1L }
+        id -> ((s, bin))
+      }
+    }
+    assert(packed.map(r => r._1 -> ((r._3, r._4))).toMap === want, "FFD layout exact")
+    // partition invariance (pure function of ids)
+    val out2 = ShardPack.packBestFit(
+        docs.repartition(7), "doc_id", "n_tok", seqLen, 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(out2 === out.map(r => (r._1, r._3, r._4)).sorted.toSeq)
+    // waste stats tie out against the layout
+    val stats = ShardPack.packBestFitStats(
+      ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L), seqLen)
+      .collect().head
+    val nBins = packed.map(r => (r._3, r._4)).distinct.length.toLong
+    val filled = packed.map(_._2).sum
+    assert(stats.getLong(0) === nBins && stats.getLong(1) === packed.length.toLong)
+    assert(stats.getLong(2) === out.count(_._5).toLong, "n_oversize")
+    assert(stats.getLong(3) === nBins * seqLen && stats.getLong(4) === filled)
+    assert(stats.getLong(5) === nBins * seqLen - filled)
+    assert(stats.getLong(6) === (nBins * seqLen - filled) * 1000 / (nBins * seqLen))
+  }
+
   test("lossMaskSpans: spans tile every sequence exactly; turns reconstruct; zero-token turns keep their index") {
     import spark.implicits._
     // dlg 10: three turns (5, 7, 4 tokens); dlg 20: one 20-token turn
