@@ -2127,6 +2127,33 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
       ShardPack.packBestFit(docs, "doc_id", "n_tok",
         seqLen = 96L, shardBudget = 2000L)
+    }),
+
+    // --- scale: MATERIALIZED SFT sequences — the final fine-tuning
+    // artifact: q147's dialogues-as-docs layout with the ACTUAL token
+    // ids AND the per-position loss mask (1 on purchase/signup turns —
+    // the "assistant" role set), one row per 16-token sequence; ids =
+    // the event-content piece vocabulary under the doc-trained merges --
+    "q151_sft_sequences" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val ev = t(s, dir, "events")
+        .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+      val turns = graft.scale.Dialogue.sessionize(
+          ev, "user_id", "ts", "event_id", gapNanos = 1800000000000L)
+        .withColumn("dlg_id",
+          col("user_id") * 100000L + col("session_seq") +
+            coalesce(
+              assert_true(col("session_seq") < 100000L &&
+                col("user_id").between(0L, Long.MaxValue / 100000L - 1),
+                lit("dlg_id packing out of range")).cast("long"),
+              lit(0L)))
+      val stream = graft.scale.Dialogue.sftTokenStream(
+        turns, "dlg_id", "ts", "event_id", "event_type", "content",
+        merges, maskRoles = Set("purchase", "signup"))
+      ShardPack.materializeSequencesWithMask(stream, "dlg_id", "mask", seqLen = 16L)
+        .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("mask"), "").as("mask"))
     })
   )
 
@@ -5377,6 +5404,81 @@ object SparkEntry {
         |SELECT id AS doc_id, n AS n_tokens, CAST(-1 AS BIGINT) AS shard,
         |  CAST(-1 AS BIGINT) AS bin, true AS oversize
         |FROM base WHERE n > 96""".stripMargin,
+
+    // q147's session/turn-offset CTEs + q146's indexed-piece mechanics
+    // over the EVENT content (doc-trained merges applied via
+    // bpeApplySql), per-token mask from the turn's role, per-bin lists
+    // in position order
+    "q151_sft_sequences" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |${bpeApplySql(BpeMergeCount,
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(event_type || ' ' || props), " +
+          "'[a-z0-9]+')) AS w FROM events")},
+        |wp2 AS (
+        |  SELECT w, string_split(trim(sym), '  ') AS pieces FROM ew$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp2)),
+        |dw AS (
+        |  SELECT event_id, i AS wi, t[i] AS w
+        |  FROM (SELECT event_id,
+        |          regexp_extract_all(lower(event_type || ' ' || props), '[a-z0-9]+') AS t
+        |        FROM events) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws AS (
+        |  SELECT dw.event_id, dw.wi, wp2.pieces,
+        |    CAST(coalesce(sum(len(wp2.pieces)) OVER (PARTITION BY dw.event_id
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp2 ON dw.w = wp2.w),
+        |estream AS (
+        |  SELECT event_id, word_start + pi - 1 AS turn_tok_idx, pieces[pi] AS piece
+        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |ecnt AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n FROM estream GROUP BY 1),
+        |sb AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |sf AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+        |  FROM sb),
+        |sg AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM sf),
+        |turns AS (
+        |  SELECT g.user_id * 100000 + g.session_seq AS dlg_id, g.event_id,
+        |    CASE WHEN g.event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS mask,
+        |    CAST(coalesce(sum(coalesce(e.n, 0)) OVER (
+        |      PARTITION BY g.user_id, g.session_seq ORDER BY g.tsn, g.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS turn_start
+        |  FROM sg g LEFT JOIN ecnt e USING (event_id)),
+        |stream AS (
+        |  SELECT t.dlg_id, t.turn_start + s.turn_tok_idx AS tok_idx,
+        |    v.token_id, t.mask
+        |  FROM estream s
+        |  JOIN turns t USING (event_id)
+        |  JOIN vocab v ON s.piece = v.piece),
+        |dc AS (
+        |  SELECT dlg_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5('shard:' || dlg_id) AS k
+        |  FROM stream GROUP BY 1),
+        |off AS (
+        |  SELECT dlg_id, CAST(sum(n_tokens) OVER (ORDER BY k, dlg_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM dc),
+        |pos AS (
+        |  SELECT s.dlg_id, s.tok_idx, s.token_id, s.mask, o.start + s.tok_idx AS p
+        |  FROM stream s JOIN off o USING (dlg_id))
+        |SELECT CAST(p // 16 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT dlg_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+        |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
+        |  array_to_string(list(mask ORDER BY p), '') AS mask
+        |FROM pos GROUP BY 1""".stripMargin),
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

@@ -153,6 +153,56 @@ object Dialogue {
       .join(valid, Seq(keyCol, "session_seq"), "left_semi")
   }
 
+  /** The WITHIN-DIALOGUE indexed masked token stream an SFT export
+    * materializes: every turn's content BPE-encodes with the given
+    * (doc-trained) merge table, tokens index densely 0..n−1 within the
+    * DIALOGUE (turn (ts, id) order × within-turn piece order), ids come
+    * from [[graft.scale.Bpe.pieceVocab]] over the turn content, and
+    * each token carries its turn's loss mask (1 when the role is in
+    * `maskRoles` — the turns the trainer computes loss on). Feed to
+    * [[graft.scale.ShardPack.materializeSequencesWithMask]] keyed by
+    * dlgCol for the final (token_ids, mask) training sequences (q151).
+    *
+    * Scale shape: the encode is [[Bpe.encodeIndexed]]'s memoized vocab
+    * join with turns as docs; the dialogue offset is ONE per-dialogue
+    * window over turn token counts (the [[lossMaskSpans]] shape).
+    *
+    * @return (dlgCol, tok_idx, token_id, mask)
+    */
+  def sftTokenStream(
+      turns: DataFrame,
+      dlgCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      contentCol: String,
+      merges: Seq[Bpe.Merge],
+      maskRoles: Set[String]): DataFrame = {
+    require(maskRoles.nonEmpty,
+      "sftTokenStream: empty maskRoles would train on nothing — a " +
+        "formatter emitting an all-zero mask is the silent-failure class")
+    val enc = Bpe.encodeIndexed(
+      turns.select(col(idCol), col(contentCol)), idCol, contentCol, merges)
+      .withColumnRenamed("tok_idx", "turn_tok_idx")
+    val vocab = Bpe.pieceVocab(
+      turns.select(col(contentCol)), contentCol, merges)
+    val nPer = enc.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(dlgCol)).orderBy(col(tsCol), col(idCol))
+    val turnStarts = turns
+      .join(nPer, Seq(idCol), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .withColumn("turn_start",
+        coalesce(sum(col("__n"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(idCol), col(dlgCol), col("turn_start"),
+        when(col(roleCol).isin(maskRoles.toSeq: _*), 1L).otherwise(0L).as("mask"))
+    enc.join(vocab, "piece")
+      .join(turnStarts, Seq(idCol))
+      .select(col(dlgCol),
+        (col("turn_start") + col("turn_tok_idx")).as("tok_idx"),
+        col("token_id"), col("mask"))
+  }
+
   /** SFT LOSS-MASK SPANS — per-turn token coordinates inside packed
     * training sequences: which (sequence, local_start, span_len) range
     * belongs to which turn/role, the metadata an SFT formatter consumes

@@ -185,21 +185,52 @@ object ShardPack {
       tokenStream: DataFrame,
       idCol: String,
       seqLen: Long,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 32): DataFrame =
+    materializeCore(tokenStream, idCol, seqLen, numPartitions, maskCol = None)
+
+  /** [[materializeSequences]] carrying a per-token MASK column — the
+    * SFT artifact: each sequence row also holds the 0/1 loss mask in
+    * the same position order as its token ids (masked and unmasked
+    * spans tile the sequences exactly as
+    * [[graft.scale.Dialogue.lossMaskSpans]] describes them; equality
+    * spec-pinned). Same plan as the unmasked form — the mask rides the
+    * one collected struct, no extra agg.
+    *
+    * @return (bin, n_tokens, n_docs, n_doc_starts, token_ids, mask)
+    */
+  def materializeSequencesWithMask(
+      tokenStream: DataFrame,
+      idCol: String,
+      maskCol: String,
+      seqLen: Long,
+      numPartitions: Int = 32): DataFrame =
+    materializeCore(tokenStream, idCol, seqLen, numPartitions, Some(maskCol))
+
+  private def materializeCore(
+      tokenStream: DataFrame,
+      idCol: String,
+      seqLen: Long,
+      numPartitions: Int,
+      maskCol: Option[String]): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     // persisted: the stream feeds BOTH the per-doc count pass and the
     // layout join, and its upstream is typically the full tokenizer
     // encode (vocab join + per-doc window) that must not run twice.
-    // The cached rows are three slim columns (id, tok_idx, token_id) —
-    // disk-spillable, the q56 slim-cache size class
+    // The cached rows are slim long columns — disk-spillable, the q56
+    // slim-cache size class
+    val cols = Seq(col(idCol), col("tok_idx"), col("token_id")) ++
+      maskCol.map(m => col(m).cast("long").as("__mask"))
     val stream = CacheScope.persisted(
-      tokenStream.select(col(idCol), col("tok_idx"), col("token_id")),
-      StorageLevel.MEMORY_AND_DISK)
+      tokenStream.select(cols: _*), StorageLevel.MEMORY_AND_DISK)
     val counts = stream.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"))
     val offsets = packWithOffsets(counts, idCol, "n_tokens", numPartitions)
       .select(col(idCol), col("start"))
-    stream
+    val packedStruct = maskCol match {
+      case Some(_) => "struct(local, token_id, __mask)"
+      case None    => "struct(local, token_id)"
+    }
+    val binned = stream
       .join(offsets, Seq(idCol))
       .withColumn("pos", col("start") + col("tok_idx"))
       .withColumn("bin", expr(s"pos div ${seqLen}L"))
@@ -209,8 +240,12 @@ object ShardPack {
         count(lit(1)).as("n_tokens"),
         countDistinct(col(idCol)).as("n_docs"),
         sum(when(col("tok_idx") === 0L, 1L).otherwise(0L)).as("n_doc_starts"),
-        expr("transform(array_sort(collect_list(struct(local, token_id))), " +
-          "s -> s.token_id)").as("token_ids"))
+        expr(s"array_sort(collect_list($packedStruct))").as("__packed"))
+    val out = binned.select(
+      Seq(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+        expr("transform(__packed, s -> s.token_id)").as("token_ids")) ++
+        maskCol.map(_ => expr("transform(__packed, s -> s.__mask)").as("mask")): _*)
+    out
   }
 
   /** Deterministic per-epoch data order — the reproducible data-loader

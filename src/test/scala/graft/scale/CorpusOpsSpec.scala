@@ -466,6 +466,69 @@ class CorpusOpsSpec extends SparkSpec {
     assert(spansBySeq === pieces, "sequence fill == packSequences bins")
   }
 
+  test("sftTokenStream/materializeSequencesWithMask: dense dialogue indices, role masks, mask == lossMaskSpans coordinates") {
+    import spark.implicits._
+    val turns = Seq(
+      (10L, 0L, 1L, "user", "low lower"),
+      (10L, 1L, 2L, "assistant", "new newer lowest"),
+      (10L, 2L, 3L, "user", "wide"),
+      (20L, 0L, 4L, "assistant", "low wide wide new")
+    ).toDF("dlg_id", "ts", "event_id", "role", "content")
+    val merges = Bpe.trainMergesFast(turns, "content", 3)
+    val stream = Dialogue.sftTokenStream(
+      turns, "dlg_id", "ts", "event_id", "role", "content", merges, Set("assistant"))
+    val got = stream.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // local reference: per-turn pieces in turn order, lexicographic ids
+    val data = Seq(
+      (10L, Seq(("user", "low lower"), ("assistant", "new newer lowest"),
+        ("user", "wide"))),
+      (20L, Seq(("assistant", "low wide wide new"))))
+    def piecesOf(text: String) = "[a-z0-9]+".r.findAllIn(text.toLowerCase)
+      .toSeq.flatMap(w => Bpe.applyMergesLocal(w, merges))
+    val vid = data.flatMap(_._2).flatMap(t => piecesOf(t._2))
+      .distinct.sorted.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+    val want = data.flatMap { case (d, ts) =>
+      val toks = ts.flatMap { case (role, text) =>
+        piecesOf(text).map(p => (vid(p), if (role == "assistant") 1L else 0L))
+      }
+      toks.zipWithIndex.map { case ((tid, m), i) => (d, i.toLong, tid, m) }
+    }
+    assert(got.sorted.toSeq === want.sorted, "stream == local reference")
+    // the composed artifact: conservation, array/count agreement, and
+    // the mask array landing EXACTLY on lossMaskSpans' coordinates
+    val seqLen = 5L
+    val bins = ShardPack.materializeSequencesWithMask(stream, "dlg_id", "mask", seqLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](4), r.getSeq[Long](5)))
+    assert(bins.map(_._2).sum === want.size.toLong, "token conservation")
+    bins.foreach { case (b, n, ids, mask) =>
+      assert(ids.size.toLong === n && mask.size.toLong === n, s"bin $b arrays")
+      assert(mask.forall(m => m === 0L || m === 1L), s"bin $b mask domain")
+    }
+    val maskedPos = bins.flatMap { case (b, _, _, mask) =>
+      mask.zipWithIndex.collect { case (1L, i) => (b, i.toLong) }
+    }.toSet
+    val counts = turns.select("dlg_id", "ts", "event_id", "role")
+      .join(Bpe.tokenCounts(turns, "event_id", "content", merges),
+        Seq("event_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+    val spanPos = Dialogue.lossMaskSpans(
+        counts, "dlg_id", "ts", "event_id", "role", "n_tokens", seqLen)
+      .filter(col("role") === "assistant")
+      .collect().flatMap { r =>
+        val (sq, ls, ln) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        (ls until ls + ln).map(p => (sq, p))
+      }.toSet
+    assert(maskedPos === spanPos, "mask array == lossMaskSpans coordinates")
+    // refusal: an empty mask-role set is the silent all-zero-mask bug
+    val err = intercept[IllegalArgumentException] {
+      Dialogue.sftTokenStream(turns, "dlg_id", "ts", "event_id", "role",
+        "content", merges, Set.empty)
+    }
+    assert(err.getMessage.contains("maskRoles"))
+  }
+
   test("Dialogue: gap sessionization and the alternation QC verdict") {
     // user 1: u,a,a,u within the gap (ONE violation at the a,a
     // adjacency), then a lone turn after the gap; user 2 alternates
