@@ -2154,6 +2154,20 @@ object SparkEntry {
         .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
           array_join(col("token_ids"), " ").as("token_ids"),
           array_join(col("mask"), "").as("mask"))
+    }),
+
+    // --- scale: best-fit bin manifest — q150's layout folded to the
+    // writer's view: one row per (shard, bin) with member doc ids in
+    // FFD insertion order, fill, and the padding to append ----------------
+    "q152_bestfit_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.bestFitBinManifest(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L),
+        seqLen = 96L)
+        .select(col("shard"), col("bin"), col("n_docs"), col("fill"), col("pad"),
+          array_join(col("doc_ids"), " ").as("doc_ids"))
     })
   )
 
@@ -5479,6 +5493,52 @@ object SparkEntry {
         |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
         |  array_to_string(list(mask ORDER BY p), '') AS mask
         |FROM pos GROUP BY 1""".stripMargin),
+
+    // q150's recursive-FFD CTEs folded to the per-bin writer manifest:
+    // member ids in (n desc, id) order, fill, padding
+    "q152_bestfit_manifest" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |base AS (SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n FROM t),
+        |fit AS (SELECT id, n, md5('shard:' || id) AS k
+        |        FROM base WHERE n > 0 AND n <= 96),
+        |sh AS (
+        |  SELECT id, n,
+        |    CAST((CAST(sum(n) OVER (ORDER BY k, id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n) // 2000 AS BIGINT) AS shard
+        |  FROM fit),
+        |ranked AS (
+        |  SELECT shard, n, id,
+        |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, id) AS rk
+        |  FROM sh),
+        |ffd AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS loads,
+        |    CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS bin,
+        |    CAST(NULL AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT shard FROM ranked) s
+        |  UNION ALL
+        |  SELECT r.shard, r.rk,
+        |    CASE WHEN nullif(pos.p, 0) IS NULL THEN list_append(f.loads, r.n)
+        |         ELSE list_transform(f.loads,
+        |           (x, i) -> CASE WHEN i = pos.p THEN x + r.n ELSE x END)
+        |    END AS loads,
+        |    r.id,
+        |    CAST(coalesce(nullif(pos.p, 0), len(f.loads) + 1) - 1 AS BIGINT) AS bin,
+        |    r.n
+        |  FROM ffd f
+        |  JOIN ranked r ON r.shard = f.shard AND r.rk = f.rk + 1
+        |  CROSS JOIN LATERAL (
+        |    SELECT list_position(list_transform(f.loads, x -> x + r.n <= 96),
+        |      true) AS p) pos)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS fill,
+        |  CAST(96 - sum(n) AS BIGINT) AS pad,
+        |  array_to_string(list(id ORDER BY n DESC, id), ' ') AS doc_ids
+        |FROM ffd WHERE id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

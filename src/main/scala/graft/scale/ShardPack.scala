@@ -350,6 +350,30 @@ object ShardPack {
       .withColumnRenamed("id", idCol)
   }
 
+  /** The WRITER-facing manifest of a [[packBestFit]] layout: one row
+    * per (shard, bin) with the member doc ids in FFD insertion order
+    * (n_tokens desc, id asc — within one bin, insertion order IS that
+    * sort order, because items arrive sorted and a bin only accretes),
+    * the fill, and the padding the writer must append. Oversize rows
+    * are excluded — they are a policy queue, not bin members.
+    *
+    * @return (shard, bin, n_docs, fill, pad, doc_ids)
+    */
+  def bestFitBinManifest(layout: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val idCol = layout.columns.head // packBestFit puts the id first
+    layout.filter(!col("oversize"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("fill"),
+        expr("transform(array_sort(collect_list(" +
+          s"struct(-n_tokens AS o1, $idCol AS o2))), s -> s.o2)").as("doc_ids"))
+      .withColumn("pad", lit(seqLen) - col("fill"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
+        col("pad"), col("doc_ids"))
+  }
+
   /** The padding-waste report over a [[packBestFit]] layout: bins,
     * capacity, filled tokens, waste (the tokens [[packSequences]]'
     * split layout would NOT pad), waste per-mille, and the oversize

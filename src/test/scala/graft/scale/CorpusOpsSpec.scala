@@ -389,6 +389,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(stats.getLong(3) === nBins * seqLen && stats.getLong(4) === filled)
     assert(stats.getLong(5) === nBins * seqLen - filled)
     assert(stats.getLong(6) === (nBins * seqLen - filled) * 1000 / (nBins * seqLen))
+    // the writer manifest ties to the layout bin-for-bin: member ids in
+    // FFD insertion order (n desc, id asc), fill + pad == seqLen budget
+    val manifest = ShardPack.bestFitBinManifest(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L), seqLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getSeq[Long](5)))
+      .toMap
+    assert(manifest.keySet === packed.map(r => (r._3, r._4)).toSet)
+    manifest.foreach { case (sb, (nd, fill, pad, ids)) =>
+      val members = packed.filter(r => (r._3, r._4) === sb)
+      assert(nd === members.length.toLong && fill === members.map(_._2).sum, s"bin $sb")
+      assert(pad === seqLen - fill, s"bin $sb pad")
+      assert(ids.toSeq === members.map(r => (-r._2, r._1)).sorted.map(_._2).toSeq,
+        s"bin $sb FFD insertion order")
+    }
   }
 
   test("lossMaskSpans: spans tile every sequence exactly; turns reconstruct; zero-token turns keep their index") {
