@@ -65,6 +65,13 @@ object StreamingOps {
   final case class SessionOut(userId: Long, sessionStart: Long, sessionEnd: Long,
       nEvents: Long, totalValue: Double)
 
+  final case class DialogueQcState(start: Long, end: Long, nTurns: Long,
+      roles: Seq[String], lastRole: String, violations: Long)
+
+  final case class DialogueQcOut(userId: Long, sessionStart: Long, sessionEnd: Long,
+      nTurns: Long, nRoles: Long, nAlternationViolations: Long,
+      validDialogue: Boolean)
+
   /** Gap-based sessionization via flatMapGroupsWithState: events from
     * one user belong to the same session while consecutive arrivals are
     * within `gapMs` of each other (event time); a longer silence CLOSES
@@ -100,6 +107,70 @@ object StreamingOps {
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming DIALOGUE QC — the continuous twin of
+    * [[graft.scale.Dialogue.dialogueStats]] (q144): dialogues close by
+    * gap or watermark timeout exactly as [[sessionize]], and each
+    * closed dialogue emits its chat-template QC row (turn count,
+    * distinct roles, same-role alternation violations, validity) the
+    * moment it closes — a curation team sees a bad logging deploy
+    * within one watermark horizon instead of at the next batch run.
+    *
+    * State per user is ONE open dialogue's summary: start/end, counts,
+    * the last role (the only order-dependent piece — within a
+    * micro-batch rows sort by (ts, id), matching the batch window
+    * order), and the dialogue's distinct role list (bounded by the
+    * role vocabulary — event types here, a handful by contract; the
+    * state never holds turns). Late events beyond the watermark drop,
+    * the same contract as [[sessionize]]. stream == batch pinned on a
+    * replayed slice.
+    */
+  def dialogueQcStream(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[DialogueQcOut] = {
+    import events.sparkSession.implicits._
+    def emit(userId: Long, s: DialogueQcState) =
+      DialogueQcOut(userId, s.start, s.end, s.nTurns, s.roles.size.toLong,
+        s.violations, s.violations == 0L)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[DialogueQcState, DialogueQcOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[DialogueQcState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(userId, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            val closed = scala.collection.mutable.ArrayBuffer[DialogueQcOut]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val role = e.eventType
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(DialogueQcState(s.start, math.max(s.end, t),
+                    s.nTurns + 1,
+                    if (s.roles.contains(role)) s.roles else s.roles :+ role,
+                    role,
+                    s.violations + (if (s.lastRole == role) 1L else 0L)))
+                case Some(s) =>
+                  closed += emit(userId, s)
+                  cur = Some(DialogueQcState(t, t, 1L, Seq(role), role, 0L))
+                case None =>
+                  cur = Some(DialogueQcState(t, t, 1L, Seq(role), role, 0L))
               }
             }
             cur.foreach { s =>

@@ -177,6 +177,54 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dialogueQcStream == batch dialogueStats on a replayed events slice") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, min => smin}
+    val dir = "/root/testdata/sf0.001"
+    val gapMs = 30 * 60 * 1000L
+    val evs = graft.SparkEntry.t(spark, dir, "events")
+      .filter(col("user_id") % 5 === 0)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = dialogueQcStream(input.toDS(), gapMs)
+      .writeStream.format("memory").queryName("dlg_qc_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.toSeq: _*)
+      q.processAllAvailable()
+      // far-future foreign-user sentinel advances the watermark so the
+      // timeout flushes every still-open dialogue
+      val maxMs = evs.map(_.ts.getTime).max
+      input.addData(Event(-1L, new java.sql.Timestamp(maxMs + 48L * 3600 * 1000),
+        -1L, "x", 0d))
+      q.processAllAvailable()
+      val streamed = spark.table("dlg_qc_eq")
+        .filter(col("userId") >= 0)
+        .selectExpr("userId", "sessionStart", "nTurns", "nRoles",
+          "nAlternationViolations", "validDialogue")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      // batch twin over the SAME ms-floored frame (session start keys
+      // the comparison — two dialogues of one user can share stats)
+      val batchDf = evs.toSeq.map(e => (e.userId, e.ts.getTime, e.eventId, e.eventType))
+        .toDF("user_id", "ts", "event_id", "role")
+      val stats = graft.scale.Dialogue.dialogueStats(
+        batchDf, "user_id", "ts", "event_id", "role", gapMs)
+      val starts = graft.scale.Dialogue.sessionize(
+          batchDf, "user_id", "ts", "event_id", gapMs)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(smin(col("ts")).as("start"))
+      val batch = stats.join(starts, Seq("user_id", "session_seq"))
+        .selectExpr("user_id", "start", "n_turns", "n_roles",
+          "n_alternation_violations", "valid_dialogue")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupStream == batch exact dedup: one survivor per distinct fingerprint of a replayed corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
