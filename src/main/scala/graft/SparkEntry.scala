@@ -2168,6 +2168,25 @@ object SparkEntry {
         seqLen = 96L)
         .select(col("shard"), col("bin"), col("n_docs"), col("fill"), col("pad"),
           array_join(col("doc_ids"), " ").as("doc_ids"))
+    }),
+
+    // --- scale: MATERIALIZED best-fit sequences — the post-training
+    // tensor: whole docs' BPE token ids concatenated in FFD bin order,
+    // right-padded with -1 to exactly 96 — layout denominated in the
+    // SAME tokenizer's counts (drift between layout and stream sizes
+    // fails loud in-plan) --------------------------------------------------
+    "q153_bestfit_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMergesFast(docs, "text", BpeMergeCount)
+      val layout = ShardPack.packBestFit(
+        Bpe.tokenCounts(docs, "doc_id", "text", merges),
+        "doc_id", "n_tokens", seqLen = 96L, shardBudget = 2000L)
+      val stream = Bpe.encodeIndexed(docs, "doc_id", "text", merges)
+        .join(Bpe.pieceVocab(docs, "text", merges), "piece")
+        .select(col("doc_id"), col("tok_idx"), col("token_id"))
+      ShardPack.materializeBestFit(stream, layout, "doc_id", seqLen = 96L)
+        .select(col("shard"), col("bin"), col("n_docs"), col("fill"), col("pad_len"),
+          array_join(col("token_ids"), " ").as("token_ids"))
     })
   )
 
@@ -5539,6 +5558,80 @@ object SparkEntry {
         |  array_to_string(list(id ORDER BY n DESC, id), ' ') AS doc_ids
         |FROM ffd WHERE id IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    // q146's indexed-piece CTEs give the stream AND the per-doc BPE
+    // counts; q150's recursive FFD places docs; a per-bin (n desc, id)
+    // offset window concatenates each doc's tokens contiguously;
+    // padding rendered as the repeated pad id
+    "q153_bestfit_sequences" ->
+      (bpeStagesSql(BpeMergeCount).replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        |wp AS (SELECT w, string_split(trim(sym), '  ') AS pieces FROM w$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp)),
+        |dw AS (
+        |  SELECT doc_id, i AS wi, t[i] AS w
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |        FROM documents) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws AS (
+        |  SELECT dw.doc_id, dw.wi, wp.pieces,
+        |    CAST(coalesce(sum(len(wp.pieces)) OVER (PARTITION BY dw.doc_id
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp ON dw.w = wp.w),
+        |stream AS (
+        |  SELECT doc_id, word_start + pi - 1 AS tok_idx, pieces[pi] AS piece
+        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM stream GROUP BY 1),
+        |fit AS (SELECT doc_id AS id, n, md5('shard:' || doc_id) AS k
+        |        FROM tc WHERE n > 0 AND n <= 96),
+        |sh AS (
+        |  SELECT id, n,
+        |    CAST((CAST(sum(n) OVER (ORDER BY k, id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n) // 2000 AS BIGINT) AS shard
+        |  FROM fit),
+        |ranked AS (
+        |  SELECT shard, n, id,
+        |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, id) AS rk
+        |  FROM sh),
+        |ffd AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS loads,
+        |    CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS bin,
+        |    CAST(NULL AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT shard FROM ranked) s
+        |  UNION ALL
+        |  SELECT r.shard, r.rk,
+        |    CASE WHEN nullif(pos.p, 0) IS NULL THEN list_append(f.loads, r.n)
+        |         ELSE list_transform(f.loads,
+        |           (x, i) -> CASE WHEN i = pos.p THEN x + r.n ELSE x END)
+        |    END AS loads,
+        |    r.id,
+        |    CAST(coalesce(nullif(pos.p, 0), len(f.loads) + 1) - 1 AS BIGINT) AS bin,
+        |    r.n
+        |  FROM ffd f
+        |  JOIN ranked r ON r.shard = f.shard AND r.rk = f.rk + 1
+        |  CROSS JOIN LATERAL (
+        |    SELECT list_position(list_transform(f.loads, x -> x + r.n <= 96),
+        |      true) AS p) pos),
+        |placed AS (
+        |  SELECT shard, bin, id, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard, bin
+        |      ORDER BY n DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS doc_off
+        |  FROM ffd WHERE id IS NOT NULL),
+        |tok AS (
+        |  SELECT p.shard, p.bin, p.id, p.doc_off + s.tok_idx AS local, v.token_id
+        |  FROM stream s
+        |  JOIN placed p ON s.doc_id = p.id
+        |  JOIN vocab v ON s.piece = v.piece)
+        |SELECT shard, bin, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS fill,
+        |  CAST(96 - count(*) AS BIGINT) AS pad_len,
+        |  array_to_string(list(token_id ORDER BY local), ' ') ||
+        |    repeat(' -1', CAST(96 - count(*) AS INT)) AS token_ids
+        |FROM tok GROUP BY 1, 2""".stripMargin),
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

@@ -374,6 +374,66 @@ object ShardPack {
         col("pad"), col("doc_ids"))
   }
 
+  /** MATERIALIZED best-fit sequences — the post-training twin of
+    * [[materializeSequences]]: lay a real token stream into a
+    * [[packBestFit]] layout's whole-doc bins and emit one row per
+    * (shard, bin) with the token ids in bin order (docs concatenate in
+    * FFD insertion order — n_tokens desc, id asc — each doc's tokens
+    * contiguous) RIGHT-PADDED with `padId` to exactly `seqLen`: the
+    * fixed-width tensor a fine-tuning loader mmaps, pad_len doubling
+    * as the attention-mask suffix length.
+    *
+    * CONSISTENCY is enforced, not assumed: the layout's token counts
+    * and the stream's actual per-doc sizes come from different calls,
+    * and a drift between them would silently overflow bins — the fill
+    * is guarded in-plan (fail-loud past seqLen). Oversize layout rows
+    * are excluded (they are [[packBestFit]]'s policy queue).
+    *
+    * Scale shape: one per-(shard, bin) window over the layout
+    * (bin-sized partitions), the stream joins its doc's bin offset,
+    * one hash agg whose per-group state is seqLen-bounded — the
+    * [[materializeSequences]] discipline with (shard, bin) as the key.
+    *
+    * @return (shard, bin, n_docs, fill, pad_len, token_ids[seqLen])
+    */
+  def materializeBestFit(
+      tokenStream: DataFrame,
+      layout: DataFrame,
+      idCol: String,
+      seqLen: Long,
+      padId: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col("shard"), col("bin"))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    val placed = layout.filter(!col("oversize"))
+      .withColumn("doc_off",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(idCol), col("shard"), col("bin"), col("doc_off"))
+    tokenStream
+      .join(placed, Seq(idCol))
+      .withColumn("local", col("doc_off") + col("tok_idx"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("fill"),
+        countDistinct(col(idCol)).as("n_docs"),
+        expr("array_sort(collect_list(struct(local, token_id)))").as("__packed"))
+      .withColumn("fill",
+        col("fill") + coalesce(
+          assert_true(col("fill") <= seqLen,
+            lit(s"materializeBestFit: bin overflow past seqLen=$seqLen — the " +
+              "layout's token counts disagree with the stream's actual sizes"))
+            .cast("long"),
+          lit(0L)))
+      .withColumn("token_ids",
+        concat(expr("transform(__packed, s -> s.token_id)"),
+          array_repeat(lit(padId), (lit(seqLen) - col("fill")).cast("int"))))
+      .withColumn("pad_len", lit(seqLen) - col("fill"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
+        col("pad_len"), col("token_ids"))
+  }
+
   /** The padding-waste report over a [[packBestFit]] layout: bins,
     * capacity, filled tokens, waste (the tokens [[packSequences]]'
     * split layout would NOT pad), waste per-mille, and the oversize

@@ -431,7 +431,8 @@ class PlanGuardSpec extends SparkSpec {
       "q136_domain_drift" -> 1, "q137_loss_aware_alloc" -> 2,
       "q138_doremi_rounds" -> 5, "q139_snapshot_drift" -> 1,
       "q141_embedding_drift" -> 2, "q145_embedding_drift_trained" -> 2,
-      "q146_packed_token_ids" -> 1, "q151_sft_sequences" -> 1)
+      "q146_packed_token_ids" -> 1, "q151_sft_sequences" -> 1,
+      "q153_bestfit_sequences" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -407,6 +407,51 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("materializeBestFit: whole docs contiguous in FFD order, pad suffix, layout-vs-stream drift fails loud") {
+    import spark.implicits._
+    val docs = shardDocs(80)
+    val seqLen = 60L
+    val stream = docs.select(col("doc_id"),
+      explode(expr("sequence(0L, n_tok - 1)")).as("tok_idx"))
+      .withColumn("token_id", col("doc_id") * 1000L + col("tok_idx"))
+    val layout = ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L)
+    val out = ShardPack.materializeBestFit(stream, layout, "doc_id", seqLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getSeq[Long](5)))
+      .toMap
+    val nTok = docs.as[(Long, Long)].collect().toMap
+    val packable = nTok.filter { case (_, n) => n > 0 && n <= seqLen }
+    // fixed width + pad suffix + conservation
+    assert(out.values.map(_._2).sum === packable.values.sum, "token conservation")
+    out.foreach { case (sb, (_, fill, pad, ids)) =>
+      assert(ids.size.toLong === seqLen, s"bin $sb fixed width")
+      assert(pad === seqLen - fill, s"bin $sb pad")
+      assert(ids.drop(fill.toInt).forall(_ === -1L), s"bin $sb pad suffix")
+      assert(ids.take(fill.toInt).forall(_ != -1L), s"bin $sb real prefix")
+    }
+    // per bin: member docs' tokens CONTIGUOUS in the manifest's FFD order
+    val manifest = ShardPack.bestFitBinManifest(layout, seqLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](5)).toMap
+    out.foreach { case (sb, (nd, fill, _, ids)) =>
+      val docsIn = manifest(sb)
+      assert(nd === docsIn.size.toLong, s"bin $sb n_docs")
+      val want = docsIn.flatMap(d => (0L until nTok(d)).map(d * 1000L + _))
+      assert(ids.take(fill.toInt).toSeq === want.toSeq, s"bin $sb layout")
+    }
+    // DRIFT REFUSAL: a layout denominated in different counts than the
+    // stream must fail loud, not overflow bins silently
+    // halved counts: FFD packs the big docs two-to-a-bin by the halved
+    // sizes, so the real stream doubles some bin past seqLen for sure
+    val badLayout = ShardPack.packBestFit(
+      docs.withColumn("n_tok", expr("n_tok div 2 + 1")),
+      "doc_id", "n_tok", seqLen, 400L)
+    val err = intercept[Exception] {
+      ShardPack.materializeBestFit(stream, badLayout, "doc_id", seqLen).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("lossMaskSpans: spans tile every sequence exactly; turns reconstruct; zero-token turns keep their index") {
     import spark.implicits._
     // dlg 10: three turns (5, 7, 4 tokens); dlg 20: one 20-token turn
