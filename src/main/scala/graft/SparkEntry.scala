@@ -2053,9 +2053,7 @@ object SparkEntry {
     "q146_packed_token_ids" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = Bpe.trainMergesFast(docs, "text", BpeMergeCount)
-      val stream = Bpe.encodeIndexed(docs, "doc_id", "text", merges)
-        .join(Bpe.pieceVocab(docs, "text", merges), "piece")
-        .select(col("doc_id"), col("tok_idx"), col("token_id"))
+      val stream = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
       ShardPack.materializeSequences(stream, "doc_id", seqLen = 512L)
         .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
           array_join(col("token_ids"), " ").as("token_ids"))
@@ -2181,9 +2179,7 @@ object SparkEntry {
       val layout = ShardPack.packBestFit(
         Bpe.tokenCounts(docs, "doc_id", "text", merges),
         "doc_id", "n_tokens", seqLen = 96L, shardBudget = 2000L)
-      val stream = Bpe.encodeIndexed(docs, "doc_id", "text", merges)
-        .join(Bpe.pieceVocab(docs, "text", merges), "piece")
-        .select(col("doc_id"), col("tok_idx"), col("token_id"))
+      val stream = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
       ShardPack.materializeBestFit(stream, layout, "doc_id", seqLen = 96L)
         .select(col("shard"), col("bin"), col("n_docs"), col("fill"), col("pad_len"),
           array_join(col("token_ids"), " ").as("token_ids"))

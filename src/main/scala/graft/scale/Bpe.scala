@@ -636,14 +636,21 @@ object Bpe {
     * window partitioned by DOCUMENT, so the sequential unit is one
     * doc's words, never the corpus.
     */
-  def encodeIndexed(docs: DataFrame, idCol: String, textCol: String,
+  /** The (w, pieces) distinct-word encode frame — the one
+    * vocabulary-sized UDF pass every memoized encode shape builds.
+    */
+  private def wordVocab(docs: DataFrame, textCol: String,
       merges: Seq[Merge]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val table = merges
     val applyUdf = udf((w: String) => applyMergesLocal(w, table))
-    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+    docs.select(explode(tokens(col(textCol))).as("w"))
       .distinct()
       .select(col("w"), applyUdf(col("w")).as("pieces"))
+  }
+
+  private def encodeIndexedWithVocab(docs: DataFrame, idCol: String,
+      textCol: String, vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val words = docs.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
     val prior = Window.partitionBy(col(idCol)).orderBy(col("wi"))
@@ -655,6 +662,35 @@ object Bpe {
         posexplode(col("pieces")).as(Seq("pi", "piece")))
       .select(col(idCol), (col("word_start") + col("pi")).as("tok_idx"),
         col("piece"))
+  }
+
+  def encodeIndexed(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    encodeIndexedWithVocab(docs, idCol, textCol,
+      wordVocab(docs, textCol, merges))
+
+  /** [[encodeIndexed]] with pieces already mapped to [[pieceVocab]]'s
+    * lexicographic ids — (idCol, tok_idx, token_id). This is the form
+    * the materializers consume (q146/q151/q153), and it is also the
+    * EFFICIENT one: one persisted (w, pieces) vocab frame feeds both
+    * the corpus join and the piece-id rank, where composing
+    * [[encodeIndexed]] with [[pieceVocab]] by hand scans the corpus
+    * for distinct words (and runs the encode UDF) twice — measured
+    * ~25% of q146's sf0.1 wall. Output is identical to that
+    * composition (spec-pinned).
+    */
+  def encodeIndexedIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = graft.ops.CacheScope.persisted(
+      wordVocab(docs, textCol, merges))
+    val pieceIds = wv.select(explode(col("pieces")).as("piece"))
+      .distinct()
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("piece"))) - 1).cast("long"))
+    encodeIndexedWithVocab(docs, idCol, textCol, wv)
+      .join(pieceIds, "piece")
+      .select(col(idCol), col("tok_idx"), col("token_id"))
   }
 
   /** The corpus's piece-id map — (piece, token_id), token_id the dense
@@ -669,11 +705,8 @@ object Bpe {
   def pieceVocab(docs: DataFrame, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val table = merges
-    val applyUdf = udf((w: String) => applyMergesLocal(w, table))
-    docs.select(explode(tokens(col(textCol))).as("w"))
-      .distinct()
-      .select(explode(applyUdf(col("w"))).as("piece"))
+    wordVocab(docs, textCol, merges)
+      .select(explode(col("pieces")).as("piece"))
       .distinct()
       .withColumn("token_id",
         (row_number().over(Window.orderBy(col("piece"))) - 1).cast("long"))

@@ -326,9 +326,15 @@ class CorpusOpsSpec extends SparkSpec {
     val sortedPieces = got.map(_._3).distinct.sorted
     assert(vocab.sortBy(_._2).map(_._1).toSeq === sortedPieces.toSeq, "lexicographic")
     assert(vocab.map(_._2).sorted.toSeq === (0L until vocab.length.toLong), "dense ids")
-    // the q146 composition conserves the tokenizer's own denomination
+    // the q146 composition conserves the tokenizer's own denomination;
+    // the fused single-vocab form is row-identical to the composition
     val ids = stream.join(Bpe.pieceVocab(docs, "text", merges), "piece")
       .select("doc_id", "tok_idx", "token_id")
+    val fused = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(fused === ids.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+      "encodeIndexedIds == encodeIndexed ∘ pieceVocab")
     val bins = ShardPack.materializeSequences(ids, "doc_id", seqLen = 7L)
     val binTotal = bins.agg(sum("n_tokens")).as[Long].head()
     val tcTotal = Bpe.tokenCounts(docs, "doc_id", "text", merges)
