@@ -2183,6 +2183,18 @@ object SparkEntry {
       ShardPack.materializeBestFit(stream, layout, "doc_id", seqLen = 96L)
         .select(col("shard"), col("bin"), col("n_docs"), col("fill"), col("pad_len"),
           array_join(col("token_ids"), " ").as("token_ids"))
+    }),
+
+    // --- scale: the padding-waste report — q150's layout folded to the
+    // one-row economics frame a curation team reads before choosing
+    // between the split (q143) and whole-doc (q150) layouts -----------------
+    "q154_bestfit_waste" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.packBestFitStats(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L),
+        seqLen = 96L)
     })
   )
 
@@ -5628,6 +5640,58 @@ object SparkEntry {
         |  array_to_string(list(token_id ORDER BY local), ' ') ||
         |    repeat(' -1', CAST(96 - count(*) AS INT)) AS token_ids
         |FROM tok GROUP BY 1, 2""".stripMargin),
+
+    // q150's recursive FFD folded to the one-row waste economics
+    "q154_bestfit_waste" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |base AS (SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n FROM t),
+        |fit AS (SELECT id, n, md5('shard:' || id) AS k
+        |        FROM base WHERE n > 0 AND n <= 96),
+        |sh AS (
+        |  SELECT id, n,
+        |    CAST((CAST(sum(n) OVER (ORDER BY k, id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n) // 2000 AS BIGINT) AS shard
+        |  FROM fit),
+        |ranked AS (
+        |  SELECT shard, n, id,
+        |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, id) AS rk
+        |  FROM sh),
+        |ffd AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS loads,
+        |    CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS bin,
+        |    CAST(NULL AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT shard FROM ranked) s
+        |  UNION ALL
+        |  SELECT r.shard, r.rk,
+        |    CASE WHEN nullif(pos.p, 0) IS NULL THEN list_append(f.loads, r.n)
+        |         ELSE list_transform(f.loads,
+        |           (x, i) -> CASE WHEN i = pos.p THEN x + r.n ELSE x END)
+        |    END AS loads,
+        |    r.id,
+        |    CAST(coalesce(nullif(pos.p, 0), len(f.loads) + 1) - 1 AS BIGINT) AS bin,
+        |    r.n
+        |  FROM ffd f
+        |  JOIN ranked r ON r.shard = f.shard AND r.rk = f.rk + 1
+        |  CROSS JOIN LATERAL (
+        |    SELECT list_position(list_transform(f.loads, x -> x + r.n <= 96),
+        |      true) AS p) pos),
+        |bins AS (
+        |  SELECT shard, bin, count(*) AS nd, sum(n) AS fill
+        |  FROM ffd WHERE id IS NOT NULL GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs_packed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM base WHERE n > 96) AS n_oversize,
+        |  CAST(count(*) * 96 AS BIGINT) AS capacity,
+        |  CAST(coalesce(sum(fill), 0) AS BIGINT) AS filled,
+        |  CAST(count(*) * 96 - coalesce(sum(fill), 0) AS BIGINT) AS waste,
+        |  CAST(CASE WHEN count(*) > 0
+        |    THEN (count(*) * 96 - coalesce(sum(fill), 0)) * 1000 // (count(*) * 96)
+        |    ELSE 0 END AS BIGINT) AS waste_permille
+        |FROM bins""".stripMargin,
 
     // two prefixed BPE chains (en / non-en slices), step-aligned full
     // join, textual-difference rows only — the same diff predicate the

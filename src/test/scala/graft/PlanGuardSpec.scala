@@ -432,7 +432,10 @@ class PlanGuardSpec extends SparkSpec {
       "q138_doremi_rounds" -> 5, "q139_snapshot_drift" -> 1,
       "q141_embedding_drift" -> 2, "q145_embedding_drift_trained" -> 2,
       "q146_packed_token_ids" -> 1, "q151_sft_sequences" -> 1,
-      "q153_bestfit_sequences" -> 1)
+      "q153_bestfit_sequences" -> 1,
+      // q154: the two 1-row halves of the waste report (bins rollup +
+      // oversize count), crossed via broadcast — both bin/doc-count-sized
+      "q154_bestfit_waste" -> 2)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
