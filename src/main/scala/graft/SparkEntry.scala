@@ -2195,6 +2195,42 @@ object SparkEntry {
         ShardPack.packBestFit(docs, "doc_id", "n_tok",
           seqLen = 96L, shardBudget = 2000L),
         seqLen = 96L)
+    }),
+
+    // --- scale: SFT curation end-to-end — the fine-tuning mirror of
+    // q115's pretrainCurate: drop invalid dialogues (q144/q148 policy),
+    // drop dialogues leaking benchmark prompts (event_id % 997 slice,
+    // whitespace 3-grams over the turn content), then the q151 masked-
+    // sequence artifact over exactly the survivors (piece vocabulary
+    // from surviving turns only) ------------------------------------------
+    "q155_sft_curate" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val ev = t(s, dir, "events")
+        .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+      val holdout = ev.filter(col("event_id") % 997 === 0)
+        .select(col("event_id"), col("content"))
+      graft.scale.Dialogue.sftCurate(
+        ev, "user_id", "ts", "event_id", "event_type", "content",
+        holdout, merges, maskRoles = Set("purchase", "signup"),
+        gapNanos = 1800000000000L, seqLen = 16L)
+        .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("mask"), "").as("mask"))
+    }),
+
+    // --- scale: the q155 stage report — dialogues in / dropped-invalid
+    // / dropped-contaminated / kept: the fail-loud companion that makes
+    // an EMPTY curation output legible (the 100× staging legitimately
+    // contaminates 100% — the benchmark slice covers the whole prompt
+    // space there) ---------------------------------------------------------
+    "q156_sft_counters" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+      val holdout = ev.filter(col("event_id") % 997 === 0)
+        .select(col("event_id"), col("content"))
+      graft.scale.Dialogue.sftCurateCounters(
+        ev, "user_id", "ts", "event_id", "event_type", "content",
+        holdout, gapNanos = 1800000000000L)
     })
   )
 
@@ -5640,6 +5676,161 @@ object SparkEntry {
         |  array_to_string(list(token_id ORDER BY local), ' ') ||
         |    repeat(' -1', CAST(96 - count(*) AS INT)) AS token_ids
         |FROM tok GROUP BY 1, 2""".stripMargin),
+
+    // the q151 chain with SURVIVOR filtering first: q144's validity
+    // verdict + whitespace-3-gram contamination vs the benchmark slice
+    // drop dialogues whole; every piece CTE (merge apply, vocab, word
+    // stream) is then built from the surviving events only — the
+    // vocabulary must not encode dropped content
+    "q155_sft_curate" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |sb AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |sf AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+        |  FROM sb),
+        |sg AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM sf),
+        |rr AS (
+        |  SELECT user_id, session_seq, event_id, event_type, tsn,
+        |    lag(event_type) OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY tsn, event_id) AS prev_role
+        |  FROM sg),
+        |vd AS (
+        |  SELECT user_id, session_seq FROM rr GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) = 0),
+        |ctok AS (
+        |  SELECT event_id,
+        |    regexp_split_to_array(trim(event_type || ' ' || props), '\\s+') AS t
+        |  FROM events),
+        |cgr AS (
+        |  SELECT event_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM ctok, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+        |bgr AS (SELECT DISTINCT g FROM cgr WHERE event_id % 997 = 0),
+        |contam AS (SELECT DISTINCT event_id FROM cgr JOIN bgr USING (g)),
+        |bad AS (
+        |  SELECT DISTINCT g2.user_id, g2.session_seq
+        |  FROM sg g2 JOIN contam c ON c.event_id = g2.event_id),
+        |surv AS (
+        |  SELECT g.user_id, g.event_id, g.event_type, g.tsn, g.session_seq
+        |  FROM sg g
+        |  JOIN vd ON vd.user_id = g.user_id AND vd.session_seq = g.session_seq
+        |  LEFT JOIN bad ON bad.user_id = g.user_id AND bad.session_seq = g.session_seq
+        |  WHERE bad.user_id IS NULL),
+        |${bpeApplySql(BpeMergeCount,
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(e.event_type || ' ' || " +
+          "e.props), '[a-z0-9]+')) AS w FROM events e " +
+          "JOIN surv s ON e.event_id = s.event_id")},
+        |wp2 AS (
+        |  SELECT w, string_split(trim(sym), '  ') AS pieces FROM ew$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp2)),
+        |dw AS (
+        |  SELECT event_id, i AS wi, t[i] AS w
+        |  FROM (SELECT e.event_id,
+        |          regexp_extract_all(lower(e.event_type || ' ' || e.props),
+        |            '[a-z0-9]+') AS t
+        |        FROM events e JOIN surv s ON e.event_id = s.event_id) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws AS (
+        |  SELECT dw.event_id, dw.wi, wp2.pieces,
+        |    CAST(coalesce(sum(len(wp2.pieces)) OVER (PARTITION BY dw.event_id
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp2 ON dw.w = wp2.w),
+        |estream AS (
+        |  SELECT event_id, word_start + pi - 1 AS turn_tok_idx, pieces[pi] AS piece
+        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |ecnt AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n FROM estream GROUP BY 1),
+        |turns AS (
+        |  SELECT s.user_id * 100000 + s.session_seq AS dlg_id, s.event_id,
+        |    CASE WHEN s.event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS mask,
+        |    CAST(coalesce(sum(coalesce(e.n, 0)) OVER (
+        |      PARTITION BY s.user_id, s.session_seq ORDER BY s.tsn, s.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS turn_start
+        |  FROM surv s LEFT JOIN ecnt e ON e.event_id = s.event_id),
+        |stream AS (
+        |  SELECT t.dlg_id, t.turn_start + s.turn_tok_idx AS tok_idx,
+        |    v.token_id, t.mask
+        |  FROM estream s
+        |  JOIN turns t ON t.event_id = s.event_id
+        |  JOIN vocab v ON s.piece = v.piece),
+        |dc AS (
+        |  SELECT dlg_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5('shard:' || dlg_id) AS k
+        |  FROM stream GROUP BY 1),
+        |off AS (
+        |  SELECT dlg_id, CAST(sum(n_tokens) OVER (ORDER BY k, dlg_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM dc),
+        |pos AS (
+        |  SELECT s.dlg_id, s.tok_idx, s.token_id, s.mask, o.start + s.tok_idx AS p
+        |  FROM stream s JOIN off o USING (dlg_id))
+        |SELECT CAST(p // 16 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT dlg_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+        |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
+        |  array_to_string(list(mask ORDER BY p), '') AS mask
+        |FROM pos GROUP BY 1""".stripMargin),
+
+    // q155's gate CTEs folded to the four stage counts
+    "q156_sft_counters" ->
+      """WITH sb AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |sf AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+        |  FROM sb),
+        |sg AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM sf),
+        |rr AS (
+        |  SELECT user_id, session_seq, event_id, event_type, tsn,
+        |    lag(event_type) OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY tsn, event_id) AS prev_role
+        |  FROM sg),
+        |verd AS (
+        |  SELECT user_id, session_seq,
+        |    sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) = 0 AS valid
+        |  FROM rr GROUP BY 1, 2),
+        |ctok AS (
+        |  SELECT event_id,
+        |    regexp_split_to_array(trim(event_type || ' ' || props), '\s+') AS t
+        |  FROM events),
+        |cgr AS (
+        |  SELECT event_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM ctok, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+        |bgr AS (SELECT DISTINCT g FROM cgr WHERE event_id % 997 = 0),
+        |contam AS (SELECT DISTINCT event_id FROM cgr JOIN bgr USING (g)),
+        |bad AS (
+        |  SELECT DISTINCT g2.user_id, g2.session_seq
+        |  FROM sg g2 JOIN contam c ON c.event_id = g2.event_id),
+        |j AS (
+        |  SELECT v.user_id, v.session_seq, v.valid,
+        |    (b.user_id IS NOT NULL) AS contaminated
+        |  FROM verd v
+        |  LEFT JOIN bad b ON b.user_id = v.user_id AND b.session_seq = v.session_seq)
+        |SELECT 'dialogues_total' AS stage, CAST(count(*) AS BIGINT) AS n FROM j
+        |UNION ALL
+        |SELECT 'dialogues_invalid', CAST(count(*) AS BIGINT) FROM j WHERE NOT valid
+        |UNION ALL
+        |SELECT 'dialogues_contaminated_valid', CAST(count(*) AS BIGINT)
+        |FROM j WHERE valid AND contaminated
+        |UNION ALL
+        |SELECT 'dialogues_kept', CAST(count(*) AS BIGINT)
+        |FROM j WHERE valid AND NOT contaminated""".stripMargin,
 
     // q150's recursive FFD folded to the one-row waste economics
     "q154_bestfit_waste" ->

@@ -206,6 +206,117 @@ object Dialogue {
         col("token_id"), col("mask"))
   }
 
+  /** SFT CURATION end-to-end — the fine-tuning mirror of
+    * [[graft.scale.Curation.pretrainCurate]], raw interaction log to
+    * trainer-ready masked sequences in ONE call:
+    *
+    *   1. sessionize + DROP structurally-invalid dialogues (the
+    *      [[dropInvalidDialogues]] policy — alternation violations are
+    *      an upstream logging bug, not trainable data);
+    *   2. DECONTAMINATE: a dialogue with ANY turn sharing a whitespace
+    *      `contamGramN`-gram with the `holdout` benchmark prompts is
+    *      dropped WHOLE — eval leakage is dialogue-level (the rest of
+    *      the conversation reveals the held-out prompt's context);
+    *      [[graft.scale.Dedup.decontaminate]]'s broadcast-gram shape;
+    *   3. pack each surviving dialogue id fail-loud (key·dlgSpan +
+    *      session_seq, the chunk-id packing contract);
+    *   4. [[sftTokenStream]] ∘
+    *      [[graft.scale.ShardPack.materializeSequencesWithMask]] — the
+    *      q151 artifact over exactly the surviving dialogues.
+    *
+    * The piece vocabulary is built from the SURVIVING turns only (ids
+    * must not encode dropped content — a vocabulary leaking benchmark
+    * tokens is the subtle form of the leak step 2 removes).
+    *
+    * `holdout` must carry the same (idCol, contentCol) column names.
+    *
+    * @return [[graft.scale.ShardPack.materializeSequencesWithMask]]'s
+    *         frame: (bin, n_tokens, n_docs, n_doc_starts, token_ids,
+    *         mask)
+    */
+  def sftCurate(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      contentCol: String,
+      holdout: DataFrame,
+      merges: Seq[Bpe.Merge],
+      maskRoles: Set[String],
+      gapNanos: Long,
+      seqLen: Long,
+      contamGramN: Int = 3,
+      dlgSpan: Long = 100000L): DataFrame = {
+    require(dlgSpan >= 2, s"dlgSpan must be >= 2, got $dlgSpan")
+    val valid = dropInvalidDialogues(events, keyCol, tsCol, idCol, roleCol, gapNanos)
+    val contamTurns = Dedup.decontaminate(
+      valid.select(col(idCol), col(contentCol)),
+      holdout, idCol, contentCol, contamGramN)
+      .select(col(idCol))
+    val contamDlgs = valid.join(contamTurns, Seq(idCol), "left_semi")
+      .select(col(keyCol), col("session_seq")).distinct()
+    val clean = valid.join(contamDlgs, Seq(keyCol, "session_seq"), "left_anti")
+    val maxKey = Long.MaxValue / dlgSpan
+    val turns = clean.withColumn("dlg_id",
+      col(keyCol).cast("long") * dlgSpan + col("session_seq") +
+        coalesce(
+          assert_true(col("session_seq") < dlgSpan &&
+            col(keyCol).cast("long").between(0L, maxKey - 1),
+            lit(s"dlg_id packing out of range: need 0 <= $keyCol < " +
+              s"$maxKey and session_seq < dlgSpan=$dlgSpan")).cast("long"),
+          lit(0L)))
+    val stream = sftTokenStream(
+      turns, "dlg_id", tsCol, idCol, roleCol, contentCol, merges, maskRoles)
+    ShardPack.materializeSequencesWithMask(stream, "dlg_id", "mask", seqLen)
+  }
+
+  /** The K7-style stage report for [[sftCurate]] — how many dialogues
+    * entered, how many each gate dropped, how many survived. THE
+    * fail-loud companion: a curation run whose output is empty (the
+    * benchmark slice can legitimately cover the whole prompt space —
+    * observed at the 100× staging) reads as "zero survivors because
+    * 100% contaminated" here instead of as a silently-empty frame.
+    * Dialogue-count-sized throughout (the QC and contamination frames
+    * persist once and feed all four counts).
+    *
+    * @return (stage, n): dialogues_total / dialogues_invalid /
+    *         dialogues_contaminated_valid / dialogues_kept
+    */
+  def sftCurateCounters(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      contentCol: String,
+      holdout: DataFrame,
+      gapNanos: Long,
+      contamGramN: Int = 3): DataFrame = {
+    val stats = graft.ops.CacheScope.persisted(
+      dialogueStats(events, keyCol, tsCol, idCol, roleCol, gapNanos)
+        .select(col(keyCol), col("session_seq"), col("valid_dialogue")))
+    val sess = sessionize(events, keyCol, tsCol, idCol, gapNanos)
+    val contamDlgs = graft.ops.CacheScope.persisted(
+      sess.join(
+        Dedup.decontaminate(
+          sess.select(col(idCol), col(contentCol)),
+          holdout, idCol, contentCol, contamGramN)
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+        .select(col(keyCol), col("session_seq")).distinct())
+    val valid = stats.filter(col("valid_dialogue"))
+    def cnt(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(stage).as("stage"), col("n"))
+    cnt("dialogues_total", stats)
+      .unionByName(cnt("dialogues_invalid", stats.filter(!col("valid_dialogue"))))
+      .unionByName(cnt("dialogues_contaminated_valid",
+        valid.join(contamDlgs, Seq(keyCol, "session_seq"), "left_semi")))
+      .unionByName(cnt("dialogues_kept",
+        valid.join(contamDlgs, Seq(keyCol, "session_seq"), "left_anti")))
+  }
+
   /** SFT LOSS-MASK SPANS — per-turn token coordinates inside packed
     * training sequences: which (sequence, local_start, span_len) range
     * belongs to which turn/role, the metadata an SFT formatter consumes

@@ -432,7 +432,9 @@ class PlanGuardSpec extends SparkSpec {
       "q138_doremi_rounds" -> 5, "q139_snapshot_drift" -> 1,
       "q141_embedding_drift" -> 2, "q145_embedding_drift_trained" -> 2,
       "q146_packed_token_ids" -> 1, "q151_sft_sequences" -> 1,
-      "q153_bestfit_sequences" -> 1,
+      "q153_bestfit_sequences" -> 1, "q155_sft_curate" -> 1,
+      // q156: four 1-row stage-count aggs over dialogue-count-sized frames
+      "q156_sft_counters" -> 4,
       // q154: the two 1-row halves of the waste report (bins rollup +
       // oversize count), crossed via broadcast — both bin/doc-count-sized
       "q154_bestfit_waste" -> 2)

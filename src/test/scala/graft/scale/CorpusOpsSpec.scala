@@ -596,6 +596,70 @@ class CorpusOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("maskRoles"))
   }
 
+  test("sftCurate: invalid and benchmark-leaking dialogues drop whole; output == q151 chain over the hand-computed survivors") {
+    import spark.implicits._
+    // user 1: valid clean dialogue; user 2: INVALID (a,a run); user 3:
+    // valid but turn 31 leaks a benchmark prompt -> dropped whole;
+    // user 4: valid clean (proves the vocab excludes dropped content)
+    val ev = Seq(
+      (10L, 0L, 1L, "user", "low lower"),
+      (11L, 1L, 1L, "assistant", "new newer"),
+      (20L, 0L, 2L, "user", "wide low"),
+      (21L, 1L, 2L, "user", "wide wide"),
+      (30L, 0L, 3L, "user", "low wide"),
+      (31L, 1L, 3L, "assistant", "secret bench prompt"),
+      (40L, 0L, 4L, "user", "lowest newest"),
+      (41L, 1L, 4L, "assistant", "low new")
+    ).toDF("event_id", "ts", "user_id", "role", "content")
+    val holdout = Seq((900L, "secret bench prompt")).toDF("event_id", "content")
+    val merges = Bpe.trainMergesFast(ev, "content", 3)
+    val seqLen = 5L
+    val out = Dialogue.sftCurate(
+        ev, "user_id", "ts", "event_id", "role", "content",
+        holdout, merges, Set("assistant"), gapNanos = 10L, seqLen,
+        contamGramN = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](4), r.getSeq[Long](5)))
+    // survivors are exactly users 1 and 4's dialogues — reproduce the
+    // q151 chain over that hand-selected turn set
+    val clean = ev.filter(col("user_id").isin(1L, 4L))
+      .withColumn("session_seq", lit(1L))
+      .withColumn("dlg_id", col("user_id") * 100000L + 1L)
+    val want = ShardPack.materializeSequencesWithMask(
+        Dialogue.sftTokenStream(clean, "dlg_id", "ts", "event_id", "role",
+          "content", merges, Set("assistant")),
+        "dlg_id", "mask", seqLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](4), r.getSeq[Long](5)))
+    assert(out.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq,
+      "curated output == direct chain over the survivors")
+    // the vocabulary is survivor-only: ids are dense over the pieces of
+    // users 1/4's content alone
+    def piecesOf(texts: Seq[String]) = texts
+      .flatMap(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase))
+      .flatMap(w => Bpe.applyMergesLocal(w, merges)).distinct.sorted
+    val survPieces = piecesOf(Seq("low lower", "new newer", "lowest newest", "low new"))
+    val maxId = out.flatMap(_._2).max
+    assert(maxId === survPieces.size.toLong - 1,
+      "vocab ids dense over surviving pieces only (dropped content absent)")
+    // total masked tokens == assistant-turn tokens of the survivors
+    val maskedTotal = out.flatMap(_._3).count(_ === 1L).toLong
+    val wantMasked = Seq("new newer", "low new")
+      .map(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase)
+        .flatMap(w => Bpe.applyMergesLocal(w, merges)).size.toLong).sum
+    assert(maskedTotal === wantMasked, "mask covers exactly the assistant turns")
+    // the stage report makes the gates legible: 4 in, 1 invalid,
+    // 1 contaminated-valid, 2 kept
+    val counters = Dialogue.sftCurateCounters(
+        ev, "user_id", "ts", "event_id", "role", "content",
+        holdout, gapNanos = 10L, contamGramN = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counters === Map(
+      "dialogues_total" -> 4L, "dialogues_invalid" -> 1L,
+      "dialogues_contaminated_valid" -> 1L, "dialogues_kept" -> 2L),
+      s"stage report: $counters")
+  }
+
   test("Dialogue: gap sessionization and the alternation QC verdict") {
     // user 1: u,a,a,u within the gap (ONE violation at the a,a
     // adjacency), then a lone turn after the gap; user 2 alternates
