@@ -2163,7 +2163,7 @@ object SparkEntry {
       ShardPack.bestFitBinManifest(
         ShardPack.packBestFit(docs, "doc_id", "n_tok",
           seqLen = 96L, shardBudget = 2000L),
-        seqLen = 96L)
+        "doc_id", seqLen = 96L)
         .select(col("shard"), col("bin"), col("n_docs"), col("fill"), col("pad"),
           array_join(col("doc_ids"), " ").as("doc_ids"))
     }),

@@ -124,9 +124,14 @@ object Dialogue {
         // the anchor's id: only the run-opening row carries a non-null
         min(when(col("__new_run") === 1L, col(idCol))).as(idCol),
         count(lit(1)).as("n_merged"),
+        // typed column API, not expr() interpolation: caller column
+        // names needing backticks (dots, spaces, reserved words) would
+        // break the SQL parse or bind to the wrong column
         array_join(
-          expr(s"transform(array_sort(collect_list(struct($tsCol AS t, " +
-            s"$idCol AS i, $contentCol AS c))), s -> s.c)"),
+          transform(
+            array_sort(collect_list(struct(
+              col(tsCol).as("t"), col(idCol).as("i"), col(contentCol).as("c")))),
+            s => s.getField("c")),
           " ").as(contentCol))
       .select(col(keyCol), col("session_seq"), col("turn_seq"), col(roleCol),
         col(tsCol), col(idCol), col("n_merged"), col(contentCol))

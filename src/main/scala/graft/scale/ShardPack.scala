@@ -321,7 +321,15 @@ object ShardPack {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(shardBudget >= seqLen,
       s"shardBudget ($shardBudget) must be >= seqLen ($seqLen)")
-    val base = docs.select(col(idCol).cast("long").as("id"),
+    // fail loud on non-numeric ids: a silent cast-to-null would collapse
+    // distinct docs into one null id inside the FFD fold (the
+    // packWithOffsets numeric-id contract, enforced rather than assumed)
+    val base = docs.select(
+      (col(idCol).cast("long") + coalesce(
+        assert_true(col(idCol).isNull || col(idCol).cast("long").isNotNull,
+          lit(s"packBestFit: $idCol is not castable to long — the packing " +
+            "contract needs a numeric doc id")).cast("long"),
+        lit(0L))).as("id"),
       coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
     val oversize = base.filter(col("n_tokens") > seqLen)
       .select(col("id"), col("n_tokens"), lit(-1L).as("shard"),
@@ -357,18 +365,28 @@ object ShardPack {
     * the fill, and the padding the writer must append. Oversize rows
     * are excluded — they are a policy queue, not bin members.
     *
+    * `idCol` names the layout's doc-id column explicitly (the sibling
+    * ops' convention) — inferring it positionally silently grouped by
+    * the wrong column on any projected/reordered layout.
+    *
     * @return (shard, bin, n_docs, fill, pad, doc_ids)
     */
-  def bestFitBinManifest(layout: DataFrame, seqLen: Long): DataFrame = {
+  def bestFitBinManifest(layout: DataFrame, idCol: String, seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val idCol = layout.columns.head // packBestFit puts the id first
+    require(layout.columns.contains(idCol),
+      s"bestFitBinManifest: layout has no column '$idCol' " +
+        s"(columns: ${layout.columns.mkString(", ")})")
     layout.filter(!col("oversize"))
       .groupBy(col("shard"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("fill"),
-        expr("transform(array_sort(collect_list(" +
-          s"struct(-n_tokens AS o1, $idCol AS o2))), s -> s.o2)").as("doc_ids"))
+        // typed columns (not expr interpolation): id names needing
+        // backticks must not break or mis-bind the sort struct
+        transform(
+          array_sort(collect_list(struct(
+            (-col("n_tokens")).as("o1"), col(idCol).as("o2")))),
+          s => s.getField("o2")).as("doc_ids"))
       .withColumn("pad", lit(seqLen) - col("fill"))
       .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
         col("pad"), col("doc_ids"))
@@ -383,11 +401,17 @@ object ShardPack {
     * fixed-width tensor a fine-tuning loader mmaps, pad_len doubling
     * as the attention-mask suffix length.
     *
-    * CONSISTENCY is enforced, not assumed: the layout's token counts
-    * and the stream's actual per-doc sizes come from different calls,
-    * and a drift between them would silently overflow bins — the fill
-    * is guarded in-plan (fail-loud past seqLen). Oversize layout rows
-    * are excluded (they are [[packBestFit]]'s policy queue).
+    * CONSISTENCY is enforced, not assumed, in BOTH drift directions:
+    * the layout's token counts and the stream's actual per-doc sizes
+    * come from different calls, and a drift between them would either
+    * overflow a bin (stream longer than layout) or silently emit fewer
+    * tokens with docs shifted off their doc_off positions under an
+    * oversized pad suffix (stream shorter). Every bin's actual fill is
+    * therefore compared in-plan against the layout's expected fill —
+    * driven from the LAYOUT side, so a bin whose docs are entirely
+    * missing from the stream also fails loud instead of vanishing.
+    * Oversize layout rows are excluded (they are [[packBestFit]]'s
+    * policy queue).
     *
     * Scale shape: one per-(shard, bin) window over the layout
     * (bin-sized partitions), the stream joins its doc's bin offset,
@@ -406,25 +430,37 @@ object ShardPack {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val w = Window.partitionBy(col("shard"), col("bin"))
       .orderBy(col("n_tokens").desc, col(idCol))
-    val placed = layout.filter(!col("oversize"))
-      .withColumn("doc_off",
-        coalesce(sum(col("n_tokens"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(idCol), col("shard"), col("bin"), col("doc_off"))
-    tokenStream
-      .join(placed, Seq(idCol))
+    // persisted: the placement frame feeds BOTH the expected-fill agg
+    // and the stream join — without the cache the layout chain (packing
+    // agg included) runs twice. Doc-count-sized slim long rows.
+    val placed = CacheScope.persisted(
+      layout.filter(!col("oversize"))
+        .withColumn("doc_off",
+          coalesce(sum(col("n_tokens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(idCol), col("n_tokens"), col("shard"), col("bin"),
+          col("doc_off")),
+      StorageLevel.MEMORY_AND_DISK)
+    // expected per-bin fill from the LAYOUT (bin-count-sized — no extra
+    // pass over the stream); the left join keeps bins whose docs are
+    // absent from the stream so zero-fill drift fails loud too
+    val expected = placed.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("__expected_fill"))
+    val actual = tokenStream
+      .join(placed.drop("n_tokens"), Seq(idCol))
       .withColumn("local", col("doc_off") + col("tok_idx"))
       .groupBy(col("shard"), col("bin"))
       .agg(
         count(lit(1)).as("fill"),
         countDistinct(col(idCol)).as("n_docs"),
         expr("array_sort(collect_list(struct(local, token_id)))").as("__packed"))
+    expected.join(actual, Seq("shard", "bin"), "left")
       .withColumn("fill",
-        col("fill") + coalesce(
-          assert_true(col("fill") <= seqLen,
-            lit(s"materializeBestFit: bin overflow past seqLen=$seqLen — the " +
-              "layout's token counts disagree with the stream's actual sizes"))
-            .cast("long"),
+        coalesce(col("fill"), lit(0L)) + coalesce(
+          assert_true(coalesce(col("fill"), lit(0L)) === col("__expected_fill"),
+            lit(s"materializeBestFit: bin fill disagrees with the layout's " +
+              "token counts (overflow OR undercount — docs would shift off " +
+              "their doc_off positions)")).cast("long"),
           lit(0L)))
       .withColumn("token_ids",
         concat(expr("transform(__packed, s -> s.token_id)"),

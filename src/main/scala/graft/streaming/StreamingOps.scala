@@ -134,6 +134,18 @@ object StreamingOps {
     * state never holds turns). Late events beyond the watermark drop,
     * the same contract as [[sessionize]]. stream == batch pinned on a
     * replayed slice.
+    *
+    * ORDERING CONTRACT (weaker than a blanket "stream == batch"): the
+    * batch equivalence holds when each dialogue's turns arrive in one
+    * micro-batch, or across batches in (ts, id) order. An in-watermark
+    * late event landing in a LATER batch is folded in arrival order —
+    * the lastRole comparison (violations) and sessionStart (never
+    * lowered below the first-seen ts) can then diverge from the batch
+    * [[graft.scale.Dialogue.dialogueStats]], because a summary state
+    * cannot re-sort turns it no longer holds. Sources that can reorder
+    * within the watermark should pre-sort per key upstream (e.g. a
+    * Kafka key = user partitioning preserves per-key order by
+    * construction, the production deployment shape).
     */
   def dialogueQcStream(
       events: Dataset[Event],

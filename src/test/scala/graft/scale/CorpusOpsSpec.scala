@@ -398,7 +398,7 @@ class CorpusOpsSpec extends SparkSpec {
     // the writer manifest ties to the layout bin-for-bin: member ids in
     // FFD insertion order (n desc, id asc), fill + pad == seqLen budget
     val manifest = ShardPack.bestFitBinManifest(
-        ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L), seqLen)
+        ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L), "doc_id", seqLen)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getSeq[Long](5)))
@@ -437,7 +437,7 @@ class CorpusOpsSpec extends SparkSpec {
       assert(ids.take(fill.toInt).forall(_ != -1L), s"bin $sb real prefix")
     }
     // per bin: member docs' tokens CONTIGUOUS in the manifest's FFD order
-    val manifest = ShardPack.bestFitBinManifest(layout, seqLen)
+    val manifest = ShardPack.bestFitBinManifest(layout, "doc_id", seqLen)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](5)).toMap
     out.foreach { case (sb, (nd, fill, _, ids)) =>
       val docsIn = manifest(sb)
@@ -456,6 +456,16 @@ class CorpusOpsSpec extends SparkSpec {
       ShardPack.materializeBestFit(stream, badLayout, "doc_id", seqLen).collect()
     }
     assert(err.getMessage != null)
+    // UNDERCOUNT drift (the other direction): a layout denominated in
+    // INFLATED counts leaves bins short — docs shift off their doc_off
+    // positions under an oversized pad suffix; must fail loud too
+    val shortLayout = ShardPack.packBestFit(
+      docs.withColumn("n_tok", col("n_tok") * 2L),
+      "doc_id", "n_tok", seqLen, 400L)
+    val err2 = intercept[Exception] {
+      ShardPack.materializeBestFit(stream, shortLayout, "doc_id", seqLen).collect()
+    }
+    assert(err2.getMessage != null)
   }
 
   test("lossMaskSpans: spans tile every sequence exactly; turns reconstruct; zero-token turns keep their index") {
