@@ -2231,8 +2231,83 @@ object SparkEntry {
       graft.scale.Dialogue.sftCurateCounters(
         ev, "user_id", "ts", "event_id", "event_type", "content",
         holdout, gapNanos = 1800000000000L)
+    }),
+
+    // --- scale: PREFERENCE-PAIR assembly (the DPO/RLHF artifact) — the
+    // graded response log is events viewed as (prompt = props,
+    // candidate = event, signal = value): per prompt the highest-margin
+    // (chosen, rejected) pair by (signal, id) order, gated PAIR-LEVEL:
+    // dropped whole when either side comes from an invalid dialogue
+    // (q144's verdict) or either side's content shares a whitespace
+    // 3-gram with the benchmark slice (q155's holdout) -------------------
+    "q157_pref_pairs" -> ((s, dir) =>
+      graft.scale.Dialogue.gatedPreferencePairs(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value")),
+
+    // --- scale: the q157 stage report — pairs assembled / dropped
+    // invalid-side / dropped leaky-valid / kept: the fail-loud
+    // companion (q156's pattern for the preference chain) -----------------
+    "q160_pref_counters" -> ((s, dir) =>
+      graft.scale.Dialogue.preferencePairCounters(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value")),
+
+    // --- scale: MASKED preference sequences — both sides of every
+    // surviving pair as trainer-ready 16-token sequences: each side a
+    // two-turn dialogue (prompt text mask 0, response mask 1), encoded
+    // with the doc-trained tokenizer, side_id = candidate·2 + side -------
+    "q161_pref_sequences" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val pairs = graft.scale.Dialogue.gatedPreferencePairs(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value")
+      val promptTexts = prefResponses(s, dir)
+        .select(col("prompt")).distinct()
+        .withColumn("prompt_text", col("prompt"))
+      graft.scale.Dialogue.preferenceSequences(
+        pairs, promptTexts, "prompt", "prompt_text", merges, seqLen = 16L)
+        .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("mask"), "").as("mask"))
     })
   )
+
+  /** The q157/q160/q161 response-log view of events: prompt = props
+    * (the shared prompt key), candidate = the event, content = the
+    * q155 turn content, signal = the event's value.
+    */
+  private def prefResponses(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+      .select(col("props").as("prompt"), col("event_id"), col("content"),
+        col("value"))
+
+  /** Candidates disqualified by dialogue validity: event ids of q144's
+    * invalid dialogues (any alternation violation).
+    */
+  private def prefInvalidCands(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.scale.Dialogue.sessionize(
+        ev, "user_id", "ts", "event_id", gapNanos = 1800000000000L)
+      .join(
+        graft.scale.Dialogue.dialogueStats(
+          ev, "user_id", "ts", "event_id", "event_type",
+          gapNanos = 1800000000000L)
+          .filter(!col("valid_dialogue"))
+          .select(col("user_id"), col("session_seq")),
+        Seq("user_id", "session_seq"), "left_semi")
+      .select(col("event_id"))
+  }
+
+  /** q155's benchmark slice in the decontaminate column convention of
+    * the preference chain (candCol = event_id, contentCol = content).
+    */
+  private def prefHoldout(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+      .filter(col("event_id") % 997 === 0)
+      .select(col("event_id"), col("content"))
 
   /** q124/q125 merge count — enough steps that multi-character pieces
     * ("er_"-style learned subwords) appear in the piece histogram; the
@@ -2446,6 +2521,97 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Shared q157/q160/q161 oracle CTEs — the preference gate chain:
+    * the response-log view of events (prompt = props, signal = value),
+    * q144's validity verdict, best-vs-worst assembly by (value, id)
+    * windows (chosen ties to the LARGEST id, rejected to the smallest —
+    * the struct-order contract), then the two PAIR-LEVEL gates
+    * (invalid-side, leaky-side by whitespace 3-grams vs the % 997
+    * benchmark slice). Terminal CTEs: `pairs` (assembled), `invpair` /
+    * `leakpair` (gate verdicts by prompt), `kept` (survivors).
+    * NO leading WITH — composable after [[bpeStagesSql]].
+    */
+  private val prefGateCtes: String =
+    """ev AS (
+      |  SELECT event_id, user_id, event_type, value, props,
+      |    trim(event_type || ' ' || props) AS content, epoch_ns(ts) AS tsn
+      |  FROM events),
+      |psb AS (
+      |  SELECT user_id, event_id, event_type, tsn,
+      |    lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+      |  FROM ev),
+      |psf AS (
+      |  SELECT user_id, event_id, event_type, tsn,
+      |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+      |  FROM psb),
+      |psg AS (
+      |  SELECT user_id, event_id, event_type, tsn,
+      |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+      |      AS session_seq
+      |  FROM psf),
+      |prr AS (
+      |  SELECT user_id, session_seq, event_id, event_type, tsn,
+      |    lag(event_type) OVER (PARTITION BY user_id, session_seq
+      |      ORDER BY tsn, event_id) AS prev_role
+      |  FROM psg),
+      |badvd AS (
+      |  SELECT user_id, session_seq FROM prr GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
+      |invcand AS (
+      |  SELECT g.event_id FROM psg g
+      |  JOIN badvd b ON b.user_id = g.user_id AND b.session_seq = g.session_seq),
+      |cand AS (
+      |  SELECT props AS prompt, event_id, content, value FROM ev
+      |  WHERE value IS NOT NULL),
+      |nc AS (
+      |  SELECT prompt, CAST(count(*) AS BIGINT) AS n_candidates
+      |  FROM cand GROUP BY 1),
+      |ch AS (
+      |  SELECT prompt, event_id AS chosen_id, value AS chosen_signal,
+      |    content AS chosen_content
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY prompt
+      |          ORDER BY value DESC, event_id DESC) AS r FROM cand) z
+      |  WHERE r = 1),
+      |rj AS (
+      |  SELECT prompt, event_id AS rejected_id, value AS rejected_signal,
+      |    content AS rejected_content
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY prompt
+      |          ORDER BY value ASC, event_id ASC) AS r FROM cand) z
+      |  WHERE r = 1),
+      |pairs AS (
+      |  SELECT nc.prompt, nc.n_candidates, ch.chosen_id, ch.chosen_signal,
+      |    ch.chosen_content, rj.rejected_id, rj.rejected_signal,
+      |    rj.rejected_content, ch.chosen_signal - rj.rejected_signal AS margin
+      |  FROM ch JOIN rj USING (prompt) JOIN nc USING (prompt)
+      |  WHERE ch.chosen_signal > rj.rejected_signal),
+      |stok AS (
+      |  SELECT chosen_id AS event_id, chosen_content AS content FROM pairs
+      |  UNION ALL
+      |  SELECT rejected_id, rejected_content FROM pairs),
+      |pgr AS (
+      |  SELECT event_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM (SELECT event_id, regexp_split_to_array(trim(content), '\s+') AS t
+      |        FROM stok) z,
+      |       unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+      |pbgr AS (
+      |  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+      |  FROM (SELECT regexp_split_to_array(trim(content), '\s+') AS t
+      |        FROM ev WHERE event_id % 997 = 0) z,
+      |       unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+      |leaky AS (SELECT DISTINCT event_id FROM pgr JOIN pbgr USING (g)),
+      |invpair AS (
+      |  SELECT DISTINCT prompt FROM pairs p
+      |  WHERE p.chosen_id IN (SELECT event_id FROM invcand)
+      |     OR p.rejected_id IN (SELECT event_id FROM invcand)),
+      |leakpair AS (
+      |  SELECT DISTINCT prompt FROM pairs p
+      |  WHERE p.chosen_id IN (SELECT event_id FROM leaky)
+      |     OR p.rejected_id IN (SELECT event_id FROM leaky)),
+      |kept AS (
+      |  SELECT p.* FROM pairs p
+      |  WHERE p.prompt NOT IN (SELECT prompt FROM invpair)
+      |    AND p.prompt NOT IN (SELECT prompt FROM leakpair))""".stripMargin
 
   /** DuckDB CTE chain APPLYING `n` learned merges (the unprefixed
     * [[bpeStagesSql]] `b1..bn` argmaxes) to a FOREIGN word set
@@ -5831,6 +5997,100 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'dialogues_kept', CAST(count(*) AS BIGINT)
         |FROM j WHERE valid AND NOT contaminated""".stripMargin,
+
+    // the preference gate chain (assembly by (value, id) windows, the
+    // two pair-level gates) folded to the surviving pair rows
+    "q157_pref_pairs" ->
+      (s"WITH $prefGateCtes" + """
+        |SELECT prompt, n_candidates, chosen_id, chosen_signal,
+        |  chosen_content, rejected_id, rejected_signal, rejected_content,
+        |  margin
+        |FROM kept""".stripMargin),
+
+    // q157's gate CTEs folded to the four stage counts
+    "q160_pref_counters" ->
+      (s"WITH $prefGateCtes" + """
+        |SELECT 'pairs_total' AS stage, CAST(count(*) AS BIGINT) AS n FROM pairs
+        |UNION ALL
+        |SELECT 'pairs_invalid_side', CAST(count(*) AS BIGINT) FROM invpair
+        |UNION ALL
+        |SELECT 'pairs_contaminated_valid', CAST(count(*) AS BIGINT)
+        |FROM leakpair WHERE prompt NOT IN (SELECT prompt FROM invpair)
+        |UNION ALL
+        |SELECT 'pairs_kept', CAST(count(*) AS BIGINT) FROM kept""".stripMargin),
+
+    // q157's kept pairs exploded to two 2-turn sides (prompt mask 0,
+    // response mask 1), then q151's indexed-piece + pack mechanics with
+    // side_id = candidate·2 + side as the dialogue key
+    "q161_pref_sequences" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |$prefGateCtes,
+        |sides AS (
+        |  SELECT chosen_id * 2 AS side_id, prompt, chosen_content AS rcontent
+        |  FROM kept
+        |  UNION ALL
+        |  SELECT rejected_id * 2 + 1, prompt, rejected_content FROM kept),
+        |turns AS (
+        |  SELECT side_id, 0 AS t, side_id * 2 AS tid, CAST(0 AS BIGINT) AS mask,
+        |    prompt AS content
+        |  FROM sides
+        |  UNION ALL
+        |  SELECT side_id, 1, side_id * 2 + 1, CAST(1 AS BIGINT), rcontent
+        |  FROM sides),
+        |${bpeApplySql(BpeMergeCount,
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(content), " +
+          "'[a-z0-9]+')) AS w FROM turns")},
+        |wp2 AS (
+        |  SELECT w, string_split(trim(sym), '  ') AS pieces FROM ew$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp2)),
+        |dw AS (
+        |  SELECT tid, i AS wi, t[i] AS w
+        |  FROM (SELECT tid, regexp_extract_all(lower(content), '[a-z0-9]+') AS t
+        |        FROM turns) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws2 AS (
+        |  SELECT dw.tid, dw.wi, wp2.pieces,
+        |    CAST(coalesce(sum(len(wp2.pieces)) OVER (PARTITION BY dw.tid
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp2 ON dw.w = wp2.w),
+        |estream AS (
+        |  SELECT tid, word_start + pi - 1 AS turn_tok_idx, pieces[pi] AS piece
+        |  FROM ws2, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |ecnt AS (SELECT tid, CAST(count(*) AS BIGINT) AS n FROM estream GROUP BY 1),
+        |toff AS (
+        |  SELECT tu.side_id, tu.tid, tu.mask,
+        |    CAST(coalesce(sum(coalesce(e.n, 0)) OVER (PARTITION BY tu.side_id
+        |      ORDER BY tu.t, tu.tid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS turn_start
+        |  FROM turns tu LEFT JOIN ecnt e ON e.tid = tu.tid),
+        |stream AS (
+        |  SELECT o.side_id, o.turn_start + s.turn_tok_idx AS tok_idx,
+        |    v.token_id, o.mask
+        |  FROM estream s
+        |  JOIN toff o ON o.tid = s.tid
+        |  JOIN vocab v ON s.piece = v.piece),
+        |dc AS (
+        |  SELECT side_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5('shard:' || side_id) AS k
+        |  FROM stream GROUP BY 1),
+        |soff AS (
+        |  SELECT side_id, CAST(sum(n_tokens) OVER (ORDER BY k, side_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM dc),
+        |pos AS (
+        |  SELECT s.side_id, s.tok_idx, s.token_id, s.mask, o.start + s.tok_idx AS p
+        |  FROM stream s JOIN soff o USING (side_id))
+        |SELECT CAST(p // 16 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT side_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+        |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
+        |  array_to_string(list(mask ORDER BY p), '') AS mask
+        |FROM pos GROUP BY 1""".stripMargin),
 
     // q150's recursive FFD folded to the one-row waste economics
     "q154_bestfit_waste" ->

@@ -322,6 +322,215 @@ object Dialogue {
         valid.join(contamDlgs, Seq(keyCol, "session_seq"), "left_anti")))
   }
 
+  /** PREFERENCE-PAIR ASSEMBLY — the DPO/RLHF data shape: from a graded
+    * response log (one row per candidate response: prompt key,
+    * candidate id, content, preference signal), build one (chosen,
+    * rejected) pair per prompt. Chosen is the candidate maximizing
+    * (signal, id) lexicographically, rejected the one minimizing it —
+    * the id tiebreak makes the pair a pure function of the log (max
+    * signal ties resolve to the LARGEST id, min ties to the SMALLEST).
+    * A pair exists only when chosen's signal STRICTLY exceeds
+    * rejected's: a prompt whose candidates all share one signal carries
+    * no preference evidence, and a single-candidate prompt has nothing
+    * to contrast — both emit no row rather than a degenerate pair.
+    * Null-signal candidates are excluded up front (no signal = no
+    * evidence), so they can neither win nor lose a pair.
+    *
+    * Best-vs-worst (not all-pairs) is the assembly policy: it is the
+    * highest-margin pair per prompt, the standard DPO reduction, and
+    * the only one whose cost is one hash agg with O(1) per-group state
+    * (struct min/max — no collect_list of the candidate set, so a
+    * viral prompt with millions of graded candidates costs the same
+    * state as one with three). All-pairs would be |candidates|² rows
+    * per prompt — the all-pairs shape this library bans everywhere.
+    *
+    * @return (promptCol, n_candidates, chosen_id, chosen_signal,
+    *         chosen_content, rejected_id, rejected_signal,
+    *         rejected_content, margin) — margin = chosen − rejected
+    *         signal
+    */
+  def preferencePairs(
+      responses: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String): DataFrame = {
+    val side = (ord: Column) => struct(
+      ord.as("s"), col(candCol).as("i"), col(contentCol).as("c"))
+    responses
+      .filter(col(signalCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(side(col(signalCol))).as("__ch"),
+        min(side(col(signalCol))).as("__rj"))
+      .filter(col("__ch.s") > col("__rj.s"))
+      .select(col(promptCol), col("n_candidates"),
+        col("__ch.i").as("chosen_id"), col("__ch.s").as("chosen_signal"),
+        col("__ch.c").as("chosen_content"),
+        col("__rj.i").as("rejected_id"), col("__rj.s").as("rejected_signal"),
+        col("__rj.c").as("rejected_content"),
+        (col("__ch.s") - col("__rj.s")).as("margin"))
+  }
+
+  /** [[preferencePairs]] with the q155 curation gates applied at PAIR
+    * level — the preference mirror of [[sftCurate]]'s dialogue-level
+    * gating:
+    *
+    *   - VALIDITY: a pair is dropped whole when EITHER side's id is in
+    *     `invalidCands` (candidates originating from structurally
+    *     invalid dialogues — the [[dialogueStats]] verdict, supplied by
+    *     the caller as a one-column (candCol) frame);
+    *   - LEAKAGE: a pair is dropped whole when EITHER side's content
+    *     shares a whitespace `contamGramN`-gram with the `holdout`
+    *     benchmark prompts ([[graft.scale.Dedup.decontaminate]]'s
+    *     broadcast-gram shape, probed with the PAIR SIDES as the
+    *     corpus — 2·pairs rows, never the full response log).
+    *
+    * The gates are pair-level BY DESIGN, not candidate-level: a gated
+    * chosen side disqualifies the pair — the rejected side is NOT
+    * re-paired with the next-best candidate, because the next-best
+    * pairing is a different preference judgment than the log recorded
+    * (re-pairing around a leak is itself a leak of the benchmark's
+    * influence into pair selection). Law spec-pinned.
+    *
+    * `holdout` carries (candCol, contentCol) column names — the
+    * [[sftCurate]] convention.
+    *
+    * @return the [[preferencePairs]] frame, gated
+    */
+  def gatedPreferencePairs(
+      responses: DataFrame,
+      invalidCands: DataFrame,
+      holdout: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      contamGramN: Int = 3): DataFrame = {
+    // persisted: the pair frame feeds the sides probe AND the final
+    // anti-joins; pairs are prompt-count-bounded slim rows
+    val pairs = graft.ops.CacheScope.persisted(
+      preferencePairs(responses, promptCol, candCol, contentCol, signalCol))
+    val sides = pairs.select(col("chosen_id").as(candCol),
+        col("chosen_content").as(contentCol))
+      .unionByName(pairs.select(col("rejected_id").as(candCol),
+        col("rejected_content").as(contentCol)))
+    val leaky = Dedup.decontaminate(sides, holdout, candCol, contentCol, contamGramN)
+      .select(col(candCol))
+    val gated = leaky.unionByName(invalidCands.select(col(candCol))).distinct()
+    pairs
+      .join(gated, pairs("chosen_id") === gated(candCol), "left_anti")
+      .join(gated, pairs("rejected_id") === gated(candCol), "left_anti")
+  }
+
+  /** The K7-style stage report for [[gatedPreferencePairs]] — pairs
+    * assembled, pairs dropped by each gate (validity first, then
+    * leakage among the valid, the [[sftCurateCounters]] staging), pairs
+    * kept. total = invalid_side + contaminated_valid + kept
+    * (conservation law, spec-pinned); an empty preference run reads as
+    * "zero kept because N leaked" instead of as a silently-empty frame.
+    *
+    * @return (stage, n): pairs_total / pairs_invalid_side /
+    *         pairs_contaminated_valid / pairs_kept
+    */
+  def preferencePairCounters(
+      responses: DataFrame,
+      invalidCands: DataFrame,
+      holdout: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      contamGramN: Int = 3): DataFrame = {
+    val pairs = graft.ops.CacheScope.persisted(
+      preferencePairs(responses, promptCol, candCol, contentCol, signalCol))
+    val sides = pairs.select(col("chosen_id").as(candCol),
+        col("chosen_content").as(contentCol))
+      .unionByName(pairs.select(col("rejected_id").as(candCol),
+        col("rejected_content").as(contentCol)))
+    val leaky = graft.ops.CacheScope.persisted(
+      Dedup.decontaminate(sides, holdout, candCol, contentCol, contamGramN)
+        .select(col(candCol)))
+    val invalid = graft.ops.CacheScope.persisted(
+      invalidCands.select(col(candCol)).distinct())
+    def sideIn(set: DataFrame) = pairs
+      .join(set, pairs("chosen_id") === set(candCol), "left_semi")
+      .unionByName(pairs
+        .join(set, pairs("rejected_id") === set(candCol), "left_semi"))
+      .select(col(promptCol)).distinct()
+    val invalidPairs = graft.ops.CacheScope.persisted(sideIn(invalid))
+    val leakyPairs = sideIn(leaky)
+    def cnt(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(stage).as("stage"), col("n"))
+    cnt("pairs_total", pairs)
+      .unionByName(cnt("pairs_invalid_side", invalidPairs))
+      .unionByName(cnt("pairs_contaminated_valid",
+        leakyPairs.join(invalidPairs, Seq(promptCol), "left_anti")))
+      .unionByName(cnt("pairs_kept",
+        pairs.select(col(promptCol))
+          .join(invalidPairs, Seq(promptCol), "left_anti")
+          .join(leakyPairs, Seq(promptCol), "left_anti")))
+  }
+
+  /** The MASKED-SEQUENCE materialization of a preference-pair frame —
+    * both sides of every pair as trainer-ready sequences: each side is
+    * a two-turn dialogue (turn 0 the PROMPT text, loss mask 0; turn 1
+    * the side's response content, loss mask 1 — DPO computes loss on
+    * response tokens only), encoded and packed by the q151 chain
+    * ([[sftTokenStream]] ∘
+    * [[graft.scale.ShardPack.materializeSequencesWithMask]]).
+    *
+    * Side identity packs fail-loud into one numeric dialogue id:
+    * side_id = candidate_id · 2 + side (0 chosen, 1 rejected) — unique
+    * because a candidate is one log row, and a pure function of the
+    * pair frame so the layout reproduces bit-for-bit. A DPO loader
+    * recovers (candidate, side) as (side_id div 2, side_id % 2).
+    *
+    * `promptTexts` supplies the prompt's own text (promptCol,
+    * promptTextCol) — prompts and responses are different artifacts in
+    * a response log, so the text rides a separate frame rather than
+    * being guessed from the key.
+    *
+    * @return [[graft.scale.ShardPack.materializeSequencesWithMask]]'s
+    *         frame: (bin, n_tokens, n_docs, n_doc_starts, token_ids,
+    *         mask)
+    */
+  def preferenceSequences(
+      pairs: DataFrame,
+      promptTexts: DataFrame,
+      promptCol: String,
+      promptTextCol: String,
+      merges: Seq[Bpe.Merge],
+      seqLen: Long): DataFrame = {
+    val withText = pairs.join(promptTexts, Seq(promptCol))
+    val sideTurns = (idC: String, contentC: String, sideTag: Long) => {
+      val sid = col(idC).cast("long") * 2L + sideTag +
+        coalesce(
+          assert_true(col(idC).cast("long")
+            .between(0L, Long.MaxValue / 4 - 1),
+            lit(s"preferenceSequences: $idC out of side_id packing range " +
+              "(need 0 <= id < 2^61 so turn ids fit a long too)")).cast("long"),
+          lit(0L))
+      // two turns per side: the prompt (mask 0), then the response;
+      // turn id = side_id·2 + turn — the globally unique per-turn key
+      // sftTokenStream's encode join requires
+      withText.select(sid.as("side_id"), lit(0L).as("t"),
+          (sid * 2L).as("i"), lit("prompt").as("role"),
+          col(promptTextCol).as("content"))
+        .unionByName(withText.select(sid.as("side_id"), lit(1L).as("t"),
+          (sid * 2L + 1L).as("i"), lit("response").as("role"),
+          col(contentC).as("content")))
+    }
+    val turns = sideTurns("chosen_id", "chosen_content", 0L)
+      .unionByName(sideTurns("rejected_id", "rejected_content", 1L))
+    val stream = sftTokenStream(
+      turns, "side_id", "t", "i", "role", "content", merges,
+      maskRoles = Set("response"))
+    ShardPack.materializeSequencesWithMask(stream, "side_id", "mask", seqLen)
+  }
+
   /** SFT LOSS-MASK SPANS — per-turn token coordinates inside packed
     * training sequences: which (sequence, local_start, span_len) range
     * belongs to which turn/role, the metadata an SFT formatter consumes

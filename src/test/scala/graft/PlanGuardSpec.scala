@@ -435,6 +435,9 @@ class PlanGuardSpec extends SparkSpec {
       "q153_bestfit_sequences" -> 1, "q155_sft_curate" -> 1,
       // q156: four 1-row stage-count aggs over dialogue-count-sized frames
       "q156_sft_counters" -> 4,
+      // q160: the preference chain's four 1-row stage counts — each over
+      // the pair-count-sized (prompt-bounded) frames; q156's contract
+      "q160_pref_counters" -> 4,
       // q154: the two 1-row halves of the waste report (bins rollup +
       // oversize count), crossed via broadcast — both bin/doc-count-sized
       "q154_bestfit_waste" -> 2)

@@ -1,0 +1,157 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Laws of the preference-pair family (q157/q160/q161): assembly
+  * determinism, the PAIR-LEVEL gating contract (a gated side drops the
+  * pair whole — no re-pairing), counter conservation, and the two-side
+  * masked-sequence materialization.
+  */
+class PreferencePairsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (prompt, cand_id, content, signal)
+  private def responses = Seq(
+    // p1: plain best-vs-worst — chosen 12 (s=3), rejected 10 (s=1)
+    ("p1", 10L, "alpha beta gamma", 1.0),
+    ("p1", 11L, "beta gamma delta", 2.0),
+    ("p1", 12L, "gamma delta epsilon", 3.0),
+    // p2: all-equal signals — no preference evidence, no pair
+    ("p2", 20L, "one two three", 5.0),
+    ("p2", 21L, "two three four", 5.0),
+    // p3: single candidate — nothing to contrast, no pair
+    ("p3", 30L, "solo content here", 9.0),
+    // p4: ties at both ends — chosen = LARGEST id among max signal,
+    // rejected = SMALLEST id among min signal (struct-order contract)
+    ("p4", 40L, "tie max a", 5.0),
+    ("p4", 41L, "tie max b", 5.0),
+    ("p4", 42L, "tie min a", 1.0),
+    ("p4", 43L, "tie min b", 1.0),
+    // p5: null signal is excluded — cannot win or lose
+    ("p5", 50L, "null signal side", Double.NaN), // replaced with null below
+    ("p5", 51L, "real low side", 1.0),
+    ("p5", 52L, "real high side", 4.0)
+  ).toDF("prompt", "cand", "content", "signal")
+    .withColumn("signal",
+      when(col("cand") === 50L, lit(null).cast("double")).otherwise(col("signal")))
+
+  test("preferencePairs: best-vs-worst by (signal, id), strict margin, null signals excluded") {
+    val out = Dialogue.preferencePairs(responses, "prompt", "cand", "content", "signal")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("p1", "p4", "p5"))
+    val p1 = out("p1")
+    assert(p1.getLong(1) === 3L, "n_candidates")
+    assert(p1.getLong(2) === 12L && p1.getDouble(3) === 3.0)
+    assert(p1.getString(4) === "gamma delta epsilon")
+    assert(p1.getLong(5) === 10L && p1.getDouble(6) === 1.0)
+    assert(p1.getString(7) === "alpha beta gamma")
+    assert(p1.getDouble(8) === 2.0, "margin")
+    val p4 = out("p4")
+    assert(p4.getLong(2) === 41L, "max-signal tie -> largest id chosen")
+    assert(p4.getLong(5) === 42L, "min-signal tie -> smallest id rejected")
+    val p5 = out("p5")
+    assert(p5.getLong(1) === 2L, "null-signal candidate not counted")
+    assert(p5.getLong(2) === 52L && p5.getLong(5) === 51L)
+  }
+
+  test("gating is PAIR-LEVEL: a gated side drops the pair whole — never re-paired") {
+    val emptyHoldout = Seq.empty[(Long, String)].toDF("cand", "content")
+    // p1's CHOSEN (12) is invalid: the pair vanishes even though a
+    // valid second-best (11, s=2) could have formed a pair with 10 —
+    // re-pairing would be a different preference judgment than logged
+    val invalid = Seq(12L).toDF("cand")
+    val out = Dialogue.gatedPreferencePairs(
+      responses, invalid, emptyHoldout, "prompt", "cand", "content", "signal")
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("p4", "p5"), "p1 dropped whole, not re-paired")
+
+    // leakage on the REJECTED side only: same whole-pair drop
+    val noInvalid = Seq.empty[Long].toDF("cand")
+    val holdout = Seq((999L, "alpha beta gamma")).toDF("cand", "content")
+    val out2 = Dialogue.gatedPreferencePairs(
+      responses, noInvalid, holdout, "prompt", "cand", "content", "signal")
+      .collect().map(_.getString(0)).toSet
+    assert(out2 === Set("p4", "p5"), "p1 dropped for its rejected side's leak")
+  }
+
+  test("preferencePairCounters: conservation and agreement with the gated frame") {
+    val invalid = Seq(41L).toDF("cand") // gates p4 (chosen side)
+    val holdout = Seq((999L, "alpha beta gamma")).toDF("cand", "content") // gates p1
+    val counters = Dialogue.preferencePairCounters(
+      responses, invalid, holdout, "prompt", "cand", "content", "signal")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counters("pairs_total") === 3L)
+    assert(counters("pairs_invalid_side") === 1L)
+    assert(counters("pairs_contaminated_valid") === 1L)
+    assert(counters("pairs_kept") === 1L)
+    assert(counters("pairs_total") ===
+      counters("pairs_invalid_side") + counters("pairs_contaminated_valid") +
+        counters("pairs_kept"), "conservation")
+    val kept = Dialogue.gatedPreferencePairs(
+      responses, invalid, holdout, "prompt", "cand", "content", "signal").count()
+    assert(kept === counters("pairs_kept"))
+  }
+
+  test("preferenceSequences: both sides materialize, prompt tokens mask 0, response tokens mask 1") {
+    val pairs = Dialogue.preferencePairs(
+      responses, "prompt", "cand", "content", "signal")
+    val promptTexts = responses.select(col("prompt")).distinct()
+      .withColumn("ptext", concat(lit("prompt text for "), col("prompt")))
+    val merges = Bpe.trainMergesFast(
+      responses.select(col("content").as("text")), "text", 2)
+    val out = ShardUtilForTest.collectSeqs(
+      Dialogue.preferenceSequences(pairs, promptTexts, "prompt", "ptext",
+        merges, seqLen = 8L))
+    // token conservation: every side is prompt + response, encoded whole
+    val sides = pairs.collect().flatMap { r =>
+      val pt = s"prompt text for ${r.getString(0)}"
+      Seq((r.getLong(2) * 2L, pt, r.getString(4)),
+        (r.getLong(5) * 2L + 1L, pt, r.getString(7)))
+    }
+    def nTok(text: String): Long =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase)
+        .map(w => Bpe.applyMergesLocal(w, merges).length.toLong).sum
+    val wantTotal = sides.map { case (_, p, c) => nTok(p) + nTok(c) }.sum
+    val wantMasked = sides.map { case (_, _, c) => nTok(c) }.sum
+    assert(out.map(_._2).sum === wantTotal, "token conservation")
+    assert(out.map(_._6.count(_ == '1').toLong).sum === wantMasked,
+      "mask 1 exactly on response tokens")
+    assert(out.map(_._4).sum === sides.length.toLong, "every side starts once")
+    // every non-terminal bin exactly full (the packSequences contract)
+    val bins = out.map(b => b._1 -> b._2).toMap
+    val lastBin = bins.keys.max
+    bins.foreach { case (b, n) => if (b != lastBin) assert(n === 8L, s"bin $b full") }
+  }
+
+  test("preferenceSequences: side_id packing fails loud out of range") {
+    val pairs = Seq(
+      ("p", 2L, Long.MaxValue / 4 + 10L, 5.0, "big id content",
+        1L, 1.0, "small side")).toDF(
+      "prompt", "n_candidates", "chosen_id", "chosen_signal", "chosen_content",
+      "rejected_id", "rejected_signal", "rejected_content")
+      .withColumn("margin", col("chosen_signal") - col("rejected_signal"))
+    val texts = Seq(("p", "the prompt")).toDF("prompt", "ptext")
+    val err = intercept[Exception] {
+      Dialogue.preferenceSequences(pairs, texts, "prompt", "ptext",
+        Bpe.trainMergesFast(Seq("a b").toDF("text"), "text", 1), 8L).collect()
+    }
+    assert(err.getMessage != null)
+  }
+}
+
+/** Small helper shared by packing-family specs: collect the
+  * materialized-sequence frame to a comparable tuple form.
+  */
+object ShardUtilForTest {
+  def collectSeqs(df: org.apache.spark.sql.DataFrame)
+    : Array[(Long, Long, Long, Long, String, String)] =
+    df.select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+      concat_ws(" ", col("token_ids")).as("tid"),
+      concat_ws("", col("mask")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+}
