@@ -2233,6 +2233,33 @@ object SparkEntry {
         holdout, gapNanos = 1800000000000L)
     }),
 
+    // --- scale: oversize policy SPLIT-THEN-PACK — q150's reported
+    // oversize queue consumed losslessly: each >96-token doc pre-splits
+    // into 96-token chunks, chunks best-fit-pack into fresh shards
+    // appended after the layout's last; placed rows pass through with
+    // their (shard, bin) untouched ----------------------------------------
+    "q158_oversize_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.splitOversize(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L),
+        "doc_id", seqLen = 96L, shardBudget = 2000L)
+    }),
+
+    // --- scale: oversize policy TRUNCATE — the lossy complement: each
+    // oversize doc cut to exactly 96 tokens (one full bin alone, fresh
+    // shards appended), the cut REPORTED per doc — truncation destroys
+    // data and must say how much ------------------------------------------
+    "q162_oversize_truncate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.truncateOversize(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L),
+        "doc_id", seqLen = 96L, shardBudget = 2000L)
+    }),
+
     // --- scale: PREFERENCE-PAIR assembly (the DPO/RLHF artifact) — the
     // graded response log is events viewed as (prompt = props,
     // candidate = event, signal = value): per prompt the highest-margin
@@ -2521,6 +2548,56 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Recursive-FFD replay CTEs over an (id, n) base — the q150 oracle's
+    * shape with a NAME PREFIX so two packings can coexist in one query
+    * (q158 packs the original docs AND their oversize chunks). Emits
+    * `${pf}fit`/`${pf}sh`/`${pf}ranked`/`${pf}ffd`; read placements
+    * from `${pf}ffd WHERE id IS NOT NULL`. `baseName` must expose
+    * (id, n). Caller's WITH must be RECURSIVE.
+    */
+  private def ffdCtes(pf: String, baseName: String, seqLen: Long, budget: Long): String =
+    s"""${pf}fit AS (SELECT id, n, md5('shard:' || id) AS k
+       |        FROM $baseName WHERE n > 0 AND n <= $seqLen),
+       |${pf}sh AS (
+       |  SELECT id, n,
+       |    CAST((CAST(sum(n) OVER (ORDER BY k, id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n) // $budget AS BIGINT) AS shard
+       |  FROM ${pf}fit),
+       |${pf}ranked AS (
+       |  SELECT shard, n, id,
+       |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, id) AS rk
+       |  FROM ${pf}sh),
+       |${pf}ffd AS (
+       |  SELECT shard, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS loads,
+       |    CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS bin,
+       |    CAST(NULL AS BIGINT) AS n
+       |  FROM (SELECT DISTINCT shard FROM ${pf}ranked) s
+       |  UNION ALL
+       |  SELECT r.shard, r.rk,
+       |    CASE WHEN nullif(pos.p, 0) IS NULL THEN list_append(f.loads, r.n)
+       |         ELSE list_transform(f.loads,
+       |           (x, i) -> CASE WHEN i = pos.p THEN x + r.n ELSE x END)
+       |    END AS loads,
+       |    r.id,
+       |    CAST(coalesce(nullif(pos.p, 0), len(f.loads) + 1) - 1 AS BIGINT) AS bin,
+       |    r.n
+       |  FROM ${pf}ffd f
+       |  JOIN ${pf}ranked r ON r.shard = f.shard AND r.rk = f.rk + 1
+       |  CROSS JOIN LATERAL (
+       |    SELECT list_position(list_transform(f.loads, x -> x + r.n <= $seqLen),
+       |      true) AS p) pos)""".stripMargin
+
+  /** The documents token-count + (id, n) base CTEs shared by the
+    * best-fit oracle family.
+    */
+  private val bestFitBaseCtes: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents),
+      |base AS (SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n FROM t)""".stripMargin
 
   /** Shared q157/q160/q161 oracle CTEs — the preference gate chain:
     * the response-log view of events (prompt = props, signal = value),
@@ -5997,6 +6074,56 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'dialogues_kept', CAST(count(*) AS BIGINT)
         |FROM j WHERE valid AND NOT contaminated""".stripMargin,
+
+    // q150's FFD replay for the placed rows, then a SECOND FFD replay
+    // over the oversize docs' chunk expansion (cid = id·1e5 + chunk) in
+    // shards offset past the layout's last
+    "q158_oversize_split" ->
+      (s"""WITH RECURSIVE $bestFitBaseCtes,
+        |${ffdCtes("", "base", 96, 2000)},
+        |placed AS (SELECT id, n, shard, bin FROM ffd WHERE id IS NOT NULL),
+        |soff AS (SELECT coalesce(max(shard), -1) + 1 AS o FROM placed),
+        |cbase AS (
+        |  SELECT id * 100000 + c AS id, CAST(least(96, n - c * 96) AS BIGINT) AS n
+        |  FROM (SELECT id, n,
+        |          CAST(unnest(generate_series(0, (n + 95) // 96 - 1)) AS BIGINT) AS c
+        |        FROM base WHERE n > 96) z),
+        |${ffdCtes("c", "cbase", 96, 2000)}
+        |SELECT id AS doc_id, CAST(0 AS BIGINT) AS chunk, n AS n_tokens,
+        |  shard, bin, false AS oversize, false AS from_split
+        |FROM placed
+        |UNION ALL
+        |SELECT id // 100000, id % 100000, n, shard + (SELECT o FROM soff),
+        |  bin, false, true
+        |FROM cffd WHERE id IS NOT NULL""".stripMargin),
+
+    // q150's FFD replay for the placed rows; truncated docs take one
+    // full bin each — md5-budget shards offset past the layout's last,
+    // bins numbered in id order within the shard
+    "q162_oversize_truncate" ->
+      (s"""WITH RECURSIVE $bestFitBaseCtes,
+        |${ffdCtes("", "base", 96, 2000)},
+        |placed AS (SELECT id, n, shard, bin FROM ffd WHERE id IS NOT NULL),
+        |soff AS (SELECT coalesce(max(shard), -1) + 1 AS o FROM placed),
+        |otr AS (SELECT id, n - 96 AS cut, md5('shard:' || id) AS k
+        |        FROM base WHERE n > 96),
+        |osh AS (
+        |  SELECT id, cut,
+        |    CAST((CAST(sum(96) OVER (ORDER BY k, id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - 96) // 2000 AS BIGINT) AS shard0
+        |  FROM otr),
+        |obin AS (
+        |  SELECT id, cut, shard0,
+        |    CAST(row_number() OVER (PARTITION BY shard0 ORDER BY id) - 1
+        |      AS BIGINT) AS bin
+        |  FROM osh)
+        |SELECT id AS doc_id, n AS n_tokens, CAST(0 AS BIGINT) AS cut_tokens,
+        |  shard, bin, false AS oversize, false AS truncated
+        |FROM placed
+        |UNION ALL
+        |SELECT id, CAST(96 AS BIGINT), CAST(cut AS BIGINT),
+        |  shard0 + (SELECT o FROM soff), bin, false, true
+        |FROM obin""".stripMargin),
 
     // the preference gate chain (assembly by (value, id) windows, the
     // two pair-level gates) folded to the surviving pair rows

@@ -358,6 +358,126 @@ object ShardPack {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Oversize policy 1 of 2 — TRUNCATE: consume a [[packBestFit]]
+    * layout's oversize queue (bin = −1) by cutting each oversize doc to
+    * exactly `seqLen` tokens. A truncated doc fills one bin alone (it
+    * is exactly bin-sized), so the repair is COMPOSITIONAL: every
+    * already-placed row passes through with its (shard, bin) untouched
+    * (a writer that materialized them re-shuffles nothing), and the
+    * truncated docs take fresh bins in fresh shards APPENDED after the
+    * layout's last shard — [[packByTokenBudget]]'s md5 stream over the
+    * truncated docs, one doc per bin, bins numbered in id order within
+    * their shard. The cut is REPORTED per doc (`cut_tokens`), never
+    * silent — truncation destroys data and the stage report must say
+    * how much (conservation law n_tokens + cut_tokens == original,
+    * spec-pinned). The complementary lossless policy is
+    * [[splitOversize]]; [[packBestFitStats]] reads either result
+    * directly (no oversize rows remain).
+    *
+    * Scale shape: one 1-row max-shard agg over the layout (broadcast
+    * back), the two-phase prefix sum over the oversize frame, a keyed
+    * row_number window. Nothing doc-content-sized.
+    *
+    * @return (idCol, n_tokens, cut_tokens, shard, bin, oversize=false,
+    *         truncated)
+    */
+  def truncateOversize(
+      layout: DataFrame,
+      idCol: String,
+      seqLen: Long,
+      shardBudget: Long,
+      numPartitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // persisted: the layout feeds the passthrough, the max-shard agg,
+    // and the oversize branch — doc-count-sized slim rows
+    val l = CacheScope.persisted(layout, StorageLevel.MEMORY_AND_DISK)
+    val passthrough = l.filter(!col("oversize"))
+      .select(col(idCol), col("n_tokens"), lit(0L).as("cut_tokens"),
+        col("shard"), col("bin"), lit(false).as("oversize"),
+        lit(false).as("truncated"))
+    val shardOff = l.filter(!col("oversize"))
+      .agg(coalesce(max(col("shard")) + 1L, lit(0L)).as("__shard_off"))
+    val truncated = l.filter(col("oversize"))
+      .select(col(idCol), col("n_tokens").as("__orig"))
+    val repacked = packByTokenBudget(
+      truncated.select(col(idCol), lit(seqLen).as("n_tokens")),
+      idCol, "n_tokens", shardBudget, numPartitions)
+      .join(truncated.select(col(idCol), col("__orig")), Seq(idCol))
+      .crossJoin(broadcast(shardOff))
+      .withColumn("bin",
+        (row_number().over(
+          Window.partitionBy("shard").orderBy(col(idCol))) - 1).cast("long"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__orig") - seqLen).as("cut_tokens"),
+        (col("shard") + col("__shard_off")).as("shard"), col("bin"),
+        lit(false).as("oversize"), lit(true).as("truncated"))
+    passthrough.unionByName(repacked)
+  }
+
+  /** Oversize policy 2 of 2 — SPLIT-THEN-PACK (lossless): consume the
+    * oversize queue by pre-splitting each oversize doc into
+    * ceil(n/seqLen) chunks (all full except a possible remainder), then
+    * [[packBestFit]] the CHUNKS into fresh shards appended after the
+    * layout's last shard. Full chunks necessarily take a bin alone
+    * (they are bin-sized); remainder chunks first-fit-pack ACROSS docs,
+    * so the policy's padding waste is at most the per-doc-isolated
+    * split's (waste law, spec-pinned) — for the docs it repairs this
+    * converges toward [[packSequences]]' zero-waste layout, at the
+    * price of re-introducing within-doc sequence boundaries (chunk
+    * order is the `chunk` column; a no-cross-doc-attention trainer
+    * treats chunks as independent docs). Placed rows pass through
+    * untouched with chunk = 0. Chunk identity packs fail-loud as
+    * id·chunkSpan + chunk (the [[graft.scale.Dialogue.sftCurate]]
+    * convention), unpacked in the output.
+    *
+    * @return (idCol, chunk, n_tokens, shard, bin, oversize=false,
+    *         from_split)
+    */
+  def splitOversize(
+      layout: DataFrame,
+      idCol: String,
+      seqLen: Long,
+      shardBudget: Long,
+      chunkSpan: Long = 100000L,
+      numPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(chunkSpan >= 2, s"chunkSpan must be >= 2, got $chunkSpan")
+    // persisted for the same three-consumer reason as truncateOversize
+    val l = CacheScope.persisted(layout, StorageLevel.MEMORY_AND_DISK)
+    val passthrough = l.filter(!col("oversize"))
+      .select(col(idCol), lit(0L).as("chunk"), col("n_tokens"),
+        col("shard"), col("bin"), lit(false).as("oversize"),
+        lit(false).as("from_split"))
+    val shardOff = l.filter(!col("oversize"))
+      .agg(coalesce(max(col("shard")) + 1L, lit(0L)).as("__shard_off"))
+    val maxId = Long.MaxValue / chunkSpan
+    val chunks = l.filter(col("oversize"))
+      .withColumn("__n_chunks", expr(s"(n_tokens + ${seqLen}L - 1) div ${seqLen}L"))
+      .select(col(idCol), col("n_tokens").as("__orig"),
+        explode(sequence(lit(0L), col("__n_chunks") - 1)).as("chunk"))
+      .withColumn("cid",
+        col(idCol).cast("long") * chunkSpan + col("chunk") +
+          coalesce(
+            assert_true(col("chunk") < chunkSpan &&
+              col(idCol).cast("long").between(0L, maxId - 1),
+              lit(s"splitOversize: chunk-id packing out of range (need " +
+                s"0 <= $idCol < $maxId and ceil(n/seqLen) <= chunkSpan=" +
+                s"$chunkSpan)")).cast("long"),
+            lit(0L)))
+      .withColumn("n_tokens",
+        least(lit(seqLen), col("__orig") - col("chunk") * seqLen))
+    val repacked = packBestFit(
+      chunks.select(col("cid"), col("n_tokens")),
+      "cid", "n_tokens", seqLen, shardBudget, numPartitions)
+      .crossJoin(broadcast(shardOff))
+      .select(expr(s"cid div ${chunkSpan}L").as(idCol),
+        (col("cid") % chunkSpan).as("chunk"), col("n_tokens"),
+        (col("shard") + col("__shard_off")).as("shard"), col("bin"),
+        lit(false).as("oversize"), lit(true).as("from_split"))
+    passthrough.unionByName(repacked)
+  }
+
   /** The WRITER-facing manifest of a [[packBestFit]] layout: one row
     * per (shard, bin) with the member doc ids in FFD insertion order
     * (n_tokens desc, id asc — within one bin, insertion order IS that

@@ -438,6 +438,9 @@ class PlanGuardSpec extends SparkSpec {
       // q160: the preference chain's four 1-row stage counts — each over
       // the pair-count-sized (prompt-bounded) frames; q156's contract
       "q160_pref_counters" -> 4,
+      // q158/q162: the oversize policies' one 1-row max-shard agg (the
+      // appended-shard offset, broadcast back) over the layout frame
+      "q158_oversize_split" -> 1, "q162_oversize_truncate" -> 1,
       // q154: the two 1-row halves of the waste report (bins rollup +
       // oversize count), crossed via broadcast — both bin/doc-count-sized
       "q154_bestfit_waste" -> 2)

@@ -468,6 +468,85 @@ class CorpusOpsSpec extends SparkSpec {
     assert(err2.getMessage != null)
   }
 
+  test("truncateOversize: placed rows untouched, cut reported, one full bin per truncated doc, appended shards") {
+    val docs = shardDocs(80)
+    val seqLen = 60L
+    val layout = ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L)
+    val before = layout.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val out = ShardPack.truncateOversize(layout, "doc_id", seqLen, 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    val nTok = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // conservation: n_tokens + cut_tokens == the original size, per doc
+    out.foreach { case (id, n, cut, _, _, ov, tr) =>
+      assert(!ov, "no oversize rows remain")
+      assert(n + cut === nTok(id), s"doc $id conservation")
+      if (tr) assert(n === seqLen, s"doc $id truncated to seqLen")
+      else assert(cut === 0L, s"doc $id placed rows report no cut")
+    }
+    // placed rows pass through with their (shard, bin) untouched
+    out.filter(!_._7).foreach { case (id, n, _, sh, bn, _, _) =>
+      val (n0, sh0, bn0, ov0) = before(id)
+      assert(!ov0 && n === n0 && sh === sh0 && bn === bn0, s"doc $id passthrough")
+    }
+    // every former-oversize doc: exactly one FULL bin, in appended shards
+    val trunc = out.filter(_._7)
+    assert(trunc.map(_._1).toSet === before.filter(_._2._4).keySet,
+      "queue fully consumed")
+    val maxPlaced = out.filter(!_._7).map(_._4).max
+    trunc.foreach { case (id, _, _, sh, _, _, _) =>
+      assert(sh > maxPlaced, s"doc $id in an appended shard") }
+    assert(trunc.map(t => (t._4, t._5)).distinct.length === trunc.length,
+      "one truncated doc per bin")
+  }
+
+  test("splitOversize: lossless chunks, placed untouched, waste <= per-doc-isolated split") {
+    val docs = shardDocs(80)
+    val seqLen = 60L
+    val layout = ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L)
+    val before = layout.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val out = ShardPack.splitOversize(layout, "doc_id", seqLen, 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    val nTok = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oversizeIds = nTok.filter(_._2 > seqLen).keys.toSet
+    assert(oversizeIds.nonEmpty, "fixture must exercise the queue")
+    // LOSSLESS: each oversize doc's chunks are dense 0..k-1, sum to its
+    // size, all full except the last
+    val byDoc = out.filter(_._7).groupBy(_._1)
+    assert(byDoc.keySet === oversizeIds, "queue fully consumed")
+    byDoc.foreach { case (id, chs) =>
+      val sorted = chs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length.toLong),
+        s"doc $id chunk indices dense")
+      assert(sorted.map(_._3).sum === nTok(id), s"doc $id lossless")
+      sorted.init.foreach(c => assert(c._3 === seqLen, s"doc $id full chunks"))
+    }
+    // placed rows pass through (chunk 0, same shard/bin)
+    out.filter(!_._7).foreach { case (id, ch, n, sh, bn, _, _) =>
+      val (n0, sh0, bn0, ov0) = before(id)
+      assert(!ov0 && ch === 0L && n === n0 && sh === sh0 && bn === bn0,
+        s"doc $id passthrough")
+    }
+    // WASTE LAW: cross-doc FFD over the chunks wastes at most what
+    // padding each doc's own remainder would (full chunks waste 0)
+    val chunkRows = out.filter(_._7)
+    val maxPlaced = out.filter(!_._7).map(_._4).max
+    val binFill = chunkRows.groupBy(r => (r._4, r._5)).map { case (sb, rs) =>
+      assert(sb._1 > maxPlaced, s"chunk bin $sb in an appended shard")
+      rs.map(_._3).sum
+    }
+    binFill.foreach(f => assert(f <= seqLen, "bins within capacity"))
+    val waste = binFill.map(seqLen - _).sum
+    val isolated = oversizeIds.toSeq.map { id =>
+      val n = nTok(id); ((n + seqLen - 1) / seqLen) * seqLen - n
+    }.sum
+    assert(waste <= isolated,
+      s"split-then-pack waste $waste <= per-doc-isolated $isolated")
+  }
+
   test("lossMaskSpans: spans tile every sequence exactly; turns reconstruct; zero-token turns keep their index") {
     import spark.implicits._
     // dlg 10: three turns (5, 7, 4 tokens); dlg 20: one 20-token turn
