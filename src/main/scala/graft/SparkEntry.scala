@@ -2260,6 +2260,19 @@ object SparkEntry {
         "doc_id", seqLen = 96L, shardBudget = 2000L)
     }),
 
+    // --- scale: the GLOBAL WRITER MANIFEST — q150's bins numbered as a
+    // contiguous global sequence index, streamed in order into ~4000-
+    // token output files, composed with a 2-epoch q149 schedule: the
+    // complete (epoch, shard, pos) -> (file, seq_id) loader contract ------
+    "q159_writer_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.globalWriterManifest(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L),
+        fileBudget = 4000L, epochs = 2)
+    }),
+
     // --- scale: PREFERENCE-PAIR assembly (the DPO/RLHF artifact) — the
     // graded response log is events viewed as (prompt = props,
     // candidate = event, signal = value): per prompt the highest-margin
@@ -6124,6 +6137,28 @@ object SparkEntry {
         |SELECT id, CAST(96 AS BIGINT), CAST(cut AS BIGINT),
         |  shard0 + (SELECT o FROM soff), bin, false, true
         |FROM obin""".stripMargin),
+
+    // q150's FFD bins rolled up, globally indexed in (shard, bin) order,
+    // file = running-fill // budget, then the per-epoch md5 permutation
+    "q159_writer_manifest" ->
+      (s"""WITH RECURSIVE $bestFitBaseCtes,
+        |${ffdCtes("", "base", 96, 2000)},
+        |bins AS (
+        |  SELECT shard, bin, CAST(sum(n) AS BIGINT) AS fill,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM ffd WHERE id IS NOT NULL GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT shard, bin, fill, n_docs,
+        |    CAST(row_number() OVER (ORDER BY shard, bin) - 1 AS BIGINT) AS seq_id,
+        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY shard, bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 4000 AS BIGINT) AS file
+        |  FROM bins)
+        |SELECT shard, bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY e, shard
+        |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM sq, unnest(generate_series(0, 1)) AS u(e)""".stripMargin),
 
     // the preference gate chain (assembly by (value, id) windows, the
     // two pair-level gates) folded to the surviving pair rows

@@ -636,6 +636,90 @@ object ShardPack {
       .reduce(_.unionByName(_))
   }
 
+  /** The GLOBAL WRITER MANIFEST — the missing piece between a
+    * [[packBestFit]] layout (bins numbered within shards) and a trainer
+    * shard-file writer: one row per (epoch, sequence) carrying
+    *
+    *   - `seq_id`: the CONTIGUOUS global sequence index, 0..N−1 in
+    *     lexicographic (shard, bin) order — the offset a loader seeks
+    *     by;
+    *   - `file`: the deterministic output-file assignment — sequences
+    *     stream IN seq_id ORDER into files of ~`fileBudget` tokens
+    *     (file = running fill before the sequence, integer-divided by
+    *     the budget — [[packByTokenBudget]]'s rule applied along the
+    *     sequence order rather than an md5 order, because a writer
+    *     emits consecutive sequences into one file; an md5 reshuffle
+    *     here would make every file read the whole layout);
+    *   - `(epoch, pos)`: [[epochManifest]] composed over the sequences
+    *     (seq_id as the permutation key), so a resume cursor addresses
+    *     any point of the whole run AND resolves to a concrete
+    *     (file, seq_id) to seek.
+    *
+    * Every sequence appears in exactly one file and exactly once per
+    * epoch (conservation law, spec-pinned); the whole manifest is a
+    * pure function of the layout.
+    *
+    * Scale shape: the bin rollup is one hash agg; seq_id and file come
+    * from ONE two-phase prefix pass (the [[packWithOffsets]] discipline
+    * with two accumulators — running count and running fill — over the
+    * range-partitioned (shard, bin) order); the epoch composition is
+    * [[epochOrder]]'s keyed windows. Nothing corpus-sized in one task.
+    *
+    * @return (shard, bin, fill, n_docs, seq_id, file, epoch, pos)
+    */
+  def globalWriterManifest(
+      layout: DataFrame,
+      fileBudget: Long,
+      epochs: Int,
+      numPartitions: Int = 32): DataFrame = {
+    require(fileBudget > 0, s"fileBudget must be positive, got $fileBudget")
+    val spark = layout.sparkSession
+    val bins = layout.filter(!col("oversize"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n_docs"))
+    val sorted = CacheScope.persisted(
+      bins
+        .repartitionByRange(numPartitions, col("shard"), col("bin"))
+        .sortWithinPartitions(col("shard"), col("bin")),
+      StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition (sequence count, fill sum) — 2P longs
+    val parts = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L
+        var f = 0L
+        it.foreach { r => c += 1; f += r.getLong(2) }
+        Iterator((pid, c, f))
+      }
+      .collect()
+      .sortBy(_._1)
+    val cntOff = parts.map(_._2).scanLeft(0L)(_ + _)
+    val fillOff = parts.map(_._3).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast((cntOff, fillOff))
+    // pass 2: running index + running fill → (seq_id, file)
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = bc.value._1(pid)
+      var f = bc.value._2(pid)
+      it.map { r =>
+        val fill = r.getLong(2)
+        val row = Row(r.getLong(0), r.getLong(1), fill, r.getLong(3),
+          c, f / fileBudget)
+        c += 1
+        f += fill
+        row
+      }
+    }
+    val seqFrame = spark.createDataFrame(
+      out,
+      StructType(Seq(
+        StructField("shard", LongType, nullable = false),
+        StructField("bin", LongType, nullable = false),
+        StructField("fill", LongType, nullable = false),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("seq_id", LongType, nullable = false),
+        StructField("file", LongType, nullable = false))))
+    epochManifest(seqFrame, "seq_id", epochs)
+  }
+
   /** [[resumeAfter]] across epoch boundaries: everything STRICTLY
     * AFTER the (epoch, shard, pos) cursor in the manifest's
     * lexicographic order — a cursor at an epoch's last sequence rolls

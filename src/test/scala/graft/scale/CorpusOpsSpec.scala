@@ -547,6 +547,52 @@ class CorpusOpsSpec extends SparkSpec {
       s"split-then-pack waste $waste <= per-doc-isolated $isolated")
   }
 
+  test("globalWriterManifest: seq_id bijection, exact file rule, one row per (epoch, sequence)") {
+    val docs = shardDocs(80)
+    val seqLen = 60L
+    val fileBudget = 150L
+    val epochs = 3
+    val layout = ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L)
+    val out = ShardPack.globalWriterManifest(layout, fileBudget, epochs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // the layout's bin rollup is the sequence universe
+    val wantBins = layout.filter(!col("oversize")).collect()
+      .groupBy(r => (r.getLong(2), r.getLong(3)))
+      .map { case (sb, rs) => sb -> (rs.map(_.getLong(1)).sum, rs.length.toLong) }
+    val n = wantBins.size
+    assert(out.length === n * epochs, "one row per (epoch, sequence)")
+    (0L until epochs.toLong).foreach { e =>
+      val slice = out.filter(_._7 == e)
+      assert(slice.map(r => (r._1, r._2)).toSet === wantBins.keySet,
+        s"epoch $e covers every sequence exactly once")
+      // seq_id: contiguous 0..N-1 in (shard, bin) order
+      val ordered = slice.sortBy(r => (r._1, r._2))
+      assert(ordered.map(_._5).toSeq === (0L until n.toLong),
+        s"epoch $e seq_id bijection")
+      // fill/n_docs match the rollup; file == running-fill-before // budget
+      var cum = 0L
+      ordered.foreach { r =>
+        val (fill, nd) = wantBins((r._1, r._2))
+        assert(r._3 === fill && r._4 === nd, s"rollup of bin (${r._1},${r._2})")
+        assert(r._6 === cum / fileBudget, s"file rule at seq ${r._5}")
+        cum += fill
+      }
+      // pos dense within (epoch, shard)
+      slice.groupBy(_._1).foreach { case (sh, ss) =>
+        assert(ss.map(_._8).sorted.toSeq === (0L until ss.length.toLong),
+          s"epoch $e shard $sh pos dense")
+      }
+    }
+    // epochs are fresh permutations (some sequence moves between epochs,
+    // given any shard with >= 2 sequences)
+    val posByEpoch = out.groupBy(r => (r._1, r._2)).values
+    val anyMultiSeq = out.groupBy(_._1).values.exists(_.length / epochs >= 2)
+    if (anyMultiSeq)
+      assert(posByEpoch.exists(rs => rs.map(_._8).distinct.length > 1),
+        "per-epoch permutations differ")
+  }
+
   test("lossMaskSpans: spans tile every sequence exactly; turns reconstruct; zero-token turns keep their index") {
     import spark.implicits._
     // dlg 10: three turns (5, 7, 4 tokens); dlg 20: one 20-token turn
