@@ -189,6 +189,53 @@ object Profile {
       return
     }
 
+    if (args.headOption.contains("sftcentury")) {
+      // REALISTIC century staging for the contamination-gated event
+      // queries (q155/q156, q157/q160/q161): the standard key-offset
+      // events staging keeps CONTENT identical across copies, so at
+      // 100x the % 997 holdout covers the entire ~500-content space and
+      // 100% of dialogues legitimately leak (r15's measured
+      // zero-survivor century). Here `props` gets a per-copy tag —
+      // the stageScaledDocs philosophy: each copy reproduces sf0.1's
+      // content density, holdout coverage per copy stays ~sf0.1's
+      // ~70%, and the gates pass a non-degenerate fraction. event_type
+      // stays UNTAGGED so roles/masks (purchase/signup) behave exactly
+      // as at sf0.1; users are copy-local (user_id offset), so
+      // dialogues never span copies. Docs stage the standard scaled
+      // way (the tokenizer input). Fresh-child best-of-2 per query.
+      val copies = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(100)
+      val out = s"tmp/sfx${copies}sft"
+      val off = 100000000L
+      val reuse = args.contains("reuse") &&
+        new java.io.File(s"$out/events.parquet").exists()
+      if (!reuse) {
+        val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        (0 until copies).map { c =>
+          ev.select(
+            (col("event_id") + lit(c * off)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(c * off)).as("user_id"),
+            col("event_type"),
+            col("value"),
+            (if (c == 0) col("props")
+             else concat(lit(s"x${c}_"), col("props"))).as("props"))
+        }.reduce(_.unionByName(_))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        stageScaledDocs(spark, out, copies)
+      }
+      val qs = args.drop(1).find(_.startsWith("only="))
+        .map(_.stripPrefix("only=").split(",").toSeq)
+        .getOrElse(Seq("q155_sft_curate", "q156_sft_counters",
+          "q157_pref_pairs", "q160_pref_counters", "q161_pref_sequences"))
+      qs.foreach { q =>
+        val (rows, t) = runFreshChild(q, out)
+        println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("semauto")) {
       // the √N-law measurement: semDedup with the AUTO stride (nlist
       // tracks √N) vs the fixed oracle stride 64 (nlist ∝ N), at sf0.1

@@ -2302,6 +2302,12 @@ object SparkEntry {
       val pairs = graft.scale.Dialogue.gatedPreferencePairs(
         prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
         "prompt", "event_id", "content", "value")
+      // prompt texts from a separate events scan, NOT from the pair
+      // frame: deriving them from `pairs` self-joins the gate chain
+      // (tail runs twice in one plan), and persisting the gated frame
+      // to avoid that layers a third nested cache over the chain —
+      // measured 12 s -> 25-44 s (the nested-cache plan-blowup class).
+      // One extra column-pruned scan is the cheap side of that trade.
       val promptTexts = prefResponses(s, dir)
         .select(col("prompt")).distinct()
         .withColumn("prompt_text", col("prompt"))

@@ -504,7 +504,14 @@ object Dialogue {
       promptTextCol: String,
       merges: Seq[Bpe.Merge],
       seqLen: Long): DataFrame = {
-    val withText = pairs.join(promptTexts, Seq(promptCol))
+    // persisted: the pair frame fans out FOUR ways (2 sides × 2 turns)
+    // — without the cache the caller's whole upstream (typically the
+    // full gate chain: decontaminate + validity anti-joins) recomputes
+    // per branch (measured 19.3 → ~6 s on q161 at sf0.1). Pair-count
+    // slim rows.
+    val withText = graft.ops.CacheScope.persisted(
+      pairs.join(promptTexts, Seq(promptCol)),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sideTurns = (idC: String, contentC: String, sideTag: Long) => {
       val sid = col(idC).cast("long") * 2L + sideTag +
         coalesce(
