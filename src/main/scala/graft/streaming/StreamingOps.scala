@@ -494,6 +494,37 @@ object StreamingOps {
       width: Int = 256): DataFrame =
     values.agg(graft.functions.CmsSketch(col(valueCol), depth, width).as("sketch"))
 
+  /** Streaming PREFERENCE-PAIR assembly — the continuous twin of
+    * [[graft.scale.Dialogue.preferencePairs]] over a live graded
+    * response log: each trigger re-emits the current best-vs-worst
+    * (chosen, rejected) pair per prompt as of everything seen
+    * (complete mode). The batch op is ONE hash agg with O(1) per-group
+    * state (struct min/max — no candidate list), which is exactly what
+    * makes it streamable unchanged: the state store holds per prompt
+    * only the running (signal, id)-max and -min candidates plus a
+    * count, regardless of stream length — the [[cmsSketchStream]]
+    * bounded-state discipline. A viral prompt with millions of graded
+    * candidates costs the same state as one with three. Strict-margin
+    * and null-exclusion laws carry over verbatim; stream == batch at
+    * every micro-batch prefix is spec-pinned. Pair-level GATING stays
+    * batch-side on the polled sink ([[graft.scale.Dialogue.gatedPreferencePairs]]'s
+    * decontaminate + validity probes need joins against the pair
+    * frame's own derivation — a second aggregation over the streaming
+    * agg's output, which Structured Streaming does not allow in one
+    * query).
+    *
+    * @return streaming [[graft.scale.Dialogue.preferencePairs]] frame,
+    *         complete-mode
+    */
+  def preferencePairsStream(
+      responses: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String): DataFrame =
+    graft.scale.Dialogue.preferencePairs(
+      responses, promptCol, candCol, contentCol, signalCol)
+
   /** The LIVE half of the drift monitor: running per-feature-bucket
     * token counts over the arriving target-era stream — the exact
     * count frame [[graft.scale.Sampling.domainDriftContributors]]

@@ -636,6 +636,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("preferencePairsStream == batch preferencePairs at every micro-batch prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the q157 response-log view of events, replayed in three batches
+    val resp = spark.read.parquet(s"$dir/events.parquet")
+      .select(org.apache.spark.sql.functions.col("props").as("prompt"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("props")).as("content"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(String, Long, String, Double)].collect()
+    val input = MemoryStream[(String, Long, String, Double)]
+    val q = StreamingOps.preferencePairsStream(
+        input.toDF().toDF("prompt", "event_id", "content", "value"),
+        "prompt", "event_id", "content", "value")
+      .writeStream.format("memory").queryName("pref_eq")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val cut1 = resp.length / 3
+      val cut2 = 2 * resp.length / 3
+      Seq(resp.slice(0, cut1), resp.slice(cut1, cut2), resp.slice(cut2, resp.length))
+        .zipWithIndex.foldLeft(0) { case (seen, (batch, i)) =>
+          input.addData(batch.toSeq: _*)
+          q.processAllAvailable()
+          val streamed = rowSeqs(spark.table("pref_eq"))
+          val want = rowSeqs(graft.scale.Dialogue.preferencePairs(
+            spark.createDataFrame(resp.take(seen + batch.length).toSeq)
+              .toDF("prompt", "event_id", "content", "value"),
+            "prompt", "event_id", "content", "value"))
+          assert(streamed === want, s"prefix after batch $i")
+          assert(streamed.nonEmpty, s"prefix $i exercises pairs")
+          seen + batch.length
+        }
+    } finally q.stop()
+  }
+
   test("cmsSketchStream: the sketch after N micro-batches equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
