@@ -2316,6 +2316,28 @@ object SparkEntry {
         .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
           array_join(col("token_ids"), " ").as("token_ids"),
           array_join(col("mask"), "").as("mask"))
+    }),
+
+    // --- scale: PADDED preference tensors — the DPO trainer artifact:
+    // pair sides stay WHOLE (a split side is not a preference sample),
+    // best-fit bin-packed into 64-token rows, token ids padded -1 and
+    // mask padded 0; an oversize side fails the whole plan loud (a
+    // silently dropped side corrupts its pair) -----------------------------
+    "q163_pref_tensors" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val pairs = graft.scale.Dialogue.gatedPreferencePairs(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value")
+      // same separate-scan trade as q161 (see that registration)
+      val promptTexts = prefResponses(s, dir)
+        .select(col("prompt")).distinct()
+        .withColumn("prompt_text", col("prompt"))
+      graft.scale.Dialogue.preferenceTensors(
+        pairs, promptTexts, "prompt", "prompt_text", merges,
+        seqLen = 64L, shardBudget = 2000L)
+        .select(col("shard"), col("bin"), col("n_docs"), col("fill"), col("pad_len"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("mask"), "").as("mask"))
     })
   )
 
@@ -2568,6 +2590,63 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared q161/q163 oracle CTEs — the preference SIDE STREAM: kept
+    * pairs exploded to two 2-turn sides (prompt mask 0, response mask
+    * 1), q151's indexed-piece mechanics over the turn contents, ending
+    * in `stream` = (side_id, tok_idx, token_id, mask). Needs
+    * [[prefGateCtes]] (for `kept`) and the [[bpeStagesSql]] merge
+    * tables in scope. NO leading/trailing comma.
+    */
+  private lazy val prefSideStreamCtes: String =
+    s"""sides AS MATERIALIZED (
+      |  SELECT chosen_id * 2 AS side_id, prompt, chosen_content AS rcontent
+      |  FROM kept
+      |  UNION ALL
+      |  SELECT rejected_id * 2 + 1, prompt, rejected_content FROM kept),
+      |turns AS MATERIALIZED (
+      |  SELECT side_id, 0 AS t, side_id * 2 AS tid, CAST(0 AS BIGINT) AS mask,
+      |    prompt AS content
+      |  FROM sides
+      |  UNION ALL
+      |  SELECT side_id, 1, side_id * 2 + 1, CAST(1 AS BIGINT), rcontent
+      |  FROM sides),
+      |${bpeApplySql(BpeMergeCount,
+      "SELECT DISTINCT unnest(regexp_extract_all(lower(content), " +
+        "'[a-z0-9]+')) AS w FROM turns")},
+      |wp2 AS (
+      |  SELECT w, string_split(trim(sym), '  ') AS pieces FROM ew$BpeMergeCount),
+      |vocab AS (
+      |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+      |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp2)),
+      |dw AS (
+      |  SELECT tid, i AS wi, t[i] AS w
+      |  FROM (SELECT tid, regexp_extract_all(lower(content), '[a-z0-9]+') AS t
+      |        FROM turns) z,
+      |       unnest(generate_series(1, len(t))) AS u(i)),
+      |ws2 AS (
+      |  SELECT dw.tid, dw.wi, wp2.pieces,
+      |    CAST(coalesce(sum(len(wp2.pieces)) OVER (PARTITION BY dw.tid
+      |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS word_start
+      |  FROM dw JOIN wp2 ON dw.w = wp2.w),
+      |estream AS (
+      |  SELECT tid, word_start + pi - 1 AS turn_tok_idx, pieces[pi] AS piece
+      |  FROM ws2, unnest(generate_series(1, len(pieces))) AS u(pi)),
+      |ecnt AS (SELECT tid, CAST(count(*) AS BIGINT) AS n FROM estream GROUP BY 1),
+      |toff AS (
+      |  SELECT tu.side_id, tu.tid, tu.mask,
+      |    CAST(coalesce(sum(coalesce(e.n, 0)) OVER (PARTITION BY tu.side_id
+      |      ORDER BY tu.t, tu.tid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS turn_start
+      |  FROM turns tu LEFT JOIN ecnt e ON e.tid = tu.tid),
+      |stream AS MATERIALIZED (
+      |  SELECT o.side_id, o.turn_start + s.turn_tok_idx AS tok_idx,
+      |    v.token_id, o.mask
+      |  FROM estream s
+      |  JOIN toff o ON o.tid = s.tid
+      |  JOIN vocab v ON s.piece = v.piece)""".stripMargin
+
   /** Recursive-FFD replay CTEs over an (id, n) base — the q150 oracle's
     * shape with a NAME PREFIX so two packings can coexist in one query
     * (q158 packs the original docs AND their oversize chunks). Emits
@@ -2675,7 +2754,7 @@ object SparkEntry {
       |  FROM (SELECT *, row_number() OVER (PARTITION BY prompt
       |          ORDER BY value ASC, event_id ASC) AS r FROM cand) z
       |  WHERE r = 1),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT nc.prompt, nc.n_candidates, ch.chosen_id, ch.chosen_signal,
       |    ch.chosen_content, rj.rejected_id, rj.rejected_signal,
       |    rj.rejected_content, ch.chosen_signal - rj.rejected_signal AS margin
@@ -2704,7 +2783,7 @@ object SparkEntry {
       |  SELECT DISTINCT prompt FROM pairs p
       |  WHERE p.chosen_id IN (SELECT event_id FROM leaky)
       |     OR p.rejected_id IN (SELECT event_id FROM leaky)),
-      |kept AS (
+      |kept AS MATERIALIZED (
       |  SELECT p.* FROM pairs p
       |  WHERE p.prompt NOT IN (SELECT prompt FROM invpair)
       |    AND p.prompt NOT IN (SELECT prompt FROM leakpair))""".stripMargin
@@ -6193,54 +6272,7 @@ object SparkEntry {
     "q161_pref_sequences" ->
       (bpeStagesSql(BpeMergeCount) + s""",
         |$prefGateCtes,
-        |sides AS (
-        |  SELECT chosen_id * 2 AS side_id, prompt, chosen_content AS rcontent
-        |  FROM kept
-        |  UNION ALL
-        |  SELECT rejected_id * 2 + 1, prompt, rejected_content FROM kept),
-        |turns AS (
-        |  SELECT side_id, 0 AS t, side_id * 2 AS tid, CAST(0 AS BIGINT) AS mask,
-        |    prompt AS content
-        |  FROM sides
-        |  UNION ALL
-        |  SELECT side_id, 1, side_id * 2 + 1, CAST(1 AS BIGINT), rcontent
-        |  FROM sides),
-        |${bpeApplySql(BpeMergeCount,
-        "SELECT DISTINCT unnest(regexp_extract_all(lower(content), " +
-          "'[a-z0-9]+')) AS w FROM turns")},
-        |wp2 AS (
-        |  SELECT w, string_split(trim(sym), '  ') AS pieces FROM ew$BpeMergeCount),
-        |vocab AS (
-        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
-        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp2)),
-        |dw AS (
-        |  SELECT tid, i AS wi, t[i] AS w
-        |  FROM (SELECT tid, regexp_extract_all(lower(content), '[a-z0-9]+') AS t
-        |        FROM turns) z,
-        |       unnest(generate_series(1, len(t))) AS u(i)),
-        |ws2 AS (
-        |  SELECT dw.tid, dw.wi, wp2.pieces,
-        |    CAST(coalesce(sum(len(wp2.pieces)) OVER (PARTITION BY dw.tid
-        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      0) AS BIGINT) AS word_start
-        |  FROM dw JOIN wp2 ON dw.w = wp2.w),
-        |estream AS (
-        |  SELECT tid, word_start + pi - 1 AS turn_tok_idx, pieces[pi] AS piece
-        |  FROM ws2, unnest(generate_series(1, len(pieces))) AS u(pi)),
-        |ecnt AS (SELECT tid, CAST(count(*) AS BIGINT) AS n FROM estream GROUP BY 1),
-        |toff AS (
-        |  SELECT tu.side_id, tu.tid, tu.mask,
-        |    CAST(coalesce(sum(coalesce(e.n, 0)) OVER (PARTITION BY tu.side_id
-        |      ORDER BY tu.t, tu.tid
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS turn_start
-        |  FROM turns tu LEFT JOIN ecnt e ON e.tid = tu.tid),
-        |stream AS (
-        |  SELECT o.side_id, o.turn_start + s.turn_tok_idx AS tok_idx,
-        |    v.token_id, o.mask
-        |  FROM estream s
-        |  JOIN toff o ON o.tid = s.tid
-        |  JOIN vocab v ON s.piece = v.piece),
+        |$prefSideStreamCtes,
         |dc AS (
         |  SELECT side_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |    md5('shard:' || side_id) AS k
@@ -6259,6 +6291,38 @@ object SparkEntry {
         |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
         |  array_to_string(list(mask ORDER BY p), '') AS mask
         |FROM pos GROUP BY 1""".stripMargin),
+
+    // q161's side-stream CTEs, then the whole-side best-fit packing:
+    // FFD over side token counts, per-bin (n desc, id) offsets, padded
+    // token-id and mask rendering (the q153 tail with a mask)
+    "q163_pref_tensors" ->
+      (bpeStagesSql(BpeMergeCount).replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        |$prefGateCtes,
+        |$prefSideStreamCtes,
+        |scnt AS (
+        |  SELECT side_id AS id, CAST(count(*) AS BIGINT) AS n
+        |  FROM stream GROUP BY 1),
+        |${ffdCtes("p", "scnt", 64, 2000)},
+        |pplaced AS (
+        |  SELECT shard, bin, id, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard, bin
+        |      ORDER BY n DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS doc_off
+        |  FROM pffd WHERE id IS NOT NULL),
+        |ptok AS (
+        |  SELECT p.shard, p.bin, p.id, p.doc_off + s.tok_idx AS local,
+        |    s.token_id, s.mask
+        |  FROM stream s JOIN pplaced p ON s.side_id = p.id)
+        |SELECT shard, bin, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS fill,
+        |  CAST(64 - count(*) AS BIGINT) AS pad_len,
+        |  array_to_string(list(token_id ORDER BY local), ' ') ||
+        |    repeat(' -1', CAST(64 - count(*) AS INT)) AS token_ids,
+        |  array_to_string(list(mask ORDER BY local), '') ||
+        |    repeat('0', CAST(64 - count(*) AS INT)) AS mask
+        |FROM ptok GROUP BY 1, 2""".stripMargin),
+
 
     // q150's recursive FFD folded to the one-row waste economics
     "q154_bestfit_waste" ->

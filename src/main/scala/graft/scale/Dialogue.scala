@@ -503,7 +503,83 @@ object Dialogue {
       promptCol: String,
       promptTextCol: String,
       merges: Seq[Bpe.Merge],
-      seqLen: Long): DataFrame = {
+      seqLen: Long): DataFrame =
+    ShardPack.materializeSequencesWithMask(
+      pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges),
+      "side_id", "mask", seqLen)
+
+  /** PADDED preference tensors — the artifact a DPO trainer actually
+    * consumes: one fixed-width row per (shard, bin) where every pair
+    * SIDE stays WHOLE (a preference side split across training
+    * sequences is not a preference sample any more), sides bin-pack
+    * best-fit ([[graft.scale.ShardPack.packBestFit]] over the sides'
+    * token counts), token ids right-pad with `padId` and the loss mask
+    * with 0 — [[preferenceSequences]] is the zero-waste split twin;
+    * this is the whole-sample padded twin, the same split-vs-whole
+    * trade as q143 vs q150.
+    *
+    * FAIL-LOUD on oversize: a side longer than `seqLen` cannot be
+    * placed whole, and silently dropping ONE side of a pair corrupts
+    * the preference data (the surviving side's sample loses its
+    * contrast) — the whole plan refuses in that case; truncate or
+    * re-gate upstream (the [[graft.scale.ShardPack.truncateOversize]]
+    * policy discussion applies, but cutting response tokens changes
+    * the judged artifact, so the engine will not pick that silently).
+    *
+    * @return (shard, bin, n_docs, fill, pad_len, token_ids[seqLen],
+    *         mask[seqLen])
+    */
+  def preferenceTensors(
+      pairs: DataFrame,
+      promptTexts: DataFrame,
+      promptCol: String,
+      promptTextCol: String,
+      merges: Seq[Bpe.Merge],
+      seqLen: Long,
+      shardBudget: Long,
+      padId: Long = -1L): DataFrame = {
+    // persisted: the encoded side stream feeds the count pass (layout)
+    // AND the materialization join — slim long rows, the q56 size class
+    val stream = graft.ops.CacheScope.persisted(
+      pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = stream.groupBy(col("side_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val layout = ShardPack.packBestFit(
+      counts, "side_id", "n_tokens", seqLen, shardBudget)
+    // fail-loud PER ROW, on the oversize column itself: the materialize
+    // step's !oversize filter evaluates it for every layout row, so any
+    // oversize side errors the plan even when the would-be output is
+    // EMPTY. (A separate 1-row guard agg joined to the output is
+    // skippable: a null-rejecting filter turns the outer join inner and
+    // AQE's empty-relation propagation then never evaluates the guard —
+    // the exact silent-empty case the assert exists for.)
+    val guarded = layout.withColumn("oversize",
+      when(col("oversize"),
+        coalesce(
+          assert_true(lit(false),
+            lit(s"preferenceTensors: some pair side exceeds seqLen=$seqLen — " +
+              "a dropped side corrupts its pair; truncate or re-gate " +
+              "upstream")).cast("boolean"),
+          lit(true)))
+        .otherwise(lit(false)))
+    ShardPack.materializeBestFitWithMask(
+      stream, guarded, "side_id", "mask", seqLen, padId)
+  }
+
+  /** The per-token masked stream of a preference-pair frame's sides —
+    * the shared front half of [[preferenceSequences]] and
+    * [[preferenceTensors]]: each side as a two-turn dialogue keyed by
+    * side_id = candidate·2 + side, encoded via [[sftTokenStream]].
+    *
+    * @return (side_id, tok_idx, token_id, mask)
+    */
+  def pairSideStream(
+      pairs: DataFrame,
+      promptTexts: DataFrame,
+      promptCol: String,
+      promptTextCol: String,
+      merges: Seq[Bpe.Merge]): DataFrame = {
     // persisted: the pair frame fans out FOUR ways (2 sides × 2 turns)
     // — without the cache the caller's whole upstream (typically the
     // full gate chain: decontaminate + validity anti-joins) recomputes
@@ -532,10 +608,9 @@ object Dialogue {
     }
     val turns = sideTurns("chosen_id", "chosen_content", 0L)
       .unionByName(sideTurns("rejected_id", "rejected_content", 1L))
-    val stream = sftTokenStream(
+    sftTokenStream(
       turns, "side_id", "t", "i", "role", "content", merges,
       maskRoles = Set("response"))
-    ShardPack.materializeSequencesWithMask(stream, "side_id", "mask", seqLen)
   }
 
   /** SFT LOSS-MASK SPANS — per-turn token coordinates inside packed

@@ -545,7 +545,35 @@ object ShardPack {
       layout: DataFrame,
       idCol: String,
       seqLen: Long,
-      padId: Long = -1L): DataFrame = {
+      padId: Long = -1L): DataFrame =
+    materializeBestFitCore(tokenStream, layout, idCol, seqLen, padId, None)
+
+  /** [[materializeBestFit]] carrying a per-token 0/1 MASK column — the
+    * padded post-training twin of [[materializeSequencesWithMask]]:
+    * each (shard, bin) row also holds the loss mask in the same
+    * position order as its token ids, right-padded with 0 (pad tokens
+    * never train). Same plan as the unmasked form — the mask rides the
+    * one collected struct.
+    *
+    * @return (shard, bin, n_docs, fill, pad_len, token_ids[seqLen],
+    *         mask[seqLen])
+    */
+  def materializeBestFitWithMask(
+      tokenStream: DataFrame,
+      layout: DataFrame,
+      idCol: String,
+      maskCol: String,
+      seqLen: Long,
+      padId: Long = -1L): DataFrame =
+    materializeBestFitCore(tokenStream, layout, idCol, seqLen, padId, Some(maskCol))
+
+  private def materializeBestFitCore(
+      tokenStream: DataFrame,
+      layout: DataFrame,
+      idCol: String,
+      seqLen: Long,
+      padId: Long,
+      maskCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val w = Window.partitionBy(col("shard"), col("bin"))
@@ -566,14 +594,20 @@ object ShardPack {
     // absent from the stream so zero-fill drift fails loud too
     val expected = placed.groupBy(col("shard"), col("bin"))
       .agg(sum(col("n_tokens")).as("__expected_fill"))
-    val actual = tokenStream
+    val packedStruct = maskCol match {
+      case Some(_) => "struct(local, token_id, __mask)"
+      case None    => "struct(local, token_id)"
+    }
+    val streamCols = Seq(col(idCol), col("tok_idx"), col("token_id")) ++
+      maskCol.map(m => col(m).cast("long").as("__mask"))
+    val actual = tokenStream.select(streamCols: _*)
       .join(placed.drop("n_tokens"), Seq(idCol))
       .withColumn("local", col("doc_off") + col("tok_idx"))
       .groupBy(col("shard"), col("bin"))
       .agg(
         count(lit(1)).as("fill"),
         countDistinct(col(idCol)).as("n_docs"),
-        expr("array_sort(collect_list(struct(local, token_id)))").as("__packed"))
+        expr(s"array_sort(collect_list($packedStruct))").as("__packed"))
     expected.join(actual, Seq("shard", "bin"), "left")
       .withColumn("fill",
         coalesce(col("fill"), lit(0L)) + coalesce(
@@ -586,8 +620,13 @@ object ShardPack {
         concat(expr("transform(__packed, s -> s.token_id)"),
           array_repeat(lit(padId), (lit(seqLen) - col("fill")).cast("int"))))
       .withColumn("pad_len", lit(seqLen) - col("fill"))
-      .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
-        col("pad_len"), col("token_ids"))
+      .select(
+        Seq(col("shard"), col("bin"), col("n_docs"), col("fill"),
+          col("pad_len"), col("token_ids")) ++
+          maskCol.map(_ =>
+            concat(expr("transform(__packed, s -> s.__mask)"),
+              array_repeat(lit(0L),
+                (lit(seqLen) - col("fill")).cast("int"))).as("mask")): _*)
   }
 
   /** The padding-waste report over a [[packBestFit]] layout: bins,

@@ -126,6 +126,77 @@ class PreferencePairsSpec extends SparkSpec {
     bins.foreach { case (b, n) => if (b != lastBin) assert(n === 8L, s"bin $b full") }
   }
 
+  test("preferenceTensors: whole sides, fixed width, mask pads 0, conservation") {
+    val pairs = Dialogue.preferencePairs(
+      responses, "prompt", "cand", "content", "signal")
+    val promptTexts = responses.select(col("prompt")).distinct()
+      .withColumn("ptext", concat(lit("prompt text for "), col("prompt")))
+    val merges = Bpe.trainMergesFast(
+      responses.select(col("content").as("text")), "text", 2)
+    val seqLen = 64L
+    val out = Dialogue.preferenceTensors(pairs, promptTexts, "prompt", "ptext",
+        merges, seqLen, shardBudget = 128L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getSeq[Long](5), r.getSeq[Long](6)))
+    val sides = pairs.collect().flatMap { r =>
+      val pt = s"prompt text for ${r.getString(0)}"
+      Seq((r.getLong(2) * 2L, pt, r.getString(4)),
+        (r.getLong(5) * 2L + 1L, pt, r.getString(7)))
+    }
+    def pieces(text: String): Seq[Long] = {
+      // local reference: vocab ids are the lexicographic rank over ALL
+      // side-turn pieces (prompt + response contents)
+      val allPieces = sides.flatMap { case (_, p, c) =>
+        Seq(p, c).flatMap(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase)
+          .flatMap(w => Bpe.applyMergesLocal(w, merges)))
+      }.distinct.sorted
+      val ids = allPieces.zipWithIndex.toMap
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase)
+        .flatMap(w => Bpe.applyMergesLocal(w, merges))
+        .map(pc => ids(pc).toLong).toSeq
+    }
+    val wantBySide = sides.map { case (sid, p, c) =>
+      sid -> (pieces(p) ++ pieces(c), pieces(p).map(_ => 0L) ++ pieces(c).map(_ => 1L))
+    }.toMap
+    // fixed width + mask pads 0 + conservation
+    assert(out.map(_._4).sum === wantBySide.values.map(_._1.length.toLong).sum)
+    out.foreach { case (sh, bn, _, fill, pad, tids, mask) =>
+      assert(tids.length.toLong === seqLen && mask.length.toLong === seqLen,
+        s"bin ($sh,$bn) fixed width")
+      assert(pad === seqLen - fill)
+      assert(tids.drop(fill.toInt).forall(_ === -1L), "token pad suffix")
+      assert(mask.drop(fill.toInt).forall(_ === 0L), "mask pad suffix")
+    }
+    // WHOLE sides: each side's (token, mask) run appears contiguously
+    // in exactly one bin
+    val binStreams = out.map(b => (b._6.take(b._4.toInt), b._7.take(b._4.toInt)))
+    wantBySide.foreach { case (sid, (toks, msk)) =>
+      val hits = binStreams.count { case (ts, ms) =>
+        ts.sliding(toks.length).zip(ms.sliding(msk.length).to(Iterable))
+          .exists { case (tw, mw) => tw == toks && mw == msk }
+      }
+      assert(hits >= 1, s"side $sid contiguous in some bin")
+    }
+    // every side starts in exactly one bin overall (n_docs sums to sides)
+    assert(out.map(_._3).sum === sides.length.toLong)
+  }
+
+  test("preferenceTensors: an oversize side fails the whole plan loud") {
+    val pairs = Seq(
+      ("p", 2L, 7L, 5.0, Seq.fill(30)("word").mkString(" "), 3L, 1.0, "tiny"))
+      .toDF("prompt", "n_candidates", "chosen_id", "chosen_signal",
+        "chosen_content", "rejected_id", "rejected_signal", "rejected_content")
+      .withColumn("margin", col("chosen_signal") - col("rejected_signal"))
+    val texts = Seq(("p", "the prompt")).toDF("prompt", "ptext")
+    val err = intercept[Exception] {
+      Dialogue.preferenceTensors(pairs, texts, "prompt", "ptext",
+        Bpe.trainMergesFast(Seq("a b").toDF("text"), "text", 1),
+        seqLen = 8L, shardBudget = 64L).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("preferenceSequences: side_id packing fails loud out of range") {
     val pairs = Seq(
       ("p", 2L, Long.MaxValue / 4 + 10L, 5.0, "big id content",
