@@ -2338,7 +2338,16 @@ object SparkEntry {
         .select(col("shard"), col("bin"), col("n_docs"), col("fill"), col("pad_len"),
           array_join(col("token_ids"), " ").as("token_ids"),
           array_join(col("mask"), "").as("mask"))
-    })
+    }),
+
+    // --- scale: GROUP-RELATIVE advantages (the GRPO data shape) — all
+    // graded candidates per prompt, integer milli mean-centered; gates
+    // applied CANDIDATE-level (groups re-normalize over survivors — the
+    // designed contrast to q157's pair-level whole-drop) -------------------
+    "q164_group_advantages" -> ((s, dir) =>
+      graft.scale.Dialogue.gatedGroupAdvantages(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value"))
   )
 
   /** The q157/q160/q161 response-log view of events: prompt = props
@@ -6244,6 +6253,62 @@ object SparkEntry {
         |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
         |    AS BIGINT) AS pos
         |FROM sq, unnest(generate_series(0, 1)) AS u(e)""".stripMargin),
+
+    // candidate-level gates (validity + content-gram leak over ALL
+    // candidates), then integer milli group stats over the survivors
+    "q164_group_advantages" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value, props,
+        |    trim(event_type || ' ' || props) AS content, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |gsb AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+        |  FROM ev),
+        |gsf AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+        |  FROM gsb),
+        |gsg AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+        |      AS session_seq
+        |  FROM gsf),
+        |grr AS (
+        |  SELECT user_id, session_seq, event_id, event_type, tsn,
+        |    lag(event_type) OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY tsn, event_id) AS prev_role
+        |  FROM gsg),
+        |gbad AS (
+        |  SELECT user_id, session_seq FROM grr GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
+        |ginv AS (
+        |  SELECT g.event_id FROM gsg g
+        |  JOIN gbad b ON b.user_id = g.user_id AND b.session_seq = g.session_seq),
+        |gtok AS (
+        |  SELECT event_id,
+        |    regexp_split_to_array(trim(content), '\s+') AS t
+        |  FROM ev),
+        |ggr AS (
+        |  SELECT event_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM gtok, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+        |gbgr AS (SELECT DISTINCT g FROM ggr WHERE event_id % 997 = 0),
+        |gleak AS (SELECT DISTINCT event_id FROM ggr JOIN gbgr USING (g)),
+        |surv AS (
+        |  SELECT props AS prompt, event_id, content,
+        |    CAST(floor(value * 1000) AS BIGINT) AS signal_milli
+        |  FROM ev
+        |  WHERE value IS NOT NULL
+        |    AND event_id NOT IN (SELECT event_id FROM gleak)
+        |    AND event_id NOT IN (SELECT event_id FROM ginv)),
+        |gstats AS (
+        |  SELECT prompt, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(signal_milli) // count(*) AS BIGINT) AS mean_milli
+        |  FROM surv GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT s.prompt, s.event_id, s.content, s.signal_milli,
+        |  g.n_candidates, g.mean_milli,
+        |  s.signal_milli - g.mean_milli AS advantage_milli
+        |FROM surv s JOIN gstats g USING (prompt)""".stripMargin,
 
     // the preference gate chain (assembly by (value, id) windows, the
     // two pair-level gates) folded to the surviving pair rows

@@ -567,6 +567,83 @@ object Dialogue {
       stream, guarded, "side_id", "mask", seqLen, padId)
   }
 
+  /** GROUP-RELATIVE ADVANTAGES — the GRPO-family data shape (group
+    * policy optimization consumes ALL graded candidates of a prompt,
+    * each weighted by its advantage over the group, not one
+    * best-vs-worst pair): per candidate, `advantage_milli` =
+    * signal_milli − mean_milli where signal_milli = ⌊signal·1000⌋ and
+    * mean_milli = Σ signal_milli `div` n (integral division truncating
+    * toward zero — identical in Spark's `div` and DuckDB's `//`, and
+    * equal to floor whenever the group sum is nonnegative) —
+    * ALL-INTEGER once the signals are milli-quantized, so the result
+    * hash-compares across engines (a floating mean is
+    * partition-order-dependent; a floating std additionally differs by
+    * algorithm — and the std-free mean-centered form is itself a
+    * published GRPO variant). Σ advantage over a group lands in
+    * [0, n) for nonnegative sums — the division residue (law,
+    * spec-pinned).
+    * Groups need ≥ 2 candidates (one candidate has no relative
+    * signal); zero-spread groups emit all-zero advantages — unlike
+    * [[preferencePairs]], a no-contrast group is still a valid GRPO
+    * sample. Null signals are excluded as in [[preferencePairs]].
+    *
+    * Scale shape: ONE hash agg for the group stats (count + sum —
+    * O(1) per-group state) joined back to the candidate rows on the
+    * prompt key; no windows, no candidate collects.
+    *
+    * @return (promptCol, candCol, contentCol, signal_milli,
+    *         n_candidates, mean_milli, advantage_milli)
+    */
+  def groupAdvantages(
+      responses: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String): DataFrame = {
+    val cand = responses
+      .filter(col(signalCol).isNotNull)
+      .select(col(promptCol), col(candCol), col(contentCol),
+        floor(col(signalCol) * 1000).cast("long").as("signal_milli"))
+    val stats = cand.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("signal_milli")).as("__sum"))
+      .filter(col("n_candidates") >= 2)
+      .withColumn("mean_milli", expr("__sum div n_candidates"))
+      .drop("__sum")
+    cand.join(stats, Seq(promptCol))
+      .withColumn("advantage_milli", col("signal_milli") - col("mean_milli"))
+  }
+
+  /** [[groupAdvantages]] with the q155 gates applied CANDIDATE-LEVEL —
+    * the designed CONTRAST to [[gatedPreferencePairs]]' pair-level
+    * gating: a pair is one judgment, so a gated side kills it whole;
+    * a GROUP is re-normalizable — removing a leaky or invalid-dialogue
+    * candidate leaves a smaller but still-valid group, and the mean
+    * recomputes over the SURVIVORS only (gating before the stats is
+    * the whole point: a leaked candidate must not shift the group mean
+    * it was judged against). Groups reduced below 2 survivors drop.
+    *
+    * @return the [[groupAdvantages]] frame over surviving candidates
+    */
+  def gatedGroupAdvantages(
+      responses: DataFrame,
+      invalidCands: DataFrame,
+      holdout: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      contamGramN: Int = 3): DataFrame = {
+    val leaky = Dedup.decontaminate(
+      responses.select(col(candCol), col(contentCol)),
+      holdout, candCol, contentCol, contamGramN)
+      .select(col(candCol))
+    val survivors = responses
+      .join(leaky.unionByName(invalidCands.select(col(candCol))).distinct(),
+        Seq(candCol), "left_anti")
+    groupAdvantages(survivors, promptCol, candCol, contentCol, signalCol)
+  }
+
   /** The per-token masked stream of a preference-pair frame's sides —
     * the shared front half of [[preferenceSequences]] and
     * [[preferenceTensors]]: each side as a two-turn dialogue keyed by

@@ -95,6 +95,53 @@ class PreferencePairsSpec extends SparkSpec {
     assert(kept === counters("pairs_kept"))
   }
 
+  test("groupAdvantages: integer mean-centering, residue law, min group size, zero-spread groups emit") {
+    val r = Seq(
+      ("g1", 1L, "a", 1.0), ("g1", 2L, "b", 2.0), ("g1", 3L, "c", 3.0),
+      ("g2", 4L, "d", 5.0), ("g2", 5L, "e", 5.0), // zero spread
+      ("g3", 6L, "f", 9.0),                       // single -> dropped
+      ("g4", 7L, "g", 1.0), ("g4", 8L, "h", 2.0), ("g4", 9L, "i", 2.5)
+    ).toDF("prompt", "cand", "content", "signal")
+    val out = Dialogue.groupAdvantages(r, "prompt", "cand", "content", "signal")
+      .collect()
+      .map(x => x.getLong(1) -> (x.getString(0), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getLong(6)))
+      .toMap
+    assert(!out.contains(6L), "single-candidate group dropped")
+    // g1: exact milli mean 2000, advantages -1000/0/1000, sum 0
+    assert(out(1L)._5 === -1000L && out(2L)._5 === 0L && out(3L)._5 === 1000L)
+    // g2: zero spread still emits, all-zero advantages
+    assert(out(4L)._5 === 0L && out(5L)._5 === 0L)
+    // g4: 1000+2000+2500 = 5500 div 3 = 1833 -> residue law 0 <= sum < n
+    assert(out(7L)._4 === 1833L, "integral mean")
+    val g4sum = Seq(7L, 8L, 9L).map(out(_)._5).sum
+    assert(g4sum >= 0L && g4sum < 3L, s"residue law, got $g4sum")
+    out.values.foreach { case (_, sm, n, mean, adv) =>
+      assert(adv === sm - mean && n >= 2L)
+    }
+  }
+
+  test("gatedGroupAdvantages: candidate-level gating RE-NORMALIZES the group (the pair-level contrast)") {
+    val r = Seq(
+      ("g1", 1L, "leaky content here", 1.0), ("g1", 2L, "b", 2.0),
+      ("g1", 3L, "c", 3.0),
+      ("g5", 4L, "only mate leaks gone", 7.0), ("g5", 5L, "solo left", 1.0)
+    ).toDF("prompt", "cand", "content", "signal")
+    val holdout = Seq((99L, "leaky content here"), (98L, "only mate leaks gone"))
+      .toDF("cand", "content")
+    val noInvalid = Seq.empty[Long].toDF("cand")
+    val out = Dialogue.gatedGroupAdvantages(
+      r, noInvalid, holdout, "prompt", "cand", "content", "signal")
+      .collect().map(x => x.getLong(1) -> (x.getLong(4), x.getLong(5), x.getLong(6)))
+      .toMap
+    // g1's leaky candidate (1) is out; the mean recomputes over the TWO
+    // survivors (2500), NOT the original three (2000) — re-normalization
+    assert(!out.contains(1L))
+    assert(out(2L) === ((2L, 2500L, -500L)) && out(3L) === ((2L, 2500L, 500L)))
+    // g5 drops below 2 survivors -> gone entirely
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
+
   test("preferenceSequences: both sides materialize, prompt tokens mask 0, response tokens mask 1") {
     val pairs = Dialogue.preferencePairs(
       responses, "prompt", "cand", "content", "signal")
