@@ -600,10 +600,21 @@ object Dialogue {
       candCol: String,
       contentCol: String,
       signalCol: String): DataFrame = {
+    // fail loud on signals the milli quantization cannot represent
+    // (NaN, or |signal| past ~2^63/1000): the non-ANSI double→long cast
+    // CLAMPS rather than nulls, so an unguarded extreme reward would
+    // silently shift its group's mean instead of erroring — test the
+    // DOUBLE, not the cast result
+    val ok = !isnan(col(signalCol)) &&
+      abs(col(signalCol)) < lit(9.223372036854775e15)
     val cand = responses
       .filter(col(signalCol).isNotNull)
       .select(col(promptCol), col(candCol), col(contentCol),
-        floor(col(signalCol) * 1000).cast("long").as("signal_milli"))
+        (floor(col(signalCol) * 1000).cast("long") + coalesce(
+          assert_true(ok,
+            lit("groupAdvantages: signal NaN or out of milli-quantization " +
+              "range (|signal| must be < 2^63/1000)")).cast("long"),
+          lit(0L))).as("signal_milli"))
     val stats = cand.groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_candidates"),
         sum(col("signal_milli")).as("__sum"))

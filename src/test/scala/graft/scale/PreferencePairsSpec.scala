@@ -119,6 +119,20 @@ class PreferencePairsSpec extends SparkSpec {
     out.values.foreach { case (_, sm, n, mean, adv) =>
       assert(adv === sm - mean && n >= 2L)
     }
+    // NaN / out-of-range signals fail loud (the non-ANSI cast would
+    // otherwise CLAMP them into a silent group-mean shift)
+    val bad = Seq(("p", 1L, "a", Double.NaN), ("p", 2L, "b", 1.0))
+      .toDF("prompt", "cand", "content", "signal")
+    val err = intercept[Exception] {
+      Dialogue.groupAdvantages(bad, "prompt", "cand", "content", "signal").collect()
+    }
+    assert(err.getMessage != null)
+    val big = Seq(("p", 1L, "a", 1e17), ("p", 2L, "b", 1.0))
+      .toDF("prompt", "cand", "content", "signal")
+    val err2 = intercept[Exception] {
+      Dialogue.groupAdvantages(big, "prompt", "cand", "content", "signal").collect()
+    }
+    assert(err2.getMessage != null)
   }
 
   test("gatedGroupAdvantages: candidate-level gating RE-NORMALIZES the group (the pair-level contrast)") {
