@@ -357,8 +357,26 @@ object Dialogue {
       signalCol: String): DataFrame = {
     val side = (ord: Column) => struct(
       ord.as("s"), col(candCol).as("i"), col(contentCol).as("c"))
-    responses
-      .filter(col(signalCol).isNotNull)
+    // NaN fails loud BEFORE assembly (floating signals only): Spark
+    // (and DuckDB) order NaN above every real, so an unguarded NaN
+    // signal would always be crowned chosen with a NaN margin — silent
+    // poison, and inconsistent with [[groupAdvantages]]' refusal of
+    // the same input
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val floating = responses.schema(signalCol).dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    val sigType = responses.schema(signalCol).dataType
+    val base =
+      if (!floating) responses.filter(col(signalCol).isNotNull)
+      else responses.filter(col(signalCol).isNotNull)
+        .withColumn(signalCol, col(signalCol) + coalesce(
+          assert_true(!isnan(col(signalCol)),
+            lit("preferencePairs: NaN signal — a NaN would always win " +
+              "the pair; fix the grader upstream")).cast(sigType),
+          lit(0).cast(sigType)))
+    base
       .groupBy(col(promptCol))
       .agg(
         count(lit(1)).as("n_candidates"),
@@ -538,11 +556,10 @@ object Dialogue {
       seqLen: Long,
       shardBudget: Long,
       padId: Long = -1L): DataFrame = {
-    // persisted: the encoded side stream feeds the count pass (layout)
-    // AND the materialization join — slim long rows, the q56 size class
-    val stream = graft.ops.CacheScope.persisted(
-      pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairSideStream returns its stream already persisted (and eagerly
+    // validated) — the count pass and the materialization join below
+    // both read that cache
+    val stream = pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges)
     val counts = stream.groupBy(col("side_id"))
       .agg(count(lit(1)).as("n_tokens"))
     val layout = ShardPack.packBestFit(
@@ -660,6 +677,15 @@ object Dialogue {
     * [[preferenceTensors]]: each side as a two-turn dialogue keyed by
     * side_id = candidate·2 + side, encoded via [[sftTokenStream]].
     *
+    * EAGER, and returns the stream PERSISTED: calling this runs the
+    * encode chain once to enforce two contracts no lazy plan can —
+    * promptTexts uniqueness/coverage (a dup key doubles turns with
+    * colliding ids; a missing key vanishes a pair) and the
+    * no-zero-token-side law (a side with no tokenizable content would
+    * silently vanish from any downstream layout while its partner
+    * materializes alone — the corrupted-pair class). Both consumers
+    * re-read the cache.
+    *
     * @return (side_id, tok_idx, token_id, mask)
     */
   def pairSideStream(
@@ -668,20 +694,37 @@ object Dialogue {
       promptCol: String,
       promptTextCol: String,
       merges: Seq[Bpe.Merge]): DataFrame = {
+    // promptTexts must be UNIQUE per prompt: a duplicate key would emit
+    // every side's turns twice with COLLIDING turn ids (doubled counts,
+    // corrupted tok_idx). Prompt-count-sized frame — the eager check is
+    // cheap, and eager is the only guard a join fan-out can't skip.
+    val nTexts = promptTexts.count()
+    val nDistinctTexts = promptTexts.select(col(promptCol)).distinct().count()
+    require(nTexts == nDistinctTexts,
+      s"pairSideStream: promptTexts has ${nTexts - nDistinctTexts} " +
+        s"duplicate $promptCol key(s) — each would double its pairs' turns")
+    val textType = promptTexts.schema(promptTextCol).dataType
     // persisted: the pair frame fans out FOUR ways (2 sides × 2 turns)
     // — without the cache the caller's whole upstream (typically the
     // full gate chain: decontaminate + validity anti-joins) recomputes
     // per branch (measured 19.3 → ~6 s on q161 at sf0.1). Pair-count
-    // slim rows.
+    // slim rows. LEFT join + null-text assert: an inner join would
+    // silently VANISH every pair whose prompt is missing from
+    // promptTexts — silent training-data loss.
     val withText = graft.ops.CacheScope.persisted(
-      pairs.join(promptTexts, Seq(promptCol)),
+      pairs.join(promptTexts, Seq(promptCol), "left")
+        .withColumn(promptTextCol, coalesce(col(promptTextCol),
+          assert_true(lit(false),
+            lit("pairSideStream: a pair's prompt is missing from " +
+              "promptTexts — its sides would silently vanish"))
+            .cast(textType))),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sideTurns = (idC: String, contentC: String, sideTag: Long) => {
       val sid = col(idC).cast("long") * 2L + sideTag +
         coalesce(
           assert_true(col(idC).cast("long")
             .between(0L, Long.MaxValue / 4 - 1),
-            lit(s"preferenceSequences: $idC out of side_id packing range " +
+            lit(s"pairSideStream: $idC out of side_id packing range " +
               "(need 0 <= id < 2^61 so turn ids fit a long too)")).cast("long"),
           lit(0L))
       // two turns per side: the prompt (mask 0), then the response;
@@ -696,9 +739,28 @@ object Dialogue {
     }
     val turns = sideTurns("chosen_id", "chosen_content", 0L)
       .unionByName(sideTurns("rejected_id", "rejected_content", 1L))
-    sftTokenStream(
-      turns, "side_id", "t", "i", "role", "content", merges,
-      maskRoles = Set("response"))
+    // persisted: both consumers (split materializer, padded tensors)
+    // re-read the stream for counts + layout joins; and the persist
+    // backs the eager zero-token check below
+    val stream = graft.ops.CacheScope.persisted(
+      sftTokenStream(
+        turns, "side_id", "t", "i", "role", "content", merges,
+        maskRoles = Set("response")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER fail-loud: a side whose turns tokenize to ZERO tokens (no
+    // [a-z0-9] runs) emits no stream rows and would silently vanish
+    // from any downstream layout while its partner materializes alone —
+    // the corrupted-pair class. Eager because the missing rows cannot
+    // carry an in-plan assert, and a guard joined to a possibly-empty
+    // output is skippable (AQE empty-relation propagation).
+    val nMissing = turns.select(col("side_id")).distinct()
+      .join(stream.select(col("side_id")).distinct(), Seq("side_id"), "left_anti")
+      .count()
+    require(nMissing == 0,
+      s"pairSideStream: $nMissing pair side(s) tokenize to zero tokens — " +
+        "a vanished side corrupts its pair; fix or re-gate the content " +
+        "upstream")
+    stream
   }
 
   /** SFT LOSS-MASK SPANS — per-turn token coordinates inside packed

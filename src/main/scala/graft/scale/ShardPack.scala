@@ -611,10 +611,13 @@ object ShardPack {
     expected.join(actual, Seq("shard", "bin"), "left")
       .withColumn("fill",
         coalesce(col("fill"), lit(0L)) + coalesce(
-          assert_true(coalesce(col("fill"), lit(0L)) === col("__expected_fill"),
+          assert_true(
+            coalesce(col("fill"), lit(0L)) === col("__expected_fill") &&
+              col("__expected_fill") <= seqLen,
             lit(s"materializeBestFit: bin fill disagrees with the layout's " +
               "token counts (overflow OR undercount — docs would shift off " +
-              "their doc_off positions)")).cast("long"),
+              s"their doc_off positions), or the layout bin itself exceeds " +
+              s"seqLen=$seqLen (negative pad)")).cast("long"),
           lit(0L)))
       .withColumn("token_ids",
         concat(expr("transform(__packed, s -> s.token_id)"),

@@ -640,15 +640,23 @@ class StreamingOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
     // the q157 response-log view of events, replayed in three batches
-    val resp = spark.read.parquet(s"$dir/events.parquet")
+    val real = spark.read.parquet(s"$dir/events.parquet")
       .select(org.apache.spark.sql.functions.col("props").as("prompt"),
         org.apache.spark.sql.functions.col("event_id"),
         org.apache.spark.sql.functions.concat_ws(" ",
           org.apache.spark.sql.functions.col("event_type"),
           org.apache.spark.sql.functions.col("props")).as("content"),
         org.apache.spark.sql.functions.col("value"))
-      .as[(String, Long, String, Double)].collect()
-    val input = MemoryStream[(String, Long, String, Double)]
+      .as[(String, Long, String, Option[Double])].collect()
+    // inject null-signal rows (the fixture has none — verified) so the
+    // null-exclusion law is exercised THROUGH the stream, including a
+    // null that would otherwise have topped its prompt's group
+    val maxSig = real.flatMap(_._4).max
+    val resp = real ++ Seq(
+      (real.head._1, 9000001L, "null signal high", None: Option[Double]),
+      (real.last._1, 9000002L, "null signal too", None: Option[Double]))
+    assert(resp.count(_._4.isEmpty) === 2 && maxSig > 0.0)
+    val input = MemoryStream[(String, Long, String, Option[Double])]
     val q = StreamingOps.preferencePairsStream(
         input.toDF().toDF("prompt", "event_id", "content", "value"),
         "prompt", "event_id", "content", "value")
