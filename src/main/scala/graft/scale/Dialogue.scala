@@ -182,7 +182,8 @@ object Dialogue {
       roleCol: String,
       contentCol: String,
       merges: Seq[Bpe.Merge],
-      maskRoles: Set[String]): DataFrame = {
+      maskRoles: Set[String],
+      requireNonEmptyDialogues: Boolean = false): DataFrame = {
     require(maskRoles.nonEmpty,
       "sftTokenStream: empty maskRoles would train on nothing — a " +
         "formatter emitting an all-zero mask is the silent-failure class")
@@ -197,13 +198,32 @@ object Dialogue {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPer = enc.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(dlgCol)).orderBy(col(tsCol), col(idCol))
+    // the optional guard rides the SAME window branch (no new plan
+    // references — a separate universe join doubled the analysis tree
+    // and the q161 wall time) and is attached to the JOIN KEY, the one
+    // expression evaluated for EVERY turn row — an unmatched (i.e.
+    // zero-token) probe row never evaluates its non-key columns, so a
+    // guard there would silently skip exactly the rows it exists for.
+    // A dialogue whose turns ALL tokenize to zero tokens fails loud
+    // here instead of silently vanishing from the output stream.
+    val guardedId =
+      if (!requireNonEmptyDialogues) col(idCol)
+      else when(
+        coalesce(
+          assert_true(
+            sum(col("__n")).over(Window.partitionBy(col(dlgCol))) > 0L,
+            lit("sftTokenStream: a dialogue's turns tokenize to zero " +
+              "tokens — it would silently vanish from the stream " +
+              "(requireNonEmptyDialogues)")).cast("boolean"),
+          lit(true)),
+        col(idCol))
     val turnStarts = turns
       .join(nPer, Seq(idCol), "left")
       .withColumn("__n", coalesce(col("__n"), lit(0L)))
       .withColumn("turn_start",
         coalesce(sum(col("__n"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(idCol), col(dlgCol), col("turn_start"),
+      .select(guardedId.as(idCol), col(dlgCol), col("turn_start"),
         when(col(roleCol).isin(maskRoles.toSeq: _*), 1L).otherwise(0L).as("mask"))
     enc.join(turnStarts, Seq(idCol))
       .select(col(dlgCol),
@@ -556,10 +576,11 @@ object Dialogue {
       seqLen: Long,
       shardBudget: Long,
       padId: Long = -1L): DataFrame = {
-    // pairSideStream returns its stream already persisted (and eagerly
-    // validated) — the count pass and the materialization join below
-    // both read that cache
-    val stream = pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges)
+    // persisted: the encoded side stream feeds the count pass (layout)
+    // AND the materialization join — slim long rows, the q56 size class
+    val stream = graft.ops.CacheScope.persisted(
+      pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = stream.groupBy(col("side_id"))
       .agg(count(lit(1)).as("n_tokens"))
     val layout = ShardPack.packBestFit(
@@ -677,14 +698,14 @@ object Dialogue {
     * [[preferenceTensors]]: each side as a two-turn dialogue keyed by
     * side_id = candidate·2 + side, encoded via [[sftTokenStream]].
     *
-    * EAGER, and returns the stream PERSISTED: calling this runs the
-    * encode chain once to enforce two contracts no lazy plan can —
-    * promptTexts uniqueness/coverage (a dup key doubles turns with
-    * colliding ids; a missing key vanishes a pair) and the
-    * no-zero-token-side law (a side with no tokenizable content would
-    * silently vanish from any downstream layout while its partner
-    * materializes alone — the corrupted-pair class). Both consumers
-    * re-read the cache.
+    * Three contracts are enforced fail-loud: promptTexts UNIQUENESS
+    * per prompt (one cheap eager agg over the text frame alone — a dup
+    * key would double its pairs' turns with colliding ids),
+    * promptTexts COVERAGE (left join + null-text assert — an inner
+    * join would silently vanish uncovered pairs), and the
+    * NO-ZERO-TOKEN-SIDE law (side-universe left join — a side with no
+    * tokenizable content would otherwise silently vanish from any
+    * layout while its partner materializes alone).
     *
     * @return (side_id, tok_idx, token_id, mask)
     */
@@ -698,11 +719,13 @@ object Dialogue {
     // every side's turns twice with COLLIDING turn ids (doubled counts,
     // corrupted tok_idx). Prompt-count-sized frame — the eager check is
     // cheap, and eager is the only guard a join fan-out can't skip.
-    val nTexts = promptTexts.count()
-    val nDistinctTexts = promptTexts.select(col(promptCol)).distinct().count()
-    require(nTexts == nDistinctTexts,
-      s"pairSideStream: promptTexts has ${nTexts - nDistinctTexts} " +
-        s"duplicate $promptCol key(s) — each would double its pairs' turns")
+    val textCounts = promptTexts
+      .agg(count(lit(1)).as("n"), countDistinct(col(promptCol)).as("nd"))
+      .head()
+    require(textCounts.getLong(0) == textCounts.getLong(1),
+      s"pairSideStream: promptTexts has " +
+        s"${textCounts.getLong(0) - textCounts.getLong(1)} duplicate " +
+        s"$promptCol key(s) — each would double its pairs' turns")
     val textType = promptTexts.schema(promptTextCol).dataType
     // persisted: the pair frame fans out FOUR ways (2 sides × 2 turns)
     // — without the cache the caller's whole upstream (typically the
@@ -739,28 +762,16 @@ object Dialogue {
     }
     val turns = sideTurns("chosen_id", "chosen_content", 0L)
       .unionByName(sideTurns("rejected_id", "rejected_content", 1L))
-    // persisted: both consumers (split materializer, padded tensors)
-    // re-read the stream for counts + layout joins; and the persist
-    // backs the eager zero-token check below
-    val stream = graft.ops.CacheScope.persisted(
-      sftTokenStream(
-        turns, "side_id", "t", "i", "role", "content", merges,
-        maskRoles = Set("response")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // EAGER fail-loud: a side whose turns tokenize to ZERO tokens (no
-    // [a-z0-9] runs) emits no stream rows and would silently vanish
+    // zero-token sides fail loud INSIDE the stream's own window branch
+    // (requireNonEmptyDialogues): a side whose turns tokenize to no
+    // [a-z0-9] runs would otherwise emit no rows and silently vanish
     // from any downstream layout while its partner materializes alone —
-    // the corrupted-pair class. Eager because the missing rows cannot
-    // carry an in-plan assert, and a guard joined to a possibly-empty
-    // output is skippable (AQE empty-relation propagation).
-    val nMissing = turns.select(col("side_id")).distinct()
-      .join(stream.select(col("side_id")).distinct(), Seq("side_id"), "left_anti")
-      .count()
-    require(nMissing == 0,
-      s"pairSideStream: $nMissing pair side(s) tokenize to zero tokens — " +
-        "a vanished side corrupts its pair; fix or re-gate the content " +
-        "upstream")
-    stream
+    // the corrupted-pair class. (Both a separate universe join and an
+    // eager count were measured ~2x wall: each duplicates this plan's
+    // gate-chain subtree or pays per-action driver re-analysis.)
+    sftTokenStream(
+      turns, "side_id", "t", "i", "role", "content", merges,
+      maskRoles = Set("response"), requireNonEmptyDialogues = true)
   }
 
   /** SFT LOSS-MASK SPANS — per-turn token coordinates inside packed

@@ -258,6 +258,61 @@ class PreferencePairsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("pairSideStream contracts: zero-token side, missing prompt text, duplicate prompt text all refuse") {
+    val merges = Bpe.trainMergesFast(Seq("alpha beta").toDF("text"), "text", 1)
+    def onePair(chosenContent: String) = Seq(
+      ("p", 2L, 7L, 5.0, chosenContent, 3L, 1.0, "beta alpha"))
+      .toDF("prompt", "n_candidates", "chosen_id", "chosen_signal",
+        "chosen_content", "rejected_id", "rejected_signal", "rejected_content")
+      .withColumn("margin", col("chosen_signal") - col("rejected_signal"))
+    val texts = Seq(("p", "alpha prompt")).toDF("prompt", "ptext")
+    // a side with NO tokenizable content would silently vanish from any
+    // layout while its partner materializes alone — must refuse. The
+    // prompt turn has tokens; the chosen RESPONSE turn has none, but the
+    // side still has tokens, so this one passes; "???" prompt AND
+    // response is the vanishing case
+    val err = intercept[Exception] {
+      Dialogue.preferenceSequences(
+        onePair("???"), Seq(("p", "!!!")).toDF("prompt", "ptext"),
+        "prompt", "ptext", merges, 8L).collect()
+    }
+    assert(err.getMessage != null, "zero-token side must refuse")
+    // missing prompt text: the pair would silently vanish via an inner
+    // join — must refuse instead
+    val err2 = intercept[Exception] {
+      Dialogue.preferenceSequences(
+        onePair("alpha"), Seq(("other", "alpha prompt")).toDF("prompt", "ptext"),
+        "prompt", "ptext", merges, 8L).collect()
+    }
+    assert(err2.getMessage != null, "uncovered prompt must refuse")
+    // duplicate prompt text rows would double the turns — must refuse
+    val err3 = intercept[Exception] {
+      Dialogue.preferenceSequences(
+        onePair("alpha"),
+        Seq(("p", "alpha prompt"), ("p", "alpha prompt")).toDF("prompt", "ptext"),
+        "prompt", "ptext", merges, 8L).collect()
+    }
+    assert(err3.getMessage != null, "duplicate promptTexts must refuse")
+    // and the clean case still materializes both sides
+    assert(Dialogue.preferenceSequences(
+      onePair("alpha beta"), texts, "prompt", "ptext", merges, 8L)
+      .count() > 0)
+  }
+
+  test("preferencePairs: NaN signal fails loud (would always be crowned chosen)") {
+    val bad = Seq(("p", 1L, "a", Double.NaN), ("p", 2L, "b", 1.0))
+      .toDF("prompt", "cand", "content", "signal")
+    val err = intercept[Exception] {
+      Dialogue.preferencePairs(bad, "prompt", "cand", "content", "signal").collect()
+    }
+    assert(err.getMessage != null)
+    // integer signals skip the NaN guard and still assemble
+    val ints = Seq(("p", 1L, "a", 1L), ("p", 2L, "b", 2L))
+      .toDF("prompt", "cand", "content", "signal")
+    assert(Dialogue.preferencePairs(
+      ints, "prompt", "cand", "content", "signal").count() === 1L)
+  }
+
   test("preferenceSequences: side_id packing fails loud out of range") {
     val pairs = Seq(
       ("p", 2L, Long.MaxValue / 4 + 10L, 5.0, "big id content",
