@@ -203,7 +203,9 @@ object Profile {
       // as at sf0.1; users are copy-local (user_id offset), so
       // dialogues never span copies. Docs stage the standard scaled
       // way (the tokenizer input). Fresh-child best-of-2 per query.
-      val copies = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(100)
+      // nonEmpty first: forall is vacuously true on "" and "".toInt throws
+      val copies = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt).getOrElse(100)
       val out = s"tmp/sfx${copies}sft"
       val off = 100000000L
       val reuse = args.contains("reuse") &&

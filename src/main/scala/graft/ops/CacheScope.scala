@@ -49,6 +49,27 @@ object CacheScope {
     ds
   }
 
+  /** LINEAGE CUT for a frame that fans out into MANY downstream plan
+    * references: `localCheckpoint(eager = false)` replaces the frame's
+    * logical subtree with a LEAF (LogicalRDD), so each downstream
+    * reference costs O(1) analysis/optimization instead of re-walking
+    * the whole upstream chain per reference — the fan-out plan-blowup
+    * class measured on the preference chain (a plain [[persisted]]
+    * dedups EXECUTION but leaves the full tree in every consumer's
+    * logical plan, and Catalyst re-analyzes it per consumer). Like
+    * [[persisted]], the data materializes once (checkpoint blocks at
+    * MEMORY_AND_DISK) and later consumers read the blocks.
+    *
+    * Lifecycle: checkpoint blocks are RDD-owned, NOT CacheManager
+    * entries — the ContextCleaner reclaims them when the frame becomes
+    * unreachable (the query drivers' post-query System.gc()), so no
+    * [[releaseAll]] registration applies. CAVEAT: once blocks are lost
+    * the cut frame cannot recompute (lineage truncated) — use for
+    * frames whose consumers all materialize within one query run, the
+    * [[registerRdd]] contract.
+    */
+  def cut[T](ds: Dataset[T]): Dataset[T] = ds.localCheckpoint(eager = false)
+
   private val rddRegistry =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 

@@ -187,48 +187,61 @@ object Dialogue {
     require(maskRoles.nonEmpty,
       "sftTokenStream: empty maskRoles would train on nothing — a " +
         "formatter emitting an all-zero mask is the silent-failure class")
-    // persisted: the encoded turn stream feeds BOTH the per-turn count
-    // agg and the final offset join — without the cache the whole
-    // encode chain (vocab join + id rank + per-turn window) runs twice
-    // (measured +14% on q151). Slim long rows, the q56 size class.
-    val enc = graft.ops.CacheScope.persisted(
+    // LINEAGE-CUT: the encoded turn stream feeds the per-turn count agg
+    // and the final offset join (plus the guard branch's second nPer
+    // reference) — without a cache the whole encode chain (vocab join +
+    // id rank + per-turn window) runs twice (measured +14% on q151),
+    // and without the CUT each reference re-analyzes it (the r17
+    // fan-out plan-blowup measurement). Slim long rows, the q56 size
+    // class.
+    val enc = graft.ops.CacheScope.cut(
       Bpe.encodeIndexedIds(
         turns.select(col(idCol), col(contentCol)), idCol, contentCol, merges)
-        .withColumnRenamed("tok_idx", "turn_tok_idx"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumnRenamed("tok_idx", "turn_tok_idx"))
     val nPer = enc.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(dlgCol)).orderBy(col(tsCol), col(idCol))
-    // the optional guard rides the SAME window branch (no new plan
-    // references — a separate universe join doubled the analysis tree
-    // and the q161 wall time) and is attached to the JOIN KEY, the one
-    // expression evaluated for EVERY turn row — an unmatched (i.e.
-    // zero-token) probe row never evaluates its non-key columns, so a
-    // guard there would silently skip exactly the rows it exists for.
-    // A dialogue whose turns ALL tokenize to zero tokens fails loud
-    // here instead of silently vanishing from the output stream.
-    val guardedId =
-      if (!requireNonEmptyDialogues) col(idCol)
-      else when(
-        coalesce(
-          assert_true(
-            sum(col("__n")).over(Window.partitionBy(col(dlgCol))) > 0L,
-            lit("sftTokenStream: a dialogue's turns tokenize to zero " +
-              "tokens — it would silently vanish from the stream " +
-              "(requireNonEmptyDialogues)")).cast("boolean"),
-          lit(true)),
-        col(idCol))
     val turnStarts = turns
       .join(nPer, Seq(idCol), "left")
       .withColumn("__n", coalesce(col("__n"), lit(0L)))
       .withColumn("turn_start",
         coalesce(sum(col("__n"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(guardedId.as(idCol), col(dlgCol), col("turn_start"),
+      .select(col(idCol), col(dlgCol), col("turn_start"),
         when(col(roleCol).isin(maskRoles.toSeq: _*), 1L).otherwise(0L).as("mask"))
-    enc.join(turnStarts, Seq(idCol))
+    val joined = enc.join(turnStarts, Seq(idCol))
       .select(col(dlgCol),
         (col("turn_start") + col("turn_tok_idx")).as("tok_idx"),
         col("token_id"), col("mask"))
+    if (!requireNonEmptyDialogues) joined
+    else {
+      // the guard is a UNION BRANCH, not a column on the join: a guard
+      // column anywhere in the enc⋈turnStarts subtree is skippable —
+      // when enc is EMPTY (every dialogue tokenizes to zero tokens, the
+      // exact case guarded) AQE's empty-relation propagation replans
+      // the inner join to an empty relation WITHOUT executing the
+      // turnStarts stage, so a per-row assert there never evaluates and
+      // the stream silently empties. A union child always executes: the
+      // branch re-aggregates the caller's `turns` frame (one
+      // dialogue-count-sized hash agg against the persisted encode's
+      // nPer — callers with an expensive unpersisted turns frame pay
+      // one extra scan of it) and emits one asserting row per
+      // zero-token dialogue — zero rows, hence a no-op union, whenever
+      // the law holds.
+      val guard = turns
+        .join(nPer, Seq(idCol), "left")
+        .groupBy(col(dlgCol))
+        .agg(sum(coalesce(col("__n"), lit(0L))).as("__tot"))
+        .filter(col("__tot") <= 0L)
+        .select(col(dlgCol),
+          coalesce(
+            assert_true(lit(false),
+              lit("sftTokenStream: a dialogue's turns tokenize to zero " +
+                "tokens — it would silently vanish from the stream " +
+                "(requireNonEmptyDialogues)")).cast("long"),
+            lit(0L)).as("tok_idx"),
+          lit(0L).as("token_id"), lit(0L).as("mask"))
+      joined.unionByName(guard)
+    }
   }
 
   /** SFT CURATION end-to-end — the fine-tuning mirror of
@@ -576,11 +589,12 @@ object Dialogue {
       seqLen: Long,
       shardBudget: Long,
       padId: Long = -1L): DataFrame = {
-    // persisted: the encoded side stream feeds the count pass (layout)
-    // AND the materialization join — slim long rows, the q56 size class
-    val stream = graft.ops.CacheScope.persisted(
-      pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LINEAGE-CUT: the encoded side stream feeds the count pass
+    // (layout), the materialization join, AND the per-doc drift guard —
+    // slim long rows, and three references whose analysis would each
+    // re-walk the whole encode+gate tree under a plain persist
+    val stream = graft.ops.CacheScope.cut(
+      pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges))
     val counts = stream.groupBy(col("side_id"))
       .agg(count(lit(1)).as("n_tokens"))
     val layout = ShardPack.packBestFit(
@@ -727,21 +741,24 @@ object Dialogue {
         s"${textCounts.getLong(0) - textCounts.getLong(1)} duplicate " +
         s"$promptCol key(s) — each would double its pairs' turns")
     val textType = promptTexts.schema(promptTextCol).dataType
-    // persisted: the pair frame fans out FOUR ways (2 sides × 2 turns)
-    // — without the cache the caller's whole upstream (typically the
-    // full gate chain: decontaminate + validity anti-joins) recomputes
-    // per branch (measured 19.3 → ~6 s on q161 at sf0.1). Pair-count
-    // slim rows. LEFT join + null-text assert: an inner join would
+    // LINEAGE-CUT, not just persisted: the pair frame fans out FOUR
+    // ways (2 sides × 2 turns) — without a cache the caller's whole
+    // upstream (typically the full gate chain: decontaminate + validity
+    // anti-joins) recomputes per branch (measured 19.3 → ~6 s on q161
+    // at sf0.1), and with a PLAIN persist every downstream reference
+    // still re-ANALYZES the gate chain's logical tree (the r17
+    // fan-out plan-blowup measurement: the guard union branch alone
+    // cost +34% wall on q161 before the cut). Pair-count slim rows.
+    // LEFT join + null-text assert: an inner join would
     // silently VANISH every pair whose prompt is missing from
     // promptTexts — silent training-data loss.
-    val withText = graft.ops.CacheScope.persisted(
+    val withText = graft.ops.CacheScope.cut(
       pairs.join(promptTexts, Seq(promptCol), "left")
         .withColumn(promptTextCol, coalesce(col(promptTextCol),
           assert_true(lit(false),
             lit("pairSideStream: a pair's prompt is missing from " +
               "promptTexts — its sides would silently vanish"))
-            .cast(textType))),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .cast(textType))))
     val sideTurns = (idC: String, contentC: String, sideTag: Long) => {
       val sid = col(idC).cast("long") * 2L + sideTag +
         coalesce(
@@ -762,11 +779,14 @@ object Dialogue {
     }
     val turns = sideTurns("chosen_id", "chosen_content", 0L)
       .unionByName(sideTurns("rejected_id", "rejected_content", 1L))
-    // zero-token sides fail loud INSIDE the stream's own window branch
-    // (requireNonEmptyDialogues): a side whose turns tokenize to no
-    // [a-z0-9] runs would otherwise emit no rows and silently vanish
-    // from any downstream layout while its partner materializes alone —
-    // the corrupted-pair class. (Both a separate universe join and an
+    // zero-token sides fail loud via the stream's own guard union
+    // branch (requireNonEmptyDialogues — AQE-proof even when EVERY side
+    // is zero-token): a side whose turns tokenize to no [a-z0-9] runs
+    // would otherwise emit no rows and silently vanish from any
+    // downstream layout while its partner materializes alone — the
+    // corrupted-pair class. The branch's extra turns scan reads the
+    // PERSISTED withText frame, so it costs one slim agg, not a
+    // gate-chain recompute. (Both a separate universe join and an
     // eager count were measured ~2x wall: each duplicates this plan's
     // gate-chain subtree or pays per-action driver re-analysis.)
     sftTokenStream(

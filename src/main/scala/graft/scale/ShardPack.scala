@@ -213,15 +213,15 @@ object ShardPack {
       numPartitions: Int,
       maskCol: Option[String]): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    // persisted: the stream feeds BOTH the per-doc count pass and the
+    // LINEAGE-CUT: the stream feeds BOTH the per-doc count pass and the
     // layout join, and its upstream is typically the full tokenizer
-    // encode (vocab join + per-doc window) that must not run twice.
-    // The cached rows are slim long columns — disk-spillable, the q56
-    // slim-cache size class
+    // encode (vocab join + per-doc window) that must neither run twice
+    // (a cache fixes that) nor re-ANALYZE per consumer (only the cut
+    // fixes that — the r17 fan-out plan-blowup measurement). The cut
+    // rows are slim long columns — disk-spillable, the q56 size class
     val cols = Seq(col(idCol), col("tok_idx"), col("token_id")) ++
       maskCol.map(m => col(m).cast("long").as("__mask"))
-    val stream = CacheScope.persisted(
-      tokenStream.select(cols: _*), StorageLevel.MEMORY_AND_DISK)
+    val stream = CacheScope.cut(tokenStream.select(cols: _*))
     val counts = stream.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"))
     val offsets = packWithOffsets(counts, idCol, "n_tokens", numPartitions)
@@ -521,17 +521,19 @@ object ShardPack {
     * fixed-width tensor a fine-tuning loader mmaps, pad_len doubling
     * as the attention-mask suffix length.
     *
-    * CONSISTENCY is enforced, not assumed, in BOTH drift directions:
-    * the layout's token counts and the stream's actual per-doc sizes
-    * come from different calls, and a drift between them would either
-    * overflow a bin (stream longer than layout) or silently emit fewer
-    * tokens with docs shifted off their doc_off positions under an
-    * oversized pad suffix (stream shorter). Every bin's actual fill is
-    * therefore compared in-plan against the layout's expected fill —
-    * driven from the LAYOUT side, so a bin whose docs are entirely
-    * missing from the stream also fails loud instead of vanishing.
-    * Oversize layout rows are excluded (they are [[packBestFit]]'s
-    * policy queue).
+    * CONSISTENCY is enforced, not assumed, at PER-DOC granularity: the
+    * layout's token counts and the stream's actual per-doc sizes come
+    * from different calls, and a drift between them would either
+    * overflow a bin (stream longer than layout) or silently emit
+    * tokens with docs shifted off their doc_off positions. Every doc's
+    * actual stream count is compared in-plan against its layout
+    * n_tokens through a FULL OUTER join (one doc-count-sized agg over
+    * the stream), so compensating per-doc drift inside one bin, layout
+    * docs missing from the stream, and stream docs missing from the
+    * layout ALL fail loud; the per-bin fill is additionally checked
+    * against seqLen (a layout bin packed past capacity has no legal
+    * pad). Oversize layout rows are excluded (they are
+    * [[packBestFit]]'s policy queue).
     *
     * Scale shape: one per-(shard, bin) window over the layout
     * (bin-sized partitions), the stream joins its doc's bin offset,
@@ -578,30 +580,56 @@ object ShardPack {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val w = Window.partitionBy(col("shard"), col("bin"))
       .orderBy(col("n_tokens").desc, col(idCol))
-    // persisted: the placement frame feeds BOTH the expected-fill agg
-    // and the stream join — without the cache the layout chain (packing
-    // agg included) runs twice. Doc-count-sized slim long rows.
-    val placed = CacheScope.persisted(
-      layout.filter(!col("oversize"))
-        .withColumn("doc_off",
-          coalesce(sum(col("n_tokens"))
-            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col(idCol), col("n_tokens"), col("shard"), col("bin"),
-          col("doc_off")),
+    // persisted: the slim layout feeds BOTH the guarded expected-fill
+    // agg and (through the doc_off window) the stream join — without
+    // the cache the layout chain (packing agg included) runs twice.
+    // Doc-count-sized slim long rows.
+    val lay = CacheScope.persisted(
+      layout.select(col(idCol), col("n_tokens"), col("shard"), col("bin"),
+        col("oversize")),
       StorageLevel.MEMORY_AND_DISK)
-    // expected per-bin fill from the LAYOUT (bin-count-sized — no extra
-    // pass over the stream); the left join keeps bins whose docs are
-    // absent from the stream so zero-fill drift fails loud too
-    val expected = placed.groupBy(col("shard"), col("bin"))
-      .agg(sum(col("n_tokens")).as("__expected_fill"))
+    val placed = lay.filter(!col("oversize"))
+      .withColumn("doc_off",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(idCol), col("shard"), col("bin"), col("doc_off"))
     val packedStruct = maskCol match {
       case Some(_) => "struct(local, token_id, __mask)"
       case None    => "struct(local, token_id)"
     }
     val streamCols = Seq(col(idCol), col("tok_idx"), col("token_id")) ++
       maskCol.map(m => col(m).cast("long").as("__mask"))
+    // PER-DOC drift guard (both directions) feeding the expected-fill
+    // agg: a bin-aggregate fill compare alone cannot see COMPENSATING
+    // per-doc drift inside one bin (doc A k tokens short, doc B k long
+    // sums to the right fill yet shifts every doc_off after A), and an
+    // inner stream join silently drops stream docs absent from the
+    // layout. The FULL OUTER join fails loud on all three classes:
+    // per-doc count mismatch, placed doc missing from the stream
+    // (__actual null), stream doc missing from the layout (n_tokens
+    // null — assert_true on a null condition raises). Docs on the
+    // layout's OVERSIZE queue are deliberately exempt (the filter keeps
+    // stream-only rows, whose oversize is null): their stream rows are
+    // REPORTED by the layout, not silently dropped, and they never
+    // materialize. Doc-count-sized slim rows; the guard rides the
+    // expected agg's input, the branch that drives the output join, so
+    // it cannot be planned away.
+    val streamCounts = tokenStream
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__actual"))
+    val expected = lay
+      .join(streamCounts, Seq(idCol), "full_outer")
+      .filter(!coalesce(col("oversize"), lit(false)))
+      .withColumn("__g", coalesce(
+        assert_true(col("n_tokens") === col("__actual"),
+          lit("materializeBestFit: a doc's stream token count disagrees " +
+            "with the layout's n_tokens (or the doc is missing from one " +
+            "side entirely) — its bin's doc_off layout would silently " +
+            "shift")).cast("long"),
+        lit(0L)))
+      .groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tokens") + col("__g")).as("__expected_fill"))
     val actual = tokenStream.select(streamCols: _*)
-      .join(placed.drop("n_tokens"), Seq(idCol))
+      .join(placed, Seq(idCol))
       .withColumn("local", col("doc_off") + col("tok_idx"))
       .groupBy(col("shard"), col("bin"))
       .agg(

@@ -504,7 +504,16 @@ object StreamingOps {
     * only the running (signal, id)-max and -min candidates plus a
     * count, regardless of stream length — the [[cmsSketchStream]]
     * bounded-state discipline. A viral prompt with millions of graded
-    * candidates costs the same state as one with three. Strict-margin
+    * candidates costs the same state as one with three. Two costs are
+    * NOT O(1) and callers must size for them: (1) the min/max structs
+    * carry the candidates' full CONTENT strings, so per-prompt state is
+    * content-sized (two responses' text), and total state grows with
+    * PROMPT CARDINALITY — an unbounded prompt keyspace grows the state
+    * store without bound (no watermark evicts complete-mode agg state);
+    * (2) complete mode re-emits the ENTIRE pair frame every trigger, so
+    * sink write cost per trigger is pair-count-sized, not delta-sized.
+    * Deploy on bounded prompt keyspaces (a grading campaign, an eval
+    * set), not an open-ended prompt firehose. Strict-margin
     * and null-exclusion laws carry over verbatim; stream == batch at
     * every micro-batch prefix is spec-pinned. Pair-level GATING stays
     * batch-side on the polled sink ([[graft.scale.Dialogue.gatedPreferencePairs]]'s

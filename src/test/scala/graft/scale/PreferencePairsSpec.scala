@@ -297,6 +297,27 @@ class PreferencePairsSpec extends SparkSpec {
     assert(Dialogue.preferenceSequences(
       onePair("alpha beta"), texts, "prompt", "ptext", merges, 8L)
       .count() > 0)
+    // the ALL-zero-token case, pinned WITH AQE ENABLED: when every side
+    // of every pair tokenizes to zero tokens the encoded stream is
+    // EMPTY, and AQE's empty-relation propagation replans the
+    // enc⋈turnStarts join to empty without executing the turn side — a
+    // guard column there would never evaluate and the run would
+    // silently emit nothing. The guard is a union branch precisely so
+    // this case still fails loud.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true",
+      "this test exists to pin the guard under AQE")
+    val allZero = Seq(
+      ("p", 2L, 7L, 5.0, "???", 3L, 1.0, "!!!"))
+      .toDF("prompt", "n_candidates", "chosen_id", "chosen_signal",
+        "chosen_content", "rejected_id", "rejected_signal", "rejected_content")
+      .withColumn("margin", col("chosen_signal") - col("rejected_signal"))
+    val err4 = intercept[Exception] {
+      Dialogue.preferenceSequences(
+        allZero, Seq(("p", "...")).toDF("prompt", "ptext"),
+        "prompt", "ptext", merges, 8L)
+        .collect()
+    }
+    assert(err4.getMessage != null, "all-zero-token sides must refuse under AQE")
   }
 
   test("preferencePairs: NaN signal fails loud (would always be crowned chosen)") {
