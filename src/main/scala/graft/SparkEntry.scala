@@ -2347,7 +2347,46 @@ object SparkEntry {
     "q164_group_advantages" -> ((s, dir) =>
       graft.scale.Dialogue.gatedGroupAdvantages(
         prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
-        "prompt", "event_id", "content", "value"))
+        "prompt", "event_id", "content", "value")),
+
+    // --- scale: TURN-LEVEL (process-reward) advantages — the multi-turn
+    // RL shape: trajectory = dialogue, group = the dialogue-opening
+    // event's props (the prompt that started it), trajectory signal =
+    // the integer-milli SUM of its events' values (quantize-then-sum:
+    // a floating sum is partition-order-dependent); the group-relative
+    // advantage attributes to turns under BOTH policies (uniform ±1
+    // residue spread / last-turn), gated TRAJECTORY-level (q164's
+    // candidate law: invalid or benchmark-leaking dialogues drop and
+    // the group mean re-normalizes over survivors) ------------------------
+    "q165_turn_advantages" -> ((s, dir) => {
+      val gap = 1800000000000L
+      val span = 100000L
+      val ev = t(s, dir, "events")
+        .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+      val turns = graft.scale.Dialogue
+        .sessionize(ev, "user_id", "ts", "event_id", gap)
+        .withColumn("dlg_id",
+          coalesce(
+            assert_true(col("session_seq") < span &&
+              col("user_id").between(0L, Long.MaxValue / span - 1),
+              lit(s"q165: dlg_id packing out of range")).cast("long"),
+            lit(0L)) + col("user_id") * span + col("session_seq"))
+      val trajSignals = turns.groupBy(col("dlg_id")).agg(
+        min(struct(col("ts").as("t"), col("event_id").as("i"),
+          col("props").as("p"))).getField("p").as("prompt"),
+        sum(floor(col("value") * 1000).cast("long")).as("signal_milli"))
+      val invalid = turns.join(
+        graft.scale.Dialogue.dialogueStats(
+          ev, "user_id", "ts", "event_id", "event_type", gap)
+          .filter(!col("valid_dialogue"))
+          .select(col("user_id"), col("session_seq")),
+        Seq("user_id", "session_seq"), "left_semi")
+        .select(col("dlg_id")).distinct()
+      graft.scale.Dialogue.gatedTurnAdvantages(
+        turns, trajSignals, invalid, prefHoldout(s, dir),
+        "prompt", "dlg_id", "ts", "event_id", "event_type", "content",
+        "signal_milli")
+    })
   )
 
   /** The q157/q160/q161 response-log view of events: prompt = props
@@ -6309,6 +6348,87 @@ object SparkEntry {
         |  g.n_candidates, g.mean_milli,
         |  s.signal_milli - g.mean_milli AS advantage_milli
         |FROM surv s JOIN gstats g USING (prompt)""".stripMargin,
+
+    // q164's sessionize + gate machinery at TRAJECTORY (dialogue) level,
+    // then the turn attribution arithmetic replayed: base = adv // n
+    // (integer, truncating — verified identical to Spark's div on
+    // negatives), the ±1 residue over the first |residue| turns, and
+    // the whole advantage on the last turn (attrRoles = all, so rank ==
+    // turn+1 and n_attr == n_turns)
+    "q165_turn_advantages" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value, props,
+        |    trim(event_type || ' ' || props) AS content, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |tsb AS (
+        |  SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+        |  FROM ev),
+        |tsf AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tsn - prev > 1800000000000
+        |    THEN 1 ELSE 0 END AS news
+        |  FROM tsb),
+        |trn AS (
+        |  SELECT event_id, user_id, event_type, value, props, content, tsn,
+        |    user_id * 100000 + CAST(sum(news) OVER (PARTITION BY user_id
+        |      ORDER BY tsn, event_id) AS BIGINT) AS dlg_id
+        |  FROM tsf),
+        |trr AS (
+        |  SELECT dlg_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY dlg_id ORDER BY tsn, event_id)
+        |      AS prev_role
+        |  FROM trn),
+        |tbad AS (
+        |  SELECT dlg_id FROM trr GROUP BY 1
+        |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
+        |ttok AS (
+        |  SELECT dlg_id, event_id,
+        |    regexp_split_to_array(trim(content), '\s+') AS tks
+        |  FROM trn),
+        |tgg AS (
+        |  SELECT dlg_id, event_id, array_to_string(tks[i:i+2], ' ') AS g
+        |  FROM ttok, unnest(generate_series(1, greatest(len(tks) - 2, 0))) AS u(i)),
+        |tbg AS (SELECT DISTINCT g FROM tgg WHERE event_id % 997 = 0),
+        |tleak AS (SELECT DISTINCT dlg_id FROM tgg JOIN tbg USING (g)),
+        |tfp AS (
+        |  SELECT dlg_id, props AS prompt FROM (
+        |    SELECT dlg_id, props, row_number() OVER (PARTITION BY dlg_id
+        |      ORDER BY tsn, event_id) AS rn FROM trn) z
+        |  WHERE rn = 1),
+        |tsig AS (
+        |  SELECT dlg_id,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS signal_milli
+        |  FROM trn GROUP BY 1),
+        |tsurv AS (
+        |  SELECT tfp.prompt, tfp.dlg_id, tsig.signal_milli
+        |  FROM tfp JOIN tsig USING (dlg_id)
+        |  WHERE tsig.signal_milli IS NOT NULL
+        |    AND dlg_id NOT IN (SELECT dlg_id FROM tbad)
+        |    AND dlg_id NOT IN (SELECT dlg_id FROM tleak)),
+        |tst AS (
+        |  SELECT prompt, CAST(count(*) AS BIGINT) AS n_trajectories,
+        |    CAST(sum(signal_milli) // count(*) AS BIGINT) AS mean_milli
+        |  FROM tsurv GROUP BY 1 HAVING count(*) >= 2),
+        |tadv AS (
+        |  SELECT s.prompt, s.dlg_id, s.signal_milli, t.n_trajectories,
+        |    t.mean_milli, s.signal_milli - t.mean_milli AS advantage_milli
+        |  FROM tsurv s JOIN tst t USING (prompt)),
+        |ttf AS (
+        |  SELECT dlg_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY dlg_id ORDER BY tsn, event_id) - 1
+        |      AS BIGINT) AS turn,
+        |    CAST(count(*) OVER (PARTITION BY dlg_id) AS BIGINT) AS n_turns
+        |  FROM trn)
+        |SELECT a.prompt, a.dlg_id, f.turn, f.event_type, true AS attributed,
+        |  f.n_turns, f.n_turns AS n_attr_turns, a.signal_milli,
+        |  a.n_trajectories, a.mean_milli, a.advantage_milli,
+        |  CAST(a.advantage_milli // f.n_turns +
+        |    CASE WHEN f.turn + 1 <=
+        |        abs(a.advantage_milli - (a.advantage_milli // f.n_turns) * f.n_turns)
+        |      THEN CASE WHEN a.advantage_milli < 0 THEN -1 ELSE 1 END
+        |      ELSE 0 END AS BIGINT) AS adv_turn_uniform_milli,
+        |  CAST(CASE WHEN f.turn + 1 = f.n_turns THEN a.advantage_milli
+        |    ELSE 0 END AS BIGINT) AS adv_turn_last_milli
+        |FROM tadv a JOIN ttf f USING (dlg_id)""".stripMargin,
 
     // the preference gate chain (assembly by (value, id) windows, the
     // two pair-level gates) folded to the surviving pair rows

@@ -296,14 +296,17 @@ object Dialogue {
       .select(col(keyCol), col("session_seq")).distinct()
     val clean = valid.join(contamDlgs, Seq(keyCol, "session_seq"), "left_anti")
     val maxKey = Long.MaxValue / dlgSpan
+    // guard FIRST: Spark's codegen for +/* short-circuits the right
+    // operand when the left is null, so a null key cast would SKIP a
+    // right-hand guard and emit a null dlg_id silently
     val turns = clean.withColumn("dlg_id",
-      col(keyCol).cast("long") * dlgSpan + col("session_seq") +
-        coalesce(
-          assert_true(col("session_seq") < dlgSpan &&
-            col(keyCol).cast("long").between(0L, maxKey - 1),
-            lit(s"dlg_id packing out of range: need 0 <= $keyCol < " +
-              s"$maxKey and session_seq < dlgSpan=$dlgSpan")).cast("long"),
-          lit(0L)))
+      coalesce(
+        assert_true(col("session_seq") < dlgSpan &&
+          col(keyCol).cast("long").between(0L, maxKey - 1),
+          lit(s"dlg_id packing out of range: need 0 <= $keyCol < " +
+            s"$maxKey and session_seq < dlgSpan=$dlgSpan")).cast("long"),
+        lit(0L)) +
+        col(keyCol).cast("long") * dlgSpan + col("session_seq"))
     val stream = sftTokenStream(
       turns, "dlg_id", tsCol, idCol, roleCol, contentCol, merges, maskRoles)
     ShardPack.materializeSequencesWithMask(stream, "dlg_id", "mask", seqLen)
@@ -707,6 +710,186 @@ object Dialogue {
     groupAdvantages(survivors, promptCol, candCol, contentCol, signalCol)
   }
 
+  /** TURN-LEVEL (process-reward) ADVANTAGES — the multi-turn RL data
+    * shape [[groupAdvantages]]' prompt-level GRPO doesn't cover: a
+    * TRAJECTORY (a whole dialogue) earns one scalar signal, its group
+    * (all trajectories answering the same prompt) supplies the relative
+    * baseline, and the trajectory's advantage is ATTRIBUTED to its
+    * TURNS — the per-step credit a process-reward trainer consumes.
+    * Both standard attribution policies are emitted as columns of ONE
+    * frame (they differ only in a final expression over the same join,
+    * so two calls would run the window+agg chain twice for nothing):
+    *
+    *   - `adv_turn_uniform_milli`: the advantage spreads uniformly over
+    *     the ATTRIBUTABLE turns — base = advantage div n_attr (integral,
+    *     truncating toward zero — identical in Spark's `div` and
+    *     DuckDB's `//`, verified on negative advantages too), and the
+    *     division residue spreads ±1 milli over the FIRST |residue|
+    *     attributable turns, so per-turn shares differ by at most 1
+    *     milli and the trajectory's advantage is conserved EXACTLY;
+    *   - `adv_turn_last_milli`: the whole advantage lands on the LAST
+    *     attributable turn (the "last assistant turn" policy — outcome
+    *     credit at the trajectory's final decision point), 0 elsewhere.
+    *
+    * Σ turn advantage over a trajectory == the trajectory's advantage,
+    * for BOTH policies (conservation law, spec-pinned). `attrRoles`
+    * restricts attribution to turns of those roles (the assistant's
+    * turns — a trainer never credits user turns); None attributes to
+    * every turn. A trajectory whose advantage has NO attributable turn
+    * — none of its turns match `attrRoles`, or it has no turn rows at
+    * all — FAILS LOUD: its advantage would otherwise silently vanish,
+    * the conservation-break class (widen attrRoles or gate the
+    * trajectory upstream).
+    *
+    * `trajSignals` is one row per trajectory (groupCol, trajCol,
+    * signalMilliCol) with the signal ALREADY integer-milli: a
+    * trajectory signal is a REDUCTION of per-step rewards, and a
+    * floating reduction is partition-order-dependent — quantize each
+    * reward ([[groupAdvantages]]' floor·1000 law) and integer-sum
+    * upstream, where the reduction's semantics live. The engine
+    * REFUSES floating trajectory signals (require, not assert: the
+    * schema is known at plan time). Null signals are excluded and
+    * groups need ≥ 2 trajectories, exactly as [[groupAdvantages]];
+    * turns of excluded trajectories emit no rows (they carry no
+    * advantage).
+    *
+    * Scale shape: ONE hash agg for the group stats (count + sum — O(1)
+    * per-group state), trajectory-keyed windows over the turn frame
+    * (a trajectory's turn list is the partition unit, never the
+    * corpus), one join on the trajectory key. No candidate collects,
+    * no corpus-sized window.
+    *
+    * @return (groupCol, trajCol, turn [0-based in (ts, id) order],
+    *         roleCol, attributed, n_turns, n_attr_turns, signal_milli,
+    *         n_trajectories, mean_milli, advantage_milli,
+    *         adv_turn_uniform_milli, adv_turn_last_milli)
+    */
+  def turnAdvantages(
+      turns: DataFrame,
+      trajSignals: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      signalMilliCol: String,
+      attrRoles: Option[Set[String]] = None): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(
+      trajSignals.schema(signalMilliCol).dataType == LongType ||
+        trajSignals.schema(signalMilliCol).dataType == IntegerType,
+      s"turnAdvantages: $signalMilliCol must be integral milli (a floating " +
+        "trajectory signal is a partition-order-dependent reduction — " +
+        "quantize per-step and integer-sum upstream)")
+    attrRoles.foreach(rs => require(rs.nonEmpty,
+      "turnAdvantages: empty attrRoles would attribute to nothing — " +
+        "pass None to attribute to every turn"))
+    val cand = trajSignals
+      .filter(col(signalMilliCol).isNotNull)
+      .select(col(groupCol), col(trajCol),
+        col(signalMilliCol).cast("long").as("signal_milli"))
+    val stats = cand.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_trajectories"),
+        sum(col("signal_milli")).as("__sum"))
+      .filter(col("n_trajectories") >= 2)
+      .withColumn("mean_milli", expr("__sum div n_trajectories"))
+      .drop("__sum")
+    val adv = cand.join(stats, Seq(groupCol))
+      .withColumn("advantage_milli", col("signal_milli") - col("mean_milli"))
+    val isAttr = attrRoles match {
+      case None     => lit(true)
+      case Some(rs) => col(roleCol).isin(rs.toSeq: _*)
+    }
+    val wOrd = Window.partitionBy(col(trajCol)).orderBy(col(tsCol), col(idCol))
+    val wAll = Window.partitionBy(col(trajCol))
+    val tf = turns.select(col(trajCol), col(tsCol), col(idCol), col(roleCol))
+      .withColumn("turn", (row_number().over(wOrd) - 1).cast("long"))
+      .withColumn("attributed", isAttr)
+      .withColumn("__rk",
+        sum(when(col("attributed"), 1L).otherwise(0L)).over(wOrd))
+      .withColumn("n_turns", count(lit(1)).over(wAll))
+      .withColumn("n_attr_turns",
+        sum(when(col("attributed"), 1L).otherwise(0L)).over(wAll))
+    // LEFT join from the advantage side: an inner join would silently
+    // VANISH a trajectory with an advantage but no turn rows (its
+    // group's mean already counted it — dropping it breaks conservation
+    // against the group); the guard below sees its null n_attr_turns
+    // and fails loud. The guard rides the output columns, evaluated for
+    // every emitted row.
+    val joined = adv.join(tf, Seq(trajCol), "left")
+    val guard = coalesce(
+      assert_true(col("n_attr_turns").isNotNull && col("n_attr_turns") > 0L,
+        lit("turnAdvantages: a trajectory with an advantage has no " +
+          "attributable turn (or no turn rows at all) — its advantage " +
+          "would silently vanish; widen attrRoles or gate the " +
+          "trajectory upstream")).cast("long"),
+      lit(0L))
+    joined
+      // guard FIRST: codegen short-circuits a binary op's right operand
+      // when the left is null, and the div IS null for exactly the rows
+      // the guard exists for (null n_attr_turns on an uncovered
+      // trajectory) — guard-on-the-right would never evaluate
+      .withColumn("__base", guard + expr("advantage_milli div n_attr_turns"))
+      .withColumn("__residue",
+        col("advantage_milli") - col("__base") * col("n_attr_turns"))
+      .withColumn("adv_turn_uniform_milli",
+        when(!col("attributed"), 0L)
+          .otherwise(col("__base") +
+            when(col("__rk") <= abs(col("__residue")),
+              signum(col("__residue")).cast("long")).otherwise(0L)))
+      .withColumn("adv_turn_last_milli",
+        when(col("attributed") && col("__rk") === col("n_attr_turns"),
+          col("advantage_milli")).otherwise(0L))
+      .select(col(groupCol), col(trajCol), col("turn"), col(roleCol),
+        col("attributed"), col("n_turns"), col("n_attr_turns"),
+        col("signal_milli"), col("n_trajectories"), col("mean_milli"),
+        col("advantage_milli"), col("adv_turn_uniform_milli"),
+        col("adv_turn_last_milli"))
+  }
+
+  /** [[turnAdvantages]] with the q155 gates applied TRAJECTORY-LEVEL —
+    * the multi-turn instance of [[gatedGroupAdvantages]]' candidate-
+    * level law (here the trajectory IS the group's candidate): a
+    * trajectory is removed whole when it is structurally invalid
+    * (`invalidTrajs`, e.g. [[dialogueStats]]' verdict keyed by the
+    * trajectory id) or when ANY of its turns' content shares a
+    * whitespace `contamGramN`-gram with the `holdout` benchmark
+    * prompts; the group mean then re-normalizes over the SURVIVORS
+    * (gating before the stats — a leaked trajectory must not shift the
+    * baseline it was judged against). Groups reduced below 2 survivors
+    * drop. Turn rows of gated trajectories vanish with them (the
+    * advantage join is driven from the surviving signal frame).
+    *
+    * `holdout` carries (idCol, contentCol) column names — the
+    * [[sftCurate]] convention; `invalidTrajs` carries trajCol.
+    */
+  def gatedTurnAdvantages(
+      turns: DataFrame,
+      trajSignals: DataFrame,
+      invalidTrajs: DataFrame,
+      holdout: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      contentCol: String,
+      signalMilliCol: String,
+      attrRoles: Option[Set[String]] = None,
+      contamGramN: Int = 3): DataFrame = {
+    val leakyTurns = Dedup.decontaminate(
+      turns.select(col(idCol), col(contentCol)),
+      holdout, idCol, contentCol, contamGramN)
+      .select(col(idCol))
+    val gated = turns.join(leakyTurns, Seq(idCol), "left_semi")
+      .select(col(trajCol))
+      .unionByName(invalidTrajs.select(col(trajCol)))
+      .distinct()
+    turnAdvantages(
+      turns, trajSignals.join(gated, Seq(trajCol), "left_anti"),
+      groupCol, trajCol, tsCol, idCol, roleCol, signalMilliCol, attrRoles)
+  }
+
   /** The per-token masked stream of a preference-pair frame's sides —
     * the shared front half of [[preferenceSequences]] and
     * [[preferenceTensors]]: each side as a two-turn dialogue keyed by
@@ -760,13 +943,15 @@ object Dialogue {
               "promptTexts — its sides would silently vanish"))
             .cast(textType))))
     val sideTurns = (idC: String, contentC: String, sideTag: Long) => {
-      val sid = col(idC).cast("long") * 2L + sideTag +
-        coalesce(
+      // guard FIRST: a right-hand guard is skipped by codegen's
+      // null-short-circuit when the id cast is null (non-numeric id)
+      val sid = coalesce(
           assert_true(col(idC).cast("long")
             .between(0L, Long.MaxValue / 4 - 1),
             lit(s"pairSideStream: $idC out of side_id packing range " +
               "(need 0 <= id < 2^61 so turn ids fit a long too)")).cast("long"),
-          lit(0L))
+          lit(0L)) +
+        col(idC).cast("long") * 2L + sideTag
       // two turns per side: the prompt (mask 0), then the response;
       // turn id = side_id·2 + turn — the globally unique per-turn key
       // sftTokenStream's encode join requires

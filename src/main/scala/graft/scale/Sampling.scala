@@ -652,13 +652,15 @@ object Sampling {
     domains
       .select(
         col(domainCol),
-        (col(tokensCol).cast("long") + coalesce(
+        // guard FIRST: codegen's null-short-circuit would skip a
+        // right-hand guard when the tokens cast is null
+        (coalesce(
           assert_true(
             col(tokensCol) >= 1 && col(weightCol) >= 1,
             concat(lit("tokenBudgetAllocate: tokens and weight must be >= 1, got ("),
               col(tokensCol), lit(", "), col(weightCol), lit(") for domain "),
               col(domainCol))).cast("long"),
-          lit(0L))).as("tokens"),
+          lit(0L)) + col(tokensCol).cast("long")).as("tokens"),
         col(weightCol).cast("long").as("weight"))
       .withColumn("cap", expr(s"tokens * $maxEpochsMilli div 1000"))
       // stage-cache the domain frame: it feeds the rank self-join's

@@ -324,12 +324,14 @@ object ShardPack {
     // fail loud on non-numeric ids: a silent cast-to-null would collapse
     // distinct docs into one null id inside the FFD fold (the
     // packWithOffsets numeric-id contract, enforced rather than assumed)
+    // guard FIRST: the failing case is exactly a NULL cast, and
+    // codegen's null-short-circuit would skip a right-hand guard there
     val base = docs.select(
-      (col(idCol).cast("long") + coalesce(
+      (coalesce(
         assert_true(col(idCol).isNull || col(idCol).cast("long").isNotNull,
           lit(s"packBestFit: $idCol is not castable to long — the packing " +
             "contract needs a numeric doc id")).cast("long"),
-        lit(0L))).as("id"),
+        lit(0L)) + col(idCol).cast("long")).as("id"),
       coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
     val oversize = base.filter(col("n_tokens") > seqLen)
       .select(col("id"), col("n_tokens"), lit(-1L).as("shard"),
@@ -456,15 +458,17 @@ object ShardPack {
       .withColumn("__n_chunks", expr(s"(n_tokens + ${seqLen}L - 1) div ${seqLen}L"))
       .select(col(idCol), col("n_tokens").as("__orig"),
         explode(sequence(lit(0L), col("__n_chunks") - 1)).as("chunk"))
+      // guard FIRST: codegen's null-short-circuit would skip a
+      // right-hand guard when the id cast is null
       .withColumn("cid",
-        col(idCol).cast("long") * chunkSpan + col("chunk") +
-          coalesce(
-            assert_true(col("chunk") < chunkSpan &&
-              col(idCol).cast("long").between(0L, maxId - 1),
-              lit(s"splitOversize: chunk-id packing out of range (need " +
-                s"0 <= $idCol < $maxId and ceil(n/seqLen) <= chunkSpan=" +
-                s"$chunkSpan)")).cast("long"),
-            lit(0L)))
+        coalesce(
+          assert_true(col("chunk") < chunkSpan &&
+            col(idCol).cast("long").between(0L, maxId - 1),
+            lit(s"splitOversize: chunk-id packing out of range (need " +
+              s"0 <= $idCol < $maxId and ceil(n/seqLen) <= chunkSpan=" +
+              s"$chunkSpan)")).cast("long"),
+          lit(0L)) +
+          col(idCol).cast("long") * chunkSpan + col("chunk"))
       .withColumn("n_tokens",
         least(lit(seqLen), col("__orig") - col("chunk") * seqLen))
     val repacked = packBestFit(
@@ -627,7 +631,10 @@ object ShardPack {
             "shift")).cast("long"),
         lit(0L)))
       .groupBy(col("shard"), col("bin"))
-      .agg(sum(col("n_tokens") + col("__g")).as("__expected_fill"))
+      // __g (never null) on the LEFT: codegen short-circuits the right
+      // operand of + when the left is null, and n_tokens IS null for
+      // exactly the stream-only rows the guard must catch
+      .agg(sum(col("__g") + col("n_tokens")).as("__expected_fill"))
     val actual = tokenStream.select(streamCols: _*)
       .join(placed, Seq(idCol))
       .withColumn("local", col("doc_off") + col("tok_idx"))

@@ -348,6 +348,145 @@ class PreferencePairsSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  // ---- turn-level (process-reward) advantages (q165) -------------------
+
+  // trajectories: (group, traj, signal_milli) — g1 has three, g2 one
+  // (dropped: no relative signal), g3 a null-signal member + two real
+  private def trajSignals = Seq(
+    ("g1", 1L, Some(7000L)), ("g1", 2L, Some(1000L)), ("g1", 3L, Some(1600L)),
+    ("g2", 4L, Some(5000L)),
+    ("g3", 5L, None), ("g3", 6L, Some(2000L)), ("g3", 7L, Some(1000L))
+  ).toDF("grp", "traj", "signal_milli")
+
+  // turns: (traj, ts, id, role) — traj 1 has 3, traj 2 has 2, traj 3
+  // has 3; g3's trajs have 1 each; the dropped trajs (4, 5) have turns
+  // too (they must emit nothing)
+  private def trajTurns = Seq(
+    (1L, 0L, 100L, "user"), (1L, 1L, 101L, "assistant"), (1L, 2L, 102L, "user"),
+    (2L, 0L, 200L, "user"), (2L, 1L, 201L, "assistant"),
+    (3L, 0L, 300L, "user"), (3L, 1L, 301L, "assistant"), (3L, 2L, 302L, "user"),
+    (4L, 0L, 400L, "user"),
+    (5L, 0L, 500L, "user"),
+    (6L, 0L, 600L, "assistant"),
+    (7L, 0L, 700L, "assistant")
+  ).toDF("traj", "ts", "id", "role")
+
+  test("turnAdvantages: conservation for BOTH policies, ±1-milli uniformity, excluded trajectories emit nothing") {
+    val out = Dialogue.turnAdvantages(
+      trajTurns, trajSignals, "grp", "traj", "ts", "id", "role",
+      "signal_milli").collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getString(0), r.getBoolean(4), r.getLong(6), r.getLong(9),
+          r.getLong(10), r.getLong(11), r.getLong(12)))
+      .toMap
+    // g1: mean = 9600 div 3 = 3200; advantages 3800 / -2200 / -1600.
+    // g2 (singleton) and g3's null-signal traj 5 emit nothing; g3's
+    // mean over the two real = 1500, advantages +500 / -500.
+    assert(!out.keySet.exists { case (t, _) => t == 4L || t == 5L },
+      "singleton-group and null-signal trajectories emit no rows")
+    val byTraj = out.groupBy(_._1._1)
+    // conservation, both policies, every emitted trajectory
+    for ((t, rows) <- byTraj) {
+      val adv = rows.values.head._5
+      assert(rows.values.map(_._6).sum === adv, s"traj $t uniform conservation")
+      assert(rows.values.map(_._7).sum === adv, s"traj $t last conservation")
+      // uniform: all attributed shares within 1 milli of each other
+      val shares = rows.values.filter(_._2).map(_._6)
+      assert(shares.max - shares.min <= 1L, s"traj $t ±1 uniformity")
+      // last: exactly one carrier when adv != 0
+      if (adv != 0L)
+        assert(rows.values.count(_._7 != 0L) === 1, s"traj $t single last carrier")
+    }
+    // hand-checked arithmetic: traj 1 adv 3800 over 3 turns (attrRoles
+    // None => all attributed) = 1267, 1267, 1266 in turn order; traj 3
+    // adv -1600 = -534, -533, -533 (negative residue to the FIRST turn)
+    assert(out((1L, 0L))._6 === 1267L && out((1L, 1L))._6 === 1267L &&
+      out((1L, 2L))._6 === 1266L, "positive residue spreads over first turns")
+    assert(out((3L, 0L))._6 === -534L && out((3L, 1L))._6 === -533L &&
+      out((3L, 2L))._6 === -533L, "negative residue spreads over first turns")
+    // last policy: the whole advantage on the LAST turn
+    assert(out((1L, 2L))._7 === 3800L && out((1L, 0L))._7 === 0L)
+    // group stats ride every row
+    assert(out((6L, 0L))._4 === 1500L && out((6L, 0L))._5 === 500L)
+    assert(out((7L, 0L))._5 === -500L)
+  }
+
+  test("turnAdvantages: attrRoles restricts attribution; missing attributable turn and floating signals refuse") {
+    val out = Dialogue.turnAdvantages(
+      trajTurns.filter(col("traj").isin(1L, 2L, 3L)),
+      trajSignals.filter(col("grp") === "g1"),
+      "grp", "traj", "ts", "id", "role", "signal_milli",
+      attrRoles = Some(Set("assistant"))).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getBoolean(4), r.getLong(6), r.getLong(11), r.getLong(12)))
+      .toMap
+    // traj 1: ONE assistant turn (turn 1) — carries the whole 3800
+    // under both policies; user turns attributed=false, 0
+    assert(out((1L, 1L))._1 && out((1L, 1L))._3 === 3800L &&
+      out((1L, 1L))._4 === 3800L)
+    assert(!out((1L, 0L))._1 && out((1L, 0L))._3 === 0L && out((1L, 0L))._4 === 0L)
+    assert(out((1L, 0L))._2 === 1L, "n_attr_turns counts assistant turns only")
+    // a trajectory whose advantage has NO attributable turn fails loud
+    val noAttr = Seq((1L, 0L, 100L, "user"), (2L, 0L, 200L, "assistant"))
+      .toDF("traj", "ts", "id", "role")
+    val sig = Seq(("g", 1L, 1000L), ("g", 2L, 3000L)).toDF("grp", "traj", "signal_milli")
+    val err = intercept[Exception] {
+      Dialogue.turnAdvantages(noAttr, sig, "grp", "traj", "ts", "id", "role",
+        "signal_milli", attrRoles = Some(Set("assistant"))).collect()
+    }
+    assert(err.getMessage != null, "no attributable turn must refuse")
+    // a trajectory with an advantage but NO turn rows at all fails loud
+    val err2 = intercept[Exception] {
+      Dialogue.turnAdvantages(
+        noAttr.filter(col("traj") === 1L), sig,
+        "grp", "traj", "ts", "id", "role", "signal_milli").collect()
+    }
+    assert(err2.getMessage != null, "turnless trajectory must refuse")
+    // floating trajectory signals refuse at plan time (a floating
+    // reduction is partition-order-dependent)
+    val errF = intercept[IllegalArgumentException] {
+      Dialogue.turnAdvantages(noAttr,
+        Seq(("g", 1L, 1.5)).toDF("grp", "traj", "signal_milli"),
+        "grp", "traj", "ts", "id", "role", "signal_milli")
+    }
+    assert(errF.getMessage.contains("integral"))
+    // an explicitly empty attrRoles set refuses (pass None for "all")
+    val errE = intercept[IllegalArgumentException] {
+      Dialogue.turnAdvantages(noAttr, sig, "grp", "traj", "ts", "id", "role",
+        "signal_milli", attrRoles = Some(Set.empty))
+    }
+    assert(errE.getMessage.contains("attrRoles"))
+  }
+
+  test("gatedTurnAdvantages: trajectory-level gates re-normalize the group over survivors") {
+    val turns = Seq(
+      (1L, 0L, 100L, "user", "clean alpha content"),
+      (2L, 0L, 200L, "user", "the secret bench prompt leaks"),
+      (3L, 0L, 300L, "user", "clean gamma content"),
+      (4L, 0L, 400L, "user", "clean delta content")
+    ).toDF("traj", "ts", "id", "role", "content")
+    val sig = Seq(
+      ("g", 1L, 1000L), ("g", 2L, 9000L), ("g", 3L, 3000L), ("g", 4L, 5000L)
+    ).toDF("grp", "traj", "signal_milli")
+    val holdout = Seq((900L, "secret bench prompt")).toDF("id", "content")
+    val invalid = Seq(Tuple1(4L)).toDF("traj")
+    val out = Dialogue.gatedTurnAdvantages(
+      turns, sig, invalid, holdout,
+      "grp", "traj", "ts", "id", "role", "content", "signal_milli").collect()
+      .map(r => r.getLong(1) -> (r.getLong(8), r.getLong(9), r.getLong(10)))
+      .toMap
+    // traj 2 leaks (3-gram vs holdout), traj 4 is invalid — the group
+    // re-normalizes over survivors 1 and 3: mean = 2000, adv ±1000.
+    // A pair-level-style whole-drop would have killed the group.
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L) === ((2L, 2000L, -1000L)) && out(3L) === ((2L, 2000L, 1000L)))
+    // gates reduce the group below 2 -> drops entirely
+    val out2 = Dialogue.gatedTurnAdvantages(
+      turns, sig, Seq(Tuple1(4L), Tuple1(3L)).toDF("traj"), holdout,
+      "grp", "traj", "ts", "id", "role", "content", "signal_milli").count()
+    assert(out2 === 0L, "a group reduced below 2 survivors drops")
+  }
 }
 
 /** Small helper shared by packing-family specs: collect the
