@@ -2386,7 +2386,39 @@ object SparkEntry {
         turns, trajSignals, invalid, prefHoldout(s, dir),
         "prompt", "dlg_id", "ts", "event_id", "event_type", "content",
         "signal_milli")
-    })
+    }),
+
+    // --- scale: BEST-OF-N (rejection-sampling) export — the
+    // RFT/distillation artifact: top-2 gated candidates per prompt
+    // (candidate-level gates, re-ranked over survivors — q164's law,
+    // the designed contrast to q157's pair-level whole-drop), each
+    // selected candidate emitted as a 2-turn masked SFT sample through
+    // the q151 chain (prompt mask 0, response mask 1) --------------------
+    "q166_bestofn_sequences" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val selected = graft.scale.Dialogue.gatedBestOfN(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value", k = 2)
+      // the q161 separate-scan trade (see that registration)
+      val promptTexts = prefResponses(s, dir)
+        .select(col("prompt")).distinct()
+        .withColumn("prompt_text", col("prompt"))
+      graft.scale.Dialogue.bestOfNSequences(
+        selected, promptTexts, "prompt", "prompt_text", "event_id", "content",
+        merges, seqLen = 16L)
+        .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("mask"), "").as("mask"))
+    }),
+
+    // --- scale: the q166 stage report — gradeable candidates in,
+    // dropped per gate, kept, selected (Σ min(k, survivors) over
+    // prompts): q160's fail-loud-companion pattern for the
+    // rejection-sampling chain --------------------------------------------
+    "q170_bestofn_counters" -> ((s, dir) =>
+      graft.scale.Dialogue.bestOfNCounters(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value", k = 2))
   )
 
   /** The q157/q160/q161 response-log view of events: prompt = props
@@ -2638,19 +2670,18 @@ object SparkEntry {
     sb.toString
   }
 
-  /** Shared q161/q163 oracle CTEs — the preference SIDE STREAM: kept
-    * pairs exploded to two 2-turn sides (prompt mask 0, response mask
-    * 1), q151's indexed-piece mechanics over the turn contents, ending
-    * in `stream` = (side_id, tok_idx, token_id, mask). Needs
-    * [[prefGateCtes]] (for `kept`) and the [[bpeStagesSql]] merge
-    * tables in scope. NO leading/trailing comma.
+  /** The 2-turn SIDE-STREAM oracle CTEs parameterized by the sides
+    * query (one row per sample: side_id, prompt, rcontent): each side
+    * as a prompt turn (mask 0) + response turn (mask 1), q151's
+    * indexed-piece mechanics over the turn contents, ending in
+    * `stream` = (side_id, tok_idx, token_id, mask). Needs the
+    * [[bpeStagesSql]] merge tables in scope. NO leading/trailing
+    * comma. Shared by the preference sides (q161/q163) and the
+    * best-of-n samples (q166).
     */
-  private lazy val prefSideStreamCtes: String =
+  private def sideStreamCtes(sidesSql: String): String =
     s"""sides AS MATERIALIZED (
-      |  SELECT chosen_id * 2 AS side_id, prompt, chosen_content AS rcontent
-      |  FROM kept
-      |  UNION ALL
-      |  SELECT rejected_id * 2 + 1, prompt, rejected_content FROM kept),
+      |  $sidesSql),
       |turns AS MATERIALIZED (
       |  SELECT side_id, 0 AS t, side_id * 2 AS tid, CAST(0 AS BIGINT) AS mask,
       |    prompt AS content
@@ -2694,6 +2725,94 @@ object SparkEntry {
       |  FROM estream s
       |  JOIN toff o ON o.tid = s.tid
       |  JOIN vocab v ON s.piece = v.piece)""".stripMargin
+
+  /** The q161/q163 instantiation of [[sideStreamCtes]]: kept preference
+    * pairs exploded to two sides, side_id = candidate·2 + side. Needs
+    * [[prefGateCtes]] (for `kept`) in scope.
+    */
+  private lazy val prefSideStreamCtes: String = sideStreamCtes(
+    """SELECT chosen_id * 2 AS side_id, prompt, chosen_content AS rcontent
+      |  FROM kept
+      |  UNION ALL
+      |  SELECT rejected_id * 2 + 1, prompt, rejected_content FROM kept""".stripMargin)
+
+  /** Shared CANDIDATE-LEVEL gate CTEs (q164/q165-family law: gates
+    * remove candidates, the consumer re-normalizes/re-ranks over
+    * survivors): the response-log view of events, q144's sessionized
+    * validity verdict (`ginv` = candidate ids of invalid dialogues),
+    * the whitespace-3-gram leak probe vs the % 997 benchmark slice
+    * (`gleak`), ending in `csurv` = the surviving graded candidates
+    * (prompt, event_id, content, value). NO leading WITH.
+    */
+  private val candGateCtes: String =
+    """ev AS (
+      |  SELECT event_id, user_id, event_type, value, props,
+      |    trim(event_type || ' ' || props) AS content, epoch_ns(ts) AS tsn
+      |  FROM events),
+      |gsb AS (
+      |  SELECT user_id, event_id, event_type, tsn,
+      |    lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+      |  FROM ev),
+      |gsf AS (
+      |  SELECT user_id, event_id, event_type, tsn,
+      |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
+      |  FROM gsb),
+      |gsg AS (
+      |  SELECT user_id, event_id, event_type, tsn,
+      |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
+      |      AS session_seq
+      |  FROM gsf),
+      |grr AS (
+      |  SELECT user_id, session_seq, event_id, event_type, tsn,
+      |    lag(event_type) OVER (PARTITION BY user_id, session_seq
+      |      ORDER BY tsn, event_id) AS prev_role
+      |  FROM gsg),
+      |gbad AS (
+      |  SELECT user_id, session_seq FROM grr GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
+      |ginv AS (
+      |  SELECT g.event_id FROM gsg g
+      |  JOIN gbad b ON b.user_id = g.user_id AND b.session_seq = g.session_seq),
+      |gtok AS (
+      |  SELECT event_id,
+      |    regexp_split_to_array(trim(content), '\s+') AS t
+      |  FROM ev),
+      |ggr AS (
+      |  SELECT event_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM gtok, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+      |gbgr AS (SELECT DISTINCT g FROM ggr WHERE event_id % 997 = 0),
+      |gleak AS (SELECT DISTINCT event_id FROM ggr JOIN gbgr USING (g)),
+      |csurv AS (
+      |  SELECT props AS prompt, event_id, content, value
+      |  FROM ev
+      |  WHERE value IS NOT NULL
+      |    AND event_id NOT IN (SELECT event_id FROM gleak)
+      |    AND event_id NOT IN (SELECT event_id FROM ginv))""".stripMargin
+
+  /** The q161-family materialization tail: the `stream` CTE packed into
+    * `seqLen`-token bins (md5 side order, two-phase-prefix equivalent)
+    * and rendered as the materializeSequencesWithMask row form. NO
+    * leading comma.
+    */
+  private def streamPackTailSql(seqLen: Long): String =
+    s"""dc AS (
+      |  SELECT side_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    md5('shard:' || side_id) AS k
+      |  FROM stream GROUP BY 1),
+      |soff AS (
+      |  SELECT side_id, CAST(sum(n_tokens) OVER (ORDER BY k, side_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+      |  FROM dc),
+      |pos AS (
+      |  SELECT s.side_id, s.tok_idx, s.token_id, s.mask, o.start + s.tok_idx AS p
+      |  FROM stream s JOIN soff o USING (side_id))
+      |SELECT CAST(p // $seqLen AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT side_id) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+      |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
+      |  array_to_string(list(mask ORDER BY p), '') AS mask
+      |FROM pos GROUP BY 1""".stripMargin
 
   /** Recursive-FFD replay CTEs over an (id, n) base — the q150 oracle's
     * shape with a NAME PREFIX so two packings can coexist in one query
@@ -6296,50 +6415,11 @@ object SparkEntry {
     // candidate-level gates (validity + content-gram leak over ALL
     // candidates), then integer milli group stats over the survivors
     "q164_group_advantages" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, event_type, value, props,
-        |    trim(event_type || ' ' || props) AS content, epoch_ns(ts) AS tsn
-        |  FROM events),
-        |gsb AS (
-        |  SELECT user_id, event_id, event_type, tsn,
-        |    lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
-        |  FROM ev),
-        |gsf AS (
-        |  SELECT user_id, event_id, event_type, tsn,
-        |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
-        |  FROM gsb),
-        |gsg AS (
-        |  SELECT user_id, event_id, event_type, tsn,
-        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
-        |      AS session_seq
-        |  FROM gsf),
-        |grr AS (
-        |  SELECT user_id, session_seq, event_id, event_type, tsn,
-        |    lag(event_type) OVER (PARTITION BY user_id, session_seq
-        |      ORDER BY tsn, event_id) AS prev_role
-        |  FROM gsg),
-        |gbad AS (
-        |  SELECT user_id, session_seq FROM grr GROUP BY 1, 2
-        |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
-        |ginv AS (
-        |  SELECT g.event_id FROM gsg g
-        |  JOIN gbad b ON b.user_id = g.user_id AND b.session_seq = g.session_seq),
-        |gtok AS (
-        |  SELECT event_id,
-        |    regexp_split_to_array(trim(content), '\s+') AS t
-        |  FROM ev),
-        |ggr AS (
-        |  SELECT event_id, array_to_string(t[i:i+2], ' ') AS g
-        |  FROM gtok, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
-        |gbgr AS (SELECT DISTINCT g FROM ggr WHERE event_id % 997 = 0),
-        |gleak AS (SELECT DISTINCT event_id FROM ggr JOIN gbgr USING (g)),
+      (s"WITH $candGateCtes" + """,
         |surv AS (
-        |  SELECT props AS prompt, event_id, content,
+        |  SELECT prompt, event_id, content,
         |    CAST(floor(value * 1000) AS BIGINT) AS signal_milli
-        |  FROM ev
-        |  WHERE value IS NOT NULL
-        |    AND event_id NOT IN (SELECT event_id FROM gleak)
-        |    AND event_id NOT IN (SELECT event_id FROM ginv)),
+        |  FROM csurv),
         |gstats AS (
         |  SELECT prompt, CAST(count(*) AS BIGINT) AS n_candidates,
         |    CAST(sum(signal_milli) // count(*) AS BIGINT) AS mean_milli
@@ -6347,7 +6427,7 @@ object SparkEntry {
         |SELECT s.prompt, s.event_id, s.content, s.signal_milli,
         |  g.n_candidates, g.mean_milli,
         |  s.signal_milli - g.mean_milli AS advantage_milli
-        |FROM surv s JOIN gstats g USING (prompt)""".stripMargin,
+        |FROM surv s JOIN gstats g USING (prompt)""".stripMargin),
 
     // q164's sessionize + gate machinery at TRAJECTORY (dialogue) level,
     // then the turn attribution arithmetic replayed: base = adv // n
@@ -6458,24 +6538,45 @@ object SparkEntry {
       (bpeStagesSql(BpeMergeCount) + s""",
         |$prefGateCtes,
         |$prefSideStreamCtes,
-        |dc AS (
-        |  SELECT side_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    md5('shard:' || side_id) AS k
-        |  FROM stream GROUP BY 1),
-        |soff AS (
-        |  SELECT side_id, CAST(sum(n_tokens) OVER (ORDER BY k, side_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
-        |  FROM dc),
-        |pos AS (
-        |  SELECT s.side_id, s.tok_idx, s.token_id, s.mask, o.start + s.tok_idx AS p
-        |  FROM stream s JOIN soff o USING (side_id))
-        |SELECT CAST(p // 16 AS BIGINT) AS bin,
-        |  CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(count(DISTINCT side_id) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
-        |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
-        |  array_to_string(list(mask ORDER BY p), '') AS mask
-        |FROM pos GROUP BY 1""".stripMargin),
+        |${streamPackTailSql(16)}""".stripMargin),
+
+    // candidate-level gates (q164's CTEs), top-2 per prompt by
+    // (value, id) DESC windows, then each selected candidate as a
+    // 2-turn sample (sample key = the candidate id) through the q161
+    // side-stream + pack mechanics
+    "q166_bestofn_sequences" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |$candGateCtes,
+        |sel AS (
+        |  SELECT prompt, event_id, content FROM (
+        |    SELECT prompt, event_id, content,
+        |      row_number() OVER (PARTITION BY prompt
+        |        ORDER BY value DESC, event_id DESC) AS rk
+        |    FROM csurv) z
+        |  WHERE rk <= 2),
+        |${sideStreamCtes("SELECT event_id AS side_id, prompt, content AS rcontent FROM sel")},
+        |${streamPackTailSql(16)}""".stripMargin),
+
+    // q166's gate CTEs folded to the five stage counts (selected =
+    // sum of min(k, per-prompt survivors))
+    "q170_bestofn_counters" ->
+      (s"WITH $candGateCtes" + """
+        |SELECT 'candidates_total' AS stage, CAST(count(*) AS BIGINT) AS n
+        |FROM ev WHERE value IS NOT NULL
+        |UNION ALL
+        |SELECT 'candidates_invalid', CAST(count(*) AS BIGINT)
+        |FROM ev WHERE value IS NOT NULL
+        |  AND event_id IN (SELECT event_id FROM ginv)
+        |UNION ALL
+        |SELECT 'candidates_contaminated_valid', CAST(count(*) AS BIGINT)
+        |FROM ev WHERE value IS NOT NULL
+        |  AND event_id NOT IN (SELECT event_id FROM ginv)
+        |  AND event_id IN (SELECT event_id FROM gleak)
+        |UNION ALL
+        |SELECT 'candidates_kept', CAST(count(*) AS BIGINT) FROM csurv
+        |UNION ALL
+        |SELECT 'candidates_selected', CAST(coalesce(sum(least(c, 2)), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM csurv GROUP BY prompt)""".stripMargin),
 
     // q161's side-stream CTEs, then the whole-side best-fit packing:
     // FFD over side token counts, per-bin (n desc, id) offsets, padded

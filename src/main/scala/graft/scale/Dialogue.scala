@@ -890,6 +890,219 @@ object Dialogue {
       groupCol, trajCol, tsCol, idCol, roleCol, signalMilliCol, attrRoles)
   }
 
+  /** BEST-OF-N (rejection-sampling) SELECTION — the RFT/distillation
+    * data shape next to [[preferencePairs]]' DPO pair: keep the TOP-K
+    * graded candidates per prompt by (signal, id) descending — the
+    * same (signal, id) struct order as [[preferencePairs]]' chosen
+    * side, so bestOfN(k = 1) selects EXACTLY the chosen candidate on
+    * every prompt that forms a pair (agreement law, spec-pinned) and
+    * additionally emits the single-candidate and zero-margin prompts a
+    * pair cannot (rejection sampling keeps the best available answer;
+    * it does not need a contrast). Null signals are excluded as
+    * everywhere in the family; NaN fails loud BEFORE selection for the
+    * same reason as [[preferencePairs]] (it would always rank first).
+    *
+    * Scale shape: one window per prompt — rank-then-filter plans as
+    * WindowGroupLimit (each partition keeps a running top-k BEFORE the
+    * shuffle, so the exchange carries ≤ k·P candidate rows per prompt,
+    * not the viral prompt's millions; pinned in PlanGuard). Top-k
+    * inherently needs per-group order, so the O(1)-state agg trick of
+    * [[preferencePairs]] does not apply — the group-limit pushdown is
+    * the scale story instead.
+    *
+    * @return (promptCol, rank [1-based], candCol, contentCol,
+    *         signalCol, n_candidates)
+    */
+  def bestOfN(
+      responses: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val sigType = responses.schema(signalCol).dataType
+    val floating = sigType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    val base =
+      if (!floating) responses.filter(col(signalCol).isNotNull)
+      else responses.filter(col(signalCol).isNotNull)
+        .withColumn(signalCol, coalesce(
+          assert_true(!isnan(col(signalCol)),
+            lit("bestOfN: NaN signal — a NaN would always rank first; " +
+              "fix the grader upstream")).cast(sigType),
+          lit(0).cast(sigType)) + col(signalCol))
+    // n_candidates comes from a hash agg + join-back, NOT a second
+    // window over the same partition key: InferWindowGroupLimit only
+    // rewrites a Filter sitting DIRECTLY on a rank-only Window (a count
+    // over group-limit-pruned partitions would be wrong, so the rule
+    // refuses mixed windows), and losing that rewrite puts the viral
+    // prompt's full candidate list through the exchange. The base is
+    // LINEAGE-CUT because it now fans out twice (rank + counts) and is
+    // typically a whole gate chain.
+    val cut = graft.ops.CacheScope.cut(base)
+    val counts = cut.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy(col(promptCol))
+      .orderBy(col(signalCol).desc, col(candCol).desc)
+    cut
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .join(counts, Seq(promptCol))
+      .select(col(promptCol), col("rank"), col(candCol), col(contentCol),
+        col(signalCol), col("n_candidates"))
+  }
+
+  /** [[bestOfN]] with the q155 gates applied CANDIDATE-LEVEL — the
+    * [[gatedGroupAdvantages]] law, not [[gatedPreferencePairs]]' pair
+    * law: a best-of-n selection is re-rankable — removing a leaky or
+    * invalid-dialogue candidate promotes the next-best SURVIVOR
+    * (gating before selection is the point: a benchmark-leaking answer
+    * must not occupy a top-k slot, and unlike a pair there is no
+    * second side whose judgment the re-ranking would corrupt). A
+    * prompt whose candidates are all gated emits nothing.
+    */
+  def gatedBestOfN(
+      responses: DataFrame,
+      invalidCands: DataFrame,
+      holdout: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      k: Int,
+      contamGramN: Int = 3): DataFrame = {
+    val leaky = Dedup.decontaminate(
+      responses.select(col(candCol), col(contentCol)),
+      holdout, candCol, contentCol, contamGramN)
+      .select(col(candCol))
+    val survivors = responses.join(
+      leaky.unionByName(invalidCands.select(col(candCol))).distinct(),
+      Seq(candCol), "left_anti")
+    bestOfN(survivors, promptCol, candCol, contentCol, signalCol, k)
+  }
+
+  /** The MASKED-SEQUENCE export of a [[bestOfN]] selection — each
+    * selected candidate as ONE training sample: a two-turn dialogue
+    * (turn 0 the prompt text, loss mask 0; turn 1 the candidate's
+    * response, mask 1 — exactly [[preferenceSequences]]' side
+    * convention, so a RFT/distillation run and a DPO run share one
+    * loader format), encoded and packed by the q151 chain. The sample
+    * key IS the candidate id (a candidate is one log row — already
+    * unique; no side tag to pack), and turn ids pack fail-loud as
+    * candidate·2 + turn.
+    *
+    * The [[pairSideStream]] contracts carry over verbatim: promptTexts
+    * uniqueness (eager), coverage (left join + assert), and the
+    * no-zero-token-sample law ([[sftTokenStream]]'s AQE-proof guard
+    * branch).
+    *
+    * @return [[graft.scale.ShardPack.materializeSequencesWithMask]]'s
+    *         frame: (bin, n_tokens, n_docs, n_doc_starts, token_ids,
+    *         mask)
+    */
+  def bestOfNSequences(
+      selected: DataFrame,
+      promptTexts: DataFrame,
+      promptCol: String,
+      promptTextCol: String,
+      candCol: String,
+      contentCol: String,
+      merges: Seq[Bpe.Merge],
+      seqLen: Long): DataFrame = {
+    val textCounts = promptTexts
+      .agg(count(lit(1)).as("n"), countDistinct(col(promptCol)).as("nd"))
+      .head()
+    require(textCounts.getLong(0) == textCounts.getLong(1),
+      s"bestOfNSequences: promptTexts has " +
+        s"${textCounts.getLong(0) - textCounts.getLong(1)} duplicate " +
+        s"$promptCol key(s) — each would double its samples' turns")
+    val textType = promptTexts.schema(promptTextCol).dataType
+    // the same LINEAGE-CUT fan-out boundary as pairSideStream: the
+    // selection (window over the gate chain) feeds two turn branches
+    val withText = graft.ops.CacheScope.cut(
+      selected.join(promptTexts, Seq(promptCol), "left")
+        .withColumn(promptTextCol, coalesce(col(promptTextCol),
+          assert_true(lit(false),
+            lit("bestOfNSequences: a selected candidate's prompt is " +
+              "missing from promptTexts — its sample would silently " +
+              "vanish")).cast(textType))))
+    // guard FIRST (the codegen null-short-circuit rule)
+    val sid = coalesce(
+        assert_true(col(candCol).cast("long")
+          .between(0L, Long.MaxValue / 2 - 1),
+          lit(s"bestOfNSequences: $candCol out of turn-id packing range " +
+            "(need 0 <= id < 2^62 so turn ids fit a long)")).cast("long"),
+        lit(0L)) +
+      col(candCol).cast("long")
+    val turns = withText.select(sid.as("sample_id"), lit(0L).as("t"),
+        (sid * 2L).as("i"), lit("prompt").as("role"),
+        col(promptTextCol).as("content"))
+      .unionByName(withText.select(sid.as("sample_id"), lit(1L).as("t"),
+        (sid * 2L + 1L).as("i"), lit("response").as("role"),
+        col(contentCol).as("content")))
+    ShardPack.materializeSequencesWithMask(
+      sftTokenStream(
+        turns, "sample_id", "t", "i", "role", "content", merges,
+        maskRoles = Set("response"), requireNonEmptyDialogues = true),
+      "sample_id", "mask", seqLen)
+  }
+
+  /** The K7-style stage report for [[gatedBestOfN]] — gradeable
+    * candidates in, dropped per gate (validity first, then leakage
+    * among the valid — the [[preferencePairCounters]] staging), kept,
+    * and finally SELECTED (Σ min(k, survivors) over prompts). total =
+    * invalid + contaminated_valid + kept and selected ≤ kept
+    * (conservation laws, spec-pinned); an empty export reads as "zero
+    * selected because N leaked", never as a silently-empty frame.
+    *
+    * @return (stage, n): candidates_total / candidates_invalid /
+    *         candidates_contaminated_valid / candidates_kept /
+    *         candidates_selected
+    */
+  def bestOfNCounters(
+      responses: DataFrame,
+      invalidCands: DataFrame,
+      holdout: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      k: Int,
+      contamGramN: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val graded = graft.ops.CacheScope.persisted(
+      responses.filter(col(signalCol).isNotNull)
+        .select(col(promptCol), col(candCol), col(contentCol)))
+    val invalid = graft.ops.CacheScope.persisted(
+      graded.join(invalidCands.select(col(candCol)), Seq(candCol), "left_semi"))
+    val leakyValid = graft.ops.CacheScope.persisted(
+      graded.join(invalidCands.select(col(candCol)), Seq(candCol), "left_anti")
+        .join(
+          Dedup.decontaminate(
+            graded.select(col(candCol), col(contentCol)),
+            holdout, candCol, contentCol, contamGramN)
+            .select(col(candCol)),
+          Seq(candCol), "left_semi"))
+    val kept = graded
+      .join(invalid.select(col(candCol)), Seq(candCol), "left_anti")
+      .join(leakyValid.select(col(candCol)), Seq(candCol), "left_anti")
+    def cnt(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(stage).as("stage"), col("n"))
+    cnt("candidates_total", graded)
+      .unionByName(cnt("candidates_invalid", invalid))
+      .unionByName(cnt("candidates_contaminated_valid", leakyValid))
+      .unionByName(cnt("candidates_kept", kept))
+      .unionByName(
+        kept.groupBy(col(promptCol)).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(least(col("__n"), lit(k.toLong))), lit(0L)).as("n"))
+          .select(lit("candidates_selected").as("stage"), col("n")))
+  }
+
   /** The per-token masked stream of a preference-pair frame's sides —
     * the shared front half of [[preferenceSequences]] and
     * [[preferenceTensors]]: each side as a two-turn dialogue keyed by

@@ -247,6 +247,30 @@ class PlanGuardSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll()
   }
 
+  test("bestOfN (q166's selection): rank-then-filter plans as WindowGroupLimit (per-partition top-k before the shuffle)") {
+    // the scale story of top-k selection: each input partition keeps a
+    // running top-k per prompt BEFORE the window shuffle, so a viral
+    // prompt's millions of candidates never ride the exchange — only
+    // <= k per (partition, prompt). A refactor that breaks the
+    // rank<=k pattern (a second window over the same key, or ranking
+    // into a column and filtering later) silently loses the pushdown
+    // and this guard names it. Pinned on the OPERATOR's plan: inside
+    // q166 the selection sits behind bestOfNSequences' lineage-cut
+    // LogicalRDD leaf, where the final plan cannot show it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/events.parquet")
+        .selectExpr("props AS prompt", "event_id AS cand",
+          "props AS content", "value AS signal")
+      val p = graft.scale.Dialogue
+        .bestOfN(docs, "prompt", "cand", "content", "signal", 2)
+        .queryExecution.executedPlan
+      assert(countNodes(p, _.nodeName.contains("WindowGroupLimit")) >= 1,
+        p.toString.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("q101 runs the DISTRIBUTED propagation path, q50 the driver union-find") {
     // The two CC paths are a size switch (Dedup.connectedComponents):
     // below the threshold a driver union-find parallelizes its result
@@ -443,7 +467,13 @@ class PlanGuardSpec extends SparkSpec {
       "q158_oversize_split" -> 1, "q162_oversize_truncate" -> 1,
       // q154: the two 1-row halves of the waste report (bins rollup +
       // oversize count), crossed via broadcast — both bin/doc-count-sized
-      "q154_bestfit_waste" -> 2)
+      "q154_bestfit_waste" -> 2,
+      // q166: the sequence packing's prefix pass over the selected
+      // samples (q151's class)
+      "q166_bestofn_sequences" -> 1,
+      // q170: the five 1-row stage counts of the best-of-n report —
+      // q156/q160's contract with the extra selected stage
+      "q170_bestofn_counters" -> 5)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -349,6 +349,73 @@ class PreferencePairsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  // ---- best-of-n / rejection sampling (q166/q170) ----------------------
+
+  test("bestOfN: k=1 agrees with preferencePairs' chosen side; rank order and single-candidate prompts") {
+    val top1 = Dialogue.bestOfN(responses, "prompt", "cand", "content", "signal", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // agreement law: on every prompt that forms a pair, the k=1
+    // selection IS the chosen candidate (same (signal, id) order)
+    val chosen = Dialogue.preferencePairs(responses, "prompt", "cand", "content", "signal")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    chosen.foreach { case (p, c) =>
+      assert(top1(p) === c, s"prompt $p: bestOfN(1) != preferencePairs chosen")
+    }
+    // and bestOfN additionally emits what a pair cannot: the
+    // single-candidate prompt and the zero-margin prompt
+    assert(top1.contains("p3") && top1("p3") === 30L, "single candidate selected")
+    assert(top1.contains("p2") && top1("p2") === 21L, "zero-margin tie -> largest id")
+    // k=2: ranks are (signal desc, id desc), n_candidates rides along
+    val top2 = Dialogue.bestOfN(responses, "prompt", "cand", "content", "signal", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5)))
+      .toMap
+    assert(top2(("p1", 1L))._1 === 12L && top2(("p1", 2L))._1 === 11L)
+    assert(top2(("p4", 1L))._1 === 41L && top2(("p4", 2L))._1 === 40L,
+      "tie ranks by id desc")
+    assert(top2(("p1", 1L))._2 === 3L, "n_candidates = graded candidates")
+    // null-signal candidates neither rank nor count
+    assert(top2(("p5", 1L))._1 === 52L && top2(("p5", 1L))._2 === 2L)
+    // NaN fails loud (would always rank first)
+    val err = intercept[Exception] {
+      Dialogue.bestOfN(
+        responses.withColumn("signal",
+          when(col("cand") === 10L, Double.NaN).otherwise(col("signal"))),
+        "prompt", "cand", "content", "signal", 1).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("gatedBestOfN re-ranks over survivors (the candidate-level contrast to pair gating); counters conserve") {
+    // gate p1's best candidate 12 -> 11 is PROMOTED to rank 1 (a pair
+    // would have dropped the prompt whole)
+    val invalid = Seq(Tuple1(12L)).toDF("cand")
+    val holdout = spark.emptyDataFrame
+      .sparkSession.createDataFrame(Seq((999L, "no such grams here")))
+      .toDF("cand", "content")
+    val out = Dialogue.gatedBestOfN(
+      responses, invalid, holdout, "prompt", "cand", "content", "signal", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("p1") === 11L, "next-best survivor promoted")
+    // counters: total = invalid + contaminated_valid + kept, and
+    // selected = sum of min(k, per-prompt kept)
+    val leakyHoldout = Seq((999L, "alpha beta gamma")).toDF("cand", "content")
+    val counters = Dialogue.bestOfNCounters(
+      responses, invalid, leakyHoldout, "prompt", "cand", "content", "signal",
+      k = 1).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counters("candidates_total") ===
+      counters("candidates_invalid") + counters("candidates_contaminated_valid") +
+        counters("candidates_kept"), "conservation")
+    // graded candidates: 12 (cand 50's null signal excluded); cand 12
+    // invalid; cand 10 leaks ("alpha beta gamma") and is valid
+    assert(counters("candidates_total") === 12L)
+    assert(counters("candidates_invalid") === 1L)
+    assert(counters("candidates_contaminated_valid") === 1L)
+    assert(counters("candidates_kept") === 10L)
+    // kept per prompt: p1 {11}, p2 {20,21}, p3 {30}, p4 {40..43},
+    // p5 {51,52}; k=1 -> one per prompt with any survivor
+    assert(counters("candidates_selected") === 5L)
+  }
+
   // ---- turn-level (process-reward) advantages (q165) -------------------
 
   // trajectories: (group, traj, signal_milli) — g1 has three, g2 one
