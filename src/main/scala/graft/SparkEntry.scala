@@ -2418,7 +2418,26 @@ object SparkEntry {
     "q170_bestofn_counters" -> ((s, dir) =>
       graft.scale.Dialogue.bestOfNCounters(
         prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
-        "prompt", "event_id", "content", "value", k = 2))
+        "prompt", "event_id", "content", "value", k = 2)),
+
+    // --- scale: the GLOBAL WRITER MANIFEST over q163's preference-
+    // tensor layout — q159's loader contract (contiguous seq_id,
+    // ~4000-token files along the sequence order, 2-epoch permutation)
+    // composed with the pair-SIDE (shard, bin) shape: the doc-layout
+    // manifest generalizes to DPO tensor exports unchanged ----------------
+    "q168_pref_tensor_manifest" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val pairs = graft.scale.Dialogue.gatedPreferencePairs(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value")
+      // the q161 separate-scan trade (see that registration)
+      val promptTexts = prefResponses(s, dir)
+        .select(col("prompt")).distinct()
+        .withColumn("prompt_text", col("prompt"))
+      graft.scale.Dialogue.preferenceTensorManifest(
+        pairs, promptTexts, "prompt", "prompt_text", merges,
+        seqLen = 64L, shardBudget = 2000L, fileBudget = 4000L, epochs = 2)
+    })
   )
 
   /** The q157/q160/q161 response-log view of events: prompt = props
@@ -6556,6 +6575,34 @@ object SparkEntry {
         |  WHERE rk <= 2),
         |${sideStreamCtes("SELECT event_id AS side_id, prompt, content AS rcontent FROM sel")},
         |${streamPackTailSql(16)}""".stripMargin),
+
+    // q163's side-stream + FFD CTEs rolled up to bins, then q159's
+    // manifest tail: seq_id by (shard, bin) row_number, file by
+    // running-fill // 4000, the 2-epoch md5 permutation
+    "q168_pref_tensor_manifest" ->
+      (bpeStagesSql(BpeMergeCount).replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        |$prefGateCtes,
+        |$prefSideStreamCtes,
+        |scnt AS (
+        |  SELECT side_id AS id, CAST(count(*) AS BIGINT) AS n
+        |  FROM stream GROUP BY 1),
+        |${ffdCtes("p", "scnt", 64, 2000)},
+        |mbins AS (
+        |  SELECT shard, bin, CAST(sum(n) AS BIGINT) AS fill,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM pffd WHERE id IS NOT NULL GROUP BY 1, 2),
+        |msq AS (
+        |  SELECT shard, bin, fill, n_docs,
+        |    CAST(row_number() OVER (ORDER BY shard, bin) - 1 AS BIGINT) AS seq_id,
+        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY shard, bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 4000 AS BIGINT) AS file
+        |  FROM mbins)
+        |SELECT shard, bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY e, shard
+        |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM msq, unnest(generate_series(0, 1)) AS u(e)""".stripMargin),
 
     // q166's gate CTEs folded to the five stage counts (selected =
     // sum of min(k, per-prompt survivors))

@@ -592,6 +592,54 @@ object Dialogue {
       seqLen: Long,
       shardBudget: Long,
       padId: Long = -1L): DataFrame = {
+    val (stream, guarded) = guardedSideLayout(
+      pairs, promptTexts, promptCol, promptTextCol, merges, seqLen, shardBudget)
+    ShardPack.materializeBestFitWithMask(
+      stream, guarded, "side_id", "mask", seqLen, padId)
+  }
+
+  /** The GLOBAL WRITER MANIFEST over [[preferenceTensors]]' side layout
+    * — [[graft.scale.ShardPack.globalWriterManifest]] composed with the
+    * preference-tensor (shard, bin) shape: one row per (epoch,
+    * sequence) carrying the contiguous seq_id, the deterministic
+    * file assignment (~`fileBudget` tokens per file along the sequence
+    * order), and the per-epoch (shard, pos) permutation — the complete
+    * loader contract for a DPO tensor export, proving the doc-layout
+    * manifest generalizes to pair-side layouts unchanged (same
+    * conservation laws: every sequence in exactly one file, exactly
+    * once per epoch). The q163 oversize law carries over: a side
+    * longer than seqLen fails the whole plan loud rather than silently
+    * vanishing from the manifest.
+    *
+    * @return (shard, bin, fill, n_docs, seq_id, file, epoch, pos)
+    */
+  def preferenceTensorManifest(
+      pairs: DataFrame,
+      promptTexts: DataFrame,
+      promptCol: String,
+      promptTextCol: String,
+      merges: Seq[Bpe.Merge],
+      seqLen: Long,
+      shardBudget: Long,
+      fileBudget: Long,
+      epochs: Int): DataFrame = {
+    val (_, guarded) = guardedSideLayout(
+      pairs, promptTexts, promptCol, promptTextCol, merges, seqLen, shardBudget)
+    ShardPack.globalWriterManifest(guarded, fileBudget, epochs)
+  }
+
+  /** The shared back half of [[preferenceTensors]] and
+    * [[preferenceTensorManifest]]: the encoded side stream and its
+    * oversize-guarded best-fit layout.
+    */
+  private def guardedSideLayout(
+      pairs: DataFrame,
+      promptTexts: DataFrame,
+      promptCol: String,
+      promptTextCol: String,
+      merges: Seq[Bpe.Merge],
+      seqLen: Long,
+      shardBudget: Long): (DataFrame, DataFrame) = {
     // LINEAGE-CUT: the encoded side stream feeds the count pass
     // (layout), the materialization join, AND the per-doc drift guard —
     // slim long rows, and three references whose analysis would each
@@ -618,8 +666,7 @@ object Dialogue {
               "upstream")).cast("boolean"),
           lit(true)))
         .otherwise(lit(false)))
-    ShardPack.materializeBestFitWithMask(
-      stream, guarded, "side_id", "mask", seqLen, padId)
+    (stream, guarded)
   }
 
   /** GROUP-RELATIVE ADVANTAGES — the GRPO-family data shape (group

@@ -349,6 +349,46 @@ class PreferencePairsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("preferenceTensorManifest: q159's conservation laws hold verbatim on the pair-side layout") {
+    val merges = Bpe.trainMergesFast(responses, "content", 3)
+    val pairs = Dialogue.preferencePairs(responses, "prompt", "cand", "content", "signal")
+    val texts = responses.select(col("prompt")).distinct()
+      .withColumn("ptext", col("prompt"))
+    val epochs = 2
+    val fileBudget = 40L
+    val out = Dialogue.preferenceTensorManifest(
+      pairs, texts, "prompt", "ptext", merges,
+      seqLen = 32L, shardBudget = 128L, fileBudget = fileBudget, epochs = epochs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    val n = out.length / epochs
+    (0L until epochs.toLong).foreach { e =>
+      val slice = out.filter(_._7 == e)
+      assert(slice.length === n, s"epoch $e covers every sequence exactly once")
+      val ordered = slice.sortBy(r => (r._1, r._2))
+      assert(ordered.map(_._5).toSeq === (0L until n.toLong),
+        s"epoch $e seq_id contiguous in (shard, bin) order")
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r._6 === cum / fileBudget, s"file rule at seq ${r._5}")
+        cum += r._3
+      }
+      slice.groupBy(_._1).foreach { case (sh, ss) =>
+        assert(ss.map(_._8).sorted.toSeq === (0L until ss.length.toLong),
+          s"epoch $e shard $sh pos dense")
+      }
+    }
+    // the q163 oversize law carries over: a side longer than seqLen
+    // fails the manifest loud (never a silently smaller sequence set)
+    val err = intercept[Exception] {
+      Dialogue.preferenceTensorManifest(
+        pairs, texts, "prompt", "ptext", merges,
+        seqLen = 2L, shardBudget = 64L, fileBudget = fileBudget, epochs = 1).collect()
+    }
+    assert(err.getMessage != null, "oversize side must refuse")
+  }
+
   // ---- best-of-n / rejection sampling (q166/q170) ----------------------
 
   test("bestOfN: k=1 agrees with preferencePairs' chosen side; rank order and single-candidate prompts") {
