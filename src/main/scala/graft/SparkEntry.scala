@@ -2437,7 +2437,18 @@ object SparkEntry {
       graft.scale.Dialogue.preferenceTensorManifest(
         pairs, promptTexts, "prompt", "prompt_text", merges,
         seqLen = 64L, shardBudget = 2000L, fileBudget = 4000L, epochs = 2)
-    })
+    }),
+
+    // --- scale: the STD-NORMALIZED GRPO twin — q164's mean-centered
+    // advantages plus the published (r − mean)/std normalization in
+    // exact integers: variance around the integer milli mean via the
+    // Σs² − 2mΣs + nm² expansion (decimal(38,0)), exact integer sqrt
+    // (double seed ± 1 correction), advantage in milli-σ units; gates
+    // candidate-level, zero-spread groups emit all-zero norms -------------
+    "q169_group_advantages_std" -> ((s, dir) =>
+      graft.scale.Dialogue.gatedGroupAdvantagesStd(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value"))
   )
 
   /** The q157/q160/q161 response-log view of events: prompt = props
@@ -6603,6 +6614,46 @@ object SparkEntry {
         |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
         |    AS BIGINT) AS pos
         |FROM msq, unnest(generate_series(0, 1)) AS u(e)""".stripMargin),
+
+    // q164's gates + the integer variance expansion in HUGEINT, the
+    // double-seeded ±1-corrected integer sqrt, and milli-σ advantages
+    "q169_group_advantages_std" ->
+      (s"WITH $candGateCtes" + """,
+        |surv AS (
+        |  SELECT prompt, event_id, content,
+        |    CAST(floor(value * 1000) AS BIGINT) AS signal_milli
+        |  FROM csurv),
+        |sst AS (
+        |  SELECT prompt, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(signal_milli) AS BIGINT) AS s1,
+        |    sum(CAST(signal_milli AS HUGEINT) * signal_milli) AS s2
+        |  FROM surv GROUP BY 1 HAVING count(*) >= 2),
+        |sms AS (
+        |  SELECT prompt, n_candidates, s1, s2,
+        |    CAST(s1 // n_candidates AS BIGINT) AS mean_milli
+        |  FROM sst),
+        |svr AS (
+        |  SELECT prompt, n_candidates, mean_milli,
+        |    CAST((s2 - 2 * CAST(mean_milli AS HUGEINT) * s1
+        |      + CAST(n_candidates AS HUGEINT) * mean_milli * mean_milli)
+        |      // n_candidates AS BIGINT) AS var_milli2
+        |  FROM sms),
+        |sq0 AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(var_milli2 AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM svr),
+        |sstd AS (
+        |  SELECT prompt, n_candidates, mean_milli, var_milli2,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= var_milli2 THEN s0 + 1
+        |         WHEN s0 * s0 > var_milli2 THEN s0 - 1
+        |         ELSE s0 END AS std_milli
+        |  FROM sq0)
+        |SELECT s.prompt, s.event_id, s.content, s.signal_milli,
+        |  g.n_candidates, g.mean_milli, g.var_milli2, g.std_milli,
+        |  s.signal_milli - g.mean_milli AS advantage_milli,
+        |  CAST(CASE WHEN g.std_milli > 0
+        |    THEN ((s.signal_milli - g.mean_milli) * 1000) // g.std_milli
+        |    ELSE 0 END AS BIGINT) AS adv_norm_milli
+        |FROM surv s JOIN sstd g USING (prompt)""".stripMargin),
 
     // q166's gate CTEs folded to the five stage counts (selected =
     // sum of min(k, per-prompt survivors))

@@ -757,6 +757,110 @@ object Dialogue {
     groupAdvantages(survivors, promptCol, candCol, contentCol, signalCol)
   }
 
+  /** [[groupAdvantages]]' STD-NORMALIZED twin — the PUBLISHED GRPO
+    * formulation ((r − mean) / std) in EXACT integer arithmetic so the
+    * result hash-compares across engines (a floating std additionally
+    * differs by summation algorithm, not just order):
+    *
+    *   - the variance is measured around the INTEGER milli mean m =
+    *     Σs div n (the quantization law: Σ(s−m)² div n, not the exact-
+    *     mean variance — deterministic, and within quantization error
+    *     of it), computed EXACTLY from one agg via the expansion
+    *     Σ(s−m)² = Σs² − 2·m·Σs + n·m² in decimal(38,0) (Σs² overflows
+    *     a long; each term is exact in 38 digits);
+    *   - `std_milli` = isqrt(var_milli2), the exact INTEGER square
+    *     root: one double sqrt seeds within ±1 (IEEE sqrt is
+    *     correctly rounded and var < 2^62 keeps the seed in exact
+    *     double range), then one ±1 correction pins std² ≤ var <
+    *     (std+1)² (law, spec-pinned) — floor(sqrt(double)) alone can
+    *     disagree across engines at perfect-square boundaries;
+    *   - `adv_norm_milli` = (s − m)·1000 div std_milli — the advantage
+    *     in milli-σ units; zero-spread groups (std 0) emit all-zero
+    *     normalized advantages, the [[groupAdvantages]] zero-spread
+    *     law (a no-contrast group is still a valid GRPO sample).
+    *
+    * Signals are bounded tighter than [[groupAdvantages]]:
+    * |signal| < 2^30/1000 (≈ 1.07e6) so every deviation square fits a
+    * long before the decimal sum — rewards live in small ranges; a
+    * reward past a million is a grader bug this guard names.
+    *
+    * Scale shape: ONE hash agg (count + sum + decimal sum of squares —
+    * O(1) per-group state) joined back on the prompt key; the variance
+    * expansion is scalar arithmetic on the group row. No second pass.
+    *
+    * @return (promptCol, candCol, contentCol, signal_milli,
+    *         n_candidates, mean_milli, var_milli2, std_milli,
+    *         advantage_milli, adv_norm_milli)
+    */
+  def groupAdvantagesStd(
+      responses: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String): DataFrame = {
+    val ok = !isnan(col(signalCol)) &&
+      abs(col(signalCol)) < lit(1073741.824) // 2^30 milli
+    val cand = responses
+      .filter(col(signalCol).isNotNull)
+      .select(col(promptCol), col(candCol), col(contentCol),
+        (coalesce(
+          assert_true(ok,
+            lit("groupAdvantagesStd: signal NaN or out of the std twin's " +
+              "milli range (|signal| must be < 2^30/1000 so deviation " +
+              "squares stay exact)")).cast("long"),
+          lit(0L)) + floor(col(signalCol) * 1000).cast("long")).as("signal_milli"))
+    val stats = cand.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("signal_milli")).as("__sum"),
+        sum(col("signal_milli").cast("decimal(38,0)") * col("signal_milli"))
+          .as("__ss"))
+      .filter(col("n_candidates") >= 2)
+      .withColumn("mean_milli", expr("__sum div n_candidates"))
+      // Σ(s−m)² = Σs² − 2mΣs + n·m², exact in decimal(38,0); always
+      // >= 0 for ANY m, so the integral division truncates toward zero
+      // and floor identically
+      .withColumn("var_milli2", expr(
+        """(__ss - 2 * CAST(mean_milli AS DECIMAL(38,0)) * __sum
+          |  + CAST(n_candidates AS DECIMAL(38,0)) * mean_milli * mean_milli)
+          | div n_candidates""".stripMargin))
+      .withColumn("__s0",
+        floor(sqrt(col("var_milli2").cast("double"))).cast("long"))
+      .withColumn("std_milli",
+        when((col("__s0") + 1) * (col("__s0") + 1) <= col("var_milli2"),
+          col("__s0") + 1)
+          .when(col("__s0") * col("__s0") > col("var_milli2"), col("__s0") - 1)
+          .otherwise(col("__s0")))
+      .drop("__sum", "__ss", "__s0")
+    cand.join(stats, Seq(promptCol))
+      .withColumn("advantage_milli", col("signal_milli") - col("mean_milli"))
+      .withColumn("adv_norm_milli",
+        when(col("std_milli") > 0L,
+          expr("(advantage_milli * 1000) div std_milli")).otherwise(0L))
+  }
+
+  /** [[groupAdvantagesStd]] with the q155 gates applied CANDIDATE-LEVEL
+    * — [[gatedGroupAdvantages]]' law on the std twin: survivors only,
+    * mean AND std re-normalize over them, groups below 2 drop.
+    */
+  def gatedGroupAdvantagesStd(
+      responses: DataFrame,
+      invalidCands: DataFrame,
+      holdout: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      contamGramN: Int = 3): DataFrame = {
+    val leaky = Dedup.decontaminate(
+      responses.select(col(candCol), col(contentCol)),
+      holdout, candCol, contentCol, contamGramN)
+      .select(col(candCol))
+    val survivors = responses
+      .join(leaky.unionByName(invalidCands.select(col(candCol))).distinct(),
+        Seq(candCol), "left_anti")
+    groupAdvantagesStd(survivors, promptCol, candCol, contentCol, signalCol)
+  }
+
   /** TURN-LEVEL (process-reward) ADVANTAGES — the multi-turn RL data
     * shape [[groupAdvantages]]' prompt-level GRPO doesn't cover: a
     * TRAJECTORY (a whole dialogue) earns one scalar signal, its group

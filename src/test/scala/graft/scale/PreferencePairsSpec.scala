@@ -349,6 +349,57 @@ class PreferencePairsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("groupAdvantagesStd: exact integer variance/isqrt laws, milli-σ normalization, zero-spread, range guard") {
+    val r = Seq(
+      ("g1", 1L, "a", 1.0), ("g1", 2L, "b", 2.0), ("g1", 3L, "c", 3.0),
+      ("g2", 4L, "d", 5.0), ("g2", 5L, "e", 5.0), // zero spread
+      ("g4", 7L, "g", 1.0), ("g4", 8L, "h", 2.0), ("g4", 9L, "i", 2.5)
+    ).toDF("prompt", "cand", "content", "signal")
+    val out = Dialogue.groupAdvantagesStd(r, "prompt", "cand", "content", "signal")
+      .collect()
+      .map(x => x.getLong(1) -> (x.getLong(3), x.getLong(4), x.getLong(5),
+        x.getLong(6), x.getLong(7), x.getLong(8), x.getLong(9)))
+      .toMap
+    // g1: mean 2000, deviations (-1000, 0, 1000) -> V = 2000000/3 =
+    // 666666, isqrt = 816 (816² = 665856 <= V < 817² = 667489)
+    assert(out(1L)._4 === 666666L && out(1L)._5 === 816L)
+    assert(out(1L)._7 === -1000L * 1000L / 816L, "milli-σ advantage")
+    // the isqrt law on every group: std² <= V < (std+1)²
+    out.values.foreach { case (_, _, _, v, s, _, _) =>
+      assert(s * s <= v && v < (s + 1) * (s + 1), s"isqrt law V=$v std=$s")
+    }
+    // zero spread: V 0, std 0, all norms 0 (still a valid GRPO sample)
+    assert(out(4L)._4 === 0L && out(4L)._5 === 0L && out(4L)._7 === 0L)
+    // g4: integer mean 1833, deviations (-833, 167, 667) -> exact
+    // Σd² = 693889 + 27889 + 444889 = 1166667, V = 388889, isqrt 623
+    assert(out(7L)._3 === 1833L && out(7L)._4 === 388889L && out(7L)._5 === 623L)
+    // the advantage column equals q164's mean-centered one (the twin law)
+    val plain = Dialogue.groupAdvantages(r, "prompt", "cand", "content", "signal")
+      .collect().map(x => x.getLong(1) -> x.getLong(6)).toMap
+    out.foreach { case (c, t) => assert(t._6 === plain(c), s"cand $c twin law") }
+    // range guard: a reward past 2^30 milli would break deviation-square
+    // exactness — refuses loud (tighter than groupAdvantages' bound)
+    val big = Seq(("p", 1L, "a", 2e6), ("p", 2L, "b", 1.0))
+      .toDF("prompt", "cand", "content", "signal")
+    val err = intercept[Exception] {
+      Dialogue.groupAdvantagesStd(big, "prompt", "cand", "content", "signal").collect()
+    }
+    assert(err.getMessage != null)
+    // gated twin: mean AND std re-normalize over survivors
+    val holdout = Seq((99L, "leak me now please")).toDF("cand", "content")
+    val r2 = Seq(
+      ("g", 1L, "leak me now please", 9.0), ("g", 2L, "b", 1.0),
+      ("g", 3L, "c", 3.0)
+    ).toDF("prompt", "cand", "content", "signal")
+    val gated = Dialogue.gatedGroupAdvantagesStd(
+      r2, Seq.empty[Long].toDF("cand"), holdout,
+      "prompt", "cand", "content", "signal")
+      .collect().map(x => x.getLong(1) -> (x.getLong(5), x.getLong(7))).toMap
+    // survivors 2,3: mean 2000, V = 1000000, std exactly 1000
+    assert(!gated.contains(1L))
+    assert(gated(2L) === ((2000L, 1000L)) && gated(3L) === ((2000L, 1000L)))
+  }
+
   test("preferenceTensorManifest: q159's conservation laws hold verbatim on the pair-side layout") {
     val merges = Bpe.trainMergesFast(responses, "content", 3)
     val pairs = Dialogue.preferencePairs(responses, "prompt", "cand", "content", "signal")
