@@ -2439,6 +2439,40 @@ object SparkEntry {
         seqLen = 64L, shardBudget = 2000L, fileBudget = 4000L, epochs = 2)
     }),
 
+    // --- scale: MULTIMODAL image-text pair curation — joint dedup of
+    // an (image, caption) corpus: the DISTINCT image space decodes ONCE
+    // (the content-addressed-store shape — at 100 TB you dedup distinct
+    // payloads, never per-row re-decodes) through the REAL q64 codecs
+    // into stats embeddings, image near-dup pairs form via
+    // cosineNearDupPairs over those embeddings, captions near-dup via
+    // q107's MinHash-LSH, and a pair of rows is a duplicate edge only
+    // when BOTH modalities agree (same image payload or embedding
+    // near-dups, AND caption near-dup) — then priority-keep per
+    // connected cluster (q107's survivor rule) -----------------------------
+    "q167_multimodal_pair_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val names = Seq("corrupt.bin", "halfred.jpg", "halfred.png")
+      val assets = Multimodal.readDir(s, fixturePath("data/fixtures/multimodal"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+        .filter(col("name").isin(names: _*))
+        .withColumn("asset_id", abs(xxhash64(col("name"))))
+      val feats = Multimodal.imageFeatures(assets.select(
+          col("asset_id").as("assetId"), lit("image").as("modality"),
+          col("content"), lit("").as("declaredFormat")).as[Multimodal.Asset])
+        .toDF()
+      val images = feats
+        .join(assets.select(col("asset_id").as("assetId"), col("name")), Seq("assetId"))
+        .select(col("name").as("img"), col("embedding"), col("ok"))
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("priority", expr("substring(source, 4)").cast("long"))
+      val assign = docs.select(col("doc_id"),
+        element_at(array(names.map(lit): _*),
+          (col("doc_id") % 3 + 1).cast("int")).as("img"))
+      Multimodal.imageTextPairDedup(
+        docs, assign, images, "doc_id", "text", "priority", "img")
+    }),
+
     // --- scale: the STD-NORMALIZED GRPO twin — q164's mean-centered
     // advantages plus the published (r − mean)/std normalization in
     // exact integers: variance around the integer milli mean via the
@@ -6614,6 +6648,50 @@ object SparkEntry {
         |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
         |    AS BIGINT) AS pos
         |FROM msq, unnest(generate_series(0, 1)) AS u(e)""".stripMargin),
+
+    // q107's caption-pair + CC + priority machinery with the image-side
+    // gate added. The IMAGE equivalence is FROZEN (the q64 pattern —
+    // DuckDB ships no codec): the decodable halfred.jpg/halfred.png
+    // fixtures decode to near-identical stats embeddings (cosine ≈ 1,
+    // their per-channel means differ by one JPEG-loss milli — q64's
+    // frozen rows gate the decode itself) so they form the one
+    // similarity pair, and corrupt.bin matches only by content
+    // identity; the Spark side RUNS the real decode + LSH, so a codec
+    // or similarity regression breaks the compare
+    "q167_multimodal_pair_dedup" ->
+      s"""WITH RECURSIVE p0 AS (
+         |$lshPairsOracleSql
+         |),
+         |asg AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'corrupt.bin' WHEN 1 THEN 'halfred.jpg'
+         |      ELSE 'halfred.png' END AS img
+         |  FROM documents),
+         |jp AS (
+         |  SELECT p0.id_a, p0.id_b
+         |  FROM p0
+         |  JOIN asg a ON p0.id_a = a.doc_id
+         |  JOIN asg b ON p0.id_b = b.doc_id
+         |  WHERE a.img = b.img
+         |     OR (a.img IN ('halfred.jpg', 'halfred.png')
+         |         AND b.img IN ('halfred.jpg', 'halfred.png'))),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+         |r AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+         |reps AS (SELECT a AS id, least(a, min(b)) AS rep FROM r GROUP BY a),
+         |d AS (
+         |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS priority,
+         |    coalesce(reps.rep, doc_id) AS rep
+         |  FROM documents LEFT JOIN reps ON doc_id = reps.id),
+         |mp AS (SELECT rep, min(priority) AS best_prio FROM d GROUP BY rep),
+         |keep AS (
+         |  SELECT min(d.doc_id) AS doc_id
+         |  FROM d JOIN mp ON d.rep = mp.rep AND d.priority = mp.best_prio
+         |  GROUP BY d.rep)
+         |SELECT d2.doc_id, CAST(substr(d2.source, 4) AS BIGINT) AS priority
+         |FROM documents d2 JOIN keep USING (doc_id)""".stripMargin,
 
     // q164's gates + the integer variance expansion in HUGEINT, the
     // double-seeded ±1-corrected integer sqrt, and milli-σ advantages

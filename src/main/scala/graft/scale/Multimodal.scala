@@ -249,6 +249,66 @@ object Multimodal {
     }
   }
 
+  /** JOINT image-text pair curation — dedup of an (image, caption)
+    * corpus where a duplicate needs BOTH modalities to agree: two rows
+    * are an edge iff their captions are MinHash-LSH near-dups
+    * ([[graft.scale.Dedup.minhashPairsExact]]) AND their images are
+    * compatible — the SAME image payload (content identity) or an
+    * embedding near-dup pair ([[graft.scale.Similarity.cosineNearDupPairs]]
+    * over the decoded stats embeddings, inheriting its bucket-cap
+    * contract). Clusters resolve by connected components and keep the
+    * (priority, id)-argmin survivor ([[graft.scale.Dedup.dedupByClusterPriority]]).
+    *
+    * `images` is the DISTINCT image space — (imgCol, embedding, ok),
+    * e.g. [[imageFeatures]] over a content-addressed store — decoded
+    * ONCE; at 100 TB you embed distinct payloads, never per-row
+    * re-decodes, and `assign` (idCol → imgCol) is the row-to-payload
+    * mapping. Corrupt payloads (ok = false) carry no embedding and can
+    * only match by content identity — a decoder failure must not
+    * manufacture similarity. The compatibility relation is image-space
+    * sized and broadcasts into the caption-pair probe: the corpus-sized
+    * side never shuffles for the image gate.
+    *
+    * One modality alone never merges (law, spec-pinned): same caption
+    * with incompatible images stays, same image with unrelated captions
+    * stays.
+    *
+    * @return `docs` rows (idCol, priorityCol) of the kept survivors
+    */
+  def imageTextPairDedup(
+      docs: DataFrame,
+      assign: DataFrame,
+      images: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: String,
+      imgCol: String,
+      cosineThreshold: Double = 0.999,
+      dims: Int = 8,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      jaccardThreshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = images.filter(col("ok"))
+      .select(col(imgCol).as("id"), col("embedding"))
+    val imgPairs = Similarity.cosineNearDupPairs(
+      emb, "id", "embedding", cosineThreshold, dims = dims)
+      .select(col("id_a").as("img_a"), col("id_b").as("img_b"))
+    val compat = imgPairs
+      .unionByName(imgPairs.select(col("img_b").as("img_a"), col("img_a").as("img_b")))
+      .unionByName(images.select(col(imgCol).as("img_a"), col(imgCol).as("img_b")))
+    val capPairs = Dedup.minhashPairsExact(
+      docs, idCol, textCol, shingleSize, numHashes, bands, jaccardThreshold)
+    val joint = capPairs
+      .join(assign.select(col(idCol).as("id_a"), col(imgCol).as("img_a")), Seq("id_a"))
+      .join(assign.select(col(idCol).as("id_b"), col(imgCol).as("img_b")), Seq("id_b"))
+      .join(broadcast(compat), Seq("img_a", "img_b"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    Dedup.dedupByClusterPriority(
+      docs.select(col(idCol), col(priorityCol)), joint, idCol, priorityCol)
+  }
+
   /** REAL resize for `javax.imageio`-readable payloads: decode, scale
     * through a Graphics2D draw (bilinear), re-encode in the SAME
     * container format so the thumbnail stays a valid JPEG/PNG/BMP/GIF.

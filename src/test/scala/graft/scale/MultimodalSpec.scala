@@ -235,4 +235,52 @@ class MultimodalSpec extends SparkSpec {
     val rows = df.select("length").as[Long].collect().sorted.toSeq
     assert(rows === Seq(5L, 6L))
   }
+
+  test("imageTextPairDedup: a duplicate needs BOTH modalities — one alone never merges (q167 law)") {
+    // REAL decode of the distinct image space: jpg/png are the same
+    // picture in two containers (embedding near-dups, cosine ~ 1);
+    // 'corrupt' never decodes and can only match by identity
+    val imgAssets = Seq(
+      Multimodal.Asset(1L, "image", fixture("halfred.jpg"), "jpeg"),
+      Multimodal.Asset(2L, "image", fixture("halfred.png"), "png"),
+      Multimodal.Asset(3L, "image", "broken".getBytes, "png")
+    ).toDS()
+    val nameOf = Map(1L -> "jpg", 2L -> "png", 3L -> "corrupt")
+    val images = Multimodal.imageFeatures(imgAssets).toDF()
+      .select(col("assetId"), col("embedding"), col("ok"))
+      .withColumn("img",
+        element_at(typedLit(nameOf.map { case (k, v) => k.toString -> v }),
+          col("assetId").cast("string")))
+      .select(col("img"), col("embedding"), col("ok"))
+    val capA = "alpha beta gamma delta epsilon"
+    val capB = "one two three four five"
+    // (doc, caption, priority, image):
+    //   0: capA / corrupt — caption-dups 1/2/4 but IMAGE-incompatible -> kept
+    //   1: capA / jpg, prio 3 — cluster {1, 2, 4}, survivor (min prio)
+    //   2: capA / png, prio 7 — compatible with jpg via embedding pair
+    //   4: capA / jpg, prio 9 — identity-compatible with 1
+    //   3: capB / corrupt, prio 1 — cluster {3, 6} by identity, survivor
+    //   6: capB / corrupt, prio 2 — dropped
+    val docs = Seq(
+      (0L, capA, 5L, "corrupt"), (1L, capA, 3L, "jpg"), (2L, capA, 7L, "png"),
+      (4L, capA, 9L, "jpg"), (3L, capB, 1L, "corrupt"), (6L, capB, 2L, "corrupt")
+    ).toDF("doc_id", "text", "priority", "img")
+    val kept = Multimodal.imageTextPairDedup(
+      docs.select("doc_id", "text", "priority"),
+      docs.select("doc_id", "img"), images,
+      "doc_id", "text", "priority", "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 3L),
+      "incompatible images block a caption dup; compatible merge keeps min-priority")
+    // the other single-modality direction: same image, UNRELATED
+    // captions -> no caption pair, no merge
+    val docs2 = Seq((10L, capA, 1L, "jpg"), (11L, capB, 2L, "jpg"))
+      .toDF("doc_id", "text", "priority", "img")
+    val kept2 = Multimodal.imageTextPairDedup(
+      docs2.select("doc_id", "text", "priority"),
+      docs2.select("doc_id", "img"), images,
+      "doc_id", "text", "priority", "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(10L, 11L), "image identity alone never merges")
+  }
 }
