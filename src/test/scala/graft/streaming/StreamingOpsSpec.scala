@@ -681,6 +681,68 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gated preferences, the TWO-STAGE recipe: complete-mode assembly + batch gates on the polled sink == gatedPreferencePairs") {
+    // the recipe preferencePairsStream's scaladoc prescribes (gating
+    // needs joins against the pair frame — a second aggregation over
+    // the streaming agg, which one streaming query cannot express):
+    // stage 1 assembles pairs continuously; stage 2 applies the
+    // pair-level gates BATCH-side to the polled sink. Pinned equal to
+    // the all-batch gated frame over the replayed log.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+    val responses = ev.select(col("props").as("prompt"), col("event_id"),
+      col("content"), col("value"))
+    val holdout = ev.filter(col("event_id") % 997 === 0)
+      .select(col("event_id"), col("content"))
+    val gap = 1800000000000L
+    val evTs = ev.withColumn("ts",
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    val invalid = graft.scale.Dialogue
+      .sessionize(evTs, "user_id", "ts", "event_id", gap)
+      .join(
+        graft.scale.Dialogue.dialogueStats(
+          evTs, "user_id", "ts", "event_id", "event_type", gap)
+          .filter(!col("valid_dialogue"))
+          .select(col("user_id"), col("session_seq")),
+        Seq("user_id", "session_seq"), "left_semi")
+      .select(col("event_id"))
+    val rows = responses.as[(String, Long, String, Option[Double])].collect()
+    val input = MemoryStream[(String, Long, String, Option[Double])]
+    val q = StreamingOps.preferencePairsStream(
+        input.toDF().toDF("prompt", "event_id", "content", "value"),
+        "prompt", "event_id", "content", "value")
+      .writeStream.format("memory").queryName("pref_gate")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // stage 2: the batch gates over the POLLED SINK (exactly
+    // gatedPreferencePairs' back half, driven from the assembled frame)
+    val sink = spark.table("pref_gate")
+    val sides = sink.select(col("chosen_id").as("event_id"),
+        col("chosen_content").as("content"))
+      .unionByName(sink.select(col("rejected_id").as("event_id"),
+        col("rejected_content").as("content")))
+    val leaky = graft.scale.Dedup.decontaminate(
+      sides, holdout, "event_id", "content", 3).select(col("event_id"))
+    val gatedIds = leaky.unionByName(invalid).distinct()
+    val twoStage = sink
+      .join(gatedIds, sink("chosen_id") === gatedIds("event_id"), "left_anti")
+      .join(gatedIds, sink("rejected_id") === gatedIds("event_id"), "left_anti")
+    val allBatch = graft.scale.Dialogue.gatedPreferencePairs(
+      responses, invalid, holdout, "prompt", "event_id", "content", "value")
+    assert(rowSeqs(twoStage) === rowSeqs(allBatch),
+      "two-stage streaming recipe == all-batch gated frame")
+    // the pin is non-vacuous: pairs assembled, and the gates dropped some
+    assert(sink.count() > 0 && twoStage.count() < sink.count(),
+      "gates must actually drop pairs for this pin to mean anything")
+  }
+
   test("cmsSketchStream: the sketch after N micro-batches equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
