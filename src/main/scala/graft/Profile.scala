@@ -229,7 +229,14 @@ object Profile {
       val qs = args.drop(1).find(_.startsWith("only="))
         .map(_.stripPrefix("only=").split(",").toSeq)
         .getOrElse(Seq("q155_sft_curate", "q156_sft_counters",
-          "q157_pref_pairs", "q160_pref_counters", "q161_pref_sequences"))
+          "q157_pref_pairs", "q160_pref_counters", "q161_pref_sequences",
+          // r17: the packing policies at the TAGGED staging (appended-
+          // shard offsets under content-diverse copies) + the round's
+          // new RL/export/multimodal queries
+          "q158_oversize_split", "q159_writer_manifest", "q162_oversize_truncate",
+          "q165_turn_advantages", "q166_bestofn_sequences",
+          "q167_multimodal_pair_dedup", "q168_pref_tensor_manifest",
+          "q169_group_advantages_std", "q170_bestofn_counters"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

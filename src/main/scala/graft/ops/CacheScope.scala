@@ -49,26 +49,30 @@ object CacheScope {
     ds
   }
 
-  /** LINEAGE CUT for a frame that fans out into MANY downstream plan
-    * references: `localCheckpoint(eager = false)` replaces the frame's
-    * logical subtree with a LEAF (LogicalRDD), so each downstream
-    * reference costs O(1) analysis/optimization instead of re-walking
-    * the whole upstream chain per reference — the fan-out plan-blowup
-    * class measured on the preference chain (a plain [[persisted]]
-    * dedups EXECUTION but leaves the full tree in every consumer's
-    * logical plan, and Catalyst re-analyzes it per consumer). Like
-    * [[persisted]], the data materializes once (checkpoint blocks at
-    * MEMORY_AND_DISK) and later consumers read the blocks.
+  /** LINEAGE CUT + persist for a frame that fans out into MANY
+    * downstream plan references: rebuilding the frame over its own RDD
+    * (`createDataFrame(df.rdd, df.schema)`) replaces the LOGICAL
+    * subtree with a LEAF (LogicalRDD), so each downstream reference
+    * costs O(1) analysis/optimization instead of re-walking the whole
+    * upstream chain per reference — the fan-out plan-blowup class
+    * measured on the preference chain (a plain [[persisted]] dedups
+    * EXECUTION but leaves the full tree in every consumer's logical
+    * plan, and Catalyst re-analyzes it per consumer; adding two guard
+    * references to q163 cost +20 s at sf0.01 before the cut, and the
+    * cut then took the whole family BELOW its pre-guard cost).
     *
-    * Lifecycle: checkpoint blocks are RDD-owned, NOT CacheManager
-    * entries — the ContextCleaner reclaims them when the frame becomes
-    * unreachable (the query drivers' post-query System.gc()), so no
-    * [[releaseAll]] registration applies. CAVEAT: once blocks are lost
-    * the cut frame cannot recompute (lineage truncated) — use for
-    * frames whose consumers all materialize within one query run, the
-    * [[registerRdd]] contract.
+    * Deliberately NOT `localCheckpoint`: a locally-checkpointed block
+    * that gets EVICTED under memory pressure is unrecoverable (the
+    * compute lineage is truncated) — measured as "Block rdd_N does not
+    * exist" task failures at the 100× century staging. Here the cut is
+    * logical-plan-side only: the underlying RDD keeps its full compute
+    * DAG, so an evicted or released block recomputes like any cache
+    * miss. The Row encode/decode round-trip this costs happens once,
+    * at cache materialization. Registered for [[releaseAll]] like
+    * every operator-internal cache.
     */
-  def cut[T](ds: Dataset[T]): Dataset[T] = ds.localCheckpoint(eager = false)
+  def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    persisted(df.sparkSession.createDataFrame(df.rdd, df.schema))
 
   private val rddRegistry =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()

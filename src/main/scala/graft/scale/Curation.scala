@@ -57,9 +57,7 @@ object Curation {
     * eviction still works: the RDD lineage reaches back through the
     * upstream caches.
     */
-  private def persistedCut(df: DataFrame): DataFrame =
-    CacheScope.persisted(
-      df.sparkSession.createDataFrame(df.rdd, df.schema))
+  private def persistedCut(df: DataFrame): DataFrame = CacheScope.cut(df)
 
   def curate(
       docs: DataFrame,
@@ -205,7 +203,10 @@ object Curation {
     // overflowed id would silently corrupt the cross-doc pair filter,
     // the dedup, and the split)
     val maxDocId = Long.MaxValue / chunkIdSpan
-    val chunks = CacheScope.persisted(
+    // CUT, not just persisted: chunks fans out into the pair builder
+    // plus every stage's semi-join re-widen — each reference would
+    // re-analyze the chunker tree (the r17 fan-out plan-blowup rule)
+    val chunks = CacheScope.cut(
       TextStats.chunkByTokens(
         docs, idCol, textCol, window, stride, carryCols = Seq(priorityCol, groupCol))
         .withColumn("chunk_id",
@@ -220,6 +221,8 @@ object Curation {
                 .cast("long"),
               lit(0L))))
     // 2. near-dup pairs at the duplication threshold, cross-doc only
+    // plain persisted (NOT cut): pairs has ONE consumer (the CC pass) —
+    // a cut would pay the Row round-trip for zero analysis dedup
     val pairs = CacheScope.persisted(
       Dedup.minhashPairsExact(
         chunks.select(col("chunk_id"), col("chunk_text")),
@@ -279,7 +282,7 @@ object Curation {
     // reads them (the mix wants ids+group, the pack wants token counts,
     // the output joins want lineage columns), and text dominates the
     // cache footprint at corpus scale
-    val gated = CacheScope.persisted(
+    val gated = CacheScope.cut(
       clean.join(
         scored.crossJoin(broadcast(cutoff))
           .filter(col("avg_surp") <= col("surp_cut") &&
@@ -488,7 +491,10 @@ object Curation {
     require(shardOffset >= 0, s"shardOffset must be >= 0, got $shardOffset")
     val maxDocId = Long.MaxValue / chunkIdSpan
     // 1. chunk the batch (same guards as the base pipeline)
-    val chunks = CacheScope.persisted(
+    // CUT, not just persisted: chunks fans out into the pair builder
+    // plus every stage's semi-join re-widen — each reference would
+    // re-analyze the chunker tree (the r17 fan-out plan-blowup rule)
+    val chunks = CacheScope.cut(
       TextStats.chunkByTokens(
         newDocs, idCol, textCol, window, stride, carryCols = Seq(priorityCol, groupCol))
         .withColumn("chunk_id",
@@ -503,6 +509,8 @@ object Curation {
                 .cast("long"),
               lit(0L))))
     // 2. batch-internal near-dup dedup (cross-doc only)
+    // plain persisted (NOT cut): pairs has ONE consumer (the CC pass) —
+    // a cut would pay the Row round-trip for zero analysis dedup
     val pairs = CacheScope.persisted(
       Dedup.minhashPairsExact(
         chunks.select(col("chunk_id"), col("chunk_text")),
@@ -553,7 +561,7 @@ object Curation {
           s"$approxQuantileAccuracy)").cast("double")
       else expr(s"percentile(avg_surp, ${surpKeepQuantile}D)")
     val cutoff = scored.agg(cutExpr.as("surp_cut"))
-    val gated = CacheScope.persisted(
+    val gated = CacheScope.cut(
       clean.join(
         scored.crossJoin(broadcast(cutoff))
           .filter(col("avg_surp") <= col("surp_cut") &&
