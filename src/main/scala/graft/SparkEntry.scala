@@ -2482,7 +2482,30 @@ object SparkEntry {
     "q169_group_advantages_std" -> ((s, dir) =>
       graft.scale.Dialogue.gatedGroupAdvantagesStd(
         prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
-        "prompt", "event_id", "content", "value"))
+        "prompt", "event_id", "content", "value")),
+
+    // --- scale: UNPAIRED binary feedback (the KTO shape) — thumbs
+    // up/down telemetry with per-prompt class-balance weights in exact
+    // integers (minority class 1000, majority downweighted so the two
+    // classes contribute equally); gates candidate-level (weights
+    // re-balance over survivors); one-class prompts survive with the
+    // other count reported 0 — the unpaired point ------------------------
+    "q171_binary_feedback" -> ((s, dir) =>
+      graft.scale.Dialogue.gatedBinaryFeedback(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value", threshold = 35.0)),
+
+    // --- scale: CURRICULUM SCHEDULE — the annealed data order: docs
+    // rank globally by (token count, id) via range-sort + zipWithIndex
+    // (the K1 pattern — no single-task window), split into 10
+    // difficulty bands, epoch e of 4 admits the easiest
+    // ceil((e+1)·10/4) bands (prefix-monotone, total at the end), a
+    // fresh md5 permutation inside each band per epoch ---------------------
+    "q172_curriculum_order" -> ((s, dir) =>
+      ShardPack.curriculumOrder(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextStats.tokenCount(col("text")).as("difficulty")),
+        "doc_id", "difficulty", epochs = 4, buckets = 10))
   )
 
   /** The q157/q160/q161 response-log view of events: prompt = props
@@ -6732,6 +6755,50 @@ object SparkEntry {
         |    THEN ((s.signal_milli - g.mean_milli) * 1000) // g.std_milli
         |    ELSE 0 END AS BIGINT) AS adv_norm_milli
         |FROM surv s JOIN sstd g USING (prompt)""".stripMargin),
+
+    // q164's gates + per-prompt class counts + the integer balance
+    // weight (minority 1000, majority min·1000 // n_class)
+    "q171_binary_feedback" ->
+      (s"WITH $candGateCtes" + """,
+        |lbl AS (
+        |  SELECT prompt, event_id, content, value, value >= 35.0 AS desirable
+        |  FROM csurv),
+        |cls AS (
+        |  SELECT prompt,
+        |    CAST(sum(CASE WHEN desirable THEN 1 ELSE 0 END) AS BIGINT) AS n_desirable,
+        |    CAST(sum(CASE WHEN desirable THEN 0 ELSE 1 END) AS BIGINT) AS n_undesirable
+        |  FROM lbl GROUP BY 1)
+        |SELECT l.prompt, l.event_id, l.content, l.value, l.desirable,
+        |  c.n_desirable, c.n_undesirable,
+        |  CAST(CASE WHEN c.n_desirable = 0 OR c.n_undesirable = 0 THEN 1000
+        |    ELSE (least(c.n_desirable, c.n_undesirable) * 1000)
+        |      // (CASE WHEN l.desirable THEN c.n_desirable
+        |              ELSE c.n_undesirable END)
+        |    END AS BIGINT) AS weight_milli
+        |FROM lbl l JOIN cls c USING (prompt)""".stripMargin),
+
+    // global (difficulty, id) rank -> 10 bands; epoch e of 4 admits the
+    // ceil((e+1)*10/4)-band prefix; per-epoch md5 permutation per band
+    "q172_curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS difficulty
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, difficulty,
+        |    CAST(row_number() OVER (ORDER BY difficulty, doc_id) - 1 AS BIGINT)
+        |      AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM t),
+        |bd AS (SELECT doc_id, difficulty, r * 10 // n AS bucket FROM rk)
+        |SELECT CAST(e AS BIGINT) AS epoch, bucket, doc_id, difficulty,
+        |  CAST(row_number() OVER (PARTITION BY e, bucket
+        |    ORDER BY md5('curr:' || e || ':' || doc_id), doc_id) - 1 AS BIGINT)
+        |    AS pos
+        |FROM bd, unnest(generate_series(0, 3)) AS u(e)
+        |WHERE bucket < ((e + 1) * 10 + 3) // 4""".stripMargin,
 
     // q166's gate CTEs folded to the five stage counts (selected =
     // sum of min(k, per-prompt survivors))

@@ -861,6 +861,95 @@ object Dialogue {
     groupAdvantagesStd(survivors, promptCol, candCol, contentCol, signalCol)
   }
 
+  /** UNPAIRED BINARY-FEEDBACK dataset — the KTO-family data shape
+    * (thumbs-up/down telemetry, no pairing): each graded candidate
+    * labels `desirable` by `signal >= threshold`, and per-prompt CLASS
+    * BALANCE weights make the two classes contribute equally to the
+    * loss regardless of feedback skew (the KTO λ_D·n_D ≈ λ_U·n_U
+    * desideratum in exact integers): weight_milli = 1000·min(n_D, n_U)
+    * div n_class — the minority class weighs 1000, the majority
+    * downweights, and |Σ_D w − Σ_U w| < max(n_D, n_U) (one truncation
+    * milli per majority row; balance law, spec-pinned). A one-class
+    * prompt has nothing to balance against: its rows carry weight 1000
+    * and the other count 0, so a caller can filter or reweight — the
+    * engine reports rather than silently dropping usable feedback
+    * (unlike [[preferencePairs]], unpaired methods consume one-sided
+    * prompts; that is their point). Null signals are excluded; NaN
+    * fails loud ([[preferencePairs]]' guard — a NaN compares false and
+    * would silently land undesirable).
+    *
+    * Scale shape: ONE hash agg (two conditional counts — O(1)
+    * per-group state) joined back on the prompt key. No windows, no
+    * collects, no pairing blow-up.
+    *
+    * @return (promptCol, candCol, contentCol, signalCol, desirable,
+    *         n_desirable, n_undesirable, weight_milli)
+    */
+  def binaryFeedback(
+      responses: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val sigType = responses.schema(signalCol).dataType
+    val floating = sigType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    val base =
+      if (!floating) responses.filter(col(signalCol).isNotNull)
+      else responses.filter(col(signalCol).isNotNull)
+        .withColumn(signalCol, coalesce(
+          assert_true(!isnan(col(signalCol)),
+            lit("binaryFeedback: NaN signal — it would silently label " +
+              "undesirable; fix the grader upstream")).cast(sigType),
+          lit(0).cast(sigType)) + col(signalCol))
+    val labeled = base.withColumn("desirable", col(signalCol) >= lit(threshold))
+    val stats = labeled.groupBy(col(promptCol))
+      .agg(
+        sum(when(col("desirable"), 1L).otherwise(0L)).as("n_desirable"),
+        sum(when(!col("desirable"), 1L).otherwise(0L)).as("n_undesirable"))
+    labeled.join(stats, Seq(promptCol))
+      .withColumn("weight_milli",
+        when(col("n_desirable") === 0L || col("n_undesirable") === 0L, 1000L)
+          .otherwise(expr(
+            """(least(n_desirable, n_undesirable) * 1000)
+              | div (CASE WHEN desirable THEN n_desirable
+              |           ELSE n_undesirable END)""".stripMargin)))
+      .select(col(promptCol), col(candCol), col(contentCol), col(signalCol),
+        col("desirable"), col("n_desirable"), col("n_undesirable"),
+        col("weight_milli"))
+  }
+
+  /** [[binaryFeedback]] with the q155 gates applied CANDIDATE-LEVEL —
+    * the [[gatedGroupAdvantages]] law: unpaired feedback is
+    * re-balanceable, so a leaky or invalid candidate is removed and
+    * the class counts (hence weights) recompute over the SURVIVORS; a
+    * gated candidate must not skew the balance it was judged under.
+    * One-class prompts survive (the unpaired point).
+    */
+  def gatedBinaryFeedback(
+      responses: DataFrame,
+      invalidCands: DataFrame,
+      holdout: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      threshold: Double,
+      contamGramN: Int = 3): DataFrame = {
+    val leaky = Dedup.decontaminate(
+      responses.select(col(candCol), col(contentCol)),
+      holdout, candCol, contentCol, contamGramN)
+      .select(col(candCol))
+    val survivors = responses
+      .join(leaky.unionByName(invalidCands.select(col(candCol))).distinct(),
+        Seq(candCol), "left_anti")
+    binaryFeedback(survivors, promptCol, candCol, contentCol, signalCol, threshold)
+  }
+
   /** TURN-LEVEL (process-reward) ADVANTAGES — the multi-turn RL data
     * shape [[groupAdvantages]]' prompt-level GRPO doesn't cover: a
     * TRAJECTORY (a whole dialogue) earns one scalar signal, its group

@@ -797,6 +797,75 @@ object ShardPack {
     epochManifest(seqFrame, "seq_id", epochs)
   }
 
+  /** CURRICULUM SCHEDULE — the annealed ("baby steps") data order: docs
+    * rank globally by (difficulty, id), split into `buckets` contiguous
+    * difficulty bands, and epoch e of E admits the PREFIX of bands
+    * `bucket < ceil((e+1)·buckets/E)` — early epochs train on the
+    * easiest bands, the final epoch admits everything (admission is
+    * prefix-monotone across epochs and total at the end; laws,
+    * spec-pinned). Within an epoch, admitted docs consume in
+    * lexicographic (bucket, pos) order where pos is a fresh
+    * deterministic per-epoch permutation INSIDE each bucket
+    * (md5("curr:<e>:<id>") — [[epochOrder]]'s reproducibility
+    * contract, so the curriculum anneals difficulty bands while still
+    * shuffling within a band).
+    *
+    * Scale shape: the global difficulty rank is a range-sort +
+    * zipWithIndex (per-partition offset ranges — the K1 insert-id
+    * pattern; NO single-task window), the band cut is scalar
+    * arithmetic on the rank, and the per-epoch orders are keyed
+    * windows partitioned by (bucket) — band-sized partitions, the
+    * epochManifest union shape. `epochs ≤ 64` (unrolled union).
+    *
+    * @return (epoch, bucket, idCol, difficultyCol, pos) — pos is
+    *         0-based within (epoch, bucket)
+    */
+  def curriculumOrder(
+      docs: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      epochs: Int,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochs >= 1 && epochs <= 64,
+      s"epochs must be in [1, 64] (unrolled union plan), got $epochs")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    val sorted = docs
+      .select(col(idCol).cast("long").as(idCol),
+        col(difficultyCol).cast("long").as(difficultyCol))
+      .orderBy(col(difficultyCol), col(idCol))
+    val idxSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(difficultyCol, LongType, nullable = false),
+      StructField("__rank", LongType, nullable = false)))
+    val ranked = CacheScope.persisted(
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          Row(r.getLong(0), r.getLong(1), i)
+        },
+        idxSchema),
+      StorageLevel.MEMORY_AND_DISK)
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val banded = ranked.crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"__rank * ${buckets}L div __n"))
+      .select(col(idCol), col(difficultyCol), col("bucket"))
+    (0 until epochs).map { e =>
+      // ceil((e+1)·B/E) admitted bands; final epoch == all (law)
+      val cut = ((e.toLong + 1L) * buckets + epochs - 1) / epochs
+      val ek = md5(concat(lit(s"curr:$e:"), col(idCol).cast("string")))
+      banded
+        .filter(col("bucket") < cut)
+        .withColumn("epoch", lit(e.toLong))
+        .withColumn("pos",
+          (row_number().over(
+            Window.partitionBy(col("bucket")).orderBy(ek, col(idCol))) - 1)
+            .cast("long"))
+        .select(col("epoch"), col("bucket"), col(idCol), col(difficultyCol),
+          col("pos"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** [[resumeAfter]] across epoch boundaries: everything STRICTLY
     * AFTER the (epoch, shard, pos) cursor in the manifest's
     * lexicographic order — a cursor at an epoch's last sequence rolls

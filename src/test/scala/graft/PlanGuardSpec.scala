@@ -473,7 +473,10 @@ class PlanGuardSpec extends SparkSpec {
       "q166_bestofn_sequences" -> 1,
       // q170: the five 1-row stage counts of the best-of-n report —
       // q156/q160's contract with the extra selected stage
-      "q170_bestofn_counters" -> 5)
+      "q170_bestofn_counters" -> 5,
+      // q172: the 1-row total-count agg feeding the band-cut broadcast
+      // (the rank itself is range-sort + zipWithIndex — no window)
+      "q172_curriculum_order" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -547,6 +547,42 @@ class CorpusOpsSpec extends SparkSpec {
       s"split-then-pack waste $waste <= per-doc-isolated $isolated")
   }
 
+  test("curriculumOrder: prefix-monotone band admission, total final epoch, fresh per-epoch in-band permutations") {
+    import spark.implicits._
+    // 40 docs, difficulty = id so the global rank (and the band split)
+    // is hand-checkable: 4 bands of 10, epochs 0..3 admit 1/2/3/4 bands
+    val docs = (0L until 40L).map(i => (i, i)).toDF("doc_id", "difficulty")
+    val epochs = 4
+    val out = ShardPack.curriculumOrder(docs, "doc_id", "difficulty",
+      epochs, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // admission: epoch e admits ceil((e+1)·4/4) = e+1 bands
+    val byEpoch = out.groupBy(_._1)
+    (0L until epochs.toLong).foreach { e =>
+      val admitted = byEpoch(e).map(_._3).toSet
+      assert(admitted === (0L until (e + 1) * 10L).toSet,
+        s"epoch $e admits exactly the easiest ${e + 1} bands")
+      // prefix-monotone by construction of the previous assert; pos is
+      // dense within each (epoch, bucket)
+      byEpoch(e).groupBy(_._2).foreach { case (b, rows) =>
+        assert(rows.map(_._4).sorted.toSeq === (0L until rows.length.toLong),
+          s"epoch $e bucket $b pos dense")
+      }
+    }
+    // final epoch admits ALL docs
+    assert(byEpoch(3L).map(_._3).toSet === (0L until 40L).toSet)
+    // bands are difficulty-contiguous: bucket == rank div 10 == id div 10
+    out.foreach { case (_, b, id, _) =>
+      assert(b === id / 10L, s"doc $id band")
+    }
+    // fresh permutation per epoch inside a band (bucket 0 is in every
+    // epoch; its order must differ somewhere across epochs)
+    val orders = (0L until epochs.toLong).map { e =>
+      byEpoch(e).filter(_._2 == 0L).sortBy(_._4).map(_._3).toSeq
+    }
+    assert(orders.distinct.length > 1, "per-epoch in-band permutations differ")
+  }
+
   test("globalWriterManifest: seq_id bijection, exact file rule, one row per (epoch, sequence)") {
     val docs = shardDocs(80)
     val seqLen = 60L

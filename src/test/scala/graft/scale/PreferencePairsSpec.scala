@@ -400,6 +400,49 @@ class PreferencePairsSpec extends SparkSpec {
     assert(gated(2L) === ((2000L, 1000L)) && gated(3L) === ((2000L, 1000L)))
   }
 
+  test("binaryFeedback: class-balance weights, one-class prompts survive, gated re-balancing (the KTO shape)") {
+    val r = Seq(
+      // p1: 3 desirable vs 1 undesirable — majority downweights to
+      // 1000·1 div 3 = 333, minority stays 1000
+      ("p1", 1L, "a", 9.0), ("p1", 2L, "b", 8.0), ("p1", 3L, "c", 7.0),
+      ("p1", 4L, "d", 1.0),
+      // p2: one-class (all desirable) — weight 1000, n_undesirable 0
+      ("p2", 5L, "e", 9.0), ("p2", 6L, "f", 8.0),
+      // p3: boundary — signal == threshold labels DESIRABLE (>=)
+      ("p3", 7L, "g", 5.0), ("p3", 8L, "h", 1.0)
+    ).toDF("prompt", "cand", "content", "signal")
+    val out = Dialogue.binaryFeedback(r, "prompt", "cand", "content", "signal", 5.0)
+      .collect()
+      .map(x => x.getLong(1) -> (x.getBoolean(4), x.getLong(5), x.getLong(6),
+        x.getLong(7)))
+      .toMap
+    assert(out(1L) === ((true, 3L, 1L, 333L)) && out(4L) === ((false, 3L, 1L, 1000L)))
+    assert(out(5L) === ((true, 2L, 0L, 1000L)), "one-class prompt survives at 1000")
+    assert(out(7L)._1 === true, "threshold boundary labels desirable (>=)")
+    // balance law: |Σ_D w − Σ_U w| < max(n_D, n_U) on two-class prompts
+    val p1 = Seq(1L, 2L, 3L, 4L).map(out)
+    val sd = p1.filter(_._1).map(_._4).sum
+    val su = p1.filterNot(_._1).map(_._4).sum
+    assert(math.abs(sd - su) < 3L, s"balance law, got D=$sd U=$su")
+    // NaN fails loud (it would silently label undesirable)
+    val err = intercept[Exception] {
+      Dialogue.binaryFeedback(
+        r.withColumn("signal",
+          when(col("cand") === 1L, Double.NaN).otherwise(col("signal"))),
+        "prompt", "cand", "content", "signal", 5.0).collect()
+    }
+    assert(err.getMessage != null)
+    // gated: removing p1's undesirable makes it one-class — weights
+    // RE-BALANCE over survivors (1000 everywhere), the candidate law
+    val gated = Dialogue.gatedBinaryFeedback(
+      r, Seq(Tuple1(4L)).toDF("cand"),
+      Seq((99L, "no grams match this")).toDF("cand", "content"),
+      "prompt", "cand", "content", "signal", 5.0)
+      .collect().map(x => x.getLong(1) -> (x.getLong(6), x.getLong(7))).toMap
+    assert(!gated.contains(4L))
+    assert(gated(1L) === ((0L, 1000L)), "weights re-balance over survivors")
+  }
+
   test("preferenceTensorManifest: q159's conservation laws hold verbatim on the pair-side layout") {
     val merges = Bpe.trainMergesFast(responses, "content", 3)
     val pairs = Dialogue.preferencePairs(responses, "prompt", "cand", "content", "signal")
