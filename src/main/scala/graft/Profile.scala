@@ -236,7 +236,8 @@ object Profile {
           "q158_oversize_split", "q159_writer_manifest", "q162_oversize_truncate",
           "q165_turn_advantages", "q166_bestofn_sequences",
           "q167_multimodal_pair_dedup", "q168_pref_tensor_manifest",
-          "q169_group_advantages_std", "q170_bestofn_counters"))
+          "q169_group_advantages_std", "q170_bestofn_counters",
+          "q171_binary_feedback", "q172_curriculum_order"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

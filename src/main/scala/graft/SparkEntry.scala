@@ -2451,7 +2451,11 @@ object SparkEntry {
     // connected cluster (q107's survivor rule) -----------------------------
     "q167_multimodal_pair_dedup" -> ((s, dir) => {
       import s.implicits._
-      val names = Seq("corrupt.bin", "halfred.jpg", "halfred.png")
+      // four distinct payloads spanning the compatibility lattice:
+      // identity-only (corrupt), an embedding near-dup pair (jpg/png —
+      // one picture, two containers), and a DECODABLE-BUT-DISSIMILAR
+      // image (blue.ppm) that must never pair with the halfreds
+      val names = Seq("corrupt.bin", "halfred.jpg", "halfred.png", "blue.ppm")
       val assets = Multimodal.readDir(s, fixturePath("data/fixtures/multimodal"))
         .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
         .filter(col("name").isin(names: _*))
@@ -2468,7 +2472,7 @@ object SparkEntry {
         .withColumn("priority", expr("substring(source, 4)").cast("long"))
       val assign = docs.select(col("doc_id"),
         element_at(array(names.map(lit): _*),
-          (col("doc_id") % 3 + 1).cast("int")).as("img"))
+          (col("doc_id") % 4 + 1).cast("int")).as("img"))
       Multimodal.imageTextPairDedup(
         docs, assign, images, "doc_id", "text", "priority", "img")
     }),
@@ -3624,7 +3628,8 @@ object SparkEntry {
     // payload flags ok=0 with no stat
     "q64_media_decode" ->
       """SELECT * FROM (VALUES
-        |  ('corrupt.bin', '', 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('blue.ppm', 'ppm', 1, CAST(12 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('corrupt.bin', '', 0, 0, 0, CAST(NULL AS BIGINT)),
         |  ('halfred.jpg', 'jpeg', 1, 12, 8, 501),
         |  ('halfred.png', 'png', 1, 12, 8, 500),
         |  ('sine.wav', 'wav', 1, 8000, 4000, 354)
@@ -6687,8 +6692,8 @@ object SparkEntry {
          |),
          |asg AS (
          |  SELECT doc_id,
-         |    CASE doc_id % 3 WHEN 0 THEN 'corrupt.bin' WHEN 1 THEN 'halfred.jpg'
-         |      ELSE 'halfred.png' END AS img
+         |    CASE doc_id % 4 WHEN 0 THEN 'corrupt.bin' WHEN 1 THEN 'halfred.jpg'
+         |      WHEN 2 THEN 'halfred.png' ELSE 'blue.ppm' END AS img
          |  FROM documents),
          |jp AS (
          |  SELECT p0.id_a, p0.id_b

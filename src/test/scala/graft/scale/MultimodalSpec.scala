@@ -243,9 +243,12 @@ class MultimodalSpec extends SparkSpec {
     val imgAssets = Seq(
       Multimodal.Asset(1L, "image", fixture("halfred.jpg"), "jpeg"),
       Multimodal.Asset(2L, "image", fixture("halfred.png"), "png"),
-      Multimodal.Asset(3L, "image", "broken".getBytes, "png")
+      Multimodal.Asset(3L, "image", "broken".getBytes, "png"),
+      // decodable but DISSIMILAR (solid blue vs half-red): decodes fine,
+      // must never form an embedding pair with the halfreds
+      Multimodal.Asset(4L, "image", fixture("blue.ppm"), "ppm")
     ).toDS()
-    val nameOf = Map(1L -> "jpg", 2L -> "png", 3L -> "corrupt")
+    val nameOf = Map(1L -> "jpg", 2L -> "png", 3L -> "corrupt", 4L -> "blue")
     val images = Multimodal.imageFeatures(imgAssets).toDF()
       .select(col("assetId"), col("embedding"), col("ok"))
       .withColumn("img",
@@ -263,15 +266,19 @@ class MultimodalSpec extends SparkSpec {
     //   6: capB / corrupt, prio 2 — dropped
     val docs = Seq(
       (0L, capA, 5L, "corrupt"), (1L, capA, 3L, "jpg"), (2L, capA, 7L, "png"),
-      (4L, capA, 9L, "jpg"), (3L, capB, 1L, "corrupt"), (6L, capB, 2L, "corrupt")
+      (4L, capA, 9L, "jpg"), (3L, capB, 1L, "corrupt"), (6L, capB, 2L, "corrupt"),
+      // caption-dups the {1,2,4} cluster but its image is a DISSIMILAR
+      // decodable — stays out (the embedding gate, not just identity)
+      (8L, capA, 4L, "blue")
     ).toDF("doc_id", "text", "priority", "img")
     val kept = Multimodal.imageTextPairDedup(
       docs.select("doc_id", "text", "priority"),
       docs.select("doc_id", "img"), images,
       "doc_id", "text", "priority", "img")
       .collect().map(_.getLong(0)).toSet
-    assert(kept === Set(0L, 1L, 3L),
-      "incompatible images block a caption dup; compatible merge keeps min-priority")
+    assert(kept === Set(0L, 1L, 3L, 8L),
+      "incompatible images block a caption dup (identity-only AND " +
+        "dissimilar-decodable); compatible merge keeps min-priority")
     // the other single-modality direction: same image, UNRELATED
     // captions -> no caption pair, no merge
     val docs2 = Seq((10L, capA, 1L, "jpg"), (11L, capB, 2L, "jpg"))
