@@ -534,6 +534,54 @@ object StreamingOps {
     graft.scale.Dialogue.preferencePairs(
       responses, promptCol, candCol, contentCol, signalCol)
 
+  /** The LIVE feedback-balance monitor — running per-prompt CLASS
+    * COUNTS of a binary-feedback stream (the
+    * [[graft.scale.Dialogue.binaryFeedback]] front half as a continuous
+    * aggregation, complete mode): per prompt the running count of
+    * desirable (signal ≥ threshold) and undesirable candidates. Unlike
+    * [[preferencePairsStream]]'s content-carrying min/max state, the
+    * per-prompt state here is TWO LONGS — O(1) and slim, the cleanest
+    * bounded-state story in the preference family (total state still
+    * grows with prompt cardinality; bounded keyspaces, as there). The
+    * per-candidate labels and balance weights stay batch-side on the
+    * polled sink (the weight needs a counts⋈labels join — a second
+    * stage over the streaming agg, the [[preferencePairsStream]]
+    * two-stage recipe; spec pins the composition == the batch
+    * [[graft.scale.Dialogue.binaryFeedback]] frame). Null signals are
+    * excluded and NaN fails loud exactly as in the batch op (an
+    * unguarded NaN compares false and silently lands undesirable).
+    *
+    * @return streaming (promptCol, n_desirable, n_undesirable),
+    *         complete-mode
+    */
+  def feedbackClassCountsStream(
+      responses: DataFrame,
+      promptCol: String,
+      signalCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val sigType = responses.schema(signalCol).dataType
+    val floating = sigType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    val base =
+      if (!floating) responses.filter(col(signalCol).isNotNull)
+      else responses.filter(col(signalCol).isNotNull)
+        .withColumn(signalCol, coalesce(
+          assert_true(!isnan(col(signalCol)),
+            lit("feedbackClassCountsStream: NaN signal — it would " +
+              "silently count undesirable; fix the grader upstream"))
+            .cast(sigType),
+          lit(0).cast(sigType)) + col(signalCol))
+    base.groupBy(col(promptCol))
+      .agg(
+        sum(when(col(signalCol) >= lit(threshold), 1L).otherwise(0L))
+          .as("n_desirable"),
+        sum(when(col(signalCol) < lit(threshold), 1L).otherwise(0L))
+          .as("n_undesirable"))
+  }
+
   /** The LIVE half of the drift monitor: running per-feature-bucket
     * token counts over the arriving target-era stream — the exact
     * count frame [[graft.scale.Sampling.domainDriftContributors]]

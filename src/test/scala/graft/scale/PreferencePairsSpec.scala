@@ -473,6 +473,18 @@ class PreferencePairsSpec extends SparkSpec {
           s"epoch $e shard $sh pos dense")
       }
     }
+    // the resume contract composes unchanged: consumed ∪ rest == the
+    // whole run, disjoint, for a mid-manifest (epoch, shard, pos) cursor
+    val manifest = Dialogue.preferenceTensorManifest(
+      pairs, texts, "prompt", "ptext", merges,
+      seqLen = 32L, shardBudget = 128L, fileBudget = fileBudget, epochs = epochs)
+    val all = out.map(r => (r._7, r._1, r._8)).toSet // (epoch, shard, pos)
+    val cursor = all.toSeq.sorted.apply(all.size / 2)
+    val rest = ShardPack.resumeAfterEpoch(manifest, cursor._1, cursor._2, cursor._3)
+      .collect().map(r => (r.getLong(6), r.getLong(0), r.getLong(7))).toSet
+    val consumed = all.filter(k => implicitly[Ordering[(Long, Long, Long)]].lteq(k, cursor))
+    assert(rest.intersect(consumed).isEmpty && (rest ++ consumed) === all,
+      "consumed ∪ rest == the whole run, disjoint")
     // the q163 oversize law carries over: a side longer than seqLen
     // fails the manifest loud (never a silently smaller sequence set)
     val err = intercept[Exception] {

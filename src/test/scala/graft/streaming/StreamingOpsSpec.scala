@@ -743,6 +743,59 @@ class StreamingOpsSpec extends SparkSpec {
       "gates must actually drop pairs for this pin to mean anything")
   }
 
+  test("feedbackClassCountsStream: stream == batch class counts at every prefix; two-stage join == binaryFeedback") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val responses = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("props").as("prompt"), col("event_id"),
+        concat_ws(" ", col("event_type"), col("props")).as("content"),
+        col("value"))
+    val rows = responses.as[(String, Long, String, Option[Double])].collect()
+    val input = MemoryStream[(String, Long, String, Option[Double])]
+    val q = StreamingOps.feedbackClassCountsStream(
+        input.toDF().toDF("prompt", "event_id", "content", "value"),
+        "prompt", "value", threshold = 35.0)
+      .writeStream.format("memory").queryName("fb_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val cut = rows.length / 2
+      Seq(rows.take(cut), rows.drop(cut)).zipWithIndex.foldLeft(0) {
+        case (seen, (batch, i)) =>
+          input.addData(batch.toSeq: _*)
+          q.processAllAvailable()
+          val streamed = rowSeqs(spark.table("fb_counts"))
+          val want = rowSeqs(graft.scale.Dialogue.binaryFeedback(
+            spark.createDataFrame(rows.take(seen + batch.length).toSeq)
+              .toDF("prompt", "event_id", "content", "value"),
+            "prompt", "event_id", "content", "value", 35.0)
+            .select("prompt", "n_desirable", "n_undesirable").distinct())
+          assert(streamed === want, s"prefix after batch $i")
+          assert(streamed.nonEmpty)
+          seen + batch.length
+      }
+    } finally q.stop()
+    // stage 2 of the recipe: the polled counts joined back to the
+    // labeled candidates, with the weight computed batch-side, equals
+    // the all-batch binaryFeedback frame on the full log
+    val sink = spark.table("fb_counts")
+    val labeled = responses.filter(col("value").isNotNull)
+      .withColumn("desirable", col("value") >= 35.0)
+    val twoStage = labeled.join(sink, Seq("prompt"))
+      .withColumn("weight_milli",
+        when(col("n_desirable") === 0L || col("n_undesirable") === 0L, 1000L)
+          .otherwise(expr(
+            """(least(n_desirable, n_undesirable) * 1000)
+              | div (CASE WHEN desirable THEN n_desirable
+              |           ELSE n_undesirable END)""".stripMargin)))
+      .select("prompt", "event_id", "content", "value", "desirable",
+        "n_desirable", "n_undesirable", "weight_milli")
+    val allBatch = graft.scale.Dialogue.binaryFeedback(
+      responses, "prompt", "event_id", "content", "value", 35.0)
+    assert(rowSeqs(twoStage) === rowSeqs(allBatch),
+      "two-stage streaming recipe == all-batch binaryFeedback")
+  }
+
   test("cmsSketchStream: the sketch after N micro-batches equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
