@@ -2363,14 +2363,17 @@ object SparkEntry {
       val span = 100000L
       val ev = t(s, dir, "events")
         .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
-      val turns = graft.scale.Dialogue
+      // CUT: the sessionized turn frame fans out ~6 ways (signal agg,
+      // validity semi-join, the leak probe, the gated anti-join's
+      // universe, and the attribution windows) — the r17 fan-out rule
+      val turns = graft.ops.CacheScope.cut(graft.scale.Dialogue
         .sessionize(ev, "user_id", "ts", "event_id", gap)
         .withColumn("dlg_id",
           coalesce(
             assert_true(col("session_seq") < span &&
               col("user_id").between(0L, Long.MaxValue / span - 1),
               lit(s"q165: dlg_id packing out of range")).cast("long"),
-            lit(0L)) + col("user_id") * span + col("session_seq"))
+            lit(0L)) + col("user_id") * span + col("session_seq")))
       val trajSignals = turns.groupBy(col("dlg_id")).agg(
         min(struct(col("ts").as("t"), col("event_id").as("i"),
           col("props").as("p"))).getField("p").as("prompt"),
@@ -2827,6 +2830,43 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT rejected_id * 2 + 1, prompt, rejected_content FROM kept""".stripMargin)
 
+  /** The ONE sessionize + invalid-dialogue oracle block, NAME-PREFIXED
+    * so every gate family derives from the same session-gap and
+    * alternation law (the [[ffdCtes]] pattern — a law change edits ONE
+    * place). Requires `ev` (with user_id/event_id/event_type/tsn and
+    * any carry columns) in scope; emits `${pf}sg` (sessionized events,
+    * all ev columns + session_seq), `${pf}bad` (invalid (user_id,
+    * session_seq) dialogues) and `${pf}inv` (their event ids). NO
+    * leading/trailing comma.
+    */
+  private def sessionizeCtes(pf: String): String =
+    s"""${pf}sb AS (
+      |  SELECT ev.*, lag(tsn) OVER (PARTITION BY user_id
+      |    ORDER BY tsn, event_id) AS prev
+      |  FROM ev),
+      |${pf}sf AS (
+      |  SELECT * EXCLUDE (prev),
+      |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000
+      |      THEN 1 ELSE 0 END AS news
+      |  FROM ${pf}sb),
+      |${pf}sg AS (
+      |  SELECT * EXCLUDE (news),
+      |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+      |      AS BIGINT) AS session_seq
+      |  FROM ${pf}sf),
+      |${pf}rr AS (
+      |  SELECT user_id, session_seq, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id, session_seq
+      |      ORDER BY tsn, event_id) AS prev_role
+      |  FROM ${pf}sg),
+      |${pf}bad AS (
+      |  SELECT user_id, session_seq FROM ${pf}rr GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
+      |${pf}inv AS (
+      |  SELECT g.event_id FROM ${pf}sg g
+      |  JOIN ${pf}bad b ON b.user_id = g.user_id
+      |    AND b.session_seq = g.session_seq)""".stripMargin
+
   /** Shared CANDIDATE-LEVEL gate CTEs (q164/q165-family law: gates
     * remove candidates, the consumer re-normalizes/re-ranks over
     * survivors): the response-log view of events, q144's sessionized
@@ -2835,36 +2875,12 @@ object SparkEntry {
     * (`gleak`), ending in `csurv` = the surviving graded candidates
     * (prompt, event_id, content, value). NO leading WITH.
     */
-  private val candGateCtes: String =
-    """ev AS (
+  private lazy val candGateCtes: String =
+    s"""ev AS (
       |  SELECT event_id, user_id, event_type, value, props,
       |    trim(event_type || ' ' || props) AS content, epoch_ns(ts) AS tsn
       |  FROM events),
-      |gsb AS (
-      |  SELECT user_id, event_id, event_type, tsn,
-      |    lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
-      |  FROM ev),
-      |gsf AS (
-      |  SELECT user_id, event_id, event_type, tsn,
-      |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
-      |  FROM gsb),
-      |gsg AS (
-      |  SELECT user_id, event_id, event_type, tsn,
-      |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
-      |      AS session_seq
-      |  FROM gsf),
-      |grr AS (
-      |  SELECT user_id, session_seq, event_id, event_type, tsn,
-      |    lag(event_type) OVER (PARTITION BY user_id, session_seq
-      |      ORDER BY tsn, event_id) AS prev_role
-      |  FROM gsg),
-      |gbad AS (
-      |  SELECT user_id, session_seq FROM grr GROUP BY 1, 2
-      |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
-      |ginv AS (
-      |  SELECT g.event_id FROM gsg g
-      |  JOIN gbad b ON b.user_id = g.user_id AND b.session_seq = g.session_seq),
-      |gtok AS (
+      |${sessionizeCtes("g")},""".stripMargin + "\n" + """gtok AS (
       |  SELECT event_id,
       |    regexp_split_to_array(trim(content), '\s+') AS t
       |  FROM ev),
@@ -2965,36 +2981,12 @@ object SparkEntry {
     * `leakpair` (gate verdicts by prompt), `kept` (survivors).
     * NO leading WITH — composable after [[bpeStagesSql]].
     */
-  private val prefGateCtes: String =
-    """ev AS (
+  private lazy val prefGateCtes: String =
+    s"""ev AS (
       |  SELECT event_id, user_id, event_type, value, props,
       |    trim(event_type || ' ' || props) AS content, epoch_ns(ts) AS tsn
       |  FROM events),
-      |psb AS (
-      |  SELECT user_id, event_id, event_type, tsn,
-      |    lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
-      |  FROM ev),
-      |psf AS (
-      |  SELECT user_id, event_id, event_type, tsn,
-      |    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END AS news
-      |  FROM psb),
-      |psg AS (
-      |  SELECT user_id, event_id, event_type, tsn,
-      |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT)
-      |      AS session_seq
-      |  FROM psf),
-      |prr AS (
-      |  SELECT user_id, session_seq, event_id, event_type, tsn,
-      |    lag(event_type) OVER (PARTITION BY user_id, session_seq
-      |      ORDER BY tsn, event_id) AS prev_role
-      |  FROM psg),
-      |badvd AS (
-      |  SELECT user_id, session_seq FROM prr GROUP BY 1, 2
-      |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
-      |invcand AS (
-      |  SELECT g.event_id FROM psg g
-      |  JOIN badvd b ON b.user_id = g.user_id AND b.session_seq = g.session_seq),
-      |cand AS (
+      |${sessionizeCtes("p")},""".stripMargin + "\n" + """cand AS (
       |  SELECT props AS prompt, event_id, content, value FROM ev
       |  WHERE value IS NOT NULL),
       |nc AS (
@@ -3035,8 +3027,8 @@ object SparkEntry {
       |leaky AS (SELECT DISTINCT event_id FROM pgr JOIN pbgr USING (g)),
       |invpair AS (
       |  SELECT DISTINCT prompt FROM pairs p
-      |  WHERE p.chosen_id IN (SELECT event_id FROM invcand)
-      |     OR p.rejected_id IN (SELECT event_id FROM invcand)),
+      |  WHERE p.chosen_id IN (SELECT event_id FROM pinv)
+      |     OR p.rejected_id IN (SELECT event_id FROM pinv)),
       |leakpair AS (
       |  SELECT DISTINCT prompt FROM pairs p
       |  WHERE p.chosen_id IN (SELECT event_id FROM leaky)
@@ -6528,31 +6520,18 @@ object SparkEntry {
     // the whole advantage on the last turn (attrRoles = all, so rank ==
     // turn+1 and n_attr == n_turns)
     "q165_turn_advantages" ->
-      """WITH ev AS (
+      (s"""WITH ev AS (
         |  SELECT event_id, user_id, event_type, value, props,
         |    trim(event_type || ' ' || props) AS content, epoch_ns(ts) AS tsn
         |  FROM events),
-        |tsb AS (
-        |  SELECT *, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
-        |  FROM ev),
-        |tsf AS (
-        |  SELECT *, CASE WHEN prev IS NULL OR tsn - prev > 1800000000000
-        |    THEN 1 ELSE 0 END AS news
-        |  FROM tsb),
+        |${sessionizeCtes("t")},
         |trn AS (
         |  SELECT event_id, user_id, event_type, value, props, content, tsn,
-        |    user_id * 100000 + CAST(sum(news) OVER (PARTITION BY user_id
-        |      ORDER BY tsn, event_id) AS BIGINT) AS dlg_id
-        |  FROM tsf),
-        |trr AS (
-        |  SELECT dlg_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY dlg_id ORDER BY tsn, event_id)
-        |      AS prev_role
-        |  FROM trn),
-        |tbad AS (
-        |  SELECT dlg_id FROM trr GROUP BY 1
-        |  HAVING sum(CASE WHEN prev_role = event_type THEN 1 ELSE 0 END) > 0),
-        |ttok AS (
+        |    user_id * 100000 + session_seq AS dlg_id
+        |  FROM tsg),
+        |tbd AS (
+        |  SELECT user_id * 100000 + session_seq AS dlg_id FROM tbad),
+        |ttok AS (""".stripMargin + """
         |  SELECT dlg_id, event_id,
         |    regexp_split_to_array(trim(content), '\s+') AS tks
         |  FROM trn),
@@ -6574,7 +6553,7 @@ object SparkEntry {
         |  SELECT tfp.prompt, tfp.dlg_id, tsig.signal_milli
         |  FROM tfp JOIN tsig USING (dlg_id)
         |  WHERE tsig.signal_milli IS NOT NULL
-        |    AND dlg_id NOT IN (SELECT dlg_id FROM tbad)
+        |    AND dlg_id NOT IN (SELECT dlg_id FROM tbd)
         |    AND dlg_id NOT IN (SELECT dlg_id FROM tleak)),
         |tst AS (
         |  SELECT prompt, CAST(count(*) AS BIGINT) AS n_trajectories,
@@ -6600,7 +6579,7 @@ object SparkEntry {
         |      ELSE 0 END AS BIGINT) AS adv_turn_uniform_milli,
         |  CAST(CASE WHEN f.turn + 1 = f.n_turns THEN a.advantage_milli
         |    ELSE 0 END AS BIGINT) AS adv_turn_last_milli
-        |FROM tadv a JOIN ttf f USING (dlg_id)""".stripMargin,
+        |FROM tadv a JOIN ttf f USING (dlg_id)""".stripMargin),
 
     // the preference gate chain (assembly by (value, id) windows, the
     // two pair-level gates) folded to the surviving pair rows

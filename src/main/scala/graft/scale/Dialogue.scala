@@ -385,6 +385,35 @@ object Dialogue {
     *         rejected_content, margin) — margin = chosen − rejected
     *         signal
     */
+  /** The shared fail-loud signal gate of the preference/feedback
+    * family: drop null signals (no signal = no evidence), and for
+    * FLOATING signal columns refuse NaN loud BEFORE any consumer —
+    * each consumer names its own silent consequence (NaN orders above
+    * every real for min/max and ranks, and compares false against any
+    * threshold). The guard rides the signal column itself (guard
+    * FIRST, the codegen null-short-circuit rule) so every surviving
+    * row evaluates it.
+    */
+  private[graft] def signalGated(
+      responses: DataFrame,
+      signalCol: String,
+      opName: String,
+      consequence: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val sigType = responses.schema(signalCol).dataType
+    val floating = sigType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    if (!floating) responses.filter(col(signalCol).isNotNull)
+    else responses.filter(col(signalCol).isNotNull)
+      .withColumn(signalCol, coalesce(
+        assert_true(!isnan(col(signalCol)),
+          lit(s"$opName: NaN signal — $consequence; fix the grader " +
+            "upstream")).cast(sigType),
+        lit(0).cast(sigType)) + col(signalCol))
+  }
+
   def preferencePairs(
       responses: DataFrame,
       promptCol: String,
@@ -393,26 +422,12 @@ object Dialogue {
       signalCol: String): DataFrame = {
     val side = (ord: Column) => struct(
       ord.as("s"), col(candCol).as("i"), col(contentCol).as("c"))
-    // NaN fails loud BEFORE assembly (floating signals only): Spark
-    // (and DuckDB) order NaN above every real, so an unguarded NaN
-    // signal would always be crowned chosen with a NaN margin — silent
-    // poison, and inconsistent with [[groupAdvantages]]' refusal of
-    // the same input
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val floating = responses.schema(signalCol).dataType match {
-      case DoubleType | FloatType => true
-      case _ => false
-    }
-    val sigType = responses.schema(signalCol).dataType
-    val base =
-      if (!floating) responses.filter(col(signalCol).isNotNull)
-      else responses.filter(col(signalCol).isNotNull)
-        .withColumn(signalCol, col(signalCol) + coalesce(
-          assert_true(!isnan(col(signalCol)),
-            lit("preferencePairs: NaN signal — a NaN would always win " +
-              "the pair; fix the grader upstream")).cast(sigType),
-          lit(0).cast(sigType)))
-    base
+    // NaN fails loud BEFORE assembly: Spark (and DuckDB) order NaN
+    // above every real, so an unguarded NaN signal would always be
+    // crowned chosen with a NaN margin — silent poison, and
+    // inconsistent with [[groupAdvantages]]' refusal of the same input
+    signalGated(responses, signalCol, "preferencePairs",
+      "a NaN would always win the pair")
       .groupBy(col(promptCol))
       .agg(
         count(lit(1)).as("n_candidates"),
@@ -593,7 +608,8 @@ object Dialogue {
       shardBudget: Long,
       padId: Long = -1L): DataFrame = {
     val (stream, guarded) = guardedSideLayout(
-      pairs, promptTexts, promptCol, promptTextCol, merges, seqLen, shardBudget)
+      pairs, promptTexts, promptCol, promptTextCol, merges, seqLen,
+      shardBudget, cutStream = true)
     ShardPack.materializeBestFitWithMask(
       stream, guarded, "side_id", "mask", seqLen, padId)
   }
@@ -623,8 +639,12 @@ object Dialogue {
       shardBudget: Long,
       fileBudget: Long,
       epochs: Int): DataFrame = {
+    // cutStream = false: the manifest path reads the stream ONCE (the
+    // count pass) — a cut would pay the Row round-trip for zero
+    // analysis dedup, the single-consumer rule
     val (_, guarded) = guardedSideLayout(
-      pairs, promptTexts, promptCol, promptTextCol, merges, seqLen, shardBudget)
+      pairs, promptTexts, promptCol, promptTextCol, merges, seqLen,
+      shardBudget, cutStream = false)
     ShardPack.globalWriterManifest(guarded, fileBudget, epochs)
   }
 
@@ -639,13 +659,15 @@ object Dialogue {
       promptTextCol: String,
       merges: Seq[Bpe.Merge],
       seqLen: Long,
-      shardBudget: Long): (DataFrame, DataFrame) = {
-    // LINEAGE-CUT: the encoded side stream feeds the count pass
-    // (layout), the materialization join, AND the per-doc drift guard —
-    // slim long rows, and three references whose analysis would each
-    // re-walk the whole encode+gate tree under a plain persist
-    val stream = graft.ops.CacheScope.cut(
-      pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges))
+      shardBudget: Long,
+      cutStream: Boolean): (DataFrame, DataFrame) = {
+    // LINEAGE-CUT when the stream fans out (the tensor path: count
+    // pass + materialization join + per-doc drift guard — three
+    // references whose analysis would each re-walk the whole
+    // encode+gate tree under a plain persist); the manifest path reads
+    // it once and skips the cut (the single-consumer rule)
+    val raw = pairSideStream(pairs, promptTexts, promptCol, promptTextCol, merges)
+    val stream = if (cutStream) graft.ops.CacheScope.cut(raw) else raw
     val counts = stream.groupBy(col("side_id"))
       .agg(count(lit(1)).as("n_tokens"))
     val layout = ShardPack.packBestFit(
@@ -892,20 +914,8 @@ object Dialogue {
       contentCol: String,
       signalCol: String,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val sigType = responses.schema(signalCol).dataType
-    val floating = sigType match {
-      case DoubleType | FloatType => true
-      case _ => false
-    }
-    val base =
-      if (!floating) responses.filter(col(signalCol).isNotNull)
-      else responses.filter(col(signalCol).isNotNull)
-        .withColumn(signalCol, coalesce(
-          assert_true(!isnan(col(signalCol)),
-            lit("binaryFeedback: NaN signal — it would silently label " +
-              "undesirable; fix the grader upstream")).cast(sigType),
-          lit(0).cast(sigType)) + col(signalCol))
+    val base = signalGated(responses, signalCol, "binaryFeedback",
+      "it would silently label undesirable")
     val labeled = base.withColumn("desirable", col(signalCol) >= lit(threshold))
     val stats = labeled.groupBy(col(promptCol))
       .agg(
@@ -1024,6 +1034,21 @@ object Dialogue {
     attrRoles.foreach(rs => require(rs.nonEmpty,
       "turnAdvantages: empty attrRoles would attribute to nothing — " +
         "pass None to attribute to every turn"))
+    // trajSignals must be ONE row per trajectory: a duplicate key would
+    // double-count the group stats (shifting every group mean) AND
+    // duplicate its turns through the advantage join — Σ turn advantage
+    // = 2× the trajectory's, a silent conservation break. The frame is
+    // trajectory-count-sized, so the eager check is cheap, and eager is
+    // the only guard a join fan-out can't skip (the pairSideStream
+    // promptTexts contract).
+    val trajCounts = trajSignals
+      .agg(count(lit(1)).as("n"), countDistinct(col(trajCol)).as("nd"))
+      .head()
+    require(trajCounts.getLong(0) == trajCounts.getLong(1),
+      s"turnAdvantages: trajSignals has " +
+        s"${trajCounts.getLong(0) - trajCounts.getLong(1)} duplicate " +
+        s"$trajCol key(s) — each would double-count its group's stats " +
+        "and duplicate its turn rows")
     val cand = trajSignals
       .filter(col(signalMilliCol).isNotNull)
       .select(col(groupCol), col(trajCol),
@@ -1161,20 +1186,8 @@ object Dialogue {
       signalCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val sigType = responses.schema(signalCol).dataType
-    val floating = sigType match {
-      case DoubleType | FloatType => true
-      case _ => false
-    }
-    val base =
-      if (!floating) responses.filter(col(signalCol).isNotNull)
-      else responses.filter(col(signalCol).isNotNull)
-        .withColumn(signalCol, coalesce(
-          assert_true(!isnan(col(signalCol)),
-            lit("bestOfN: NaN signal — a NaN would always rank first; " +
-              "fix the grader upstream")).cast(sigType),
-          lit(0).cast(sigType)) + col(signalCol))
+    val base = signalGated(responses, signalCol, "bestOfN",
+      "a NaN would always rank first")
     // n_candidates comes from a hash agg + join-back, NOT a second
     // window over the same partition key: InferWindowGroupLimit only
     // rewrites a Filter sitting DIRECTLY on a rank-only Window (a count

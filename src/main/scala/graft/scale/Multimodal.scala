@@ -265,7 +265,10 @@ object Multimodal {
     * re-decodes, and `assign` (idCol → imgCol) is the row-to-payload
     * mapping. Corrupt payloads (ok = false) carry no embedding and can
     * only match by content identity — a decoder failure must not
-    * manufacture similarity. The compatibility relation is image-space
+    * manufacture similarity. Identity compatibility derives from the
+    * ASSIGNMENT side, so same-payload dedup holds even for keys a
+    * caller never decoded into `images` (a missing embedding degrades
+    * to identity-only matching, never to silent under-dedup). The compatibility relation is image-space
     * sized and broadcasts into the caption-pair probe: the corpus-sized
     * side never shuffles for the image gate.
     *
@@ -295,9 +298,17 @@ object Multimodal {
     val imgPairs = Similarity.cosineNearDupPairs(
       emb, "id", "embedding", cosineThreshold, dims = dims)
       .select(col("id_a").as("img_a"), col("id_b").as("img_b"))
+    // identity compatibility comes from the ASSIGNMENT side, not the
+    // images frame: content identity (same payload key) needs no decode,
+    // and deriving it from `images` would silently disable same-payload
+    // dedup for any assigned key missing from the decoded frame (e.g. a
+    // caller that only embeds decodable payloads) — the silent-under-
+    // dedup class. The distinct-key agg is image-space-sized after its
+    // map-side partial merge.
     val compat = imgPairs
       .unionByName(imgPairs.select(col("img_b").as("img_a"), col("img_a").as("img_b")))
-      .unionByName(images.select(col(imgCol).as("img_a"), col(imgCol).as("img_b")))
+      .unionByName(assign.select(col(imgCol)).distinct()
+        .select(col(imgCol).as("img_a"), col(imgCol).as("img_b")))
     val capPairs = Dedup.minhashPairsExact(
       docs, idCol, textCol, shingleSize, numHashes, bands, jaccardThreshold)
     val joint = capPairs

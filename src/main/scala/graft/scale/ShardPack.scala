@@ -839,9 +839,16 @@ object ShardPack {
       StructField(idCol, LongType, nullable = false),
       StructField(difficultyCol, LongType, nullable = false),
       StructField("__rank", LongType, nullable = false)))
+    // persist the sorted RDD BEFORE zipWithIndex: zipWithIndex launches
+    // an eager per-partition count job, and without the cache the
+    // corpus-wide sort would run twice (once for that job, once when
+    // the ranked frame materializes). Plain persist, not checkpoint —
+    // recompute-on-eviction stays possible.
+    val srdd = CacheScope.registerRdd(
+      sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK))
     val ranked = CacheScope.persisted(
       spark.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) =>
+        srdd.zipWithIndex.map { case (r, i) =>
           Row(r.getLong(0), r.getLong(1), i)
         },
         idxSchema),

@@ -559,21 +559,9 @@ object StreamingOps {
       promptCol: String,
       signalCol: String,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val sigType = responses.schema(signalCol).dataType
-    val floating = sigType match {
-      case DoubleType | FloatType => true
-      case _ => false
-    }
-    val base =
-      if (!floating) responses.filter(col(signalCol).isNotNull)
-      else responses.filter(col(signalCol).isNotNull)
-        .withColumn(signalCol, coalesce(
-          assert_true(!isnan(col(signalCol)),
-            lit("feedbackClassCountsStream: NaN signal — it would " +
-              "silently count undesirable; fix the grader upstream"))
-            .cast(sigType),
-          lit(0).cast(sigType)) + col(signalCol))
+    val base = graft.scale.Dialogue.signalGated(
+      responses, signalCol, "feedbackClassCountsStream",
+      "it would silently count undesirable")
     base.groupBy(col(promptCol))
       .agg(
         sum(when(col(signalCol) >= lit(threshold), 1L).otherwise(0L))

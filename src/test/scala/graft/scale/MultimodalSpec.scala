@@ -289,5 +289,18 @@ class MultimodalSpec extends SparkSpec {
       "doc_id", "text", "priority", "img")
       .collect().map(_.getLong(0)).toSet
     assert(kept2 === Set(10L, 11L), "image identity alone never merges")
+    // identity compatibility must survive an images frame that never
+    // decoded the assigned key: same payload + same caption still
+    // merges (identity derives from the ASSIGNMENT, not the decode —
+    // the silent-under-dedup class)
+    val docs3 = Seq((20L, capA, 1L, "undec"), (21L, capA, 2L, "undec"))
+      .toDF("doc_id", "text", "priority", "img")
+    val kept3 = Multimodal.imageTextPairDedup(
+      docs3.select("doc_id", "text", "priority"),
+      docs3.select("doc_id", "img"), images,
+      "doc_id", "text", "priority", "img")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept3 === Set(20L),
+      "same undecoded payload + caption dup merges (min-priority kept)")
   }
 }

@@ -670,6 +670,15 @@ class PreferencePairsSpec extends SparkSpec {
         "signal_milli", attrRoles = Some(Set.empty))
     }
     assert(errE.getMessage.contains("attrRoles"))
+    // duplicate trajSignals rows refuse eagerly: each would double-count
+    // its group's stats AND duplicate its turn rows — a silent
+    // conservation break (Σ turn adv = 2× the trajectory's)
+    val errD = intercept[IllegalArgumentException] {
+      Dialogue.turnAdvantages(noAttr,
+        sig.unionByName(sig.limit(1)),
+        "grp", "traj", "ts", "id", "role", "signal_milli")
+    }
+    assert(errD.getMessage.contains("duplicate"))
   }
 
   test("gatedTurnAdvantages: trajectory-level gates re-normalize the group over survivors") {
