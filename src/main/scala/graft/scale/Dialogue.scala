@@ -287,7 +287,12 @@ object Dialogue {
       contamGramN: Int = 3,
       dlgSpan: Long = 100000L): DataFrame = {
     require(dlgSpan >= 2, s"dlgSpan must be >= 2, got $dlgSpan")
-    val valid = dropInvalidDialogues(events, keyCol, tsCol, idCol, roleCol, gapNanos)
+    // CUT: the validated frame fans out three ways (the decontaminate
+    // probe, the contaminated-dialogue semi-join, the clean anti-join) —
+    // without it the sessionize + QC window chain re-executes and
+    // re-analyzes per reference (the r17 fan-out rule)
+    val valid = graft.ops.CacheScope.cut(
+      dropInvalidDialogues(events, keyCol, tsCol, idCol, roleCol, gapNanos))
     val contamTurns = Dedup.decontaminate(
       valid.select(col(idCol), col(contentCol)),
       holdout, idCol, contentCol, contamGramN)
