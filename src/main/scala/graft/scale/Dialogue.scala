@@ -482,9 +482,10 @@ object Dialogue {
       contentCol: String,
       signalCol: String,
       contamGramN: Int = 3): DataFrame = {
-    // persisted: the pair frame feeds the sides probe AND the final
-    // anti-joins; pairs are prompt-count-bounded slim rows
-    val pairs = graft.ops.CacheScope.persisted(
+    // CUT: the pair frame feeds the sides probe AND the final
+    // anti-joins (4 references of the assembly agg's tree — the r17
+    // fan-out rule); pairs are prompt-count-bounded slim rows
+    val pairs = graft.ops.CacheScope.cut(
       preferencePairs(responses, promptCol, candCol, contentCol, signalCol))
     val sides = pairs.select(col("chosen_id").as(candCol),
         col("chosen_content").as(contentCol))
@@ -517,7 +518,9 @@ object Dialogue {
       contentCol: String,
       signalCol: String,
       contamGramN: Int = 3): DataFrame = {
-    val pairs = graft.ops.CacheScope.persisted(
+    // CUT: ~8 references (sides x2, the per-gate side probes, the
+    // four stage counts) of the assembly tree — the r17 fan-out rule
+    val pairs = graft.ops.CacheScope.cut(
       preferencePairs(responses, promptCol, candCol, contentCol, signalCol))
     val sides = pairs.select(col("chosen_id").as(candCol),
         col("chosen_content").as(contentCol))
