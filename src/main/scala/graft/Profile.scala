@@ -237,7 +237,11 @@ object Profile {
           "q165_turn_advantages", "q166_bestofn_sequences",
           "q167_multimodal_pair_dedup", "q168_pref_tensor_manifest",
           "q169_group_advantages_std", "q170_bestofn_counters",
-          "q171_binary_feedback", "q172_curriculum_order"))
+          "q171_binary_feedback", "q172_curriculum_order",
+          // r18: the bounded-window curriculum re-measures under the
+          // same row; the manifest/PRM/audio additions join the board
+          "q173_bestofn_manifest", "q174_turn_advantages_rewards",
+          "q175_audio_pair_dedup"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

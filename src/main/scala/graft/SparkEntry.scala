@@ -999,8 +999,9 @@ object SparkEntry {
       def assets(df: org.apache.spark.sql.DataFrame, modality: String) = df.select(
         col("asset_id").as("assetId"), lit(modality).as("modality"),
         col("content"), lit("").as("declaredFormat")).as[Multimodal.Asset]
+      val isAudio = col("name").endsWith(".wav") || col("name").endsWith(".au")
       val imgRows = Multimodal.imageFeatures(assets(
-        withId.filter(!col("name").endsWith(".wav")), "image")).toDF()
+        withId.filter(!isAudio), "image")).toDF()
         .select(
           col("assetId").as("asset_id"), col("format"),
           col("ok").cast("int").as("ok"),
@@ -1008,16 +1009,21 @@ object SparkEntry {
           when(col("ok"),
             round(element_at(col("embedding"), 1) * 1000).cast("long"))
             .otherwise(lit(null).cast("long")).as("stat_milli"))
-      val wavAssets = assets(withId.filter(col("name").endsWith(".wav")), "audio")
+      val audNamed = withId.filter(isAudio)
+      val wavAssets = assets(audNamed, "audio")
       val rms = Multimodal.audioWindowStats(wavAssets, 600000L).toDF()
         .select(col("assetId").as("asset_id"),
           round(col("rms") * 1000).cast("long").as("stat_milli"))
       val audRows = Multimodal.audioFeatures(wavAssets).toDF()
         .select(
-          col("assetId").as("asset_id"), lit("wav").as("format"),
+          col("assetId").as("asset_id"),
           col("ok").cast("int").as("ok"),
           col("sampleRate").cast("long").as("d1"), col("numSamples").as("d2"))
         .join(rms, Seq("asset_id"), "left")
+        // the audio "format" is the container extension (the image rows
+        // report the reader's own format name; javax.sound exposes none)
+        .join(audNamed.select(col("asset_id"),
+          element_at(split(col("name"), "\\."), -1).as("format")), Seq("asset_id"))
       imgRows.unionByName(audRows)
         .join(withId.select(col("asset_id"), col("name")), Seq("asset_id"))
         .select("name", "format", "ok", "d1", "d2", "stat_milli")
@@ -2512,7 +2518,87 @@ object SparkEntry {
       ShardPack.curriculumOrder(
         t(s, dir, "documents")
           .select(col("doc_id"), TextStats.tokenCount(col("text")).as("difficulty")),
-        "doc_id", "difficulty", epochs = 4, buckets = 10))
+        "doc_id", "difficulty", epochs = 4, buckets = 10)),
+
+    // --- scale: the GLOBAL WRITER MANIFEST over q166's best-of-n
+    // export — q159's loader contract proven on the SPLIT-SPAN layout
+    // (the q151/q166 materialization, where the bin IS the sequence):
+    // contiguous seq_id in bin order, ~64-token files along the
+    // sequence order, the 2-epoch permutation windowed per FILE ---------
+    "q173_bestofn_manifest" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val selected = graft.scale.Dialogue.gatedBestOfN(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value", k = 2)
+      // the q161 separate-scan trade (see that registration)
+      val promptTexts = prefResponses(s, dir)
+        .select(col("prompt")).distinct()
+        .withColumn("prompt_text", col("prompt"))
+      val export = graft.scale.Dialogue.bestOfNSequences(
+        selected, promptTexts, "prompt", "prompt_text", "event_id", "content",
+        merges, seqLen = 16L)
+      ShardPack.splitWriterManifest(export, fileBudget = 64L, epochs = 2)
+    }),
+
+    // --- scale: the PRM FRONT HALF — per-turn rewards reduced to
+    // trajectory signals IN-ENGINE (quantize-then-sum: each reward
+    // ⌊·1000⌋ first, then integer-summed — a floating reduction is
+    // partition-order-dependent), composed with q165's turn-level
+    // attribution; group = the dialogue-opening event's props ------------
+    "q174_turn_advantages_rewards" -> ((s, dir) => {
+      val gap = 1800000000000L
+      val span = 100000L
+      val ev = t(s, dir, "events")
+      // CUT: the sessionized turn frame fans out (the prompt agg, the
+      // reward rows, the signal reduce, the attribution windows) — the
+      // r17 fan-out rule, exactly as q165
+      val turns = graft.ops.CacheScope.cut(graft.scale.Dialogue
+        .sessionize(ev, "user_id", "ts", "event_id", gap)
+        .withColumn("dlg_id",
+          coalesce(
+            assert_true(col("session_seq") < span &&
+              col("user_id").between(0L, Long.MaxValue / span - 1),
+              lit(s"q174: dlg_id packing out of range")).cast("long"),
+            lit(0L)) + col("user_id") * span + col("session_seq")))
+      val trajPrompt = turns.groupBy(col("dlg_id")).agg(
+        min(struct(col("ts").as("t"), col("event_id").as("i"),
+          col("props").as("p"))).getField("p").as("prompt"))
+      val turnRewards = turns.join(trajPrompt, Seq("dlg_id"))
+        .select(col("prompt"), col("dlg_id"), col("value"))
+      graft.scale.Dialogue.turnAdvantagesFromRewards(
+        turns, turnRewards, "prompt", "dlg_id", "ts", "event_id",
+        "event_type", "value")
+    }),
+
+    // --- scale: MULTIMODAL audio-text pair curation — q167's joint
+    // two-modality lattice with the segment-RMS envelope embedding as
+    // the audio gate: the halfloud.wav/halfloud.au pair is ONE clip in
+    // two containers (embedding cosine 1 through the REAL JDK decode),
+    // quiet.wav decodes fine but has a different envelope and must
+    // never pair, corrupt.bin matches by content identity only ------------
+    "q175_audio_pair_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val names = Seq("corrupt.bin", "halfloud.wav", "halfloud.au", "quiet.wav")
+      val assets = Multimodal.readDir(s, fixturePath("data/fixtures/multimodal"))
+        .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+        .filter(col("name").isin(names: _*))
+        .withColumn("asset_id", abs(xxhash64(col("name"))))
+      val emb = Multimodal.audioStatsEmbedding(assets.select(
+          col("asset_id").as("assetId"), lit("audio").as("modality"),
+          col("content"), lit("").as("declaredFormat")).as[Multimodal.Asset])
+        .toDF()
+      val audio = emb
+        .join(assets.select(col("asset_id").as("assetId"), col("name")), Seq("assetId"))
+        .select(col("name").as("clip"), col("embedding"), col("ok"))
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("priority", expr("substring(source, 4)").cast("long"))
+      val assign = docs.select(col("doc_id"),
+        element_at(array(names.map(lit): _*),
+          (col("doc_id") % 4 + 1).cast("int")).as("clip"))
+      Multimodal.audioTextPairDedup(
+        docs, assign, audio, "doc_id", "text", "priority", "clip")
+    })
   )
 
   /** The q157/q160/q161 response-log view of events: prompt = props
@@ -2901,8 +2987,13 @@ object SparkEntry {
     * and rendered as the materializeSequencesWithMask row form. NO
     * leading comma.
     */
-  private def streamPackTailSql(seqLen: Long): String =
-    s"""dc AS (
+  /** The `stream`→global-token-position CTEs shared by
+    * [[streamPackTailSql]] and the split-manifest oracles: per-side
+    * token counts, md5-order start offsets, and `pos` (side_id,
+    * tok_idx, token_id, mask, p). NO leading/trailing comma.
+    */
+  private lazy val streamPosCtes: String =
+    """dc AS (
       |  SELECT side_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |    md5('shard:' || side_id) AS k
       |  FROM stream GROUP BY 1),
@@ -2912,7 +3003,10 @@ object SparkEntry {
       |  FROM dc),
       |pos AS (
       |  SELECT s.side_id, s.tok_idx, s.token_id, s.mask, o.start + s.tok_idx AS p
-      |  FROM stream s JOIN soff o USING (side_id))
+      |  FROM stream s JOIN soff o USING (side_id))""".stripMargin
+
+  private def streamPackTailSql(seqLen: Long): String =
+    s"""$streamPosCtes
       |SELECT CAST(p // $seqLen AS BIGINT) AS bin,
       |  CAST(count(*) AS BIGINT) AS n_tokens,
       |  CAST(count(DISTINCT side_id) AS BIGINT) AS n_docs,
@@ -3622,8 +3716,11 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('blue.ppm', 'ppm', 1, CAST(12 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
         |  ('corrupt.bin', '', 0, 0, 0, CAST(NULL AS BIGINT)),
+        |  ('halfloud.au', 'au', 1, 8000, 8000, 400),
+        |  ('halfloud.wav', 'wav', 1, 8000, 8000, 400),
         |  ('halfred.jpg', 'jpeg', 1, 12, 8, 501),
         |  ('halfred.png', 'png', 1, 12, 8, 500),
+        |  ('quiet.wav', 'wav', 1, 8000, 8000, 71),
         |  ('sine.wav', 'wav', 1, 8000, 4000, 354)
         |) AS t(name, format, ok, d1, d2, stat_milli)""".stripMargin,
 
@@ -6783,6 +6880,133 @@ object SparkEntry {
         |    AS pos
         |FROM bd, unnest(generate_series(0, 3)) AS u(e)
         |WHERE bucket < ((e + 1) * 10 + 3) // 4""".stripMargin,
+
+    // q166's gate + selection + side-stream CTEs rolled up to the
+    // per-bin (fill, n_docs) counts, then the split-manifest tail:
+    // seq_id by bin order, file by running-fill // 64, the 2-epoch
+    // per-FILE md5 permutation
+    "q173_bestofn_manifest" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |$candGateCtes,
+        |sel AS (
+        |  SELECT prompt, event_id, content FROM (
+        |    SELECT prompt, event_id, content,
+        |      row_number() OVER (PARTITION BY prompt
+        |        ORDER BY value DESC, event_id DESC) AS rk
+        |    FROM csurv) z
+        |  WHERE rk <= 2),
+        |${sideStreamCtes("SELECT event_id AS side_id, prompt, content AS rcontent FROM sel")},
+        |$streamPosCtes,
+        |mbin AS (
+        |  SELECT CAST(p // 16 AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS fill,
+        |    CAST(count(DISTINCT side_id) AS BIGINT) AS n_docs
+        |  FROM pos GROUP BY 1),
+        |msq AS (
+        |  SELECT bin, fill, n_docs,
+        |    CAST(row_number() OVER (ORDER BY bin) - 1 AS BIGINT) AS seq_id,
+        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 64 AS BIGINT) AS file
+        |  FROM mbin)
+        |SELECT bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY e, file
+        |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1 AS BIGINT)
+        |    AS pos
+        |FROM msq, unnest(generate_series(0, 1)) AS u(e)""".stripMargin),
+
+    // q165's sessionize + attribution mechanics, UNGATED, with the
+    // trajectory signal re-derived from per-turn rewards (floor·1000
+    // per turn, integer-summed — the quantize-then-sum law)
+    "q174_turn_advantages_rewards" ->
+      (s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value, props, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |${sessionizeCtes("t")},
+        |trn AS (
+        |  SELECT event_id, user_id, event_type, value, props, tsn,
+        |    user_id * 100000 + session_seq AS dlg_id
+        |  FROM tsg),
+        |tfp AS (
+        |  SELECT dlg_id, props AS prompt FROM (
+        |    SELECT dlg_id, props, row_number() OVER (PARTITION BY dlg_id
+        |      ORDER BY tsn, event_id) AS rn FROM trn) z
+        |  WHERE rn = 1),
+        |tsig AS (
+        |  SELECT dlg_id,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS signal_milli
+        |  FROM trn WHERE value IS NOT NULL GROUP BY 1),
+        |tsurv AS (
+        |  SELECT tfp.prompt, tfp.dlg_id, tsig.signal_milli
+        |  FROM tfp JOIN tsig USING (dlg_id)),
+        |tst AS (
+        |  SELECT prompt, CAST(count(*) AS BIGINT) AS n_trajectories,
+        |    CAST(sum(signal_milli) // count(*) AS BIGINT) AS mean_milli
+        |  FROM tsurv GROUP BY 1 HAVING count(*) >= 2),
+        |tadv AS (
+        |  SELECT s.prompt, s.dlg_id, s.signal_milli, t.n_trajectories,
+        |    t.mean_milli, s.signal_milli - t.mean_milli AS advantage_milli
+        |  FROM tsurv s JOIN tst t USING (prompt)),
+        |ttf AS (
+        |  SELECT dlg_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY dlg_id ORDER BY tsn, event_id) - 1
+        |      AS BIGINT) AS turn,
+        |    CAST(count(*) OVER (PARTITION BY dlg_id) AS BIGINT) AS n_turns
+        |  FROM trn)
+        |SELECT a.prompt, a.dlg_id, f.turn, f.event_type, true AS attributed,
+        |  f.n_turns, f.n_turns AS n_attr_turns, a.signal_milli,
+        |  a.n_trajectories, a.mean_milli, a.advantage_milli,
+        |  CAST(a.advantage_milli // f.n_turns +
+        |    CASE WHEN f.turn + 1 <=
+        |        abs(a.advantage_milli - (a.advantage_milli // f.n_turns) * f.n_turns)
+        |      THEN CASE WHEN a.advantage_milli < 0 THEN -1 ELSE 1 END
+        |      ELSE 0 END AS BIGINT) AS adv_turn_uniform_milli,
+        |  CAST(CASE WHEN f.turn + 1 = f.n_turns THEN a.advantage_milli
+        |    ELSE 0 END AS BIGINT) AS adv_turn_last_milli
+        |FROM tadv a JOIN ttf f USING (dlg_id)""".stripMargin),
+
+    // q167's caption-pair + CC + priority machinery with the AUDIO
+    // compatibility lattice frozen the same way (DuckDB ships no audio
+    // codec): halfloud.wav/halfloud.au are one clip in two containers
+    // (identical PCM through the JDK decode → identical segment-RMS
+    // envelopes), quiet.wav decodes but its envelope is dissimilar,
+    // corrupt.bin matches by content identity only; the Spark side
+    // RUNS the real decode + envelope + LSH, so a codec or similarity
+    // regression breaks the compare
+    "q175_audio_pair_dedup" ->
+      s"""WITH RECURSIVE p0 AS (
+         |$lshPairsOracleSql
+         |),
+         |asg AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 4 WHEN 0 THEN 'corrupt.bin' WHEN 1 THEN 'halfloud.wav'
+         |      WHEN 2 THEN 'halfloud.au' ELSE 'quiet.wav' END AS clip
+         |  FROM documents),
+         |jp AS (
+         |  SELECT p0.id_a, p0.id_b
+         |  FROM p0
+         |  JOIN asg a ON p0.id_a = a.doc_id
+         |  JOIN asg b ON p0.id_b = b.doc_id
+         |  WHERE a.clip = b.clip
+         |     OR (a.clip IN ('halfloud.wav', 'halfloud.au')
+         |         AND b.clip IN ('halfloud.wav', 'halfloud.au'))),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+         |r AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+         |reps AS (SELECT a AS id, least(a, min(b)) AS rep FROM r GROUP BY a),
+         |d AS (
+         |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS priority,
+         |    coalesce(reps.rep, doc_id) AS rep
+         |  FROM documents LEFT JOIN reps ON doc_id = reps.id),
+         |mp AS (SELECT rep, min(priority) AS best_prio FROM d GROUP BY rep),
+         |keep AS (
+         |  SELECT min(d.doc_id) AS doc_id
+         |  FROM d JOIN mp ON d.rep = mp.rep AND d.priority = mp.best_prio
+         |  GROUP BY d.rep)
+         |SELECT d2.doc_id, CAST(substr(d2.source, 4) AS BIGINT) AS priority
+         |FROM documents d2 JOIN keep USING (doc_id)""".stripMargin,
 
     // q166's gate CTEs folded to the five stage counts (selected =
     // sum of min(k, per-prompt survivors))

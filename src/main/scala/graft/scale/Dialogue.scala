@@ -739,14 +739,17 @@ object Dialogue {
     // DOUBLE, not the cast result
     val ok = !isnan(col(signalCol)) &&
       abs(col(signalCol)) < lit(9.223372036854775e15)
+    // guard FIRST: binary-arith codegen short-circuits the RIGHT
+    // operand when the left is null, so guard-on-the-right is skipped
+    // for exactly the rows it protects (the guard-on-the-LEFT law)
     val cand = responses
       .filter(col(signalCol).isNotNull)
       .select(col(promptCol), col(candCol), col(contentCol),
-        (floor(col(signalCol) * 1000).cast("long") + coalesce(
+        (coalesce(
           assert_true(ok,
             lit("groupAdvantages: signal NaN or out of milli-quantization " +
               "range (|signal| must be < 2^63/1000)")).cast("long"),
-          lit(0L))).as("signal_milli"))
+          lit(0L)) + floor(col(signalCol) * 1000).cast("long")).as("signal_milli"))
     val stats = cand.groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_candidates"),
         sum(col("signal_milli")).as("__sum"))
@@ -968,6 +971,72 @@ object Dialogue {
     binaryFeedback(survivors, promptCol, candCol, contentCol, signalCol, threshold)
   }
 
+  /** The PER-TURN reward reduction — [[turnAdvantages]]' missing FRONT
+    * half: true process-reward data arrives as one reward per TURN,
+    * and the trajectory signal that operator requires is their
+    * reduction. The reduction runs under the integral-milli
+    * quantize-then-sum law [[turnAdvantages]] states for its input:
+    * each reward quantizes to ⌊reward·1000⌋ FIRST and the integers
+    * sum — a floating sum is partition-order-dependent, so quantizing
+    * after the reduction would hash-differ across engines/cluster
+    * sizes. Null rewards contribute nothing; a trajectory with NO
+    * non-null reward emits no row (it carries no signal — exactly
+    * [[turnAdvantages]]' null-signal exclusion). NaN or
+    * out-of-range rewards fail loud ([[groupAdvantages]]' guard).
+    *
+    * `groupCol` rides the reward rows (a response log carries the
+    * prompt key on every event); a trajectory whose rows DISAGREE on
+    * it reduces to two (group, trajectory) rows and
+    * [[turnAdvantages]]' eager duplicate-trajectory contract then
+    * names it — inconsistent grouping cannot silently double-count.
+    *
+    * Scale shape: one projection + ONE hash agg (sum + count — O(1)
+    * per-trajectory state). Composition law, spec-pinned:
+    * [[turnAdvantagesFromRewards]] == [[turnAdvantages]] over
+    * pre-reduced signals.
+    *
+    * @return (groupCol, trajCol, signal_milli, n_reward_turns)
+    */
+  def turnSignalReduce(
+      turnRewards: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      rewardCol: String): DataFrame = {
+    val ok = !isnan(col(rewardCol)) &&
+      abs(col(rewardCol)) < lit(9.223372036854775e15)
+    turnRewards
+      .filter(col(rewardCol).isNotNull)
+      .select(col(groupCol), col(trajCol),
+        // guard FIRST (the codegen null-short-circuit law)
+        (coalesce(
+          assert_true(ok,
+            lit("turnSignalReduce: reward NaN or out of milli-quantization " +
+              "range (|reward| must be < 2^63/1000)")).cast("long"),
+          lit(0L)) + floor(col(rewardCol) * 1000).cast("long")).as("__r"))
+      .groupBy(col(groupCol), col(trajCol))
+      .agg(sum(col("__r")).as("signal_milli"),
+        count(lit(1)).as("n_reward_turns"))
+  }
+
+  /** [[turnSignalReduce]] composed with [[turnAdvantages]] — the whole
+    * process-reward chain from per-turn rewards to attributed per-turn
+    * advantages in one call. Equals [[turnAdvantages]] over the
+    * pre-reduced signal frame by construction (law, spec-pinned).
+    */
+  def turnAdvantagesFromRewards(
+      turns: DataFrame,
+      turnRewards: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      rewardCol: String,
+      attrRoles: Option[Set[String]] = None): DataFrame =
+    turnAdvantages(turns,
+      turnSignalReduce(turnRewards, groupCol, trajCol, rewardCol),
+      groupCol, trajCol, tsCol, idCol, roleCol, "signal_milli", attrRoles)
+
   /** TURN-LEVEL (process-reward) ADVANTAGES — the multi-turn RL data
     * shape [[groupAdvantages]]' prompt-level GRPO doesn't cover: a
     * TRAJECTORY (a whole dialogue) earns one scalar signal, its group
@@ -1046,17 +1115,11 @@ object Dialogue {
     // double-count the group stats (shifting every group mean) AND
     // duplicate its turns through the advantage join — Σ turn advantage
     // = 2× the trajectory's, a silent conservation break. The frame is
-    // trajectory-count-sized, so the eager check is cheap, and eager is
-    // the only guard a join fan-out can't skip (the pairSideStream
-    // promptTexts contract).
-    val trajCounts = trajSignals
-      .agg(count(lit(1)).as("n"), countDistinct(col(trajCol)).as("nd"))
-      .head()
-    require(trajCounts.getLong(0) == trajCounts.getLong(1),
-      s"turnAdvantages: trajSignals has " +
-        s"${trajCounts.getLong(0) - trajCounts.getLong(1)} duplicate " +
-        s"$trajCol key(s) — each would double-count its group's stats " +
-        "and duplicate its turn rows")
+    // trajectory-count-sized — the EagerContracts cost statement.
+    graft.ops.EagerContracts.requireUniqueKeys(trajSignals, trajCol,
+      "turnAdvantages",
+      "each would double-count its group's stats and duplicate its " +
+        "turn rows (Σ turn advantage = 2× the trajectory's)")
     val cand = trajSignals
       .filter(col(signalMilliCol).isNotNull)
       .select(col(groupCol), col(trajCol),
@@ -1274,13 +1337,9 @@ object Dialogue {
       contentCol: String,
       merges: Seq[Bpe.Merge],
       seqLen: Long): DataFrame = {
-    val textCounts = promptTexts
-      .agg(count(lit(1)).as("n"), countDistinct(col(promptCol)).as("nd"))
-      .head()
-    require(textCounts.getLong(0) == textCounts.getLong(1),
-      s"bestOfNSequences: promptTexts has " +
-        s"${textCounts.getLong(0) - textCounts.getLong(1)} duplicate " +
-        s"$promptCol key(s) — each would double its samples' turns")
+    graft.ops.EagerContracts.requireUniqueKeys(promptTexts, promptCol,
+      "bestOfNSequences",
+      "each would double its samples' turns with colliding ids")
     val textType = promptTexts.schema(promptTextCol).dataType
     // the same LINEAGE-CUT fan-out boundary as pairSideStream: the
     // selection (window over the gate chain) feeds two turn branches
@@ -1388,15 +1447,11 @@ object Dialogue {
       merges: Seq[Bpe.Merge]): DataFrame = {
     // promptTexts must be UNIQUE per prompt: a duplicate key would emit
     // every side's turns twice with COLLIDING turn ids (doubled counts,
-    // corrupted tok_idx). Prompt-count-sized frame — the eager check is
-    // cheap, and eager is the only guard a join fan-out can't skip.
-    val textCounts = promptTexts
-      .agg(count(lit(1)).as("n"), countDistinct(col(promptCol)).as("nd"))
-      .head()
-    require(textCounts.getLong(0) == textCounts.getLong(1),
-      s"pairSideStream: promptTexts has " +
-        s"${textCounts.getLong(0) - textCounts.getLong(1)} duplicate " +
-        s"$promptCol key(s) — each would double its pairs' turns")
+    // corrupted tok_idx). Prompt-count-sized frame — the EagerContracts
+    // cost statement; eager is the only guard a join fan-out can't skip.
+    graft.ops.EagerContracts.requireUniqueKeys(promptTexts, promptCol,
+      "pairSideStream",
+      "each would double its pairs' turns with colliding ids")
     val textType = promptTexts.schema(promptTextCol).dataType
     // LINEAGE-CUT, not just persisted: the pair frame fans out FOUR
     // ways (2 sides × 2 turns) — without a cache the caller's whole

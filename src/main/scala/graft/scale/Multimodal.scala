@@ -291,30 +291,107 @@ object Multimodal {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      jaccardThreshold: Double = 0.2): DataFrame = {
+      jaccardThreshold: Double = 0.2): DataFrame =
+    jointPairDedup(docs, assign, images, idCol, textCol, priorityCol,
+      imgCol, "imageTextPairDedup", cosineThreshold, dims, shingleSize,
+      numHashes, bands, jaccardThreshold)
+
+  /** [[imageTextPairDedup]]'s AUDIO twin — joint dedup of an
+    * (audio, caption) corpus over the SAME compatibility lattice
+    * (identity ∪ embedding near-dup, × caption near-dup), with
+    * [[audioStatsEmbedding]]'s segment-RMS envelope in place of the
+    * image stats embedding: `audio` is the DISTINCT clip space
+    * (keyCol, embedding, ok) decoded ONCE, corrupt payloads match by
+    * content identity only, and one modality alone never merges (law,
+    * spec-pinned, both directions). All the image operator's contracts
+    * — assign coverage + uniqueness, identity-from-the-assignment-side,
+    * the broadcast compatibility probe — apply verbatim.
+    *
+    * @return `docs` rows (idCol, priorityCol) of the kept survivors
+    */
+  def audioTextPairDedup(
+      docs: DataFrame,
+      assign: DataFrame,
+      audio: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: String,
+      audioCol: String,
+      cosineThreshold: Double = 0.999,
+      dims: Int = 8,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      jaccardThreshold: Double = 0.2): DataFrame =
+    jointPairDedup(docs, assign, audio, idCol, textCol, priorityCol,
+      audioCol, "audioTextPairDedup", cosineThreshold, dims, shingleSize,
+      numHashes, bands, jaccardThreshold)
+
+  /** The shared two-modality joint-dedup core: the lattice is
+    * modality-agnostic once the distinct payload space arrives as
+    * (keyCol, embedding, ok) — image stats and audio envelopes run the
+    * same plan.
+    */
+  private def jointPairDedup(
+      docs: DataFrame,
+      assign: DataFrame,
+      modal: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: String,
+      keyCol: String,
+      opName: String,
+      cosineThreshold: Double,
+      dims: Int,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      jaccardThreshold: Double): DataFrame = {
     import org.apache.spark.sql.functions._
-    val emb = images.filter(col("ok"))
-      .select(col(imgCol).as("id"), col("embedding"))
-    val imgPairs = Similarity.cosineNearDupPairs(
+    // assign must be ONE payload key per doc: a duplicate doc id would
+    // fan every caption pair out per copy AND make the doc's identity
+    // edge ambiguous. assign is doc-count-sized (wider than
+    // EagerContracts' usual key frames) but two slim columns — one
+    // column-pruned pass next to the operator's own multi-scan cost.
+    graft.ops.EagerContracts.requireUniqueKeys(assign, idCol, opName,
+      "each would fan its caption pairs out per copy and make its " +
+        "payload identity ambiguous")
+    val emb = modal.filter(col("ok"))
+      .select(col(keyCol).as("id"), col("embedding"))
+    val modPairs = Similarity.cosineNearDupPairs(
       emb, "id", "embedding", cosineThreshold, dims = dims)
-      .select(col("id_a").as("img_a"), col("id_b").as("img_b"))
+      .select(col("id_a").as("key_a"), col("id_b").as("key_b"))
     // identity compatibility comes from the ASSIGNMENT side, not the
-    // images frame: content identity (same payload key) needs no decode,
-    // and deriving it from `images` would silently disable same-payload
-    // dedup for any assigned key missing from the decoded frame (e.g. a
-    // caller that only embeds decodable payloads) — the silent-under-
-    // dedup class. The distinct-key agg is image-space-sized after its
-    // map-side partial merge.
-    val compat = imgPairs
-      .unionByName(imgPairs.select(col("img_b").as("img_a"), col("img_a").as("img_b")))
-      .unionByName(assign.select(col(imgCol)).distinct()
-        .select(col(imgCol).as("img_a"), col(imgCol).as("img_b")))
+    // payload frame: content identity (same payload key) needs no
+    // decode, and deriving it from `modal` would silently disable
+    // same-payload dedup for any assigned key missing from the decoded
+    // frame (e.g. a caller that only embeds decodable payloads) — the
+    // silent-under-dedup class. The distinct-key agg is payload-space-
+    // sized after its map-side partial merge.
+    val compat = modPairs
+      .unionByName(modPairs.select(col("key_b").as("key_a"), col("key_a").as("key_b")))
+      .unionByName(assign.select(col(keyCol)).distinct()
+        .select(col(keyCol).as("key_a"), col(keyCol).as("key_b")))
     val capPairs = Dedup.minhashPairsExact(
       docs, idCol, textCol, shingleSize, numHashes, bands, jaccardThreshold)
+    val keyType = assign.schema(keyCol).dataType
+    // LEFT join + null-key assert per side: an inner join would
+    // silently drop every caption pair whose doc is missing from the
+    // assignment frame — the silent-under-dedup class the scaladoc
+    // warns about, now refused loud instead
+    def side(tag: String) = assign.select(
+      col(idCol).as(s"id_$tag"), col(keyCol).as(s"key_$tag"))
+    def covered(tag: String) = coalesce(col(s"key_$tag"),
+      assert_true(lit(false),
+        lit(s"$opName: a caption-pair doc has no row in the assignment " +
+          "frame — its pair would silently drop from the joint edge " +
+          "set")).cast(keyType))
     val joint = capPairs
-      .join(assign.select(col(idCol).as("id_a"), col(imgCol).as("img_a")), Seq("id_a"))
-      .join(assign.select(col(idCol).as("id_b"), col(imgCol).as("img_b")), Seq("id_b"))
-      .join(broadcast(compat), Seq("img_a", "img_b"), "left_semi")
+      .join(side("a"), Seq("id_a"), "left")
+      .join(side("b"), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        covered("a").as("key_a"), covered("b").as("key_b"))
+      .join(broadcast(compat), Seq("key_a", "key_b"), "left_semi")
       .select(col("id_a"), col("id_b"))
     Dedup.dedupByClusterPriority(
       docs.select(col(idCol), col(priorityCol)), joint, idCol, priorityCol)
@@ -554,6 +631,52 @@ object Multimodal {
               c.mono.length.toLong, durMs, ok = true)
           case None =>
             AudioFeatures(a.assetId, 0, 0, 0, 0L, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Fixed-dimension segment-RMS EMBEDDING per clip — the audio twin
+    * of the image stats embedding: the mono mixdown splits into `dims`
+    * equal time segments and each contributes its RMS level, so the
+    * vector is the clip's loudness ENVELOPE (duration- and
+    * frequency-invariant enough that one clip re-containered — WAV vs
+    * AU of the same samples — embeds identically, while clips with
+    * different envelopes do not; [[audioTextPairDedup]]'s similarity
+    * gate). Undecodable or empty payloads emit ok = false with an
+    * empty embedding — they can never manufacture similarity, the
+    * [[imageFeatures]] corrupt contract.
+    *
+    * @return (assetId, embedding[dims], ok)
+    */
+  final case class AudioEmbedding(
+      assetId: Long,
+      embedding: Array[Float],
+      ok: Boolean)
+
+  def audioStatsEmbedding(assets: Dataset[Asset], dims: Int = 8): Dataset[AudioEmbedding] = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeAudio(a.content) match {
+          case Some(c) if c.mono.nonEmpty =>
+            val n = c.mono.length
+            val emb = new Array[Float](dims)
+            var d = 0
+            while (d < dims) {
+              // segment d covers [d·n/dims, (d+1)·n/dims) — exact long
+              // arithmetic so the segments tile the clip
+              val s = (d.toLong * n / dims).toInt
+              val e = ((d.toLong + 1) * n / dims).toInt
+              var i = s
+              var sq = 0.0
+              while (i < e) { val v = c.mono(i); sq += v.toDouble * v; i += 1 }
+              emb(d) = if (e > s) math.sqrt(sq / (e - s)).toFloat else 0f
+              d += 1
+            }
+            AudioEmbedding(a.assetId, emb, ok = true)
+          case _ => AudioEmbedding(a.assetId, Array.empty, ok = false)
         }
       }
     }

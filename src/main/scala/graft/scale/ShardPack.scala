@@ -797,6 +797,94 @@ object ShardPack {
     epochManifest(seqFrame, "seq_id", epochs)
   }
 
+  /** The GLOBAL WRITER MANIFEST over a SPLIT-SPAN layout —
+    * [[globalWriterManifest]]'s twin for [[materializeSequences]] /
+    * [[materializeSequencesWithMask]] exports (the q151 packing, where
+    * docs split across fixed `seqLen` bins and the bin IS the
+    * sequence): one row per (epoch, sequence) carrying the contiguous
+    * `seq_id` in bin order, the deterministic `file` assignment
+    * (~`fileBudget` tokens per file along the sequence order — the
+    * writer rule, running fill BEFORE the sequence integer-divided by
+    * the budget), and the per-epoch `(file, pos)` permutation. Same
+    * conservation laws as the best-fit manifest, spec-pinned: every
+    * sequence in exactly one file, exactly once per epoch, seq_id a
+    * bijection onto 0..N−1.
+    *
+    * `sequences` is the materialized export itself ((bin, n_tokens,
+    * n_docs, …) — the manifest is a pure function of the artifact the
+    * writer emits; extra columns such as the token arrays are pruned
+    * here, not recomputed).
+    *
+    * Scale shape: seq_id and file come from ONE two-phase prefix pass
+    * over the range-partitioned bin order (the [[globalWriterManifest]]
+    * discipline — two running accumulators, P pairs of longs to the
+    * driver); the epoch permutation windows partition by FILE, the
+    * loader's parallel read unit here (a split layout fills every bin
+    * except the last to exactly seqLen, so a file holds ~fileBudget /
+    * seqLen sequences — budget-bounded by construction, the
+    * [[epochOrder]] shard contract). Nothing corpus-sized in one task.
+    *
+    * @return (bin, fill, n_docs, seq_id, file, epoch, pos) — pos is
+    *         0-based within (epoch, file)
+    */
+  def splitWriterManifest(
+      sequences: DataFrame,
+      fileBudget: Long,
+      epochs: Int,
+      numPartitions: Int = 32): DataFrame = {
+    require(fileBudget > 0, s"fileBudget must be positive, got $fileBudget")
+    val spark = sequences.sparkSession
+    val bins = sequences.select(
+      col("bin").cast("long").as("bin"),
+      col("n_tokens").cast("long").as("fill"),
+      col("n_docs").cast("long").as("n_docs"))
+    val sorted = CacheScope.persisted(
+      bins
+        .repartitionByRange(numPartitions, col("bin"))
+        .sortWithinPartitions(col("bin")),
+      StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition (sequence count, fill sum) — 2P longs
+    val parts = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L
+        var f = 0L
+        it.foreach { r => c += 1; f += r.getLong(1) }
+        Iterator((pid, c, f))
+      }
+      .collect()
+      .sortBy(_._1)
+    val cntOff = parts.map(_._2).scanLeft(0L)(_ + _)
+    val fillOff = parts.map(_._3).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast((cntOff, fillOff))
+    // pass 2: running index + running fill → (seq_id, file)
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = bc.value._1(pid)
+      var f = bc.value._2(pid)
+      it.map { r =>
+        val fill = r.getLong(1)
+        val row = Row(r.getLong(0), fill, r.getLong(2), c, f / fileBudget)
+        c += 1
+        f += fill
+        row
+      }
+    }
+    val seqFrame = spark.createDataFrame(
+      out,
+      StructType(Seq(
+        StructField("bin", LongType, nullable = false),
+        StructField("fill", LongType, nullable = false),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("seq_id", LongType, nullable = false),
+        StructField("file", LongType, nullable = false))))
+    // the epoch permutation's window unit is the FILE (epochOrder
+    // partitions by "shard"; the split layout's shard IS the output
+    // file — the unit a loader reads in parallel)
+    epochManifest(seqFrame.withColumnRenamed("file", "shard"), "seq_id", epochs)
+      .withColumnRenamed("shard", "file")
+      .select(col("bin"), col("fill"), col("n_docs"), col("seq_id"),
+        col("file"), col("epoch"), col("pos"))
+  }
+
   /** CURRICULUM SCHEDULE — the annealed ("baby steps") data order: docs
     * rank globally by (difficulty, id), split into `buckets` contiguous
     * difficulty bands, and epoch e of E admits the PREFIX of bands
@@ -813,12 +901,25 @@ object ShardPack {
     * Scale shape: the global difficulty rank is a range-sort +
     * zipWithIndex (per-partition offset ranges — the K1 insert-id
     * pattern; NO single-task window), the band cut is scalar
-    * arithmetic on the rank, and the per-epoch orders are keyed
-    * windows partitioned by (bucket) — band-sized partitions, the
-    * epochManifest union shape. `epochs ≤ 64` (unrolled union).
+    * arithmetic on the rank, and each epoch's in-band positions come
+    * from a range-sort on (bucket, md5-key, id) plus the
+    * [[globalWriterManifest]] two-phase per-partition offset pass with
+    * one running counter PER BAND (bands are contiguous inside a
+    * sorted partition, so pass 1 ships ≤ partitions + buckets triples
+    * to the driver). ZERO windows anywhere — a `Window.partitionBy
+    * (bucket)` would put corpus/buckets rows in ONE sort task (~10 TB
+    * per band at the 100 TB target with the default 10 bands; and
+    * buckets = 1 — a degenerate but legal call — would be a full-corpus
+    * single-task sort). With the range-sort both hazards vanish: a
+    * band spreads over as many partitions as its row count needs,
+    * whatever `buckets` is. Each epoch's sorted RDD is persisted
+    * across its two passes for the [[packWithOffsets]] reason: range
+    * boundaries come from sampling, and pass-2 offsets must see
+    * pass-1's exact partitioning. `epochs ≤ 64` (unrolled union).
     *
     * @return (epoch, bucket, idCol, difficultyCol, pos) — pos is
-    *         0-based within (epoch, bucket)
+    *         0-based within (epoch, bucket) in md5("curr:<e>:<id>")
+    *         order
     */
   def curriculumOrder(
       docs: DataFrame,
@@ -826,14 +927,22 @@ object ShardPack {
       difficultyCol: String,
       epochs: Int,
       buckets: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(epochs >= 1 && epochs <= 64,
       s"epochs must be in [1, 64] (unrolled union plan), got $epochs")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
+    // guard FIRST (the codegen null-short-circuit law): a null or
+    // non-castable id/difficulty would otherwise reach the zipWithIndex
+    // mapper's getLong as an unnamed NullPointerException in a task
+    def guardedLong(c: String, what: String) =
+      coalesce(
+        assert_true(col(c).cast("long").isNotNull,
+          lit(s"curriculumOrder: $c has a null or non-long-castable " +
+            s"value — every doc needs a $what")).cast("long"),
+        lit(0L)) + col(c).cast("long")
     val sorted = docs
-      .select(col(idCol).cast("long").as(idCol),
-        col(difficultyCol).cast("long").as(difficultyCol))
+      .select(guardedLong(idCol, "numeric id").as(idCol),
+        guardedLong(difficultyCol, "numeric difficulty").as(difficultyCol))
       .orderBy(col(difficultyCol), col(idCol))
     val idxSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -857,19 +966,59 @@ object ShardPack {
     val banded = ranked.crossJoin(broadcast(total))
       .withColumn("bucket", expr(s"__rank * ${buckets}L div __n"))
       .select(col(idCol), col(difficultyCol), col("bucket"))
+    val outSchema = StructType(Seq(
+      StructField("epoch", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField(difficultyCol, LongType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
     (0 until epochs).map { e =>
       // ceil((e+1)·B/E) admitted bands; final epoch == all (law)
       val cut = ((e.toLong + 1L) * buckets + epochs - 1) / epochs
       val ek = md5(concat(lit(s"curr:$e:"), col(idCol).cast("string")))
-      banded
+      // range-sort on (bucket, permutation key, id): the total order
+      // whose per-band dense index IS pos. A band's rows spread across
+      // however many range partitions they need — nothing band-sized
+      // ever sits in one task.
+      val admitted = banded
         .filter(col("bucket") < cut)
-        .withColumn("epoch", lit(e.toLong))
-        .withColumn("pos",
-          (row_number().over(
-            Window.partitionBy(col("bucket")).orderBy(ek, col(idCol))) - 1)
-            .cast("long"))
-        .select(col("epoch"), col("bucket"), col(idCol), col(difficultyCol),
-          col("pos"))
+        .select(col("bucket"), ek.as("__ek"), col(idCol), col(difficultyCol))
+        .orderBy(col("bucket"), col("__ek"), col(idCol))
+      val ardd = CacheScope.registerRdd(
+        admitted.rdd.persist(StorageLevel.MEMORY_AND_DISK))
+      // pass 1: per-(partition, band) row counts. Bands are contiguous
+      // within a sorted partition, so this is ≤ P + buckets triples —
+      // driver-sized at any corpus scale (the globalWriterManifest
+      // collect shape: a few longs per partition).
+      val parts = ardd.mapPartitionsWithIndex { (pid, it) =>
+        val counts = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        it.foreach { r =>
+          val b = r.getLong(0)
+          counts.update(b, counts.getOrElse(b, 0L) + 1L)
+        }
+        counts.iterator.map { case (b, c) => (pid, b, c) }.toList.iterator
+      }.collect()
+      // driver scan in partition order → each (partition, band)'s start
+      // offset within its band
+      val running = scala.collection.mutable.HashMap.empty[Long, Long]
+      val offsets = parts.sortBy(_._1).map { case (pid, b, c) =>
+        val start = running.getOrElse(b, 0L)
+        running.update(b, start + c)
+        (pid, b) -> start
+      }.toMap
+      val bc = spark.sparkContext.broadcast(offsets)
+      // pass 2: one running counter per band inside the partition,
+      // seeded from the broadcast offsets — dense 0-based pos per band
+      val out = ardd.mapPartitionsWithIndex { (pid, it) =>
+        val cursors = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.map { r =>
+          val b = r.getLong(0)
+          val p = cursors.getOrElse(b, bc.value((pid, b)))
+          cursors.update(b, p + 1L)
+          Row(e.toLong, b, r.getLong(2), r.getLong(3), p)
+        }
+      }
+      spark.createDataFrame(out, outSchema)
     }.reduce(_.unionByName(_))
   }
 

@@ -512,8 +512,12 @@ object StreamingOps {
     * store without bound (no watermark evicts complete-mode agg state);
     * (2) complete mode re-emits the ENTIRE pair frame every trigger, so
     * sink write cost per trigger is pair-count-sized, not delta-sized.
-    * Deploy on bounded prompt keyspaces (a grading campaign, an eval
-    * set), not an open-ended prompt firehose. Strict-margin
+    * This complete-mode form fits bounded prompt keyspaces (a grading
+    * campaign, an eval set) where the CURRENT pair of every prompt is
+    * the product; for an open-ended prompt firehose use
+    * [[preferencePairsFinalStream]], which holds state only for active
+    * prompts and emits each prompt's FINAL pair once on quiescence
+    * (append mode, delta-sized writes). Strict-margin
     * and null-exclusion laws carry over verbatim; stream == batch at
     * every micro-batch prefix is spec-pinned. Pair-level GATING stays
     * batch-side on the polled sink ([[graft.scale.Dialogue.gatedPreferencePairs]]'s
@@ -534,6 +538,144 @@ object StreamingOps {
     graft.scale.Dialogue.preferencePairs(
       responses, promptCol, candCol, contentCol, signalCol)
 
+  /** One graded response with its event time — the typed row
+    * [[preferencePairsFinalStream]]'s state machine consumes.
+    */
+  final case class GradedResponse(prompt: String, candId: Long,
+      content: String, signal: Double, ts: java.sql.Timestamp)
+
+  /** Per-prompt running pair state: candidate count, last event time,
+    * and the running (signal, id, content)-max and -min candidates —
+    * the batch operator's O(1) agg state made explicit.
+    */
+  final case class PairState(n: Long, lastSeen: Long,
+      chS: Double, chI: Long, chC: String,
+      rjS: Double, rjI: Long, rjC: String)
+
+  final case class FinalPair(prompt: String, n_candidates: Long,
+      chosen_id: Long, chosen_signal: Double, chosen_content: String,
+      rejected_id: Long, rejected_signal: Double, rejected_content: String,
+      margin: Double)
+
+  // the batch struct order, exactly: (signal, id, content) with content
+  // compared as UTF-8 BYTES (Spark's UTF8String order; Java's
+  // compareTo is UTF-16 code-unit order and disagrees above U+FFFF)
+  private def structGt(s1: Double, i1: Long, c1: String,
+      s2: Double, i2: Long, c2: String): Boolean =
+    s1 > s2 || (s1 == s2 && (i1 > i2 || (i1 == i2 && utf8Gt(c1, c2))))
+
+  private def utf8Gt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d > 0
+      i += 1
+    }
+    x.length > y.length
+  }
+
+  /** The EVICTING preference-pair assembler — the unbounded-keyspace
+    * answer [[preferencePairsStream]] cannot give: a prompt's state
+    * lives only while the prompt is ACTIVE, and after `quiesceMs` of
+    * event-time silence the prompt CLOSES — its final best-vs-worst
+    * pair is emitted ONCE (append mode, delta-sized sink writes) and
+    * its state is dropped. An open-ended prompt firehose thus holds
+    * state only for the prompts inside the quiescence horizon, not for
+    * every prompt ever seen — the [[sessionize]] discipline applied to
+    * the preference family.
+    *
+    * Emission semantics: the closed prompt's pair equals the BATCH
+    * [[graft.scale.Dialogue.preferencePairs]] row over exactly the
+    * rows that arrived before it closed (spec-pinned on a replayed
+    * log): the state machine maintains the same (signal, id, content)
+    * struct-max/min with the same strict-margin law (no-contrast
+    * prompts close silently — they never had a pair), the same
+    * null-signal exclusion, and the same NaN fail-loud. A row arriving
+    * AFTER its prompt closed (but inside the watermark's allowed
+    * lateness) REOPENS the prompt as a fresh group — the same
+    * split-session behavior [[sessionize]] has for a post-gap event;
+    * rows older than the watermark drop, as everywhere.
+    *
+    * Per-prompt state is the batch agg's O(1) state made explicit:
+    * two (signal, id, content) candidates plus two longs —
+    * content-sized like the batch struct state, but held only for
+    * ACTIVE prompts and reclaimed on close.
+    *
+    * @return streaming [[graft.scale.Dialogue.preferencePairs]]-shaped
+    *         frame, append-mode; one row per CLOSED prompt with a
+    *         strict margin
+    */
+  def preferencePairsFinalStream(
+      responses: DataFrame,
+      promptCol: String,
+      candCol: String,
+      contentCol: String,
+      signalCol: String,
+      tsCol: String,
+      quiesceMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(quiesceMs > 0, s"quiesceMs must be positive, got $quiesceMs")
+    val spark = responses.sparkSession
+    import spark.implicits._
+    val typed = graft.scale.Dialogue.signalGated(
+      responses, signalCol, "preferencePairsFinalStream",
+      "a NaN would always win the pair")
+      .select(
+        col(promptCol).cast("string").as("prompt"),
+        col(candCol).cast("long").as("candId"),
+        col(contentCol).cast("string").as("content"),
+        col(signalCol).cast("double").as("signal"),
+        col(tsCol).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[GradedResponse]
+    typed
+      .groupByKey(_.prompt)
+      .flatMapGroupsWithState[PairState, FinalPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (prompt: String, rows: Iterator[GradedResponse], state: GroupState[PairState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            // the batch strict-margin law: no contrast, no pair
+            if (s.chS > s.rjS)
+              Iterator(FinalPair(prompt, s.n, s.chI, s.chS, s.chC,
+                s.rjI, s.rjS, s.rjC, s.chS - s.rjS))
+            else Iterator.empty
+          } else {
+            var s = state.getOption.orNull
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              s =
+                if (s == null)
+                  PairState(1L, t, e.signal, e.candId, e.content,
+                    e.signal, e.candId, e.content)
+                else {
+                  val ch =
+                    if (structGt(e.signal, e.candId, e.content, s.chS, s.chI, s.chC))
+                      (e.signal, e.candId, e.content)
+                    else (s.chS, s.chI, s.chC)
+                  val rj =
+                    if (structGt(s.rjS, s.rjI, s.rjC, e.signal, e.candId, e.content))
+                      (e.signal, e.candId, e.content)
+                    else (s.rjS, s.rjI, s.rjC)
+                  PairState(s.n + 1L, math.max(s.lastSeen, t),
+                    ch._1, ch._2, ch._3, rj._1, rj._2, rj._3)
+                }
+            }
+            state.update(s)
+            // the timeout must sit strictly past the current watermark
+            // (Spark refuses otherwise, e.g. for an almost-late row)
+            state.setTimeoutTimestamp(
+              math.max(s.lastSeen + quiesceMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
   /** The LIVE feedback-balance monitor — running per-prompt CLASS
     * COUNTS of a binary-feedback stream (the
     * [[graft.scale.Dialogue.binaryFeedback]] front half as a continuous
@@ -542,7 +684,9 @@ object StreamingOps {
     * [[preferencePairsStream]]'s content-carrying min/max state, the
     * per-prompt state here is TWO LONGS — O(1) and slim, the cleanest
     * bounded-state story in the preference family (total state still
-    * grows with prompt cardinality; bounded keyspaces, as there). The
+    * grows with prompt cardinality in this complete-mode form; for an
+    * unbounded keyspace, [[preferencePairsFinalStream]]'s
+    * quiescence-eviction discipline is the template). The
     * per-candidate labels and balance weights stay batch-side on the
     * polled sink (the weight needs a counts⋈labels join — a second
     * stage over the streaming agg, the [[preferencePairsStream]]

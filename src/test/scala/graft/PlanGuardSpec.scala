@@ -271,6 +271,23 @@ class PlanGuardSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll()
   }
 
+  test("q172 curriculum: ZERO window operators — in-band positions come from the two-phase offset pass, never Window.partitionBy(bucket)") {
+    // the r17 weak plan: row_number over Window.partitionBy(bucket)
+    // puts corpus/buckets rows in ONE sort task (~10 TB per band at the
+    // 100 TB target with the default 10 bands; buckets = 1 would be a
+    // full-corpus single task). The rewrite range-sorts (bucket, md5,
+    // id) and assigns dense per-band positions via the per-partition
+    // offset pass, so the emitted plan is a union of LogicalRDD leaves
+    // with NO window node anywhere — pinned here; a regression that
+    // reintroduces any window (band-keyed or otherwise) fails by name.
+    // (The internal sorts sit behind the RDD leaves and are range
+    // partitioned by construction.)
+    val p = planOf("q172_curriculum_order")
+    assert(countNodes(p, _.nodeName.toLowerCase.contains("window")) === 0,
+      p.toString.take(800))
+    graft.ops.CacheScope.releaseAll()
+  }
+
   test("q101 runs the DISTRIBUTED propagation path, q50 the driver union-find") {
     // The two CC paths are a size switch (Dedup.connectedComponents):
     // below the threshold a driver union-find parallelizes its result

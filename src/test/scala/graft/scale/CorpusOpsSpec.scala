@@ -583,6 +583,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(orders.distinct.length > 1, "per-epoch in-band permutations differ")
   }
 
+  test("curriculumOrder: null or non-castable id/difficulty fails with a NAMED error, not a task NPE") {
+    import spark.implicits._
+    val bad = Seq((Some(1L), Some(5L)), (Some(2L), None))
+      .toDF("doc_id", "difficulty")
+    val err = intercept[Exception] {
+      ShardPack.curriculumOrder(bad, "doc_id", "difficulty", 2, 2).collect()
+    }
+    assert(Option(err.getMessage).getOrElse(err.toString)
+      .contains("curriculumOrder"), s"named guard, got: ${err.getMessage}")
+  }
+
+  test("splitWriterManifest: q159's laws verbatim on the split-span layout — seq_id bijection, file rule, one row per (epoch, sequence)") {
+    import spark.implicits._
+    // a split layout's bin rollup: every bin except the last exactly
+    // full (the materializeCore law), plus a decoy extra column that
+    // must be pruned, not consumed
+    val seqLen = 60L
+    val fills = (0L until 9L).map(b => (b, seqLen, b % 3 + 1)) :+ ((9L, 23L, 2L))
+    val sequences = fills.toDF("bin", "n_tokens", "n_docs")
+      .withColumn("token_ids", array(lit(1L)))
+    val fileBudget = 150L
+    val epochs = 3
+    val out = ShardPack.splitWriterManifest(sequences, fileBudget, epochs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val want = fills.map { case (b, f, d) => b -> (f, d) }.toMap
+    val n = want.size
+    assert(out.length === n * epochs, "one row per (epoch, sequence)")
+    (0L until epochs.toLong).foreach { e =>
+      val slice = out.filter(_._6 == e)
+      assert(slice.map(_._1).toSet === want.keySet,
+        s"epoch $e covers every sequence exactly once")
+      // seq_id: contiguous 0..N-1 in bin order
+      val ordered = slice.sortBy(_._1)
+      assert(ordered.map(_._4).toSeq === (0L until n.toLong),
+        s"epoch $e seq_id bijection")
+      // fill/n_docs match the rollup; file == running-fill-before // budget
+      var cum = 0L
+      ordered.foreach { r =>
+        val (fill, nd) = want(r._1)
+        assert(r._2 === fill && r._3 === nd, s"rollup of bin ${r._1}")
+        assert(r._5 === cum / fileBudget, s"file rule at seq ${r._4}")
+        cum += fill
+      }
+      // pos dense within (epoch, file)
+      slice.groupBy(_._5).foreach { case (f, ss) =>
+        assert(ss.map(_._7).sorted.toSeq === (0L until ss.length.toLong),
+          s"epoch $e file $f pos dense")
+      }
+    }
+    // epochs are fresh permutations within a multi-sequence file
+    val posBySeq = out.groupBy(_._4).values
+    assert(posBySeq.exists(rs => rs.map(_._7).distinct.length > 1),
+      "per-epoch permutations differ")
+  }
+
   test("globalWriterManifest: seq_id bijection, exact file rule, one row per (epoch, sequence)") {
     val docs = shardDocs(80)
     val seqLen = 60L

@@ -303,4 +303,114 @@ class MultimodalSpec extends SparkSpec {
     assert(kept3 === Set(20L),
       "same undecoded payload + caption dup merges (min-priority kept)")
   }
+
+  test("audioStatsEmbedding: REAL decode envelope — re-containered clip embeds identically, different envelope does not") {
+    val clips = Seq(
+      Multimodal.Asset(1L, "audio", fixture("halfloud.wav"), "wav"),
+      Multimodal.Asset(2L, "audio", fixture("halfloud.au"), "au"),
+      Multimodal.Asset(3L, "audio", fixture("quiet.wav"), "wav"),
+      Multimodal.Asset(4L, "audio", "broken".getBytes, "wav")
+    ).toDS()
+    val out = Multimodal.audioStatsEmbedding(clips, dims = 8)
+      .collect().map(e => e.assetId -> e).toMap
+    // corrupt: flagged, never embeds
+    assert(!out(4L).ok && out(4L).embedding.isEmpty, "corrupt flags ok=false")
+    assert(Seq(1L, 2L, 3L).forall(out(_).ok))
+    // halfloud's envelope: loud first half, silent second half
+    val hw = out(1L).embedding
+    assert(hw.length === 8)
+    assert(hw.take(4).forall(_ > 0.3f), s"loud first half: ${hw.toSeq}")
+    assert(hw.drop(4).forall(_ < 0.01f), s"silent second half: ${hw.toSeq}")
+    // the SAME samples in an AU container decode to the SAME envelope
+    // (the JDK converts big-endian AU PCM to the same shorts)
+    assert(out(2L).embedding.toSeq === hw.toSeq,
+      "wav/au of one clip embed identically")
+    // quiet.wav: constant low envelope — cosine vs halfloud well below
+    // the 0.999 near-dup gate (≈ 0.707: half the mass in zero segments)
+    val qe = out(3L).embedding
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val cos = dot(hw, qe) / math.sqrt(dot(hw, hw) * dot(qe, qe))
+    assert(cos < 0.9, s"different envelopes must not near-dup (cos $cos)")
+    assert(qe.forall(v => v > 0.01f && v < 0.2f), s"quiet constant: ${qe.toSeq}")
+  }
+
+  test("audioTextPairDedup: the q167 lattice on audio — one modality never merges, corrupt is identity-only (q175 law)") {
+    val clipAssets = Seq(
+      Multimodal.Asset(1L, "audio", fixture("halfloud.wav"), "wav"),
+      Multimodal.Asset(2L, "audio", fixture("halfloud.au"), "au"),
+      Multimodal.Asset(3L, "audio", "broken".getBytes, "wav"),
+      // decodable but DISSIMILAR envelope: must never pair with halfloud
+      Multimodal.Asset(4L, "audio", fixture("quiet.wav"), "wav")
+    ).toDS()
+    val nameOf = Map(1L -> "wav", 2L -> "au", 3L -> "corrupt", 4L -> "quiet")
+    val audio = Multimodal.audioStatsEmbedding(clipAssets).toDF()
+      .select(col("assetId"), col("embedding"), col("ok"))
+      .withColumn("clip",
+        element_at(typedLit(nameOf.map { case (k, v) => k.toString -> v }),
+          col("assetId").cast("string")))
+      .select(col("clip"), col("embedding"), col("ok"))
+    val capA = "alpha beta gamma delta epsilon"
+    val capB = "one two three four five"
+    val docs = Seq(
+      // capA caption cluster: wav/au/wav compatible (embedding pair +
+      // identity), corrupt incompatible, quiet decodable-but-dissimilar
+      (0L, capA, 5L, "corrupt"), (1L, capA, 3L, "wav"), (2L, capA, 7L, "au"),
+      (4L, capA, 9L, "wav"), (8L, capA, 4L, "quiet"),
+      // capB cluster: two corrupt payloads merge by identity only
+      (3L, capB, 1L, "corrupt"), (6L, capB, 2L, "corrupt")
+    ).toDF("doc_id", "text", "priority", "clip")
+    val kept = Multimodal.audioTextPairDedup(
+      docs.select("doc_id", "text", "priority"),
+      docs.select("doc_id", "clip"), audio,
+      "doc_id", "text", "priority", "clip")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 3L, 8L),
+      "joint dedup: {1,2,4} merge (min prio 1 kept), corrupt blocks, " +
+        "dissimilar envelope blocks, identity merges {3,6}")
+    // same clip, unrelated captions — audio identity alone never merges
+    val docs2 = Seq((10L, capA, 1L, "wav"), (11L, capB, 2L, "wav"))
+      .toDF("doc_id", "text", "priority", "clip")
+    val kept2 = Multimodal.audioTextPairDedup(
+      docs2.select("doc_id", "text", "priority"),
+      docs2.select("doc_id", "clip"), audio,
+      "doc_id", "text", "priority", "clip")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(10L, 11L), "audio identity alone never merges")
+  }
+
+  test("jointPairDedup assignment contracts: duplicate doc key refuses eagerly; a caption-pair doc missing from assign fails loud") {
+    val images = Multimodal.imageFeatures(Seq(
+      Multimodal.Asset(1L, "image", fixture("halfred.jpg"), "jpeg")).toDS())
+      .toDF()
+      .select(lit("jpg").as("img"), col("embedding"), col("ok"))
+    val capA = "alpha beta gamma delta epsilon"
+    val docs = Seq((1L, capA, 1L), (2L, capA, 2L))
+      .toDF("doc_id", "text", "priority")
+    // duplicate assignment key: refused at plan-construction (eager —
+    // a join fan-out would double the pairs; EagerContracts)
+    val dup = Seq((1L, "jpg"), (1L, "jpg"), (2L, "jpg"))
+      .toDF("doc_id", "img")
+    val errD = intercept[IllegalArgumentException] {
+      Multimodal.imageTextPairDedup(docs, dup, images,
+        "doc_id", "text", "priority", "img")
+    }
+    assert(errD.getMessage.contains("duplicate"))
+    // null assignment key: named as null, not miscounted as duplicate
+    val nul = Seq((Some(1L), "jpg"), (None, "jpg"))
+      .toDF("doc_id", "img")
+    val errN = intercept[IllegalArgumentException] {
+      Multimodal.imageTextPairDedup(docs, nul, images,
+        "doc_id", "text", "priority", "img")
+    }
+    assert(errN.getMessage.contains("null key"))
+    // a doc that forms a caption pair but has NO assignment row: the
+    // pair would silently drop from the joint edge set — must refuse
+    val missing = Seq((1L, "jpg")).toDF("doc_id", "img")
+    val errM = intercept[Exception] {
+      Multimodal.imageTextPairDedup(docs, missing, images,
+        "doc_id", "text", "priority", "img").collect()
+    }
+    assert(errM.getMessage != null, "uncovered caption-pair doc must refuse")
+  }
 }

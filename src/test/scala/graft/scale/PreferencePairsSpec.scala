@@ -709,6 +709,68 @@ class PreferencePairsSpec extends SparkSpec {
       "grp", "traj", "ts", "id", "role", "content", "signal_milli").count()
     assert(out2 === 0L, "a group reduced below 2 survivors drops")
   }
+
+  test("turnSignalReduce: quantize-then-sum law, null rewards, all-null trajectories vanish, NaN refuses (q174)") {
+    // per-turn rewards: traj 1 = 1.0017 + 2.9995 -> 1001 + 2999 = 4000
+    // (quantize FIRST: floor(4.0012·1000) = 4001 would be the wrong,
+    // float-sum-then-quantize answer), traj 2 mixes a null (skipped),
+    // traj 3 all-null (vanishes), traj 4 negative rewards
+    val rewards = Seq(
+      ("g1", 1L, Some(1.0017)), ("g1", 1L, Some(2.9995)),
+      ("g1", 2L, Some(0.5)), ("g1", 2L, None), ("g1", 2L, Some(0.25)),
+      ("g1", 3L, None),
+      ("g2", 4L, Some(-1.0001)), ("g2", 4L, Some(-0.5))
+    ).toDF("grp", "traj", "reward")
+    val out = Dialogue.turnSignalReduce(rewards, "grp", "traj", "reward")
+      .collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 4L), "all-null trajectory vanishes")
+    assert(out(1L) === (("g1", 4000L, 2L)), "quantize-then-sum, not sum-then-quantize")
+    assert(out(2L) === (("g1", 750L, 2L)), "null rewards skipped, counted out")
+    // floor truncates toward -inf: -1.0001 -> -1001, -0.5 -> -500
+    assert(out(4L) === (("g2", -1501L, 2L)))
+    // NaN refuses loud (the family guard)
+    val errN = intercept[Exception] {
+      Dialogue.turnSignalReduce(
+        Seq(("g", 1L, Double.NaN)).toDF("grp", "traj", "reward"),
+        "grp", "traj", "reward").collect()
+    }
+    assert(errN.getMessage != null, "NaN reward must refuse")
+  }
+
+  test("turnAdvantagesFromRewards == turnAdvantages over pre-reduced signals (composition law); inconsistent groups refuse") {
+    // per-turn rewards whose reductions are EXACTLY the trajSignals
+    // fixture: traj 1 = 7000, 2 = 1000, 3 = 1600, 4 = 5000, 6 = 2000,
+    // 7 = 1000 (traj 5's null signal = an all-null reward trajectory)
+    val rewards = Seq(
+      ("g1", 1L, Some(3.0)), ("g1", 1L, Some(4.0)),
+      ("g1", 2L, Some(1.0)),
+      ("g1", 3L, Some(0.6)), ("g1", 3L, Some(1.0)),
+      ("g2", 4L, Some(5.0)),
+      ("g3", 5L, None),
+      ("g3", 6L, Some(2.0)), ("g3", 7L, Some(1.0))
+    ).toDF("grp", "traj", "reward")
+    val composed = Dialogue.turnAdvantagesFromRewards(
+      trajTurns, rewards, "grp", "traj", "ts", "id", "role", "reward")
+    val direct = Dialogue.turnAdvantages(
+      trajTurns, trajSignals, "grp", "traj", "ts", "id", "role",
+      "signal_milli")
+    assert(composed.columns.toSeq === direct.columns.toSeq)
+    val c = composed.collect().map(_.toSeq).toSet
+    val d = direct.collect().map(_.toSeq).toSet
+    assert(c === d, "composed chain equals turnAdvantages on pre-reduced signals")
+    // a trajectory whose reward rows disagree on the group key reduces
+    // to TWO (group, traj) rows — the eager duplicate-trajectory
+    // contract names it instead of silently double-counting
+    val split = Seq(("gA", 1L, 1.0), ("gB", 1L, 2.0), ("gA", 2L, 3.0))
+      .toDF("grp", "traj", "reward")
+    val errG = intercept[IllegalArgumentException] {
+      Dialogue.turnAdvantagesFromRewards(
+        trajTurns, split, "grp", "traj", "ts", "id", "role", "reward")
+    }
+    assert(errG.getMessage.contains("duplicate"))
+  }
 }
 
 /** Small helper shared by packing-family specs: collect the

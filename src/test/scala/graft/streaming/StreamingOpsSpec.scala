@@ -818,4 +818,63 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.sum === 4L * vals.length, "mass conservation across micro-batches")
     } finally q.stop()
   }
+
+  test("preferencePairsFinalStream: quiescent prompts close with their BATCH pair, state is evicted, reopened prompts start fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // prompt A: three graded candidates + a null-signal row that would
+    // have topped the group (null exclusion THROUGH the stream);
+    // prompt B: a single candidate (no contrast -> closes silently);
+    // prompt C: two equal signals (zero margin -> closes silently)
+    // times start at minute 10: a row AT the initial zero watermark
+    // would be dropped as late before it ever reached the state machine
+    val winA = Seq(
+      ("A", 1L, "c1", Some(5.0), ts(10)), ("A", 2L, "c2", Some(9.0), ts(11)),
+      ("A", 3L, "c3", Some(1.0), ts(12)), ("A", 9L, "hi", None: Option[Double], ts(12)))
+    val b1 = winA ++ Seq(
+      ("B", 4L, "only", Some(3.0), ts(11)),
+      ("C", 5L, "x", Some(2.0), ts(12)), ("C", 6L, "y", Some(2.0), ts(12)))
+    val input = MemoryStream[(String, Long, String, Option[Double], java.sql.Timestamp)]
+    val q = StreamingOps.preferencePairsFinalStream(
+        input.toDF().toDF("prompt", "event_id", "content", "value", "ts"),
+        "prompt", "event_id", "content", "value", "ts",
+        quiesceMs = 10 * 60000L, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("pref_final")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(spark.table("pref_final").count() === 0L,
+        "active prompts emit nothing")
+      // a far-future row advances the watermark past every quiescence
+      // horizon: A emits its FINAL pair; B and C close silently
+      input.addData(("Z", 7L, "z", Some(1.0), ts(120))); q.processAllAvailable()
+      val closed = spark.table("pref_final")
+      val want = rowSeqs(graft.scale.Dialogue.preferencePairs(
+        spark.createDataFrame(winA)
+          .toDF("prompt", "event_id", "content", "value", "ts")
+          .drop("ts"),
+        "prompt", "event_id", "content", "value"))
+      assert(rowSeqs(closed) === want,
+        "the closed prompt's pair equals the batch frame over its rows")
+      assert(closed.count() === 1L, "no-contrast prompts close silently")
+      // REOPEN: rows for A after its close start a FRESH group — the
+      // second pair must see ONLY them (n_candidates 2, not 6), which
+      // is exactly the state-eviction observable
+      input.addData(("A", 11L, "r1", Some(2.0), ts(130)),
+        ("A", 12L, "r2", Some(7.0), ts(131)))
+      q.processAllAvailable()
+      input.addData(("Z2", 8L, "zz", Some(1.0), ts(300))); q.processAllAvailable()
+      val again = spark.table("pref_final")
+        .filter(col("prompt") === "A" && col("chosen_id") === 12L)
+        .collect()
+      assert(again.length === 1, "reopened prompt closes again")
+      assert(again.head.getAs[Long]("n_candidates") === 2L &&
+        again.head.getAs[Long]("rejected_id") === 11L &&
+        again.head.getAs[Double]("margin") === 5.0,
+        "the reopened group saw ONLY post-close rows — old state evicted")
+      assert(spark.table("pref_final").count() === 2L,
+        "exactly the two strict-margin closures emitted")
+    } finally q.stop()
+  }
 }
