@@ -241,7 +241,8 @@ object Profile {
           // r18: the bounded-window curriculum re-measures under the
           // same row; the manifest/PRM/audio additions join the board
           "q173_bestofn_manifest", "q174_turn_advantages_rewards",
-          "q175_audio_pair_dedup"))
+          "q175_audio_pair_dedup", "q176_prm_sequences",
+          "q177_manifest_check"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

@@ -2598,6 +2598,86 @@ object SparkEntry {
           (col("doc_id") % 4 + 1).cast("int")).as("clip"))
       Multimodal.audioTextPairDedup(
         docs, assign, audio, "doc_id", "text", "priority", "clip")
+    }),
+
+    // --- scale: the PRM TRAINING ARTIFACT — q174's turn-level
+    // advantages exported as per-token value targets: every token of a
+    // surviving turn carries its turn's uniform credit share (and the
+    // attribution mask), packed as multi-channel 16-token sequences
+    // (token_ids + mask + value_milli in one row) -------------------------
+    "q176_prm_sequences" -> ((s, dir) => {
+      val gap = 1800000000000L
+      val span = 100000L
+      val ev = t(s, dir, "events")
+        .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+      val turns = graft.ops.CacheScope.cut(graft.scale.Dialogue
+        .sessionize(ev, "user_id", "ts", "event_id", gap)
+        .withColumn("dlg_id",
+          coalesce(
+            assert_true(col("session_seq") < span &&
+              col("user_id").between(0L, Long.MaxValue / span - 1),
+              lit(s"q176: dlg_id packing out of range")).cast("long"),
+            lit(0L)) + col("user_id") * span + col("session_seq")))
+      val trajPrompt = turns.groupBy(col("dlg_id")).agg(
+        min(struct(col("ts").as("t"), col("event_id").as("i"),
+          col("props").as("p"))).getField("p").as("prompt"))
+      val trajSignals = graft.scale.Dialogue.turnSignalReduce(
+        turns.join(trajPrompt, Seq("dlg_id"))
+          .select(col("prompt"), col("dlg_id"), col("value")),
+        "prompt", "dlg_id", "value")
+      // merges train on documents exactly as the q151 family; the piece
+      // vocab inside the encode builds from SURVIVING turns only (the
+      // q155 survivor-vocab law — prmTokenStream semi-joins first)
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val stream = graft.scale.Dialogue.prmTokenStream(
+        turns, trajSignals, "prompt", "dlg_id", "ts", "event_id",
+        "event_type", "content", "signal_milli", merges)
+      ShardPack.materializeSequencesWithChannels(
+        stream, "dlg_id", Seq("mask", "value_milli"), seqLen = 16L)
+        .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("mask"), "").as("mask"),
+          array_join(col("value_milli"), " ").as("value_milli"))
+    }),
+
+    // --- scale: the MANIFEST INTEGRITY CHECK (fsck for a training
+    // export) — q173's manifest re-verified against its own export by
+    // re-deriving the exact layout: size stats plus five violation
+    // counters, all zero on the well-formed artifact; each corruption
+    // class fires its own named counter (spec-pinned) ---------------------
+    "q177_manifest_check" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val selected = graft.scale.Dialogue.gatedBestOfN(
+        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+        "prompt", "event_id", "content", "value", k = 2)
+      val promptTexts = prefResponses(s, dir)
+        .select(col("prompt")).distinct()
+        .withColumn("prompt_text", col("prompt"))
+      // CUT: the export feeds the manifest derivation AND the check's
+      // own expected-layout re-derivation
+      val export = graft.ops.CacheScope.cut(graft.scale.Dialogue.bestOfNSequences(
+        selected, promptTexts, "prompt", "prompt_text", "event_id", "content",
+        merges, seqLen = 16L)
+        .select(col("bin"), col("n_tokens"), col("n_docs")))
+      val manifest = ShardPack.splitWriterManifest(export, fileBudget = 64L, epochs = 2)
+      ShardPack.checkSplitManifest(manifest, export, fileBudget = 64L)
+    }),
+
+    // --- scale: the BPE ROUND-TRIP — decode(encode(docs)) == the
+    // canonical token text, for every doc with at least one word: the
+    // end-to-end content-conservation gate over the whole tokenizer
+    // (training can change segmentation, never content; the oracle is
+    // the normalization DuckDB computes directly, no BPE replay) --------
+    "q178_bpe_roundtrip" -> ((s, dir) => {
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      // the explicit two-frame form (encode + vocab scan the word space
+      // twice) — q178 is the correctness gate, not the hot path; the
+      // fused encodeIndexedIds remains the production encoder
+      Bpe.decode(
+        Bpe.encodeIndexedIds(docs, "doc_id", "text", merges),
+        Bpe.pieceVocab(docs, "text", merges), "doc_id")
     })
   )
 
@@ -7007,6 +7087,179 @@ object SparkEntry {
          |  GROUP BY d.rep)
          |SELECT d2.doc_id, CAST(substr(d2.source, 4) AS BIGINT) AS priority
          |FROM documents d2 JOIN keep USING (doc_id)""".stripMargin,
+
+    // q174's sessionize + advantage CTEs, the q155 survivor-vocab law
+    // (pieces from surviving turns only), per-turn uniform credit
+    // attached to every token, then the q151 pack tail with the value
+    // channel riding the stream
+    "q176_prm_sequences" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |ev AS (
+        |  SELECT event_id, user_id, event_type, value, props, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |${sessionizeCtes("t")},
+        |trn AS (
+        |  SELECT event_id, user_id, event_type, value, props, tsn,
+        |    user_id * 100000 + session_seq AS dlg_id
+        |  FROM tsg),
+        |tfp AS (
+        |  SELECT dlg_id, props AS prompt FROM (
+        |    SELECT dlg_id, props, row_number() OVER (PARTITION BY dlg_id
+        |      ORDER BY tsn, event_id) AS rn FROM trn) z
+        |  WHERE rn = 1),
+        |tsig AS (
+        |  SELECT dlg_id,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS signal_milli
+        |  FROM trn WHERE value IS NOT NULL GROUP BY 1),
+        |tsurv AS (
+        |  SELECT tfp.prompt, tfp.dlg_id, tsig.signal_milli
+        |  FROM tfp JOIN tsig USING (dlg_id)),
+        |tst AS (
+        |  SELECT prompt, CAST(count(*) AS BIGINT) AS n_trajectories,
+        |    CAST(sum(signal_milli) // count(*) AS BIGINT) AS mean_milli
+        |  FROM tsurv GROUP BY 1 HAVING count(*) >= 2),
+        |tadv AS (
+        |  SELECT s.dlg_id, s.signal_milli - t.mean_milli AS advantage_milli
+        |  FROM tsurv s JOIN tst t USING (prompt)),
+        |strn AS (
+        |  SELECT t.* FROM trn t JOIN tadv a USING (dlg_id)),
+        |${bpeApplySql(BpeMergeCount,
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(event_type || ' ' || " +
+          "props), '[a-z0-9]+')) AS w FROM strn")},
+        |wp2 AS (
+        |  SELECT w, string_split(trim(sym), '  ') AS pieces FROM ew$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp2)),
+        |dw AS (
+        |  SELECT event_id, i AS wi, t[i] AS w
+        |  FROM (SELECT event_id,
+        |          regexp_extract_all(lower(event_type || ' ' || props), '[a-z0-9]+') AS t
+        |        FROM strn) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws AS (
+        |  SELECT dw.event_id, dw.wi, wp2.pieces,
+        |    CAST(coalesce(sum(len(wp2.pieces)) OVER (PARTITION BY dw.event_id
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp2 ON dw.w = wp2.w),
+        |estream AS (
+        |  SELECT event_id, word_start + pi - 1 AS turn_tok_idx, pieces[pi] AS piece
+        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |ecnt AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n FROM estream GROUP BY 1),
+        |pturn AS (
+        |  SELECT t.dlg_id, t.event_id, a.advantage_milli,
+        |    CAST(row_number() OVER (PARTITION BY t.dlg_id
+        |      ORDER BY t.tsn, t.event_id) - 1 AS BIGINT) AS turn,
+        |    CAST(count(*) OVER (PARTITION BY t.dlg_id) AS BIGINT) AS n_turns,
+        |    CAST(coalesce(sum(coalesce(e.n, 0)) OVER (PARTITION BY t.dlg_id
+        |      ORDER BY t.tsn, t.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS turn_start
+        |  FROM strn t
+        |  JOIN tadv a USING (dlg_id)
+        |  LEFT JOIN ecnt e ON e.event_id = t.event_id),
+        |pval AS (
+        |  SELECT dlg_id, event_id, turn_start,
+        |    CAST(advantage_milli // n_turns + CASE WHEN turn + 1 <=
+        |        abs(advantage_milli - (advantage_milli // n_turns) * n_turns)
+        |      THEN CASE WHEN advantage_milli < 0 THEN -1 ELSE 1 END
+        |      ELSE 0 END AS BIGINT) AS value_milli
+        |  FROM pturn),
+        |stream AS (
+        |  SELECT p.dlg_id, p.turn_start + s.turn_tok_idx AS tok_idx,
+        |    v.token_id, CAST(1 AS BIGINT) AS mask, p.value_milli
+        |  FROM estream s
+        |  JOIN pval p USING (event_id)
+        |  JOIN vocab v ON s.piece = v.piece),
+        |dc AS (
+        |  SELECT dlg_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5('shard:' || dlg_id) AS k
+        |  FROM stream GROUP BY 1),
+        |off AS (
+        |  SELECT dlg_id, CAST(sum(n_tokens) OVER (ORDER BY k, dlg_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM dc),
+        |pos AS (
+        |  SELECT s.dlg_id, s.tok_idx, s.token_id, s.mask, s.value_milli,
+        |    o.start + s.tok_idx AS p
+        |  FROM stream s JOIN off o USING (dlg_id))
+        |SELECT CAST(p // 16 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT dlg_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+        |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
+        |  array_to_string(list(mask ORDER BY p), '') AS mask,
+        |  array_to_string(list(value_milli ORDER BY p), ' ') AS value_milli
+        |FROM pos GROUP BY 1""".stripMargin),
+
+    // q173's manifest CTEs re-checked against their own export: the
+    // size stats and the five violation counters (all zero on the
+    // well-formed artifact — the spec drives the corruption classes)
+    "q177_manifest_check" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |$candGateCtes,
+        |sel AS (
+        |  SELECT prompt, event_id, content FROM (
+        |    SELECT prompt, event_id, content,
+        |      row_number() OVER (PARTITION BY prompt
+        |        ORDER BY value DESC, event_id DESC) AS rk
+        |    FROM csurv) z
+        |  WHERE rk <= 2),
+        |${sideStreamCtes("SELECT event_id AS side_id, prompt, content AS rcontent FROM sel")},
+        |$streamPosCtes,
+        |mbin AS (
+        |  SELECT CAST(p // 16 AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS fill,
+        |    CAST(count(DISTINCT side_id) AS BIGINT) AS n_docs
+        |  FROM pos GROUP BY 1),
+        |msq AS (
+        |  SELECT bin, fill, n_docs,
+        |    CAST(row_number() OVER (ORDER BY bin) - 1 AS BIGINT) AS seq_id,
+        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 64 AS BIGINT) AS file
+        |  FROM mbin),
+        |man AS (
+        |  SELECT bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+        |    CAST(row_number() OVER (PARTITION BY e, file
+        |      ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1 AS BIGINT)
+        |      AS pos
+        |  FROM msq, unnest(generate_series(0, 1)) AS u(e))
+        |SELECT 'sequences_export' AS "check", CAST(count(*) AS BIGINT) AS n FROM mbin
+        |UNION ALL
+        |SELECT 'manifest_rows', CAST(count(*) AS BIGINT) FROM man
+        |UNION ALL
+        |SELECT 'epochs_seen', CAST(count(DISTINCT epoch) AS BIGINT) FROM man
+        |UNION ALL
+        |SELECT 'duplicate_manifest_keys', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM man GROUP BY epoch, seq_id)
+        |UNION ALL
+        |SELECT 'missing_sequences', CAST(coalesce(sum(nn - c), 0) AS BIGINT)
+        |FROM (SELECT epoch, count(DISTINCT m.seq_id) AS c,
+        |        (SELECT count(*) FROM msq) AS nn
+        |      FROM man m JOIN msq x ON m.seq_id = x.seq_id GROUP BY epoch)
+        |UNION ALL
+        |SELECT 'layout_mismatches', CAST(count(*) AS BIGINT)
+        |FROM man m LEFT JOIN msq x ON m.seq_id = x.seq_id
+        |WHERE x.seq_id IS NULL OR m.bin <> x.bin OR m.fill <> x.fill
+        |   OR m.n_docs <> x.n_docs OR m.file <> x.file
+        |UNION ALL
+        |SELECT 'pos_violations', CAST(count(*) AS BIGINT)
+        |FROM (SELECT epoch, file, count(*) AS c, max(pos) AS mx,
+        |        count(DISTINCT pos) AS d
+        |      FROM man GROUP BY 1, 2)
+        |WHERE mx <> c - 1 OR d <> c""".stripMargin),
+
+    // the round-trip's oracle is the CANONICAL normalization itself —
+    // no BPE replay: if the engine's train+encode+decode conserves
+    // content, it must reproduce exactly this
+    "q178_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
+        |    AS text
+        |FROM documents
+        |WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0""".stripMargin,
 
     // q166's gate CTEs folded to the five stage counts (selected =
     // sum of min(k, per-prompt survivors))

@@ -711,4 +711,36 @@ object Bpe {
       .withColumn("token_id",
         (row_number().over(Window.orderBy(col("piece"))) - 1).cast("long"))
   }
+
+  /** DECODE — token ids back to the CANONICAL text (the lowercase
+    * `[a-z0-9]+` words the house tokenizer kept, single-space joined):
+    * pieces concatenate in `tok_idx` order and every [[EndOfWord]]
+    * marker becomes the word boundary it encoded — exact because the
+    * marker is outside the corpus alphabet and only ever piece-FINAL
+    * (merges fuse symbols within one word; the marker stays terminal).
+    * The ROUND-TRIP LAW — `decode(encodeIndexedIds(docs), pieceVocab
+    * (docs)) == canonical(text)` for every doc with at least one word
+    * — is the end-to-end content-conservation gate for the whole
+    * encode machinery: merge training can change segmentation, never
+    * content (oracle- and spec-pinned). Docs with ZERO words emit no
+    * token rows and hence no decode row (the encode omission rule).
+    *
+    * Scale shape: one vocabulary-sized broadcast-able join + one
+    * per-doc agg whose state is the doc's own pieces (reconstructing a
+    * document inherently materializes it — the [[graft.scale.TextStats]]
+    * text-column size class). No windows, no collects.
+    *
+    * @param tokenStream (idCol, tok_idx, token_id) —
+    *                    [[encodeIndexedIds]]'s frame
+    * @param vocab       (piece, token_id) — [[pieceVocab]]'s frame
+    * @return (idCol, text)
+    */
+  def decode(tokenStream: DataFrame, vocab: DataFrame, idCol: String): DataFrame =
+    tokenStream
+      .join(vocab.select(col("token_id"), col("piece")), Seq("token_id"))
+      .groupBy(col(idCol))
+      .agg(expr("array_sort(collect_list(struct(tok_idx, piece)))").as("__p"))
+      .select(col(idCol),
+        trim(expr(s"replace(array_join(transform(__p, s -> s.piece), ''), " +
+          s"'$EndOfWord', ' ')")).as("text"))
 }

@@ -991,9 +991,13 @@ object Dialogue {
     * names it — inconsistent grouping cannot silently double-count.
     *
     * Scale shape: one projection + ONE hash agg (sum + count — O(1)
-    * per-trajectory state). Composition law, spec-pinned:
-    * [[turnAdvantagesFromRewards]] == [[turnAdvantages]] over
-    * pre-reduced signals.
+    * per-trajectory state). The sum runs in decimal(38,0) — a long
+    * sum over a long trajectory of large rewards would WRAP silently
+    * (Spark's non-ANSI overflow); the decimal is exact in 38 digits
+    * and the long cast is guarded, so an overflowing trajectory fails
+    * with a named error instead of a corrupted signal. Composition
+    * law, spec-pinned: [[turnAdvantagesFromRewards]] ==
+    * [[turnAdvantages]] over pre-reduced signals.
     *
     * @return (groupCol, trajCol, signal_milli, n_reward_turns)
     */
@@ -1004,6 +1008,7 @@ object Dialogue {
       rewardCol: String): DataFrame = {
     val ok = !isnan(col(rewardCol)) &&
       abs(col(rewardCol)) < lit(9.223372036854775e15)
+    val fits = abs(col("__sum")) < lit(BigDecimal("9223372036854775808"))
     turnRewards
       .filter(col(rewardCol).isNotNull)
       .select(col(groupCol), col(trajCol),
@@ -1014,8 +1019,16 @@ object Dialogue {
               "range (|reward| must be < 2^63/1000)")).cast("long"),
           lit(0L)) + floor(col(rewardCol) * 1000).cast("long")).as("__r"))
       .groupBy(col(groupCol), col(trajCol))
-      .agg(sum(col("__r")).as("signal_milli"),
+      .agg(sum(col("__r").cast("decimal(38,0)")).as("__sum"),
         count(lit(1)).as("n_reward_turns"))
+      .select(col(groupCol), col(trajCol),
+        (coalesce(
+          assert_true(fits,
+            lit("turnSignalReduce: trajectory milli sum exceeds a long — " +
+              "the reduction would wrap silently; rescale the rewards")
+          ).cast("long"),
+          lit(0L)) + col("__sum").cast("long")).as("signal_milli"),
+        col("n_reward_turns"))
   }
 
   /** [[turnSignalReduce]] composed with [[turnAdvantages]] — the whole
@@ -1036,6 +1049,83 @@ object Dialogue {
     turnAdvantages(turns,
       turnSignalReduce(turnRewards, groupCol, trajCol, rewardCol),
       groupCol, trajCol, tsCol, idCol, roleCol, "signal_milli", attrRoles)
+
+  /** The PRM TRAINING-TOKEN STREAM — [[turnAdvantages]]' BACK half:
+    * per-token value targets for a process-reward-model trainer. Every
+    * token of a surviving trajectory's turn carries
+    *
+    *   - `mask` 1 iff its turn is ATTRIBUTED (the `attrRoles` law —
+    *     a value model trains on the credited turns only), and
+    *   - `value_milli`, the turn's `adv_turn_uniform_milli` — each
+    *     token of a turn learns ITS TURN's credit share (the value is
+    *     a per-token TARGET, repeated by design, not a conserved
+    *     quantity; the per-trajectory conservation law lives in
+    *     [[turnAdvantages]], the source of truth this stream joins).
+    *
+    * Turns of excluded trajectories emit nothing (the
+    * [[turnAdvantages]] exclusion law); a turn whose content tokenizes
+    * to ZERO tokens contributes no rows — it has no tokens to label;
+    * its credit still exists in the advantage frame (callers exporting
+    * strict coverage should gate empty turns upstream). Encoding and
+    * the dialogue-level token offsets are [[sftTokenStream]]'s exact
+    * discipline (per-turn [[graft.scale.Bpe.encodeIndexedIds]], turn
+    * starts by a trajectory-keyed running sum).
+    *
+    * Feed [[graft.scale.ShardPack.materializeSequencesWithChannels]]
+    * (channels mask + value_milli) for the packed artifact.
+    *
+    * Scale shape: the advantage frame is turn-count-sized and joins on
+    * the turn id; the only windows are trajectory-keyed; the encode
+    * chain is lineage-cut at each fan-out.
+    *
+    * @return (trajCol, tok_idx, token_id, mask, value_milli) — tok_idx
+    *         densely 0-based per trajectory
+    */
+  def prmTokenStream(
+      turns: DataFrame,
+      trajSignals: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      contentCol: String,
+      signalMilliCol: String,
+      merges: Seq[Bpe.Merge],
+      attrRoles: Option[Set[String]] = None): DataFrame = {
+    // CUT: the value frame feeds the survivor semi-join AND the final
+    // token join; the survivor turn frame feeds the encode AND the
+    // offset window; the encode feeds its count agg AND the join —
+    // each is a fan-out boundary over an expensive subtree (r17 rule)
+    val adv = graft.ops.CacheScope.cut(
+      turnAdvantagesCore(turns, trajSignals, groupCol, trajCol, tsCol,
+        idCol, roleCol, signalMilliCol, attrRoles)
+        .select(col(idCol), col("attributed"),
+          col("adv_turn_uniform_milli").as("value_milli")))
+    val surv = graft.ops.CacheScope.cut(
+      turns.join(adv.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol), col(trajCol), col(tsCol), col(contentCol)))
+    val enc = graft.ops.CacheScope.cut(
+      Bpe.encodeIndexedIds(
+        surv.select(col(idCol), col(contentCol)), idCol, contentCol, merges)
+        .withColumnRenamed("tok_idx", "turn_tok_idx"))
+    val nPer = enc.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(trajCol)).orderBy(col(tsCol), col(idCol))
+    val turnStarts = surv
+      .join(nPer, Seq(idCol), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .withColumn("turn_start",
+        coalesce(sum(col("__n"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(idCol), col(trajCol), col("turn_start"))
+    enc.join(turnStarts, Seq(idCol))
+      .join(adv, Seq(idCol))
+      .select(col(trajCol),
+        (col("turn_start") + col("turn_tok_idx")).as("tok_idx"),
+        col("token_id"),
+        when(col("attributed"), 1L).otherwise(0L).as("mask"),
+        col("value_milli"))
+  }
 
   /** TURN-LEVEL (process-reward) ADVANTAGES — the multi-turn RL data
     * shape [[groupAdvantages]]' prompt-level GRPO doesn't cover: a
@@ -1092,6 +1182,28 @@ object Dialogue {
     *         adv_turn_uniform_milli, adv_turn_last_milli)
     */
   def turnAdvantages(
+      turns: DataFrame,
+      trajSignals: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      signalMilliCol: String,
+      attrRoles: Option[Set[String]] = None): DataFrame =
+    turnAdvantagesCore(turns, trajSignals, groupCol, trajCol, tsCol, idCol,
+      roleCol, signalMilliCol, attrRoles)
+      .select(col(groupCol), col(trajCol), col("turn"), col(roleCol),
+        col("attributed"), col("n_turns"), col("n_attr_turns"),
+        col("signal_milli"), col("n_trajectories"), col("mean_milli"),
+        col("advantage_milli"), col("adv_turn_uniform_milli"),
+        col("adv_turn_last_milli"))
+
+  /** [[turnAdvantages]] plus the TURN ID column — the internal form
+    * [[prmTokenStream]] joins tokens through (the public frame drops
+    * the id to keep the q165/q174 driver schema stable).
+    */
+  private def turnAdvantagesCore(
       turns: DataFrame,
       trajSignals: DataFrame,
       groupCol: String,
@@ -1176,8 +1288,8 @@ object Dialogue {
       .withColumn("adv_turn_last_milli",
         when(col("attributed") && col("__rk") === col("n_attr_turns"),
           col("advantage_milli")).otherwise(0L))
-      .select(col(groupCol), col(trajCol), col("turn"), col(roleCol),
-        col("attributed"), col("n_turns"), col("n_attr_turns"),
+      .select(col(groupCol), col(trajCol), col(idCol), col("turn"),
+        col(roleCol), col("attributed"), col("n_turns"), col("n_attr_turns"),
         col("signal_milli"), col("n_trajectories"), col("mean_milli"),
         col("advantage_milli"), col("adv_turn_uniform_milli"),
         col("adv_turn_last_milli"))

@@ -186,7 +186,7 @@ object ShardPack {
       idCol: String,
       seqLen: Long,
       numPartitions: Int = 32): DataFrame =
-    materializeCore(tokenStream, idCol, seqLen, numPartitions, maskCol = None)
+    materializeCore(tokenStream, idCol, seqLen, numPartitions, Nil)
 
   /** [[materializeSequences]] carrying a per-token MASK column — the
     * SFT artifact: each sequence row also holds the 0/1 loss mask in
@@ -204,14 +204,33 @@ object ShardPack {
       maskCol: String,
       seqLen: Long,
       numPartitions: Int = 32): DataFrame =
-    materializeCore(tokenStream, idCol, seqLen, numPartitions, Some(maskCol))
+    materializeCore(tokenStream, idCol, seqLen, numPartitions, Seq(maskCol))
+      .withColumnRenamed(maskCol, "mask")
+
+  /** [[materializeSequences]] carrying ARBITRARY per-token long
+    * channels in the same position order as the token ids — the
+    * multi-channel trainer artifact (e.g. a loss mask AND a per-token
+    * process-reward value target ride one sequence row). Channels are
+    * emitted as one array column per input channel name; the
+    * (mask-only) form is [[materializeSequencesWithMask]] with the
+    * output array named `mask` for compatibility. Same single-agg plan
+    * whatever the channel count — channels ride the one collected
+    * struct.
+    */
+  def materializeSequencesWithChannels(
+      tokenStream: DataFrame,
+      idCol: String,
+      channelCols: Seq[String],
+      seqLen: Long,
+      numPartitions: Int = 32): DataFrame =
+    materializeCore(tokenStream, idCol, seqLen, numPartitions, channelCols)
 
   private def materializeCore(
       tokenStream: DataFrame,
       idCol: String,
       seqLen: Long,
       numPartitions: Int,
-      maskCol: Option[String]): DataFrame = {
+      channelCols: Seq[String]): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     // LINEAGE-CUT: the stream feeds BOTH the per-doc count pass and the
     // layout join, and its upstream is typically the full tokenizer
@@ -220,16 +239,16 @@ object ShardPack {
     // fixes that — the r17 fan-out plan-blowup measurement). The cut
     // rows are slim long columns — disk-spillable, the q56 size class
     val cols = Seq(col(idCol), col("tok_idx"), col("token_id")) ++
-      maskCol.map(m => col(m).cast("long").as("__mask"))
+      channelCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("long").as(s"__ch$i")
+      }
     val stream = CacheScope.cut(tokenStream.select(cols: _*))
     val counts = stream.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"))
     val offsets = packWithOffsets(counts, idCol, "n_tokens", numPartitions)
       .select(col(idCol), col("start"))
-    val packedStruct = maskCol match {
-      case Some(_) => "struct(local, token_id, __mask)"
-      case None    => "struct(local, token_id)"
-    }
+    val packedStruct = ("struct(local, token_id" +:
+      channelCols.indices.map(i => s"__ch$i")).mkString(", ") + ")"
     val binned = stream
       .join(offsets, Seq(idCol))
       .withColumn("pos", col("start") + col("tok_idx"))
@@ -241,11 +260,13 @@ object ShardPack {
         countDistinct(col(idCol)).as("n_docs"),
         sum(when(col("tok_idx") === 0L, 1L).otherwise(0L)).as("n_doc_starts"),
         expr(s"array_sort(collect_list($packedStruct))").as("__packed"))
-    val out = binned.select(
+    val chOut = channelCols.zipWithIndex.map { case (c, i) =>
+      expr(s"transform(__packed, s -> s.__ch$i)").as(c)
+    }
+    binned.select(
       Seq(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
         expr("transform(__packed, s -> s.token_id)").as("token_ids")) ++
-        maskCol.map(_ => expr("transform(__packed, s -> s.__mask)").as("mask")): _*)
-    out
+        chOut: _*)
   }
 
   /** Deterministic per-epoch data order — the reproducible data-loader
@@ -883,6 +904,88 @@ object ShardPack {
       .withColumnRenamed("shard", "file")
       .select(col("bin"), col("fill"), col("n_docs"), col("seq_id"),
         col("file"), col("epoch"), col("pos"))
+  }
+
+  /** The MANIFEST INTEGRITY CHECK — fsck for a [[splitWriterManifest]]
+    * against its materialized export: a manifest that drifted from the
+    * artifact it describes (a re-run with different inputs, a partial
+    * overwrite, a hand edit) makes a loader silently read the wrong
+    * sequences, so the check re-derives the EXPECTED layout from the
+    * export (the manifest is a pure function of it — the exact rule,
+    * not a heuristic) and reports violations as K7-style counter rows:
+    *
+    *   - `sequences_export` / `manifest_rows` / `epochs_seen` — the
+    *     sizes (manifest_rows must equal sequences · epochs);
+    *   - `duplicate_manifest_keys` — extra rows per (epoch, seq_id)
+    *     beyond the first (exactly-once-per-epoch law);
+    *   - `missing_sequences` — Σ over seen epochs of export sequences
+    *     absent from that epoch (coverage law);
+    *   - `layout_mismatches` — manifest rows whose (bin, fill, n_docs,
+    *     file) disagree with the re-derived layout at their seq_id, or
+    *     whose seq_id does not exist in it (bijection + file rule);
+    *   - `pos_violations` — (epoch, file) groups whose pos set is not
+    *     dense 0..n−1 (resume-cursor addressability).
+    *
+    * All-zero violation rows == the manifest is exactly the one
+    * [[splitWriterManifest]] would emit (spec-pinned both ways: a
+    * clean manifest passes, and each corruption class fires its own
+    * named counter).
+    *
+    * Scale shape: the expected layout is one [[splitWriterManifest]]
+    * pass (epochs = 1 — the per-epoch permutation is irrelevant to the
+    * layout); everything else is hash aggs and one seq_id-keyed join.
+    * Both frames are lineage-cut (each fans out across the checks).
+    *
+    * @return (check, n) — sizes first, then violation counters
+    */
+  def checkSplitManifest(
+      manifest: DataFrame,
+      sequences: DataFrame,
+      fileBudget: Long): DataFrame = {
+    val m = CacheScope.cut(manifest.select(
+      col("bin").cast("long").as("bin"),
+      col("fill").cast("long").as("fill"),
+      col("n_docs").cast("long").as("n_docs"),
+      col("seq_id").cast("long").as("seq_id"),
+      col("file").cast("long").as("file"),
+      col("epoch").cast("long").as("epoch"),
+      col("pos").cast("long").as("pos")))
+    val expected = CacheScope.cut(
+      splitWriterManifest(sequences, fileBudget, epochs = 1)
+        .select(col("seq_id"), col("bin").as("e_bin"),
+          col("fill").as("e_fill"), col("n_docs").as("e_n_docs"),
+          col("file").as("e_file")))
+    def counter(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(name).as("check"), col("n"))
+    val expectedN = expected.agg(count(lit(1)).as("__n"))
+    counter("sequences_export", expected)
+      .unionByName(counter("manifest_rows", m))
+      .unionByName(m.agg(countDistinct(col("epoch")).cast("long").as("n"))
+        .select(lit("epochs_seen").as("check"), col("n")))
+      .unionByName(m.groupBy(col("epoch"), col("seq_id"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("n"))
+        .select(lit("duplicate_manifest_keys").as("check"), col("n")))
+      // count only seq_ids that EXIST in the expected layout: a foreign
+      // seq_id (itself a layout_mismatch) must not mask a missing one
+      .unionByName(m.join(expected.select(col("seq_id")), Seq("seq_id"), "left_semi")
+        .groupBy(col("epoch"))
+        .agg(countDistinct(col("seq_id")).as("__c"))
+        .crossJoin(broadcast(expectedN))
+        .agg(coalesce(sum(col("__n") - col("__c")), lit(0L)).as("n"))
+        .select(lit("missing_sequences").as("check"), col("n")))
+      .unionByName(counter("layout_mismatches",
+        m.join(expected, Seq("seq_id"), "left")
+          .filter(col("e_bin").isNull || col("bin") =!= col("e_bin") ||
+            col("fill") =!= col("e_fill") ||
+            col("n_docs") =!= col("e_n_docs") ||
+            col("file") =!= col("e_file"))))
+      .unionByName(counter("pos_violations",
+        m.groupBy(col("epoch"), col("file"))
+          .agg(count(lit(1)).as("__c"), max(col("pos")).as("__mx"),
+            countDistinct(col("pos")).as("__d"))
+          .filter(col("__mx") =!= col("__c") - 1L || col("__d") =!= col("__c"))))
   }
 
   /** CURRICULUM SCHEDULE — the annealed ("baby steps") data order: docs

@@ -493,7 +493,11 @@ class PlanGuardSpec extends SparkSpec {
       "q170_bestofn_counters" -> 5,
       // q172: the 1-row total-count agg feeding the band-cut broadcast
       // (the rank itself is range-sort + zipWithIndex — no window)
-      "q172_curriculum_order" -> 1)
+      "q172_curriculum_order" -> 1,
+      // q177: the manifest fsck's SEVEN 1-row check rows (sizes +
+      // violation counters), each a global agg over sequence-count-
+      // sized frames — q118/q160's report-by-contract class
+      "q177_manifest_check" -> 7)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

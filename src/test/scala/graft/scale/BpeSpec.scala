@@ -308,4 +308,24 @@ class BpeSpec extends SparkSpec {
     assert(plan.linesIterator.forall(l => l.trim.isEmpty ||
       l.contains("*(1)")), plan.take(800))
   }
+
+  test("decode round-trip: decode(encodeIndexedIds) == canonical text; zero-word docs emit nothing (q178)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The QUICK brown-fox, jumps!"),
+      (2L, "lowest estimate lowest"),
+      (3L, "???!!!...---"), // zero words after normalization
+      (4L, "a")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesFast(docs, "text", 12)
+    val out = Bpe.decode(
+      Bpe.encodeIndexedIds(docs, "doc_id", "text", merges),
+      Bpe.pieceVocab(docs, "text", merges), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "the quick brown fox jumps",
+      2L -> "lowest estimate lowest",
+      4L -> "a"),
+      "round-trip reproduces the canonical token text; zero-word docs vanish")
+  }
 }

@@ -639,6 +639,48 @@ class CorpusOpsSpec extends SparkSpec {
       "per-epoch permutations differ")
   }
 
+  test("checkSplitManifest: clean manifest is all-zero; every corruption class fires its own counter") {
+    import spark.implicits._
+    val seqLen = 60L
+    val fills = (0L until 9L).map(b => (b, seqLen, b % 3 + 1)) :+ ((9L, 23L, 2L))
+    val sequences = fills.toDF("bin", "n_tokens", "n_docs")
+    val fileBudget = 150L
+    val manifest = ShardPack.splitWriterManifest(sequences, fileBudget, epochs = 2)
+    def checks(m: org.apache.spark.sql.DataFrame) =
+      ShardPack.checkSplitManifest(m, sequences, fileBudget)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = checks(manifest)
+    assert(clean("sequences_export") === 10L)
+    assert(clean("manifest_rows") === 20L && clean("epochs_seen") === 2L)
+    Seq("duplicate_manifest_keys", "missing_sequences", "layout_mismatches",
+      "pos_violations").foreach(c =>
+      assert(clean(c) === 0L, s"clean manifest must report 0 $c"))
+    // (a) a duplicated (epoch, seq_id) row
+    val dup = checks(manifest.unionByName(manifest.limit(1)))
+    assert(dup("duplicate_manifest_keys") === 1L)
+    // (b) a dropped row: missing from its epoch
+    val dropped = checks(manifest.filter(
+      !(col("epoch") === 1L && col("seq_id") === 3L)))
+    assert(dropped("missing_sequences") === 1L &&
+      dropped("manifest_rows") === 19L)
+    // (c) a flipped file assignment
+    val flipped = checks(manifest.withColumn("file",
+      when(col("epoch") === 0L && col("seq_id") === 0L, col("file") + 7L)
+        .otherwise(col("file"))))
+    assert(flipped("layout_mismatches") === 1L)
+    // (d) swapped pos inside one (epoch, file): duplicate pos + a gap
+    val swapped = checks(manifest.withColumn("pos",
+      when(col("epoch") === 0L && col("file") === 0L, lit(0L))
+        .otherwise(col("pos"))))
+    assert(swapped("pos_violations") >= 1L)
+    // (e) a FOREIGN seq_id is a mismatch and must not mask a missing one
+    val foreign = checks(manifest.withColumn("seq_id",
+      when(col("epoch") === 1L && col("seq_id") === 4L, lit(99L))
+        .otherwise(col("seq_id"))))
+    assert(foreign("layout_mismatches") === 1L &&
+      foreign("missing_sequences") === 1L)
+  }
+
   test("globalWriterManifest: seq_id bijection, exact file rule, one row per (epoch, sequence)") {
     val docs = shardDocs(80)
     val seqLen = 60L

@@ -710,6 +710,76 @@ class PreferencePairsSpec extends SparkSpec {
     assert(out2 === 0L, "a group reduced below 2 survivors drops")
   }
 
+  test("prmTokenStream: every token carries its turn's uniform credit; mask = attribution; exclusions and zero-token turns hold (q176)") {
+    // merges from a tiny corpus; contents chosen so piece counts are
+    // known: every word is one piece absent merges beyond "a b"
+    val merges = Bpe.trainMergesFast(Seq("alpha beta").toDF("text"), "text", 1)
+    // g1: traj 1 (7000) and traj 2 (1000) — mean 4000, adv +3000/-3000;
+    // traj 1: user turn (2 words), assistant turn (1 word), zero-token
+    // assistant turn (punctuation only); traj 2: one assistant turn
+    val turns = Seq(
+      (1L, 0L, 100L, "user", "alpha beta"),
+      (1L, 1L, 101L, "assistant", "gamma"),
+      (1L, 2L, 102L, "assistant", "???"),
+      (2L, 0L, 200L, "assistant", "delta epsilon zeta"),
+      (3L, 0L, 300L, "user", "dropped singleton")
+    ).toDF("traj", "ts", "id", "role", "content")
+      .withColumn("grp", when(col("traj").isin(1L, 2L), "g1").otherwise("g2"))
+    val sig = Seq(("g1", 1L, 7000L), ("g1", 2L, 1000L), ("g2", 3L, 500L))
+      .toDF("grp", "traj", "signal_milli")
+    val out = Dialogue.prmTokenStream(
+      turns, sig, "grp", "traj", "ts", "id", "role", "content",
+      "signal_milli", merges, attrRoles = Some(Set("assistant")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // traj 3 is a singleton group — excluded, no tokens
+    assert(!out.keySet.exists(_._1 == 3L), "excluded trajectories emit nothing")
+    // traj 1: attributable turns = {101, 102}; 102 has ZERO tokens.
+    // n_attr = 2, adv 3000 -> turn 101 gets 1500, turn 102 gets 1500
+    // (which has no tokens to label — documented). Tokens: "alpha
+    // beta" = 2 words but the trained merge may fuse; recover counts
+    // from the stream itself: user tokens mask 0 value 0; assistant
+    // token(s) mask 1 value 1500.
+    val t1 = out.filter(_._1._1 == 1L).toSeq.sortBy(_._1._2)
+    assert(t1.nonEmpty)
+    // tok_idx dense 0..n-1 even with the zero-token tail turn
+    assert(t1.map(_._1._2) === (0L until t1.length.toLong))
+    val (userToks, asstToks) = t1.partition(_._2._2 == 0L)
+    assert(userToks.nonEmpty && asstToks.nonEmpty)
+    assert(userToks.forall(_._2._3 === 0L), "unattributed tokens carry 0 value")
+    assert(asstToks.forall(_._2._3 === 1500L),
+      "each attributed token carries its turn's uniform credit share")
+    // user tokens come FIRST in the stream (turn order by (ts, id))
+    assert(userToks.map(_._1._2).max < asstToks.map(_._1._2).min)
+    // traj 2: one attributable turn carries the whole -3000 on each token
+    val t2 = out.filter(_._1._1 == 2L).toSeq
+    assert(t2.nonEmpty && t2.forall(_._2._2 === 1L) &&
+      t2.forall(_._2._3 === -3000L))
+    // the multi-channel materialization: token/mask arrays equal the
+    // mask-only form; the value channel rides the same position order
+    val stream = Dialogue.prmTokenStream(
+      turns, sig, "grp", "traj", "ts", "id", "role", "content",
+      "signal_milli", merges, attrRoles = Some(Set("assistant")))
+    val multi = graft.scale.ShardPack.materializeSequencesWithChannels(
+      stream, "traj", Seq("mask", "value_milli"), 4L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6)))
+    val maskOnly = graft.scale.ShardPack.materializeSequencesWithMask(
+      stream.drop("value_milli"), "traj", "mask", 4L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](4), r.getSeq[Long](5)))
+      .sortBy(_._1)
+    assert(multi.sortBy(_._1).map(t => (t._1, t._2, t._3)).toSeq ===
+      maskOnly.map(t => (t._1, t._2, t._3)).toSeq,
+      "channel form degrades to the mask form on the shared columns")
+    // every value token in the packed rows matches its mask (value != 0
+    // only where mask == 1, by the fixture's nonzero advantages)
+    multi.foreach { case (_, _, m, v) =>
+      m.zip(v).foreach { case (mk, vv) =>
+        if (mk == 0L) assert(vv === 0L, "unattributed packed token value 0")
+      }
+    }
+  }
+
   test("turnSignalReduce: quantize-then-sum law, null rewards, all-null trajectories vanish, NaN refuses (q174)") {
     // per-turn rewards: traj 1 = 1.0017 + 2.9995 -> 1001 + 2999 = 4000
     // (quantize FIRST: floor(4.0012·1000) = 4001 would be the wrong,
