@@ -242,7 +242,8 @@ object Profile {
           // same row; the manifest/PRM/audio additions join the board
           "q173_bestofn_manifest", "q174_turn_advantages_rewards",
           "q175_audio_pair_dedup", "q176_prm_sequences",
-          "q177_manifest_check"))
+          "q177_manifest_check", "q179_curriculum_resume",
+          "q180_manifest_check_bestfit"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

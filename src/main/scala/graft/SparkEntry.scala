@@ -2678,6 +2678,32 @@ object SparkEntry {
       Bpe.decode(
         Bpe.encodeIndexedIds(docs, "doc_id", "text", merges),
         Bpe.pieceVocab(docs, "text", merges), "doc_id")
+    }),
+
+    // --- scale: the CURRICULUM RESUME — q172's loader contract gets
+    // its missing half: everything strictly after an (epoch, bucket,
+    // pos) cursor in the curriculum's lexicographic consumption order
+    // (consumed ∪ resume == the schedule, disjoint — spec-pinned) --------
+    "q179_curriculum_resume" -> ((s, dir) =>
+      ShardPack.resumeAfterCurriculum(
+        ShardPack.curriculumOrder(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextStats.tokenCount(col("text")).as("difficulty")),
+          "doc_id", "difficulty", epochs = 4, buckets = 10),
+        epochCursor = 1L, bucketCursor = 2L, posCursor = 100L)),
+
+    // --- scale: the manifest fsck on the BEST-FIT (q159) layout —
+    // checkSplitManifest's twin with the (shard, bin) identity and pos
+    // checked within (epoch, shard), the best-fit permutation unit ------
+    "q180_manifest_check_bestfit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      // CUT: the layout feeds the manifest AND the check's re-derivation
+      val layout = graft.ops.CacheScope.cut(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L))
+      val manifest = ShardPack.globalWriterManifest(layout, fileBudget = 4000L, epochs = 2)
+      ShardPack.checkBestFitManifest(manifest, layout, fileBudget = 4000L)
     })
   )
 
@@ -3067,6 +3093,32 @@ object SparkEntry {
     * and rendered as the materializeSequencesWithMask row form. NO
     * leading comma.
     */
+  /** The q172 curriculum-schedule oracle, shared with q179's
+    * cursor-filtered wrap: global (difficulty, id) rank → 10 bands;
+    * epoch e of 4 admits the ceil((e+1)·10/4)-band prefix; per-epoch
+    * md5 permutation per band.
+    */
+  private lazy val curriculumOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+      |      AS difficulty
+      |  FROM documents),
+      |rk AS (
+      |  SELECT doc_id, difficulty,
+      |    CAST(row_number() OVER (ORDER BY difficulty, doc_id) - 1 AS BIGINT)
+      |      AS r,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM t),
+      |bd AS (SELECT doc_id, difficulty, r * 10 // n AS bucket FROM rk)
+      |SELECT CAST(e AS BIGINT) AS epoch, bucket, doc_id, difficulty,
+      |  CAST(row_number() OVER (PARTITION BY e, bucket
+      |    ORDER BY md5('curr:' || e || ':' || doc_id), doc_id) - 1 AS BIGINT)
+      |    AS pos
+      |FROM bd, unnest(generate_series(0, 3)) AS u(e)
+      |WHERE bucket < ((e + 1) * 10 + 3) // 4""".stripMargin
+
   /** The `stream`→global-token-position CTEs shared by
     * [[streamPackTailSql]] and the split-manifest oracles: per-side
     * token counts, md5-order start offsets, and `pos` (side_id,
@@ -6940,26 +6992,15 @@ object SparkEntry {
 
     // global (difficulty, id) rank -> 10 bands; epoch e of 4 admits the
     // ceil((e+1)*10/4)-band prefix; per-epoch md5 permutation per band
-    "q172_curriculum_order" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-        |      AS difficulty
-        |  FROM documents),
-        |rk AS (
-        |  SELECT doc_id, difficulty,
-        |    CAST(row_number() OVER (ORDER BY difficulty, doc_id) - 1 AS BIGINT)
-        |      AS r,
-        |    CAST(count(*) OVER () AS BIGINT) AS n
-        |  FROM t),
-        |bd AS (SELECT doc_id, difficulty, r * 10 // n AS bucket FROM rk)
-        |SELECT CAST(e AS BIGINT) AS epoch, bucket, doc_id, difficulty,
-        |  CAST(row_number() OVER (PARTITION BY e, bucket
-        |    ORDER BY md5('curr:' || e || ':' || doc_id), doc_id) - 1 AS BIGINT)
-        |    AS pos
-        |FROM bd, unnest(generate_series(0, 3)) AS u(e)
-        |WHERE bucket < ((e + 1) * 10 + 3) // 4""".stripMargin,
+    "q172_curriculum_order" -> curriculumOracleSql,
+
+    // q172's schedule wrapped with the strictly-after cursor filter
+    "q179_curriculum_resume" ->
+      (s"""SELECT * FROM (
+        |$curriculumOracleSql
+        |) cur
+        |WHERE epoch > 1 OR (epoch = 1
+        |  AND (bucket > 2 OR (bucket = 2 AND pos > 100)))""".stripMargin),
 
     // q166's gate + selection + side-stream CTEs rolled up to the
     // per-bin (fill, n_docs) counts, then the split-manifest tail:
@@ -7247,6 +7288,54 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'pos_violations', CAST(count(*) AS BIGINT)
         |FROM (SELECT epoch, file, count(*) AS c, max(pos) AS mx,
+        |        count(DISTINCT pos) AS d
+        |      FROM man GROUP BY 1, 2)
+        |WHERE mx <> c - 1 OR d <> c""".stripMargin),
+
+    // q159's manifest CTEs re-checked against their own layout — the
+    // q177 counter shape with the (shard, bin) identity and the
+    // per-(epoch, shard) pos density
+    "q180_manifest_check_bestfit" ->
+      (s"""WITH RECURSIVE $bestFitBaseCtes,
+        |${ffdCtes("", "base", 96, 2000)},
+        |bins AS (
+        |  SELECT shard, bin, CAST(sum(n) AS BIGINT) AS fill,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM ffd WHERE id IS NOT NULL GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT shard, bin, fill, n_docs,
+        |    CAST(row_number() OVER (ORDER BY shard, bin) - 1 AS BIGINT) AS seq_id,
+        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY shard, bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 4000 AS BIGINT) AS file
+        |  FROM bins),
+        |man AS (
+        |  SELECT shard, bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+        |    CAST(row_number() OVER (PARTITION BY e, shard
+        |      ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
+        |      AS BIGINT) AS pos
+        |  FROM sq, unnest(generate_series(0, 1)) AS u(e))
+        |SELECT 'sequences_export' AS "check", CAST(count(*) AS BIGINT) AS n FROM sq
+        |UNION ALL
+        |SELECT 'manifest_rows', CAST(count(*) AS BIGINT) FROM man
+        |UNION ALL
+        |SELECT 'epochs_seen', CAST(count(DISTINCT epoch) AS BIGINT) FROM man
+        |UNION ALL
+        |SELECT 'duplicate_manifest_keys', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM man GROUP BY epoch, seq_id)
+        |UNION ALL
+        |SELECT 'missing_sequences', CAST(coalesce(sum(nn - c), 0) AS BIGINT)
+        |FROM (SELECT epoch, count(DISTINCT m.seq_id) AS c,
+        |        (SELECT count(*) FROM sq) AS nn
+        |      FROM man m JOIN sq x ON m.seq_id = x.seq_id GROUP BY epoch)
+        |UNION ALL
+        |SELECT 'layout_mismatches', CAST(count(*) AS BIGINT)
+        |FROM man m LEFT JOIN sq x ON m.seq_id = x.seq_id
+        |WHERE x.seq_id IS NULL OR m.shard <> x.shard OR m.bin <> x.bin
+        |   OR m.fill <> x.fill OR m.n_docs <> x.n_docs OR m.file <> x.file
+        |UNION ALL
+        |SELECT 'pos_violations', CAST(count(*) AS BIGINT)
+        |FROM (SELECT epoch, shard, count(*) AS c, max(pos) AS mx,
         |        count(DISTINCT pos) AS d
         |      FROM man GROUP BY 1, 2)
         |WHERE mx <> c - 1 OR d <> c""".stripMargin),

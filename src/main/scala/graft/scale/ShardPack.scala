@@ -942,23 +942,55 @@ object ShardPack {
       manifest: DataFrame,
       sequences: DataFrame,
       fileBudget: Long): DataFrame = {
+    val layoutCols = Seq("bin", "fill", "n_docs", "file")
     val m = CacheScope.cut(manifest.select(
-      col("bin").cast("long").as("bin"),
-      col("fill").cast("long").as("fill"),
-      col("n_docs").cast("long").as("n_docs"),
-      col("seq_id").cast("long").as("seq_id"),
-      col("file").cast("long").as("file"),
-      col("epoch").cast("long").as("epoch"),
-      col("pos").cast("long").as("pos")))
+      (layoutCols ++ Seq("seq_id", "epoch", "pos"))
+        .map(c => col(c).cast("long").as(c)): _*))
     val expected = CacheScope.cut(
       splitWriterManifest(sequences, fileBudget, epochs = 1)
-        .select(col("seq_id"), col("bin").as("e_bin"),
-          col("fill").as("e_fill"), col("n_docs").as("e_n_docs"),
-          col("file").as("e_file")))
+        .select(col("seq_id") +: layoutCols.map(c => col(c).as(s"e_$c")): _*))
+    manifestCheckCore(m, expected, layoutCols, Seq("epoch", "file"))
+  }
+
+  /** [[checkSplitManifest]]'s twin for a [[globalWriterManifest]]
+    * (best-fit) manifest: same five violation counters, with the
+    * layout identity (shard, bin, fill, n_docs, file) re-derived from
+    * the [[packBestFit]] layout and pos checked dense within
+    * (epoch, SHARD) — that manifest's permutation unit.
+    *
+    * @return (check, n) — [[checkSplitManifest]]'s rows
+    */
+  def checkBestFitManifest(
+      manifest: DataFrame,
+      layout: DataFrame,
+      fileBudget: Long): DataFrame = {
+    val layoutCols = Seq("shard", "bin", "fill", "n_docs", "file")
+    val m = CacheScope.cut(manifest.select(
+      (layoutCols ++ Seq("seq_id", "epoch", "pos"))
+        .map(c => col(c).cast("long").as(c)): _*))
+    val expected = CacheScope.cut(
+      globalWriterManifest(layout, fileBudget, epochs = 1)
+        .select(col("seq_id") +: layoutCols.map(c => col(c).as(s"e_$c")): _*))
+    manifestCheckCore(m, expected, layoutCols, Seq("epoch", "shard"))
+  }
+
+  /** The shared check engine: `m` normalized to long columns with
+    * (seq_id, epoch, pos) + `layoutCols`; `expected` one row per
+    * sequence as (seq_id, e_*). `posKey` is the manifest's permutation
+    * unit (pos must be dense 0..n−1 within it).
+    */
+  private def manifestCheckCore(
+      m: DataFrame,
+      expected: DataFrame,
+      layoutCols: Seq[String],
+      posKey: Seq[String]): DataFrame = {
     def counter(name: String, df: DataFrame) =
       df.agg(count(lit(1)).cast("long").as("n"))
         .select(lit(name).as("check"), col("n"))
     val expectedN = expected.agg(count(lit(1)).as("__n"))
+    val mismatch = layoutCols
+      .map(c => col(s"e_$c").isNull || col(c) =!= col(s"e_$c"))
+      .reduce(_ || _)
     counter("sequences_export", expected)
       .unionByName(counter("manifest_rows", m))
       .unionByName(m.agg(countDistinct(col("epoch")).cast("long").as("n"))
@@ -976,13 +1008,9 @@ object ShardPack {
         .agg(coalesce(sum(col("__n") - col("__c")), lit(0L)).as("n"))
         .select(lit("missing_sequences").as("check"), col("n")))
       .unionByName(counter("layout_mismatches",
-        m.join(expected, Seq("seq_id"), "left")
-          .filter(col("e_bin").isNull || col("bin") =!= col("e_bin") ||
-            col("fill") =!= col("e_fill") ||
-            col("n_docs") =!= col("e_n_docs") ||
-            col("file") =!= col("e_file"))))
+        m.join(expected, Seq("seq_id"), "left").filter(mismatch)))
       .unionByName(counter("pos_violations",
-        m.groupBy(col("epoch"), col("file"))
+        m.groupBy(posKey.map(col): _*)
           .agg(count(lit(1)).as("__c"), max(col("pos")).as("__mx"),
             countDistinct(col("pos")).as("__d"))
           .filter(col("__mx") =!= col("__c") - 1L || col("__d") =!= col("__c"))))
@@ -1140,4 +1168,22 @@ object ShardPack {
       (col("epoch") === epochCursor &&
         (col("shard") > shardCursor ||
           (col("shard") === shardCursor && col("pos") > posCursor))))
+
+  /** [[resumeAfterEpoch]]'s CURRICULUM twin — the missing resume half
+    * of [[curriculumOrder]]'s loader contract: a curriculum consumes
+    * in lexicographic (epoch, bucket, pos) order (bands easiest-first
+    * within an epoch, the per-epoch permutation within a band), so a
+    * restart resumes with everything STRICTLY AFTER that cursor.
+    * Consumed ∪ resume == the whole schedule, disjoint (spec-pinned);
+    * scan-pure, pushed to the three columns.
+    */
+  def resumeAfterCurriculum(
+      ordered: DataFrame,
+      epochCursor: Long,
+      bucketCursor: Long,
+      posCursor: Long): DataFrame =
+    ordered.filter(col("epoch") > epochCursor ||
+      (col("epoch") === epochCursor &&
+        (col("bucket") > bucketCursor ||
+          (col("bucket") === bucketCursor && col("pos") > posCursor))))
 }

@@ -714,6 +714,32 @@ object StreamingOps {
           .as("n_undesirable"))
   }
 
+  /** The LIVE trajectory-signal reducer —
+    * [[graft.scale.Dialogue.turnSignalReduce]] as a continuous
+    * aggregation (complete mode): per (group, trajectory) the running
+    * quantize-then-sum milli signal and reward-turn count over an
+    * arriving per-turn reward stream — the PRM front half kept current
+    * while grading runs. The batch op is ONE hash agg with O(1)
+    * per-trajectory state (a decimal sum + a long count), which is
+    * exactly what makes it streamable unchanged; the quantize-FIRST
+    * law matters doubly here (a floating running sum would also drift
+    * with arrival order). NaN fails loud and the overflow guard rides
+    * the output exactly as in batch. Total state grows with trajectory
+    * cardinality (complete mode); for an unbounded trajectory firehose
+    * the [[preferencePairsFinalStream]] quiescence-eviction discipline
+    * is the template. Stream == batch at every micro-batch prefix,
+    * spec-pinned.
+    *
+    * @return streaming (groupCol, trajCol, signal_milli,
+    *         n_reward_turns), complete-mode
+    */
+  def trajectorySignalStream(
+      turnRewards: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      rewardCol: String): DataFrame =
+    graft.scale.Dialogue.turnSignalReduce(turnRewards, groupCol, trajCol, rewardCol)
+
   /** The LIVE half of the drift monitor: running per-feature-bucket
     * token counts over the arriving target-era stream — the exact
     * count frame [[graft.scale.Sampling.domainDriftContributors]]

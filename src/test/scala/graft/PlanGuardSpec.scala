@@ -494,10 +494,16 @@ class PlanGuardSpec extends SparkSpec {
       // q172: the 1-row total-count agg feeding the band-cut broadcast
       // (the rank itself is range-sort + zipWithIndex — no window)
       "q172_curriculum_order" -> 1,
-      // q177: the manifest fsck's SEVEN 1-row check rows (sizes +
+      // q177/q180: the manifest fscks' SEVEN 1-row check rows (sizes +
       // violation counters), each a global agg over sequence-count-
       // sized frames — q118/q160's report-by-contract class
-      "q177_manifest_check" -> 7)
+      "q177_manifest_check" -> 7, "q180_manifest_check_bestfit" -> 7,
+      // q179: q172's 1-row total-count agg (the schedule it filters)
+      "q179_curriculum_resume" -> 1,
+      // q178: TWO piece-vocabulary rank windows (the round-trip's
+      // explicit encode + vocab frames each rank the piece space) —
+      // q146's vocabulary-sized-by-construction class
+      "q178_bpe_roundtrip" -> 2)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -681,6 +681,59 @@ class CorpusOpsSpec extends SparkSpec {
       foreign("missing_sequences") === 1L)
   }
 
+  test("resumeAfterCurriculum: consumed ∪ resume == the schedule, disjoint; cursor rolls across epochs and bands") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, i)).toDF("doc_id", "difficulty")
+    val all = ShardPack.curriculumOrder(docs, "doc_id", "difficulty", 3, 4)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(4))
+    val allKeys = all.collect().map(key).toSet
+    // a mid-band cursor, a band-final cursor (rolls to the next band),
+    // and an epoch-final cursor (rolls to the next epoch)
+    for ((e, b, p) <- Seq((0L, 0L, 3L), (1L, 0L, 9L), (1L, 1L, 9L))) {
+      val resume = ShardPack.resumeAfterCurriculum(all, e, b, p)
+        .collect().map(key).toSet
+      val consumed = allKeys.filter { case (re, rb, rp) =>
+        re < e || (re == e && (rb < b || (rb == b && rp <= p)))
+      }
+      assert(consumed.intersect(resume).isEmpty, s"disjoint at ($e,$b,$p)")
+      assert(consumed ++ resume === allKeys, s"complete at ($e,$b,$p)")
+    }
+  }
+
+  test("checkBestFitManifest: clean is all-zero; pos density is checked within (epoch, SHARD)") {
+    val docs = shardDocs(80)
+    val fileBudget = 150L
+    val layout = ShardPack.packBestFit(docs, "doc_id", "n_tok", 60L, 400L)
+    val manifest = ShardPack.globalWriterManifest(layout, fileBudget, epochs = 2)
+    def checks(m: org.apache.spark.sql.DataFrame) =
+      ShardPack.checkBestFitManifest(m, layout, fileBudget)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = checks(manifest)
+    assert(clean("manifest_rows") === clean("sequences_export") * 2)
+    Seq("duplicate_manifest_keys", "missing_sequences", "layout_mismatches",
+      "pos_violations").foreach(c =>
+      assert(clean(c) === 0L, s"clean manifest must report 0 $c"))
+    // corrupt pos inside the largest SHARD (the best-fit permutation
+    // unit): all-zero pos there duplicates and gaps. Pick a shard with
+    // >= 2 sequences so the overwrite actually collides.
+    import org.apache.spark.sql.functions._
+    val big = manifest.filter(col("epoch") === 0L)
+      .groupBy(col("shard")).count()
+      .orderBy(desc("count"), col("shard")).head()
+    val bigShard = big.getLong(0)
+    assert(big.getLong(1) >= 2L, "fixture must give a multi-sequence shard")
+    val swapped = checks(manifest.withColumn("pos",
+      when(col("epoch") === 0L && col("shard") === bigShard, lit(0L))
+        .otherwise(col("pos"))))
+    assert(swapped("pos_violations") >= 1L)
+    // a flipped shard id is a layout mismatch
+    val flipped = checks(manifest.withColumn("shard",
+      when(col("epoch") === 1L && col("seq_id") === 0L, col("shard") + 5L)
+        .otherwise(col("shard"))))
+    assert(flipped("layout_mismatches") === 1L)
+  }
+
   test("globalWriterManifest: seq_id bijection, exact file rule, one row per (epoch, sequence)") {
     val docs = shardDocs(80)
     val seqLen = 60L

@@ -819,6 +819,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trajectorySignalStream == batch turnSignalReduce at every micro-batch prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // per-turn rewards = the events log keyed (props, user_id): group =
+    // prompt key, trajectory = user, reward = value
+    val rewards = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("props").as("grp"), col("user_id").as("traj"),
+        col("value").as("reward"))
+    val rows = rewards.as[(String, Long, Option[Double])].collect()
+    val input = MemoryStream[(String, Long, Option[Double])]
+    val q = StreamingOps.trajectorySignalStream(
+        input.toDF().toDF("grp", "traj", "reward"),
+        "grp", "traj", "reward")
+      .writeStream.format("memory").queryName("traj_sig")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val cut = rows.length / 2
+      Seq(rows.take(cut), rows.drop(cut)).zipWithIndex.foldLeft(0) {
+        case (seen, (batch, i)) =>
+          input.addData(batch.toSeq: _*)
+          q.processAllAvailable()
+          val streamed = rowSeqs(spark.table("traj_sig"))
+          val want = rowSeqs(graft.scale.Dialogue.turnSignalReduce(
+            spark.createDataFrame(rows.take(seen + batch.length).toSeq)
+              .toDF("grp", "traj", "reward"),
+            "grp", "traj", "reward"))
+          assert(streamed === want, s"prefix after batch $i")
+          assert(streamed.nonEmpty)
+          seen + batch.length
+      }
+    } finally q.stop()
+  }
+
   test("preferencePairsFinalStream: quiescent prompts close with their BATCH pair, state is evicted, reopened prompts start fresh") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
