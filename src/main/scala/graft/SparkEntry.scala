@@ -2365,28 +2365,15 @@ object SparkEntry {
     // candidate law: invalid or benchmark-leaking dialogues drop and
     // the group mean re-normalizes over survivors) ------------------------
     "q165_turn_advantages" -> ((s, dir) => {
-      val gap = 1800000000000L
-      val span = 100000L
-      val ev = t(s, dir, "events")
-        .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
-      // CUT: the sessionized turn frame fans out ~6 ways (signal agg,
-      // validity semi-join, the leak probe, the gated anti-join's
-      // universe, and the attribution windows) — the r17 fan-out rule
-      val turns = graft.ops.CacheScope.cut(graft.scale.Dialogue
-        .sessionize(ev, "user_id", "ts", "event_id", gap)
-        .withColumn("dlg_id",
-          coalesce(
-            assert_true(col("session_seq") < span &&
-              col("user_id").between(0L, Long.MaxValue / span - 1),
-              lit(s"q165: dlg_id packing out of range")).cast("long"),
-            lit(0L)) + col("user_id") * span + col("session_seq")))
+      val turns = dialogueTurns(s, dir)
       val trajSignals = turns.groupBy(col("dlg_id")).agg(
         min(struct(col("ts").as("t"), col("event_id").as("i"),
           col("props").as("p"))).getField("p").as("prompt"),
         sum(floor(col("value") * 1000).cast("long")).as("signal_milli"))
       val invalid = turns.join(
         graft.scale.Dialogue.dialogueStats(
-          ev, "user_id", "ts", "event_id", "event_type", gap)
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          gapNanos = 1800000000000L)
           .filter(!col("valid_dialogue"))
           .select(col("user_id"), col("session_seq")),
         Seq("user_id", "session_seq"), "left_semi")
@@ -2403,22 +2390,12 @@ object SparkEntry {
     // the designed contrast to q157's pair-level whole-drop), each
     // selected candidate emitted as a 2-turn masked SFT sample through
     // the q151 chain (prompt mask 0, response mask 1) --------------------
-    "q166_bestofn_sequences" -> ((s, dir) => {
-      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
-      val selected = graft.scale.Dialogue.gatedBestOfN(
-        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
-        "prompt", "event_id", "content", "value", k = 2)
-      // the q161 separate-scan trade (see that registration)
-      val promptTexts = prefResponses(s, dir)
-        .select(col("prompt")).distinct()
-        .withColumn("prompt_text", col("prompt"))
-      graft.scale.Dialogue.bestOfNSequences(
-        selected, promptTexts, "prompt", "prompt_text", "event_id", "content",
-        merges, seqLen = 16L)
+    "q166_bestofn_sequences" -> ((s, dir) =>
+      bestOfNExport(s, dir,
+        Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount))
         .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
           array_join(col("token_ids"), " ").as("token_ids"),
-          array_join(col("mask"), "").as("mask"))
-    }),
+          array_join(col("mask"), "").as("mask"))),
 
     // --- scale: the q166 stage report — gradeable candidates in,
     // dropped per gate, kept, selected (Σ min(k, survivors) over
@@ -2525,20 +2502,11 @@ object SparkEntry {
     // (the q151/q166 materialization, where the bin IS the sequence):
     // contiguous seq_id in bin order, ~64-token files along the
     // sequence order, the 2-epoch permutation windowed per FILE ---------
-    "q173_bestofn_manifest" -> ((s, dir) => {
-      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
-      val selected = graft.scale.Dialogue.gatedBestOfN(
-        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
-        "prompt", "event_id", "content", "value", k = 2)
-      // the q161 separate-scan trade (see that registration)
-      val promptTexts = prefResponses(s, dir)
-        .select(col("prompt")).distinct()
-        .withColumn("prompt_text", col("prompt"))
-      val export = graft.scale.Dialogue.bestOfNSequences(
-        selected, promptTexts, "prompt", "prompt_text", "event_id", "content",
-        merges, seqLen = 16L)
-      ShardPack.splitWriterManifest(export, fileBudget = 64L, epochs = 2)
-    }),
+    "q173_bestofn_manifest" -> ((s, dir) =>
+      ShardPack.splitWriterManifest(
+        bestOfNExport(s, dir,
+          Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)),
+        fileBudget = 64L, epochs = 2)),
 
     // --- scale: the PRM FRONT HALF — per-turn rewards reduced to
     // trajectory signals IN-ENGINE (quantize-then-sum: each reward
@@ -2546,24 +2514,8 @@ object SparkEntry {
     // partition-order-dependent), composed with q165's turn-level
     // attribution; group = the dialogue-opening event's props ------------
     "q174_turn_advantages_rewards" -> ((s, dir) => {
-      val gap = 1800000000000L
-      val span = 100000L
-      val ev = t(s, dir, "events")
-      // CUT: the sessionized turn frame fans out (the prompt agg, the
-      // reward rows, the signal reduce, the attribution windows) — the
-      // r17 fan-out rule, exactly as q165
-      val turns = graft.ops.CacheScope.cut(graft.scale.Dialogue
-        .sessionize(ev, "user_id", "ts", "event_id", gap)
-        .withColumn("dlg_id",
-          coalesce(
-            assert_true(col("session_seq") < span &&
-              col("user_id").between(0L, Long.MaxValue / span - 1),
-              lit(s"q174: dlg_id packing out of range")).cast("long"),
-            lit(0L)) + col("user_id") * span + col("session_seq")))
-      val trajPrompt = turns.groupBy(col("dlg_id")).agg(
-        min(struct(col("ts").as("t"), col("event_id").as("i"),
-          col("props").as("p"))).getField("p").as("prompt"))
-      val turnRewards = turns.join(trajPrompt, Seq("dlg_id"))
+      val turns = dialogueTurns(s, dir)
+      val turnRewards = turns.join(dialoguePrompts(turns), Seq("dlg_id"))
         .select(col("prompt"), col("dlg_id"), col("value"))
       graft.scale.Dialogue.turnAdvantagesFromRewards(
         turns, turnRewards, "prompt", "dlg_id", "ts", "event_id",
@@ -2606,23 +2558,9 @@ object SparkEntry {
     // attribution mask), packed as multi-channel 16-token sequences
     // (token_ids + mask + value_milli in one row) -------------------------
     "q176_prm_sequences" -> ((s, dir) => {
-      val gap = 1800000000000L
-      val span = 100000L
-      val ev = t(s, dir, "events")
-        .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
-      val turns = graft.ops.CacheScope.cut(graft.scale.Dialogue
-        .sessionize(ev, "user_id", "ts", "event_id", gap)
-        .withColumn("dlg_id",
-          coalesce(
-            assert_true(col("session_seq") < span &&
-              col("user_id").between(0L, Long.MaxValue / span - 1),
-              lit(s"q176: dlg_id packing out of range")).cast("long"),
-            lit(0L)) + col("user_id") * span + col("session_seq")))
-      val trajPrompt = turns.groupBy(col("dlg_id")).agg(
-        min(struct(col("ts").as("t"), col("event_id").as("i"),
-          col("props").as("p"))).getField("p").as("prompt"))
+      val turns = dialogueTurns(s, dir)
       val trajSignals = graft.scale.Dialogue.turnSignalReduce(
-        turns.join(trajPrompt, Seq("dlg_id"))
+        turns.join(dialoguePrompts(turns), Seq("dlg_id"))
           .select(col("prompt"), col("dlg_id"), col("value")),
         "prompt", "dlg_id", "value")
       // merges train on documents exactly as the q151 family; the piece
@@ -2646,19 +2584,12 @@ object SparkEntry {
     // counters, all zero on the well-formed artifact; each corruption
     // class fires its own named counter (spec-pinned) ---------------------
     "q177_manifest_check" -> ((s, dir) => {
-      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
-      val selected = graft.scale.Dialogue.gatedBestOfN(
-        prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
-        "prompt", "event_id", "content", "value", k = 2)
-      val promptTexts = prefResponses(s, dir)
-        .select(col("prompt")).distinct()
-        .withColumn("prompt_text", col("prompt"))
       // CUT: the export feeds the manifest derivation AND the check's
       // own expected-layout re-derivation
-      val export = graft.ops.CacheScope.cut(graft.scale.Dialogue.bestOfNSequences(
-        selected, promptTexts, "prompt", "prompt_text", "event_id", "content",
-        merges, seqLen = 16L)
-        .select(col("bin"), col("n_tokens"), col("n_docs")))
+      val export = graft.ops.CacheScope.cut(
+        bestOfNExport(s, dir,
+          Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount))
+          .select(col("bin"), col("n_tokens"), col("n_docs")))
       val manifest = ShardPack.splitWriterManifest(export, fileBudget = 64L, epochs = 2)
       ShardPack.checkSplitManifest(manifest, export, fileBudget = 64L)
     }),
@@ -2716,6 +2647,52 @@ object SparkEntry {
       .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
       .select(col("props").as("prompt"), col("event_id"), col("content"),
         col("value"))
+
+  /** The shared multi-turn trajectory view of events (q165/q174/q176):
+    * sessionized turns with the fail-loud dlg_id packing and the q155
+    * turn content. LINEAGE-CUT — the turn frame fans out in every
+    * consumer (the r17 rule); one definition so a packing-guard or
+    * prompt-derivation fix cannot silently diverge between the paired
+    * queries and their shared oracle CTEs.
+    */
+  private def dialogueTurns(s: SparkSession, dir: String): DataFrame = {
+    val gap = 1800000000000L
+    val span = 100000L
+    val ev = t(s, dir, "events")
+      .withColumn("content", concat_ws(" ", col("event_type"), col("props")))
+    graft.ops.CacheScope.cut(graft.scale.Dialogue
+      .sessionize(ev, "user_id", "ts", "event_id", gap)
+      .withColumn("dlg_id",
+        coalesce(
+          assert_true(col("session_seq") < span &&
+            col("user_id").between(0L, Long.MaxValue / span - 1),
+            lit("dialogueTurns: dlg_id packing out of range")).cast("long"),
+          lit(0L)) + col("user_id") * span + col("session_seq")))
+  }
+
+  /** First-event props per dialogue — the trajectory's prompt key. */
+  private def dialoguePrompts(turns: DataFrame): DataFrame =
+    turns.groupBy(col("dlg_id")).agg(
+      min(struct(col("ts").as("t"), col("event_id").as("i"),
+        col("props").as("p"))).getField("p").as("prompt"))
+
+  /** The q166 gated best-of-n masked-sequence export, shared by
+    * q166/q173/q177 (one definition for the same reason as
+    * [[dialogueTurns]]).
+    */
+  private def bestOfNExport(
+      s: SparkSession, dir: String, merges: Seq[Bpe.Merge]): DataFrame = {
+    val selected = graft.scale.Dialogue.gatedBestOfN(
+      prefResponses(s, dir), prefInvalidCands(s, dir), prefHoldout(s, dir),
+      "prompt", "event_id", "content", "value", k = 2)
+    // the q161 separate-scan trade (see that registration)
+    val promptTexts = prefResponses(s, dir)
+      .select(col("prompt")).distinct()
+      .withColumn("prompt_text", col("prompt"))
+    graft.scale.Dialogue.bestOfNSequences(
+      selected, promptTexts, "prompt", "prompt_text", "event_id", "content",
+      merges, seqLen = 16L)
+  }
 
   /** Candidates disqualified by dialogue validity: event ids of q144's
     * invalid dialogues (any alternation violation).
@@ -7290,7 +7267,17 @@ object SparkEntry {
         |FROM (SELECT epoch, file, count(*) AS c, max(pos) AS mx,
         |        count(DISTINCT pos) AS d
         |      FROM man GROUP BY 1, 2)
-        |WHERE mx <> c - 1 OR d <> c""".stripMargin),
+        |WHERE mx <> c - 1 OR d <> c
+        |UNION ALL
+        |SELECT 'pos_mismatches', CAST(count(*) AS BIGINT)
+        |FROM man m JOIN (
+        |  SELECT e2.epoch, s2.seq_id,
+        |    CAST(row_number() OVER (PARTITION BY e2.epoch, s2.file
+        |      ORDER BY md5('epoch:' || e2.epoch || ':' || s2.seq_id), s2.seq_id)
+        |      - 1 AS BIGINT) AS e_pos
+        |  FROM msq s2, (SELECT DISTINCT epoch FROM man) e2) x
+        |  ON m.epoch = x.epoch AND m.seq_id = x.seq_id
+        |WHERE m.pos IS DISTINCT FROM x.e_pos""".stripMargin),
 
     // q159's manifest CTEs re-checked against their own layout — the
     // q177 counter shape with the (shard, bin) identity and the
@@ -7338,7 +7325,17 @@ object SparkEntry {
         |FROM (SELECT epoch, shard, count(*) AS c, max(pos) AS mx,
         |        count(DISTINCT pos) AS d
         |      FROM man GROUP BY 1, 2)
-        |WHERE mx <> c - 1 OR d <> c""".stripMargin),
+        |WHERE mx <> c - 1 OR d <> c
+        |UNION ALL
+        |SELECT 'pos_mismatches', CAST(count(*) AS BIGINT)
+        |FROM man m JOIN (
+        |  SELECT e2.epoch, s2.seq_id,
+        |    CAST(row_number() OVER (PARTITION BY e2.epoch, s2.shard
+        |      ORDER BY md5('epoch:' || e2.epoch || ':' || s2.seq_id), s2.seq_id)
+        |      - 1 AS BIGINT) AS e_pos
+        |  FROM sq s2, (SELECT DISTINCT epoch FROM man) e2) x
+        |  ON m.epoch = x.epoch AND m.seq_id = x.seq_id
+        |WHERE m.pos IS DISTINCT FROM x.e_pos""".stripMargin),
 
     // the round-trip's oracle is the CANONICAL normalization itself —
     // no BPE replay: if the engine's train+encode+decode conserves

@@ -372,27 +372,41 @@ object Multimodal {
       .unionByName(modPairs.select(col("key_b").as("key_a"), col("key_a").as("key_b")))
       .unionByName(assign.select(col(keyCol)).distinct()
         .select(col(keyCol).as("key_a"), col(keyCol).as("key_b")))
-    val capPairs = Dedup.minhashPairsExact(
-      docs, idCol, textCol, shingleSize, numHashes, bands, jaccardThreshold)
-    val keyType = assign.schema(keyCol).dataType
-    // LEFT join + null-key assert per side: an inner join would
-    // silently drop every caption pair whose doc is missing from the
-    // assignment frame — the silent-under-dedup class the scaladoc
-    // warns about, now refused loud instead
+    // LINEAGE-CUT: the caption pairs feed the join chain AND the
+    // coverage guard branch below
+    val capPairs = graft.ops.CacheScope.cut(Dedup.minhashPairsExact(
+      docs, idCol, textCol, shingleSize, numHashes, bands, jaccardThreshold))
     def side(tag: String) = assign.select(
       col(idCol).as(s"id_$tag"), col(keyCol).as(s"key_$tag"))
-    def covered(tag: String) = coalesce(col(s"key_$tag"),
-      assert_true(lit(false),
-        lit(s"$opName: a caption-pair doc has no row in the assignment " +
-          "frame — its pair would silently drop from the joint edge " +
-          "set")).cast(keyType))
+    // COVERAGE as a UNION BRANCH, not an in-plan assert on the join
+    // output: a guard column anywhere under the compat semi-join is
+    // skippable — with an EMPTY compatibility side AQE's
+    // empty-relation propagation replans the join away without ever
+    // executing the projection that carries the assert (the exact
+    // class EagerContracts documents as unguardable in-plan). A union
+    // child always executes: this branch anti-joins the pair docs
+    // against the assignment and emits one ASSERTING row per uncovered
+    // doc — zero rows (a no-op union) whenever coverage holds.
+    val idType = docs.schema(idCol).dataType
+    val pairDocs = capPairs.select(col("id_a").as("__id"))
+      .unionByName(capPairs.select(col("id_b").as("__id")))
+      .distinct()
+    val uncovered = pairDocs
+      .join(assign.select(col(idCol).as("__id")), Seq("__id"), "left_anti")
+      .select(
+        (coalesce(
+          assert_true(lit(false),
+            lit(s"$opName: a caption-pair doc has no row in the " +
+              "assignment frame — its pair would silently drop from " +
+              "the joint edge set")).cast("long"),
+          lit(0L)).cast(idType)).as("id_a"),
+        col("__id").cast(idType).as("id_b"))
     val joint = capPairs
-      .join(side("a"), Seq("id_a"), "left")
-      .join(side("b"), Seq("id_b"), "left")
-      .select(col("id_a"), col("id_b"),
-        covered("a").as("key_a"), covered("b").as("key_b"))
+      .join(side("a"), Seq("id_a"))
+      .join(side("b"), Seq("id_b"))
       .join(broadcast(compat), Seq("key_a", "key_b"), "left_semi")
       .select(col("id_a"), col("id_b"))
+      .unionByName(uncovered)
     Dedup.dedupByClusterPriority(
       docs.select(col(idCol), col(priorityCol)), joint, idCol, priorityCol)
   }

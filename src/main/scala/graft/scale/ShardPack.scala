@@ -225,6 +225,9 @@ object ShardPack {
       numPartitions: Int = 32): DataFrame =
     materializeCore(tokenStream, idCol, seqLen, numPartitions, channelCols)
 
+  private val MaterializeReserved =
+    Set("bin", "n_tokens", "n_docs", "n_doc_starts", "token_ids")
+
   private def materializeCore(
       tokenStream: DataFrame,
       idCol: String,
@@ -232,6 +235,15 @@ object ShardPack {
       numPartitions: Int,
       channelCols: Seq[String]): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // fail at the CALL with a named error: a duplicate channel name or
+    // one shadowing a fixed output column would otherwise surface as an
+    // ambiguous-reference AnalysisException at the caller's first select
+    require(channelCols.distinct == channelCols,
+      s"materializeSequences: duplicate channel names in $channelCols")
+    val shadowed = channelCols.filter(MaterializeReserved.contains)
+    require(shadowed.isEmpty,
+      s"materializeSequences: channel name(s) $shadowed shadow fixed " +
+        s"output columns $MaterializeReserved")
     // LINEAGE-CUT: the stream feeds BOTH the per-doc count pass and the
     // layout join, and its upstream is typically the full tokenizer
     // encode (vocab join + per-doc window) that must neither run twice
@@ -924,12 +936,18 @@ object ShardPack {
     *     file) disagree with the re-derived layout at their seq_id, or
     *     whose seq_id does not exist in it (bijection + file rule);
     *   - `pos_violations` — (epoch, file) groups whose pos set is not
-    *     dense 0..n−1 (resume-cursor addressability).
+    *     dense 0..n−1 (resume-cursor addressability);
+    *   - `pos_mismatches` — rows whose pos differs from the exact
+    *     re-derived `md5("epoch:<e>:<seq_id>")` rank (a DENSE but
+    *     drifted permutation, or a relabeled epoch, would pass every
+    *     other counter while a loader consumed an order the generator
+    *     never emitted).
     *
     * All-zero violation rows == the manifest is exactly the one
-    * [[splitWriterManifest]] would emit (spec-pinned both ways: a
-    * clean manifest passes, and each corruption class fires its own
-    * named counter).
+    * [[splitWriterManifest]] would emit FOR THE EPOCHS IT CONTAINS
+    * (the size rows expose a missing epoch: manifest_rows must equal
+    * sequences · epochs). Spec-pinned both ways: a clean manifest
+    * passes, and each corruption class fires its own named counter.
     *
     * Scale shape: the expected layout is one [[splitWriterManifest]]
     * pass (epochs = 1 — the per-epoch permutation is irrelevant to the
@@ -976,21 +994,49 @@ object ShardPack {
 
   /** The shared check engine: `m` normalized to long columns with
     * (seq_id, epoch, pos) + `layoutCols`; `expected` one row per
-    * sequence as (seq_id, e_*). `posKey` is the manifest's permutation
-    * unit (pos must be dense 0..n−1 within it).
+    * sequence as (seq_id, e_*). `posKey` is (epoch, unit) — the
+    * manifest's permutation unit: pos must be dense 0..n−1 within it
+    * AND equal the re-derived `md5("epoch:<e>:<seq_id>")` rank
+    * (pos_mismatches — without the exact re-derivation a dense
+    * permutation DRIFT, or a relabeled epoch, would read clean while a
+    * loader consumed an order the generator never emitted). All
+    * comparisons null-safe: a nulled-out manifest cell is a mismatch,
+    * never a silently-dropped filter row.
     */
   private def manifestCheckCore(
       m: DataFrame,
       expected: DataFrame,
       layoutCols: Seq[String],
       posKey: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def counter(name: String, df: DataFrame) =
       df.agg(count(lit(1)).cast("long").as("n"))
         .select(lit(name).as("check"), col("n"))
     val expectedN = expected.agg(count(lit(1)).as("__n"))
+    // null-safe inequality: a null layout cell must COUNT as a
+    // mismatch — plain =!= yields NULL there and filter() would drop
+    // the exact corrupt row the counter exists for
     val mismatch = layoutCols
-      .map(c => col(s"e_$c").isNull || col(c) =!= col(s"e_$c"))
+      .map(c => !(col(c) <=> col(s"e_$c")))
       .reduce(_ || _)
+    val epochsSeen = m.select(col("epoch")).distinct()
+    val unit = posKey.last
+    // the exact expected permutation, re-derived per SEEN epoch (the
+    // epochOrder rule verbatim): rank of md5("epoch:<e>:<seq_id>")
+    // within (epoch, unit). The window partitions by the budget-bounded
+    // unit × epoch — never corpus-sized. Foreign epochs re-derive too:
+    // a relabeled epoch's pos values then mismatch its own label's
+    // permutation.
+    val expPos = expected
+      .crossJoin(broadcast(epochsSeen))
+      .withColumn("e_pos",
+        (row_number().over(
+          Window.partitionBy(col("epoch"), col(s"e_$unit"))
+            .orderBy(
+              md5(concat(lit("epoch:"), col("epoch").cast("string"),
+                lit(":"), col("seq_id").cast("string"))),
+              col("seq_id"))) - 1).cast("long"))
+      .select(col("epoch"), col("seq_id"), col("e_pos"))
     counter("sequences_export", expected)
       .unionByName(counter("manifest_rows", m))
       .unionByName(m.agg(countDistinct(col("epoch")).cast("long").as("n"))
@@ -999,11 +1045,17 @@ object ShardPack {
         .agg(count(lit(1)).as("__c"))
         .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("n"))
         .select(lit("duplicate_manifest_keys").as("check"), col("n")))
-      // count only seq_ids that EXIST in the expected layout: a foreign
-      // seq_id (itself a layout_mismatch) must not mask a missing one
-      .unionByName(m.join(expected.select(col("seq_id")), Seq("seq_id"), "left_semi")
-        .groupBy(col("epoch"))
-        .agg(countDistinct(col("seq_id")).as("__c"))
+      // count only seq_ids that EXIST in the expected layout (a foreign
+      // seq_id is a layout_mismatch, and must not mask a missing one) —
+      // driven FROM the seen-epoch frame so an epoch whose rows are ALL
+      // foreign still reports its full complement missing
+      .unionByName(epochsSeen
+        .join(
+          m.join(expected.select(col("seq_id")), Seq("seq_id"), "left_semi")
+            .groupBy(col("epoch"))
+            .agg(countDistinct(col("seq_id")).as("__c")),
+          Seq("epoch"), "left")
+        .withColumn("__c", coalesce(col("__c"), lit(0L)))
         .crossJoin(broadcast(expectedN))
         .agg(coalesce(sum(col("__n") - col("__c")), lit(0L)).as("n"))
         .select(lit("missing_sequences").as("check"), col("n")))
@@ -1014,6 +1066,9 @@ object ShardPack {
           .agg(count(lit(1)).as("__c"), max(col("pos")).as("__mx"),
             countDistinct(col("pos")).as("__d"))
           .filter(col("__mx") =!= col("__c") - 1L || col("__d") =!= col("__c"))))
+      .unionByName(counter("pos_mismatches",
+        m.join(expPos, Seq("epoch", "seq_id"), "inner")
+          .filter(!(col("pos") <=> col("e_pos")))))
   }
 
   /** CURRICULUM SCHEDULE — the annealed ("baby steps") data order: docs

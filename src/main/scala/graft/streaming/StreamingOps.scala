@@ -539,30 +539,49 @@ object StreamingOps {
       responses, promptCol, candCol, contentCol, signalCol)
 
   /** One graded response with its event time — the typed row
-    * [[preferencePairsFinalStream]]'s state machine consumes.
+    * [[preferencePairsFinalStream]]'s state machine consumes. candId
+    * and content are Options: the BATCH operator tolerates null ids
+    * and null content (they ride the comparison struct with Spark's
+    * null-smallest field order), so the stream must too — a primitive
+    * field would kill the encoder on exactly those rows.
     */
-  final case class GradedResponse(prompt: String, candId: Long,
-      content: String, signal: Double, ts: java.sql.Timestamp)
+  final case class GradedResponse(prompt: String, candId: Option[Long],
+      content: Option[String], signal: Double, ts: java.sql.Timestamp)
 
   /** Per-prompt running pair state: candidate count, last event time,
     * and the running (signal, id, content)-max and -min candidates —
     * the batch operator's O(1) agg state made explicit.
     */
   final case class PairState(n: Long, lastSeen: Long,
-      chS: Double, chI: Long, chC: String,
-      rjS: Double, rjI: Long, rjC: String)
+      chS: Double, chI: Option[Long], chC: Option[String],
+      rjS: Double, rjI: Option[Long], rjC: Option[String])
 
   final case class FinalPair(prompt: String, n_candidates: Long,
-      chosen_id: Long, chosen_signal: Double, chosen_content: String,
-      rejected_id: Long, rejected_signal: Double, rejected_content: String,
+      chosen_id: Option[Long], chosen_signal: Double,
+      chosen_content: Option[String],
+      rejected_id: Option[Long], rejected_signal: Double,
+      rejected_content: Option[String],
       margin: Double)
 
-  // the batch struct order, exactly: (signal, id, content) with content
-  // compared as UTF-8 BYTES (Spark's UTF8String order; Java's
-  // compareTo is UTF-16 code-unit order and disagrees above U+FFFF)
-  private def structGt(s1: Double, i1: Long, c1: String,
-      s2: Double, i2: Long, c2: String): Boolean =
-    s1 > s2 || (s1 == s2 && (i1 > i2 || (i1 == i2 && utf8Gt(c1, c2))))
+  // the batch struct order, exactly: (signal, id, content) compared
+  // field by field with NULL SMALLEST (Spark's struct ordering) and
+  // content as UTF-8 BYTES (Spark's UTF8String order; Java's compareTo
+  // is UTF-16 code-unit order and disagrees above U+FFFF)
+  private def structGt(s1: Double, i1: Option[Long], c1: Option[String],
+      s2: Double, i2: Option[Long], c2: Option[String]): Boolean = {
+    if (s1 != s2) return s1 > s2
+    (i1, i2) match {
+      case (Some(a), Some(b)) if a != b => return a > b
+      case (Some(_), None) => return true
+      case (None, Some(_)) => return false
+      case _ => ()
+    }
+    (c1, c2) match {
+      case (Some(a), Some(b)) => utf8Gt(a, b)
+      case (Some(_), None) => true
+      case _ => false
+    }
+  }
 
   private def utf8Gt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -623,6 +642,11 @@ object StreamingOps {
     val typed = graft.scale.Dialogue.signalGated(
       responses, signalCol, "preferencePairsFinalStream",
       "a NaN would always win the pair")
+      // a null event time has no place in a time-based protocol: it
+      // cannot set a timeout or compare to the watermark. The batch op
+      // has no time column, so this is the one documented divergence —
+      // the stream's law quantifies over rows THAT CARRY an event time.
+      .filter(col(tsCol).isNotNull)
       .select(
         col(promptCol).cast("string").as("prompt"),
         col(candCol).cast("long").as("candId"),

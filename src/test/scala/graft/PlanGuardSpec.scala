@@ -494,10 +494,11 @@ class PlanGuardSpec extends SparkSpec {
       // q172: the 1-row total-count agg feeding the band-cut broadcast
       // (the rank itself is range-sort + zipWithIndex — no window)
       "q172_curriculum_order" -> 1,
-      // q177/q180: the manifest fscks' SEVEN 1-row check rows (sizes +
-      // violation counters), each a global agg over sequence-count-
-      // sized frames — q118/q160's report-by-contract class
-      "q177_manifest_check" -> 7, "q180_manifest_check_bestfit" -> 7,
+      // q177/q180: the manifest fscks' EIGHT 1-row check rows (sizes +
+      // violation counters incl. the exact pos re-derivation), each a
+      // global agg over sequence-count-sized frames — q118/q160's
+      // report-by-contract class
+      "q177_manifest_check" -> 8, "q180_manifest_check_bestfit" -> 8,
       // q179: q172's 1-row total-count agg (the schedule it filters)
       "q179_curriculum_resume" -> 1,
       // q178: TWO piece-vocabulary rank windows (the round-trip's

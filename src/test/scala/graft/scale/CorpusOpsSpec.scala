@@ -653,7 +653,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(clean("sequences_export") === 10L)
     assert(clean("manifest_rows") === 20L && clean("epochs_seen") === 2L)
     Seq("duplicate_manifest_keys", "missing_sequences", "layout_mismatches",
-      "pos_violations").foreach(c =>
+      "pos_violations", "pos_mismatches").foreach(c =>
       assert(clean(c) === 0L, s"clean manifest must report 0 $c"))
     // (a) a duplicated (epoch, seq_id) row
     val dup = checks(manifest.unionByName(manifest.limit(1)))
@@ -668,17 +668,49 @@ class CorpusOpsSpec extends SparkSpec {
       when(col("epoch") === 0L && col("seq_id") === 0L, col("file") + 7L)
         .otherwise(col("file"))))
     assert(flipped("layout_mismatches") === 1L)
-    // (d) swapped pos inside one (epoch, file): duplicate pos + a gap
+    // (c') a NULLED layout cell is a mismatch, not a silently dropped
+    // filter row (null-safe compare)
+    val nulled = checks(manifest.withColumn("fill",
+      when(col("epoch") === 0L && col("seq_id") === 1L,
+        lit(null).cast("long")).otherwise(col("fill"))))
+    assert(nulled("layout_mismatches") === 1L)
+    // (d) overwritten pos inside one (epoch, file): duplicate pos + gap
     val swapped = checks(manifest.withColumn("pos",
       when(col("epoch") === 0L && col("file") === 0L, lit(0L))
         .otherwise(col("pos"))))
     assert(swapped("pos_violations") >= 1L)
+    // (d') a DENSE permutation drift — rotate pos within (epoch 0,
+    // file 0): density holds (pos_violations 0) but the order is one
+    // the generator never emitted — only the exact re-derivation sees it
+    val f0 = manifest.filter(col("epoch") === 0L && col("file") === 0L).count()
+    assert(f0 >= 2L, "fixture needs a multi-sequence file")
+    val drifted = checks(manifest.withColumn("pos",
+      when(col("epoch") === 0L && col("file") === 0L,
+        (col("pos") + 1L) % lit(f0)).otherwise(col("pos"))))
+    assert(drifted("pos_violations") === 0L && drifted("pos_mismatches") >= 2L,
+      "dense drift passes density but fails the exact permutation")
+    // (d'') a RELABELED epoch keeps every other counter clean but its
+    // pos values came from another label's permutation
+    val relabeled = checks(manifest.withColumn("epoch",
+      when(col("epoch") === 1L, lit(5L)).otherwise(col("epoch"))))
+    assert(relabeled("duplicate_manifest_keys") === 0L &&
+      relabeled("missing_sequences") === 0L &&
+      relabeled("layout_mismatches") === 0L)
+    assert(relabeled("pos_mismatches") >= 1L,
+      "a relabeled epoch must fail its own label's permutation")
     // (e) a FOREIGN seq_id is a mismatch and must not mask a missing one
     val foreign = checks(manifest.withColumn("seq_id",
       when(col("epoch") === 1L && col("seq_id") === 4L, lit(99L))
         .otherwise(col("seq_id"))))
     assert(foreign("layout_mismatches") === 1L &&
       foreign("missing_sequences") === 1L)
+    // (e') an epoch whose rows are ALL foreign still reports its full
+    // complement missing (the seen-epoch frame drives the counter)
+    val allForeign = checks(manifest.withColumn("seq_id",
+      when(col("epoch") === 1L, col("seq_id") + 1000L)
+        .otherwise(col("seq_id"))))
+    assert(allForeign("missing_sequences") === 10L &&
+      allForeign("layout_mismatches") === 10L)
   }
 
   test("resumeAfterCurriculum: consumed ∪ resume == the schedule, disjoint; cursor rolls across epochs and bands") {
@@ -712,7 +744,7 @@ class CorpusOpsSpec extends SparkSpec {
     val clean = checks(manifest)
     assert(clean("manifest_rows") === clean("sequences_export") * 2)
     Seq("duplicate_manifest_keys", "missing_sequences", "layout_mismatches",
-      "pos_violations").foreach(c =>
+      "pos_violations", "pos_mismatches").foreach(c =>
       assert(clean(c) === 0L, s"clean manifest must report 0 $c"))
     // corrupt pos inside the largest SHARD (the best-fit permutation
     // unit): all-zero pos there duplicates and gaps. Pick a shard with

@@ -406,11 +406,26 @@ class MultimodalSpec extends SparkSpec {
     assert(errN.getMessage.contains("null key"))
     // a doc that forms a caption pair but has NO assignment row: the
     // pair would silently drop from the joint edge set — must refuse
+    // BY NAME (a non-null message alone would green on any incidental
+    // exception)
     val missing = Seq((1L, "jpg")).toDF("doc_id", "img")
     val errM = intercept[Exception] {
       Multimodal.imageTextPairDedup(docs, missing, images,
         "doc_id", "text", "priority", "img").collect()
     }
-    assert(errM.getMessage != null, "uncovered caption-pair doc must refuse")
+    assert(Option(errM.getMessage).getOrElse(errM.toString)
+      .contains("assignment frame"),
+      s"uncovered caption-pair doc must refuse by name: ${errM.getMessage}")
+    // and the skippable-guard class itself: an EMPTY assignment frame
+    // (every pair doc uncovered, compat empty) must still refuse loud —
+    // an in-plan assert on the semi-join output is planned away here
+    val errE = intercept[Exception] {
+      Multimodal.imageTextPairDedup(docs,
+        Seq.empty[(Long, String)].toDF("doc_id", "img"), images,
+        "doc_id", "text", "priority", "img").collect()
+    }
+    assert(Option(errE.getMessage).getOrElse(errE.toString)
+      .contains("assignment frame"),
+      s"empty assignment must refuse by name: ${errE.getMessage}")
   }
 }
