@@ -2635,6 +2635,85 @@ object SparkEntry {
           seqLen = 96L, shardBudget = 2000L))
       val manifest = ShardPack.globalWriterManifest(layout, fileBudget = 4000L, epochs = 2)
       ShardPack.checkBestFitManifest(manifest, layout, fileBudget = 4000L)
+    }),
+
+    // --- scale: the MANIFEST QUARANTINE — the fsck made actionable:
+    // q180's manifest put through a deterministic corruption battery
+    // (a dropped epoch-1 slice, inflated fills, shifted pos, duplicated
+    // rows), then every violating row emitted LABELED by class with the
+    // generator-derived correction where one exists (missing rows come
+    // back complete; pos drifts carry their e_pos). The check's
+    // counters ARE this frame's per-label counts (law, by construction
+    // + spec-pinned); a clean manifest quarantines nothing ------------------
+    "q181_manifest_quarantine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      val layout = graft.ops.CacheScope.cut(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L))
+      val manifest = ShardPack.globalWriterManifest(layout, fileBudget = 4000L, epochs = 2)
+      // the corruption battery, a pure function of the clean manifest:
+      // drop (epoch 1, seq_id % 11 == 0) → missing (+ pos_violation in
+      // their files' groups); inflate fill on (0, % 17 == 2) →
+      // layout_mismatch; shift pos on (1, % 19 == 3) → pos_mismatch
+      // (+ pos_violation); re-union the UNCORRUPTED (0, % 13 == 1)
+      // rows → duplicate_key
+      val corrupted = manifest
+        .filter(!(col("epoch") === 1L && col("seq_id") % 11L === 0L))
+        .withColumn("fill",
+          when(col("epoch") === 0L && col("seq_id") % 17L === 2L,
+            col("fill") + 5L).otherwise(col("fill")))
+        .withColumn("pos",
+          when(col("epoch") === 1L && col("seq_id") % 19L === 3L,
+            col("pos") + 1000L).otherwise(col("pos")))
+        .unionByName(manifest.filter(
+          col("epoch") === 0L && col("seq_id") % 13L === 1L))
+      ShardPack.quarantineBestFitManifest(corrupted, layout, fileBudget = 4000L)
+    }),
+
+    // --- scale: INTERLEAVED MULTIMODAL sequence packing — the
+    // multimodal-pretraining loader contract: docs with an assigned
+    // payload get a placeholder token (−2) at position 0 and the
+    // payload KEY rides a parallel long channel through the q176
+    // multi-channel materializer; unassigned docs pass through; each
+    // sequence row counts both modalities (text tokens vs
+    // placeholders) — the manifest a loader needs to prefetch payloads
+    // per sequence. Assignment: docs with doc_id % 3 != 0 reference
+    // payload key doc_id % 4 + 1 ---------------------------------------------
+    "q182_interleaved_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val merges = Bpe.trainMergesFast(docs, "text", BpeMergeCount)
+      val stream = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
+      val assign = docs.filter(col("doc_id") % 3L =!= 0L)
+        .select(col("doc_id"), (col("doc_id") % 4L + 1L).as("img_key"))
+      val inter = Multimodal.interleavedTokenStream(
+        stream, assign, "doc_id", "img_key")
+      ShardPack.materializeSequencesWithChannels(
+        inter, "doc_id", Seq("payload_key"), seqLen = 16L)
+        .withColumn("n_placeholders",
+          expr("size(filter(token_ids, t -> t = -2))").cast("long"))
+        .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+          col("n_placeholders"),
+          (col("n_tokens") - col("n_placeholders")).as("n_text_tokens"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("payload_key"), " ").as("payload_key"))
+    }),
+
+    // --- scale: γ-DISCOUNTED RETURN-TO-GO — q174's reduction refined
+    // per turn: each turn's value target is its reward plus the
+    // 0.9-discounted return of everything after it, EXACT integer
+    // quantize-then-Horner (trunc toward zero at every step — the
+    // residue law a float pipeline breaks); γ=1 degenerates to q174's
+    // sum (law, spec-pinned) ------------------------------------------------
+    "q183_returns_to_go" -> ((s, dir) => {
+      val turns = dialogueTurns(s, dir)
+      val turnRewards = turns.join(dialoguePrompts(turns), Seq("dlg_id"))
+        .select(col("prompt"), col("dlg_id"), col("ts"), col("event_id"),
+          col("value"))
+      graft.scale.Dialogue.turnReturnsToGo(
+        turnRewards, "prompt", "dlg_id", "ts", "event_id", "value",
+        gammaPpm = 900000L)
     })
   )
 
@@ -7250,6 +7329,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'epochs_seen', CAST(count(DISTINCT epoch) AS BIGINT) FROM man
         |UNION ALL
+        |SELECT 'epoch_gaps',
+        |  CAST(coalesce(max(epoch) + 1, 0) - count(DISTINCT epoch) AS BIGINT)
+        |FROM man
+        |UNION ALL
         |SELECT 'duplicate_manifest_keys', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
         |FROM (SELECT count(*) AS c FROM man GROUP BY epoch, seq_id)
         |UNION ALL
@@ -7308,6 +7391,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'epochs_seen', CAST(count(DISTINCT epoch) AS BIGINT) FROM man
         |UNION ALL
+        |SELECT 'epoch_gaps',
+        |  CAST(coalesce(max(epoch) + 1, 0) - count(DISTINCT epoch) AS BIGINT)
+        |FROM man
+        |UNION ALL
         |SELECT 'duplicate_manifest_keys', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
         |FROM (SELECT count(*) AS c FROM man GROUP BY epoch, seq_id)
         |UNION ALL
@@ -7336,6 +7423,193 @@ object SparkEntry {
         |  FROM sq s2, (SELECT DISTINCT epoch FROM man) e2) x
         |  ON m.epoch = x.epoch AND m.seq_id = x.seq_id
         |WHERE m.pos IS DISTINCT FROM x.e_pos""".stripMargin),
+
+    // q180's generator CTEs + the same deterministic corruption
+    // battery, then each violation class re-labeled INDEPENDENTLY (the
+    // quarantine frame: offending row + generator-derived correction).
+    // NULLS FIRST on the duplicate keep-rule sort — Spark's asc default
+    "q181_manifest_quarantine" ->
+      (s"""WITH RECURSIVE $bestFitBaseCtes,
+        |${ffdCtes("", "base", 96, 2000)},
+        |bins AS (
+        |  SELECT shard, bin, CAST(sum(n) AS BIGINT) AS fill,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM ffd WHERE id IS NOT NULL GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT shard, bin, fill, n_docs,
+        |    CAST(row_number() OVER (ORDER BY shard, bin) - 1 AS BIGINT) AS seq_id,
+        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY shard, bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 4000 AS BIGINT) AS file
+        |  FROM bins),
+        |man AS (
+        |  SELECT shard, bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+        |    CAST(row_number() OVER (PARTITION BY e, shard
+        |      ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
+        |      AS BIGINT) AS pos
+        |  FROM sq, unnest(generate_series(0, 1)) AS u(e)),
+        |cor AS MATERIALIZED (
+        |  SELECT shard, bin,
+        |    CASE WHEN epoch = 0 AND seq_id % 17 = 2 THEN fill + 5
+        |         ELSE fill END AS fill,
+        |    n_docs, seq_id, file, epoch,
+        |    CASE WHEN epoch = 1 AND seq_id % 19 = 3 THEN pos + 1000
+        |         ELSE pos END AS pos
+        |  FROM man WHERE NOT (epoch = 1 AND seq_id % 11 = 0)
+        |  UNION ALL
+        |  SELECT shard, bin, fill, n_docs, seq_id, file, epoch, pos
+        |  FROM man WHERE epoch = 0 AND seq_id % 13 = 1),
+        |expos AS MATERIALIZED (
+        |  SELECT e2.epoch, s2.seq_id,
+        |    CAST(row_number() OVER (PARTITION BY e2.epoch, s2.shard
+        |      ORDER BY md5('epoch:' || e2.epoch || ':' || s2.seq_id), s2.seq_id)
+        |      - 1 AS BIGINT) AS e_pos
+        |  FROM sq s2, (SELECT DISTINCT epoch FROM cor) e2),
+        |nl AS (SELECT CAST(NULL AS BIGINT) AS x)
+        |SELECT 'duplicate_key' AS violation, epoch, seq_id, shard, bin, fill,
+        |  n_docs, file, pos, nl.x AS e_shard, nl.x AS e_bin, nl.x AS e_fill,
+        |  nl.x AS e_n_docs, nl.x AS e_file, nl.x AS e_pos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY epoch, seq_id
+        |        ORDER BY pos ASC NULLS FIRST, shard ASC NULLS FIRST,
+        |          bin ASC NULLS FIRST, fill ASC NULLS FIRST,
+        |          n_docs ASC NULLS FIRST, file ASC NULLS FIRST) AS rn
+        |      FROM cor) z, nl WHERE rn > 1
+        |UNION ALL
+        |SELECT 'missing', x.epoch, x.seq_id, nl.x, nl.x, nl.x, nl.x, nl.x,
+        |  nl.x, s.shard, s.bin, s.fill, s.n_docs, s.file, x.e_pos
+        |FROM expos x JOIN sq s USING (seq_id), nl
+        |WHERE NOT EXISTS (SELECT 1 FROM cor c
+        |                  WHERE c.epoch = x.epoch AND c.seq_id = x.seq_id)
+        |UNION ALL
+        |SELECT 'layout_mismatch', m.epoch, m.seq_id, m.shard, m.bin, m.fill,
+        |  m.n_docs, m.file, m.pos, x.shard, x.bin, x.fill, x.n_docs, x.file,
+        |  nl.x
+        |FROM cor m LEFT JOIN sq x USING (seq_id), nl
+        |WHERE m.shard IS DISTINCT FROM x.shard OR m.bin IS DISTINCT FROM x.bin
+        |   OR m.fill IS DISTINCT FROM x.fill
+        |   OR m.n_docs IS DISTINCT FROM x.n_docs
+        |   OR m.file IS DISTINCT FROM x.file
+        |UNION ALL
+        |SELECT 'pos_violation', g.epoch, nl.x, g.shard, nl.x, nl.x, nl.x,
+        |  nl.x, nl.x, nl.x, nl.x, nl.x, nl.x, nl.x, nl.x
+        |FROM (SELECT epoch, shard, count(*) AS c, max(pos) AS mx,
+        |        count(DISTINCT pos) AS d
+        |      FROM cor GROUP BY 1, 2) g, nl
+        |WHERE g.mx <> g.c - 1 OR g.d <> g.c
+        |UNION ALL
+        |SELECT 'pos_mismatch', m.epoch, m.seq_id, m.shard, m.bin, m.fill,
+        |  m.n_docs, m.file, m.pos, nl.x, nl.x, nl.x, nl.x, nl.x, x.e_pos
+        |FROM cor m JOIN expos x
+        |  ON m.epoch = x.epoch AND m.seq_id = x.seq_id, nl
+        |WHERE m.pos IS DISTINCT FROM x.e_pos
+        |UNION ALL
+        |SELECT 'epoch_gap', CAST(u.e AS BIGINT), nl.x, nl.x, nl.x, nl.x,
+        |  nl.x, nl.x, nl.x, nl.x, nl.x, nl.x, nl.x, nl.x, nl.x
+        |FROM unnest(generate_series(0, (SELECT max(epoch) FROM cor))) AS u(e),
+        |  nl
+        |WHERE u.e NOT IN (SELECT epoch FROM cor)""".stripMargin),
+
+    // q146's doc token-stream CTEs, interleaved with the deterministic
+    // placeholder assignment (doc_id % 3 != 0 → key doc_id % 4 + 1,
+    // token −2 at position 0, text shifted one right), then the q151
+    // md5-offset packing with the payload-key channel riding position
+    // order and the per-bin modality counts
+    "q182_interleaved_sequences" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |wp AS (SELECT w, string_split(trim(sym), '  ') AS pieces FROM w$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp)),
+        |dw AS (
+        |  SELECT doc_id, i AS wi, t[i] AS w
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |        FROM documents) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws AS (
+        |  SELECT dw.doc_id, dw.wi, wp.pieces,
+        |    CAST(coalesce(sum(len(wp.pieces)) OVER (PARTITION BY dw.doc_id
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp ON dw.w = wp.w),
+        |tstream AS (
+        |  SELECT s.doc_id, s.word_start + s.pi - 1 AS tok_idx, v.token_id
+        |  FROM (SELECT doc_id, word_start, pieces[pi] AS piece, pi
+        |        FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)) s
+        |  JOIN vocab v ON s.piece = v.piece),
+        |asg AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS pk
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |istream AS (
+        |  SELECT a.doc_id, CAST(0 AS BIGINT) AS tok_idx,
+        |    CAST(-2 AS BIGINT) AS token_id, a.pk AS payload_key
+        |  FROM asg a
+        |  UNION ALL
+        |  SELECT t.doc_id,
+        |    CAST(t.tok_idx + CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END
+        |      AS BIGINT),
+        |    t.token_id, CAST(-1 AS BIGINT)
+        |  FROM tstream t LEFT JOIN asg a USING (doc_id)),
+        |cnts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5('shard:' || doc_id) AS k
+        |  FROM istream GROUP BY 1),
+        |off AS (
+        |  SELECT doc_id,
+        |    CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM cnts),
+        |pos AS (
+        |  SELECT i.doc_id, i.tok_idx, i.token_id, i.payload_key,
+        |    o.start + i.tok_idx AS p
+        |  FROM istream i JOIN off o USING (doc_id))
+        |SELECT CAST(p // 16 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+        |  CAST(sum(CASE WHEN token_id = -2 THEN 1 ELSE 0 END) AS BIGINT) AS n_placeholders,
+        |  CAST(sum(CASE WHEN token_id = -2 THEN 0 ELSE 1 END) AS BIGINT) AS n_text_tokens,
+        |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
+        |  array_to_string(list(payload_key ORDER BY p), ' ') AS payload_key
+        |FROM pos GROUP BY 1""".stripMargin),
+
+    // q174's sessionize + prompt CTEs, then the exact Horner recurrence
+    // as a recursive CTE anchored at each trajectory's LAST turn:
+    // ret(last) = q, ret(t) = q(t) + (900000 · ret(t+1)) // 10^6 —
+    // DuckDB's // truncates toward zero exactly like Spark/Java
+    // division (verified on negatives), so the oracle replays the
+    // residue law bit for bit
+    "q183_returns_to_go" ->
+      (s"""WITH RECURSIVE ev AS (
+        |  SELECT event_id, user_id, event_type, value, props, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |${sessionizeCtes("t")},
+        |trn AS (
+        |  SELECT event_id, user_id, event_type, value, props, tsn,
+        |    user_id * 100000 + session_seq AS dlg_id
+        |  FROM tsg),
+        |tfp AS (
+        |  SELECT dlg_id, props AS prompt FROM (
+        |    SELECT dlg_id, props, row_number() OVER (PARTITION BY dlg_id
+        |      ORDER BY tsn, event_id) AS rn FROM trn) z
+        |  WHERE rn = 1),
+        |tr AS (
+        |  SELECT f.prompt, t.dlg_id, t.event_id,
+        |    CASE WHEN t.value IS NULL THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(t.value * 1000) AS BIGINT) END AS q,
+        |    row_number() OVER (PARTITION BY t.dlg_id
+        |      ORDER BY t.tsn, t.event_id) AS rn,
+        |    count(*) OVER (PARTITION BY t.dlg_id) AS cnt
+        |  FROM trn t JOIN tfp f USING (dlg_id)),
+        |rtg AS (
+        |  SELECT prompt, dlg_id, event_id, q, rn, cnt, q AS ret
+        |  FROM tr WHERE rn = cnt
+        |  UNION ALL
+        |  SELECT t.prompt, t.dlg_id, t.event_id, t.q, t.rn, t.cnt,
+        |    t.q + (900000 * r.ret) // 1000000
+        |  FROM tr t JOIN rtg r ON t.dlg_id = r.dlg_id AND t.rn = r.rn - 1)
+        |SELECT prompt, dlg_id, event_id, CAST(rn - 1 AS BIGINT) AS turn,
+        |  CAST(q AS BIGINT) AS reward_milli, CAST(ret AS BIGINT) AS return_milli
+        |FROM rtg""".stripMargin),
 
     // the round-trip's oracle is the CANONICAL normalization itself —
     // no BPE replay: if the engine's train+encode+decode conserves

@@ -1050,6 +1050,115 @@ object Dialogue {
       turnSignalReduce(turnRewards, groupCol, trajCol, rewardCol),
       groupCol, trajCol, tsCol, idCol, roleCol, "signal_milli", attrRoles)
 
+  /** γ-DISCOUNTED RETURN-TO-GO — [[turnSignalReduce]]'s temporal
+    * refinement: each turn's return is its own reward plus the
+    * discounted return of everything after it, the per-step value
+    * target a process-reward trainer regresses on when later credit
+    * should decay ([[turnSignalReduce]]'s SUM is the γ=1 special
+    * case). γ arrives in PPM (parts per million) and the whole
+    * recurrence runs in EXACT integers under the stated RESIDUE LAW —
+    * quantize-then-Horner:
+    *
+    *   q_t = ⌊reward_t · 1000⌋   (the family's milli quantization)
+    *   R_last = q_last
+    *   R_t = q_t + (gammaPpm · R_{t+1}) div 10^6   (div truncates
+    *         toward zero at EVERY step — Spark `div`, DuckDB `//`,
+    *         Java `/` all agree, negatives included)
+    *
+    * A floating pipeline (discount in doubles, quantize last) is both
+    * partition-order-dependent AND diverges from this law even on
+    * two-turn fixtures (⌊−2.5⌋ = −3 vs the exact −2; spec-pinned) —
+    * the same reproducibility argument as [[turnSignalReduce]], now
+    * applied per step. Laws, spec-pinned: γ=10^6 ⇒ returns are exact
+    * suffix sums and turn 0's return equals [[turnSignalReduce]]'s
+    * signal; γ=0 ⇒ each turn keeps only its own reward; the last
+    * turn's return is always its own reward.
+    *
+    * A NULL-reward turn contributes q = 0 but KEEPS its position: the
+    * decision step happened, its measured reward is absent — deleting
+    * it would silently re-discount every earlier turn (γ counts
+    * decision steps, not log rows). NaN / out-of-range rewards fail
+    * loud ([[turnSignalReduce]]'s guard); a Horner step that would
+    * overflow a long fails BY NAME (Math.multiplyExact/addExact),
+    * never wraps — the batch decimal guard's analogue. gammaPpm must
+    * lie in [0, 10^6]: an amplifying discount (> 1) turns the
+    * recurrence into unbounded growth, which is a modeling error, not
+    * a data shape.
+    *
+    * Scale shape: one projection + ONE hash agg collecting each
+    * trajectory's (ts, id, q) turns + a per-trajectory fold UDF (the
+    * [[graft.scale.ShardPack.packBestFit]] bounded-sequential-unit
+    * precedent: per-group state is the DIALOGUE's own turn list, never
+    * the corpus) + one explode. A linear recurrence has no window
+    * form; the fold IS the semantics.
+    *
+    * @return (groupCol, trajCol, idCol, turn, reward_milli,
+    *         return_milli) — turn 0-based in (tsCol, idCol) order;
+    *         idCol/tsCol must be long-castable (fail-loud)
+    */
+  def turnReturnsToGo(
+      turnRewards: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      tsCol: String,
+      idCol: String,
+      rewardCol: String,
+      gammaPpm: Long): DataFrame = {
+    require(gammaPpm >= 0L && gammaPpm <= 1000000L,
+      s"turnReturnsToGo: gammaPpm must be in [0, 1000000], got $gammaPpm")
+    val ok = !isnan(col(rewardCol)) &&
+      abs(col(rewardCol)) < lit(9.223372036854775e15)
+    def guardedLong(c: String) =
+      coalesce(
+        assert_true(col(c).cast("long").isNotNull,
+          lit(s"turnReturnsToGo: $c has a null or non-long-castable value " +
+            "— the turn order needs numeric (ts, id)")).cast("long"),
+        lit(0L)) + col(c).cast("long")
+    val fold = udf((turns: Seq[org.apache.spark.sql.Row]) => {
+      var r = 0L
+      var i = turns.length - 1
+      val out = new Array[(Long, Long, Long, Long)](turns.length)
+      while (i >= 0) {
+        val t = turns(i)
+        val q = t.getLong(2)
+        r =
+          try
+            Math.addExact(q,
+              if (i == turns.length - 1) 0L
+              else Math.multiplyExact(gammaPpm, r) / 1000000L)
+          catch {
+            case _: ArithmeticException => throw new IllegalArgumentException(
+              "turnReturnsToGo: a discounted return overflows a long — " +
+                "rescale the rewards")
+          }
+        out(i) = (t.getLong(1), i.toLong, q, r)
+        i -= 1
+      }
+      out.toSeq
+    })
+    turnRewards
+      .select(col(groupCol), col(trajCol),
+        guardedLong(tsCol).as("__ts"), guardedLong(idCol).as("__id"),
+        when(col(rewardCol).isNull, lit(0L))
+          .otherwise(
+            // guard FIRST (the codegen null-short-circuit law)
+            coalesce(
+              assert_true(ok,
+                lit("turnReturnsToGo: reward NaN or out of milli-" +
+                  "quantization range (|reward| must be < 2^63/1000)"))
+                .cast("long"),
+              lit(0L)) + floor(col(rewardCol) * 1000).cast("long"))
+          .as("__q"))
+      .groupBy(col(groupCol), col(trajCol))
+      .agg(array_sort(collect_list(struct(col("__ts"), col("__id"),
+        col("__q")))).as("__turns"))
+      .select(col(groupCol), col(trajCol),
+        explode(fold(col("__turns"))).as("__r"))
+      .select(col(groupCol), col(trajCol),
+        col("__r._1").as(idCol), col("__r._2").as("turn"),
+        col("__r._3").as("reward_milli"), col("__r._4").as("return_milli"))
+  }
+
   /** The PRM TRAINING-TOKEN STREAM — [[turnAdvantages]]' BACK half:
     * per-token value targets for a process-reward-model trainer. Every
     * token of a surviving trajectory's turn carries

@@ -348,14 +348,6 @@ object Multimodal {
       bands: Int,
       jaccardThreshold: Double): DataFrame = {
     import org.apache.spark.sql.functions._
-    // assign must be ONE payload key per doc: a duplicate doc id would
-    // fan every caption pair out per copy AND make the doc's identity
-    // edge ambiguous. assign is doc-count-sized (wider than
-    // EagerContracts' usual key frames) but two slim columns — one
-    // column-pruned pass next to the operator's own multi-scan cost.
-    graft.ops.EagerContracts.requireUniqueKeys(assign, idCol, opName,
-      "each would fan its caption pairs out per copy and make its " +
-        "payload identity ambiguous")
     val emb = modal.filter(col("ok"))
       .select(col(keyCol).as("id"), col("embedding"))
     val modPairs = Similarity.cosineNearDupPairs(
@@ -401,14 +393,135 @@ object Multimodal {
               "the joint edge set")).cast("long"),
           lit(0L)).cast(idType)).as("id_a"),
         col("__id").cast(idType).as("id_b"))
+    // assign must be ONE payload key per doc: a duplicate doc id would
+    // fan every caption pair out per copy AND make the doc's identity
+    // edge ambiguous; a null id can never join a pair and would hide a
+    // missing assignment. Checked as a second asserting UNION BRANCH
+    // (the `uncovered` pattern — a union child always executes, so
+    // unlike an eager EagerContracts job this costs NOTHING when the
+    // composed plan is never run, and unlike an in-plan assert on the
+    // join output it cannot be planned away by AQE's empty-relation
+    // propagation). The branch is one hash agg over assign's two slim
+    // columns; zero rows (a no-op union) whenever the contract holds.
+    val badAssign = assign.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col(idCol).isNull || col("__c") > 1L)
+      .select(
+        coalesce(
+          assert_true(lit(false),
+            when(col(idCol).isNull,
+              lit(s"$opName: the assignment frame has a null doc key — " +
+                "it can never join a caption pair and hides a missing " +
+                "assignment"))
+              .otherwise(
+                lit(s"$opName: the assignment frame has a duplicate doc " +
+                  "key — each copy would fan its caption pairs out per " +
+                  "copy and make its payload identity ambiguous")))
+            .cast("long"),
+          lit(0L)).cast(idType).as("id_a"),
+        col(idCol).cast(idType).as("id_b"))
     val joint = capPairs
       .join(side("a"), Seq("id_a"))
       .join(side("b"), Seq("id_b"))
       .join(broadcast(compat), Seq("key_a", "key_b"), "left_semi")
       .select(col("id_a"), col("id_b"))
       .unionByName(uncovered)
+      .unionByName(badAssign)
     Dedup.dedupByClusterPriority(
       docs.select(col(idCol), col(priorityCol)), joint, idCol, priorityCol)
+  }
+
+  /** The INTERLEAVED MULTIMODAL TOKEN STREAM — the missing composition
+    * between a text token stream and a payload assignment: the
+    * multimodal-pretraining loader contract wants ONE positional
+    * stream per document where a reserved PLACEHOLDER token marks the
+    * payload's position and a parallel long channel carries the
+    * payload KEY to resolve at load time (the trainer mmaps token ids;
+    * the loader fetches payload bytes by key from the content store —
+    * bytes never ride the token tensor). This operator emits that
+    * stream: for every assigned document a placeholder row at position
+    * 0 (`token_id = placeholderId`, `payload_key` = the assignment's
+    * key) with the text tokens shifted one position right; unassigned
+    * documents pass through untouched; an assignment whose document
+    * has NO text rows still emits its placeholder (a payload-only
+    * sample — an image with an empty caption is data, not an error).
+    * Text rows carry `payload_key = −1`.
+    *
+    * Feed [[graft.scale.ShardPack.materializeSequencesWithChannels]]
+    * (channel `payload_key`) for the packed artifact: keys then ride
+    * exactly the placeholder positions of each sequence (spec-pinned),
+    * and the export satisfies the split-layout fsck
+    * ([[graft.scale.ShardPack.checkSplitManifest]]) unchanged.
+    *
+    * CONTRACTS, all fail-loud: `placeholderId` must be negative (piece
+    * vocabulary ids are nonnegative by the
+    * [[graft.scale.Bpe.pieceVocab]] rank contract — a colliding id
+    * would make a real token unresolvable from a placeholder);
+    * duplicate or null assignment keys refuse IN-PLAN by name through
+    * an asserting union branch (the [[imageTextPairDedup]] discipline
+    * — a duplicate would emit two placeholders at position 0 and
+    * corrupt every downstream offset; zero eager cost, cannot be
+    * planned away).
+    *
+    * Conservation laws (spec-pinned): output rows == text rows +
+    * assignment rows; placeholder rows == assignment rows; per-doc
+    * positions stay dense 0-based.
+    *
+    * Scale shape: ONE left join of the corpus-sized stream against the
+    * doc-count-sized assignment (key columns only) + a union of slim
+    * projections; no shuffle beyond the join, no windows, no collects.
+    *
+    * @param tokenStream (idCol, tok_idx, token_id) — tok_idx densely
+    *                    0-based per doc, e.g.
+    *                    [[graft.scale.Bpe.encodeIndexedIds]]
+    * @param assign      (idCol, keyCol) — at most one payload per doc
+    * @return (idCol, tok_idx, token_id, payload_key)
+    */
+  def interleavedTokenStream(
+      tokenStream: DataFrame,
+      assign: DataFrame,
+      idCol: String,
+      keyCol: String,
+      placeholderId: Long = -2L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(placeholderId < 0,
+      s"interleavedTokenStream: placeholderId must be negative (vocab ids " +
+        s"are nonnegative by the pieceVocab contract), got $placeholderId")
+    val idType = tokenStream.schema(idCol).dataType
+    val a = assign.select(col(idCol).cast(idType).as(idCol),
+      col(keyCol).cast("long").as("__key"))
+    // the asserting union branch: one hash agg over the slim assignment
+    val bad = a.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__c"), count(col("__key")).as("__ck"))
+      .filter(col(idCol).isNull || col("__c") > 1L || col("__ck") < col("__c"))
+      .select(
+        col(idCol),
+        coalesce(
+          assert_true(lit(false),
+            when(col(idCol).isNull,
+              lit("interleavedTokenStream: null doc id in the assignment " +
+                "frame — its placeholder has no document to anchor"))
+              .when(col("__c") > 1L,
+                lit("interleavedTokenStream: duplicate assignment — the " +
+                  "doc would emit two placeholders at position 0 and " +
+                  "corrupt every downstream offset"))
+              .otherwise(
+                lit("interleavedTokenStream: null payload key — a " +
+                  "placeholder with no payload to reference")))
+            .cast("long"),
+          lit(0L)).as("tok_idx"),
+        lit(placeholderId).as("token_id"),
+        lit(-1L).as("payload_key"))
+    val placeholders = a.select(col(idCol), lit(0L).as("tok_idx"),
+      lit(placeholderId).as("token_id"), col("__key").as("payload_key"))
+    val text = tokenStream
+      .join(a.select(col(idCol), lit(true).as("__has")), Seq(idCol), "left")
+      .select(col(idCol),
+        (col("tok_idx").cast("long") +
+          when(col("__has"), 1L).otherwise(0L)).as("tok_idx"),
+        col("token_id").cast("long").as("token_id"),
+        lit(-1L).as("payload_key"))
+    placeholders.unionByName(text).unionByName(bad)
   }
 
   /** REAL resize for `javax.imageio`-readable payloads: decode, scale

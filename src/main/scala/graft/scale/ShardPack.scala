@@ -42,6 +42,19 @@ import graft.ops.CacheScope
   */
 object ShardPack {
 
+  /** Guard-first long cast with a NAMED error: a null or non-castable
+    * caller value would otherwise reach a two-phase pass's `getLong` as
+    * an anonymous task NullPointerException. Guard on the LEFT of the
+    * `+`: the failing case is exactly a NULL cast, and codegen's
+    * null-short-circuit would skip a right-hand guard there.
+    */
+  private def guardedLong(c: String, op: String, what: String) =
+    coalesce(
+      assert_true(col(c).cast("long").isNotNull,
+        lit(s"$op: $c has a null or non-long-castable value — " +
+          s"every row needs a $what")).cast("long"),
+      lit(0L)) + col(c).cast("long")
+
   def packByTokenBudget(
       docs: DataFrame,
       idCol: String,
@@ -784,7 +797,15 @@ object ShardPack {
       numPartitions: Int = 32): DataFrame = {
     require(fileBudget > 0, s"fileBudget must be positive, got $fileBudget")
     val spark = layout.sparkSession
+    // guard FIRST (the splitWriterManifest discipline): null/non-long
+    // shard, bin, or token counts in a caller-supplied layout must fail
+    // by name, not as a two-phase-pass getLong NPE
     val bins = layout.filter(!col("oversize"))
+      .select(
+        guardedLong("shard", "globalWriterManifest", "numeric shard").as("shard"),
+        guardedLong("bin", "globalWriterManifest", "numeric bin").as("bin"),
+        guardedLong("n_tokens", "globalWriterManifest", "numeric token count")
+          .as("n_tokens"))
       .groupBy(col("shard"), col("bin"))
       .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n_docs"))
     val sorted = CacheScope.persisted(
@@ -867,10 +888,16 @@ object ShardPack {
       numPartitions: Int = 32): DataFrame = {
     require(fileBudget > 0, s"fileBudget must be positive, got $fileBudget")
     val spark = sequences.sparkSession
+    // guard FIRST (the curriculumOrder discipline): the two-phase
+    // passes getLong these caller-supplied columns — a null or
+    // non-castable value must fail with a splitWriterManifest-named
+    // error, never an anonymous task NPE
     val bins = sequences.select(
-      col("bin").cast("long").as("bin"),
-      col("n_tokens").cast("long").as("fill"),
-      col("n_docs").cast("long").as("n_docs"))
+      guardedLong("bin", "splitWriterManifest", "numeric bin").as("bin"),
+      guardedLong("n_tokens", "splitWriterManifest", "numeric token count")
+        .as("fill"),
+      guardedLong("n_docs", "splitWriterManifest", "numeric doc count")
+        .as("n_docs"))
     val sorted = CacheScope.persisted(
       bins
         .repartitionByRange(numPartitions, col("bin"))
@@ -928,6 +955,9 @@ object ShardPack {
     *
     *   - `sequences_export` / `manifest_rows` / `epochs_seen` — the
     *     sizes (manifest_rows must equal sequences · epochs);
+    *   - `epoch_gaps` — epochs in 0..max(epoch) absent entirely (a
+    *     lost interior epoch fires here by name; a lost TAIL epoch is
+    *     only visible through the size relation above);
     *   - `duplicate_manifest_keys` — extra rows per (epoch, seq_id)
     *     beyond the first (exactly-once-per-epoch law);
     *   - `missing_sequences` — Σ over seen epochs of export sequences
@@ -960,14 +990,81 @@ object ShardPack {
       manifest: DataFrame,
       sequences: DataFrame,
       fileBudget: Long): DataFrame = {
-    val layoutCols = Seq("bin", "fill", "n_docs", "file")
+    val (m, expected) = splitCheckInputs(manifest, sequences, fileBudget)
+    manifestCheckCore(m, expected, SplitLayoutCols, Seq("epoch", "file"))
+  }
+
+  /** The REMEDIATION half of [[checkSplitManifest]] — the fsck made
+    * actionable: instead of seven counters, ONE ROW PER VIOLATION,
+    * labeled by class, carrying the offending manifest row and — where
+    * the generator's re-derivation defines one — the corrected values
+    * (`e_*` layout columns and/or `e_pos`):
+    *
+    *   - `duplicate_key`: every (epoch, seq_id) row beyond the first
+    *     (first = smallest by (pos, layout) with nulls first — the
+    *     deterministic keep rule); correction = delete (e_* null);
+    *   - `missing`: a sequence absent from a seen epoch — the row is
+    *     the COMPLETE generator-derived correction (e_* + e_pos), a
+    *     loader can union it in;
+    *   - `layout_mismatch`: a row whose (layout) cells disagree with
+    *     the re-derived layout at its seq_id (or whose seq_id is
+    *     foreign — e_* then null: no correction exists); correction =
+    *     the e_* cells;
+    *   - `pos_violation`: one row per (epoch, unit) GROUP whose pos
+    *     set is not dense 0..n−1 (the group identity rides epoch +
+    *     the unit column; row-level repairs come from pos_mismatch);
+    *   - `pos_mismatch`: a row whose pos differs from the exact
+    *     re-derived permutation; correction = e_pos;
+    *   - `epoch_gap`: one row per absent epoch in 0..max(epoch).
+    *
+    * LAW (by construction — [[checkSplitManifest]]'s violation
+    * counters ARE this frame's per-label counts): check(c) ==
+    * count(violation rows labeled c) for every violation class; a
+    * clean manifest yields an EMPTY frame. Spec-pinned per corruption
+    * class, oracle-gated end to end (q181).
+    *
+    * Scale shape: the same cut inputs as the check; each label branch
+    * is hash aggs / one seq_id-keyed join / budget-bounded windows.
+    * Output is violation-count-sized.
+    *
+    * @return (violation, epoch, seq_id, bin, fill, n_docs, file, pos,
+    *         e_bin, e_fill, e_n_docs, e_file, e_pos)
+    */
+  def quarantineSplitManifest(
+      manifest: DataFrame,
+      sequences: DataFrame,
+      fileBudget: Long): DataFrame = {
+    val (m, expected) = splitCheckInputs(manifest, sequences, fileBudget)
+    manifestQuarantineCore(m, expected, SplitLayoutCols, Seq("epoch", "file"))
+  }
+
+  private val SplitLayoutCols = Seq("bin", "fill", "n_docs", "file")
+  private val BestFitLayoutCols = Seq("shard", "bin", "fill", "n_docs", "file")
+
+  private def splitCheckInputs(
+      manifest: DataFrame,
+      sequences: DataFrame,
+      fileBudget: Long): (DataFrame, DataFrame) = {
     val m = CacheScope.cut(manifest.select(
-      (layoutCols ++ Seq("seq_id", "epoch", "pos"))
+      (SplitLayoutCols ++ Seq("seq_id", "epoch", "pos"))
         .map(c => col(c).cast("long").as(c)): _*))
     val expected = CacheScope.cut(
       splitWriterManifest(sequences, fileBudget, epochs = 1)
-        .select(col("seq_id") +: layoutCols.map(c => col(c).as(s"e_$c")): _*))
-    manifestCheckCore(m, expected, layoutCols, Seq("epoch", "file"))
+        .select(col("seq_id") +: SplitLayoutCols.map(c => col(c).as(s"e_$c")): _*))
+    (m, expected)
+  }
+
+  private def bestFitCheckInputs(
+      manifest: DataFrame,
+      layout: DataFrame,
+      fileBudget: Long): (DataFrame, DataFrame) = {
+    val m = CacheScope.cut(manifest.select(
+      (BestFitLayoutCols ++ Seq("seq_id", "epoch", "pos"))
+        .map(c => col(c).cast("long").as(c)): _*))
+    val expected = CacheScope.cut(
+      globalWriterManifest(layout, fileBudget, epochs = 1)
+        .select(col("seq_id") +: BestFitLayoutCols.map(c => col(c).as(s"e_$c")): _*))
+    (m, expected)
   }
 
   /** [[checkSplitManifest]]'s twin for a [[globalWriterManifest]]
@@ -982,14 +1079,25 @@ object ShardPack {
       manifest: DataFrame,
       layout: DataFrame,
       fileBudget: Long): DataFrame = {
-    val layoutCols = Seq("shard", "bin", "fill", "n_docs", "file")
-    val m = CacheScope.cut(manifest.select(
-      (layoutCols ++ Seq("seq_id", "epoch", "pos"))
-        .map(c => col(c).cast("long").as(c)): _*))
-    val expected = CacheScope.cut(
-      globalWriterManifest(layout, fileBudget, epochs = 1)
-        .select(col("seq_id") +: layoutCols.map(c => col(c).as(s"e_$c")): _*))
-    manifestCheckCore(m, expected, layoutCols, Seq("epoch", "shard"))
+    val (m, expected) = bestFitCheckInputs(manifest, layout, fileBudget)
+    manifestCheckCore(m, expected, BestFitLayoutCols, Seq("epoch", "shard"))
+  }
+
+  /** [[quarantineSplitManifest]]'s twin for a [[globalWriterManifest]]
+    * (best-fit) manifest: same labels, laws, and corrections, with the
+    * (shard, bin) layout identity and pos_violation groups per
+    * (epoch, SHARD) — that manifest's permutation unit.
+    *
+    * @return (violation, epoch, seq_id, shard, bin, fill, n_docs,
+    *         file, pos, e_shard, e_bin, e_fill, e_n_docs, e_file,
+    *         e_pos)
+    */
+  def quarantineBestFitManifest(
+      manifest: DataFrame,
+      layout: DataFrame,
+      fileBudget: Long): DataFrame = {
+    val (m, expected) = bestFitCheckInputs(manifest, layout, fileBudget)
+    manifestQuarantineCore(m, expected, BestFitLayoutCols, Seq("epoch", "shard"))
   }
 
   /** The shared check engine: `m` normalized to long columns with
@@ -1008,25 +1116,60 @@ object ShardPack {
       expected: DataFrame,
       layoutCols: Seq[String],
       posKey: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def counter(name: String, df: DataFrame) =
       df.agg(count(lit(1)).cast("long").as("n"))
         .select(lit(name).as("check"), col("n"))
-    val expectedN = expected.agg(count(lit(1)).as("__n"))
+    // the violation counters ARE the quarantine frame's per-label
+    // counts — ONE definition, so the check and the remediation cannot
+    // drift (the counters == groupBy(violation).count law holds by
+    // construction); the static label map zero-fills absent classes so
+    // a clean manifest still reports every counter's 0 row
+    val spark = m.sparkSession
+    import spark.implicits._
+    val labels = Seq(
+      ("epoch_gaps", "epoch_gap"),
+      ("duplicate_manifest_keys", "duplicate_key"),
+      ("missing_sequences", "missing"),
+      ("layout_mismatches", "layout_mismatch"),
+      ("pos_violations", "pos_violation"),
+      ("pos_mismatches", "pos_mismatch")).toDF("check", "violation")
+    val counts = manifestQuarantineCore(m, expected, layoutCols, posKey)
+      .groupBy(col("violation")).agg(count(lit(1)).as("__n"))
+    counter("sequences_export", expected)
+      .unionByName(counter("manifest_rows", m))
+      .unionByName(m.agg(countDistinct(col("epoch")).cast("long").as("n"))
+        .select(lit("epochs_seen").as("check"), col("n")))
+      .unionByName(labels.join(broadcast(counts), Seq("violation"), "left")
+        .select(col("check"), coalesce(col("__n"), lit(0L)).cast("long").as("n")))
+  }
+
+  /** The shared quarantine engine under [[quarantineSplitManifest]] /
+    * [[quarantineBestFitManifest]] (and, through its per-label counts,
+    * [[manifestCheckCore]]): `m` normalized long columns with (seq_id,
+    * epoch, pos) + `layoutCols`; `expected` one generator-derived row
+    * per sequence as (seq_id, e_*). `posKey` = (epoch, unit). All
+    * comparisons null-safe: a nulled-out manifest cell is a violation
+    * row, never a silently-dropped filter row. The exact expected
+    * permutation re-derives per SEEN epoch (the [[epochOrder]] rule
+    * verbatim) — foreign epochs re-derive too, so a relabeled epoch's
+    * pos values mismatch its own label's permutation; its window
+    * partitions by the budget-bounded (epoch, unit), never
+    * corpus-sized.
+    */
+  private def manifestQuarantineCore(
+      m: DataFrame,
+      expected: DataFrame,
+      layoutCols: Seq[String],
+      posKey: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = posKey.last
     // null-safe inequality: a null layout cell must COUNT as a
     // mismatch — plain =!= yields NULL there and filter() would drop
-    // the exact corrupt row the counter exists for
+    // the exact corrupt row the quarantine exists for
     val mismatch = layoutCols
       .map(c => !(col(c) <=> col(s"e_$c")))
       .reduce(_ || _)
     val epochsSeen = m.select(col("epoch")).distinct()
-    val unit = posKey.last
-    // the exact expected permutation, re-derived per SEEN epoch (the
-    // epochOrder rule verbatim): rank of md5("epoch:<e>:<seq_id>")
-    // within (epoch, unit). The window partitions by the budget-bounded
-    // unit × epoch — never corpus-sized. Foreign epochs re-derive too:
-    // a relabeled epoch's pos values then mismatch its own label's
-    // permutation.
     val expPos = expected
       .crossJoin(broadcast(epochsSeen))
       .withColumn("e_pos",
@@ -1037,38 +1180,54 @@ object ShardPack {
                 lit(":"), col("seq_id").cast("string"))),
               col("seq_id"))) - 1).cast("long"))
       .select(col("epoch"), col("seq_id"), col("e_pos"))
-    counter("sequences_export", expected)
-      .unionByName(counter("manifest_rows", m))
-      .unionByName(m.agg(countDistinct(col("epoch")).cast("long").as("n"))
-        .select(lit("epochs_seen").as("check"), col("n")))
-      .unionByName(m.groupBy(col("epoch"), col("seq_id"))
-        .agg(count(lit(1)).as("__c"))
-        .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("n"))
-        .select(lit("duplicate_manifest_keys").as("check"), col("n")))
-      // count only seq_ids that EXIST in the expected layout (a foreign
-      // seq_id is a layout_mismatch, and must not mask a missing one) —
-      // driven FROM the seen-epoch frame so an epoch whose rows are ALL
-      // foreign still reports its full complement missing
-      .unionByName(epochsSeen
-        .join(
-          m.join(expected.select(col("seq_id")), Seq("seq_id"), "left_semi")
-            .groupBy(col("epoch"))
-            .agg(countDistinct(col("seq_id")).as("__c")),
-          Seq("epoch"), "left")
-        .withColumn("__c", coalesce(col("__c"), lit(0L)))
-        .crossJoin(broadcast(expectedN))
-        .agg(coalesce(sum(col("__n") - col("__c")), lit(0L)).as("n"))
-        .select(lit("missing_sequences").as("check"), col("n")))
-      .unionByName(counter("layout_mismatches",
-        m.join(expected, Seq("seq_id"), "left").filter(mismatch)))
-      .unionByName(counter("pos_violations",
-        m.groupBy(posKey.map(col): _*)
-          .agg(count(lit(1)).as("__c"), max(col("pos")).as("__mx"),
-            countDistinct(col("pos")).as("__d"))
-          .filter(col("__mx") =!= col("__c") - 1L || col("__d") =!= col("__c"))))
-      .unionByName(counter("pos_mismatches",
-        m.join(expPos, Seq("epoch", "seq_id"), "inner")
-          .filter(!(col("pos") <=> col("e_pos")))))
+    val mCols = (Seq("epoch", "seq_id") ++ layoutCols) :+ "pos"
+    val eCols = layoutCols.map(c => s"e_$c") :+ "e_pos"
+    val nullL = lit(null).cast("long")
+    def shape(label: String, df: DataFrame, have: Set[String]) =
+      df.select(lit(label).as("violation") +:
+        (mCols ++ eCols).map(c => (if (have(c)) col(c) else nullL).as(c)): _*)
+    // duplicate_key: rows ranked past 1 within (epoch, seq_id); the
+    // kept row is the smallest by (pos, layout) with NULLS FIRST
+    // (Spark's asc default — the oracle must say NULLS FIRST
+    // explicitly), so the verdict is deterministic even when the
+    // copies disagree. Exact copies are interchangeable by identity.
+    val dupW = Window.partitionBy(col("epoch"), col("seq_id"))
+      .orderBy((col("pos") +: layoutCols.map(col)).map(_.asc_nulls_first): _*)
+    val duplicates = m
+      .withColumn("__rn", row_number().over(dupW))
+      .filter(col("__rn") > 1)
+    // missing: expected (epoch, seq_id) pairs with no manifest row —
+    // the join back to `expected` completes the generator-derived
+    // correction (e_* + e_pos): a loader can union these rows in
+    val missing = expPos
+      .join(m.select(col("epoch"), col("seq_id")),
+        Seq("epoch", "seq_id"), "left_anti")
+      .join(expected, Seq("seq_id"))
+    val layoutMm = m.join(expected, Seq("seq_id"), "left").filter(mismatch)
+    // pos_violation: one row per broken (epoch, unit) GROUP — the
+    // counter counts groups, so the frame emits groups (the law); the
+    // row-level corrections live in pos_mismatch
+    val posViol = m.groupBy(posKey.map(col): _*)
+      .agg(count(lit(1)).as("__c"), max(col("pos")).as("__mx"),
+        countDistinct(col("pos")).as("__d"))
+      .filter(col("__mx") =!= col("__c") - 1L || col("__d") =!= col("__c"))
+    val posMm = m.join(expPos, Seq("epoch", "seq_id"), "inner")
+      .filter(!(col("pos") <=> col("e_pos")))
+    // epoch_gap: absent epochs in 0..max(epoch) — an empty manifest
+    // emits nothing (sequence over a null max explodes to zero rows);
+    // a lost TAIL epoch is invisible here by design (the check cannot
+    // know the intended epoch count) and shows only through the
+    // manifest_rows == sequences · epochs size relation
+    val gaps = m.agg(max(col("epoch")).as("__mx"))
+      .select(explode(sequence(lit(0L), col("__mx"))).as("epoch"))
+      .join(epochsSeen, Seq("epoch"), "left_anti")
+    shape("duplicate_key", duplicates, mCols.toSet)
+      .unionByName(shape("missing", missing, Set("epoch", "seq_id") ++ eCols))
+      .unionByName(shape("layout_mismatch", layoutMm,
+        mCols.toSet ++ layoutCols.map(c => s"e_$c")))
+      .unionByName(shape("pos_violation", posViol, Set("epoch", unit)))
+      .unionByName(shape("pos_mismatch", posMm, mCols.toSet + "e_pos"))
+      .unionByName(shape("epoch_gap", gaps, Set("epoch")))
   }
 
   /** CURRICULUM SCHEDULE — the annealed ("baby steps") data order: docs
@@ -1098,10 +1257,12 @@ object ShardPack {
     * buckets = 1 — a degenerate but legal call — would be a full-corpus
     * single-task sort). With the range-sort both hazards vanish: a
     * band spreads over as many partitions as its row count needs,
-    * whatever `buckets` is. Each epoch's sorted RDD is persisted
-    * across its two passes for the [[packWithOffsets]] reason: range
-    * boundaries come from sampling, and pass-2 offsets must see
-    * pass-1's exact partitioning. `epochs ≤ 64` (unrolled union).
+    * whatever `buckets` is. Each epoch's two passes share ONE sorted
+    * RDD object — its range boundaries are baked into its shuffle
+    * dependency at construction, so pass 2 re-reads pass 1's exact
+    * partitioning WITHOUT a per-epoch persist (which would hold
+    * ~epochs·corpus/2 rows until release — the r18 advisory).
+    * `epochs ≤ 64` (unrolled union).
     *
     * @return (epoch, bucket, idCol, difficultyCol, pos) — pos is
     *         0-based within (epoch, bucket) in md5("curr:<e>:<id>")
@@ -1120,15 +1281,10 @@ object ShardPack {
     // guard FIRST (the codegen null-short-circuit law): a null or
     // non-castable id/difficulty would otherwise reach the zipWithIndex
     // mapper's getLong as an unnamed NullPointerException in a task
-    def guardedLong(c: String, what: String) =
-      coalesce(
-        assert_true(col(c).cast("long").isNotNull,
-          lit(s"curriculumOrder: $c has a null or non-long-castable " +
-            s"value — every doc needs a $what")).cast("long"),
-        lit(0L)) + col(c).cast("long")
     val sorted = docs
-      .select(guardedLong(idCol, "numeric id").as(idCol),
-        guardedLong(difficultyCol, "numeric difficulty").as(difficultyCol))
+      .select(guardedLong(idCol, "curriculumOrder", "numeric id").as(idCol),
+        guardedLong(difficultyCol, "curriculumOrder", "numeric difficulty")
+          .as(difficultyCol))
       .orderBy(col(difficultyCol), col(idCol))
     val idxSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -1170,8 +1326,19 @@ object ShardPack {
         .filter(col("bucket") < cut)
         .select(col("bucket"), ek.as("__ek"), col(idCol), col(difficultyCol))
         .orderBy(col("bucket"), col("__ek"), col(idCol))
-      val ardd = CacheScope.registerRdd(
-        admitted.rdd.persist(StorageLevel.MEMORY_AND_DISK))
+      // ONE RDD object shared by both passes, deliberately UNPERSISTED:
+      // the range boundaries are sampled once when this RDD is built
+      // (they are baked into its shuffle dependency — re-executing the
+      // RDD re-reads the SAME map outputs with the SAME partitioner and
+      // re-sorts a total order, so pass 2 sees bit-identical partitions
+      // without any cache), and persisting here would hold one
+      // epoch-sized sorted frame PER EPOCH until releaseAll — an
+      // aggregate footprint of ~epochs·corpus/2 rows. The price is one
+      // re-read+re-sort of the epoch's shuffle output when the caller
+      // executes (the map stage itself is skipped — shuffle files
+      // outlive the job); the upstream band frame stays served by the
+      // `ranked` cache.
+      val ardd = admitted.rdd
       // pass 1: per-(partition, band) row counts. Bands are contiguous
       // within a sorted partition, so this is ≤ P + buckets triples —
       // driver-sized at any corpus scale (the globalWriterManifest

@@ -707,10 +707,10 @@ object StreamingOps {
     * desirable (signal ≥ threshold) and undesirable candidates. Unlike
     * [[preferencePairsStream]]'s content-carrying min/max state, the
     * per-prompt state here is TWO LONGS — O(1) and slim, the cleanest
-    * bounded-state story in the preference family (total state still
-    * grows with prompt cardinality in this complete-mode form; for an
-    * unbounded keyspace, [[preferencePairsFinalStream]]'s
-    * quiescence-eviction discipline is the template). The
+    * bounded-state story in the preference family (total state grows
+    * with prompt cardinality in this complete-mode form — the LIVE
+    * monitor's trade; [[feedbackClassCountsFinalStream]] is the
+    * evicting form for an unbounded prompt firehose). The
     * per-candidate labels and balance weights stay batch-side on the
     * polled sink (the weight needs a counts⋈labels join — a second
     * stage over the streaming agg, the [[preferencePairsStream]]
@@ -738,6 +738,82 @@ object StreamingOps {
           .as("n_undesirable"))
   }
 
+  /** One graded response with its event time — the typed row the
+    * feedback eviction machine consumes.
+    */
+  final case class FeedbackEvent(prompt: String, desirable: Boolean,
+      ts: java.sql.Timestamp)
+
+  /** Per-prompt running class counts + last event time. */
+  final case class FeedbackState(nd: Long, nu: Long, lastSeen: Long)
+
+  final case class FinalCounts(prompt: String, n_desirable: Long,
+      n_undesirable: Long)
+
+  /** The EVICTING feedback-balance monitor —
+    * [[feedbackClassCountsStream]]'s unbounded-keyspace answer via the
+    * [[preferencePairsFinalStream]] quiescence recipe: a prompt's two
+    * counter longs live only while the prompt is ACTIVE; after
+    * `quiesceMs` of event-time silence the prompt CLOSES, its final
+    * (n_desirable, n_undesirable) row emits ONCE (append mode) and the
+    * state drops. The closed row equals the complete-mode aggregation
+    * over exactly the rows that arrived before the close (spec-pinned);
+    * a row arriving after the close (inside the watermark) REOPENS the
+    * prompt as a fresh group; null signals are excluded and NaN fails
+    * loud exactly as in batch. The one documented divergence: rows
+    * with a NULL event time are excluded — a time-based protocol
+    * cannot place them.
+    *
+    * @return streaming (prompt, n_desirable, n_undesirable),
+    *         append-mode; one row per CLOSED prompt
+    */
+  def feedbackClassCountsFinalStream(
+      responses: DataFrame,
+      promptCol: String,
+      signalCol: String,
+      threshold: Double,
+      tsCol: String,
+      quiesceMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(quiesceMs > 0, s"quiesceMs must be positive, got $quiesceMs")
+    val spark = responses.sparkSession
+    import spark.implicits._
+    val typed = graft.scale.Dialogue.signalGated(
+      responses, signalCol, "feedbackClassCountsFinalStream",
+      "it would silently count undesirable")
+      .filter(col(tsCol).isNotNull)
+      .select(
+        col(promptCol).cast("string").as("prompt"),
+        (col(signalCol) >= lit(threshold)).as("desirable"),
+        col(tsCol).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[FeedbackEvent]
+    typed
+      .groupByKey(_.prompt)
+      .flatMapGroupsWithState[FeedbackState, FinalCounts](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (prompt: String, rows: Iterator[FeedbackEvent], state: GroupState[FeedbackState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(FinalCounts(prompt, s.nd, s.nu))
+          } else {
+            var s = state.getOption.getOrElse(FeedbackState(0L, 0L, Long.MinValue))
+            rows.foreach { e =>
+              s = FeedbackState(
+                s.nd + (if (e.desirable) 1L else 0L),
+                s.nu + (if (e.desirable) 0L else 1L),
+                math.max(s.lastSeen, e.ts.getTime))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.lastSeen + quiesceMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
   /** The LIVE trajectory-signal reducer —
     * [[graft.scale.Dialogue.turnSignalReduce]] as a continuous
     * aggregation (complete mode): per (group, trajectory) the running
@@ -749,10 +825,10 @@ object StreamingOps {
     * law matters doubly here (a floating running sum would also drift
     * with arrival order). NaN fails loud and the overflow guard rides
     * the output exactly as in batch. Total state grows with trajectory
-    * cardinality (complete mode); for an unbounded trajectory firehose
-    * the [[preferencePairsFinalStream]] quiescence-eviction discipline
-    * is the template. Stream == batch at every micro-batch prefix,
-    * spec-pinned.
+    * cardinality (complete mode) — the LIVE monitor's trade;
+    * [[trajectorySignalFinalStream]] is the evicting form for an
+    * unbounded trajectory firehose. Stream == batch at every
+    * micro-batch prefix, spec-pinned.
     *
     * @return streaming (groupCol, trajCol, signal_milli,
     *         n_reward_turns), complete-mode
@@ -763,6 +839,102 @@ object StreamingOps {
       trajCol: String,
       rewardCol: String): DataFrame =
     graft.scale.Dialogue.turnSignalReduce(turnRewards, groupCol, trajCol, rewardCol)
+
+  /** One quantized per-turn reward with its event time — the typed row
+    * the trajectory eviction machine consumes (the reward is ALREADY
+    * milli-quantized in-plan: quantize-FIRST is the batch law, and the
+    * state machine must fold the same integers).
+    */
+  final case class RewardEvent(grp: String, traj: Long, qMilli: Long,
+      ts: java.sql.Timestamp)
+
+  /** Per-trajectory running (sum, count) + last event time. */
+  final case class TrajState(sum: Long, n: Long, lastSeen: Long)
+
+  final case class FinalSignal(grp: String, traj: Long,
+      signal_milli: Long, n_reward_turns: Long)
+
+  /** The EVICTING trajectory-signal reducer —
+    * [[trajectorySignalStream]]'s unbounded-keyspace answer via the
+    * [[preferencePairsFinalStream]] quiescence recipe: a (group,
+    * trajectory)'s state is TWO LONGS plus a timestamp, held only
+    * while the trajectory is ACTIVE; after `quiesceMs` of event-time
+    * silence it CLOSES, its final [[graft.scale.Dialogue.turnSignalReduce]]
+    * row emits ONCE (append mode) and the state drops — a grading
+    * firehose holds state only for dialogues inside the quiescence
+    * horizon. The closed row equals the batch reduction over exactly
+    * the rows that arrived before the close (spec-pinned): the same
+    * quantize-FIRST law (each reward ⌊·1000⌋ in-plan, integers fold in
+    * the state machine), the same null-reward exclusion (an all-null
+    * trajectory never opens state and closes silently, exactly the
+    * batch omission), the same NaN fail-loud; the running sum folds
+    * with Math.addExact so an overflowing trajectory fails BY NAME —
+    * the batch decimal guard's state-machine analogue. A late row
+    * inside the watermark REOPENS the trajectory as a fresh group.
+    * The one documented divergence: rows with a NULL event time are
+    * excluded — a time-based protocol cannot place them.
+    *
+    * @return streaming (grp, traj, signal_milli, n_reward_turns),
+    *         append-mode; one row per CLOSED trajectory
+    */
+  def trajectorySignalFinalStream(
+      turnRewards: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      rewardCol: String,
+      tsCol: String,
+      quiesceMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(quiesceMs > 0, s"quiesceMs must be positive, got $quiesceMs")
+    val spark = turnRewards.sparkSession
+    import spark.implicits._
+    val ok = !isnan(col(rewardCol)) &&
+      abs(col(rewardCol)) < lit(9.223372036854775e15)
+    val typed = turnRewards
+      .filter(col(rewardCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(groupCol).cast("string").as("grp"),
+        col(trajCol).cast("long").as("traj"),
+        // guard FIRST (the codegen null-short-circuit law)
+        (coalesce(
+          assert_true(ok,
+            lit("trajectorySignalFinalStream: reward NaN or out of milli-" +
+              "quantization range (|reward| must be < 2^63/1000)"))
+            .cast("long"),
+          lit(0L)) + floor(col(rewardCol) * 1000).cast("long")).as("qMilli"),
+        col(tsCol).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[RewardEvent]
+    typed
+      .groupByKey(e => (e.grp, e.traj))
+      .flatMapGroupsWithState[TrajState, FinalSignal](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, Long), rows: Iterator[RewardEvent], state: GroupState[TrajState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(FinalSignal(key._1, key._2, s.sum, s.n))
+          } else {
+            var s = state.getOption.getOrElse(TrajState(0L, 0L, Long.MinValue))
+            rows.foreach { e =>
+              val sum =
+                try Math.addExact(s.sum, e.qMilli)
+                catch {
+                  case _: ArithmeticException => throw new IllegalArgumentException(
+                    "trajectorySignalFinalStream: trajectory milli sum " +
+                      "exceeds a long — the reduction would wrap silently; " +
+                      "rescale the rewards")
+                }
+              s = TrajState(sum, s.n + 1L, math.max(s.lastSeen, e.ts.getTime))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.lastSeen + quiesceMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
 
   /** The LIVE half of the drift monitor: running per-feature-bucket
     * token counts over the arriving target-era stream — the exact
@@ -957,5 +1129,8 @@ object StreamingOps {
     "retrieveStream" -> OutputMode.Append(), // stateless
     "nearDupMatchesStream" -> OutputMode.Append(), // stateless
     "dsirScoreStream" -> OutputMode.Append(), // stateless
+    "preferencePairsFinalStream" -> OutputMode.Append(), // eviction
+    "feedbackClassCountsFinalStream" -> OutputMode.Append(), // eviction
+    "trajectorySignalFinalStream" -> OutputMode.Append(), // eviction
     "cmsSketchStream" -> OutputMode.Complete())
 }

@@ -494,11 +494,18 @@ class PlanGuardSpec extends SparkSpec {
       // q172: the 1-row total-count agg feeding the band-cut broadcast
       // (the rank itself is range-sort + zipWithIndex — no window)
       "q172_curriculum_order" -> 1,
-      // q177/q180: the manifest fscks' EIGHT 1-row check rows (sizes +
-      // violation counters incl. the exact pos re-derivation), each a
-      // global agg over sequence-count-sized frames — q118/q160's
-      // report-by-contract class
-      "q177_manifest_check" -> 8, "q180_manifest_check_bestfit" -> 8,
+      // q177/q180: the manifest fscks' three 1-row SIZE aggs plus the
+      // quarantine's epoch-gap max agg — the violation counters are now
+      // the quarantine frame's per-label counts (a KEYED agg, off this
+      // budget; r19's counters == labels refactor)
+      "q177_manifest_check" -> 4, "q180_manifest_check_bestfit" -> 4,
+      // q181: the quarantine frame itself — only the epoch-gap max agg
+      // is global; every label branch is keyed
+      "q181_manifest_quarantine" -> 1,
+      // q182: the piece-vocabulary rank window inside encodeIndexedIds —
+      // q146's vocabulary-sized-by-construction class; the interleave
+      // and the channel materializer add keyed work only
+      "q182_interleaved_sequences" -> 1,
       // q179: q172's 1-row total-count agg (the schedule it filters)
       "q179_curriculum_resume" -> 1,
       // q178: TWO piece-vocabulary rank windows (the round-trip's

@@ -639,6 +639,24 @@ class CorpusOpsSpec extends SparkSpec {
       "per-epoch permutations differ")
   }
 
+  test("writer manifests: a null/non-castable bin or count fails with a NAMED error, not a task NPE (r18 advisory)") {
+    import spark.implicits._
+    val badSeq = Seq((Some(0L), 5L, 1L), (None, 7L, 1L))
+      .toDF("bin", "n_tokens", "n_docs")
+    val errS = intercept[Exception] {
+      ShardPack.splitWriterManifest(badSeq, 10L, 1).collect()
+    }
+    assert(Option(errS.getMessage).getOrElse(errS.toString)
+      .contains("splitWriterManifest"), s"named guard, got: ${errS.getMessage}")
+    val badLay = Seq((1L, Some(5L), 0L, 0L, false), (2L, None, 0L, 1L, false))
+      .toDF("doc_id", "n_tokens", "shard", "bin", "oversize")
+    val errG = intercept[Exception] {
+      ShardPack.globalWriterManifest(badLay, 10L, 1).collect()
+    }
+    assert(Option(errG.getMessage).getOrElse(errG.toString)
+      .contains("globalWriterManifest"), s"named guard, got: ${errG.getMessage}")
+  }
+
   test("checkSplitManifest: clean manifest is all-zero; every corruption class fires its own counter") {
     import spark.implicits._
     val seqLen = 60L
@@ -652,8 +670,8 @@ class CorpusOpsSpec extends SparkSpec {
     val clean = checks(manifest)
     assert(clean("sequences_export") === 10L)
     assert(clean("manifest_rows") === 20L && clean("epochs_seen") === 2L)
-    Seq("duplicate_manifest_keys", "missing_sequences", "layout_mismatches",
-      "pos_violations", "pos_mismatches").foreach(c =>
+    Seq("epoch_gaps", "duplicate_manifest_keys", "missing_sequences",
+      "layout_mismatches", "pos_violations", "pos_mismatches").foreach(c =>
       assert(clean(c) === 0L, s"clean manifest must report 0 $c"))
     // (a) a duplicated (epoch, seq_id) row
     val dup = checks(manifest.unionByName(manifest.limit(1)))
@@ -698,6 +716,19 @@ class CorpusOpsSpec extends SparkSpec {
       relabeled("layout_mismatches") === 0L)
     assert(relabeled("pos_mismatches") >= 1L,
       "a relabeled epoch must fail its own label's permutation")
+    assert(relabeled("epoch_gaps") === 4L,
+      "the relabel leaves epochs 1..4 as named gaps below max(epoch)=5")
+    // (f) a whole LOST epoch: an interior loss fires the named
+    // epoch_gaps counter; a TAIL loss is invisible to it by design
+    // (the check cannot know the intended epoch count) and shows only
+    // through manifest_rows != sequences · epochs
+    val lostInterior = checks(manifest.filter(col("epoch") =!= 0L))
+    assert(lostInterior("epoch_gaps") === 1L &&
+      lostInterior("epochs_seen") === 1L)
+    val lostTail = checks(manifest.filter(col("epoch") =!= 1L))
+    assert(lostTail("epoch_gaps") === 0L &&
+      lostTail("manifest_rows") === 10L,
+      "tail loss reads clean on gaps — the size relation is the signal")
     // (e) a FOREIGN seq_id is a mismatch and must not mask a missing one
     val foreign = checks(manifest.withColumn("seq_id",
       when(col("epoch") === 1L && col("seq_id") === 4L, lit(99L))
@@ -743,8 +774,8 @@ class CorpusOpsSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val clean = checks(manifest)
     assert(clean("manifest_rows") === clean("sequences_export") * 2)
-    Seq("duplicate_manifest_keys", "missing_sequences", "layout_mismatches",
-      "pos_violations", "pos_mismatches").foreach(c =>
+    Seq("epoch_gaps", "duplicate_manifest_keys", "missing_sequences",
+      "layout_mismatches", "pos_violations", "pos_mismatches").foreach(c =>
       assert(clean(c) === 0L, s"clean manifest must report 0 $c"))
     // corrupt pos inside the largest SHARD (the best-fit permutation
     // unit): all-zero pos there duplicates and gaps. Pick a shard with
@@ -764,6 +795,88 @@ class CorpusOpsSpec extends SparkSpec {
       when(col("epoch") === 1L && col("seq_id") === 0L, col("shard") + 5L)
         .otherwise(col("shard"))))
     assert(flipped("layout_mismatches") === 1L)
+  }
+
+  test("quarantine manifests: clean is EMPTY; counters == per-label counts (law); corrections are the generator's own rows") {
+    val docs = shardDocs(80)
+    val fileBudget = 150L
+    val layout = ShardPack.packBestFit(docs, "doc_id", "n_tok", 60L, 400L)
+    val manifest = ShardPack.globalWriterManifest(layout, fileBudget, epochs = 2)
+    assert(ShardPack.quarantineBestFitManifest(manifest, layout, fileBudget)
+      .isEmpty, "a clean manifest quarantines nothing")
+    // corruption battery — every class must fire
+    val corrupted = manifest
+      .filter(!(col("epoch") === 1L && col("seq_id") % 5L === 0L))
+      .withColumn("fill",
+        when(col("epoch") === 0L && col("seq_id") % 7L === 2L, col("fill") + 5L)
+          .otherwise(col("fill")))
+      .withColumn("pos",
+        when(col("epoch") === 1L && col("seq_id") % 9L === 3L, col("pos") + 100L)
+          .otherwise(col("pos")))
+      .unionByName(manifest.filter(
+        col("epoch") === 0L && col("seq_id") % 6L === 1L))
+      .withColumn("epoch", when(col("epoch") === 1L, 3L).otherwise(col("epoch")))
+    val q = ShardPack.quarantineBestFitManifest(corrupted, layout, fileBudget)
+      .collect()
+    val byLabel = q.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val checks = ShardPack.checkBestFitManifest(corrupted, layout, fileBudget)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // THE LAW: every violation counter equals the quarantine frame's
+    // per-label count (zero-filled)
+    for ((check, label) <- Seq(
+      "epoch_gaps" -> "epoch_gap",
+      "duplicate_manifest_keys" -> "duplicate_key",
+      "missing_sequences" -> "missing",
+      "layout_mismatches" -> "layout_mismatch",
+      "pos_violations" -> "pos_violation",
+      "pos_mismatches" -> "pos_mismatch"))
+      assert(checks(check) === byLabel.getOrElse(label, 0L),
+        s"$check == count of '$label' rows")
+    Seq("epoch_gap", "duplicate_key", "missing", "layout_mismatch",
+      "pos_violation", "pos_mismatch").foreach(l =>
+      assert(byLabel.getOrElse(l, 0L) > 0L, s"the battery must fire $l"))
+    // corrections: a missing row is the generator's COMPLETE row for
+    // its (epoch, seq_id) — a loader can union it back in. The clean
+    // manifest (epoch 3 reads the relabeled epoch-3 permutation, so
+    // compare against a 4-epoch generator run restricted to seen epochs)
+    val clean4 = ShardPack.globalWriterManifest(layout, fileBudget, epochs = 4)
+      .collect().map { r =>
+        (r.getLong(6), r.getLong(4)) ->
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(5), r.getLong(7))
+      }.toMap
+    val missing = q.filter(_.getString(0) == "missing")
+    assert(missing.nonEmpty)
+    missing.foreach { r =>
+      val key = (r.getLong(1), r.getLong(2))
+      val (sh, bn, fl, nd, fi, po) = clean4(key)
+      assert(r.getLong(9) === sh && r.getLong(10) === bn &&
+        r.getLong(11) === fl && r.getLong(12) === nd &&
+        r.getLong(13) === fi && r.getLong(14) === po,
+        s"missing correction equals the generator row at $key")
+      assert(r.isNullAt(3) && r.isNullAt(8),
+        "manifest layout/pos cells are null on a missing row")
+    }
+    // a pos_mismatch row carries the exact generator e_pos correction
+    val pmm = q.filter(_.getString(0) == "pos_mismatch")
+    assert(pmm.nonEmpty)
+    pmm.foreach { r =>
+      val key = (r.getLong(1), r.getLong(2))
+      assert(r.getLong(14) === clean4(key)._6, s"e_pos is the generator pos at $key")
+      assert(r.getLong(8) !== r.getLong(14), "the row actually drifted")
+    }
+    // the split twin: clean is empty too
+    import spark.implicits._
+    val seqs = ((0L until 9L).map(b => (b, 60L, b % 3 + 1)) :+ ((9L, 23L, 2L)))
+      .toDF("bin", "n_tokens", "n_docs")
+    val splitMan = ShardPack.splitWriterManifest(seqs, 150L, epochs = 2)
+    assert(ShardPack.quarantineSplitManifest(splitMan, seqs, 150L).isEmpty,
+      "clean split manifest quarantines nothing")
+    // and a duplicated split row is labeled with the keep-rule applied
+    val dup = ShardPack.quarantineSplitManifest(
+      splitMan.unionByName(splitMan.limit(1)), seqs, 150L).collect()
+    assert(dup.count(_.getString(0) == "duplicate_key") === 1L,
+      "one extra copy → one duplicate_key row")
   }
 
   test("globalWriterManifest: seq_id bijection, exact file rule, one row per (epoch, sequence)") {

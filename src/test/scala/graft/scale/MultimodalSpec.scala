@@ -379,7 +379,99 @@ class MultimodalSpec extends SparkSpec {
     assert(kept2 === Set(10L, 11L), "audio identity alone never merges")
   }
 
-  test("jointPairDedup assignment contracts: duplicate doc key refuses eagerly; a caption-pair doc missing from assign fails loud") {
+  test("interleavedTokenStream: placeholder at position 0, text shifted by one, unassigned docs pass through, payload-only docs emit") {
+    // doc 1: two text tokens + an assignment; doc 2: text only (no
+    // assignment — unshifted); doc 3: assignment only (a payload-only
+    // sample — e.g. an image with an empty caption)
+    val stream = Seq((1L, 0L, 10L), (1L, 1L, 11L), (2L, 0L, 20L))
+      .toDF("doc_id", "tok_idx", "token_id")
+    val assign = Seq((1L, 7L), (3L, 9L)).toDF("doc_id", "img_key")
+    val out = Multimodal.interleavedTokenStream(
+      stream, assign, "doc_id", "img_key")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 0L, -2L, 7L), (1L, 1L, 10L, -1L), (1L, 2L, 11L, -1L),
+      (2L, 0L, 20L, -1L),
+      (3L, 0L, -2L, 9L)))
+    // token conservation: text rows + one placeholder per assignment
+    assert(out.size === 3 + 2)
+    // the placeholder id must stay outside the vocabulary (ids are
+    // nonnegative by the pieceVocab contract)
+    intercept[IllegalArgumentException] {
+      Multimodal.interleavedTokenStream(stream, assign, "doc_id", "img_key",
+        placeholderId = 5L)
+    }
+    // duplicate / null assignment keys refuse IN-PLAN by name (the
+    // jointPairDedup union-branch discipline)
+    val dup = Seq((1L, 7L), (1L, 8L)).toDF("doc_id", "img_key")
+    val errD = intercept[Exception] {
+      Multimodal.interleavedTokenStream(stream, dup, "doc_id", "img_key")
+        .collect()
+    }
+    assert(Option(errD.getMessage).getOrElse(errD.toString)
+      .contains("duplicate"), s"named: ${errD.getMessage}")
+    val nulKey = Seq((Some(1L), Some(7L)), (Some(2L), None))
+      .toDF("doc_id", "img_key")
+    val errK = intercept[Exception] {
+      Multimodal.interleavedTokenStream(stream, nulKey, "doc_id", "img_key")
+        .collect()
+    }
+    assert(Option(errK.getMessage).getOrElse(errK.toString)
+      .contains("null payload key"), s"named: ${errK.getMessage}")
+    val nulId = Seq((Some(1L), 7L), (None, 8L)).toDF("doc_id", "img_key")
+    val errI = intercept[Exception] {
+      Multimodal.interleavedTokenStream(stream, nulId, "doc_id", "img_key")
+        .collect()
+    }
+    assert(Option(errI.getMessage).getOrElse(errI.toString)
+      .contains("null doc id"), s"named: ${errI.getMessage}")
+  }
+
+  test("interleavedTokenStream composes with the channel materializer: payload keys ride placeholder positions; modality conservation; fsck green") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta"), (4L, "eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesFast(docs, "text", 4)
+    val stream = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
+    val assign = Seq((1L, 101L), (3L, 103L)).toDF("doc_id", "img_key")
+    val inter = Multimodal.interleavedTokenStream(
+      stream, assign, "doc_id", "img_key")
+    val packed = ShardPack.materializeSequencesWithChannels(
+      inter, "doc_id", Seq("payload_key"), seqLen = 8L)
+    val rows = packed.collect()
+    // channel alignment: key >= 0 exactly where token_id == placeholder
+    rows.foreach { r =>
+      val toks = r.getSeq[Long](r.fieldIndex("token_ids"))
+      val keys = r.getSeq[Long](r.fieldIndex("payload_key"))
+      assert(toks.length === keys.length)
+      toks.zip(keys).foreach { case (t, k) =>
+        assert((t == -2L) === (k >= 0L),
+          s"payload keys ride exactly the placeholder positions: ($t, $k)")
+      }
+    }
+    // modality conservation: Σ placeholders == assignment count;
+    // Σ tokens == text tokens + placeholders
+    val nPlace = rows.map(r =>
+      r.getSeq[Long](r.fieldIndex("token_ids")).count(_ == -2L)).sum
+    assert(nPlace === 2L)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === stream.count() + 2L)
+    // the export is a legal split layout: its own writer manifest
+    // passes the fsck clean (the multimodal loader contract end to end)
+    val manifest = ShardPack.splitWriterManifest(
+      packed.select(col("bin"), col("n_tokens"), col("n_docs")),
+      fileBudget = 16L, epochs = 2)
+    val checks = ShardPack.checkSplitManifest(manifest,
+      packed.select(col("bin"), col("n_tokens"), col("n_docs")),
+      fileBudget = 16L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("epoch_gaps", "duplicate_manifest_keys", "missing_sequences",
+      "layout_mismatches", "pos_violations", "pos_mismatches").foreach(c =>
+      assert(checks(c) === 0L, s"fsck clean on the interleaved export: $c"))
+  }
+
+  test("jointPairDedup assignment contracts: duplicate/null doc key refuses in-plan; a caption-pair doc missing from assign fails loud") {
     val images = Multimodal.imageFeatures(Seq(
       Multimodal.Asset(1L, "image", fixture("halfred.jpg"), "jpeg")).toDS())
       .toDF()
@@ -387,23 +479,37 @@ class MultimodalSpec extends SparkSpec {
     val capA = "alpha beta gamma delta epsilon"
     val docs = Seq((1L, capA, 1L), (2L, capA, 2L))
       .toDF("doc_id", "text", "priority")
-    // duplicate assignment key: refused at plan-construction (eager —
-    // a join fan-out would double the pairs; EagerContracts)
+    // duplicate assignment key: refused IN-PLAN by the asserting union
+    // branch (zero eager cost — no Spark job fires unless the composed
+    // plan executes; the branch is a union child, so AQE cannot plan it
+    // away like a join-output assert). A join fan-out would otherwise
+    // double the pairs.
     val dup = Seq((1L, "jpg"), (1L, "jpg"), (2L, "jpg"))
       .toDF("doc_id", "img")
-    val errD = intercept[IllegalArgumentException] {
+    val errD = intercept[Exception] {
       Multimodal.imageTextPairDedup(docs, dup, images,
-        "doc_id", "text", "priority", "img")
+        "doc_id", "text", "priority", "img").collect()
     }
-    assert(errD.getMessage.contains("duplicate"))
+    assert(Option(errD.getMessage).getOrElse(errD.toString)
+      .contains("duplicate doc key"),
+      s"duplicate assignment must refuse by name: ${errD.getMessage}")
     // null assignment key: named as null, not miscounted as duplicate
-    val nul = Seq((Some(1L), "jpg"), (None, "jpg"))
+    // (both docs covered so the null branch is the ONLY violating one —
+    // an uncovered doc would race its own asserting branch)
+    val nul = Seq((Some(1L), "jpg"), (Some(2L), "jpg"), (None, "jpg"))
       .toDF("doc_id", "img")
-    val errN = intercept[IllegalArgumentException] {
+    val errN = intercept[Exception] {
       Multimodal.imageTextPairDedup(docs, nul, images,
-        "doc_id", "text", "priority", "img")
+        "doc_id", "text", "priority", "img").collect()
     }
-    assert(errN.getMessage.contains("null key"))
+    assert(Option(errN.getMessage).getOrElse(errN.toString)
+      .contains("null doc key"),
+      s"null assignment key must refuse by name: ${errN.getMessage}")
+    // NOTE: no construction-silence assertion — dedupByClusterPriority's
+    // CC fixpoint is eager by nature, so composing this operator always
+    // runs jobs; the point of the union branch is that the ONLY eager
+    // work is the operator's own, with the guard riding it in-plan
+    // (EagerContracts' doc and its callers now agree).
     // a doc that forms a caption pair but has NO assignment row: the
     // pair would silently drop from the joint edge set — must refuse
     // BY NAME (a non-null message alone would green on any incidental

@@ -841,6 +841,70 @@ class PreferencePairsSpec extends SparkSpec {
     }
     assert(errG.getMessage.contains("duplicate"))
   }
+
+  test("turnReturnsToGo: quantize-then-horner EXACT integers (float diverges on the pinned fixture); γ=1 ≡ suffix sum ≡ turnSignalReduce; γ=0 ≡ per-turn (q183)") {
+    val rewards = Seq(
+      // traj 1: q = (−1, −3) at γ=0.5 → R1 = −3, R0 = −1 + trunc(−1.5)
+      // = −2. The FLOAT pipeline (discount in doubles, quantize last)
+      // gives floor(−0.0025·1000) = −3 — the divergence this pins.
+      ("g", 1L, 10L, 100L, Some(-0.001)), ("g", 1L, 20L, 101L, Some(-0.003)),
+      // traj 2: q = (1001, 0 [null], 2999); γ=0.5 → R2 = 2999,
+      // R1 = 0 + trunc(1499.5) = 1499, R0 = 1001 + trunc(749.5) = 1750.
+      // The null-reward turn contributes 0 but OCCUPIES its discount
+      // step (a decision happened; its measured reward is absent).
+      ("g", 2L, 10L, 200L, Some(1.0017)),
+      ("g", 2L, 20L, 201L, None: Option[Double]),
+      ("g", 2L, 30L, 202L, Some(2.9995))
+    ).toDF("grp", "traj", "ts", "id", "reward")
+    def run(gammaPpm: Long) =
+      Dialogue.turnReturnsToGo(rewards, "grp", "traj", "ts", "id", "reward",
+        gammaPpm)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2)) ->
+          (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+    val half = run(500000L)
+    assert(half((1L, 100L)) === (("g", 0L, -1L, -2L)),
+      "trunc-toward-zero at EVERY step: −1 + trunc(−1.5) = −2, not the float −3")
+    assert(half((1L, 101L)) === (("g", 1L, -3L, -3L)))
+    assert(half((2L, 200L)) === (("g", 0L, 1001L, 1750L)))
+    assert(half((2L, 201L)) === (("g", 1L, 0L, 1499L)),
+      "a null-reward turn contributes 0 but keeps its discount step")
+    assert(half((2L, 202L)) === (("g", 2L, 2999L, 2999L)))
+    // γ = 1: returns are exact suffix sums, and turn 0's return equals
+    // turnSignalReduce's trajectory signal (the composition law)
+    val full = run(1000000L)
+    assert(full((2L, 200L))._4 === 4000L && full((2L, 201L))._4 === 2999L)
+    val signals = Dialogue.turnSignalReduce(rewards, "grp", "traj", "reward")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    Seq(1L, 2L).foreach(t =>
+      assert(full((t, if (t == 1L) 100L else 200L))._4 === signals(t),
+        s"γ=1 return-at-turn-0 == turnSignalReduce signal for traj $t"))
+    // γ = 0: each turn keeps only its own reward
+    val zero = run(0L)
+    zero.foreach { case (_, (_, _, q, r)) => assert(q === r) }
+    // guards: γ outside [0, 1e6] refuses; NaN refuses; a Horner step
+    // that would overflow a long refuses BY NAME, never wraps
+    intercept[IllegalArgumentException] {
+      Dialogue.turnReturnsToGo(rewards, "grp", "traj", "ts", "id", "reward",
+        1000001L)
+    }
+    val errN = intercept[Exception] {
+      Dialogue.turnReturnsToGo(
+        Seq(("g", 1L, 1L, 1L, Double.NaN)).toDF("grp", "traj", "ts", "id", "reward"),
+        "grp", "traj", "ts", "id", "reward", 500000L).collect()
+    }
+    assert(errN.getMessage != null)
+    val errO = intercept[Exception] {
+      Dialogue.turnReturnsToGo(
+        Seq(("g", 1L, 1L, 1L, 8.0e15), ("g", 1L, 2L, 2L, 8.0e15))
+          .toDF("grp", "traj", "ts", "id", "reward"),
+        "grp", "traj", "ts", "id", "reward", 1000000L).collect()
+    }
+    assert(Option(errO.getMessage).getOrElse(errO.toString)
+      .contains("turnReturnsToGo"),
+      s"overflow must refuse by name: ${errO.getMessage}")
+  }
 }
 
 /** Small helper shared by packing-family specs: collect the

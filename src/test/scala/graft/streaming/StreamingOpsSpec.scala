@@ -853,6 +853,91 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trajectorySignalFinalStream: quiescent trajectories close with their BATCH reduction, state evicted, reopen fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // traj (g1,1): two rewards (quantize-then-sum 1001+2999=4000);
+    // (g1,2): one reward + a null (null excluded — n stays 1);
+    // (g2,3): one negative reward; (g3,4): all-null (never opens state)
+    val w1 = Seq(
+      ("g1", 1L, Some(1.0017), ts(10)), ("g1", 1L, Some(2.9995), ts(11)),
+      ("g1", 2L, Some(0.5), ts(11)), ("g1", 2L, None: Option[Double], ts(12)),
+      ("g2", 3L, Some(-1.0001), ts(12)),
+      ("g3", 4L, None: Option[Double], ts(11)))
+    val input = MemoryStream[(String, Long, Option[Double], java.sql.Timestamp)]
+    val q = StreamingOps.trajectorySignalFinalStream(
+        input.toDF().toDF("grp", "traj", "reward", "ts"),
+        "grp", "traj", "reward", "ts",
+        quiesceMs = 10 * 60000L, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("traj_final")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(w1: _*); q.processAllAvailable()
+      assert(spark.table("traj_final").count() === 0L,
+        "active trajectories emit nothing")
+      input.addData(("gz", 99L, Some(1.0), ts(120))); q.processAllAvailable()
+      val closed = spark.table("traj_final")
+        .select("grp", "traj", "signal_milli", "n_reward_turns")
+      val want = rowSeqs(graft.scale.Dialogue.turnSignalReduce(
+        spark.createDataFrame(w1).toDF("grp", "traj", "reward", "ts")
+          .drop("ts"),
+        "grp", "traj", "reward"))
+      assert(rowSeqs(closed) === want,
+        "closed trajectories equal the batch reduction over their rows")
+      assert(closed.count() === 3L, "the all-null trajectory never opened")
+      // reopen (g1,1) after its close: the fresh group sees ONLY the
+      // post-close reward — the state-eviction observable
+      input.addData(("g1", 1L, Some(5.0), ts(130))); q.processAllAvailable()
+      input.addData(("gz2", 98L, Some(1.0), ts(300))); q.processAllAvailable()
+      val again = spark.table("traj_final")
+        .filter(col("grp") === "g1" && col("traj") === 1L &&
+          col("signal_milli") === 5000L)
+        .collect()
+      assert(again.length === 1 && again.head.getAs[Long]("n_reward_turns") === 1L,
+        "the reopened trajectory saw ONLY post-close rows")
+    } finally q.stop()
+  }
+
+  test("feedbackClassCountsFinalStream: quiescent prompts close with their BATCH class counts, state evicted, reopen fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // prompt A: 2 desirable (>= 3.0) + 1 undesirable + a null (excluded);
+    // prompt B: all undesirable
+    val w1 = Seq(
+      ("A", Some(5.0), ts(10)), ("A", Some(3.0), ts(11)),
+      ("A", Some(1.0), ts(12)), ("A", None: Option[Double], ts(12)),
+      ("B", Some(2.0), ts(11)), ("B", Some(0.5), ts(12)))
+    val input = MemoryStream[(String, Option[Double], java.sql.Timestamp)]
+    val q = StreamingOps.feedbackClassCountsFinalStream(
+        input.toDF().toDF("prompt", "value", "ts"),
+        "prompt", "value", threshold = 3.0, "ts",
+        quiesceMs = 10 * 60000L, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("fb_final")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(w1: _*); q.processAllAvailable()
+      assert(spark.table("fb_final").count() === 0L, "active prompts emit nothing")
+      input.addData(("Z", Some(1.0), ts(120))); q.processAllAvailable()
+      val closed = spark.table("fb_final")
+      val streamed = rowSeqs(closed)
+      val want = rowSeqs(StreamingOps.feedbackClassCountsStream(
+        spark.createDataFrame(w1).toDF("prompt", "value", "ts").drop("ts"),
+        "prompt", "value", 3.0))
+      assert(streamed === want,
+        "closed prompts equal the batch class counts over their rows")
+      assert(closed.count() === 2L)
+      // reopen A: fresh counts, old state evicted
+      input.addData(("A", Some(9.0), ts(130))); q.processAllAvailable()
+      input.addData(("Z2", Some(1.0), ts(300))); q.processAllAvailable()
+      val again = spark.table("fb_final")
+        .filter(col("prompt") === "A" && col("n_desirable") === 1L &&
+          col("n_undesirable") === 0L)
+      assert(again.count() === 1L, "the reopened prompt saw ONLY post-close rows")
+    } finally q.stop()
+  }
+
   test("preferencePairsFinalStream: quiescent prompts close with their BATCH pair, state is evicted, reopened prompts start fresh") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
