@@ -1006,18 +1006,12 @@ object Dialogue {
       groupCol: String,
       trajCol: String,
       rewardCol: String): DataFrame = {
-    val ok = !isnan(col(rewardCol)) &&
-      abs(col(rewardCol)) < lit(9.223372036854775e15)
     val fits = abs(col("__sum")) < lit(BigDecimal("9223372036854775808"))
     turnRewards
       .filter(col(rewardCol).isNotNull)
       .select(col(groupCol), col(trajCol),
-        // guard FIRST (the codegen null-short-circuit law)
-        (coalesce(
-          assert_true(ok,
-            lit("turnSignalReduce: reward NaN or out of milli-quantization " +
-              "range (|reward| must be < 2^63/1000)")).cast("long"),
-          lit(0L)) + floor(col(rewardCol) * 1000).cast("long")).as("__r"))
+        graft.ops.Guards.quantizedMilli(rewardCol, "turnSignalReduce")
+          .as("__r"))
       .groupBy(col(groupCol), col(trajCol))
       .agg(sum(col("__r").cast("decimal(38,0)")).as("__sum"),
         count(lit(1)).as("n_reward_turns"))
@@ -1106,15 +1100,9 @@ object Dialogue {
       gammaPpm: Long): DataFrame = {
     require(gammaPpm >= 0L && gammaPpm <= 1000000L,
       s"turnReturnsToGo: gammaPpm must be in [0, 1000000], got $gammaPpm")
-    val ok = !isnan(col(rewardCol)) &&
-      abs(col(rewardCol)) < lit(9.223372036854775e15)
-    def guardedLong(c: String) =
-      coalesce(
-        assert_true(col(c).cast("long").isNotNull,
-          lit(s"turnReturnsToGo: $c has a null or non-long-castable value " +
-            "— the turn order needs numeric (ts, id)")).cast("long"),
-        lit(0L)) + col(c).cast("long")
     val fold = udf((turns: Seq[org.apache.spark.sql.Row]) => {
+      // R starts at 0, so the last turn's step is q + (γ·0) div 10^6 =
+      // q — R_last = q_last falls out of the recurrence itself
       var r = 0L
       var i = turns.length - 1
       val out = new Array[(Long, Long, Long, Long)](turns.length)
@@ -1122,10 +1110,7 @@ object Dialogue {
         val t = turns(i)
         val q = t.getLong(2)
         r =
-          try
-            Math.addExact(q,
-              if (i == turns.length - 1) 0L
-              else Math.multiplyExact(gammaPpm, r) / 1000000L)
+          try Math.addExact(q, Math.multiplyExact(gammaPpm, r) / 1000000L)
           catch {
             case _: ArithmeticException => throw new IllegalArgumentException(
               "turnReturnsToGo: a discounted return overflows a long — " +
@@ -1138,16 +1123,13 @@ object Dialogue {
     })
     turnRewards
       .select(col(groupCol), col(trajCol),
-        guardedLong(tsCol).as("__ts"), guardedLong(idCol).as("__id"),
+        graft.ops.Guards.guardedLong(tsCol, "turnReturnsToGo",
+          "numeric turn-order key").as("__ts"),
+        graft.ops.Guards.guardedLong(idCol, "turnReturnsToGo",
+          "numeric turn-order key").as("__id"),
         when(col(rewardCol).isNull, lit(0L))
           .otherwise(
-            // guard FIRST (the codegen null-short-circuit law)
-            coalesce(
-              assert_true(ok,
-                lit("turnReturnsToGo: reward NaN or out of milli-" +
-                  "quantization range (|reward| must be < 2^63/1000)"))
-                .cast("long"),
-              lit(0L)) + floor(col(rewardCol) * 1000).cast("long"))
+            graft.ops.Guards.quantizedMilli(rewardCol, "turnReturnsToGo"))
           .as("__q"))
       .groupBy(col(groupCol), col(trajCol))
       .agg(array_sort(collect_list(struct(col("__ts"), col("__id"),

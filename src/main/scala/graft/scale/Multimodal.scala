@@ -457,11 +457,13 @@ object Multimodal {
     * vocabulary ids are nonnegative by the
     * [[graft.scale.Bpe.pieceVocab]] rank contract — a colliding id
     * would make a real token unresolvable from a placeholder);
-    * duplicate or null assignment keys refuse IN-PLAN by name through
-    * an asserting union branch (the [[imageTextPairDedup]] discipline
-    * — a duplicate would emit two placeholders at position 0 and
-    * corrupt every downstream offset; zero eager cost, cannot be
-    * planned away).
+    * duplicate, null, or NEGATIVE assignment keys refuse IN-PLAN by
+    * name (a duplicate would emit two placeholders at position 0 and
+    * corrupt every downstream offset; a negative key collides with
+    * the −1 no-payload sentinel). The guard rides a union branch's
+    * FILTER PREDICATE — zero eager cost, and unlike a
+    * projection-borne assert it survives column pruning for ANY
+    * consumer, including a bare count().
     *
     * Conservation laws (spec-pinned): output rows == text rows +
     * assignment rows; placeholder rows == assignment rows; per-doc
@@ -490,13 +492,22 @@ object Multimodal {
     val idType = tokenStream.schema(idCol).dataType
     val a = assign.select(col(idCol).cast(idType).as(idCol),
       col(keyCol).cast("long").as("__key"))
-    // the asserting union branch: one hash agg over the slim assignment
+    // the asserting union branch: one hash agg over the slim
+    // assignment. The assert lives in the FILTER PREDICATE, not an
+    // output column — a projection-borne assert is deleted by column
+    // pruning for any consumer that drops that column (the r19
+    // self-review finding), while a filter predicate must evaluate for
+    // every aggregated row no matter which columns (or none — a bare
+    // count()) the consumer reads. Negative keys are violations too:
+    // −1 is the text rows' no-payload sentinel, and any negative key
+    // would silently break the keys-ride-placeholder-positions law.
+    val violation = col(idCol).isNull || col("__c") > 1L ||
+      col("__ck") < col("__c") || col("__min") < 0L
     val bad = a.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__c"), count(col("__key")).as("__ck"))
-      .filter(col(idCol).isNull || col("__c") > 1L || col("__ck") < col("__c"))
-      .select(
-        col(idCol),
-        coalesce(
+      .agg(count(lit(1)).as("__c"), count(col("__key")).as("__ck"),
+        min(col("__key")).as("__min"))
+      .filter(
+        when(violation,
           assert_true(lit(false),
             when(col(idCol).isNull,
               lit("interleavedTokenStream: null doc id in the assignment " +
@@ -505,13 +516,16 @@ object Multimodal {
                 lit("interleavedTokenStream: duplicate assignment — the " +
                   "doc would emit two placeholders at position 0 and " +
                   "corrupt every downstream offset"))
-              .otherwise(
+              .when(col("__ck") < col("__c"),
                 lit("interleavedTokenStream: null payload key — a " +
-                  "placeholder with no payload to reference")))
-            .cast("long"),
-          lit(0L)).as("tok_idx"),
-        lit(placeholderId).as("token_id"),
-        lit(-1L).as("payload_key"))
+                  "placeholder with no payload to reference"))
+              .otherwise(
+                lit("interleavedTokenStream: negative payload key — it " +
+                  "collides with the −1 no-payload sentinel on text rows")))
+            .cast("boolean"))
+          .otherwise(lit(false)))
+      .select(col(idCol), lit(0L).as("tok_idx"),
+        lit(placeholderId).as("token_id"), lit(-1L).as("payload_key"))
     val placeholders = a.select(col(idCol), lit(0L).as("tok_idx"),
       lit(placeholderId).as("token_id"), col("__key").as("payload_key"))
     val text = tokenStream

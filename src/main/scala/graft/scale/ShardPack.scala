@@ -42,18 +42,10 @@ import graft.ops.CacheScope
   */
 object ShardPack {
 
-  /** Guard-first long cast with a NAMED error: a null or non-castable
-    * caller value would otherwise reach a two-phase pass's `getLong` as
-    * an anonymous task NullPointerException. Guard on the LEFT of the
-    * `+`: the failing case is exactly a NULL cast, and codegen's
-    * null-short-circuit would skip a right-hand guard there.
-    */
+  // the shared guard-first long cast (graft.ops.Guards — the r19
+  // self-review extraction; one definition, three operator families)
   private def guardedLong(c: String, op: String, what: String) =
-    coalesce(
-      assert_true(col(c).cast("long").isNotNull,
-        lit(s"$op: $c has a null or non-long-castable value — " +
-          s"every row needs a $what")).cast("long"),
-      lit(0L)) + col(c).cast("long")
+    graft.ops.Guards.guardedLong(c, op, what)
 
   def packByTokenBudget(
       docs: DataFrame,

@@ -848,8 +848,16 @@ object StreamingOps {
   final case class RewardEvent(grp: String, traj: Long, qMilli: Long,
       ts: java.sql.Timestamp)
 
-  /** Per-trajectory running (sum, count) + last event time. */
-  final case class TrajState(sum: Long, n: Long, lastSeen: Long)
+  /** Per-trajectory running (sum, count) + last event time. The sum is
+    * an exact DECIMAL, not a long — the batch decimal(38,0) analogue:
+    * a long fold would fail on a TRANSIENT overflow (partials past
+    * 2^63 whose final sum fits), and whether that happens would depend
+    * on arrival order — breaking the closed == batch law on exactly
+    * the inputs batch handles (the r19 self-review finding). Partials
+    * are exact up to the state codec's 10^20 integral capacity
+    * (Decimal(38,18)); past it the machine fails BY NAME.
+    */
+  final case class TrajState(sum: scala.math.BigDecimal, n: Long, lastSeen: Long)
 
   final case class FinalSignal(grp: String, traj: Long,
       signal_milli: Long, n_reward_turns: Long)
@@ -864,12 +872,13 @@ object StreamingOps {
     * firehose holds state only for dialogues inside the quiescence
     * horizon. The closed row equals the batch reduction over exactly
     * the rows that arrived before the close (spec-pinned): the same
-    * quantize-FIRST law (each reward ⌊·1000⌋ in-plan, integers fold in
-    * the state machine), the same null-reward exclusion (an all-null
-    * trajectory never opens state and closes silently, exactly the
-    * batch omission), the same NaN fail-loud; the running sum folds
-    * with Math.addExact so an overflowing trajectory fails BY NAME —
-    * the batch decimal guard's state-machine analogue. A late row
+    * quantize-FIRST law (each reward ⌊·1000⌋ in-plan, exact decimals
+    * fold in the state machine — see [[TrajState]]), the same
+    * null-reward exclusion (an all-null trajectory never opens state
+    * and closes silently, exactly the batch omission), the same NaN
+    * fail-loud, and the same final-sum-only long-cast guard — an
+    * overflowing trajectory fails BY NAME at close, transient partials
+    * never fail where batch succeeds. A late row
     * inside the watermark REOPENS the trajectory as a fresh group.
     * The one documented divergence: rows with a NULL event time are
     * excluded — a time-based protocol cannot place them.
@@ -913,18 +922,26 @@ object StreamingOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(FinalSignal(key._1, key._2, s.sum, s.n))
+            // the batch long-cast guard, applied to the FINAL sum only
+            // (exactly where batch applies it)
+            if (s.sum.abs >= scala.math.BigDecimal("9223372036854775808"))
+              throw new IllegalArgumentException(
+                "trajectorySignalFinalStream: trajectory milli sum exceeds " +
+                  "a long — the reduction would wrap silently; rescale the " +
+                  "rewards")
+            Iterator(FinalSignal(key._1, key._2, s.sum.toLongExact, s.n))
           } else {
-            var s = state.getOption.getOrElse(TrajState(0L, 0L, Long.MinValue))
+            var s = state.getOption.getOrElse(
+              TrajState(scala.math.BigDecimal(0L), 0L, Long.MinValue))
             rows.foreach { e =>
-              val sum =
-                try Math.addExact(s.sum, e.qMilli)
-                catch {
-                  case _: ArithmeticException => throw new IllegalArgumentException(
-                    "trajectorySignalFinalStream: trajectory milli sum " +
-                      "exceeds a long — the reduction would wrap silently; " +
-                      "rescale the rewards")
-                }
+              val sum = s.sum + scala.math.BigDecimal(e.qMilli)
+              // the state codec's (38,18) integral capacity — named,
+              // never a silent encoder truncation
+              if (sum.abs >= scala.math.BigDecimal("1e20"))
+                throw new IllegalArgumentException(
+                  "trajectorySignalFinalStream: a running trajectory milli " +
+                    "sum exceeds the state codec's exact range (10^20); " +
+                    "rescale the rewards")
               s = TrajState(sum, s.n + 1L, math.max(s.lastSeen, e.ts.getTime))
             }
             state.update(s)

@@ -427,6 +427,26 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(Option(errI.getMessage).getOrElse(errI.toString)
       .contains("null doc id"), s"named: ${errI.getMessage}")
+    // a NEGATIVE payload key collides with the −1 no-payload sentinel —
+    // refused by name (r19 self-review)
+    val negKey = Seq((1L, 7L), (2L, -1L)).toDF("doc_id", "img_key")
+    val errNeg = intercept[Exception] {
+      Multimodal.interleavedTokenStream(stream, negKey, "doc_id", "img_key")
+        .collect()
+    }
+    assert(Option(errNeg.getMessage).getOrElse(errNeg.toString)
+      .contains("negative payload key"), s"named: ${errNeg.getMessage}")
+    // and the guard survives COLUMN PRUNING: a consumer that reads NONE
+    // of the guard-bearing columns (a bare count) must still refuse —
+    // the assert rides the union branch's filter predicate, not a
+    // prunable projection (r19 self-review)
+    val errCnt = intercept[Exception] {
+      Multimodal.interleavedTokenStream(stream, dup, "doc_id", "img_key")
+        .count()
+    }
+    assert(Option(errCnt.getMessage).getOrElse(errCnt.toString)
+      .contains("duplicate assignment"),
+      s"prune-proof: ${errCnt.getMessage}")
   }
 
   test("interleavedTokenStream composes with the channel materializer: payload keys ride placeholder positions; modality conservation; fsck green") {

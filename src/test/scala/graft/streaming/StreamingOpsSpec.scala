@@ -860,11 +860,17 @@ class StreamingOpsSpec extends SparkSpec {
     // traj (g1,1): two rewards (quantize-then-sum 1001+2999=4000);
     // (g1,2): one reward + a null (null excluded — n stays 1);
     // (g2,3): one negative reward; (g3,4): all-null (never opens state)
+    // (g4,5): a TRANSIENT-overflow trajectory — partial sums pass 2^63
+    // (8e18 + 8e18) but the final sum fits a long; the decimal state
+    // must close it exactly as batch does (the r19 self-review finding:
+    // a long fold failed here, arrival-order-dependently)
     val w1 = Seq(
       ("g1", 1L, Some(1.0017), ts(10)), ("g1", 1L, Some(2.9995), ts(11)),
       ("g1", 2L, Some(0.5), ts(11)), ("g1", 2L, None: Option[Double], ts(12)),
       ("g2", 3L, Some(-1.0001), ts(12)),
-      ("g3", 4L, None: Option[Double], ts(11)))
+      ("g3", 4L, None: Option[Double], ts(11)),
+      ("g4", 5L, Some(8.0e15), ts(10)), ("g4", 5L, Some(8.0e15), ts(11)),
+      ("g4", 5L, Some(-8.0e15), ts(12)))
     val input = MemoryStream[(String, Long, Option[Double], java.sql.Timestamp)]
     val q = StreamingOps.trajectorySignalFinalStream(
         input.toDF().toDF("grp", "traj", "reward", "ts"),
@@ -884,8 +890,9 @@ class StreamingOpsSpec extends SparkSpec {
           .drop("ts"),
         "grp", "traj", "reward"))
       assert(rowSeqs(closed) === want,
-        "closed trajectories equal the batch reduction over their rows")
-      assert(closed.count() === 3L, "the all-null trajectory never opened")
+        "closed trajectories equal the batch reduction over their rows " +
+          "(including the transient-overflow trajectory)")
+      assert(closed.count() === 4L, "the all-null trajectory never opened")
       // reopen (g1,1) after its close: the fresh group sees ONLY the
       // post-close reward — the state-eviction observable
       input.addData(("g1", 1L, Some(5.0), ts(130))); q.processAllAvailable()
