@@ -244,9 +244,10 @@ object Profile {
           "q175_audio_pair_dedup", "q176_prm_sequences",
           "q177_manifest_check", "q179_curriculum_resume",
           "q180_manifest_check_bestfit",
-          // r19: quarantine, interleaved multimodal, discounted returns
+          // r19: quarantine, interleaved multimodal, discounted returns,
+          // attention segments
           "q181_manifest_quarantine", "q182_interleaved_sequences",
-          "q183_returns_to_go"))
+          "q183_returns_to_go", "q184_attention_segments"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

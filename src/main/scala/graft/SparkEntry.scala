@@ -2714,6 +2714,27 @@ object SparkEntry {
       graft.scale.Dialogue.turnReturnsToGo(
         turnRewards, "prompt", "dlg_id", "ts", "event_id", "value",
         gammaPpm = 900000L)
+    }),
+
+    // --- scale: ATTENTION-SEGMENT BOUNDARIES (cu_seqlens) — the
+    // varlen-attention contract over the q151-family packing: the doc
+    // id rides a channel through the materializer and each sequence
+    // emits its cumulative segment offsets [0, …, n_tokens] (the
+    // block-diagonal mask spec for a no-cross-doc-attention trainer);
+    // segments == docs per bin (contiguous spans — law) ---------------------
+    "q184_attention_segments" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val merges = Bpe.trainMergesFast(docs, "text", BpeMergeCount)
+      val stream = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
+        .withColumn("doc", col("doc_id"))
+      val packed = ShardPack.materializeSequencesWithChannels(
+        stream, "doc_id", Seq("doc"), seqLen = 64L)
+      ShardPack.sequenceBoundaries(packed, "doc")
+        .select(col("bin"), col("n_tokens"), col("n_docs"),
+          col("n_doc_starts"), col("n_segments"),
+          array_join(col("cu_seqlens"), " ").as("cu_seqlens"),
+          array_join(col("token_ids"), " ").as("token_ids"))
     })
   )
 
@@ -7571,6 +7592,67 @@ object SparkEntry {
         |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
         |  array_to_string(list(payload_key ORDER BY p), ' ') AS payload_key
         |FROM pos GROUP BY 1""".stripMargin),
+
+    // q146's doc-stream CTEs at 64-token bins, the per-bin boundary
+    // derivation via lag(doc) over position order (a boundary wherever
+    // the doc changes, position 0 included), cu_seqlens = boundaries ++
+    // [n_tokens]
+    "q184_attention_segments" ->
+      (bpeStagesSql(BpeMergeCount) + s""",
+        |wp AS (SELECT w, string_split(trim(sym), '  ') AS pieces FROM w$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp)),
+        |dw AS (
+        |  SELECT doc_id, i AS wi, t[i] AS w
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |        FROM documents) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws AS (
+        |  SELECT dw.doc_id, dw.wi, wp.pieces,
+        |    CAST(coalesce(sum(len(wp.pieces)) OVER (PARTITION BY dw.doc_id
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp ON dw.w = wp.w),
+        |stream AS (
+        |  SELECT doc_id, word_start + pi - 1 AS tok_idx, pieces[pi] AS piece
+        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |cnts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5('shard:' || doc_id) AS k
+        |  FROM stream GROUP BY 1),
+        |off AS (
+        |  SELECT doc_id,
+        |    CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM cnts),
+        |pos2 AS (
+        |  SELECT s.doc_id, s.tok_idx, v.token_id, o.start + s.tok_idx AS p,
+        |    CAST((o.start + s.tok_idx) // 64 AS BIGINT) AS bin
+        |  FROM stream s
+        |  JOIN off o ON s.doc_id = o.doc_id
+        |  JOIN vocab v ON s.piece = v.piece),
+        |lb AS (
+        |  SELECT bin, p, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY bin ORDER BY p) - 1 AS BIGINT)
+        |      AS local,
+        |    lag(doc_id) OVER (PARTITION BY bin ORDER BY p) AS prev
+        |  FROM pos2),
+        |bstat AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_doc_starts,
+        |    array_to_string(list(token_id ORDER BY p), ' ') AS token_ids
+        |  FROM pos2 GROUP BY 1),
+        |bcu AS (
+        |  SELECT bin, list(local ORDER BY local) AS ib
+        |  FROM lb WHERE prev IS NULL OR prev <> doc_id GROUP BY 1)
+        |SELECT b.bin, b.n_tokens, b.n_docs, b.n_doc_starts,
+        |  CAST(len(c.ib) AS BIGINT) AS n_segments,
+        |  array_to_string(list_append(c.ib, b.n_tokens), ' ') AS cu_seqlens,
+        |  b.token_ids
+        |FROM bstat b JOIN bcu c USING (bin)""".stripMargin),
 
     // q174's sessionize + prompt CTEs, then the exact Horner recurrence
     // as a recursive CTE anchored at each trajectory's LAST turn:

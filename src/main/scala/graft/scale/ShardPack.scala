@@ -286,6 +286,48 @@ object ShardPack {
         chOut: _*)
   }
 
+  /** ATTENTION-SEGMENT BOUNDARIES (`cu_seqlens`) — the varlen-attention
+    * contract a packed-sequence trainer consumes: for each sequence of
+    * a channel-materialized export
+    * ([[materializeSequencesWithChannels]] with the DOC ID riding a
+    * channel), the cumulative segment offsets `[0, l₁, l₁+l₂, …,
+    * n_tokens]` marking where attention must not cross document
+    * boundaries (the block-diagonal mask a no-cross-doc-attention
+    * trainer builds from exactly this array). A segment boundary sits
+    * wherever the doc channel CHANGES; bins hold consecutive stream
+    * positions and every doc occupies one contiguous span, so each doc
+    * is ONE segment per bin — `n_segments == n_docs` (law), and the
+    * interior boundaries equal [[packSequences]]' `local_start`
+    * metadata for the same corpus (cross-operator law, both
+    * spec-pinned).
+    *
+    * Scale shape: pure per-row ARRAY EXPRESSIONS over the already-
+    * materialized sequence rows — no shuffle, no window, no UDF; the
+    * filter/transform lambdas stay inside codegen. (The Spark
+    * `sequence(1, n-1)` pitfall — it COUNTS DOWN when n-1 < 1 instead
+    * of returning empty — is guarded for the single-token bin.)
+    *
+    * @param packed     a [[materializeSequencesWithChannels]] frame
+    * @param docChannel the channel column carrying each position's doc
+    * @return packed's columns + (n_segments, cu_seqlens)
+    */
+  def sequenceBoundaries(packed: DataFrame, docChannel: String): DataFrame = {
+    require(packed.columns.contains(docChannel),
+      s"sequenceBoundaries: no channel column '$docChannel' " +
+        s"(columns: ${packed.columns.mkString(", ")})")
+    val ch = col(docChannel)
+    val interior = when(size(ch) > 1,
+      filter(
+        sequence(lit(1), size(ch) - 1),
+        p => element_at(ch, p + 1) =!= element_at(ch, p))
+        .cast("array<bigint>"))
+      .otherwise(array().cast("array<bigint>"))
+    packed
+      .withColumn("cu_seqlens",
+        concat(array(lit(0L)), interior, array(size(ch).cast("long"))))
+      .withColumn("n_segments", (size(col("cu_seqlens")) - 1).cast("long"))
+  }
+
   /** Deterministic per-epoch data order — the reproducible data-loader
     * contract a training job needs to RESUME and to reproduce a run
     * bit-for-bit: within each shard, sequences are consumed in

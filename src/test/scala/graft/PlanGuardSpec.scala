@@ -506,6 +506,9 @@ class PlanGuardSpec extends SparkSpec {
       // q146's vocabulary-sized-by-construction class; the interleave
       // and the channel materializer add keyed work only
       "q182_interleaved_sequences" -> 1,
+      // q184: the same encode rank window; the boundary derivation is
+      // pure per-row array expressions (no shuffle, no window)
+      "q184_attention_segments" -> 1,
       // q179: q172's 1-row total-count agg (the schedule it filters)
       "q179_curriculum_resume" -> 1,
       // q178: TWO piece-vocabulary rank windows (the round-trip's

@@ -879,6 +879,69 @@ class CorpusOpsSpec extends SparkSpec {
       "one extra copy → one duplicate_key row")
   }
 
+  test("sequenceBoundaries: cu_seqlens laws — [0, …, n_tokens], strictly increasing, n_docs+1 entries, equals packSequences' local_starts") {
+    import spark.implicits._
+    // a real multi-doc packing: docs of varied lengths into 8-token
+    // bins, the doc id riding a channel through the materializer
+    // doc 2 spans 18 tokens: any 18-token contiguous run fully encloses
+    // at least one 8-aligned bin, whatever the md5 order puts before it
+    // — the single-segment edge is guaranteed, not md5-lucky
+    val docs = Seq((1L, "a b c"),
+      (2L, "d e f g h i j k l m aa bb cc dd ee ff gg hh"), (3L, "n"),
+      (4L, "o p q r s"))
+      .toDF("doc_id", "text")
+    val stream = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("tok_idx", "w")))
+      .withColumn("token_id", abs(xxhash64(col("w"))) % 1000L)
+      .withColumn("doc", col("doc_id"))
+    val packed = ShardPack.materializeSequencesWithChannels(
+      stream, "doc_id", Seq("doc"), seqLen = 8L)
+    val out = ShardPack.sequenceBoundaries(packed, "doc")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cu = r.getSeq[Long](r.fieldIndex("cu_seqlens"))
+      val nTok = r.getAs[Long]("n_tokens")
+      val nDocs = r.getAs[Long]("n_docs")
+      val nSeg = r.getAs[Long]("n_segments")
+      assert(cu.head === 0L && cu.last === nTok,
+        s"cu_seqlens spans [0, n_tokens]: $cu")
+      assert(cu === cu.sorted && cu.distinct === cu,
+        s"strictly increasing: $cu")
+      // each doc occupies ONE contiguous run inside a bin (bins are
+      // consecutive stream positions; a doc is one contiguous span) —
+      // so segments == docs
+      assert(cu.length === nDocs + 1 && nSeg === nDocs,
+        s"n_docs+1 entries: $cu vs $nDocs")
+      // the boundaries are exactly where the doc channel changes
+      val ch = r.getSeq[Long](r.fieldIndex("doc"))
+      val starts = ch.indices.filter(i => i == 0 || ch(i) != ch(i - 1))
+        .map(_.toLong)
+      assert(cu.init === starts, s"boundaries == channel change points")
+    }
+    // cross-operator law: interior boundaries == packSequences'
+    // local_start metadata for the same corpus and seqLen
+    val meta = ShardPack.packSequences(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")),
+      "doc_id", "n", seqLen = 8L)
+      .collect()
+      .groupBy(_.getAs[Long]("bin"))
+      .view.mapValues(_.map(_.getAs[Long]("local_start")).sorted.toSeq)
+      .toMap
+    rows.foreach { r =>
+      val cu = r.getSeq[Long](r.fieldIndex("cu_seqlens"))
+      assert(cu.init === meta(r.getAs[Long]("bin")),
+        s"cu_seqlens interior == packSequences local_starts at bin ${r.getAs[Long]("bin")}")
+    }
+    // the single-segment edge: a bin holding exactly one doc's span
+    // (doc 2 fills a full bin alone) yields [0, n_tokens]
+    assert(rows.exists(r =>
+      r.getSeq[Long](r.fieldIndex("cu_seqlens")).length == 2),
+      "fixture must exercise the single-segment bin edge")
+  }
+
   test("globalWriterManifest: seq_id bijection, exact file rule, one row per (epoch, sequence)") {
     val docs = shardDocs(80)
     val seqLen = 60L
