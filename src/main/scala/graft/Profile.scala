@@ -247,7 +247,8 @@ object Profile {
           // r19: quarantine, interleaved multimodal, discounted returns,
           // attention segments
           "q181_manifest_quarantine", "q182_interleaved_sequences",
-          "q183_returns_to_go", "q184_attention_segments"))
+          "q183_returns_to_go", "q184_attention_segments",
+          "q185_bestfit_segments"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

@@ -2735,6 +2735,22 @@ object SparkEntry {
           col("n_doc_starts"), col("n_segments"),
           array_join(col("cu_seqlens"), " ").as("cu_seqlens"),
           array_join(col("token_ids"), " ").as("token_ids"))
+    }),
+
+    // --- scale: cu_seqlens for the WHOLE-DOC (post-training) layout —
+    // q184's twin over q150's FFD bins: segment offsets in insertion
+    // order (== materializeBestFit's doc_off values) plus the padding
+    // suffix a fixed-width trainer masks ------------------------------------
+    "q185_bestfit_segments" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      ShardPack.bestFitSegments(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L),
+        "doc_id", seqLen = 96L)
+        .select(col("shard"), col("bin"), col("n_docs"), col("n_segments"),
+          col("fill"), col("pad"),
+          array_join(col("cu_seqlens"), " ").as("cu_seqlens"))
     })
   )
 
@@ -7653,6 +7669,27 @@ object SparkEntry {
         |  array_to_string(list_append(c.ib, b.n_tokens), ' ') AS cu_seqlens,
         |  b.token_ids
         |FROM bstat b JOIN bcu c USING (bin)""".stripMargin),
+
+    // q152's recursive-FFD CTEs folded to the per-bin segment offsets:
+    // doc_off windows in (n desc, id) order, cu = offsets ++ [fill]
+    "q185_bestfit_segments" ->
+      (s"""WITH RECURSIVE $bestFitBaseCtes,
+        |${ffdCtes("", "base", 96, 2000)},
+        |pl AS (
+        |  SELECT shard, bin, id, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard, bin
+        |      ORDER BY n DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS doc_off
+        |  FROM ffd WHERE id IS NOT NULL)
+        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(n) AS BIGINT) AS fill,
+        |  CAST(96 - sum(n) AS BIGINT) AS pad,
+        |  array_to_string(
+        |    list_append(list(doc_off ORDER BY doc_off),
+        |      CAST(sum(n) AS BIGINT)), ' ') AS cu_seqlens
+        |FROM pl GROUP BY 1, 2""".stripMargin),
 
     // q174's sessionize + prompt CTEs, then the exact Horner recurrence
     // as a recursive CTE anchored at each trajectory's LAST turn:

@@ -596,6 +596,50 @@ object ShardPack {
         col("pad"), col("doc_ids"))
   }
 
+  /** [[sequenceBoundaries]]' POST-TRAINING twin — cu_seqlens for a
+    * [[packBestFit]] layout's whole-doc bins: each (shard, bin)
+    * sequence emits its cumulative segment offsets `[0, l₁, l₁+l₂, …,
+    * fill]` in FFD insertion order (n_tokens desc, id asc — the same
+    * order [[materializeBestFit]] lays tokens down, so the interior
+    * boundaries are exactly its doc_off values; cross-operator law,
+    * spec-pinned), plus the padding suffix a fixed-width trainer
+    * masks: positions [fill, seqLen) attend to nothing. Docs never
+    * split here, so segments == docs per bin; oversize rows are
+    * excluded (the policy queue).
+    *
+    * Scale shape: ONE hash agg per (shard, bin) whose state is the
+    * bin's own member list (seqLen-bounded by construction) + a
+    * per-row prefix-sum array fold — no windows, no collects.
+    *
+    * @return (shard, bin, n_docs, n_segments, fill, pad, cu_seqlens)
+    */
+  def bestFitSegments(layout: DataFrame, idCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(layout.columns.contains(idCol),
+      s"bestFitSegments: layout has no column '$idCol' " +
+        s"(columns: ${layout.columns.mkString(", ")})")
+    layout.filter(!col("oversize"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("fill"),
+        // typed sort struct (the bestFitBinManifest convention): FFD
+        // insertion order is (n desc, id asc), carried alongside the
+        // length the prefix sum folds over
+        transform(
+          array_sort(collect_list(struct(
+            (-col("n_tokens")).as("o1"), col(idCol).as("o2"),
+            col("n_tokens").cast("long").as("o3")))),
+          s => s.getField("o3")).as("__lens"))
+      .withColumn("cu_seqlens",
+        expr("aggregate(__lens, array(cast(0 as bigint)), " +
+          "(acc, l) -> array_append(acc, element_at(acc, -1) + l))"))
+      .withColumn("n_segments", (size(col("cu_seqlens")) - 1).cast("long"))
+      .withColumn("pad", lit(seqLen) - col("fill"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_segments"),
+        col("fill"), col("pad"), col("cu_seqlens"))
+  }
+
   /** MATERIALIZED best-fit sequences — the post-training twin of
     * [[materializeSequences]]: lay a real token stream into a
     * [[packBestFit]] layout's whole-doc bins and emit one row per

@@ -509,6 +509,9 @@ class PlanGuardSpec extends SparkSpec {
       // q184: the same encode rank window; the boundary derivation is
       // pure per-row array expressions (no shuffle, no window)
       "q184_attention_segments" -> 1,
+      // q185: one keyed agg over the FFD layout + per-row prefix-sum
+      // fold — no global aggs (omit would be 0; listed for the record)
+      "q185_bestfit_segments" -> 0,
       // q179: q172's 1-row total-count agg (the schedule it filters)
       "q179_curriculum_resume" -> 1,
       // q178: TWO piece-vocabulary rank windows (the round-trip's

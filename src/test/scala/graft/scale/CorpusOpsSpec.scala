@@ -942,6 +942,39 @@ class CorpusOpsSpec extends SparkSpec {
       "fixture must exercise the single-segment bin edge")
   }
 
+  test("bestFitSegments: cu_seqlens spans [0, fill], segments == docs, interior == the FFD insertion-order prefix sums; oversize excluded") {
+    val docs = shardDocs(80)
+    val seqLen = 60L
+    val layout = ShardPack.packBestFit(docs, "doc_id", "n_tok", seqLen, 400L)
+    val out = ShardPack.bestFitSegments(layout, "doc_id", seqLen).collect()
+    assert(out.nonEmpty)
+    // the member lens in FFD insertion order, from the layout itself
+    val lensByBin = layout.filter(!col("oversize")).collect()
+      .groupBy(r => (r.getLong(2), r.getLong(3)))
+      .view.mapValues(_.sortBy(r => (-r.getLong(1), r.getLong(0)))
+        .map(_.getLong(1)).toSeq)
+      .toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("shard"), r.getAs[Long]("bin"))
+      val cu = r.getSeq[Long](r.fieldIndex("cu_seqlens"))
+      val fill = r.getAs[Long]("fill")
+      val lens = lensByBin(key)
+      assert(cu.head === 0L && cu.last === fill, s"spans [0, fill] at $key")
+      assert(cu === cu.sorted && cu.distinct === cu, s"strictly increasing at $key")
+      assert(r.getAs[Long]("n_segments") === r.getAs[Long]("n_docs"))
+      assert(cu.length === lens.length + 1)
+      assert(cu === lens.scanLeft(0L)(_ + _), s"prefix sums of FFD order at $key")
+      assert(r.getAs[Long]("fill") + r.getAs[Long]("pad") === seqLen)
+    }
+    // cross-operator law: interior boundaries == materializeBestFit's
+    // doc layout — token_ids concatenate docs at exactly these offsets
+    // (verified indirectly: the q153 materializer sorts by the same
+    // (n desc, id) struct; equality of the orders is pinned above via
+    // the layout-derived lens)
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      layout.filter(!col("oversize")).count(), "every placed doc in one segment")
+  }
+
   test("globalWriterManifest: seq_id bijection, exact file rule, one row per (epoch, sequence)") {
     val docs = shardDocs(80)
     val seqLen = 60L
