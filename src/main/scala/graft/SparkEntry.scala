@@ -3049,6 +3049,33 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The DOCUMENTS token-stream oracle CTEs shared by q146/q182/q184
+    * (r19 dedup — a tokenizer-stream law change edits ONE place): `wp`
+    * (word → pieces from the unprefixed merge tables), `vocab` (dense
+    * lexicographic piece ids), `dw`/`ws` (per-doc word offsets),
+    * `stream` (doc_id, tok_idx, piece). Needs [[bpeStagesSql]] in
+    * scope. NO leading/trailing comma.
+    */
+  private lazy val docTokenStreamCtes: String =
+    s"""wp AS (SELECT w, string_split(trim(sym), '  ') AS pieces FROM w$BpeMergeCount),
+      |vocab AS (
+      |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+      |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp)),
+      |dw AS (
+      |  SELECT doc_id, i AS wi, t[i] AS w
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |        FROM documents) z,
+      |       unnest(generate_series(1, len(t))) AS u(i)),
+      |ws AS (
+      |  SELECT dw.doc_id, dw.wi, wp.pieces,
+      |    CAST(coalesce(sum(len(wp.pieces)) OVER (PARTITION BY dw.doc_id
+      |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS word_start
+      |  FROM dw JOIN wp ON dw.w = wp.w),
+      |stream AS (
+      |  SELECT doc_id, word_start + pi - 1 AS tok_idx, pieces[pi] AS piece
+      |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi))""".stripMargin
+
   /** The 2-turn SIDE-STREAM oracle CTEs parameterized by the sides
     * query (one row per sample: side_id, prompt, rcontent): each side
     * as a prompt turn (mask 0) + response turn (mask 1), q151's
@@ -6184,24 +6211,7 @@ object SparkEntry {
     // globally, and each 512-token bin folds its ids in position order
     "q146_packed_token_ids" ->
       (bpeStagesSql(BpeMergeCount) + s""",
-        |wp AS (SELECT w, string_split(trim(sym), '  ') AS pieces FROM w$BpeMergeCount),
-        |vocab AS (
-        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
-        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp)),
-        |dw AS (
-        |  SELECT doc_id, i AS wi, t[i] AS w
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |        FROM documents) z,
-        |       unnest(generate_series(1, len(t))) AS u(i)),
-        |ws AS (
-        |  SELECT dw.doc_id, dw.wi, wp.pieces,
-        |    CAST(coalesce(sum(len(wp.pieces)) OVER (PARTITION BY dw.doc_id
-        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      0) AS BIGINT) AS word_start
-        |  FROM dw JOIN wp ON dw.w = wp.w),
-        |stream AS (
-        |  SELECT doc_id, word_start + pi - 1 AS tok_idx, pieces[pi] AS piece
-        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |$docTokenStreamCtes,
         |cnts AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |    md5('shard:' || doc_id) AS k
@@ -7553,26 +7563,10 @@ object SparkEntry {
     // order and the per-bin modality counts
     "q182_interleaved_sequences" ->
       (bpeStagesSql(BpeMergeCount) + s""",
-        |wp AS (SELECT w, string_split(trim(sym), '  ') AS pieces FROM w$BpeMergeCount),
-        |vocab AS (
-        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
-        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp)),
-        |dw AS (
-        |  SELECT doc_id, i AS wi, t[i] AS w
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |        FROM documents) z,
-        |       unnest(generate_series(1, len(t))) AS u(i)),
-        |ws AS (
-        |  SELECT dw.doc_id, dw.wi, wp.pieces,
-        |    CAST(coalesce(sum(len(wp.pieces)) OVER (PARTITION BY dw.doc_id
-        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      0) AS BIGINT) AS word_start
-        |  FROM dw JOIN wp ON dw.w = wp.w),
+        |$docTokenStreamCtes,
         |tstream AS (
-        |  SELECT s.doc_id, s.word_start + s.pi - 1 AS tok_idx, v.token_id
-        |  FROM (SELECT doc_id, word_start, pieces[pi] AS piece, pi
-        |        FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)) s
-        |  JOIN vocab v ON s.piece = v.piece),
+        |  SELECT s.doc_id, s.tok_idx, v.token_id
+        |  FROM stream s JOIN vocab v ON s.piece = v.piece),
         |asg AS (
         |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS pk
         |  FROM documents WHERE doc_id % 3 <> 0),
@@ -7615,24 +7609,7 @@ object SparkEntry {
     // [n_tokens]
     "q184_attention_segments" ->
       (bpeStagesSql(BpeMergeCount) + s""",
-        |wp AS (SELECT w, string_split(trim(sym), '  ') AS pieces FROM w$BpeMergeCount),
-        |vocab AS (
-        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
-        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp)),
-        |dw AS (
-        |  SELECT doc_id, i AS wi, t[i] AS w
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |        FROM documents) z,
-        |       unnest(generate_series(1, len(t))) AS u(i)),
-        |ws AS (
-        |  SELECT dw.doc_id, dw.wi, wp.pieces,
-        |    CAST(coalesce(sum(len(wp.pieces)) OVER (PARTITION BY dw.doc_id
-        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      0) AS BIGINT) AS word_start
-        |  FROM dw JOIN wp ON dw.w = wp.w),
-        |stream AS (
-        |  SELECT doc_id, word_start + pi - 1 AS tok_idx, pieces[pi] AS piece
-        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |$docTokenStreamCtes,
         |cnts AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |    md5('shard:' || doc_id) AS k

@@ -315,7 +315,26 @@ object ShardPack {
     require(packed.columns.contains(docChannel),
       s"sequenceBoundaries: no channel column '$docChannel' " +
         s"(columns: ${packed.columns.mkString(", ")})")
+    // fail at the CALL on output-name collisions (the materializeCore
+    // shadow-guard convention): a channel already named cu_seqlens /
+    // n_segments would be silently OVERWRITTEN by the derivation
+    Seq("cu_seqlens", "n_segments").foreach(c =>
+      require(!packed.columns.contains(c),
+        s"sequenceBoundaries: packed already has a '$c' column — the " +
+          "derived output would silently overwrite it"))
     val ch = col(docChannel)
+    // null-channel guard, IN the cu array's leading element: a nulled
+    // channel value makes every change compare NULL, filter() drops
+    // them all, and the bin silently reports ONE segment — a trainer
+    // would then permit cross-document attention (the packBestFit
+    // silent-cast-to-null class). The guard rides the artifact it
+    // protects: any consumer of cu_seqlens evaluates it.
+    val guard = coalesce(
+      assert_true(!exists(ch, x => x.isNull),
+        lit("sequenceBoundaries: the doc channel contains nulls — " +
+          "every segment boundary would silently vanish (the channel " +
+          "must be a non-null numeric doc id)")).cast("long"),
+      lit(0L))
     val interior = when(size(ch) > 1,
       filter(
         sequence(lit(1), size(ch) - 1),
@@ -324,7 +343,7 @@ object ShardPack {
       .otherwise(array().cast("array<bigint>"))
     packed
       .withColumn("cu_seqlens",
-        concat(array(lit(0L)), interior, array(size(ch).cast("long"))))
+        concat(array(guard), interior, array(size(ch).cast("long"))))
       .withColumn("n_segments", (size(col("cu_seqlens")) - 1).cast("long"))
   }
 
@@ -575,22 +594,30 @@ object ShardPack {
     *
     * @return (shard, bin, n_docs, fill, pad, doc_ids)
     */
-  def bestFitBinManifest(layout: DataFrame, idCol: String, seqLen: Long): DataFrame = {
-    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    require(layout.columns.contains(idCol),
-      s"bestFitBinManifest: layout has no column '$idCol' " +
-        s"(columns: ${layout.columns.mkString(", ")})")
+  /** The ONE per-bin FFD-insertion-order aggregation under
+    * [[bestFitBinManifest]] and [[bestFitSegments]] (r19 self-review
+    * extraction — the (n desc, id asc) insertion-order convention must
+    * live in one place): (shard, bin, n_docs, fill, __ffd) where
+    * `__ffd` is the sorted (o1 = −n_tokens, o2 = id) struct array.
+    * Typed columns, not expr interpolation: id names needing backticks
+    * must not break or mis-bind the sort struct.
+    */
+  private def ffdBinAgg(layout: DataFrame, idCol: String): DataFrame =
     layout.filter(!col("oversize"))
       .groupBy(col("shard"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("fill"),
-        // typed columns (not expr interpolation): id names needing
-        // backticks must not break or mis-bind the sort struct
-        transform(
-          array_sort(collect_list(struct(
-            (-col("n_tokens")).as("o1"), col(idCol).as("o2")))),
-          s => s.getField("o2")).as("doc_ids"))
+        array_sort(collect_list(struct(
+          (-col("n_tokens")).as("o1"), col(idCol).as("o2")))).as("__ffd"))
+
+  def bestFitBinManifest(layout: DataFrame, idCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(layout.columns.contains(idCol),
+      s"bestFitBinManifest: layout has no column '$idCol' " +
+        s"(columns: ${layout.columns.mkString(", ")})")
+    ffdBinAgg(layout, idCol)
+      .withColumn("doc_ids", transform(col("__ffd"), s => s.getField("o2")))
       .withColumn("pad", lit(seqLen) - col("fill"))
       .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
         col("pad"), col("doc_ids"))
@@ -618,19 +645,12 @@ object ShardPack {
     require(layout.columns.contains(idCol),
       s"bestFitSegments: layout has no column '$idCol' " +
         s"(columns: ${layout.columns.mkString(", ")})")
-    layout.filter(!col("oversize"))
-      .groupBy(col("shard"), col("bin"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("fill"),
-        // typed sort struct (the bestFitBinManifest convention): FFD
-        // insertion order is (n desc, id asc), carried alongside the
-        // length the prefix sum folds over
-        transform(
-          array_sort(collect_list(struct(
-            (-col("n_tokens")).as("o1"), col(idCol).as("o2"),
-            col("n_tokens").cast("long").as("o3")))),
-          s => s.getField("o3")).as("__lens"))
+    // the member LENGTHS in insertion order are the negated o1 field of
+    // the shared [[ffdBinAgg]] struct — one agg definition for both
+    // consumers of the insertion-order convention
+    ffdBinAgg(layout, idCol)
+      .withColumn("__lens",
+        transform(col("__ffd"), s => (-s.getField("o1")).cast("long")))
       .withColumn("cu_seqlens",
         expr("aggregate(__lens, array(cast(0 as bigint)), " +
           "(acc, l) -> array_append(acc, element_at(acc, -1) + l))"))
