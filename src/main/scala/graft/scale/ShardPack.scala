@@ -1316,8 +1316,14 @@ object ShardPack {
     // a lost TAIL epoch is invisible here by design (the check cannot
     // know the intended epoch count) and shows only through the
     // manifest_rows == sequences · epochs size relation
+    // the when() guard covers BOTH the empty manifest (null max — when
+    // yields null, explode emits nothing) and an all-negative corrupt
+    // epoch domain: Spark's sequence(0, mx) COUNTS DOWN when mx < 0
+    // (the sequenceBoundaries pitfall), which would emit spurious
+    // descending "gap" epochs the generator never defined
     val gaps = m.agg(max(col("epoch")).as("__mx"))
-      .select(explode(sequence(lit(0L), col("__mx"))).as("epoch"))
+      .select(explode(when(col("__mx") >= 0L, sequence(lit(0L), col("__mx"))))
+        .as("epoch"))
       .join(epochsSeen, Seq("epoch"), "left_anti")
     shape("duplicate_key", duplicates, mCols.toSet)
       .unionByName(shape("missing", missing, Set("epoch", "seq_id") ++ eCols))

@@ -880,8 +880,12 @@ object StreamingOps {
     * overflowing trajectory fails BY NAME at close, transient partials
     * never fail where batch succeeds. A late row
     * inside the watermark REOPENS the trajectory as a fresh group.
-    * The one documented divergence: rows with a NULL event time are
-    * excluded — a time-based protocol cannot place them.
+    * Two documented divergences from batch: rows with a NULL event
+    * time are excluded (a time-based protocol cannot place them), and
+    * a null or non-long-castable TRAJECTORY KEY fails by name (batch
+    * [[graft.scale.Dialogue.turnSignalReduce]] keeps a null-key group;
+    * a long-keyed state machine cannot represent one, and silently
+    * dropping it would hide a broken upstream id packing).
     *
     * @return streaming (grp, traj, signal_milli, n_reward_turns),
     *         append-mode; one row per CLOSED trajectory
@@ -897,20 +901,19 @@ object StreamingOps {
     require(quiesceMs > 0, s"quiesceMs must be positive, got $quiesceMs")
     val spark = turnRewards.sparkSession
     import spark.implicits._
-    val ok = !isnan(col(rewardCol)) &&
-      abs(col(rewardCol)) < lit(9.223372036854775e15)
     val typed = turnRewards
       .filter(col(rewardCol).isNotNull && col(tsCol).isNotNull)
       .select(
         col(groupCol).cast("string").as("grp"),
-        col(trajCol).cast("long").as("traj"),
-        // guard FIRST (the codegen null-short-circuit law)
-        (coalesce(
-          assert_true(ok,
-            lit("trajectorySignalFinalStream: reward NaN or out of milli-" +
-              "quantization range (|reward| must be < 2^63/1000)"))
-            .cast("long"),
-          lit(0L)) + floor(col(rewardCol) * 1000).cast("long")).as("qMilli"),
+        // a null (or non-long-castable) trajectory key fails BY NAME:
+        // the eviction machine keys by a long, and an unguarded null
+        // would surface as an anonymous non-nullable-encoder error —
+        // the second documented batch divergence (batch turnSignalReduce
+        // keeps a null-key group; a keyed state machine cannot)
+        graft.ops.Guards.guardedLong(trajCol, "trajectorySignalFinalStream",
+          "numeric trajectory key").as("traj"),
+        graft.ops.Guards.quantizedMilli(rewardCol,
+          "trajectorySignalFinalStream").as("qMilli"),
         col(tsCol).as("ts"))
       .withWatermark("ts", watermarkDelay)
       .as[RewardEvent]

@@ -879,6 +879,22 @@ class CorpusOpsSpec extends SparkSpec {
       "one extra copy → one duplicate_key row")
   }
 
+  test("epoch_gap guards the negative-max sequence pitfall: an all-negative corrupt epoch domain emits NO gap rows (r19 advisory)") {
+    import spark.implicits._
+    val seqs = ((0L until 4L).map(b => (b, 60L, 2L)) :+ ((4L, 23L, 1L)))
+      .toDF("bin", "n_tokens", "n_docs")
+    val man = ShardPack.splitWriterManifest(seqs, 150L, epochs = 1)
+      // Spark's sequence(0, mx) counts DOWN when mx < 0 — unguarded,
+      // this relabel would emit a descending 0..-5 "gap" ladder
+      .withColumn("epoch", col("epoch") - 5L)
+    val q = ShardPack.quarantineSplitManifest(man, seqs, 150L).collect()
+    assert(!q.exists(_.getString(0) == "epoch_gap"),
+      "negative max(epoch) must yield no epoch_gap rows")
+    val checks = ShardPack.checkSplitManifest(man, seqs, 150L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks("epoch_gaps") === 0L)
+  }
+
   test("sequenceBoundaries: cu_seqlens laws — [0, …, n_tokens], strictly increasing, n_docs+1 entries, equals packSequences' local_starts") {
     import spark.implicits._
     // a real multi-doc packing: docs of varied lengths into 8-token

@@ -906,6 +906,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trajectorySignalFinalStream: a null trajectory key fails BY NAME — the documented divergence from batch's null-key group (r19 advisory)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = MemoryStream[(String, Option[Long], Option[Double], java.sql.Timestamp)]
+    val q = StreamingOps.trajectorySignalFinalStream(
+        input.toDF().toDF("grp", "traj", "reward", "ts"),
+        "grp", "traj", "reward", "ts",
+        quiesceMs = 10 * 60000L, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("traj_final_nullkey")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val err = intercept[Exception] {
+        input.addData(("g1", None: Option[Long], Some(1.0), ts(10)))
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(err).exists(t => Option(t.getMessage)
+        .exists(_.contains("trajectorySignalFinalStream"))),
+        s"named guard, got: ${err.getMessage}")
+    } finally q.stop()
+  }
+
   test("feedbackClassCountsFinalStream: quiescent prompts close with their BATCH class counts, state evicted, reopen fresh") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
