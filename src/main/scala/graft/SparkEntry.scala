@@ -2751,6 +2751,74 @@ object SparkEntry {
         .select(col("shard"), col("bin"), col("n_docs"), col("n_segments"),
           col("fill"), col("pad"),
           array_join(col("cu_seqlens"), " ").as("cu_seqlens"))
+    }),
+
+    // --- scale: MANIFEST REPAIR (split layout) — the detect→label→
+    // CORRECT loop closed: a split writer manifest through a corruption
+    // battery (a whole lost epoch, dropped rows, an inflated fill,
+    // shifted pos, duplicates, a foreign seq_id), quarantined, then the
+    // quarantine's own e_*/e_pos corrections spliced back. The repaired
+    // manifest IS the generator's run for the epochs named (law — the
+    // oracle re-derives exactly that frame, battery-free); re-running
+    // the quarantine on it finds nothing (idempotence, spec-pinned) ------
+    "q186_manifest_repair" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      // the split export's bin rollup: packSequences' pieces per bin
+      // (CUT: feeds the manifest generator AND the quarantine's own
+      // expected-layout re-derivation)
+      val seqs = graft.ops.CacheScope.cut(
+        ShardPack.packSequences(docs, "doc_id", "n_tok", seqLen = 64L)
+          .groupBy(col("bin"))
+          .agg(sum(col("piece_len")).as("n_tokens"),
+            count(lit(1)).as("n_docs")))
+      val manifest = ShardPack.splitWriterManifest(seqs, fileBudget = 4000L,
+        epochs = 3)
+      // CUT: the corrupted manifest feeds the quarantine AND the repair
+      val corrupted = graft.ops.CacheScope.cut(manifest
+        .filter(col("epoch") =!= 1L)
+        .filter(!(col("epoch") === 2L && col("seq_id") % 11L === 0L))
+        .withColumn("fill",
+          when(col("epoch") === 0L && col("seq_id") % 17L === 2L,
+            col("fill") + 5L).otherwise(col("fill")))
+        .withColumn("pos",
+          when(col("epoch") === 2L && col("seq_id") % 19L === 3L,
+            col("pos") + 1000L).otherwise(col("pos")))
+        .unionByName(manifest.filter(
+          col("epoch") === 0L && col("seq_id") % 13L === 1L))
+        .unionByName(manifest.filter(
+          col("epoch") === 0L && col("seq_id") % 23L === 4L)
+          .withColumn("seq_id", col("seq_id") + 100000L)))
+      ShardPack.repairSplitManifest(corrupted,
+        ShardPack.quarantineSplitManifest(corrupted, seqs, fileBudget = 4000L))
+    }),
+
+    // --- scale: MANIFEST REPAIR (best-fit layout) — q186's twin over
+    // q180/q181's whole-doc FFD manifest: the same battery classes
+    // (incl. a whole lost epoch the gap refill regenerates), repaired
+    // back to exactly the generator's 3-epoch run ---------------------------
+    "q187_manifest_repair_bestfit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      val layout = graft.ops.CacheScope.cut(
+        ShardPack.packBestFit(docs, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L))
+      val manifest = ShardPack.globalWriterManifest(layout, fileBudget = 4000L,
+        epochs = 3)
+      val corrupted = graft.ops.CacheScope.cut(manifest
+        .filter(col("epoch") =!= 1L)
+        .filter(!(col("epoch") === 2L && col("seq_id") % 11L === 0L))
+        .withColumn("fill",
+          when(col("epoch") === 0L && col("seq_id") % 17L === 2L,
+            col("fill") + 5L).otherwise(col("fill")))
+        .withColumn("pos",
+          when(col("epoch") === 2L && col("seq_id") % 19L === 3L,
+            col("pos") + 1000L).otherwise(col("pos")))
+        .unionByName(manifest.filter(
+          col("epoch") === 0L && col("seq_id") % 13L === 1L)))
+      ShardPack.repairBestFitManifest(corrupted,
+        ShardPack.quarantineBestFitManifest(corrupted, layout,
+          fileBudget = 4000L))
     })
   )
 
@@ -7706,6 +7774,66 @@ object SparkEntry {
         |SELECT prompt, dlg_id, event_id, CAST(rn - 1 AS BIGINT) AS turn,
         |  CAST(q AS BIGINT) AS reward_milli, CAST(ret AS BIGINT) AS return_milli
         |FROM rtg""".stripMargin),
+
+    // the repair law IS the oracle: repair(corrupted) == the generator's
+    // own manifest for the epochs the corrupted manifest names (0..2
+    // here — epoch 1 is the gap the refill regenerates), so the oracle
+    // re-derives that manifest INDEPENDENTLY and never replays the
+    // battery. Split layout: packSequences' piece rollup per 64-token
+    // bin, the writer's seq_id/file prefix rule at budget 4000, the
+    // md5 per-(epoch, file) permutation
+    "q186_manifest_repair" ->
+      (s"""WITH $bestFitBaseCtes,
+        |off AS (
+        |  SELECT id AS doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY md5('shard:' || id), id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS start
+        |  FROM base WHERE n > 0),
+        |pieces AS (
+        |  SELECT doc_id, CAST(u.b AS BIGINT) AS bin,
+        |    least((u.b + 1) * 64, start + n) - greatest(u.b * 64, start)
+        |      AS piece_len
+        |  FROM off, unnest(generate_series(start // 64, (start + n - 1) // 64))
+        |    AS u(b)),
+        |mbin AS (
+        |  SELECT bin, CAST(sum(piece_len) AS BIGINT) AS fill,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM pieces GROUP BY 1),
+        |msq AS (
+        |  SELECT bin, fill, n_docs,
+        |    CAST(row_number() OVER (ORDER BY bin) - 1 AS BIGINT) AS seq_id,
+        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 4000 AS BIGINT) AS file
+        |  FROM mbin)
+        |SELECT bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY e, file
+        |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1 AS BIGINT)
+        |    AS pos
+        |FROM msq, unnest(generate_series(0, 2)) AS u(e)""".stripMargin),
+
+    // q180's generator CTEs expanded to the 3 epochs the corrupted
+    // manifest names — the best-fit repair law's independent
+    // re-derivation (same battery-free argument as q186)
+    "q187_manifest_repair_bestfit" ->
+      (s"""WITH RECURSIVE $bestFitBaseCtes,
+        |${ffdCtes("", "base", 96, 2000)},
+        |bins AS (
+        |  SELECT shard, bin, CAST(sum(n) AS BIGINT) AS fill,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM ffd WHERE id IS NOT NULL GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT shard, bin, fill, n_docs,
+        |    CAST(row_number() OVER (ORDER BY shard, bin) - 1 AS BIGINT) AS seq_id,
+        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY shard, bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 4000 AS BIGINT) AS file
+        |  FROM bins)
+        |SELECT shard, bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY e, shard
+        |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM sq, unnest(generate_series(0, 2)) AS u(e)""".stripMargin),
 
     // the round-trip's oracle is the CANONICAL normalization itself —
     // no BPE replay: if the engine's train+encode+decode conserves

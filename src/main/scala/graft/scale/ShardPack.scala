@@ -1198,6 +1198,77 @@ object ShardPack {
     manifestQuarantineCore(m, expected, BestFitLayoutCols, Seq("epoch", "shard"))
   }
 
+  /** MANIFEST REPAIR — the detect→label→CORRECT loop closed: apply a
+    * [[quarantineSplitManifest]] frame's own `e_*`/`e_pos` corrections
+    * back onto the manifest it quarantined and emit the manifest a
+    * loader can actually proceed with. Per violation class:
+    *
+    *   - `duplicate_key`: rows past rank 1 DROP — repair re-applies
+    *     the quarantine's deterministic keep rule (smallest by
+    *     (pos, layout), nulls first) rather than anti-joining the
+    *     quarantined rows, because exact copies have no row identity
+    *     an anti-join could distinguish (it would delete the kept copy
+    *     too);
+    *   - `layout_mismatch` with a correction: the `e_*` layout cells
+    *     OVERWRITE the row's; with e_* null (a FOREIGN seq_id — no
+    *     correction exists) the row DROPS, it describes a sequence the
+    *     export never produced;
+    *   - `pos_mismatch`: `e_pos` overwrites the row's pos;
+    *   - `missing`: the quarantine row IS the complete generator-
+    *     derived correction — unioned in verbatim;
+    *   - `epoch_gap`: the absent epoch is regenerated whole — the
+    *     layout cells are epoch-independent (post-repair every seen
+    *     epoch carries the generator's cells, so one distinct over the
+    *     repaired rows recovers the canonical (seq_id, layout) frame)
+    *     and the per-epoch permutation is the [[epochOrder]] rule
+    *     re-derived verbatim;
+    *   - `pos_violation` rows are group-level labels and carry no
+    *     row-level correction — density is restored by the classes
+    *     above (post-repair, pos == the re-derived permutation, which
+    *     is dense by construction).
+    *
+    * LAWS (spec-pinned for both layouts): `repair(clean) == clean`;
+    * `quarantine(repair(m), …)` is EMPTY (idempotence); and
+    * extensionally `repair(m) == ` the generator's own manifest for
+    * exactly the epochs m names (seen ∪ gap-filled 0..max(epoch)) —
+    * the oracle re-derives that frame independently (q186/q187). A
+    * manifest naming an epoch the run never intended (a relabel past
+    * the true count, or a negative label) is completed AS NAMED: the
+    * check/quarantine/repair family treats every seen epoch label as
+    * intended — the size relation `manifest_rows == sequences · epochs`
+    * remains the caller's intended-epoch-count signal.
+    *
+    * Scale shape: repair touches ONLY the manifest and the
+    * quarantine frame — the generator re-derivation is already
+    * embedded in the quarantine's correction columns, so no rescan of
+    * the corpus-sized export/layout happens here (the 3 a.m. property:
+    * label once, splice cheaply). One (epoch, seq_id)-keyed dedup
+    * window (group = the duplicate copies of one key), one keyed
+    * correction join, and the gap refill's (epoch, unit) windows are
+    * fileBudget/shardBudget-bounded — nothing corpus-sized in a task.
+    *
+    * @param manifest   the manifest under repair (the quarantine's own
+    *                   input)
+    * @param quarantine [[quarantineSplitManifest]]'s frame FOR THAT
+    *                   MANIFEST — pairing a foreign quarantine applies
+    *                   foreign corrections (garbage in, garbage out;
+    *                   the idempotence law only binds the matched pair)
+    * @return (bin, fill, n_docs, seq_id, file, epoch, pos) — the
+    *         corrected manifest in [[splitWriterManifest]]'s schema
+    */
+  def repairSplitManifest(manifest: DataFrame, quarantine: DataFrame): DataFrame =
+    manifestRepairCore(manifest, quarantine, SplitLayoutCols, "file")
+
+  /** [[repairSplitManifest]]'s twin for a [[globalWriterManifest]]
+    * (best-fit) manifest: same classes and laws, with the (shard, bin)
+    * layout identity and the gap refill's permutation windows per
+    * (epoch, SHARD) — that manifest's permutation unit.
+    *
+    * @return (shard, bin, fill, n_docs, seq_id, file, epoch, pos)
+    */
+  def repairBestFitManifest(manifest: DataFrame, quarantine: DataFrame): DataFrame =
+    manifestRepairCore(manifest, quarantine, BestFitLayoutCols, "shard")
+
   /** The shared check engine: `m` normalized to long columns with
     * (seq_id, epoch, pos) + `layoutCols`; `expected` one row per
     * sequence as (seq_id, e_*). `posKey` is (epoch, unit) — the
@@ -1332,6 +1403,93 @@ object ShardPack {
       .unionByName(shape("pos_violation", posViol, Set("epoch", unit)))
       .unionByName(shape("pos_mismatch", posMm, mCols.toSet + "e_pos"))
       .unionByName(shape("epoch_gap", gaps, Set("epoch")))
+  }
+
+  /** The shared repair engine under [[repairSplitManifest]] /
+    * [[repairBestFitManifest]]: the manifest normalized to long columns
+    * (the check-input rule), the quarantine's corrections folded back
+    * per (epoch, seq_id), the missing rows unioned, the gap epochs
+    * regenerated from the repaired rows' own (epoch-independent) layout
+    * cells plus the exact [[epochOrder]] permutation. `unit` is the
+    * manifest's permutation unit (file / shard — a layout column, so
+    * the gap refill needs no side input).
+    */
+  private def manifestRepairCore(
+      manifest: DataFrame,
+      quarantine: DataFrame,
+      layoutCols: Seq[String],
+      unit: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = manifest.select(
+      (layoutCols ++ Seq("seq_id", "epoch", "pos"))
+        .map(c => col(c).cast("long").as(c)): _*)
+    // LINEAGE-CUT: the quarantine fans out three ways (corrections,
+    // missing union, gap epochs) and its upstream embeds the whole
+    // generator re-derivation
+    val q = graft.ops.CacheScope.cut(quarantine)
+    // 1. duplicates: the quarantine's keep rule re-applied (see the
+    //    public scaladoc for why not an anti-join)
+    val dupW = Window.partitionBy(col("epoch"), col("seq_id"))
+      .orderBy((col("pos") +: layoutCols.map(col)).map(_.asc_nulls_first): _*)
+    val deduped = m
+      .withColumn("__rn", row_number().over(dupW))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    // 2. corrections per (epoch, seq_id): max() folds the duplicate
+    //    copies' correction rows — every non-null e_* for one key is
+    //    the SAME generator value, so max is a deterministic pick (a
+    //    layout_mismatch row carries e_layout with e_pos null; a
+    //    pos_mismatch row the reverse; both may exist for one key)
+    val eFirst = s"e_${layoutCols.head}"
+    val corr = q
+      .filter(col("violation").isin("layout_mismatch", "pos_mismatch"))
+      .groupBy(col("epoch"), col("seq_id"))
+      .agg(
+        max(when(col("violation") === "layout_mismatch", 1L)).as("__lm"),
+        (layoutCols.map(c => max(col(s"e_$c")).as(s"e_$c")) :+
+          max(col("e_pos")).as("e_pos")): _*)
+    // a layout_mismatch whose correction is null is a FOREIGN seq_id —
+    // the export has no such sequence; the row drops. (e_* cells are
+    // all-or-nothing from the expected join, so the first suffices.)
+    val foreign = coalesce(col("__lm"), lit(0L)) === 1L && col(eFirst).isNull
+    val kept = deduped
+      .join(corr, Seq("epoch", "seq_id"), "left")
+      .filter(!foreign)
+      .select((Seq(col("epoch"), col("seq_id")) ++
+        layoutCols.map(c => coalesce(col(s"e_$c"), col(c)).as(c)) :+
+        coalesce(col("e_pos"), col("pos")).as("pos")): _*)
+    // 3. missing rows ARE their own complete corrections
+    val missing = q.filter(col("violation") === "missing")
+      .select((Seq(col("epoch"), col("seq_id")) ++
+        layoutCols.map(c => col(s"e_$c").as(c)) :+
+        col("e_pos").as("pos")): _*)
+    // CUT: the repaired seen-epoch rows feed the canonical-layout
+    // distinct AND the output union
+    val seen = graft.ops.CacheScope.cut(kept.unionByName(missing))
+    // 4. gap epochs regenerate whole: post-steps-1..3 every seen epoch
+    //    carries exactly the generator's (seq_id, layout) cells, which
+    //    are epoch-independent — one distinct recovers the canonical
+    //    frame; pos is the epochOrder rule verbatim, windowed by the
+    //    budget-bounded (epoch, unit)
+    val gapEpochs = q.filter(col("violation") === "epoch_gap")
+      .select(col("epoch"))
+    val canonical = seen
+      .select(col("seq_id") +: layoutCols.map(col): _*)
+      .distinct()
+    val gapW = Window.partitionBy(col("epoch"), col(unit))
+      .orderBy(
+        md5(concat(lit("epoch:"), col("epoch").cast("string"),
+          lit(":"), col("seq_id").cast("string"))),
+        col("seq_id"))
+    val gapRows = canonical
+      .crossJoin(broadcast(gapEpochs))
+      .withColumn("pos", (row_number().over(gapW) - 1).cast("long"))
+    // the generator's own column order: layout cells (file last, after
+    // seq_id), then the epoch-schedule pair
+    val outCols = (layoutCols.dropRight(1) ++
+      Seq("seq_id", "file", "epoch", "pos")).map(col)
+    seen.unionByName(gapRows.select(seen.columns.map(col): _*))
+      .select(outCols: _*)
   }
 
   /** CURRICULUM SCHEDULE — the annealed ("baby steps") data order: docs

@@ -517,7 +517,13 @@ class PlanGuardSpec extends SparkSpec {
       // q178: TWO piece-vocabulary rank windows (the round-trip's
       // explicit encode + vocab frames each rank the piece space) —
       // q146's vocabulary-sized-by-construction class
-      "q178_bpe_roundtrip" -> 2)
+      "q178_bpe_roundtrip" -> 2,
+      // q186/q187: the embedded quarantine's epoch-gap max agg (q181's
+      // class); the repair itself is keyed joins, an (epoch, seq_id)
+      // dedup window, and budget-bounded gap-refill windows — no
+      // global aggs
+      "q186_manifest_repair" -> 1,
+      "q187_manifest_repair_bestfit" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -879,6 +879,66 @@ class CorpusOpsSpec extends SparkSpec {
       "one extra copy → one duplicate_key row")
   }
 
+  test("repairManifest: repair(clean) == clean, quarantine(repair(m)) is EMPTY, and repair == the generator for the epochs named (both layouts)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val docs = shardDocs(80)
+    val fileBudget = 150L
+    val layout = ShardPack.packBestFit(docs, "doc_id", "n_tok", 60L, 400L)
+    val manifest = ShardPack.globalWriterManifest(layout, fileBudget, epochs = 3)
+    // repair(clean) == clean: an empty quarantine changes nothing
+    val repairedClean = ShardPack.repairBestFitManifest(manifest,
+      ShardPack.quarantineBestFitManifest(manifest, layout, fileBudget))
+    assert(rows(repairedClean) === rows(manifest), "repair(clean) == clean")
+    // the full battery: a whole LOST epoch (gap refill), dropped rows
+    // (missing), an inflated fill (layout_mismatch), a shifted AND a
+    // NULLED pos (pos_mismatch — null-safe), duplicated rows, and a
+    // FOREIGN seq_id (no correction exists — must drop)
+    val corrupted = manifest
+      .filter(col("epoch") =!= 1L)
+      .filter(!(col("epoch") === 2L && col("seq_id") % 5L === 0L))
+      .withColumn("fill",
+        when(col("epoch") === 0L && col("seq_id") % 7L === 2L, col("fill") + 5L)
+          .otherwise(col("fill")))
+      .withColumn("pos",
+        when(col("epoch") === 2L && col("seq_id") % 9L === 3L, col("pos") + 100L)
+          .when(col("epoch") === 0L && col("seq_id") % 11L === 4L,
+            lit(null).cast("long"))
+          .otherwise(col("pos")))
+      .unionByName(manifest.filter(
+        col("epoch") === 0L && col("seq_id") % 6L === 1L))
+      .unionByName(manifest.filter(
+        col("epoch") === 0L && col("seq_id") === 0L)
+        .withColumn("seq_id", lit(99999L)))
+    val quarantine = ShardPack.quarantineBestFitManifest(
+      corrupted, layout, fileBudget)
+    val repaired = ShardPack.repairBestFitManifest(corrupted, quarantine)
+    // extensional law: the repaired manifest IS the generator's run for
+    // the epochs the corrupted manifest names (0, 2 seen + gap 1)
+    assert(rows(repaired) === rows(manifest),
+      "repair == the generator manifest for epochs 0..2")
+    // idempotence: re-quarantining the repaired manifest finds nothing
+    assert(ShardPack.quarantineBestFitManifest(repaired, layout, fileBudget)
+      .isEmpty, "quarantine(repair(m)) is empty")
+    // the split twin: same laws over a splitWriterManifest
+    val seqs = ((0L until 9L).map(b => (b, 60L, b % 3 + 1)) :+ ((9L, 23L, 2L)))
+      .toDF("bin", "n_tokens", "n_docs")
+    val splitMan = ShardPack.splitWriterManifest(seqs, 150L, epochs = 2)
+    val splitBad = splitMan
+      .filter(!(col("epoch") === 1L && col("seq_id") === 3L))
+      .withColumn("fill",
+        when(col("epoch") === 0L && col("seq_id") === 1L,
+          lit(null).cast("long")).otherwise(col("fill")))
+      .unionByName(splitMan.filter(col("epoch") === 0L && col("seq_id") === 5L))
+    val splitRepaired = ShardPack.repairSplitManifest(splitBad,
+      ShardPack.quarantineSplitManifest(splitBad, seqs, 150L))
+    assert(rows(splitRepaired) === rows(splitMan),
+      "split repair == the generator manifest")
+    assert(ShardPack.quarantineSplitManifest(splitRepaired, seqs, 150L).isEmpty,
+      "split quarantine(repair(m)) is empty")
+  }
+
   test("epoch_gap guards the negative-max sequence pitfall: an all-negative corrupt epoch domain emits NO gap rows (r19 advisory)") {
     import spark.implicits._
     val seqs = ((0L until 4L).map(b => (b, 60L, 2L)) :+ ((4L, 23L, 1L)))
