@@ -2819,6 +2819,37 @@ object SparkEntry {
       ShardPack.repairBestFitManifest(corrupted,
         ShardPack.quarantineBestFitManifest(corrupted, layout,
           fileBudget = 4000L))
+    }),
+
+    // --- scale: the INTERLEAVED MULTIMODAL POST-TRAINING export —
+    // q182's channel stream composed onto the WHOLE-DOC (q150) layout:
+    // no cross-doc attention AND payload placeholders in one artifact.
+    // Each assigned doc's key rides its placeholder at the doc's
+    // segment start (the q185 law, spec-pinned), and the pad suffix
+    // keeps each channel's own sentinel (keys pad −1, the no-payload
+    // sentinel; tokens pad the padId) ---------------------------------------
+    "q188_interleaved_bestfit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val merges = Bpe.trainMergesFast(docs, "text", BpeMergeCount)
+      val stream = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
+      val assign = docs.filter(col("doc_id") % 3L =!= 0L)
+        .select(col("doc_id"), (col("doc_id") % 4L + 1L).as("img_key"))
+      // CUT: the interleaved stream feeds the per-doc length agg (the
+      // layout's input) AND the materializer's token join
+      val inter = graft.ops.CacheScope.cut(Multimodal.interleavedTokenStream(
+        stream, assign, "doc_id", "img_key"))
+      val lens = inter.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val layout = ShardPack.packBestFit(lens, "doc_id", "n_tok",
+        seqLen = 96L, shardBudget = 2000L)
+      ShardPack.materializeBestFitWithChannels(inter, layout, "doc_id",
+        Seq(("payload_key", -1L)), seqLen = 96L, padId = -1L)
+        .withColumn("n_placeholders",
+          expr("size(filter(token_ids, t -> t = -2))").cast("long"))
+        .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
+          col("pad_len"), col("n_placeholders"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("payload_key"), " ").as("payload_key"))
     })
   )
 
@@ -7811,6 +7842,63 @@ object SparkEntry {
         |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1 AS BIGINT)
         |    AS pos
         |FROM msq, unnest(generate_series(0, 2)) AS u(e)""".stripMargin),
+
+    // q182's interleave CTEs + the recursive-FFD layout over the
+    // INTERLEAVED per-doc lengths (placeholder included), doc_off
+    // windows in insertion order, tokens at doc_off + tok_idx, pads
+    // appended as strings (' -1' per pad slot — both the padId and the
+    // key channel's no-payload sentinel are −1 here)
+    "q188_interleaved_bestfit" ->
+      (bpeStagesSql(BpeMergeCount).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s""",
+        |$docTokenStreamCtes,
+        |tstream AS (
+        |  SELECT s.doc_id, s.tok_idx, v.token_id
+        |  FROM stream s JOIN vocab v ON s.piece = v.piece),
+        |asg AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS pk
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |istream AS (
+        |  SELECT a.doc_id, CAST(0 AS BIGINT) AS tok_idx,
+        |    CAST(-2 AS BIGINT) AS token_id, a.pk AS payload_key
+        |  FROM asg a
+        |  UNION ALL
+        |  SELECT t.doc_id,
+        |    CAST(t.tok_idx + CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END
+        |      AS BIGINT),
+        |    t.token_id, CAST(-1 AS BIGINT)
+        |  FROM tstream t LEFT JOIN asg a USING (doc_id)),
+        |ibase AS (
+        |  SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n
+        |  FROM istream GROUP BY 1),
+        |${ffdCtes("", "ibase", 96, 2000)},
+        |pl AS (
+        |  SELECT shard, bin, id, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard, bin
+        |      ORDER BY n DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS doc_off
+        |  FROM ffd WHERE id IS NOT NULL),
+        |tok AS (
+        |  SELECT p.shard, p.bin, i.token_id, i.payload_key,
+        |    p.doc_off + i.tok_idx AS local
+        |  FROM istream i JOIN pl p ON i.doc_id = p.id),
+        |bs AS (
+        |  SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS fill
+        |  FROM pl GROUP BY 1, 2),
+        |ts AS (
+        |  SELECT shard, bin,
+        |    CAST(sum(CASE WHEN token_id = -2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_placeholders,
+        |    array_to_string(list(token_id ORDER BY local), ' ') AS tok_str,
+        |    array_to_string(list(payload_key ORDER BY local), ' ') AS key_str
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT b.shard, b.bin, b.n_docs, b.fill,
+        |  CAST(96 - b.fill AS BIGINT) AS pad_len, t.n_placeholders,
+        |  t.tok_str || repeat(' -1', CAST(96 - b.fill AS INT)) AS token_ids,
+        |  t.key_str || repeat(' -1', CAST(96 - b.fill AS INT)) AS payload_key
+        |FROM bs b JOIN ts t USING (shard, bin)""".stripMargin),
 
     // q180's generator CTEs expanded to the 3 epochs the corrupted
     // manifest names — the best-fit repair law's independent

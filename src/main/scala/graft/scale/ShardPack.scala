@@ -696,7 +696,7 @@ object ShardPack {
       idCol: String,
       seqLen: Long,
       padId: Long = -1L): DataFrame =
-    materializeBestFitCore(tokenStream, layout, idCol, seqLen, padId, None)
+    materializeBestFitCore(tokenStream, layout, idCol, seqLen, padId, Nil)
 
   /** [[materializeBestFit]] carrying a per-token 0/1 MASK column — the
     * padded post-training twin of [[materializeSequencesWithMask]]:
@@ -715,7 +715,47 @@ object ShardPack {
       maskCol: String,
       seqLen: Long,
       padId: Long = -1L): DataFrame =
-    materializeBestFitCore(tokenStream, layout, idCol, seqLen, padId, Some(maskCol))
+    materializeBestFitCore(tokenStream, layout, idCol, seqLen, padId,
+      Seq((maskCol, 0L)))
+      .withColumnRenamed(maskCol, "mask")
+
+  /** [[materializeBestFit]] carrying ARBITRARY per-token long channels
+    * — the split materializer's
+    * [[materializeSequencesWithChannels]] generalized to the whole-doc
+    * (post-training) layout: each (shard, bin) row also holds one
+    * array per channel in the same position order as its token ids,
+    * right-padded to `seqLen` with that channel's OWN pad value (a
+    * loss mask pads 0 — pad tokens never train; a payload-key channel
+    * pads −1 — the no-payload sentinel must survive the suffix, which
+    * is why the pad rides the channel spec rather than a global
+    * constant). This is the piece that lets
+    * [[graft.scale.Multimodal.interleavedTokenStream]]'s payload-key
+    * channel reach a multimodal SFT export: no cross-doc attention
+    * (the layout's whole-doc contract) AND placeholder keys riding
+    * exactly the placeholder positions — each assigned doc's key sits
+    * at its doc_off, i.e. at a [[bestFitSegments]] segment start
+    * (cross-operator law, spec-pinned).
+    *
+    * Same single-agg plan as the mask form whatever the channel count
+    * — channels ride the one collected struct; the (mask-only) form is
+    * [[materializeBestFitWithMask]] with the output array named `mask`.
+    *
+    * @param channels (column name, pad value) per channel; output
+    *                 arrays keep the input names
+    * @return (shard, bin, n_docs, fill, pad_len, token_ids[seqLen],
+    *         <channel>[seqLen]…)
+    */
+  def materializeBestFitWithChannels(
+      tokenStream: DataFrame,
+      layout: DataFrame,
+      idCol: String,
+      channels: Seq[(String, Long)],
+      seqLen: Long,
+      padId: Long = -1L): DataFrame =
+    materializeBestFitCore(tokenStream, layout, idCol, seqLen, padId, channels)
+
+  private val BestFitReserved =
+    Set("shard", "bin", "n_docs", "fill", "pad_len", "token_ids")
 
   private def materializeBestFitCore(
       tokenStream: DataFrame,
@@ -723,9 +763,20 @@ object ShardPack {
       idCol: String,
       seqLen: Long,
       padId: Long,
-      maskCol: Option[String]): DataFrame = {
+      channels: Seq[(String, Long)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // fail at the CALL with a named error (the materializeCore
+    // shadow-guard convention): a duplicate channel name or one
+    // shadowing a fixed output column would otherwise surface as an
+    // ambiguous-reference AnalysisException downstream
+    val chNames = channels.map(_._1)
+    require(chNames.distinct == chNames,
+      s"materializeBestFit: duplicate channel names in $chNames")
+    val shadowed = chNames.filter(BestFitReserved.contains)
+    require(shadowed.isEmpty,
+      s"materializeBestFit: channel name(s) $shadowed shadow fixed " +
+        s"output columns $BestFitReserved")
     val w = Window.partitionBy(col("shard"), col("bin"))
       .orderBy(col("n_tokens").desc, col(idCol))
     // persisted: the slim layout feeds BOTH the guarded expected-fill
@@ -741,12 +792,12 @@ object ShardPack {
         coalesce(sum(col("n_tokens"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(idCol), col("shard"), col("bin"), col("doc_off"))
-    val packedStruct = maskCol match {
-      case Some(_) => "struct(local, token_id, __mask)"
-      case None    => "struct(local, token_id)"
-    }
+    val packedStruct = ("struct(local, token_id" +:
+      channels.indices.map(i => s"__ch$i")).mkString(", ") + ")"
     val streamCols = Seq(col(idCol), col("tok_idx"), col("token_id")) ++
-      maskCol.map(m => col(m).cast("long").as("__mask"))
+      channels.zipWithIndex.map { case ((c, _), i) =>
+        col(c).cast("long").as(s"__ch$i")
+      }
     // PER-DOC drift guard (both directions) feeding the expected-fill
     // agg: a bin-aggregate fill compare alone cannot see COMPENSATING
     // per-doc drift inside one bin (doc A k tokens short, doc B k long
@@ -805,10 +856,11 @@ object ShardPack {
       .select(
         Seq(col("shard"), col("bin"), col("n_docs"), col("fill"),
           col("pad_len"), col("token_ids")) ++
-          maskCol.map(_ =>
-            concat(expr("transform(__packed, s -> s.__mask)"),
-              array_repeat(lit(0L),
-                (lit(seqLen) - col("fill")).cast("int"))).as("mask")): _*)
+          channels.zipWithIndex.map { case ((c, pad), i) =>
+            concat(expr(s"transform(__packed, s -> s.__ch$i)"),
+              array_repeat(lit(pad),
+                (lit(seqLen) - col("fill")).cast("int"))).as(c)
+          }: _*)
   }
 
   /** The padding-waste report over a [[packBestFit]] layout: bins,

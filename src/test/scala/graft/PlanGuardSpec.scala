@@ -523,7 +523,11 @@ class PlanGuardSpec extends SparkSpec {
       // dedup window, and budget-bounded gap-refill windows — no
       // global aggs
       "q186_manifest_repair" -> 1,
-      "q187_manifest_repair_bestfit" -> 1)
+      "q187_manifest_repair_bestfit" -> 1,
+      // q188: the piece-vocabulary rank window inside encodeIndexedIds
+      // (q182's class); the layout and the channel materializer are
+      // keyed aggs/joins + budget-bounded windows only
+      "q188_interleaved_bestfit" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -491,6 +491,86 @@ class MultimodalSpec extends SparkSpec {
       assert(checks(c) === 0L, s"fsck clean on the interleaved export: $c"))
   }
 
+  test("interleaved BEST-FIT export (q188): keys ride placeholder positions AT segment starts, per-channel pads, mask-form law, fsck green") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta"), (4L, "eta theta iota kappa"), (5L, "lambda mu"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesFast(docs, "text", 4)
+    val stream = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
+    val assign = Seq((1L, 101L), (3L, 103L), (5L, 105L))
+      .toDF("doc_id", "img_key")
+    val inter = Multimodal.interleavedTokenStream(
+      stream, assign, "doc_id", "img_key")
+    val lens = inter.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val seqLen = 16L
+    val layout = ShardPack.packBestFit(lens, "doc_id", "n_tok",
+      seqLen, shardBudget = 64L)
+    val out = ShardPack.materializeBestFitWithChannels(
+      inter, layout, "doc_id", Seq(("payload_key", -1L)), seqLen, padId = -9L)
+    val segs = ShardPack.bestFitSegments(layout, "doc_id", seqLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getSeq[Long](r.fieldIndex("cu_seqlens")))
+      .toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = r.getSeq[Long](r.fieldIndex("token_ids"))
+      val keys = r.getSeq[Long](r.fieldIndex("payload_key"))
+      val fill = r.getAs[Long]("fill").toInt
+      assert(toks.length === seqLen && keys.length === seqLen)
+      // filled region: a nonnegative key EXACTLY where the placeholder is
+      (0 until fill).foreach { p =>
+        assert((toks(p) == -2L) === (keys(p) >= 0L),
+          s"keys ride placeholder positions: pos $p (${toks(p)}, ${keys(p)})")
+      }
+      // pad suffix: token pads padId, the channel pads ITS OWN −1
+      (fill until seqLen.toInt).foreach { p =>
+        assert(toks(p) === -9L && keys(p) === -1L,
+          s"per-channel pad at $p")
+      }
+      // every placeholder sits at a bestFitSegments segment START — the
+      // q185 law re-pinned on the composed export (a doc's placeholder
+      // is its position 0, laid down at its doc_off)
+      val starts = segs((r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+        .dropRight(1).toSet
+      (0 until fill).foreach { p =>
+        if (toks(p) == -2L)
+          assert(starts.contains(p.toLong),
+            s"placeholder at $p is not a segment start ($starts)")
+      }
+    }
+    // all three assigned docs materialize their placeholder
+    assert(rows.map(r =>
+      r.getSeq[Long](r.fieldIndex("token_ids")).count(_ == -2L)).sum === 3L)
+    // the mask form IS the channels form with pad 0 modulo the name
+    val masked = inter.withColumn("m",
+      when(col("token_id") === -2L, 0L).otherwise(1L))
+    val viaMask = ShardPack.materializeBestFitWithMask(
+      masked, layout, "doc_id", "m", seqLen)
+    val viaCh = ShardPack.materializeBestFitWithChannels(
+      masked, layout, "doc_id", Seq(("m", 0L)), seqLen)
+      .withColumnRenamed("m", "mask")
+    assert(viaMask.collect().map(_.toSeq).toSet ===
+      viaCh.collect().map(_.toSeq).toSet,
+      "materializeBestFitWithMask == channels((mask, 0)) law")
+    // the layout's own writer manifest passes the best-fit fsck clean
+    val manifest = ShardPack.globalWriterManifest(layout, fileBudget = 32L,
+      epochs = 2)
+    val checks = ShardPack.checkBestFitManifest(manifest, layout,
+      fileBudget = 32L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("epoch_gaps", "duplicate_manifest_keys", "missing_sequences",
+      "layout_mismatches", "pos_violations", "pos_mismatches").foreach(c =>
+      assert(checks(c) === 0L, s"fsck clean on the interleaved layout: $c"))
+    // the shadow guard refuses a reserved output name at the CALL
+    val err = intercept[IllegalArgumentException] {
+      ShardPack.materializeBestFitWithChannels(
+        inter, layout, "doc_id", Seq(("fill", 0L)), seqLen)
+    }
+    assert(err.getMessage.contains("shadow"))
+  }
+
   test("jointPairDedup assignment contracts: duplicate/null doc key refuses in-plan; a caption-pair doc missing from assign fails loud") {
     val images = Multimodal.imageFeatures(Seq(
       Multimodal.Asset(1L, "image", fixture("halfred.jpg"), "jpeg")).toDS())
