@@ -2850,6 +2850,29 @@ object SparkEntry {
           col("pad_len"), col("n_placeholders"),
           array_join(col("token_ids"), " ").as("token_ids"),
           array_join(col("payload_key"), " ").as("payload_key"))
+    }),
+
+    // --- scale: PRM sequences with RETURNS-TO-GO value targets —
+    // q176's export shape with q183's per-turn discounted return
+    // substituted for the advantage share in the value channel (every
+    // token of a turn regresses on THAT TURN's R_t — the value-function
+    // target; one substitution in the shared prm token core, the
+    // structural row law spec-pinned) ---------------------------------------
+    "q189_prm_rtg_sequences" -> ((s, dir) => {
+      val turns = dialogueTurns(s, dir)
+      val turnRewards = turns.join(dialoguePrompts(turns), Seq("dlg_id"))
+        .select(col("prompt"), col("dlg_id"), col("ts"), col("event_id"),
+          col("value"))
+      val merges = Bpe.trainMergesFast(t(s, dir, "documents"), "text", BpeMergeCount)
+      val stream = graft.scale.Dialogue.prmReturnsTokenStream(
+        turns, turnRewards, "prompt", "dlg_id", "ts", "event_id",
+        "event_type", "content", "value", gammaPpm = 900000L, merges)
+      ShardPack.materializeSequencesWithChannels(
+        stream, "dlg_id", Seq("mask", "value_milli"), seqLen = 16L)
+        .select(col("bin"), col("n_tokens"), col("n_docs"), col("n_doc_starts"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("mask"), "").as("mask"),
+          array_join(col("value_milli"), " ").as("value_milli"))
     })
   )
 
@@ -7805,6 +7828,97 @@ object SparkEntry {
         |SELECT prompt, dlg_id, event_id, CAST(rn - 1 AS BIGINT) AS turn,
         |  CAST(q AS BIGINT) AS reward_milli, CAST(ret AS BIGINT) AS return_milli
         |FROM rtg""".stripMargin),
+
+    // q183's recursive return-to-go CTE + q176's token-stream tail,
+    // with EVERY trajectory surviving (a return needs no group
+    // baseline) and the vocab built over all turns; each token's value
+    // is its turn's ret, mask 1 (attrRoles None)
+    "q189_prm_rtg_sequences" ->
+      (bpeStagesSql(BpeMergeCount).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s""",
+        |ev AS (
+        |  SELECT event_id, user_id, event_type, value, props, epoch_ns(ts) AS tsn
+        |  FROM events),
+        |${sessionizeCtes("t")},
+        |trn AS (
+        |  SELECT event_id, user_id, event_type, value, props, tsn,
+        |    user_id * 100000 + session_seq AS dlg_id
+        |  FROM tsg),
+        |tr AS (
+        |  SELECT t.dlg_id, t.event_id,
+        |    CASE WHEN t.value IS NULL THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(t.value * 1000) AS BIGINT) END AS q,
+        |    row_number() OVER (PARTITION BY t.dlg_id
+        |      ORDER BY t.tsn, t.event_id) AS rn,
+        |    count(*) OVER (PARTITION BY t.dlg_id) AS cnt
+        |  FROM trn t),
+        |rtg AS (
+        |  SELECT dlg_id, event_id, q, rn, cnt, q AS ret
+        |  FROM tr WHERE rn = cnt
+        |  UNION ALL
+        |  SELECT t.dlg_id, t.event_id, t.q, t.rn, t.cnt,
+        |    t.q + (900000 * r.ret) // 1000000
+        |  FROM tr t JOIN rtg r ON t.dlg_id = r.dlg_id AND t.rn = r.rn - 1),
+        |${bpeApplySql(BpeMergeCount,
+        "SELECT DISTINCT unnest(regexp_extract_all(lower(event_type || ' ' || " +
+          "props), '[a-z0-9]+')) AS w FROM trn")},
+        |wp2 AS (
+        |  SELECT w, string_split(trim(sym), '  ') AS pieces FROM ew$BpeMergeCount),
+        |vocab AS (
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(pieces) AS piece FROM wp2)),
+        |dw AS (
+        |  SELECT event_id, i AS wi, t[i] AS w
+        |  FROM (SELECT event_id,
+        |          regexp_extract_all(lower(event_type || ' ' || props), '[a-z0-9]+') AS t
+        |        FROM trn) z,
+        |       unnest(generate_series(1, len(t))) AS u(i)),
+        |ws AS (
+        |  SELECT dw.event_id, dw.wi, wp2.pieces,
+        |    CAST(coalesce(sum(len(wp2.pieces)) OVER (PARTITION BY dw.event_id
+        |      ORDER BY dw.wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS word_start
+        |  FROM dw JOIN wp2 ON dw.w = wp2.w),
+        |estream AS (
+        |  SELECT event_id, word_start + pi - 1 AS turn_tok_idx, pieces[pi] AS piece
+        |  FROM ws, unnest(generate_series(1, len(pieces))) AS u(pi)),
+        |ecnt AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n FROM estream GROUP BY 1),
+        |pturn AS (
+        |  SELECT t.dlg_id, t.event_id, r.ret,
+        |    CAST(coalesce(sum(coalesce(e.n, 0)) OVER (PARTITION BY t.dlg_id
+        |      ORDER BY t.tsn, t.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS turn_start
+        |  FROM trn t
+        |  JOIN rtg r ON r.event_id = t.event_id AND r.dlg_id = t.dlg_id
+        |  LEFT JOIN ecnt e ON e.event_id = t.event_id),
+        |stream AS (
+        |  SELECT p.dlg_id, p.turn_start + s.turn_tok_idx AS tok_idx,
+        |    v.token_id, CAST(1 AS BIGINT) AS mask,
+        |    CAST(p.ret AS BIGINT) AS value_milli
+        |  FROM estream s
+        |  JOIN pturn p USING (event_id)
+        |  JOIN vocab v ON s.piece = v.piece),
+        |dc AS (
+        |  SELECT dlg_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    md5('shard:' || dlg_id) AS k
+        |  FROM stream GROUP BY 1),
+        |off AS (
+        |  SELECT dlg_id, CAST(sum(n_tokens) OVER (ORDER BY k, dlg_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM dc),
+        |pos AS (
+        |  SELECT s.dlg_id, s.tok_idx, s.token_id, s.mask, s.value_milli,
+        |    o.start + s.tok_idx AS p
+        |  FROM stream s JOIN off o USING (dlg_id))
+        |SELECT CAST(p // 16 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT dlg_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tok_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+        |  array_to_string(list(token_id ORDER BY p), ' ') AS token_ids,
+        |  array_to_string(list(mask ORDER BY p), '') AS mask,
+        |  array_to_string(list(value_milli ORDER BY p), ' ') AS value_milli
+        |FROM pos GROUP BY 1""".stripMargin),
 
     // the repair law IS the oracle: repair(corrupted) == the generator's
     // own manifest for the epochs the corrupted manifest names (0..2

@@ -1183,16 +1183,97 @@ object Dialogue {
       contentCol: String,
       signalMilliCol: String,
       merges: Seq[Bpe.Merge],
+      attrRoles: Option[Set[String]] = None): DataFrame =
+    prmTokenCore(turns,
+      turnAdvantagesCore(turns, trajSignals, groupCol, trajCol, tsCol,
+        idCol, roleCol, signalMilliCol, attrRoles)
+        .select(col(idCol), col("attributed"),
+          col("adv_turn_uniform_milli").as("value_milli")),
+      trajCol, tsCol, idCol, contentCol, merges)
+
+  /** [[prmTokenStream]]'s RETURNS-TO-GO twin — the value-function
+    * trainer's per-token target: each token of a turn carries
+    * [[turnReturnsToGo]]'s `return_milli` for that turn (turn-constant
+    * by design — V(s_t) regresses on R_t, the discounted return of
+    * everything from the turn on), instead of the advantage SHARE
+    * [[prmTokenStream]] spreads. The composition is literally ONE
+    * substitution in the shared token core: the per-turn value frame
+    * is the γ-discounted return instead of the attributed advantage —
+    * tokenization, offsets, and the mask discipline are
+    * [[prmTokenCore]]'s verbatim (structural law, spec-pinned: on
+    * inputs where every trajectory survives [[prmTokenStream]]'s group
+    * gate, the two streams agree row-for-row on
+    * (trajCol, tok_idx, token_id)).
+    *
+    * Differences from the advantage stream, both deliberate: EVERY
+    * trajectory with reward rows emits (a return needs no group
+    * baseline, so the ≥ 2-trajectories gate does not apply), and the
+    * mask is pure ROLE attribution (`attrRoles`; None masks every turn
+    * in) — there is no advantage frame to inherit attribution from.
+    * [[turnReturnsToGo]]'s laws lift per token: γ=10^6 ⇒ each turn's
+    * value is its suffix sum (turn 0 carries [[turnSignalReduce]]'s
+    * whole signal); γ=0 ⇒ each turn's value is its own reward. Turns
+    * absent from the reward log emit nothing (they have no return to
+    * target — gate upstream for strict coverage, the zero-token-turn
+    * convention).
+    *
+    * Feed [[graft.scale.ShardPack.materializeSequencesWithChannels]]
+    * (channels mask + value_milli) for the packed artifact — q176's
+    * export shape with value-function targets.
+    *
+    * Scale shape: [[prmTokenCore]]'s (the one window is
+    * trajectory-keyed; the encode chain is lineage-cut) plus
+    * [[turnReturnsToGo]]'s single hash agg + per-dialogue fold.
+    *
+    * @return (trajCol, tok_idx, token_id, mask, value_milli)
+    */
+  def prmReturnsTokenStream(
+      turns: DataFrame,
+      turnRewards: DataFrame,
+      groupCol: String,
+      trajCol: String,
+      tsCol: String,
+      idCol: String,
+      roleCol: String,
+      contentCol: String,
+      rewardCol: String,
+      gammaPpm: Long,
+      merges: Seq[Bpe.Merge],
       attrRoles: Option[Set[String]] = None): DataFrame = {
+    val rtg = turnReturnsToGo(turnRewards, groupCol, trajCol, tsCol, idCol,
+      rewardCol, gammaPpm)
+      .select(col(idCol), col("return_milli").as("value_milli"))
+    val attributed = attrRoles match {
+      case Some(rs) => col(roleCol).isin(rs.toSeq: _*)
+      case None     => lit(true)
+    }
+    prmTokenCore(turns,
+      turns.select(col(idCol), attributed.as("attributed"))
+        .join(rtg, Seq(idCol)),
+      trajCol, tsCol, idCol, contentCol, merges)
+  }
+
+  /** The shared PRM token engine under [[prmTokenStream]] /
+    * [[prmReturnsTokenStream]]: `values` is one row per surviving turn
+    * (idCol, attributed, value_milli) — whatever credit policy
+    * produced it; turns absent from it emit nothing. Encoding and the
+    * dialogue-level token offsets are [[sftTokenStream]]'s exact
+    * discipline.
+    */
+  private def prmTokenCore(
+      turns: DataFrame,
+      values: DataFrame,
+      trajCol: String,
+      tsCol: String,
+      idCol: String,
+      contentCol: String,
+      merges: Seq[Bpe.Merge]): DataFrame = {
     // CUT: the value frame feeds the survivor semi-join AND the final
     // token join; the survivor turn frame feeds the encode AND the
     // offset window; the encode feeds its count agg AND the join —
     // each is a fan-out boundary over an expensive subtree (r17 rule)
     val adv = graft.ops.CacheScope.cut(
-      turnAdvantagesCore(turns, trajSignals, groupCol, trajCol, tsCol,
-        idCol, roleCol, signalMilliCol, attrRoles)
-        .select(col(idCol), col("attributed"),
-          col("adv_turn_uniform_milli").as("value_milli")))
+      values.select(col(idCol), col("attributed"), col("value_milli")))
     val surv = graft.ops.CacheScope.cut(
       turns.join(adv.select(col(idCol)), Seq(idCol), "left_semi")
         .select(col(idCol), col(trajCol), col(tsCol), col(contentCol)))

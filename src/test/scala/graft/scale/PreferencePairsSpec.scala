@@ -905,6 +905,75 @@ class PreferencePairsSpec extends SparkSpec {
       .contains("turnReturnsToGo"),
       s"overflow must refuse by name: ${errO.getMessage}")
   }
+
+  test("prmReturnsTokenStream: per-token R_t targets — γ laws lift to tokens, role mask, structural row law vs prmTokenStream (q189)") {
+    val merges = Bpe.trainMergesFast(Seq("alpha beta").toDF("text"), "text", 1)
+    // one group, two trajectories (both survive the advantage gate, so
+    // the structural law binds); traj 1 has a null-reward assistant
+    // turn whose TOKENS still emit (value 0 at γ=1 — the return of
+    // nothing-after), and a user turn (mask 0)
+    val turns = Seq(
+      (1L, 0L, 100L, "user", "alpha beta"),
+      (1L, 1L, 101L, "assistant", "gamma"),
+      (1L, 2L, 102L, "assistant", "delta"),
+      (2L, 0L, 200L, "assistant", "epsilon zeta")
+    ).toDF("traj", "ts", "id", "role", "content")
+      .withColumn("grp", lit("g1"))
+    val rewards = Seq(
+      (1L, 100L, Some(1.0)), (1L, 101L, Some(2.0)),
+      (1L, 102L, None: Option[Double]), (2L, 200L, Some(-1.5))
+    ).toDF("traj", "id", "reward")
+      .join(turns.select(col("traj"), col("id"), col("ts"), col("grp")),
+        Seq("traj", "id"))
+    def run(gammaPpm: Long) = Dialogue.prmReturnsTokenStream(
+      turns, rewards, "grp", "traj", "ts", "id", "role", "content",
+      "reward", gammaPpm, merges, attrRoles = Some(Set("assistant")))
+    // γ=1: suffix sums per turn, repeated per token. traj 1 returns:
+    // turn 100 → 3000, 101 → 2000, 102 → 0; traj 2 → −1500. Recover
+    // turn membership from the mask/value pattern.
+    val full = run(1000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val t1 = full.filter(_._1._1 == 1L).toSeq.sortBy(_._1._2)
+    assert(t1.map(_._1._2) === (0L until t1.length.toLong),
+      "tok_idx dense per trajectory")
+    val (userToks, asstToks) = t1.partition(_._2._1 == 0L)
+    assert(userToks.nonEmpty && asstToks.nonEmpty)
+    assert(userToks.forall(_._2._2 === 3000L),
+      "γ=1: turn 0's tokens carry the WHOLE trajectory signal (the " +
+        "turnSignalReduce composition law, lifted per token)")
+    assert(asstToks.map(_._2._2).toSet === Set(2000L, 0L),
+      "later turns carry their suffix sums; the null-reward tail turn " +
+        "targets 0")
+    val t2 = full.filter(_._1._1 == 2L).toSeq
+    assert(t2.nonEmpty && t2.forall(_._2 === ((1L, -1500L))),
+      "a single-turn trajectory targets its own reward (mask 1)")
+    // γ=0: each token targets its OWN turn's reward
+    val zero = run(0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val z1 = zero.filter(_._1._1 == 1L).toSeq.sortBy(_._1._2).map(_._2)
+    assert(z1.toSet === Set(1000L, 2000L, 0L))
+    // structural law: same (traj, tok_idx, token_id, mask) rows as the
+    // advantage stream when every trajectory survives its group gate
+    val sig = Dialogue.turnSignalReduce(rewards, "grp", "traj", "reward")
+    val advStream = Dialogue.prmTokenStream(
+      turns, sig, "grp", "traj", "ts", "id", "role", "content",
+      "signal_milli", merges, attrRoles = Some(Set("assistant")))
+      .select("traj", "tok_idx", "token_id", "mask").collect()
+      .map(_.toSeq).toSet
+    val rtgStream = run(900000L)
+      .select("traj", "tok_idx", "token_id", "mask").collect()
+      .map(_.toSeq).toSet
+    assert(advStream === rtgStream,
+      "one substitution in the shared core: token rows identical, only " +
+        "the value channel differs")
+    // a turn absent from the reward log emits nothing
+    val partial = Dialogue.prmReturnsTokenStream(
+      turns, rewards.filter(col("id") =!= 200L), "grp", "traj", "ts", "id",
+      "role", "content", "reward", 1000000L, merges)
+    assert(partial.filter(col("traj") === 2L).count() === 0L,
+      "no return to target, no rows")
+  }
 }
 
 /** Small helper shared by packing-family specs: collect the
