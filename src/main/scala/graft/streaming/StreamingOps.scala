@@ -962,7 +962,10 @@ object StreamingOps {
     * builds for a batch corpus, kept current in complete mode (one
     * keyed aggregation over at most `buckets` groups: state is
     * bucket-sized regardless of stream length, the cmsSketchStream
-    * discipline). The drift TAIL runs batch-side on the polled sink —
+    * discipline — PER ERA; a firehose of ROLLING snapshots accretes a
+    * bucket set per snapshot forever, which is
+    * [[driftBucketCountsFinalStream]]'s evicting territory). The drift
+    * TAIL runs batch-side on the polled sink —
     * `Sampling.driftFromBucketCounts(sink, refCounts, smooth)` against
     * the FROZEN reference-era counts — because the tail needs a second
     * global aggregation over the streaming agg's output, which
@@ -977,6 +980,86 @@ object StreamingOps {
       textCol: String,
       buckets: Int = 4096): DataFrame =
     graft.scale.Sampling.tokenBucketCounts(docs, textCol, buckets, "p_cnt")
+
+  /** One (snapshot, bucket) token observation with its event time —
+    * the typed row the drift eviction machine consumes (the bucket is
+    * ALREADY hashed in-plan: the state machine folds counts only).
+    */
+  final case class BucketEvent(snap: String, b: Long, ts: java.sql.Timestamp)
+
+  /** Per-(snapshot, bucket) running count + last event time. */
+  final case class BucketState(cnt: Long, lastSeen: Long)
+
+  final case class FinalBucketCount(snap: String, b: Long, p_cnt: Long)
+
+  /** The EVICTING drift-count monitor — [[driftBucketCountsStream]]'s
+    * rolling-snapshot answer via the [[preferencePairsFinalStream]]
+    * quiescence recipe, closing the r18 gap's LAST complete-mode
+    * monitor: the stream carries a SNAPSHOT column (the era / ingest
+    * batch / crawl slice under measurement), each ACTIVE
+    * (snapshot, bucket) holds one long + a timestamp, and after
+    * `quiesceMs` of event-time silence the key CLOSES, its final
+    * `(snapshot, b, p_cnt)` row emits ONCE (append mode) and the state
+    * drops — the drift tail then runs batch-side per closed snapshot
+    * (`Sampling.driftFromBucketCounts` against the frozen reference),
+    * exactly the live form's composition with the snapshot as the
+    * grouping key. Total state is bounded by
+    * active-snapshots · buckets, whatever the firehose's history. The
+    * closed counts equal [[graft.scale.Sampling.tokenBucketCounts]]
+    * over exactly the snapshot's pre-close rows (spec-pinned); a late
+    * row inside the watermark REOPENS its (snapshot, bucket) as a
+    * fresh key. The one documented divergence: rows with a NULL event
+    * time are excluded — a time-based protocol cannot place them.
+    *
+    * @return streaming (snap, b, p_cnt), append-mode; one row per
+    *         CLOSED (snapshot, bucket)
+    */
+  def driftBucketCountsFinalStream(
+      docs: DataFrame,
+      textCol: String,
+      snapshotCol: String,
+      tsCol: String,
+      quiesceMs: Long,
+      buckets: Int = 4096,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24),
+      "buckets must fit the md5 bucket space")
+    require(quiesceMs > 0, s"quiesceMs must be positive, got $quiesceMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs
+      .filter(col(tsCol).isNotNull)
+      .select(col(snapshotCol).cast("string").as("snap"),
+        explode(regexp_extract_all(
+          lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"),
+        col(tsCol).as("ts"))
+      .select(col("snap"),
+        graft.scale.TextStats.hashBucket(col("tok"), buckets).as("b"),
+        col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BucketEvent]
+    typed
+      .groupByKey(e => (e.snap, e.b))
+      .flatMapGroupsWithState[BucketState, FinalBucketCount](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, Long), rows: Iterator[BucketEvent], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(FinalBucketCount(key._1, key._2, s.cnt))
+          } else {
+            var s = state.getOption.getOrElse(BucketState(0L, Long.MinValue))
+            rows.foreach { e =>
+              s = BucketState(s.cnt + 1L, math.max(s.lastSeen, e.ts.getTime))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.lastSeen + quiesceMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
 
   /** Streaming incremental near-dup detection — the continuous form of
     * [[graft.scale.Dedup.nearDupAgainstSignatures]]: arriving documents
@@ -1152,5 +1235,6 @@ object StreamingOps {
     "preferencePairsFinalStream" -> OutputMode.Append(), // eviction
     "feedbackClassCountsFinalStream" -> OutputMode.Append(), // eviction
     "trajectorySignalFinalStream" -> OutputMode.Append(), // eviction
+    "driftBucketCountsFinalStream" -> OutputMode.Append(), // eviction
     "cmsSketchStream" -> OutputMode.Complete())
 }

@@ -906,6 +906,64 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftBucketCountsFinalStream: quiescent (snapshot, bucket) keys close with their BATCH counts, state evicted, reopen fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // two snapshots; s1 has a repeated token (count 2 in one bucket), a
+    // token-less doc (emits nothing), and a null-ts doc (excluded)
+    val w1 = Seq(
+      ("s1", "alpha beta alpha", Some(ts(10))),
+      ("s1", "gamma", Some(ts(11))),
+      ("s1", "???", Some(ts(11))),
+      ("s1", "dropped null ts", None: Option[java.sql.Timestamp]),
+      ("s2", "alpha delta", Some(ts(12))))
+    val buckets = 64
+    val input = MemoryStream[(String, String, Option[java.sql.Timestamp])]
+    val q = StreamingOps.driftBucketCountsFinalStream(
+        input.toDF().toDF("snap", "text", "ts"),
+        "text", "snap", "ts",
+        quiesceMs = 10 * 60000L, buckets = buckets,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("drift_final")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(w1: _*); q.processAllAvailable()
+      assert(spark.table("drift_final").count() === 0L,
+        "active keys emit nothing")
+      input.addData(("zz", "far future", Some(ts(120)))); q.processAllAvailable()
+      val closed = spark.table("drift_final").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // per snapshot, the closed counts ARE the batch bucket counts
+      // over that snapshot's placeable rows
+      for (snap <- Seq("s1", "s2")) {
+        val batch = graft.scale.Sampling.tokenBucketCounts(
+          spark.createDataFrame(
+            w1.filter(r => r._1 == snap && r._3.isDefined).map(r => Tuple1(r._2)))
+            .toDF("text"),
+          "text", buckets, "p_cnt")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(closed.filter(_._1._1 == snap).map { case ((_, b), c) => b -> c } ===
+          batch, s"closed counts == batch tokenBucketCounts for $snap")
+      }
+      // reopen: a late-ish doc for s1 lands in a FRESH key (old state
+      // evicted) — its close counts ONLY the post-close row, so the
+      // alpha bucket now has TWO closed rows: 2 (pre) and 1 (reopened)
+      val alphaBucket = spark.range(1)
+        .select(graft.scale.TextStats.hashBucket(
+          org.apache.spark.sql.functions.lit("alpha"), buckets).as("b"))
+        .head().getLong(0)
+      input.addData(("s1", "alpha", Some(ts(130)))); q.processAllAvailable()
+      input.addData(("zz2", "flush", Some(ts(300)))); q.processAllAvailable()
+      val alphaRows = spark.table("drift_final")
+        .filter(col("snap") === "s1" && col("b") === alphaBucket)
+        .collect().map(_.getLong(2)).sorted.toSeq
+      assert(alphaRows === Seq(1L, 2L),
+        "the reopened key saw ONLY post-close rows (fresh count 1 " +
+          "beside the closed count 2)")
+    } finally q.stop()
+  }
+
   test("trajectorySignalFinalStream: a null trajectory key fails BY NAME — the documented divergence from batch's null-key group (r19 advisory)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
