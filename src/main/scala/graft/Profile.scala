@@ -248,11 +248,130 @@ object Profile {
           // attention segments
           "q181_manifest_quarantine", "q182_interleaved_sequences",
           "q183_returns_to_go", "q184_attention_segments",
-          "q185_bestfit_segments"))
+          "q185_bestfit_segments",
+          // r20: manifest repair (both layouts — q186 also covers the
+          // split quarantine's century, the r19 verdict #6 ask), the
+          // interleaved best-fit export, RTG value targets
+          "q186_manifest_repair", "q187_manifest_repair_bestfit",
+          "q188_interleaved_bestfit", "q189_prm_rtg_sequences"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")
       }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("evictstream")) {
+      // the EVICTION TWINS under a replayed log at scale (the r19
+      // verdict #6 ask): the staged events file-streamed in micro-
+      // batches plus a far-future FLUSH file written last (file sources
+      // order by modification time), so every main key quiesces and
+      // closes; each twin's closed rows are compared against its batch
+      // reduction over the main rows — stream == batch at volume, and
+      // the wall clock is the throughput row. copies=1 reads sf0.1
+      // directly; copies=N reuses the sftcentury staging (tagged props
+      // → prompt cardinality scales with the copies, the unbounded-
+      // keyspace regime these twins exist for).
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingOps
+      val copies = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt).getOrElse(100)
+      val src =
+        if (copies <= 1) s"$sfDir/events.parquet"
+        else {
+          val p = s"tmp/sfx${copies}sft/events.parquet"
+          require(new java.io.File(p).exists(),
+            s"stage first: Profile sftcentury $copies reuse (writes $p)")
+          p
+        }
+      val evRaw = spark.read.parquet(src)
+      val ev0 = (evRaw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          evRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => evRaw.withColumn("ts", col("ts").cast("timestamp"))
+      })
+        .filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"), col("ts"))
+        .persist()
+      println(s"[evictstream] ${copies}x rows=${ev0.count()}")
+      val stage = java.nio.file.Files.createTempDirectory("evict_stream").toString
+      ev0.repartition(4).write.mode("overwrite").parquet(stage)
+      // the flush: one far-future row, non-null value so no filter
+      // drops it before it advances the watermark; written AFTER the
+      // main files so it lands in the last trigger
+      val maxTs = ev0.agg(max(col("ts"))).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 10L * 86400000L)
+      Thread.sleep(1100) // mod-time ordering granularity
+      import spark.implicits._
+      Seq((-1L, -1L, "zflush", Some(0.0), "zzz_flush", flushTs))
+        .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+        .write.mode("append").parquet(stage)
+      def replay(name: String)(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val stream = spark.readStream.schema(ev0.schema)
+          .option("maxFilesPerTrigger", 2).parquet(stage)
+        val q = mk(stream).writeStream.format("memory")
+          .queryName(s"evict_$name").outputMode(OutputMode.Append()).start()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val closed = spark.table(s"evict_$name")
+        println(f"[evictstream] $name wall=$wall%.2fs closed=${closed.count()}")
+        closed
+      }
+      def cmp(name: String, got: org.apache.spark.sql.DataFrame,
+          want: org.apache.spark.sql.DataFrame): Unit = {
+        val g = got.collect().map(_.toSeq).toSet
+        val w = want.collect().map(_.toSeq).toSet
+        println(s"[evictstream] $name stream==batch: ${
+          if (g == w) "MATCH"
+          else s"MISMATCH stream_only=${(g -- w).size} batch_only=${(w -- g).size}"}")
+      }
+      val quiesce = 10L * 60000L
+      // 1. trajectorySignalFinalStream (grp = props, traj = user_id)
+      val traj = replay("traj")(s =>
+        StreamingOps.trajectorySignalFinalStream(
+          s, "props", "user_id", "value", "ts", quiesce, "5 minutes"))
+      cmp("traj",
+        traj.filter(col("grp") =!= "zzz_flush"),
+        graft.scale.Dialogue.turnSignalReduce(
+          ev0.select(col("props").cast("string").as("grp"),
+            col("user_id").as("traj"), col("value")),
+          "grp", "traj", "value"))
+      // 2. feedbackClassCountsFinalStream
+      val fb = replay("fb")(s =>
+        StreamingOps.feedbackClassCountsFinalStream(
+          s, "props", "value", 50.0, "ts", quiesce, "5 minutes"))
+      cmp("fb",
+        fb.filter(col("prompt") =!= "zzz_flush"),
+        StreamingOps.feedbackClassCountsStream(
+          ev0.select(col("props").cast("string").as("prompt"), col("value")),
+          "prompt", "value", 50.0)
+          .select(col("prompt"), col("n_desirable"), col("n_undesirable")))
+      // 3. driftBucketCountsFinalStream (snapshot = event_type)
+      val drift = replay("drift")(s =>
+        StreamingOps.driftBucketCountsFinalStream(
+          s, "props", "event_type", "ts", quiesce, 4096, "5 minutes"))
+      val wantDrift = ev0
+        .select(col("event_type").cast("string").as("snap"),
+          explode(expr("regexp_extract_all(lower(props), '[a-z0-9]+', 0)"))
+            .as("tok"))
+        .select(col("snap"),
+          graft.scale.TextStats.hashBucket(col("tok"), 4096).as("b"))
+        .groupBy(col("snap"), col("b"))
+        .agg(count(lit(1)).as("p_cnt"))
+      // the per-snapshot law against the REAL batch op (not the inline
+      // mirror): spot-pin one snapshot through tokenBucketCounts
+      val snap0 = ev0.select(col("event_type")).head().getString(0)
+      cmp(s"drift[$snap0]==tokenBucketCounts",
+        drift.filter(col("snap") === snap0).select(col("b"), col("p_cnt")),
+        graft.scale.Sampling.tokenBucketCounts(
+          ev0.filter(col("event_type") === snap0).select(col("props")),
+          "props", 4096, "p_cnt"))
+      cmp("drift", drift.filter(col("snap") =!= "zflush"), wantDrift)
+      ev0.unpersist()
       spark.stop()
       return
     }

@@ -3428,6 +3428,36 @@ object SparkEntry {
        |    SELECT list_position(list_transform(f.loads, x -> x + r.n <= $seqLen),
        |      true) AS p) pos)""".stripMargin
 
+  /** The writer-manifest oracle CTEs shared by the fsck / quarantine /
+    * repair family: `<pf>msq` (the seq_id bijection + the
+    * running-fill-before // budget FILE rule over a preceding bins CTE
+    * carrying (keyCols…, fill, n_docs)) and `<pf>man` (the epoch
+    * expansion with the exact `md5('epoch:<e>:<seq_id>')`
+    * per-(epoch, unit) permutation) — ONE definition for the five
+    * oracles that re-derive a generator manifest (the
+    * ffdCtes/docTokenStreamCtes convention; the r20 self-review
+    * finding: this block had grown five verbatim copies). NO leading /
+    * trailing comma.
+    */
+  private def writerManCtes(
+      binsName: String, keyCols: Seq[String], unit: String,
+      budget: Long, maxEpoch: Int, pf: String = ""): String = {
+    val keys = keyCols.mkString(", ")
+    s"""${pf}msq AS (
+       |  SELECT $keys, fill, n_docs,
+       |    CAST(row_number() OVER (ORDER BY $keys) - 1 AS BIGINT) AS seq_id,
+       |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY $keys
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      // $budget AS BIGINT) AS file
+       |  FROM $binsName),
+       |${pf}man AS (
+       |  SELECT $keys, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
+       |    CAST(row_number() OVER (PARTITION BY e, $unit
+       |      ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
+       |      AS BIGINT) AS pos
+       |  FROM ${pf}msq, unnest(generate_series(0, $maxEpoch)) AS u(e))""".stripMargin
+  }
+
   /** The documents token-count + (id, n) base CTEs shared by the
     * best-fit oracle family.
     */
@@ -7479,19 +7509,7 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS fill,
         |    CAST(count(DISTINCT side_id) AS BIGINT) AS n_docs
         |  FROM pos GROUP BY 1),
-        |msq AS (
-        |  SELECT bin, fill, n_docs,
-        |    CAST(row_number() OVER (ORDER BY bin) - 1 AS BIGINT) AS seq_id,
-        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      // 64 AS BIGINT) AS file
-        |  FROM mbin),
-        |man AS (
-        |  SELECT bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
-        |    CAST(row_number() OVER (PARTITION BY e, file
-        |      ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1 AS BIGINT)
-        |      AS pos
-        |  FROM msq, unnest(generate_series(0, 1)) AS u(e))
+        |${writerManCtes("mbin", Seq("bin"), "file", 64, 1)}
         |SELECT 'sequences_export' AS "check", CAST(count(*) AS BIGINT) AS n FROM mbin
         |UNION ALL
         |SELECT 'manifest_rows', CAST(count(*) AS BIGINT) FROM man
@@ -7541,20 +7559,8 @@ object SparkEntry {
         |  SELECT shard, bin, CAST(sum(n) AS BIGINT) AS fill,
         |    CAST(count(*) AS BIGINT) AS n_docs
         |  FROM ffd WHERE id IS NOT NULL GROUP BY 1, 2),
-        |sq AS (
-        |  SELECT shard, bin, fill, n_docs,
-        |    CAST(row_number() OVER (ORDER BY shard, bin) - 1 AS BIGINT) AS seq_id,
-        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY shard, bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      // 4000 AS BIGINT) AS file
-        |  FROM bins),
-        |man AS (
-        |  SELECT shard, bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
-        |    CAST(row_number() OVER (PARTITION BY e, shard
-        |      ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
-        |      AS BIGINT) AS pos
-        |  FROM sq, unnest(generate_series(0, 1)) AS u(e))
-        |SELECT 'sequences_export' AS "check", CAST(count(*) AS BIGINT) AS n FROM sq
+        |${writerManCtes("bins", Seq("shard", "bin"), "shard", 4000, 1)}
+        |SELECT 'sequences_export' AS "check", CAST(count(*) AS BIGINT) AS n FROM msq
         |UNION ALL
         |SELECT 'manifest_rows', CAST(count(*) AS BIGINT) FROM man
         |UNION ALL
@@ -7569,11 +7575,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'missing_sequences', CAST(coalesce(sum(nn - c), 0) AS BIGINT)
         |FROM (SELECT epoch, count(DISTINCT m.seq_id) AS c,
-        |        (SELECT count(*) FROM sq) AS nn
-        |      FROM man m JOIN sq x ON m.seq_id = x.seq_id GROUP BY epoch)
+        |        (SELECT count(*) FROM msq) AS nn
+        |      FROM man m JOIN msq x ON m.seq_id = x.seq_id GROUP BY epoch)
         |UNION ALL
         |SELECT 'layout_mismatches', CAST(count(*) AS BIGINT)
-        |FROM man m LEFT JOIN sq x ON m.seq_id = x.seq_id
+        |FROM man m LEFT JOIN msq x ON m.seq_id = x.seq_id
         |WHERE x.seq_id IS NULL OR m.shard <> x.shard OR m.bin <> x.bin
         |   OR m.fill <> x.fill OR m.n_docs <> x.n_docs OR m.file <> x.file
         |UNION ALL
@@ -7589,7 +7595,7 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY e2.epoch, s2.shard
         |      ORDER BY md5('epoch:' || e2.epoch || ':' || s2.seq_id), s2.seq_id)
         |      - 1 AS BIGINT) AS e_pos
-        |  FROM sq s2, (SELECT DISTINCT epoch FROM man) e2) x
+        |  FROM msq s2, (SELECT DISTINCT epoch FROM man) e2) x
         |  ON m.epoch = x.epoch AND m.seq_id = x.seq_id
         |WHERE m.pos IS DISTINCT FROM x.e_pos""".stripMargin),
 
@@ -7604,19 +7610,7 @@ object SparkEntry {
         |  SELECT shard, bin, CAST(sum(n) AS BIGINT) AS fill,
         |    CAST(count(*) AS BIGINT) AS n_docs
         |  FROM ffd WHERE id IS NOT NULL GROUP BY 1, 2),
-        |sq AS (
-        |  SELECT shard, bin, fill, n_docs,
-        |    CAST(row_number() OVER (ORDER BY shard, bin) - 1 AS BIGINT) AS seq_id,
-        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY shard, bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      // 4000 AS BIGINT) AS file
-        |  FROM bins),
-        |man AS (
-        |  SELECT shard, bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
-        |    CAST(row_number() OVER (PARTITION BY e, shard
-        |      ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
-        |      AS BIGINT) AS pos
-        |  FROM sq, unnest(generate_series(0, 1)) AS u(e)),
+        |${writerManCtes("bins", Seq("shard", "bin"), "shard", 4000, 1)},
         |cor AS MATERIALIZED (
         |  SELECT shard, bin,
         |    CASE WHEN epoch = 0 AND seq_id % 17 = 2 THEN fill + 5
@@ -7633,7 +7627,7 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY e2.epoch, s2.shard
         |      ORDER BY md5('epoch:' || e2.epoch || ':' || s2.seq_id), s2.seq_id)
         |      - 1 AS BIGINT) AS e_pos
-        |  FROM sq s2, (SELECT DISTINCT epoch FROM cor) e2),
+        |  FROM msq s2, (SELECT DISTINCT epoch FROM cor) e2),
         |nl AS (SELECT CAST(NULL AS BIGINT) AS x)
         |SELECT 'duplicate_key' AS violation, epoch, seq_id, shard, bin, fill,
         |  n_docs, file, pos, nl.x AS e_shard, nl.x AS e_bin, nl.x AS e_fill,
@@ -7646,14 +7640,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'missing', x.epoch, x.seq_id, nl.x, nl.x, nl.x, nl.x, nl.x,
         |  nl.x, s.shard, s.bin, s.fill, s.n_docs, s.file, x.e_pos
-        |FROM expos x JOIN sq s USING (seq_id), nl
+        |FROM expos x JOIN msq s USING (seq_id), nl
         |WHERE NOT EXISTS (SELECT 1 FROM cor c
         |                  WHERE c.epoch = x.epoch AND c.seq_id = x.seq_id)
         |UNION ALL
         |SELECT 'layout_mismatch', m.epoch, m.seq_id, m.shard, m.bin, m.fill,
         |  m.n_docs, m.file, m.pos, x.shard, x.bin, x.fill, x.n_docs, x.file,
         |  nl.x
-        |FROM cor m LEFT JOIN sq x USING (seq_id), nl
+        |FROM cor m LEFT JOIN msq x USING (seq_id), nl
         |WHERE m.shard IS DISTINCT FROM x.shard OR m.bin IS DISTINCT FROM x.bin
         |   OR m.fill IS DISTINCT FROM x.fill
         |   OR m.n_docs IS DISTINCT FROM x.n_docs
@@ -7944,18 +7938,8 @@ object SparkEntry {
         |  SELECT bin, CAST(sum(piece_len) AS BIGINT) AS fill,
         |    CAST(count(*) AS BIGINT) AS n_docs
         |  FROM pieces GROUP BY 1),
-        |msq AS (
-        |  SELECT bin, fill, n_docs,
-        |    CAST(row_number() OVER (ORDER BY bin) - 1 AS BIGINT) AS seq_id,
-        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      // 4000 AS BIGINT) AS file
-        |  FROM mbin)
-        |SELECT bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
-        |  CAST(row_number() OVER (PARTITION BY e, file
-        |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1 AS BIGINT)
-        |    AS pos
-        |FROM msq, unnest(generate_series(0, 2)) AS u(e)""".stripMargin),
+        |${writerManCtes("mbin", Seq("bin"), "file", 4000, 2)}
+        |SELECT bin, fill, n_docs, seq_id, file, epoch, pos FROM man""".stripMargin),
 
     // q182's interleave CTEs + the recursive-FFD layout over the
     // INTERLEAVED per-doc lengths (placeholder included), doc_off
@@ -8024,18 +8008,9 @@ object SparkEntry {
         |  SELECT shard, bin, CAST(sum(n) AS BIGINT) AS fill,
         |    CAST(count(*) AS BIGINT) AS n_docs
         |  FROM ffd WHERE id IS NOT NULL GROUP BY 1, 2),
-        |sq AS (
-        |  SELECT shard, bin, fill, n_docs,
-        |    CAST(row_number() OVER (ORDER BY shard, bin) - 1 AS BIGINT) AS seq_id,
-        |    CAST(CAST(coalesce(sum(fill) OVER (ORDER BY shard, bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      // 4000 AS BIGINT) AS file
-        |  FROM bins)
-        |SELECT shard, bin, fill, n_docs, seq_id, file, CAST(e AS BIGINT) AS epoch,
-        |  CAST(row_number() OVER (PARTITION BY e, shard
-        |    ORDER BY md5('epoch:' || e || ':' || seq_id), seq_id) - 1
-        |    AS BIGINT) AS pos
-        |FROM sq, unnest(generate_series(0, 2)) AS u(e)""".stripMargin),
+        |${writerManCtes("bins", Seq("shard", "bin"), "shard", 4000, 2)}
+        |SELECT shard, bin, fill, n_docs, seq_id, file, epoch, pos
+        |FROM man""".stripMargin),
 
     // the round-trip's oracle is the CANONICAL normalization itself —
     // no BPE replay: if the engine's train+encode+decode conserves

@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -364,7 +364,7 @@ object ShardPack {
   def epochOrder(packed: DataFrame, idCol: String, epoch: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
-    val ek = md5(concat(lit(s"epoch:$epoch:"), col(idCol).cast("string")))
+    val ek = epochPermKey(lit(epoch), col(idCol))
     packed
       .withColumn("epoch", lit(epoch))
       .withColumn("pos",
@@ -1191,6 +1191,29 @@ object ShardPack {
   private val SplitLayoutCols = Seq("bin", "fill", "n_docs", "file")
   private val BestFitLayoutCols = Seq("shard", "bin", "fill", "n_docs", "file")
 
+  /** The deterministic duplicate KEEP RULE — smallest by (pos, layout)
+    * with NULLS FIRST — in ONE definition: the quarantine uses it to
+    * label rows past rank 1 and the repair re-applies it to drop them,
+    * and the idempotence law quarantine(repair(m)).isEmpty silently
+    * breaks if the two ever order differently (the r19 Guards
+    * three-copy drift class).
+    */
+  private def dupKeepWindow(layoutCols: Seq[String]) = {
+    import org.apache.spark.sql.expressions.Window
+    Window.partitionBy(col("epoch"), col("seq_id"))
+      .orderBy((col("pos") +: layoutCols.map(col)).map(_.asc_nulls_first): _*)
+  }
+
+  /** The exact per-epoch permutation key `md5("epoch:<e>:<id>")` — ONE
+    * definition for [[epochOrder]] (the generator), the quarantine's
+    * re-derivation, and the repair's gap refill: a format drift in any
+    * one of them would make the fsck reject (or the repair emit) an
+    * order the generator never produced.
+    */
+  private def epochPermKey(epochCol: Column, idCol: Column): Column =
+    md5(concat(lit("epoch:"), epochCol.cast("string"),
+      lit(":"), idCol.cast("string")))
+
   private def splitCheckInputs(
       manifest: DataFrame,
       sequences: DataFrame,
@@ -1288,7 +1311,11 @@ object ShardPack {
     * the true count, or a negative label) is completed AS NAMED: the
     * check/quarantine/repair family treats every seen epoch label as
     * intended — the size relation `manifest_rows == sequences · epochs`
-    * remains the caller's intended-epoch-count signal.
+    * remains the caller's intended-epoch-count signal. A NULL key cell
+    * (epoch or seq_id) names no identity at all: the row drops exactly
+    * like a foreign one, and the phantom "epoch null" complement the
+    * quarantine loudly reports as missing is ignored — the generator
+    * names no null epoch (spec-pinned for both null keys).
     *
     * Scale shape: repair touches ONLY the manifest and the
     * quarantine frame — the generator re-derivation is already
@@ -1375,7 +1402,11 @@ object ShardPack {
     * verbatim) — foreign epochs re-derive too, so a relabeled epoch's
     * pos values mismatch its own label's permutation; its window
     * partitions by the budget-bounded (epoch, unit), never
-    * corpus-sized.
+    * corpus-sized. A NULL epoch key reads as a seen epoch label: the
+    * seen-epoch frame demands its full complement, so a nulled epoch
+    * cell surfaces LOUDLY (one `missing` row per sequence against
+    * "epoch null") — [[repairSplitManifest]] drops the row and ignores
+    * that phantom block.
     */
   private def manifestQuarantineCore(
       m: DataFrame,
@@ -1397,8 +1428,7 @@ object ShardPack {
         (row_number().over(
           Window.partitionBy(col("epoch"), col(s"e_$unit"))
             .orderBy(
-              md5(concat(lit("epoch:"), col("epoch").cast("string"),
-                lit(":"), col("seq_id").cast("string"))),
+              epochPermKey(col("epoch"), col("seq_id")),
               col("seq_id"))) - 1).cast("long"))
       .select(col("epoch"), col("seq_id"), col("e_pos"))
     val mCols = (Seq("epoch", "seq_id") ++ layoutCols) :+ "pos"
@@ -1412,10 +1442,8 @@ object ShardPack {
     // (Spark's asc default — the oracle must say NULLS FIRST
     // explicitly), so the verdict is deterministic even when the
     // copies disagree. Exact copies are interchangeable by identity.
-    val dupW = Window.partitionBy(col("epoch"), col("seq_id"))
-      .orderBy((col("pos") +: layoutCols.map(col)).map(_.asc_nulls_first): _*)
     val duplicates = m
-      .withColumn("__rn", row_number().over(dupW))
+      .withColumn("__rn", row_number().over(dupKeepWindow(layoutCols)))
       .filter(col("__rn") > 1)
     // missing: expected (epoch, seq_id) pairs with no manifest row —
     // the join back to `expected` completes the generator-derived
@@ -1475,16 +1503,21 @@ object ShardPack {
     val m = manifest.select(
       (layoutCols ++ Seq("seq_id", "epoch", "pos"))
         .map(c => col(c).cast("long").as(c)): _*)
+      // a null KEY cell names no generator identity — a null epoch
+      // labels no epoch, a null seq_id no sequence — so the row DROPS
+      // (the foreign rule extended to null keys; the correction join
+      // below is null-unsafe and could never repair it anyway, and an
+      // unfiltered null-seq_id row would ride through as a phantom
+      // output row — the r20 self-review finding)
+      .filter(col("epoch").isNotNull && col("seq_id").isNotNull)
     // LINEAGE-CUT: the quarantine fans out three ways (corrections,
     // missing union, gap epochs) and its upstream embeds the whole
     // generator re-derivation
     val q = graft.ops.CacheScope.cut(quarantine)
     // 1. duplicates: the quarantine's keep rule re-applied (see the
     //    public scaladoc for why not an anti-join)
-    val dupW = Window.partitionBy(col("epoch"), col("seq_id"))
-      .orderBy((col("pos") +: layoutCols.map(col)).map(_.asc_nulls_first): _*)
     val deduped = m
-      .withColumn("__rn", row_number().over(dupW))
+      .withColumn("__rn", row_number().over(dupKeepWindow(layoutCols)))
       .filter(col("__rn") === 1)
       .drop("__rn")
     // 2. corrections per (epoch, seq_id): max() folds the duplicate
@@ -1510,8 +1543,14 @@ object ShardPack {
       .select((Seq(col("epoch"), col("seq_id")) ++
         layoutCols.map(c => coalesce(col(s"e_$c"), col(c)).as(c)) :+
         coalesce(col("e_pos"), col("pos")).as("pos")): _*)
-    // 3. missing rows ARE their own complete corrections
-    val missing = q.filter(col("violation") === "missing")
+    // 3. missing rows ARE their own complete corrections. The epoch
+    //    filter discards the PHANTOM complement a null-epoch manifest
+    //    row provokes: the quarantine's seen-epoch frame treats the
+    //    null as a seen label and reports every sequence missing from
+    //    "epoch null" (loud, by design); the generator names no null
+    //    epoch, so repair ignores that block along with the row itself
+    val missing = q.filter(col("violation") === "missing" &&
+        col("epoch").isNotNull)
       .select((Seq(col("epoch"), col("seq_id")) ++
         layoutCols.map(c => col(s"e_$c").as(c)) :+
         col("e_pos").as("pos")): _*)
@@ -1529,10 +1568,7 @@ object ShardPack {
       .select(col("seq_id") +: layoutCols.map(col): _*)
       .distinct()
     val gapW = Window.partitionBy(col("epoch"), col(unit))
-      .orderBy(
-        md5(concat(lit("epoch:"), col("epoch").cast("string"),
-          lit(":"), col("seq_id").cast("string"))),
-        col("seq_id"))
+      .orderBy(epochPermKey(col("epoch"), col("seq_id")), col("seq_id"))
     val gapRows = canonical
       .crossJoin(broadcast(gapEpochs))
       .withColumn("pos", (row_number().over(gapW) - 1).cast("long"))

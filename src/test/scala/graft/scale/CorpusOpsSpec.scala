@@ -937,6 +937,28 @@ class CorpusOpsSpec extends SparkSpec {
       "split repair == the generator manifest")
     assert(ShardPack.quarantineSplitManifest(splitRepaired, seqs, 150L).isEmpty,
       "split quarantine(repair(m)) is empty")
+    // NULL KEY cells (the r20 self-review finding): a nulled epoch
+    // provokes the quarantine's loud phantom complement ("epoch null"
+    // missing rows) and a nulled seq_id row matches no correction —
+    // repair must drop both rows, ignore the phantom block, and still
+    // satisfy every law (the dropped rows' originals come back as
+    // missing in their true epochs)
+    val nullKeys = splitMan
+      .withColumn("epoch",
+        when(col("epoch") === 0L && col("seq_id") === 2L,
+          lit(null).cast("long")).otherwise(col("epoch")))
+      .withColumn("seq_id",
+        when(col("epoch") === 1L && col("seq_id") === 7L,
+          lit(null).cast("long")).otherwise(col("seq_id")))
+    val nullQuar = ShardPack.quarantineSplitManifest(nullKeys, seqs, 150L)
+    assert(nullQuar.filter(col("violation") === "missing" &&
+      col("epoch").isNull).count() > 0L,
+      "the null-epoch label surfaces loudly in the quarantine")
+    val nullRepaired = ShardPack.repairSplitManifest(nullKeys, nullQuar)
+    assert(rows(nullRepaired) === rows(splitMan),
+      "null-key rows drop; their true identities come back as missing")
+    assert(ShardPack.quarantineSplitManifest(nullRepaired, seqs, 150L).isEmpty,
+      "null-key quarantine(repair(m)) is empty")
   }
 
   test("epoch_gap guards the negative-max sequence pitfall: an all-negative corrupt epoch domain emits NO gap rows (r19 advisory)") {
