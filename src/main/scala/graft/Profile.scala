@@ -253,7 +253,8 @@ object Profile {
           // split quarantine's century, the r19 verdict #6 ask), the
           // interleaved best-fit export, RTG value targets
           "q186_manifest_repair", "q187_manifest_repair_bestfit",
-          "q188_interleaved_bestfit", "q189_prm_rtg_sequences"))
+          "q188_interleaved_bestfit", "q189_prm_rtg_sequences",
+          "q190_curriculum_quarantine", "q191_curriculum_repair"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

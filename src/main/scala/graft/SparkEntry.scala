@@ -2873,8 +2873,67 @@ object SparkEntry {
           array_join(col("token_ids"), " ").as("token_ids"),
           array_join(col("mask"), "").as("mask"),
           array_join(col("value_milli"), " ").as("value_milli"))
+    }),
+
+    // --- scale: the CURRICULUM QUARANTINE — the manifest fsck algebra
+    // (q181) on the THIRD loader contract, q172's schedule: a
+    // deterministic battery (a whole lost epoch — which surfaces as
+    // named missing rows, the caller-known epoch domain has no gap
+    // blind spot —, dropped rows, a corrupted band, a nulled
+    // difficulty, shifted pos, duplicates, a foreign doc id), then one
+    // labeled row per violation with the generator-derived correction ----
+    "q190_curriculum_quarantine" -> ((s, dir) => {
+      val docs = graft.ops.CacheScope.cut(t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("difficulty")))
+      val schedule = ShardPack.curriculumOrder(docs, "doc_id", "difficulty",
+        epochs = 4, buckets = 10)
+      val corrupted = curriculumBattery(schedule)
+      ShardPack.quarantineCurriculum(corrupted, docs, "doc_id", "difficulty",
+        epochs = 4, buckets = 10)
+    }),
+
+    // --- scale: CURRICULUM REPAIR — q190's quarantine spliced back
+    // (the q186 discipline): duplicates re-drop by the shared keep
+    // rule, band/difficulty/pos overwrite from e_*, foreign rows drop,
+    // missing rows (the whole lost epoch included) union in verbatim.
+    // The oracle is the GENERATOR's own schedule — the extensional law --
+    "q191_curriculum_repair" -> ((s, dir) => {
+      val docs = graft.ops.CacheScope.cut(t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("difficulty")))
+      val schedule = ShardPack.curriculumOrder(docs, "doc_id", "difficulty",
+        epochs = 4, buckets = 10)
+      val corrupted = graft.ops.CacheScope.cut(curriculumBattery(schedule))
+      ShardPack.repairCurriculum(corrupted,
+        ShardPack.quarantineCurriculum(corrupted, docs, "doc_id", "difficulty",
+          epochs = 4, buckets = 10),
+        "doc_id", "difficulty")
     })
   )
+
+  /** The q190/q191 deterministic corruption battery over a q172
+    * schedule — ONE definition so the quarantine and repair queries
+    * (and their oracles' `cor` CTE) cannot drift: a whole lost epoch,
+    * dropped rows, a corrupted band, a nulled difficulty, shifted pos,
+    * re-unioned duplicates, a foreign doc id.
+    */
+  private def curriculumBattery(schedule: DataFrame): DataFrame =
+    schedule
+      .filter(col("epoch") =!= 1L)
+      .filter(!(col("epoch") === 2L && col("doc_id") % 11L === 0L))
+      .withColumn("bucket",
+        when(col("epoch") === 0L && col("doc_id") % 17L === 2L,
+          col("bucket") + 3L).otherwise(col("bucket")))
+      .withColumn("difficulty",
+        when(col("epoch") === 3L && col("doc_id") % 13L === 5L,
+          lit(null).cast("long")).otherwise(col("difficulty")))
+      .withColumn("pos",
+        when(col("epoch") === 2L && col("doc_id") % 19L === 3L,
+          col("pos") + 1000L).otherwise(col("pos")))
+      .unionByName(schedule.filter(
+        col("epoch") === 0L && col("doc_id") % 13L === 1L))
+      .unionByName(schedule.filter(
+        col("epoch") === 0L && col("doc_id") % 23L === 4L)
+        .withColumn("doc_id", col("doc_id") + 100000000L))
 
   /** The q157/q160/q161 response-log view of events: prompt = props
     * (the shared prompt key), candidate = the event, content = the
@@ -3340,8 +3399,12 @@ object SparkEntry {
     * epoch e of 4 admits the ceil((e+1)·10/4)-band prefix; per-epoch
     * md5 permutation per band.
     */
-  private lazy val curriculumOracleSql: String =
-    """WITH t AS (
+  /** The curriculum generator CTEs (t/rk/bd + the full schedule `cur`)
+    * shared by q172/q179 and the r20 fsck family (q190/q191) — the
+    * writerManCtes convention. NO leading WITH.
+    */
+  private lazy val curriculumCtes: String =
+    """t AS (
       |  SELECT doc_id,
       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
@@ -3353,13 +3416,18 @@ object SparkEntry {
       |      AS r,
       |    CAST(count(*) OVER () AS BIGINT) AS n
       |  FROM t),
-      |bd AS (SELECT doc_id, difficulty, r * 10 // n AS bucket FROM rk)
-      |SELECT CAST(e AS BIGINT) AS epoch, bucket, doc_id, difficulty,
-      |  CAST(row_number() OVER (PARTITION BY e, bucket
-      |    ORDER BY md5('curr:' || e || ':' || doc_id), doc_id) - 1 AS BIGINT)
-      |    AS pos
-      |FROM bd, unnest(generate_series(0, 3)) AS u(e)
-      |WHERE bucket < ((e + 1) * 10 + 3) // 4""".stripMargin
+      |bd AS (SELECT doc_id, difficulty, r * 10 // n AS bucket FROM rk),
+      |cur AS (
+      |  SELECT CAST(e AS BIGINT) AS epoch, bucket, doc_id, difficulty,
+      |    CAST(row_number() OVER (PARTITION BY e, bucket
+      |      ORDER BY md5('curr:' || e || ':' || doc_id), doc_id) - 1 AS BIGINT)
+      |      AS pos
+      |  FROM bd, unnest(generate_series(0, 3)) AS u(e)
+      |  WHERE bucket < ((e + 1) * 10 + 3) // 4)""".stripMargin
+
+  private lazy val curriculumOracleSql: String =
+    s"""WITH $curriculumCtes
+       |SELECT epoch, bucket, doc_id, difficulty, pos FROM cur""".stripMargin
 
   /** The `stream`→global-token-position CTEs shared by
     * [[streamPackTailSql]] and the split-manifest oracles: per-side
@@ -7913,6 +7981,69 @@ object SparkEntry {
         |  array_to_string(list(mask ORDER BY p), '') AS mask,
         |  array_to_string(list(value_milli ORDER BY p), ' ') AS value_milli
         |FROM pos GROUP BY 1""".stripMargin),
+
+    // q172's generator CTEs + the q190 battery replayed verbatim, then
+    // each violation class re-labeled independently (the q181 label
+    // algebra on (epoch, doc_id) keys; NULLS FIRST on the keep-rule
+    // sort; the explicit x.bucket IS NULL arm is the foreign/
+    // inadmissible case)
+    "q190_curriculum_quarantine" ->
+      (s"""WITH $curriculumCtes,
+        |cor AS MATERIALIZED (
+        |  SELECT epoch, doc_id,
+        |    CASE WHEN epoch = 0 AND doc_id % 17 = 2 THEN bucket + 3
+        |         ELSE bucket END AS bucket,
+        |    CASE WHEN epoch = 3 AND doc_id % 13 = 5 THEN NULL
+        |         ELSE difficulty END AS difficulty,
+        |    CASE WHEN epoch = 2 AND doc_id % 19 = 3 THEN pos + 1000
+        |         ELSE pos END AS pos
+        |  FROM cur WHERE epoch <> 1 AND NOT (epoch = 2 AND doc_id % 11 = 0)
+        |  UNION ALL
+        |  SELECT epoch, doc_id, bucket, difficulty, pos FROM cur
+        |  WHERE epoch = 0 AND doc_id % 13 = 1
+        |  UNION ALL
+        |  SELECT epoch, doc_id + 100000000, bucket, difficulty, pos FROM cur
+        |  WHERE epoch = 0 AND doc_id % 23 = 4),
+        |nl AS (SELECT CAST(NULL AS BIGINT) AS x)
+        |SELECT 'duplicate_key' AS violation, epoch, doc_id, bucket,
+        |  difficulty, pos, nl.x AS e_bucket, nl.x AS e_difficulty,
+        |  nl.x AS e_pos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY epoch, doc_id
+        |        ORDER BY pos ASC NULLS FIRST, bucket ASC NULLS FIRST,
+        |          difficulty ASC NULLS FIRST) AS rn
+        |      FROM cor) z, nl
+        |WHERE rn > 1
+        |UNION ALL
+        |SELECT 'missing', c.epoch, c.doc_id, nl.x, nl.x, nl.x,
+        |  c.bucket, c.difficulty, c.pos
+        |FROM cur c, nl
+        |WHERE NOT EXISTS (SELECT 1 FROM cor m
+        |                  WHERE m.epoch = c.epoch AND m.doc_id = c.doc_id)
+        |UNION ALL
+        |SELECT 'layout_mismatch', m.epoch, m.doc_id, m.bucket,
+        |  m.difficulty, m.pos, x.bucket, x.difficulty, nl.x
+        |FROM cor m LEFT JOIN cur x
+        |  ON m.epoch = x.epoch AND m.doc_id = x.doc_id, nl
+        |WHERE x.bucket IS NULL OR m.bucket IS DISTINCT FROM x.bucket
+        |   OR m.difficulty IS DISTINCT FROM x.difficulty
+        |UNION ALL
+        |SELECT 'pos_violation', g.epoch, nl.x, g.bucket, nl.x, nl.x,
+        |  nl.x, nl.x, nl.x
+        |FROM (SELECT epoch, bucket, count(*) AS c, max(pos) AS mx,
+        |        count(DISTINCT pos) AS d
+        |      FROM cor GROUP BY 1, 2) g, nl
+        |WHERE g.mx <> g.c - 1 OR g.d <> g.c
+        |UNION ALL
+        |SELECT 'pos_mismatch', m.epoch, m.doc_id, m.bucket, m.difficulty,
+        |  m.pos, nl.x, nl.x, x.pos
+        |FROM cor m JOIN cur x
+        |  ON m.epoch = x.epoch AND m.doc_id = x.doc_id, nl
+        |WHERE m.pos IS DISTINCT FROM x.pos""".stripMargin),
+
+    // the curriculum repair law IS the oracle (the q186 argument):
+    // repair(battery(schedule)) == the generator's own schedule,
+    // battery-free — any repair bug breaks hash equality
+    "q191_curriculum_repair" -> curriculumOracleSql,
 
     // the repair law IS the oracle: repair(corrupted) == the generator's
     // own manifest for the epochs the corrupted manifest names (0..2

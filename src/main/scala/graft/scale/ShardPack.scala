@@ -1191,17 +1191,17 @@ object ShardPack {
   private val SplitLayoutCols = Seq("bin", "fill", "n_docs", "file")
   private val BestFitLayoutCols = Seq("shard", "bin", "fill", "n_docs", "file")
 
-  /** The deterministic duplicate KEEP RULE — smallest by (pos, layout)
-    * with NULLS FIRST — in ONE definition: the quarantine uses it to
-    * label rows past rank 1 and the repair re-applies it to drop them,
-    * and the idempotence law quarantine(repair(m)).isEmpty silently
-    * breaks if the two ever order differently (the r19 Guards
-    * three-copy drift class).
+  /** The deterministic duplicate KEEP RULE — smallest by (pos, then
+    * the identity cells) with NULLS FIRST, within (epoch, key) — in
+    * ONE definition: each quarantine uses it to label rows past rank 1
+    * and its repair re-applies it to drop them, and the idempotence
+    * law quarantine(repair(m)).isEmpty silently breaks if the two ever
+    * order differently (the r19 Guards three-copy drift class).
     */
-  private def dupKeepWindow(layoutCols: Seq[String]) = {
+  private def dupKeepWindow(keyCol: String, orderCols: Seq[String]) = {
     import org.apache.spark.sql.expressions.Window
-    Window.partitionBy(col("epoch"), col("seq_id"))
-      .orderBy((col("pos") +: layoutCols.map(col)).map(_.asc_nulls_first): _*)
+    Window.partitionBy(col("epoch"), col(keyCol))
+      .orderBy((col("pos") +: orderCols.map(col)).map(_.asc_nulls_first): _*)
   }
 
   /** The exact per-epoch permutation key `md5("epoch:<e>:<id>")` — ONE
@@ -1443,7 +1443,7 @@ object ShardPack {
     // explicitly), so the verdict is deterministic even when the
     // copies disagree. Exact copies are interchangeable by identity.
     val duplicates = m
-      .withColumn("__rn", row_number().over(dupKeepWindow(layoutCols)))
+      .withColumn("__rn", row_number().over(dupKeepWindow("seq_id", layoutCols)))
       .filter(col("__rn") > 1)
     // missing: expected (epoch, seq_id) pairs with no manifest row —
     // the join back to `expected` completes the generator-derived
@@ -1517,7 +1517,7 @@ object ShardPack {
     // 1. duplicates: the quarantine's keep rule re-applied (see the
     //    public scaladoc for why not an anti-join)
     val deduped = m
-      .withColumn("__rn", row_number().over(dupKeepWindow(layoutCols)))
+      .withColumn("__rn", row_number().over(dupKeepWindow("seq_id", layoutCols)))
       .filter(col("__rn") === 1)
       .drop("__rn")
     // 2. corrections per (epoch, seq_id): max() folds the duplicate
@@ -1576,7 +1576,7 @@ object ShardPack {
     // seq_id), then the epoch-schedule pair
     val outCols = (layoutCols.dropRight(1) ++
       Seq("seq_id", "file", "epoch", "pos")).map(col)
-    seen.unionByName(gapRows.select(seen.columns.map(col): _*))
+    seen.unionByName(gapRows.select(seen.columns.toIndexedSeq.map(col): _*))
       .select(outCols: _*)
   }
 
@@ -1758,4 +1758,199 @@ object ShardPack {
       (col("epoch") === epochCursor &&
         (col("bucket") > bucketCursor ||
           (col("bucket") === bucketCursor && col("pos") > posCursor))))
+
+  /** The CURRICULUM QUARANTINE — the manifest family's detect→label
+    * loop ([[quarantineSplitManifest]]) applied to the third loader
+    * contract, [[curriculumOrder]]'s schedule: one row per violation,
+    * labeled by class, carrying the offending schedule row and the
+    * generator-derived correction where one exists. The expected
+    * schedule re-derives from the INPUT docs (the fsck rule: the
+    * schedule is a pure function of them), and — unlike the writer
+    * manifests — the epoch domain is CALLER-KNOWN (`epochs`), so there
+    * is NO epoch_gap class: a wholly lost epoch (tail included, the
+    * manifests' documented blind spot) surfaces as its full complement
+    * of `missing` rows. Classes:
+    *
+    *   - `duplicate_key`: (epoch, id) rows past rank 1 (keep rule:
+    *     smallest by (pos, bucket, difficulty), nulls first);
+    *   - `missing`: an admitted (epoch, id) absent from the schedule —
+    *     the row IS the complete correction (e_bucket, e_difficulty,
+    *     e_pos);
+    *   - `layout_mismatch`: bucket/difficulty cells disagreeing with
+    *     the generator's (null-safe — a nulled cell counts), or a row
+    *     the generator never admits (an unknown doc, an unadmitted
+    *     band's doc in an early epoch, a foreign/null epoch label) —
+    *     e_* then null: no correction exists, the explicit
+    *     `e_bucket IS NULL` arm fires even when every manifest cell is
+    *     also null;
+    *   - `pos_violation`: one row per (epoch, bucket) group whose pos
+    *     set is not dense 0..n−1;
+    *   - `pos_mismatch`: pos differing from the exact
+    *     `md5("curr:<e>:<id>")` rank; correction = e_pos.
+    *
+    * LAW (by construction): [[checkCurriculum]]'s violation counters
+    * ARE this frame's per-label counts; a clean schedule quarantines
+    * nothing. Scale shape: the expected side is one [[curriculumOrder]]
+    * run (range-sorts + two-phase offsets — zero windows); every label
+    * branch is a keyed join/agg; the only windows partition by
+    * (epoch, id) duplicate groups or ride the expected generator.
+    *
+    * @return (violation, epoch, idCol, bucket, difficultyCol, pos,
+    *         e_bucket, e_difficulty, e_pos)
+    */
+  def quarantineCurriculum(
+      schedule: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      epochs: Int,
+      buckets: Int = 10): DataFrame = {
+    val m = graft.ops.CacheScope.cut(schedule.select(
+      Seq("epoch", "bucket", idCol, difficultyCol, "pos")
+        .map(c => col(c).cast("long").as(c)): _*))
+    val expected = graft.ops.CacheScope.cut(
+      curriculumOrder(docs, idCol, difficultyCol, epochs, buckets)
+        .select(col("epoch"), col(idCol),
+          col("bucket").as("e_bucket"),
+          col(difficultyCol).as("e_difficulty"),
+          col("pos").as("e_pos")))
+    val mCols = Seq("epoch", idCol, "bucket", difficultyCol, "pos")
+    val eCols = Seq("e_bucket", "e_difficulty", "e_pos")
+    val nullL = lit(null).cast("long")
+    def shape(label: String, df: DataFrame, have: Set[String]) =
+      df.select(lit(label).as("violation") +:
+        (mCols ++ eCols).map(c => (if (have(c)) col(c) else nullL).as(c)): _*)
+    val duplicates = m
+      .withColumn("__rn",
+        row_number().over(dupKeepWindow(idCol, Seq("bucket", difficultyCol))))
+      .filter(col("__rn") > 1)
+    val missing = expected
+      .join(m.select(col("epoch"), col(idCol)), Seq("epoch", idCol), "left_anti")
+    // e_bucket IS NULL fires the foreign arm even when every manifest
+    // cell is also null — the all-null-cells hole the null-safe
+    // compares alone would leave
+    val layoutMm = m.join(expected, Seq("epoch", idCol), "left")
+      .filter(col("e_bucket").isNull ||
+        !(col("bucket") <=> col("e_bucket")) ||
+        !(col(difficultyCol) <=> col("e_difficulty")))
+      .select((mCols.map(col) :+ col("e_bucket") :+ col("e_difficulty")): _*)
+    val posViol = m.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("__c"), max(col("pos")).as("__mx"),
+        countDistinct(col("pos")).as("__d"))
+      .filter(col("__mx") =!= col("__c") - 1L || col("__d") =!= col("__c"))
+    val posMm = m.join(expected, Seq("epoch", idCol), "inner")
+      .filter(!(col("pos") <=> col("e_pos")))
+    shape("duplicate_key", duplicates, mCols.toSet)
+      .unionByName(shape("missing", missing, Set("epoch", idCol) ++ eCols))
+      .unionByName(shape("layout_mismatch", layoutMm,
+        mCols.toSet + "e_bucket" + "e_difficulty"))
+      .unionByName(shape("pos_violation", posViol, Set("epoch", "bucket")))
+      .unionByName(shape("pos_mismatch", posMm, mCols.toSet + "e_pos"))
+  }
+
+  /** The curriculum fsck's COUNTER face — K7-style rows whose
+    * violation counters are DERIVED FROM [[quarantineCurriculum]]'s
+    * frame (the r19 counters-from-quarantine law: check and
+    * remediation cannot drift), plus the sizes: `schedule_rows`,
+    * `rows_expected` (Σ per-epoch admitted docs — the caller-known
+    * epoch domain makes the size relation exact, no manifests-style
+    * tail blind spot), `epochs_expected`.
+    *
+    * @return (check, n)
+    */
+  def checkCurriculum(
+      schedule: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      epochs: Int,
+      buckets: Int = 10): DataFrame = {
+    val spark = schedule.sparkSession
+    import spark.implicits._
+    def counter(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(name).as("check"), col("n"))
+    val labels = Seq(
+      ("duplicate_schedule_keys", "duplicate_key"),
+      ("missing_rows", "missing"),
+      ("layout_mismatches", "layout_mismatch"),
+      ("pos_violations", "pos_violation"),
+      ("pos_mismatches", "pos_mismatch")).toDF("check", "violation")
+    val counts = quarantineCurriculum(schedule, docs, idCol, difficultyCol,
+      epochs, buckets)
+      .groupBy(col("violation")).agg(count(lit(1)).as("__n"))
+    val expectedRows = curriculumOrder(docs, idCol, difficultyCol, epochs,
+      buckets)
+    counter("schedule_rows", schedule)
+      .unionByName(counter("rows_expected", expectedRows))
+      .unionByName(schedule.sparkSession.range(1)
+        .select(lit("epochs_expected").as("check"),
+          lit(epochs.toLong).as("n")))
+      .unionByName(labels.join(broadcast(counts), Seq("violation"), "left")
+        .select(col("check"), coalesce(col("__n"), lit(0L)).cast("long").as("n")))
+  }
+
+  /** CURRICULUM REPAIR — [[repairSplitManifest]]'s discipline on the
+    * schedule: apply [[quarantineCurriculum]]'s own corrections and
+    * emit the schedule a loader can proceed with. Duplicates re-drop
+    * by the shared keep rule; bucket/difficulty/pos overwrite from the
+    * e_* cells; rows with no correction (foreign docs, unadmitted
+    * bands, foreign or NULL epoch labels, null ids) DROP; missing rows
+    * union in verbatim — and because the epoch domain is caller-known,
+    * a wholly lost epoch comes back through `missing` alone (no gap
+    * refill needed, simpler than the manifest repair). LAWS
+    * (spec-pinned): repair(clean) == clean;
+    * quarantine(repair(s)).isEmpty; extensionally repair(s) ==
+    * [[curriculumOrder]]'s own output (the oracle re-derives exactly
+    * that, battery-free — q191).
+    *
+    * Scale shape: the manifest repair's — keyed dedup window, one
+    * keyed correction join, no rescan of the docs (the quarantine's
+    * correction columns already embed the generator).
+    *
+    * @return (epoch, bucket, idCol, difficultyCol, pos) — the
+    *         generator's schema
+    */
+  def repairCurriculum(
+      schedule: DataFrame,
+      quarantine: DataFrame,
+      idCol: String,
+      difficultyCol: String): DataFrame = {
+    val m = schedule.select(
+      Seq("epoch", "bucket", idCol, difficultyCol, "pos")
+        .map(c => col(c).cast("long").as(c)): _*)
+      // null KEY cells name no identity — the manifest repair's rule
+      .filter(col("epoch").isNotNull && col(idCol).isNotNull)
+    val q = graft.ops.CacheScope.cut(quarantine)
+    val deduped = m
+      .withColumn("__rn",
+        row_number().over(dupKeepWindow(idCol, Seq("bucket", difficultyCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val corr = q
+      .filter(col("violation").isin("layout_mismatch", "pos_mismatch"))
+      .groupBy(col("epoch"), col(idCol))
+      .agg(
+        max(when(col("violation") === "layout_mismatch", 1L)).as("__lm"),
+        max(col("e_bucket")).as("e_bucket"),
+        max(col("e_difficulty")).as("e_difficulty"),
+        max(col("e_pos")).as("e_pos"))
+    val foreign = coalesce(col("__lm"), lit(0L)) === 1L && col("e_bucket").isNull
+    val kept = deduped
+      .join(corr, Seq("epoch", idCol), "left")
+      .filter(!foreign)
+      .select(col("epoch"), col(idCol),
+        coalesce(col("e_bucket"), col("bucket")).as("bucket"),
+        coalesce(col("e_difficulty"), col(difficultyCol)).as(difficultyCol),
+        coalesce(col("e_pos"), col("pos")).as("pos"))
+    val missing = q.filter(col("violation") === "missing" &&
+        col("epoch").isNotNull)
+      .select(col("epoch"), col(idCol),
+        col("e_bucket").as("bucket"),
+        col("e_difficulty").as(difficultyCol),
+        col("e_pos").as("pos"))
+    kept.unionByName(missing)
+      .select(col("epoch"), col("bucket"), col(idCol), col(difficultyCol),
+        col("pos"))
+  }
 }

@@ -527,7 +527,12 @@ class PlanGuardSpec extends SparkSpec {
       // q188: the piece-vocabulary rank window inside encodeIndexedIds
       // (q182's class); the layout and the channel materializer are
       // keyed aggs/joins + budget-bounded windows only
-      "q188_interleaved_bestfit" -> 1)
+      "q188_interleaved_bestfit" -> 1,
+      // q190/q191: TWO curriculumOrder runs (the schedule under test +
+      // the quarantine's expected re-derivation), each with q172's
+      // 1-row total-count agg feeding the band-cut broadcast
+      "q190_curriculum_quarantine" -> 2,
+      "q191_curriculum_repair" -> 2)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

@@ -961,6 +961,91 @@ class CorpusOpsSpec extends SparkSpec {
       "null-key quarantine(repair(m)) is empty")
   }
 
+  test("curriculum fsck family: clean quarantines nothing, counters == labels (law), each battery class fires, repair == the generator (q190/q191)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val docs = (0L until 40L).map(i => (i, i % 7)).toDF("doc_id", "difficulty")
+    val epochs = 3
+    val buckets = 4
+    val schedule = ShardPack.curriculumOrder(docs, "doc_id", "difficulty",
+      epochs, buckets)
+    // clean: empty quarantine, all-zero counters, repair fixed point
+    assert(ShardPack.quarantineCurriculum(schedule, docs, "doc_id",
+      "difficulty", epochs, buckets).isEmpty,
+      "a clean schedule quarantines nothing")
+    val cleanChecks = ShardPack.checkCurriculum(schedule, docs, "doc_id",
+      "difficulty", epochs, buckets)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cleanChecks("schedule_rows") === cleanChecks("rows_expected") &&
+      cleanChecks("epochs_expected") === 3L)
+    Seq("duplicate_schedule_keys", "missing_rows", "layout_mismatches",
+      "pos_violations", "pos_mismatches").foreach(c =>
+      assert(cleanChecks(c) === 0L, s"clean schedule must report 0 $c"))
+    assert(rows(ShardPack.repairCurriculum(schedule,
+      ShardPack.quarantineCurriculum(schedule, docs, "doc_id", "difficulty",
+        epochs, buckets), "doc_id", "difficulty")) === rows(schedule),
+      "repair(clean) == clean")
+    // battery: a WHOLE lost epoch (comes back as missing rows — the
+    // caller-known epoch domain has no gap blind spot), dropped rows,
+    // a corrupted bucket, a nulled difficulty, shifted pos, duplicates,
+    // a FOREIGN doc id, a foreign EPOCH label, and a null epoch
+    val corrupted = schedule
+      .filter(col("epoch") =!= 1L)
+      .filter(!(col("epoch") === 2L && col("doc_id") % 11L === 0L))
+      .withColumn("bucket",
+        when(col("epoch") === 0L && col("doc_id") % 17L === 2L,
+          col("bucket") + 3L).otherwise(col("bucket")))
+      .withColumn("difficulty",
+        when(col("epoch") === 2L && col("doc_id") % 13L === 5L,
+          lit(null).cast("long")).otherwise(col("difficulty")))
+      .withColumn("pos",
+        when(col("epoch") === 2L && col("doc_id") % 19L === 3L,
+          col("pos") + 1000L).otherwise(col("pos")))
+      .unionByName(schedule.filter(
+        col("epoch") === 0L && col("doc_id") % 13L === 1L))
+      .unionByName(schedule.filter(
+        col("epoch") === 0L && col("doc_id") === 2L)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+      .unionByName(schedule.filter(
+        col("epoch") === 2L && col("doc_id") === 3L)
+        .withColumn("epoch", lit(9L)))
+      .withColumn("epoch",
+        when(col("epoch") === 0L && col("doc_id") === 5L,
+          lit(null).cast("long")).otherwise(col("epoch")))
+    val quarantine = ShardPack.quarantineCurriculum(corrupted, docs,
+      "doc_id", "difficulty", epochs, buckets)
+    val byLabel = quarantine.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    Seq("duplicate_key", "missing", "layout_mismatch", "pos_violation",
+      "pos_mismatch").foreach(l =>
+      assert(byLabel.getOrElse(l, 0L) > 0L, s"the battery must fire $l"))
+    // counters == labels, by construction AND re-asserted
+    val checks = ShardPack.checkCurriculum(corrupted, docs, "doc_id",
+      "difficulty", epochs, buckets)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((check, label) <- Seq(
+      "duplicate_schedule_keys" -> "duplicate_key",
+      "missing_rows" -> "missing",
+      "layout_mismatches" -> "layout_mismatch",
+      "pos_violations" -> "pos_violation",
+      "pos_mismatches" -> "pos_mismatch"))
+      assert(checks(check) === byLabel.getOrElse(label, 0L),
+        s"$check == count of '$label' rows")
+    // the whole lost epoch 1 comes back through missing alone
+    assert(quarantine.filter(col("violation") === "missing" &&
+      col("epoch") === 1L).count() > 0L,
+      "a lost TAIL-adjacent epoch is visible by name (no gap blind spot)")
+    // repair: extensional + idempotence laws
+    val repaired = ShardPack.repairCurriculum(corrupted, quarantine,
+      "doc_id", "difficulty")
+    assert(rows(repaired) === rows(schedule),
+      "repair == the generator schedule")
+    assert(ShardPack.quarantineCurriculum(repaired, docs, "doc_id",
+      "difficulty", epochs, buckets).isEmpty,
+      "quarantine(repair(s)) is empty")
+  }
+
   test("epoch_gap guards the negative-max sequence pitfall: an all-negative corrupt epoch domain emits NO gap rows (r19 advisory)") {
     import spark.implicits._
     val seqs = ((0L until 4L).map(b => (b, 60L, 2L)) :+ ((4L, 23L, 1L)))
