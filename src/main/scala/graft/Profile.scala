@@ -254,7 +254,8 @@ object Profile {
           // interleaved best-fit export, RTG value targets
           "q186_manifest_repair", "q187_manifest_repair_bestfit",
           "q188_interleaved_bestfit", "q189_prm_rtg_sequences",
-          "q190_curriculum_quarantine", "q191_curriculum_repair"))
+          "q190_curriculum_quarantine", "q191_curriculum_repair",
+          "q192_multimodal_sft"))
       qs.foreach { q =>
         val (rows, t) = runFreshChild(q, out)
         println(f"[sftcentury] ${copies}x $q rows=$rows t=$t%.2fs")

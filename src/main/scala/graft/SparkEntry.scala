@@ -2907,6 +2907,45 @@ object SparkEntry {
         ShardPack.quarantineCurriculum(corrupted, docs, "doc_id", "difficulty",
           epochs = 4, buckets = 10),
         "doc_id", "difficulty")
+    }),
+
+    // --- scale: the COMPLETE MULTIMODAL SFT ARTIFACT — q188's export
+    // with the remaining two trainer channels in the SAME row: the
+    // loss mask (placeholders and pad never train — mask 0; text
+    // trains — mask 1; each channel pads its OWN sentinel) and the
+    // cu_seqlens attention segments (q185's layout-derived boundaries:
+    // no cross-doc attention, placeholders at segment starts). One row
+    // per (shard, bin) = tokens + mask + payload keys + segments —
+    // everything a multimodal SFT loader mmaps -------------------------------
+    "q192_multimodal_sft" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val merges = Bpe.trainMergesFast(docs, "text", BpeMergeCount)
+      val stream = Bpe.encodeIndexedIds(docs, "doc_id", "text", merges)
+      val assign = docs.filter(col("doc_id") % 3L =!= 0L)
+        .select(col("doc_id"), (col("doc_id") % 4L + 1L).as("img_key"))
+      val inter = graft.ops.CacheScope.cut(
+        Multimodal.interleavedTokenStream(stream, assign, "doc_id", "img_key")
+          .withColumn("m",
+            when(col("token_id") === -2L, 0L).otherwise(1L)))
+      val lens = inter.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      // CUT: the layout feeds the channel materializer AND the
+      // segment derivation
+      val layout = graft.ops.CacheScope.cut(
+        ShardPack.packBestFit(lens, "doc_id", "n_tok",
+          seqLen = 96L, shardBudget = 2000L))
+      ShardPack.materializeBestFitWithChannels(inter, layout, "doc_id",
+        Seq(("payload_key", -1L), ("m", 0L)), seqLen = 96L, padId = -1L)
+        .join(ShardPack.bestFitSegments(layout, "doc_id", seqLen = 96L)
+          .select(col("shard"), col("bin"), col("n_segments"),
+            col("cu_seqlens")),
+          Seq("shard", "bin"))
+        .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
+          col("pad_len"), col("n_segments"),
+          array_join(col("token_ids"), " ").as("token_ids"),
+          array_join(col("payload_key"), " ").as("payload_key"),
+          array_join(col("m"), "").as("mask"),
+          array_join(col("cu_seqlens"), " ").as("cu_seqlens"))
     })
   )
 
@@ -8127,6 +8166,68 @@ object SparkEntry {
         |  CAST(96 - b.fill AS BIGINT) AS pad_len, t.n_placeholders,
         |  t.tok_str || repeat(' -1', CAST(96 - b.fill AS INT)) AS token_ids,
         |  t.key_str || repeat(' -1', CAST(96 - b.fill AS INT)) AS payload_key
+        |FROM bs b JOIN ts t USING (shard, bin)""".stripMargin),
+
+    // q188's interleave + recursive-FFD CTEs with the two extra
+    // channels: the mask (0 at placeholders, '0'-padded — the
+    // no-train suffix) and the q185 segment derivation
+    // (list(doc_off) ++ [fill]) per bin
+    "q192_multimodal_sft" ->
+      (bpeStagesSql(BpeMergeCount).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s""",
+        |$docTokenStreamCtes,
+        |tstream AS (
+        |  SELECT s.doc_id, s.tok_idx, v.token_id
+        |  FROM stream s JOIN vocab v ON s.piece = v.piece),
+        |asg AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS pk
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |istream AS (
+        |  SELECT a.doc_id, CAST(0 AS BIGINT) AS tok_idx,
+        |    CAST(-2 AS BIGINT) AS token_id, a.pk AS payload_key
+        |  FROM asg a
+        |  UNION ALL
+        |  SELECT t.doc_id,
+        |    CAST(t.tok_idx + CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END
+        |      AS BIGINT),
+        |    t.token_id, CAST(-1 AS BIGINT)
+        |  FROM tstream t LEFT JOIN asg a USING (doc_id)),
+        |ibase AS (
+        |  SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n
+        |  FROM istream GROUP BY 1),
+        |${ffdCtes("", "ibase", 96, 2000)},
+        |pl AS (
+        |  SELECT shard, bin, id, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard, bin
+        |      ORDER BY n DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS doc_off
+        |  FROM ffd WHERE id IS NOT NULL),
+        |tok AS (
+        |  SELECT p.shard, p.bin, i.token_id, i.payload_key,
+        |    CASE WHEN i.token_id = -2 THEN 0 ELSE 1 END AS m,
+        |    p.doc_off + i.tok_idx AS local
+        |  FROM istream i JOIN pl p ON i.doc_id = p.id),
+        |bs AS (
+        |  SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(n) AS BIGINT) AS fill,
+        |    array_to_string(
+        |      list_append(list(doc_off ORDER BY doc_off),
+        |        CAST(sum(n) AS BIGINT)), ' ') AS cu_seqlens
+        |  FROM pl GROUP BY 1, 2),
+        |ts AS (
+        |  SELECT shard, bin,
+        |    array_to_string(list(token_id ORDER BY local), ' ') AS tok_str,
+        |    array_to_string(list(payload_key ORDER BY local), ' ') AS key_str,
+        |    array_to_string(list(m ORDER BY local), '') AS m_str
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT b.shard, b.bin, b.n_docs, b.fill,
+        |  CAST(96 - b.fill AS BIGINT) AS pad_len, b.n_segments,
+        |  t.tok_str || repeat(' -1', CAST(96 - b.fill AS INT)) AS token_ids,
+        |  t.key_str || repeat(' -1', CAST(96 - b.fill AS INT)) AS payload_key,
+        |  t.m_str || repeat('0', CAST(96 - b.fill AS INT)) AS mask,
+        |  b.cu_seqlens
         |FROM bs b JOIN ts t USING (shard, bin)""".stripMargin),
 
     // q180's generator CTEs expanded to the 3 epochs the corrupted

@@ -532,7 +532,10 @@ class PlanGuardSpec extends SparkSpec {
       // the quarantine's expected re-derivation), each with q172's
       // 1-row total-count agg feeding the band-cut broadcast
       "q190_curriculum_quarantine" -> 2,
-      "q191_curriculum_repair" -> 2)
+      "q191_curriculum_repair" -> 2,
+      // q192: q188's encode rank window; the segment join adds one
+      // keyed agg over the cut layout
+      "q192_multimodal_sft" -> 1)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = countNodes(planOf(q), {
         case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition

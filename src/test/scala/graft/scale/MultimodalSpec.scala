@@ -571,6 +571,48 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage.contains("shadow"))
   }
 
+  test("multimodal SFT artifact (q192): mask 0 EXACTLY at placeholders and pad, cu_seqlens rides the row and closes at fill") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta"), (4L, "eta theta iota kappa"), (5L, "lambda mu"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesFast(docs, "text", 4)
+    val assign = Seq((1L, 101L), (3L, 103L), (5L, 105L))
+      .toDF("doc_id", "img_key")
+    val inter = Multimodal.interleavedTokenStream(
+      Bpe.encodeIndexedIds(docs, "doc_id", "text", merges),
+      assign, "doc_id", "img_key")
+      .withColumn("m", when(col("token_id") === -2L, 0L).otherwise(1L))
+    val lens = inter.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val seqLen = 16L
+    val layout = ShardPack.packBestFit(lens, "doc_id", "n_tok",
+      seqLen, shardBudget = 64L)
+    val out = ShardPack.materializeBestFitWithChannels(
+      inter, layout, "doc_id", Seq(("payload_key", -1L), ("m", 0L)),
+      seqLen, padId = -9L)
+      .join(ShardPack.bestFitSegments(layout, "doc_id", seqLen)
+        .select(col("shard"), col("bin"), col("n_segments"),
+          col("cu_seqlens")),
+        Seq("shard", "bin"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val toks = r.getSeq[Long](r.fieldIndex("token_ids"))
+      val mask = r.getSeq[Long](r.fieldIndex("m"))
+      val cu = r.getSeq[Long](r.fieldIndex("cu_seqlens"))
+      val fill = r.getAs[Long]("fill").toInt
+      // the loss-mask law: 0 exactly where a trainer must not train —
+      // placeholder slots and the pad suffix; 1 on every text token
+      (0 until seqLen.toInt).foreach { p =>
+        assert((mask(p) == 0L) === (toks(p) == -2L || p >= fill),
+          s"mask law at $p (tok ${toks(p)}, fill $fill)")
+      }
+      // the segment contract rides the same row and closes at FILL
+      // (the pad suffix attends to nothing)
+      assert(cu.head === 0L && cu.last === fill.toLong)
+      assert(cu.length.toLong === r.getAs[Long]("n_segments") + 1L)
+    }
+  }
+
   test("jointPairDedup assignment contracts: duplicate/null doc key refuses in-plan; a caption-pair doc missing from assign fails loud") {
     val images = Multimodal.imageFeatures(Seq(
       Multimodal.Asset(1L, "image", fixture("halfred.jpg"), "jpeg")).toDS())
