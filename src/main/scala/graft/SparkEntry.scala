@@ -3698,11 +3698,19 @@ object SparkEntry {
   private def incrRun(s: SparkSession, dir: String,
       tokenizerMerges: Seq[graft.scale.Bpe.Merge] = Nil): graft.scale.Curation.IncrementResult = {
     val docs = t(s, dir, "documents")
-    val storeChunks = graft.scale.TextStats.chunkByTokens(
-      docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0),
-      "doc_id", "text", 32, 16, carryCols = Seq("lang"))
-      .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
-      .select(col("chunk_id"), col("chunk_text"), col("lang"))
+    // CUT (r20): the convenience-form store is a chunker over 2/3 of the
+    // corpus and pretrainCurateIncrement reads it THREE times (signature
+    // index build, candidate text verification, domain sizes) — uncached
+    // it re-ran the chunk scan per consumer (measured: q121 11.4 s /
+    // q123 16.1 s / q132 12.9 s at sf0.1 before the cut). Production
+    // passes a persisted store table, so the cache mirrors the real
+    // deployment's read amortization rather than masking a cost.
+    val storeChunks = graft.ops.CacheScope.cut(
+      graft.scale.TextStats.chunkByTokens(
+        docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0),
+        "doc_id", "text", 32, 16, carryCols = Seq("lang"))
+        .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
+        .select(col("chunk_id"), col("chunk_text"), col("lang")))
     graft.scale.Curation.pretrainCurateIncrement(
       docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"),

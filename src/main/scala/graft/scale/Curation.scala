@@ -271,7 +271,13 @@ object Curation {
     // DuckDB quantile_cont oracle mirrors — see the scaladoc trade.
     require(surpKeepQuantile > 0 && surpKeepQuantile <= 1,
       s"surpKeepQuantile must be in (0, 1], got $surpKeepQuantile")
-    val scored = TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
+    // persistedCut (r20): scored feeds the cutoff agg AND the gate's
+    // filter side — uncached, the model-build + scoring joins under
+    // bigramSurprisal ran twice per gate (the explode itself was already
+    // shared through bi's persist; measured 4.1 s for the gate stage at
+    // sf0.1, about half of it the second pass). Slim (id + 3 longs) rows.
+    val scored = persistedCut(
+      TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text"))
     val cutExpr =
       if (approxQuantileAccuracy > 0)
         expr(s"approx_percentile(avg_surp, ${surpKeepQuantile}D, " +
@@ -554,7 +560,10 @@ object Curation {
     val clean = chunks.join(cleanIds, Seq("chunk_id"), "left_semi")
     require(surpKeepQuantile > 0 && surpKeepQuantile <= 1,
       s"surpKeepQuantile must be in (0, 1], got $surpKeepQuantile")
-    val scored = TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
+    // persistedCut (r20): same double-consumer shape as the base
+    // pipeline's gate — see pretrainCurate
+    val scored = persistedCut(
+      TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text"))
     val cutExpr =
       if (approxQuantileAccuracy > 0)
         expr(s"approx_percentile(avg_surp, ${surpKeepQuantile}D, " +
