@@ -3707,7 +3707,11 @@ object SparkEntry {
     // deployment's read amortization rather than masking a cost.
     val storeChunks = graft.ops.CacheScope.cut(
       graft.scale.TextStats.chunkByTokens(
-        docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0)
+          // single small parquet file -> 1 scan partition: without the
+          // repartition the store chunker (and the signature hashing the
+          // cache feeds) runs as ONE task (the documented testdata trap)
+          .repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", 32, 16, carryCols = Seq("lang"))
         .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
         .select(col("chunk_id"), col("chunk_text"), col("lang")))
