@@ -104,6 +104,17 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // A/B knobs for the optimization round (defaults = Spark defaults)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PF", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64MB"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUFFER", "32k"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", "10485760"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // UTC like Bench/Verify/SparkSpec: SparkEntry.t()'s timestamp
       // normalization relies on the session zone, so a host-local zone
@@ -184,6 +195,93 @@ object Profile {
         }
         println(f"[time] $q rows=$rows t=${times.min}%.2fs")
         System.gc() // outside the timed window — see Bench's tail note
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("explainq")) {
+      // dump .explain("formatted") for each named query at
+      // SPARK_GRAFT_SF_DIR into the given directory (default plans/r20),
+      // suffixed with the given tag (default "before") — the
+      // optimization round's plan-evidence artifact
+      val qs = args.drop(1).headOption.map(_.split(",").toSeq).getOrElse(Nil)
+      val tag = args.drop(2).headOption.getOrElse("before")
+      val outDir = args.drop(3).headOption.getOrElse("plans/r20")
+      new java.io.File(outDir).mkdirs()
+      qs.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val p = java.nio.file.Paths.get(s"$outDir/${q}_$tag.txt")
+        java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+        println(s"[explainq] wrote $p (${txt.length} chars)")
+        graft.ops.CacheScope.releaseAll()
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("stageprof")) {
+      // per-STAGE wall/task attribution for one query via a
+      // SparkListener — the UI-less stand-in for the stage page: run
+      // the query once warm, print every stage's duration, task count
+      // and name sorted by duration. Submission gaps (driver-side
+      // planning/collect work) show up as the delta between the sum of
+      // stage times and the wall clock.
+      val q = args.drop(1).headOption.getOrElse("q115_pretrain_curate")
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      graft.ops.CacheScope.releaseAll()
+      // warm run at the target SF too (codegen for the big-SF plan)
+      SparkEntry.queries(q)(spark, sfDir).count()
+      graft.ops.CacheScope.releaseAll()
+      final case class StageRec(name: String, sub: Long, comp: Long, nt: Int,
+        taskMs: Long)
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageRec]()
+      val taskMs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          taskMs.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.atomic.AtomicLong())
+            .addAndGet(te.taskInfo.duration)
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          stages.put(info.stageId, StageRec(info.name,
+            info.submissionTime.getOrElse(-1L),
+            info.completionTime.getOrElse(-1L), info.numTasks,
+            Option(taskMs.get(info.stageId)).map(_.get()).getOrElse(0L)))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val wall0 = System.currentTimeMillis()
+      val df2 = SparkEntry.queries(q)(spark, sfDir)
+      val tc = System.nanoTime()
+      val rows = df2.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.ops.CacheScope.releaseAll()
+      Thread.sleep(500) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val all = stages.asScala.toSeq.sortBy(_._2.sub)
+      val stageWall = all.map(r => r._2.comp - r._2.sub).sum
+      val totalTaskMs = all.map(_._2.taskMs).sum
+      // driver-idle gaps: periods with NO stage running (planning/collect)
+      val intervals = all.map(r => (r._2.sub, r._2.comp)).sortBy(_._1)
+      var gapMs = 0L; var cursor = wall0
+      intervals.foreach { case (s, c) =>
+        if (s > cursor) gapMs += s - cursor
+        cursor = math.max(cursor, c)
+      }
+      println(f"[stageprof] $q rows=$rows wall=$wall%.2fs " +
+        f"(construct=${(tc - t0) / 1e9}%.2fs) stages=${all.size} " +
+        f"stage_wall_sum=${stageWall / 1000.0}%.2fs task_sum=${totalTaskMs / 1000.0}%.2fs " +
+        f"no_stage_running=${gapMs / 1000.0}%.2fs")
+      all.sortBy(r => -(r._2.comp - r._2.sub)).take(25).foreach { case (id, r) =>
+        println(f"[stageprof]   ${(r.comp - r.sub) / 1000.0}%6.2fs task_sum=${r.taskMs / 1000.0}%6.2fs tasks=${r.nt}%-4d s$id")
       }
       spark.stop()
       return
@@ -932,6 +1030,194 @@ object Profile {
         gated.select("chunk_id"), reps, "chunk_id", 100, 100)
       time("split")(split.count())
       time("full_q115")(SparkEntry.queries("q115_pretrain_curate")(spark, sfDir).count())
+      graft.ops.CacheScope.releaseAll()
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("planprof")) {
+      // driver-side vs executor-side split for a query: time the plan
+      // CONSTRUCTION (fn call — analysis + any eager .rdd planning in
+      // CacheScope.cut) separately from the action, twice each
+      val qs = args.drop(1).headOption.map(_.split(",").toSeq)
+        .getOrElse(Seq("q155_sft_curate"))
+      qs.foreach { q =>
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        graft.ops.CacheScope.releaseAll()
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(q)(spark, sfDir)
+          val t1 = System.nanoTime()
+          val rows = df.count()
+          val t2 = System.nanoTime()
+          graft.ops.CacheScope.releaseAll()
+          println(f"[planprof] $q run$i rows=$rows construct=${(t1 - t0) / 1e9}%.2fs " +
+            f"action=${(t2 - t1) / 1e9}%.2fs")
+        }
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("sqlprof")) {
+      // per-OPERATOR attribution for one query: run warm, then walk the
+      // executed (AQE-final) physical plan and print every node's SQL
+      // metrics — the UI SQL-tab stand-in. Time-like metrics are in ms.
+      val q = args.drop(1).headOption.getOrElse("q115_pretrain_curate")
+      val minMs = args.drop(2).headOption.map(_.toLong).getOrElse(200L)
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      graft.ops.CacheScope.releaseAll()
+      SparkEntry.queries(q)(spark, sfDir).count()
+      graft.ops.CacheScope.releaseAll()
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[sqlprof] $q rows=$rows wall=$wall%.2fs (metrics >= ${minMs}ms)")
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+        val interesting = p.metrics.filter { case (k, m) =>
+          (k.contains("time") || k.contains("Time") || k == "numOutputRows") &&
+            m.value > 0
+        }
+        val times = interesting.filter { case (k, _) => k != "numOutputRows" }
+        val maxT = if (times.nonEmpty) times.values.map(_.value).max else 0L
+        if (maxT >= minMs) {
+          val ms = interesting.map { case (k, m) =>
+            s"$k=${m.value}"
+          }.mkString(" ")
+          println(s"[sqlprof] ${"  " * depth}${p.nodeName}: $ms")
+        }
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan, depth + 1)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(s.plan, depth + 1)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            () // metrics live on the original
+          case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            walk(i.relation.cachedPlan, depth + 1)
+          case _ => p.children.foreach(walk(_, depth + 1))
+        }
+        p.subqueries.foreach(walk(_, depth + 1))
+      }
+      walk(df.queryExecution.executedPlan, 0)
+      graft.ops.CacheScope.releaseAll()
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("lshchunk")) {
+      // candidate-pair composition of the chunk-pipeline LSH: how many
+      // LSH candidates are SAME-DOC overlapping-window pairs (verified
+      // then discarded by the caller's cross-doc filter) vs cross-doc
+      import graft.scale.{Dedup, TextStats}
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val chunks = TextStats.chunkByTokens(
+        docs0.filter(col("doc_id") % 11 =!= 0)
+          .repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", "text", 32, 16)
+        .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
+        .select(col("chunk_id"), col("chunk_text")).persist()
+      println(s"[lshchunk] chunks=${chunks.count()}")
+      var t0 = System.nanoTime()
+      val sig = Dedup.minhashSignatures(chunks, "chunk_id", "chunk_text", 3, 16).persist()
+      println(f"[lshchunk] sigs=${sig.count()} t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // reproduce the band/bucket/pair internals (bands=8, cap 1000)
+      val rowsPerBand = 2
+      val keys = (0 until 8).map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+        md5(concat(lit(s"$b:"), concat_ws(",", slice: _*)).cast("binary"))
+      }
+      val banded = sig.select(col("id"), explode(array(keys: _*)).as("band"))
+      t0 = System.nanoTime()
+      val buckets = banded.groupBy("band")
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) >= 2)
+      val pairs = buckets
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
+        .distinct().persist()
+      val nPairs = pairs.count()
+      val nSame = pairs.filter(expr("(id_a div 65536) = (id_b div 65536)")).count()
+      println(f"[lshchunk] candidates=$nPairs same_doc=$nSame t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+      val full = Dedup.minhashPairsExact(chunks, "chunk_id", "chunk_text", 3, 16, 8, 0.6)
+        .filter(expr("(id_a div 65536) != (id_b div 65536)")).count()
+      println(f"[lshchunk] full_verified_crossdoc=$full t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.ops.CacheScope.releaseAll()
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("incrstages")) {
+      // q121 stage breakdown at SPARK_GRAFT_SF_DIR: time each
+      // pretrainCurateIncrement stage's materialization, mirroring the
+      // pipeline's own frames (the pretrainstages convention)
+      import graft.scale.{Curation, Dedup, TextStats}
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val storeChunks = TextStats.chunkByTokens(
+        docs0.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 =!= 0)
+          .repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", "text", 32, 16, carryCols = Seq("lang"))
+        .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
+        .select(col("chunk_id"), col("chunk_text"), col("lang")).persist()
+      val batch = docs0.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"),
+          expr("substring(source, 4)").cast("long").as("priority"), col("lang"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val holdout = docs0.filter(col("doc_id") % 11 === 0)
+      def time(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[incrstages] $tag n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      time("store_chunks")(storeChunks.count())
+      val chunks = TextStats.chunkByTokens(batch, "doc_id", "text", 32, 16,
+        carryCols = Seq("priority", "lang"))
+        .withColumn("chunk_id", col("doc_id") * 65536L + col("chunk_idx"))
+        .persist()
+      time("batch_chunks")(chunks.count())
+      val pairs = Dedup.minhashPairsExact(
+        chunks.select(col("chunk_id"), col("chunk_text")),
+        "chunk_id", "chunk_text", 3, 16, 8, 0.6)
+        .filter(expr("(id_a div 65536) != (id_b div 65536)")).persist()
+      time("batch_lsh_pairs")(pairs.count())
+      val reps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "chunk_id").persist()
+      time("cc")(reps.count())
+      val ded = Dedup.dedupByClusterPriorityWithReps(chunks, reps, "chunk_id", "priority")
+        .persist()
+      time("priority_dedup")(ded.count())
+      val sigStore = Dedup.minhashSignatures(
+        storeChunks.select(col("chunk_id"), col("chunk_text")),
+        "chunk_id", "chunk_text", 3, 16).persist()
+      time("store_sigs")(sigStore.count())
+      val dedAsDocs = ded.select(col("chunk_id"), col("chunk_text"))
+      val batchSigs = Dedup.minhashSignatures(dedAsDocs, "chunk_id", "chunk_text", 3, 16)
+        .persist()
+      time("batch_sigs")(batchSigs.count())
+      val inc = Dedup.nearDupAgainstSignatures(
+        dedAsDocs, storeChunks.select(col("chunk_id"), col("chunk_text")),
+        batchSigs, sigStore,
+        "chunk_id", "chunk_text", 3, 16, 8, 0.6, 1000).persist()
+      time("incumbent_filter")(inc.count())
+      val clean = inc.join(
+        Dedup.decontaminate(inc,
+          holdout.select(col("doc_id").as("chunk_id"), col("text").as("chunk_text")),
+          "chunk_id", "chunk_text", 4).select("chunk_id"),
+        Seq("chunk_id"), "left_anti").persist()
+      time("decontam")(clean.count())
+      val scored = TextStats.bigramSurprisal(clean, "chunk_id", "chunk_text")
+      val cutoff = scored.agg(expr("percentile(avg_surp, 0.9D)").as("surp_cut"))
+      val gated = clean.join(
+        scored.crossJoin(broadcast(cutoff))
+          .filter(col("avg_surp") <= col("surp_cut")).select("chunk_id"),
+        Seq("chunk_id"), "left_semi").persist()
+      time("surprisal_gate")(gated.count())
+      time("full_q121")(SparkEntry.queries("q121_incr_curate")(spark, sfDir).count())
+      graft.ops.CacheScope.releaseAll()
+      time("full_q123")(SparkEntry.queries("q123_incr_counters")(spark, sfDir).count())
       graft.ops.CacheScope.releaseAll()
       spark.stop()
       return

@@ -18,6 +18,9 @@ object Verify {
       // flag makes those surface as LongType, and SparkEntry.t() maps the
       // current timestamp[us] vintage to the same long-nanos contract
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r20: sort-based shuffle writer (see Bench) — results identical,
+      // the 192-query sweep just spends less time creating tiny files
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,6 +27,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       // driver-generated events.parquet uses TIMESTAMP(NANOS) (pandas ns)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sort-based shuffle writer (see Bench) — avoids the bypass
+      // writer's O(M·R) tiny-file storm on the suite's many small jobs
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
