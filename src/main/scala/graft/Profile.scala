@@ -104,13 +104,19 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // A/B knobs for the optimization round (defaults = Spark defaults)
+      // A/B knobs for the optimization round. Defaults match the BENCH
+      // session (not stock Spark): BYPASS defaults to the tuned r20
+      // value 0 — export SPARK_GRAFT_BYPASS=200 for a stock-Spark side.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PF", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64MB"))
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .config("spark.shuffle.file.buffer",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUFFER", "32k"))
       .config("spark.sql.autoBroadcastJoinThreshold",
@@ -281,7 +287,7 @@ object Profile {
         f"stage_wall_sum=${stageWall / 1000.0}%.2fs task_sum=${totalTaskMs / 1000.0}%.2fs " +
         f"no_stage_running=${gapMs / 1000.0}%.2fs")
       all.sortBy(r => -(r._2.comp - r._2.sub)).take(25).foreach { case (id, r) =>
-        println(f"[stageprof]   ${(r.comp - r.sub) / 1000.0}%6.2fs task_sum=${r.taskMs / 1000.0}%6.2fs tasks=${r.nt}%-4d s$id")
+        println(f"[stageprof]   ${(r.comp - r.sub) / 1000.0}%6.2fs task_sum=${r.taskMs / 1000.0}%6.2fs tasks=${r.nt}%-4d s$id ${r.name.take(110)}")
       }
       spark.stop()
       return

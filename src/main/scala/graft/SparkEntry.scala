@@ -2885,11 +2885,16 @@ object SparkEntry {
     "q190_curriculum_quarantine" -> ((s, dir) => {
       val docs = graft.ops.CacheScope.cut(t(s, dir, "documents")
         .select(col("doc_id"), TextStats.tokenCount(col("text")).as("difficulty")))
-      val schedule = ShardPack.curriculumOrder(docs, "doc_id", "difficulty",
-        epochs = 4, buckets = 10)
+      // CUT + reuse (r21): the generator frame feeds the battery (3
+      // references) AND the quarantine's expected side — the old form
+      // re-ran the EAGER curriculumOrder (global rank + 4 epochs of
+      // two-phase offset passes) a second time inside the quarantine
+      val schedule = graft.ops.CacheScope.cut(
+        ShardPack.curriculumOrder(docs, "doc_id", "difficulty",
+          epochs = 4, buckets = 10))
       val corrupted = curriculumBattery(schedule)
-      ShardPack.quarantineCurriculum(corrupted, docs, "doc_id", "difficulty",
-        epochs = 4, buckets = 10)
+      ShardPack.quarantineCurriculumAgainst(corrupted, schedule,
+        "doc_id", "difficulty")
     }),
 
     // --- scale: CURRICULUM REPAIR — q190's quarantine spliced back
@@ -2900,12 +2905,15 @@ object SparkEntry {
     "q191_curriculum_repair" -> ((s, dir) => {
       val docs = graft.ops.CacheScope.cut(t(s, dir, "documents")
         .select(col("doc_id"), TextStats.tokenCount(col("text")).as("difficulty")))
-      val schedule = ShardPack.curriculumOrder(docs, "doc_id", "difficulty",
-        epochs = 4, buckets = 10)
+      // CUT + reuse (r21): one generator run feeds the battery and the
+      // embedded quarantine's expected side (see q190)
+      val schedule = graft.ops.CacheScope.cut(
+        ShardPack.curriculumOrder(docs, "doc_id", "difficulty",
+          epochs = 4, buckets = 10))
       val corrupted = graft.ops.CacheScope.cut(curriculumBattery(schedule))
       ShardPack.repairCurriculum(corrupted,
-        ShardPack.quarantineCurriculum(corrupted, docs, "doc_id", "difficulty",
-          epochs = 4, buckets = 10),
+        ShardPack.quarantineCurriculumAgainst(corrupted, schedule,
+          "doc_id", "difficulty"),
         "doc_id", "difficulty")
     }),
 

@@ -21,6 +21,9 @@ object Verify {
       // r20: sort-based shuffle writer (see Bench) — results identical,
       // the 192-query sweep just spends less time creating tiny files
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // r21: codegen class cache sized for the 192-query sweep (see
+      // Bench) — results identical, the sweep just stops recompiling
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

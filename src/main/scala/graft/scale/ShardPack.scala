@@ -1804,12 +1804,33 @@ object ShardPack {
       idCol: String,
       difficultyCol: String,
       epochs: Int,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10): DataFrame =
+    quarantineCurriculumAgainst(schedule,
+      curriculumOrder(docs, idCol, difficultyCol, epochs, buckets),
+      idCol, difficultyCol)
+
+  /** [[quarantineCurriculum]] against an ALREADY-DERIVED generator
+    * schedule — the caller-side reuse form (r21): [[curriculumOrder]]
+    * is EAGER (its global rank and per-epoch offset passes execute at
+    * construction), so a caller that already holds the generator's
+    * frame for the same (docs, epochs, buckets) — the fsck pattern,
+    * where the schedule under test derives from the expected one —
+    * passes it here instead of paying a second full generator run.
+    * `expectedSchedule` MUST be [[curriculumOrder]]'s output for the
+    * quarantine's own docs/parameters; the convenience form above
+    * derives it and is otherwise identical (same frame by construction,
+    * CorpusOpsSpec pins the quarantine's semantics either way).
+    */
+  def quarantineCurriculumAgainst(
+      schedule: DataFrame,
+      expectedSchedule: DataFrame,
+      idCol: String,
+      difficultyCol: String): DataFrame = {
     val m = graft.ops.CacheScope.cut(schedule.select(
       Seq("epoch", "bucket", idCol, difficultyCol, "pos")
         .map(c => col(c).cast("long").as(c)): _*))
     val expected = graft.ops.CacheScope.cut(
-      curriculumOrder(docs, idCol, difficultyCol, epochs, buckets)
+      expectedSchedule
         .select(col("epoch"), col(idCol),
           col("bucket").as("e_bucket"),
           col(difficultyCol).as("e_difficulty"),

@@ -30,6 +30,9 @@ object SparkSpec {
       // sort-based shuffle writer (see Bench) — avoids the bypass
       // writer's O(M·R) tiny-file storm on the suite's many small jobs
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // codegen class cache sized for the full suite (see Bench) —
+      // avoids Janino/C2 recompilation of repeated generated sources
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
