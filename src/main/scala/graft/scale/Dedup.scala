@@ -348,10 +348,14 @@ object Dedup {
     val groups = (numHashes + 15) / 16
     val sh0 = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
+    // 48-bit md5 prefix via the codegen'd digest kernel (r21): the old
+    // conv(substring(md5(...)))::long composite paid a hex encode + a
+    // NumberConverter hex→decimal-string conversion PER SHINGLE — the
+    // dedup family's hottest loop; same value bit-for-bit (oracle SQL
+    // unchanged)
     val sh = (0 until groups).foldLeft(sh0) { (df, g) =>
       df.withColumn(s"hg$g",
-        conv(substring(md5(concat(lit(s"$g:"), col("sh")).cast("binary")), 1, 12), 16, 10)
-          .cast("long"))
+        graft.functions.Md5PrefixLong(concat(lit(s"$g:"), col("sh")), 6))
     }
     val sigAggs = (0 until numHashes).map { s =>
       min((lit(MinhashMultipliers(s % 16)) * col(s"hg${s / 16}")) % lit(MinhashMod)).as(s"h$s")
@@ -1059,7 +1063,7 @@ object Dedup {
     require(k >= 1, s"k must be >= 1, got $k")
     def gramHashes(df: DataFrame): DataFrame =
       df.select(explode(shingles(col(textCol), shingleSize)).as("g"))
-        .select(conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
+        .select(graft.functions.Md5PrefixLong(col("g"), 6).as("h"))
         .distinct()
     val ha = gramHashes(a)
     val hb = gramHashes(b)

@@ -84,7 +84,7 @@ object TextStats {
     */
   def hashBucket(c: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= (1 << 24), "buckets must fit the 32-bit hash space")
-    pmod(conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long"), lit(buckets))
+    pmod(graft.functions.Md5PrefixLong(c, 4), lit(buckets))
   }
 
   /** 64-bit SimHash over whitespace tokens, md5 bit source, hex-string
@@ -574,7 +574,7 @@ object TextStats {
     */
   def cmsEstimate(sketch: Column, value: Column, depth: Int, width: Int): Column = {
     val bits = Integer.numberOfTrailingZeros(width)
-    val base = conv(substring(md5(value.cast("binary")), 1, 12), 16, 10).cast("long")
+    val base = graft.functions.Md5PrefixLong(value, 6)
     least((0 until depth).map { j =>
       element_at(sketch,
         (shiftrightunsigned(base, bits * j).bitwiseAND(lit((width - 1).toLong)))

@@ -1135,8 +1135,7 @@ object StreamingOps {
     val withHg = (0 until groups).foldLeft(sh0) { (df, g) =>
       df.withColumn(s"hg$g",
         transform(col("sha"), s =>
-          conv(substring(md5(concat(lit(s"$g:"), s).cast("binary")), 1, 12), 16, 10)
-            .cast("long")))
+          graft.functions.Md5PrefixLong(concat(lit(s"$g:"), s), 6)))
     }
     val withH = (0 until numHashes).foldLeft(withHg) { (df, s) =>
       df.withColumn(s"h$s",

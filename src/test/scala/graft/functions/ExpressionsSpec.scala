@@ -93,4 +93,32 @@ class ExpressionsSpec extends SparkSpec {
     both.collect().foreach { case (fast, ref) => assert(fast === ref) }
     assert(both.head()._1.length === 24)
   }
+
+  test("Md5PrefixLong matches the conv(substring(md5)) composite it replaced") {
+    // bit-identity with the house 48-bit (and 32-bit) hash idiom is
+    // what keeps every oracle untouched: same digest, big-endian
+    // prefix, non-negative long
+    val df = Seq("", "a", "3:the quick brown fox", "0:\u00e9\u4e2d\u6587",
+      "1:" + ("x" * 500)).toDF("s")
+    val both = df.select(
+      Md5PrefixLong($"s", 6).as("fast48"),
+      conv(substring(md5($"s".cast("binary")), 1, 12), 16, 10)
+        .cast("long").as("ref48"),
+      Md5PrefixLong($"s", 4).as("fast32"),
+      conv(substring(md5($"s".cast("binary")), 1, 8), 16, 10)
+        .cast("long").as("ref32")).as[(Long, Long, Long, Long)]
+    both.collect().foreach { case (f48, r48, f32, r32) =>
+      assert(f48 === r48); assert(f32 === r32)
+      assert(f48 >= 0L && f32 >= 0L)
+    }
+    // inside a transform lambda (the streaming minhash shape): the
+    // interpreted eval path must agree with the codegen path above
+    val arr = Seq(Seq("a", "b", "c")).toDF("sha")
+    val lam = arr.select(
+      transform($"sha", s => Md5PrefixLong(concat(lit("2:"), s), 6)).as("fast"),
+      transform($"sha", s =>
+        conv(substring(md5(concat(lit("2:"), s).cast("binary")), 1, 12), 16, 10)
+          .cast("long")).as("ref")).as[(Seq[Long], Seq[Long])]
+    lam.collect().foreach { case (f, r) => assert(f === r) }
+  }
 }
