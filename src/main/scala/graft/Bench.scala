@@ -31,6 +31,20 @@ object Bench {
       // parquet scans. Measured: q176 10.5→6.5 s, q155 8.8→5.1 s,
       // q123 10.2→5.9 s, q115 9.7→6.6 s (best-of-2, 32 cores, sf0.1).
       .config("spark.sql.codegen.cache.maxEntries", "20000")
+      // r21: AQE's coalescing floor. With parallelism-first coalescing
+      // (the default) the post-shuffle target size is
+      // max(totalBytes/defaultParallelism, minPartitionSize) — the 1MB
+      // default floor collapses a COMPUTE-DENSE but tiny-BYTE shuffle
+      // (per-shingle hashing, BPE piece expansion: kilobytes of slim
+      // keys, seconds of CPU) to 1-2 tasks, serializing exactly the
+      // stages that need the cores (stageprof: q176's two hottest
+      // stages ran 2 tasks of 0.77 s each). 64KB keeps those stages at
+      // the session's parallelism; the floor only binds when a WHOLE
+      // shuffle is under ~parallelism·64KB, so at production shuffle
+      // sizes behavior is bit-identical to stock (size-adaptive, not a
+      // local constant — guide §2.2/§2.5). Measured: q176 6.3→4.0 s,
+      // q189 5.2→3.1 s, q107 2.7→1.8 s, no regressions on the tail.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,9 @@ object Verify {
       // r21: codegen class cache sized for the 192-query sweep (see
       // Bench) — results identical, the sweep just stops recompiling
       .config("spark.sql.codegen.cache.maxEntries", "20000")
+      // r21: AQE coalescing floor for compute-dense tiny-byte shuffles
+      // (see Bench) — results identical, partitioning-invariance law
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

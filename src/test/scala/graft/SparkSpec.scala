@@ -33,6 +33,9 @@ object SparkSpec {
       // codegen class cache sized for the full suite (see Bench) —
       // avoids Janino/C2 recompilation of repeated generated sources
       .config("spark.sql.codegen.cache.maxEntries", "20000")
+      // AQE coalescing floor (see Bench) — suite runs the same session
+      // shape the bench measures
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
