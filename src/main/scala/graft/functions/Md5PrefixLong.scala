@@ -41,6 +41,9 @@ case class Md5PrefixLong(child: Expression, prefixBytes: Int)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix_long"
+  // null in -> null out, like the conv/cast chain it replaces: lets the
+  // optimizer keep inferring (and pushing down) IsNotNull on the child
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
