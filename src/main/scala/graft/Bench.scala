@@ -45,6 +45,15 @@ object Bench {
       // local constant — guide §2.2/§2.5). Measured: q176 6.3→4.0 s,
       // q189 5.2→3.1 s, q107 2.7→1.8 s, no regressions on the tail.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+      // r21: let the planner use shuffled-hash join where its size
+      // conditions fit instead of always preferring sort-merge (guide
+      // §3.1/§9): both sides of most joins here are slim keyed frames,
+      // and the SMJ sorts are pure overhead. AQE still runtime-converts
+      // to broadcast where one side is tiny; results are join-strategy-
+      // independent (oracle-checked). A/B best-of-2 ×2 runs: q131
+      // 5.98/4.95→4.89/4.48, q118 4.34/4.96→3.69/4.33, q175
+      // 3.95/5.77→3.37/3.42, q48 2.20→1.62, no regressions observed.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -119,6 +119,8 @@ object Profile {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MINPART", "64KB"))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PSMJ", "false"))
       .config("spark.shuffle.file.buffer",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUFFER", "32k"))
       .config("spark.sql.autoBroadcastJoinThreshold",

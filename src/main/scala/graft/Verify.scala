@@ -27,6 +27,9 @@ object Verify {
       // r21: AQE coalescing floor for compute-dense tiny-byte shuffles
       // (see Bench) — results identical, partitioning-invariance law
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+      // r21: allow shuffled-hash joins (see Bench) — strategy-only,
+      // results identical
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

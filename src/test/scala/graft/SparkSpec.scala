@@ -36,6 +36,8 @@ object SparkSpec {
       // AQE coalescing floor (see Bench) — suite runs the same session
       // shape the bench measures
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+      // allow shuffled-hash joins (see Bench)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
